@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central place for the engine's Spark tuning.
+  *
+  * All scale knobs live here so the same library runs on `local[32]` test
+  * boxes and on a 1000-executor cluster by changing only these confs.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to a session builder.
+    *
+    * - AQE on (runtime partition coalescing + skew-join splitting) — at
+    *   100 TB the static shuffle partition count is always wrong for some
+    *   stage; AQE re-plans from actual map output sizes.
+    * - Broadcast threshold sized so every TPC-H-style dim table
+    *   (region/nation/supplier/part) broadcasts instead of shuffling.
+    * - Shuffle partitions default to the local core count; on a real
+    *   cluster this is overridden to ~2-3x total cores.
+    */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks. */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft"),
+      shufflePartitions = cpus
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
