@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as LONG
+      // nanos (Tables.events converts to a microsecond timestamp).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -9,13 +9,14 @@ object SparkEntry {
     Olap.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Olap.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "q1_agg" -> (Olap.q1Agg _)
+    ) ++ graft.etl.EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Olap.q1AggSql
-  )
+  ) ++ graft.etl.EtlQueries.oracles
 }

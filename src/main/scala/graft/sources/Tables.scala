@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the engine's table layout: one parquet dataset per table
   * under a scale-factor directory. Column pruning and predicate pushdown
@@ -17,7 +18,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark reads as
+    * LONG nanos (see GraftSession nanosAsLong). Convert to a microsecond
+    * timestamp with integer division — floating division would lose
+    * precision above 2^53 ns. Truncation matches DuckDB's ns→us cast. */
+  def events: DataFrame = {
+    val e = t("events")
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
