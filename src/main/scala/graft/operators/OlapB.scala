@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Olap.dsum
+
+/** SURVEY §2 block B (B2–B13): the core OLAP query surface.
+  *
+  * Scale notes (100 TB):
+  *  - All dim joins (`customer`, `supplier`, `nation`, `region`) are
+  *    explicit `broadcast()` — no shuffle of the fact side for them.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle once on the join key;
+  *    AQE handles skew (GraftSession).
+  *  - Aggregations rely on partial (map-side) aggregation; top-k is
+  *    `orderBy.limit` which Spark plans as TakeOrderedAndProject (per-
+  *    partition heaps, no global sort).
+  *  - Event-time outputs are emitted as epoch-microsecond BIGINTs so the
+  *    oracle comparison is precision-exact (events.parquet is ns).
+  *
+  * Oracle-parity: decimal-exact accumulation for double sums (see
+  * [[Olap.dsum]]), deterministic tie-breaks in every window/top-k.
+  */
+object OlapB {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Epoch micros from the events `ts` (already micro-precision, see Tables). */
+  private def tsUs(c: Column): Column = unix_micros(c)
+
+  // DuckDB twin of tsUs over the raw ns parquet: integer floor-div, exact.
+  private val tsUsSql = "epoch_ns(ts) // 1000"
+
+  // --- B2: 3-way join + agg + top-k (TPC-H Q3 shape) ----------------------
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") < cutoff && col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3TopkSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // --- B3: 6-way star join (TPC-H Q5 shape) -------------------------------
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // --- B4: window rank / top-n per group ----------------------------------
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // --- B5: running / moving window aggregates -----------------------------
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = ord.rowsBetween(-2, Window.currentRow)
+    // Running sums accumulate in DECIMAL within a deterministic row order,
+    // so they are bit-identical across engines and partitionings.
+    def rsum(w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      sum(col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double")
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        rsum(wRun).as("running_spend"), rsum(wMov).as("last3_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last3_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- B6: exact distinct aggregation (approx HLL pinned in spec) ---------
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_spend"))
+      .orderBy(col("o_orderpriority"))
+
+  val distinctAggSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- B7: rollup + grouping_id -------------------------------------------
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // --- B8: pivot long→wide (explicit values — no driver-side collect) -----
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value"), 2))
+      .orderBy(col("day"))
+
+  val pivotEventsSql: String = {
+    val cols = EventTypes.map { t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(25,2)) END) AS DOUBLE) AS $t"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- B9: semi / anti joins ----------------------------------------------
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 450000.0)
+    val byKey = col("c_custkey") === col("o_custkey")
+    val semi = t.customer.join(big, byKey, "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("tag"))
+    val anti = t.customer.join(big, byKey, "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_big_order").as("tag"))
+    semi.unionAll(anti).orderBy(col("c_custkey"))
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN EXISTS (SELECT 1 FROM orders
+      |                    WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |       THEN 'has_big_order' ELSE 'no_big_order' END AS tag
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- B10: as-of join (nearest past signup for each purchase) ------------
+  /** Spark has no native as-of join. The scalable plan: tag + union both
+    * streams, ONE shuffle on user_id, sort within partition, and carry the
+    * last-seen right-side row forward with `last(ignoreNulls)` over an
+    * unbounded-preceding row frame. No range explosion, no broadcast of the
+    * right side — this holds at any scale because it is a single
+    * window over a single co-partitioned sort.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"),
+        col("event_id").as("p_event_id"), lit(null).cast("bigint").as("s_event_id"),
+        lit(1).as("is_p"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"),
+        lit(null).cast("bigint").as("p_event_id"), col("event_id").as("s_event_id"),
+        lit(0).as("is_p"))
+    // On ts ties a signup sorts before a purchase (is_p) so `>=` semantics
+    // match the oracle's ASOF JOIN; event_id breaks any residual tie.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), coalesce(col("p_event_id"), col("s_event_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(signups)
+      .withColumn("matched_signup", last(col("s_event_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_signup_ts",
+        last(when(col("is_p") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("p_event_id"), col("user_id"), col("ts_us").as("p_ts_us"),
+        col("matched_signup"), col("matched_signup_ts"))
+      .orderBy(col("p_event_id"))
+  }
+
+  val asofJoinSql: String =
+    s"""WITH p AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS p_event_id
+       |           FROM events WHERE event_type = 'purchase'),
+       |     s AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS s_event_id
+       |           FROM events WHERE event_type = 'signup')
+       |SELECT p.p_event_id, p.user_id, p.ts_us AS p_ts_us,
+       |       s.s_event_id AS matched_signup, s.ts_us AS matched_signup_ts
+       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+       |ORDER BY p_event_id""".stripMargin
+
+  // --- B11: gap-based sessionization --------------------------------------
+  val SessionGapUs: Long = 1800L * 1000000 // 30 min
+
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"), col("value"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(ord))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        dsum(col("value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val eventsSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, $tsUsSql AS ts_us, value FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${SessionGapUs}
+       |                 THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+       |                                   ORDER BY ts_us, event_id) AS prev_ts
+       |        FROM e)
+       |), sessioned AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS session_value
+       |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- B12: tumbling event-time windows -----------------------------------
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        unix_micros(window(col("ts"), "1 hour").getField("start")).as("window_start_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("value_sum"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  val eventsWindowedSql: String =
+    """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- B13: semi-structured JSON extraction -------------------------------
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    Tables(spark, dir).events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max,
+      |  COUNT(DISTINCT k) AS k_distinct
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Registry for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_topk" -> (q3Topk _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "window_rank" -> (windowRank _),
+    "window_running" -> (windowRunning _),
+    "distinct_agg" -> (distinctAgg _),
+    "grouping_sets" -> (groupingSets _),
+    "pivot_events" -> (pivotEvents _),
+    "semi_anti_join" -> (semiAntiJoin _),
+    "asof_join" -> (asofJoin _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_windowed" -> (eventsWindowed _),
+    "json_extract" -> (jsonExtract _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_topk" -> q3TopkSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "distinct_agg" -> distinctAggSql,
+    "grouping_sets" -> groupingSetsSql,
+    "pivot_events" -> pivotEventsSql,
+    "semi_anti_join" -> semiAntiJoinSql,
+    "asof_join" -> asofJoinSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_windowed" -> eventsWindowedSql,
+    "json_extract" -> jsonExtractSql
+  )
+}

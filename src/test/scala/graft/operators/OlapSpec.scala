@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class OlapSpec extends SparkSpec {
+
+  test("q1_agg returns the 6 flag/status groups with exact sums") {
+    val rows = Olap.q1Agg(spark, sfDir).collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getAs[Long]("count_order")).sum === 6000 - Tables(spark, sfDir)
+      .lineitem.filter(col("l_shipdate") > lit("1998-09-02").cast("timestamp")).count())
+  }
+
+  test("q3_topk is a top-10 sorted by revenue desc with a broadcast dim join") {
+    val df = OlapB.q3Topk(spark, sfDir)
+    val revs = df.collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length <= 10)
+    assert(revs.sameElements(revs.sortBy(-_)))
+    // the customer dim must broadcast — no shuffle of the fact side for it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q5_multijoin broadcasts all dims") {
+    val plan = OlapB.q5Multijoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 4, "expected >=3 broadcast joins")
+  }
+
+  test("window_rank emits at most 3 rows per customer, ranked") {
+    val bad = OlapB.windowRank(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+      .filter(col("n") > 3 || col("mx") > 3).count()
+    assert(bad === 0)
+  }
+
+  test("window_running is monotone per customer") {
+    val bad = OlapB.windowRunning(spark, sfDir)
+      .withColumn("prev", lag("running_spend", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+      .filter(col("prev").isNotNull && col("running_spend") < col("prev"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("approx_count_distinct tracks exact within 5%") {
+    val o = Tables(spark, sfDir).orders
+    val Array(exact, approx) = o.select(
+      countDistinct(col("o_custkey")).cast("double"),
+      approx_count_distinct(col("o_custkey"), 0.02).cast("double")
+    ).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("asof_join matches are past-or-equal signups of the same user") {
+    val df = OlapB.asofJoin(spark, sfDir)
+    val bad = df.filter(col("matched_signup").isNotNull &&
+      col("matched_signup_ts") > col("p_ts_us")).count()
+    assert(bad === 0)
+    assert(df.count() > 0)
+  }
+
+  test("events_sessionize: session bounds respect the gap") {
+    import org.apache.spark.sql.expressions.Window
+    val s = OlapB.eventsSessionize(spark, sfDir)
+    // consecutive sessions of one user must be separated by > gap
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val bad = s.withColumn("prev_end", lag("end_us", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start_us") - col("prev_end") <= OlapB.SessionGapUs)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("pivot has no collect job: explicit value list produces 1+5 columns") {
+    val df = OlapB.pivotEvents(spark, sfDir)
+    assert(df.columns.toSeq === Seq("day", "click", "error", "purchase", "signup", "view"))
+  }
+
+  test("q1 scan prunes columns and pushes the shipdate filter") {
+    val formatted = Olap.q1Agg(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter:\n$formatted")
+    // pruned read schema must not include unused columns like l_partkey
+    assert(!formatted.contains("l_partkey"), "scan reads unused columns")
+  }
+}
