@@ -12,11 +12,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q1_agg" -> (Olap.q1Agg _)
-    ) ++ graft.etl.EtlQueries.queries ++ OlapB.queries
+    ) ++ graft.etl.EtlQueries.queries ++ OlapB.queries ++ TextOps.queries ++
+      VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Olap.q1AggSql
-  ) ++ graft.etl.EtlQueries.oracles ++ OlapB.oracles
+  ) ++ graft.etl.EtlQueries.oracles ++ OlapB.oracles ++ TextOps.oracles ++
+    VectorOps.oracles
 }

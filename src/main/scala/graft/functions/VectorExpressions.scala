@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the vector operators (SURVEY §3).
+  *
+  * All three are full codegen expressions (`doGenCode` emits a primitive
+  * loop, no boxing) so they stay inside WholeStageCodegen — the reason to
+  * drop below the built-in `functions._` layer here is that the built-in
+  * path for array math is higher-order functions, which are interpreted.
+  */
+
+/** Exact, engine-portable cosine: elements are quantized to
+  * `floor(x * 1e6)` 64-bit integers, the dot product and both norms are
+  * exact integer sums (order-independent — safe under any partitioning),
+  * and only the final `dot / sqrt(na) / sqrt(nb)` runs in IEEE double
+  * (correctly-rounded ops → bit-identical on every engine).
+  * Inputs: two array<double> of equal length.
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val xi = math.floor(x.getDouble(i) * 1e6).toLong
+      val yi = math.floor(y.getDouble(i) * 1e6).toLong
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xi = (long) java.lang.Math.floor($x.getDouble($i) * 1.0E6);
+         |  long $yi = (long) java.lang.Math.floor($y.getDouble($i) * 1.0E6);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = (double) $dot / java.lang.Math.sqrt((double) $na)
+         |    / java.lang.Math.sqrt((double) $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Plain double-accumulation cosine over array<double> — the fast
+  * production scoring path (single pass, no quantization). Not used in
+  * oracle-compared queries because float summation order is engine-specific.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i); double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane (sign-LSH) bucket ids: `numTables` independent tables
+  * of `bits` Rademacher (±1) hyperplanes each, drawn deterministically from
+  * `seed`. Returns array<long> of length `numTables`; element t encodes
+  * `(t << 24) | bucketBits` so every table's bucket lives in a disjoint key
+  * space and one `explode` fans a row into all of its tables.
+  *
+  * This is the scale path for near-dup and ANN candidate generation: the
+  * bucket id becomes the shuffle key, so candidate pairing is a hash
+  * self-join bounded by bucket size instead of an O(n²) cross join.
+  */
+case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
+    dim: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_sign_buckets"
+
+  /** ±1 plane matrix, shape [numTables * bits][dim], seeded. */
+  @transient lazy val planes: Array[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numTables * bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.toByte else -1.toByte))
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L; var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += plane(i) * x.getDouble(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = (t.toLong << 24) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket"); val plane = ctx.freshName("plane")
+      s"""
+         |int $n = java.lang.Math.min($dim, $x.numElements());
+         |long[] $out = new long[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    byte[] $plane = $planesRef[$t * $bits + $b];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $dot += $plane[$i] * $x.getDouble($i); }
+         |    if ($dot >= 0) $bucket |= (1L << $b);
+         |  }
+         |  $out[$t] = (((long) $t) << 24) | $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-facing constructors. */
+object vectors {
+  import GraftSqlBridge.{column, expression}
+
+  def quantized_cosine(a: Column, b: Column): Column =
+    column(QuantizedCosine(expression(a), expression(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def lsh_sign_buckets(v: Column, numTables: Int, bits: Int, dim: Int,
+      seed: Long = 42L): Column =
+    column(LshSignBuckets(expression(v), numTables, bits, dim, seed))
+}

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 block C (text): dedup + text-analysis operators over the
+  * `documents` table — the training-data-pipeline surface.
+  *
+  * Scale notes (100 TB):
+  *  - Everything here is either a pure map stage (C8–C11) or a single
+  *    hash shuffle on a content-derived key (C1 hash groups, C4 shingle
+  *    inverted index). No driver-side collection anywhere.
+  *  - C4's shingle self-join is the exact-verification path; its cost is
+  *    bounded by shingle document frequency. At corpus scale the candidate
+  *    generation moves to MinHash-LSH (see Sketch.dedupMinhashLsh) and this
+  *    operator verifies candidates only.
+  *  - All rules are `Column` algebra (no UDFs) → WholeStageCodegen.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles (default 3), 1-indexed positions. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
+  }
+
+  /** The dedup corpus: documents plus seeded EXACT duplicates (every 7th doc
+    * re-inserted under a shifted id). The synthetic table has no exact dups,
+    * so the operator's positive path is exercised deterministically.
+    */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+  }
+
+  private val dedupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
+  // --- C1: exact dedup via content hash -----------------------------------
+  /** One shuffle on the 256-bit content hash; partial aggregation does the
+    * map-side combine, so at 100 TB each executor emits one row per local
+    * distinct hash. Keeper = min(doc_id) is the deterministic survivor. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupCorpus(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("content_hash"))
+
+  val dedupExactSql: String =
+    s"""WITH $dedupCorpusSql
+       |SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+       |       MIN(doc_id) AS keeper_id
+       |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- C4: n-gram Jaccard near-dup pairs ----------------------------------
+  val JaccardThreshold = 0.4
+
+  /** Inverted-index exact Jaccard: explode distinct shingles, self-join on
+    * the shingle (one shuffle keyed by shingle), count intersections, then
+    * |A∪B| = |A|+|B|−|A∩B|. Integer-exact until the final division, so the
+    * score is bit-identical across engines and partitionings. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- C8: token counting --------------------------------------------------
+  /** Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
+    * runs, punctuation runs). Pure map stage, codegen'd regex. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id, LENGTH(text) AS n_chars_measured,
+      |  LEN(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
+      |  LEN(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- C9: quality scoring -------------------------------------------------
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nWords = size(t)
+    val nStop = size(filter(t, w => w.isin(Stopwords: _*)))
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    // All ratios are a single IEEE division of exact integers → identical
+    // across engines; the composite score is a fixed chain of rounded ops.
+    val stopRatio = nStop.cast("double") / nWords
+    val awl = nNonSpace.cast("double") / nWords
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      stopRatio.as("stop_ratio"),
+      awl.as("avg_word_len"),
+      (least(nWords.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio * 0.5))
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val in = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, n_words, n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE) / n_words AS stop_ratio,
+       |  CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+       |  LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       |    * (1.0 - (CAST(n_stopwords AS DOUBLE) / n_words) * 0.5) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    LEN(toks) AS n_words,
+       |    LEN(list_filter(toks, w -> w IN ($in))) AS n_stopwords,
+       |    LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+       |  FROM (SELECT doc_id, text,
+       |          regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- C10: language-ID heuristic ------------------------------------------
+  /** Marker-token score matrix. The synthetic corpus shares one vocabulary,
+    * so this pins the MECHANISM (per-language marker scoring + deterministic
+    * argmax), not real-world language detection accuracy. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "table"),
+    "de" -> Seq("join", "merge", "group"),
+    "fr" -> Seq("query", "filter", "sort"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(t, w => w.isin(ms: _*)))
+    }
+    // deterministic argmax: fixed precedence order on ties
+    val pred = scores.tail.foldLeft(
+      (when(lit(true), scores.head._1), scores.head._2)) {
+      case ((acc, best), (lang, s)) => (when(s > best, lang).otherwise(acc), greatest(best, s))
+    }._1
+    Tables(spark, dir).documents.select(
+      Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        scores.map { case (l, s) => s.as(s"score_$l") } :+
+        pred.as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      s"LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS score_$l"
+    }.mkString(",\n    ")
+    // same fold as the Scala side: later language wins only on strictly
+    // greater score
+    val pred = LangMarkers.tail.foldLeft("'" + LangMarkers.head._1 + "'" -> s"score_${LangMarkers.head._1}") {
+      case ((acc, best), (lang, _)) =>
+        (s"CASE WHEN score_$lang > $best THEN '$lang' ELSE $acc END",
+          s"GREATEST($best, score_$lang)")
+    }._1
+    s"""SELECT doc_id, labeled_lang, ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- C11: document fingerprint -------------------------------------------
+  /** Normalized-content hash: lowercase, collapse whitespace, md5. The
+    * window count over the fingerprint shows duplicate groups without a
+    * second scan. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  COUNT(*) OVER (PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS n_same
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Registry for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "doc_fingerprint" -> (docFingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "doc_fingerprint" -> docFingerprintSql
+  )
+}

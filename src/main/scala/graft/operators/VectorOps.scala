@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+import graft.sources.Tables
+
+/** SURVEY §2 block C (vectors): similarity search + embedding near-dup over
+  * the `embeddings` table (array<float> 64-dim, unit-norm).
+  *
+  * Scale design:
+  *  - C6 brute force: the QUERY SET is broadcast, the corpus is scanned
+  *    once; scoring is a codegen'd single-pass expression; top-k is a
+  *    window over query_id (per-query partitions). Corpus-side shuffle: one,
+  *    by query_id after scoring prune — acceptable because the scored rows
+  *    are (query, neighbor, score) triples, not vectors.
+  *  - C7/C5 LSH: bucket ids from LshSignBuckets become the join key; the
+  *    all-pairs problem becomes per-bucket joins. At 100 TB you raise
+  *    `bits` so buckets stay bounded; candidate verification stays exact.
+  *  - Oracle parity: scoring uses QuantizedCosine (integer-exact, see
+  *    VectorExpressions) so Spark and DuckDB agree bit-for-bit.
+  */
+object VectorOps {
+
+  /** Corpus as array<double> (exact float→double widening). */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  private val embSql =
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  // quantized vector in SQL (the oracle twin of QuantizedCosine's integers)
+  private def qSql(v: String) =
+    s"list_transform($v, x -> CAST(floor(x * 1000000.0) AS BIGINT))"
+
+  private def qcosSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
+       |      / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+       |      / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
+
+  // --- C6: exact cosine top-k ---------------------------------------------
+  val TopK = 10
+
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantized_cosine(col("emb"), col("q_emb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteTopkSql: String =
+    s"""WITH $embSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT query_id, q.vec_id AS neighbor_id,
+       |    ${qcosSql("q.qv", "qs.qqv")} AS score
+       |  FROM q CROSS JOIN qs WHERE q.vec_id <> qs.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // --- C5: embedding near-dup pairs (LSH candidates + exact verify) -------
+  /** The synthetic corpus has no natural near-dups (max cosine ≈ 0.6), so
+    * every 10th vector is re-inserted slightly perturbed
+    * (xᵢ → xᵢ + 0.01·xᵢ², cosine ≈ 0.99999) under a shifted id — in both
+    * engines identically (IEEE ops on exact float→double values).
+    */
+  val DedupThreshold = 0.999
+  val DedupTables = 8
+  val DedupBits = 12
+  val Dim = 64
+
+  def dedupEmbCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    base.unionAll(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("emb"), x => x + lit(0.01) * x * x).as("emb")))
+  }
+
+  private val dedupEmbCorpusSql =
+    s"""$embSql,
+       |corpus AS (
+       |  SELECT vec_id, emb FROM emb
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(emb, x -> x + 0.01*x*x) AS emb
+       |  FROM emb WHERE vec_id % 10 = 0)""".stripMargin
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dedupEmbCorpus(spark, dir)
+    val bucketed = corpus.select(col("vec_id"), col("emb"),
+      explode(lsh_sign_buckets(col("emb"), DedupTables, DedupBits, Dim)).as("bkt"))
+    // candidate pairs: same bucket in ANY table, deduped on (a, b)
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .withColumn("score", quantized_cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= DedupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH $dedupEmbCorpusSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM corpus),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${qcosSql("a.qv", "b.qv")} AS score
+       |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, score FROM pairs
+       |WHERE score >= $DedupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --- C7: approximate top-k via LSH buckets (rows-only; recall spec) -----
+  val AnnTables = 16
+  val AnnBits = 4
+
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        explode(lsh_sign_buckets(col("emb"), AnnTables, AnnBits, Dim)).as("bkt"))
+    val queries = bucketed(corpus.filter(col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bkt"))
+    val cands = bucketed(corpus).join(broadcast(queries), "bkt")
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantized_cosine(col("emb"), col("q_emb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Registry for SparkEntry. ann_lsh_topk is rows-only: its output depends
+    * on LSH parameters, so it is pinned by the recall spec instead of SQL. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (annBruteTopk _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_lsh_topk" -> (annLshTopk _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> annBruteTopkSql,
+    "dedup_embedding" -> dedupEmbeddingSql
+  )
+}

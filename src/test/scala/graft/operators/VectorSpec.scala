@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.vectors._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class VectorSpec extends SparkSpec {
+
+  private def embDouble = graft.sources.Tables(spark, sfDir).embeddings
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  test("quantized_cosine matches an independent Scala computation") {
+    val rows = embDouble.limit(4).collect()
+    val a = rows(0).getSeq[Double](1).toArray
+    val b = rows(1).getSeq[Double](1).toArray
+    def q(v: Array[Double]) = v.map(x => math.floor(x * 1e6).toLong)
+    val (qa, qb) = (q(a), q(b))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+    val expected = dot.toDouble / math.sqrt(qa.map(x => x * x).sum.toDouble) /
+      math.sqrt(qb.map(x => x * x).sum.toDouble)
+    val got = embDouble.limit(2).agg(collect_list(col("emb"))).collect()(0)
+    // evaluate via the expression on a two-row cross join of the same rows
+    val df = embDouble.filter(col("vec_id").isin(rows(0).getLong(0), rows(1).getLong(0)))
+    val pair = df.as("x").crossJoin(df.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(quantized_cosine(col("x.emb"), col("y.emb")).as("s"))
+      .collect()(0).getDouble(0)
+    assert(pair === expected)
+  }
+
+  test("cosine_similarity of a vector with itself is ~1") {
+    val s = embDouble.limit(5)
+      .select(cosine_similarity(col("emb"), col("emb")).as("s"))
+      .collect().map(_.getDouble(0))
+    s.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("vector expressions stay inside WholeStageCodegen") {
+    val df = embDouble.select(quantized_cosine(col("emb"), col("emb")).as("s"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+  }
+
+  test("ann_lsh_topk achieves reasonable recall vs brute force") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annLshTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("dedup_embedding finds exactly the seeded near-dup pairs") {
+    val pairs = VectorOps.dedupEmbedding(spark, sfDir).collect()
+    val n = embDouble.filter(col("vec_id") % 10 === 0).count()
+    assert(pairs.length === n.toInt)
+    pairs.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000000L) // copy pairs with its base
+      assert(r.getDouble(2) >= VectorOps.DedupThreshold)
+    }
+  }
+
+  test("lsh buckets are deterministic across evaluations") {
+    val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
+    val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
+    assert(a.map(_.getSeq[Long](0)).toSeq === b.map(_.getSeq[Long](0)).toSeq)
+  }
+}
