@@ -12,13 +12,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
       "q1_agg" -> (Olap.q1Agg _)
-    ) ++ graft.etl.EtlQueries.queries ++ OlapB.queries ++ TextOps.queries ++
-      VectorOps.queries
+    ) ++ graft.etl.EtlQueries.queries ++ graft.etl.Receipts.queries ++
+      OlapB.queries ++ TextOps.queries ++ VectorOps.queries ++
+      Sketch.queries ++ Multimodal.queries ++
+      graft.streaming.StreamOps.queries ++ graft.sources.Intake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Olap.q1AggSql
-  ) ++ graft.etl.EtlQueries.oracles ++ OlapB.oracles ++ TextOps.oracles ++
-    VectorOps.oracles
+  ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
+    OlapB.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
+    graft.streaming.StreamOps.oracles
 }

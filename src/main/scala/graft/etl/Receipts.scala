@@ -1,0 +1,107 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Olap.dsum
+
+/** SURVEY §2 A9/A10: nested receipt assembly + webhook JSON rendering
+  * (reference: stream/processor.py:56 group-by-invoice →
+  * schema.py ProcessedReceipt → stream/util.py:to_webhook_schema).
+  *
+  * The nested shape is assembled in ONE shuffle: collect_list(struct) runs
+  * inside the same hash aggregation as the scalar receipt fields, and
+  * array_sort makes the element order deterministic (line_number is unique
+  * within an invoice), so results are stable under any partitioning.
+  */
+object Receipts {
+
+  // --- A9: receipt with nested line_items array ----------------------------
+  def etlReceiptsNested(spark: SparkSession, dir: String): DataFrame =
+    InvoiceView.enriched(spark, dir)
+      .groupBy(col("invoice_number").as("receipt_id"))
+      .agg(
+        min(col("vendor_name")).as("vendor"),
+        dsum(col("extended_price"), 2).as("subtotal"),
+        count(lit(1)).as("item_count"),
+        // line_number is NOT unique within a synthetic invoice, so the
+        // element order ties break on the full field tuple; nullable upc is
+        // last so non-null fields settle order first (array_sort compares
+        // struct fields in declaration order).
+        array_sort(collect_list(struct(
+          col("line_number"),
+          col("product_description").as("item_name"),
+          col("qty_calc").as("quantity"),
+          col("uom").as("unit_of_measure"),
+          col("category"),
+          col("extended_price").as("price"),
+          Rules.extractUpc(col("pack_upc"), col("clean_upc"), col("case_upc")).as("upc")
+        ))).as("line_items"))
+      .orderBy(col("receipt_id"))
+
+  val etlReceiptsNestedSql: String = InvoiceView.enrichedSql + {
+    val fmtUpc: String => String = c =>
+      s"""CASE WHEN trim(coalesce($c,'')) IN ('','nan','None') THEN NULL
+         |     ELSE substr(lpad(trim($c),14,'0'),1,14) END""".stripMargin
+    s""" SELECT invoice_number AS receipt_id,
+       |   min(vendor_name) AS vendor,
+       |   CAST(SUM(CAST(extended_price AS DECIMAL(25,2))) AS DOUBLE) AS subtotal,
+       |   COUNT(*) AS item_count,
+       |   list(struct_pack(
+       |      line_number := line_number,
+       |      item_name := product_description,
+       |      quantity := qty_calc,
+       |      unit_of_measure := uom,
+       |      category := category,
+       |      price := extended_price,
+       |      upc := coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")})
+       |    ) ORDER BY line_number, product_description, qty_calc, uom,
+       |      category, extended_price,
+       |      coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")}) NULLS FIRST
+       |   ) AS line_items
+       | FROM enr2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- A10: webhook JSON rendering (rows-only; pinned by ReceiptsSpec) -----
+  /** Maps the nested receipt to the webhook payload shape
+    * (stream/util.py:67): renamed keys, '; '-joined notes, deterministic
+    * document id. JSON text differs between engines on number formatting,
+    * so this is rows-only; the STRUCTURE is asserted in ReceiptsSpec. */
+  def etlWebhookJson(spark: SparkSession, dir: String): DataFrame = {
+    val enr = InvoiceView.enriched(spark, dir)
+    val receipts = enr
+      .groupBy(col("invoice_number"))
+      .agg(
+        min(col("vendor_name")).as("vendor"),
+        min(Rules.parseInvoiceDate(col("invoice_date_str"))).as("transaction_date"),
+        max(col("invoice_amount")).as("total_amount"),
+        dsum(col("extended_price"), 2).as("subtotal"),
+        count(lit(1)).as("item_count"),
+        array_sort(collect_list(struct(
+          col("line_number"),
+          col("product_description").as("item_name"),
+          col("qty_calc").as("quantity"),
+          col("extended_price").as("price")
+        ))).as("line_items"))
+    receipts.select(
+      col("invoice_number").as("receipt_id"),
+      to_json(struct(
+        Rules.documentId(col("invoice_number"), col("invoice_number")).as("document_id"),
+        col("vendor"),
+        date_format(col("transaction_date"), "yyyy-MM-dd").as("transaction_date"),
+        col("subtotal"),
+        col("total_amount"),
+        col("item_count"),
+        col("line_items")
+      )).as("webhook_json"))
+      .orderBy(col("receipt_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_receipts_nested" -> (etlReceiptsNested _),
+    "etl_webhook_json" -> (etlWebhookJson _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_receipts_nested" -> etlReceiptsNestedSql
+  )
+}

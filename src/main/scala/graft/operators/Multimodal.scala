@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 C12: multimodal columns — opaque binary media with typed
+  * metadata, plus the decode/feature-extract plumbing a training pipeline
+  * needs.
+  *
+  * Real decode libraries (image/audio codecs) are not available in this
+  * environment, so `decodeBatch` STUBS the codec with a deterministic
+  * byte-level feature extractor — but every piece of Spark plumbing is
+  * real: binary columns flow through parquet-compatible schemas, headers
+  * are parsed with codegen'd expressions, and the decode runs through
+  * `mapPartitions` in bounded batches exactly as a native codec would
+  * (amortizing per-batch library setup, keeping memory bounded by
+  * `DecodeBatchSize` rather than partition size).
+  *
+  * Rows-only for the driver; semantics pinned by MultimodalSpec.
+  */
+object Multimodal {
+
+  val Magic = "GRFT"
+  val DecodeBatchSize = 64
+
+  /** A media row: opaque payload + the typed metadata columns. */
+  final case class MediaRow(media_id: Long, fmt: String, media: Array[Byte])
+
+  final case class MediaFeatures(media_id: Long, fmt: String, width: Int,
+      height: Int, n_bytes: Int, checksum: Long, feat: Array[Double])
+
+  /** Synthesize the media table deterministically from `documents`:
+    * payload = GRFT header (magic, format, dims) + content bytes. At deploy
+    * time this column is real image/audio bytes read from object storage —
+    * the schema (binary + typed metadata) is the contract. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val fmt = when(col("doc_id") % 3 === 0, "img")
+      .when(col("doc_id") % 3 === 1, "aud").otherwise("vid")
+    val width = (col("doc_id") % 640 + 16).cast("int")
+    val height = (col("doc_id") % 480 + 16).cast("int")
+    d.select(
+      col("doc_id").as("media_id"),
+      fmt.as("fmt"),
+      width.as("meta_width"),
+      height.as("meta_height"),
+      concat(lit(Magic), fmt,
+        lpad(width.cast("string"), 4, "0"),
+        lpad(height.cast("string"), 4, "0"),
+        col("text")).cast("binary").as("media"))
+  }
+
+  /** The stubbed codec: parses the header and derives deterministic
+    * features from payload bytes (stands in for pixel/sample decoding). */
+  private[operators] def decodeOne(media_id: Long, fmt: String, media: Array[Byte]): MediaFeatures = {
+    val header = new String(media, 0, math.min(15, media.length), "UTF-8")
+    require(header.startsWith(Magic), s"bad magic in media $media_id")
+    val parsedFmt = header.substring(4, 7)
+    val width = header.substring(7, 11).toInt
+    val height = header.substring(11, 15).toInt
+    // FNV-1a over the payload — the deterministic stand-in for decoding
+    var h = 0xcbf29ce484222325L
+    var i = 15
+    while (i < media.length) { h ^= media(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    val feat = Array.tabulate(4) { k =>
+      ((h >>> (k * 16)) & 0xffffL).toDouble / 65536.0
+    }
+    MediaFeatures(media_id, parsedFmt, width, height, media.length, h, feat)
+  }
+
+  /** Batched decode over partitions: pulls `DecodeBatchSize` rows at a time
+    * (where a native codec would be invoked once per batch) and emits
+    * feature rows. No shuffle — the decode is a pure map stage. */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.grouped(DecodeBatchSize).flatMap { batch =>
+      // per-batch "codec init" would happen here
+      batch.iterator.map(r => decodeOne(r.media_id, r.fmt, r.media))
+    }
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] =
+      mediaTable(spark, dir).select("media_id", "fmt", "media").as[MediaRow]
+    media.mapPartitions(decodeBatch)
+      .toDF()
+      .select(col("media_id"), col("fmt"), col("width"), col("height"),
+        col("n_bytes"), col("checksum"),
+        element_at(col("feat"), 1).as("feat0"),
+        element_at(col("feat"), 2).as("feat1"),
+        element_at(col("feat"), 3).as("feat2"),
+        element_at(col("feat"), 4).as("feat3"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _)
+  )
+}

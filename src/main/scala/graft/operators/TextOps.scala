@@ -23,14 +23,12 @@ object TextOps {
   /** Whitespace tokens of the trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles (default 3), 1-indexed positions. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
-  }
+  /** Distinct word n-gram shingles (default 3) — a row-granular custom
+    * expression (see WordShingles): one tight-loop eval per document beats
+    * the transform/array_distinct HOF chain, which interprets every
+    * element lambda. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.textsketch.word_shingles(text, n)
 
   /** The dedup corpus: documents plus seeded EXACT duplicates (every 7th doc
     * re-inserted under a shifted id). The synthetic table has no exact dups,

@@ -1,0 +1,34 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReceiptsSpec extends SparkSpec {
+
+  test("nested receipts: line_items count equals item_count, sorted by line") {
+    val rows = Receipts.etlReceiptsNested(spark, sfDir).limit(50).collect()
+    rows.foreach { r =>
+      val items = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("line_items"))
+      assert(items.size === r.getAs[Long]("item_count"))
+      val lineNums = items.map(_.getAs[Int]("line_number"))
+      assert(lineNums === lineNums.sorted)
+    }
+  }
+
+  test("webhook json is valid and carries the renamed keys") {
+    val r = Receipts.etlWebhookJson(spark, sfDir).limit(5).collect()
+    r.foreach { row =>
+      val json = row.getString(row.fieldIndex("webhook_json"))
+      for (key <- Seq("document_id", "vendor", "transaction_date", "subtotal",
+          "total_amount", "item_count", "line_items", "item_name", "quantity"))
+        assert(json.contains("\"" + key + "\""), s"missing $key in $json")
+      assert(json.contains("\"fnt-"))
+    }
+  }
+
+  test("document ids are deterministic across runs") {
+    val a = Receipts.etlWebhookJson(spark, sfDir).limit(20).collect().map(_.toString)
+    val b = Receipts.etlWebhookJson(spark, sfDir).limit(20).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+}

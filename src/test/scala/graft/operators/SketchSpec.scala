@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  private lazy val trueJaccard = TextOps.dedupNgramJaccard(spark, sfDir)
+    .select("doc_a", "doc_b", "jaccard").collect()
+    .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("minhash-LSH recovers the high-Jaccard pairs") {
+    val found = Sketch.dedupMinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val strong = trueJaccard.filter(_._2 >= 0.6).keySet
+    val missed = strong -- found.keySet
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+
+  test("minhash estimate tracks true Jaccard within 0.25") {
+    val found = Sketch.dedupMinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    found.foreach { case (pair, est) =>
+      trueJaccard.get(pair).foreach { truth =>
+        assert(math.abs(est - truth) < 0.25, s"$pair est=$est true=$truth")
+      }
+    }
+  }
+
+  test("simhash: recall is exact within the hamming radius") {
+    val pairs = Sketch.dedupSimhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getInt(2) <= Sketch.MaxHamming))
+    // 8×8-bit banding guarantees recall for hamming <= 7 > MaxHamming, so
+    // EVERY in-radius pair among the true near-dups must be found.
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fps = Sketch.simhashes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inRadius = trueJaccard.keySet.filter { case (a, b) =>
+      java.lang.Long.bitCount(fps(a) ^ fps(b)) <= Sketch.MaxHamming
+    }
+    assert(inRadius.nonEmpty, "expected some near-dup pairs inside the radius")
+    assert((inRadius -- found).isEmpty,
+      s"simhash missed in-radius pairs: ${inRadius -- found}")
+  }
+
+  test("minhash signature is deterministic and 64 wide") {
+    val d = graft.sources.Tables(spark, sfDir).documents.limit(3)
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val a = d.select(Sketch.minhashSig(col("sh"))).collect().map(_.getSeq[Long](0))
+    val b = d.select(Sketch.minhashSig(col("sh"))).collect().map(_.getSeq[Long](0))
+    assert(a.map(_.length).forall(_ == Sketch.NumHashes))
+    assert(a.toSeq === b.toSeq)
+  }
+}
