@@ -86,14 +86,17 @@ object Sketch {
           shiftrightunsigned(col("simhash"), j * SimhashBandBits)
             .bitwiseAND((1L << SimhashBandBits) - 1))
       }: _*)).as("bkt"))
+    // The hamming filter runs BEFORE pair dedup: candidate volume is
+    // quadratic in bucket size (skewed fingerprint distributions produce hot
+    // buckets), but the filter is a codegen'd map over the join output, so
+    // only the few true near-dups ever reach a shuffle. At corpus scale,
+    // oversized buckets additionally get salted/length-capped upstream.
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= MaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -104,16 +104,15 @@ object VectorOps {
     val corpus = dedupEmbCorpus(spark, dir)
     val bucketed = corpus.select(col("vec_id"), col("emb"),
       explode(lsh_sign_buckets(col("emb"), DedupTables, DedupBits, Dim)).as("bkt"))
-    // candidate pairs: same bucket in ANY table, deduped on (a, b)
-    val cands = bucketed.as("a").join(bucketed.as("b"),
+    // candidate pairs: same bucket in ANY table. Score + threshold run
+    // BEFORE pair-dedup so the embedding vectors never cross the dedup
+    // shuffle — only the few (vec_a, vec_b, score) survivors do.
+    bucketed.as("a").join(bucketed.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    cands
-      .withColumn("score", quantized_cosine(col("emb_a"), col("emb_b")))
+        quantized_cosine(col("a.emb"), col("b.emb")).as("score"))
       .filter(col("score") >= DedupThreshold)
-      .select(col("vec_a"), col("vec_b"), col("score"))
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
