@@ -226,23 +226,13 @@ object OlapB {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), tsUs(col("ts")).as("ts_us"),
-        col("event_id").as("p_event_id"), lit(null).cast("bigint").as("s_event_id"),
-        lit(1).as("is_p"))
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"), col("event_id"),
+        col("event_id").as("p_event_id"))
     val signups = e.filter(col("event_type") === "signup")
-      .select(col("user_id"), tsUs(col("ts")).as("ts_us"),
-        lit(null).cast("bigint").as("p_event_id"), col("event_id").as("s_event_id"),
-        lit(0).as("is_p"))
-    // On ts ties a signup sorts before a purchase (is_p) so `>=` semantics
-    // match the oracle's ASOF JOIN; event_id breaks any residual tie.
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("is_p"), coalesce(col("p_event_id"), col("s_event_id")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionAll(signups)
-      .withColumn("matched_signup", last(col("s_event_id"), ignoreNulls = true).over(w))
-      .withColumn("matched_signup_ts",
-        last(when(col("is_p") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .filter(col("is_p") === 1)
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"), col("event_id"),
+        col("event_id").as("matched_signup"), tsUs(col("ts")).as("matched_signup_ts"))
+    AsofJoin.asof(purchases, signups, keyCol = "user_id", timeCol = "ts_us",
+        tieCol = "event_id", valueCols = Seq("matched_signup", "matched_signup_ts"))
       .select(col("p_event_id"), col("user_id"), col("ts_us").as("p_ts_us"),
         col("matched_signup"), col("matched_signup_ts"))
       .orderBy(col("p_event_id"))
@@ -262,15 +252,10 @@ object OlapB {
   val SessionGapUs: Long = 1800L * 1000000 // 30 min
 
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir).events
+    val base = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"), col("value"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(ord))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > SessionGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(run))
+    Sessionize.assign(base, entityCol = "user_id", tsUsCol = "ts_us",
+        gapUs = SessionGapUs, tieCol = "event_id")
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

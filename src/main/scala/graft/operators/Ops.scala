@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+import graft.functions.textsketch._
+
+/** The engine's reusable operator API. The `SparkEntry` queries are canned
+  * demonstrations over the test star schema; real users call these.
+  *
+  * Every operator documents its shuffle budget — the number of exchanges it
+  * contributes at any scale — because that, not row count, is what survives
+  * a 100× scale-up.
+  */
+
+/** As-of (nearest-past) join — Spark has no native one.
+  * Shuffle budget: ONE exchange (both sides co-partitioned by key, one
+  * window sort). No range explosion, no broadcast requirement on either
+  * side, skew handled by AQE like any other shuffle.
+  */
+object AsofJoin {
+
+  /** For each left row, attach `valueCols` from the latest right row with
+    * `right.timeCol <= left.timeCol` within the same `keyCol` group.
+    * On exact time ties the right row wins (matches ASOF `>=` semantics).
+    * `tieCol` must make (timeCol, tieCol) unique per key for fully
+    * deterministic output.
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val lCols = left.columns.toSet
+    val rOnly = valueCols.filterNot(lCols.contains)
+    // align schemas: left gets null right-value columns and vice versa
+    val lAligned = rOnly.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val rAligned = left.columns.filterNot(right.columns.contains)
+      .foldLeft(r)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAligned.select(
+      (left.columns ++ rOnly :+ "_side").map(col).toIndexedSeq: _*)
+      .unionByName(rAligned.select(
+        (left.columns ++ rOnly :+ "_side").map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+}
+
+/** Gap-based sessionization.
+  * Shuffle budget: ONE exchange (partition by entity, one window sort);
+  * the session aggregation reuses the same partitioning. */
+object Sessionize {
+
+  /** Assign a per-entity `session_id` (1-based) using a max-gap rule over
+    * an epoch-microsecond time column. */
+  def assign(df: DataFrame, entityCol: String, tsUsCol: String,
+      gapUs: Long, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(entityCol)).orderBy(col(tsUsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev", lag(col(tsUsCol), 1).over(ord))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(tsUsCol) - col("_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(run))
+      .drop("_prev", "_new")
+  }
+}
+
+/** Deduplication family. All variants emit candidate/duplicate PAIRS or
+  * keeper groups; callers decide the survivorship policy. */
+object Dedup {
+
+  /** Exact dedup groups by content hash.
+    * Shuffle budget: ONE exchange with map-side partial aggregation. */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Exact n-gram Jaccard pairs via a shingle inverted index.
+    * Shuffle budget: shingle-keyed self-join + pair aggregation. Exact —
+    * use as the verify stage behind [[minhashLshPairs]] at corpus scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val d = df.select(col(idCol).as("_id"), word_shingles(col(textCol), n).as("_sh"))
+    val ex = d.select(col("_id"), explode(col("_sh")).as("_s"))
+    val sizes = d.select(col("_id"), size(col("_sh")).as("_n"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("size_a")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("size_b")), "id_b")
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
+    * Shuffle budget: band-bucket self-join only — all sketching is
+    * map-side. Tune (numHashes, bands) for the recall/cost point. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.35): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("_id"), word_shingles(col(textCol), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("_id"), minhash_signature(col("_sh"), numHashes).as("_sig"))
+    val bandKeys = array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rows).map(r =>
+        element_at(col("_sig"), b * rows + r + 1)): _*)
+    }: _*)
+    val bucketed = sigs.select(col("_id"), col("_sig"), explode(bandKeys).as("_bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        (aggregate(zip_with(col("a._sig"), col("b._sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs within a hamming radius. Banding guarantees
+    * recall while `64/bandBits > maxHamming`. Sketch is map-side; the
+    * hamming filter runs BEFORE pair-dedup so hot buckets never reach a
+    * shuffle. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bandBits: Int = 8, maxHamming: Int = 6): DataFrame = {
+    val bands = 64 / bandBits
+    val fps = df.select(col(idCol).as("_id"),
+      simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
+    val bucketed = fps.select(col("_id"), col("_fp"),
+      explode(array((0 until bands).map { j =>
+        lit(j.toLong << 16).bitwiseOR(
+          shiftrightunsigned(col("_fp"), j * bandBits)
+            .bitwiseAND((1L << bandBits) - 1))
+      }: _*)).as("_bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._fp").bitwiseXOR(col("b._fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact
+    * (integer-quantized, engine-portable) cosine verify. */
+  def embeddingPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double, tables: Int = 8, bits: Int = 12): DataFrame = {
+    val bucketed = df.select(col(idCol).as("_id"), col(embCol).as("_emb"),
+      explode(lsh_sign_buckets(col(embCol), tables, bits, dim)).as("_bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        quantized_cosine(col("a._emb"), col("b._emb")).as("score"))
+      .filter(col("score") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}
+
+/** Similarity search over embedding columns. */
+object Ann {
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * The query set is broadcast; the corpus is scanned ONCE; per-query
+    * ranking is a window (per-partition heaps via TakeOrderedAndProject
+    * when k is small). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k: LSH-bucketed candidate generation, exact scoring of
+    * candidates only. Raise `bits` as the corpus grows to keep buckets
+    * bounded; recall is tunable via `tables`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, dim: Int, k: Int, tables: Int = 16, bits: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, emb: String) =
+      df.select(col(idCol).as(id), col(embCol).as(emb),
+        explode(lsh_sign_buckets(col(embCol), tables, bits, dim)).as("_bkt"))
+    val q = bucketed(queries, "query_id", "_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    bucketed(corpus, "neighbor_id", "_e")
+      .join(broadcast(q), "_bkt")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
+
+/** Text-analysis column functions (all pure `Column` algebra or
+  * row-granular expressions — zero shuffles). */
+object TextAnalysis {
+
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish segmentation count: letter runs, digit runs, punctuation runs. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+
+  def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens, w => w.isin(stopwords: _*)))
+
+  /** Normalized-content md5 fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -38,27 +38,12 @@ object Sketch {
       xxhash64(lit(b) +: slots: _*)
     }: _*)
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables(spark, dir).documents
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-    val bucketed = sigs.select(col("doc_id"), col("sig"),
-      explode(bandKeys(col("sig"))).as("bkt"))
-    val cands = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / NumHashes)
-      .filter(col("est_jaccard") >= MinEstJaccard)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir).documents, "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bands = Bands,
+        minEstJaccard = MinEstJaccard)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // --- C3: SimHash 64-bit fingerprints ------------------------------------
   // 8 bands × 8 bits: any pair within hamming distance 7 leaves at least
@@ -78,25 +63,9 @@ object Sketch {
         graft.functions.textsketch.simhash64(TextOps.tokens(col("text"))).as("simhash"))
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val fps = simhashes(spark, dir)
-    // band the 64-bit fingerprint into 8 × 8-bit chunks (see SimhashBands)
-    val bucketed = fps.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimhashBands).map { j =>
-        lit(j.toLong << 16).bitwiseOR(
-          shiftrightunsigned(col("simhash"), j * SimhashBandBits)
-            .bitwiseAND((1L << SimhashBandBits) - 1))
-      }: _*)).as("bkt"))
-    // The hamming filter runs BEFORE pair dedup: candidate volume is
-    // quadratic in bucket size (skewed fingerprint distributions produce hot
-    // buckets), but the filter is a codegen'd map over the join output, so
-    // only the few true near-dups ever reach a shuffle. At corpus scale,
-    // oversized buckets additionally get salted/length-capped upstream.
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= MaxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+    Dedup.simhashPairs(Tables(spark, dir).documents, "doc_id", "text",
+        bandBits = SimhashBandBits, maxHamming = MaxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -53,9 +53,7 @@ object TextOps {
     * map-side combine, so at 100 TB each executor emits one row per local
     * distinct hash. Keeper = min(doc_id) is the deterministic survivor. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    dedupCorpus(spark, dir)
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    Dedup.exactGroups(dedupCorpus(spark, dir), "doc_id", "text")
       .orderBy(col("content_hash"))
 
   val dedupExactSql: String =
@@ -71,24 +69,13 @@ object TextOps {
     * the shingle (one shuffle keyed by shingle), count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Integer-exact until the final division, so the
     * score is bit-identical across engines and partitionings. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("intersection").as("inter"), col("size_a").as("na"),
+        col("size_b").as("nb"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val dedupNgramJaccardSql: String =
     s"""WITH sh AS (
@@ -117,8 +104,7 @@ object TextOps {
       col("doc_id"),
       length(col("text")).as("n_chars_measured"),
       size(tokens(col("text"))).as("ws_tokens"),
-      size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).as("re_tokens"))
+      TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
       .orderBy(col("doc_id"))
 
   val textTokensSql: String =
@@ -133,7 +119,7 @@ object TextOps {
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val nWords = size(t)
-    val nStop = size(filter(t, w => w.isin(Stopwords: _*)))
+    val nStop = TextAnalysis.stopwordCount(t, Stopwords)
     val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
     // All ratios are a single IEEE division of exact integers → identical
     // across engines; the composite score is a fixed chain of rounded ops.
@@ -222,7 +208,7 @@ object TextOps {
     * window count over the fingerprint shows duplicate groups without a
     * second scan. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val fp = TextAnalysis.fingerprint(col("text"))
     Tables(spark, dir).documents
       .select(col("doc_id"), fp.as("fingerprint"))
       .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fingerprint"))))

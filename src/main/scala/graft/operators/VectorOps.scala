@@ -45,16 +45,8 @@ object VectorOps {
 
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
-    val queries = corpus.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    corpus.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantized_cosine(col("emb"), col("q_emb")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    Ann.bruteTopK(corpus, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", TopK)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -100,21 +92,11 @@ object VectorOps {
        |  SELECT vec_id + 1000000, list_transform(emb, x -> x + 0.01*x*x) AS emb
        |  FROM emb WHERE vec_id % 10 = 0)""".stripMargin
 
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = dedupEmbCorpus(spark, dir)
-    val bucketed = corpus.select(col("vec_id"), col("emb"),
-      explode(lsh_sign_buckets(col("emb"), DedupTables, DedupBits, Dim)).as("bkt"))
-    // candidate pairs: same bucket in ANY table. Score + threshold run
-    // BEFORE pair-dedup so the embedding vectors never cross the dedup
-    // shuffle — only the few (vec_a, vec_b, score) survivors do.
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        quantized_cosine(col("a.emb"), col("b.emb")).as("score"))
-      .filter(col("score") >= DedupThreshold)
-      .dropDuplicates("vec_a", "vec_b")
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(dedupEmbCorpus(spark, dir), "vec_id", "emb", Dim,
+        DedupThreshold, tables = DedupTables, bits = DedupBits)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("score"))
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   val dedupEmbeddingSql: String =
     s"""WITH $dedupEmbCorpusSql,
@@ -133,21 +115,8 @@ object VectorOps {
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(col("*"),
-        explode(lsh_sign_buckets(col("emb"), AnnTables, AnnBits, Dim)).as("bkt"))
-    val queries = bucketed(corpus.filter(col("vec_id") % 50 === 0))
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bkt"))
-    val cands = bucketed(corpus).join(broadcast(queries), "bkt")
-      .filter(col("vec_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    cands
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantized_cosine(col("emb"), col("q_emb")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    Ann.lshTopK(corpus, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", Dim, TopK, tables = AnnTables, bits = AnnBits)
       .orderBy(col("query_id"), col("rank"))
   }
 

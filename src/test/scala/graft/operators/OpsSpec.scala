@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The generic operator API (Ops.scala) on hand-built frames — the
+  * contracts users rely on, independent of the canned driver queries. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("AsofJoin.asof picks the latest past-or-equal right row per key") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 900L), (1L, 200L, 901L), (2L, 60L, 902L))
+      .toDF("k", "t", "rid")
+      .withColumn("rv", col("rid") * 10)
+    val l = left.withColumn("event_id", col("lid"))
+    val r = right.withColumn("event_id", col("rid"))
+    val out = AsofJoin.asof(l, r, "k", "t", "event_id", Seq("rv"))
+      .select("lid", "rv").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(out(10L) === Some(9000L)) // t=100 matches right t=90
+    assert(out(11L) === Some(9010L)) // exact-tie t=200 matches (>= semantics)
+    assert(out(12L) === None)        // t=50: no right row at or before
+  }
+
+  test("Sessionize.assign starts a new session after the gap") {
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 0L, 4L))
+      .toDF("u", "ts", "eid")
+    val out = Sessionize.assign(df, "u", "ts", gapUs = 1000L, tieCol = "eid")
+      .select("eid", "session_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L) // within gap
+    assert(out(3L) === 2L)                   // after gap
+    assert(out(4L) === 1L)                   // other entity restarts at 1
+  }
+
+  test("Dedup.exactGroups groups identical content under one keeper") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "content")
+    val out = Dedup.exactGroups(df, "id", "content").collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("Dedup.ngramJaccardPairs scores identical docs at 1.0") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.5).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("id_a") === 1L)
+    assert(out(0).getAs[Long]("id_b") === 2L)
+    assert(out(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("Ann.bruteTopK ranks the exact nearest neighbors") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
+      .toDF("id", "emb")
+    val out = Ann.bruteTopK(vecs, vecs.filter(col("id") === 1), "id", "emb", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
+  }
+
+  test("asof join plan has a single shuffle exchange") {
+    val plan = OlapB.asofJoin(spark, sfDir).queryExecution.executedPlan.toString
+    // one exchange for the key-partitioned window + the final presentation
+    // sort's exchange; no join-induced shuffles of the right side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+}
