@@ -15,7 +15,8 @@ object SparkEntry {
     ) ++ graft.etl.EtlQueries.queries ++ graft.etl.Receipts.queries ++
       OlapB.queries ++ TextOps.queries ++ VectorOps.queries ++
       Sketch.queries ++ Multimodal.queries ++
-      graft.streaming.StreamOps.queries ++ graft.sources.Intake.queries
+      graft.streaming.StreamOps.queries ++
+      graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -186,6 +186,46 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style top-k: coarse quantization into `nLists` inverted lists
+    * (deterministic seed centroids), queries probe their `nProbe` nearest
+    * lists, exact scoring only inside probed lists.
+    *
+    * Scale shape: the centroid set is tiny and broadcast twice (corpus
+    * assignment + query probing); the corpus is scanned once to build
+    * assignments; the probe join shuffles only (query, list) pairs. In a
+    * persisted deployment the assignment pass is computed once and reused
+    * across query batches (write `list_id` as a partition column).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).as("_cent_id"), col(embCol).as("_cent"))
+    def nearestLists(df: DataFrame, id: String, emb: String, keep: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_sim").desc, col("_cent_id"))
+      df.crossJoin(broadcast(cents))
+        .select(col(id), col(emb),
+          col("_cent_id"), quantized_cosine(col(emb), col("_cent")).as("_sim"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= keep)
+        .drop("_sim", "_rn")
+    }
+    val assigned = nearestLists(
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "neighbor_id", "_e", 1)
+    val probes = nearestLists(
+      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
+      "query_id", "_q", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), "_cent_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: LSH-bucketed candidate generation, exact scoring of
     * candidates only. Raise `bits` as the corpus grows to keep buckets
     * bounded; recall is tunable via `tables`. */

@@ -120,12 +120,25 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Registry for SparkEntry. ann_lsh_topk is rows-only: its output depends
-    * on LSH parameters, so it is pinned by the recall spec instead of SQL. */
+  // --- C7b: IVF-style top-k (rows-only; recall spec) ----------------------
+  val IvfLists = 32
+  val IvfProbes = 8
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    Ann.ivfTopK(corpus, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", TopK, nLists = IvfLists, nProbe = IvfProbes)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
+    * their output depends on index parameters, so they are pinned by the
+    * recall specs instead of SQL. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (annBruteTopk _),
     "dedup_embedding" -> (dedupEmbedding _),
-    "ann_lsh_topk" -> (annLshTopk _)
+    "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Custom-state Structured Streaming: gap-based sessionization with
+  * `flatMapGroupsWithState` — the streaming twin of
+  * [[graft.operators.Sessionize]] (reference analogue: the per-invoice
+  * accumulation the service does in memory, stream/processor.py:56, made
+  * incremental and fault-tolerant).
+  *
+  * State per user is O(1) (current session accumulator), keyed state lives
+  * in the state store (RocksDB at deploy scale), and event-time timeouts
+  * close sessions when the watermark passes the gap. With shuffle
+  * partitioning on the group key this scales linearly in distinct keys —
+  * the pattern a 100 TB clickstream needs.
+  *
+  * The driver-facing query replays the events table with AvailableNow (all
+  * rows in one batch, then a timeout flush), so closed sessions match the
+  * batch operator exactly — asserted in StatefulSessionsSpec.
+  */
+object StatefulSessions {
+
+  val GapUs: Long = 1800L * 1000000
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double,
+      ts: java.sql.Timestamp)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long, value_sum: Double)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Incremental sessionizer for one user's new events. Events within a
+    * batch arrive unordered → sort locally (bounded by per-batch per-key
+    * volume); the gap rule then extends or closes the open session. */
+  def updateUser(userId: Long, events: Iterator[Ev],
+      state: GroupState[(Long, SessionState)]): Iterator[SessionOut] = {
+    var (closedCount, open) = state.getOption.getOrElse((0L, null: SessionState))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (state.hasTimedOut) {
+      if (open != null) {
+        closedCount += 1
+        out += SessionOut(userId, closedCount, open.n, open.start_us, open.end_us)
+      }
+      state.remove()
+      return out.iterator
+    }
+    for (e <- sorted) {
+      if (open == null) open = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+      else if (e.ts_us - open.end_us > GapUs) {
+        closedCount += 1
+        out += SessionOut(userId, closedCount, open.n, open.start_us, open.end_us)
+        open = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+      } else {
+        open = SessionState(open.start_us, e.ts_us, open.n + 1, open.value_sum + e.value)
+      }
+    }
+    state.update((closedCount, open))
+    // close the open session once the event-time watermark passes the gap
+    state.setTimeoutTimestamp(open.end_us / 1000 + GapUs / 1000)
+    out.iterator
+  }
+
+  val QueryName = "graft_stream_sessions"
+
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // the watermark column must survive into the typed Dataset for
+    // EventTimeTimeout bookkeeping
+    val evs: Dataset[Ev] = withTs
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"), col("ts"))
+      .as[Ev]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateUser)
+    spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
+    val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(QueryName).orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessions" -> (streamSessions _)
+  )
+}

@@ -54,6 +54,17 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("ann_ivf_topk achieves reasonable recall vs brute force") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annIvfTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
   test("dedup_embedding finds exactly the seeded near-dup pairs") {
     val pairs = VectorOps.dedupEmbedding(spark, sfDir).collect()
     val n = embDouble.filter(col("vec_id") % 10 === 0).count()
