@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** Session extensions: registers graft's custom Catalyst expressions as SQL
+  * functions, so `spark.sql(...)` users get the same surface as the Scala
+  * `Column` API (graft.functions.vectors / textsketch).
+  *
+  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) — done
+  * by GraftSession.tune, or via
+  * `spark.sql.extensions=graft.GraftExtensions` on a deployed cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("quantized_cosine"),
+      info("quantized_cosine",
+        "quantized_cosine(a, b) - engine-portable cosine over 1e-6-quantized array<double>"),
+      (es: Seq[Expression]) => QuantizedCosine(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine over array<double>"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-wide MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => Simhash64(es(0))))
+
+    ext.injectFunction((FunctionIdentifier("lsh_sign_buckets"),
+      info("lsh_sign_buckets",
+        "lsh_sign_buckets(vec, tables, bits, dim) - random-hyperplane LSH bucket ids"),
+      (es: Seq[Expression]) => LshSignBuckets(es(0), intArg(es(1), "tables"),
+        intArg(es(2), "bits"), intArg(es(3), "dim"), 42L)))
+  }
+}
