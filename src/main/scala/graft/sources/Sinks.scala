@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side scale discipline (SURVEY §2 D). Reading 100 TB well starts
+  * with writing it well: bounded file counts, partition-dir layout that
+  * matches downstream pruning keys, and sorted runs inside every file so
+  * min/max row-group statistics actually prune.
+  */
+object Sinks {
+
+  /** Partitioned parquet writer with a bounded file count per partition
+    * directory.
+    *
+    * - `partitionCols` become Hive-style partition directories — the
+    *   columns downstream queries prune on (partition pruning beats row
+    *   groups by orders of magnitude).
+    * - `filesPerPartition` bounds file count: rows are shuffled on
+    *   (partitionCols, deterministic salt) so each partition dir gets at
+    *   most that many similar-sized files — no thousand-small-files
+    *   problem, no single-giant-file stragglers.
+    * - `sortCols` order rows inside each file, so parquet row-group
+    *   min/max statistics prune reads on those columns too.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    val salt = pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
+    df.repartition((partitionCols.map(col) :+ (salt: Column)): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** JSON-lines sink — the batch analogue of the reference's webhook
+    * stream-out (stream/util.py POSTs one JSON per receipt; at engine scale
+    * the same payloads land as JSONL for a downstream forwarder). */
+  def writeJsonLines(df: DataFrame, path: String, files: Int = 1): Unit =
+    df.coalesce(files).write.mode("overwrite").json(path)
+}
