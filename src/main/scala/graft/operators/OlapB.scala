@@ -298,6 +298,27 @@ object OlapB {
       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B16: exact quantiles ------------------------------------------------
+  /** Exact interpolated percentiles. Spark `percentile` and DuckDB
+    * `quantile_cont` share the (1−f)·a + f·b interpolation on the sorted
+    * group → bit-identical. `approx_percentile` (t-digest) is the 100 TB
+    * path and is pinned by a tolerance spec instead. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  val quantilesSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  quantile_cont(o_totalprice, 0.99) AS p99
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- B13: semi-structured JSON extraction -------------------------------
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("bigint")
@@ -335,7 +356,8 @@ object OlapB {
     "asof_join" -> (asofJoin _),
     "events_sessionize" -> (eventsSessionize _),
     "events_windowed" -> (eventsWindowed _),
-    "json_extract" -> (jsonExtract _)
+    "json_extract" -> (jsonExtract _),
+    "quantiles" -> (quantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -350,6 +372,7 @@ object OlapB {
     "asof_join" -> asofJoinSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_windowed" -> eventsWindowedSql,
-    "json_extract" -> jsonExtractSql
+    "json_extract" -> jsonExtractSql,
+    "quantiles" -> quantilesSql
   )
 }

@@ -248,6 +248,27 @@ object Ann {
   }
 }
 
+/** Skew-mitigation join helper. AQE's skew-join splitting handles most
+  * cases at runtime; explicit salting is for the pathological hot keys a
+  * planner cannot split (e.g. one key holding >1 executor's worth of rows
+  * on BOTH sides, or non-shuffle-join stages feeding a hot aggregation). */
+object Skew {
+
+  /** Inner-join `left` (skewed) with `right` (small-ish but above the
+    * broadcast threshold) on `key`, spreading each hot left key across
+    * `saltBuckets` partitions. The right side is replicated `saltBuckets`×
+    * via an explode — bounded, explicit replication instead of an unbounded
+    * hot partition. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<int>")))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+}
+
 /** Text-analysis column functions (all pure `Column` algebra or
   * row-granular expressions — zero shuffles). */
 object TextAnalysis {

@@ -79,6 +79,15 @@ class OlapSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("day", "click", "error", "purchase", "signup", "view"))
   }
 
+  test("approx_percentile tracks the exact percentile within 5%") {
+    val o = Tables(spark, sfDir).orders
+    val r = o.agg(
+      percentile(col("o_totalprice"), lit(0.9)),
+      approx_percentile(col("o_totalprice"), lit(0.9), lit(1000))).collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("q1 scan prunes columns and pushes the shipdate filter") {
     val formatted = Olap.q1Agg(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

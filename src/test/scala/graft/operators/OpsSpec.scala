@@ -63,6 +63,17 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
   }
 
+  test("Skew.saltedJoin matches a plain join and spreads the hot key") {
+    val left = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val right = Seq(("hot", 1), ("k950", 2), ("other", 3)).toDF("key", "w")
+    val salted = Skew.saltedJoin(left, right, "key", 8)
+    val plain = left.join(right, "key")
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum(col("v") * col("w"))).collect()(0).get(0) ===
+      plain.agg(sum(col("v") * col("w"))).collect()(0).get(0))
+  }
+
   test("asof join plan has a single shuffle exchange") {
     val plan = OlapB.asofJoin(spark, sfDir).queryExecution.executedPlan.toString
     // one exchange for the key-partitioned window + the final presentation
