@@ -18,8 +18,21 @@ import graft.sources.Tables
   */
 object InvoiceView {
 
-  /** The raw invoice rows (pre-rule application). */
-  def inv(spark: SparkSession, dir: String): DataFrame = {
+  // The invoice view is the engine's staging table: ~10 queries derive from
+  // it, so one session computes the join once and persists it (the exact
+  // analogue of the reference parsing each CSV batch once and applying all
+  // rules to the in-memory frame). MEMORY_AND_DISK: spills instead of OOM.
+  private val invCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The raw invoice rows (pre-rule application), cached per (session, sf). */
+  def inv(spark: SparkSession, dir: String): DataFrame =
+    invCache.computeIfAbsent((spark, dir), { _ =>
+      build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The uncached join (plan-shape tests use this). */
+  def build(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val l = t.lineitem; val o = t.orders; val p = t.part; val s = t.supplier
 
