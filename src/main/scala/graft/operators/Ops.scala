@@ -169,21 +169,25 @@ object Dedup {
 object Ann {
 
   /** Exact top-k cosine neighbors of each query vector.
-    * The query set is broadcast; the corpus is scanned ONCE; per-query
-    * ranking is a window (per-partition heaps via TakeOrderedAndProject
-    * when k is small). */
+    * The query set is broadcast and the corpus scanned ONCE; ranking is the
+    * TopKByScore bounded-heap aggregate — each partition emits a k-sized
+    * partial heap per query (map-side combine), so the shuffle carries
+    * O(queries × k) rows and NOTHING is ever fully sorted. This is the
+    * shape that survives a billion-row corpus; a window row_number would
+    * sort every query's full score list. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
     corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         quantized_cosine(col("_e"), col("_q")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk.top_k_by_score(col("score"), col("neighbor_id"), k).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** IVF-style top-k: coarse quantization into `nLists` inverted lists

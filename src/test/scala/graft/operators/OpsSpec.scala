@@ -63,6 +63,18 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
   }
 
+  test("top_k_by_score keeps best-k with deterministic tie-breaks") {
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.8, 1L), (1L, 0.95, 7L),
+      (2L, 0.1, 3L)).toDF("g", "score", "id")
+    val out = df.groupBy("g")
+      .agg(graft.functions.topk.top_k_by_score(col("score"), col("id"), 3).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val g1 = out(1L).map(r => (r.getLong(0), r.getDouble(1)))
+    // best-first; 0.9-tie broken by smaller id first
+    assert(g1 === Seq((7L, 0.95), (5L, 0.9), (10L, 0.9)))
+    assert(out(2L).map(_.getLong(0)) === Seq(3L))
+  }
+
   test("Skew.saltedJoin matches a plain join and spreads the hot key") {
     val left = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")
