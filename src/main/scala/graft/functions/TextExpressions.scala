@@ -118,6 +118,44 @@ case class Simhash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of positions where two equal-length long arrays agree — the
+  * MinHash signature-overlap estimator. Codegen'd primitive loop; the
+  * zip_with/aggregate HOF equivalent interprets a lambda per element and
+  * dominated candidate verification at 100k+ docs. */
+case class SigOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object textsketch {
   import GraftSqlBridge.{column, expression}
 
@@ -129,4 +167,7 @@ object textsketch {
 
   def simhash64(tokens: Column): Column =
     column(Simhash64(expression(tokens)))
+
+  def sig_overlap(a: Column, b: Column): Column =
+    column(SigOverlap(expression(a), expression(b)))
 }

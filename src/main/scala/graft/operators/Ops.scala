@@ -117,12 +117,14 @@ object Dedup {
         element_at(col("_sig"), b * rows + r + 1)): _*)
     }: _*)
     val bucketed = sigs.select(col("_id"), col("_sig"), explode(bandKeys).as("_bkt"))
+    // sig_overlap is a codegen'd loop, so estimating on band-duplicated
+    // candidates is cheap and only (id_a, id_b, est) survivors reach the
+    // dedup shuffle
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        (aggregate(zip_with(col("a._sig"), col("b._sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+        (sig_overlap(col("a._sig"), col("b._sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .dropDuplicates("id_a", "id_b")
   }
