@@ -52,6 +52,32 @@ object AsofJoin {
   }
 }
 
+/** Range (point-in-interval) join — Spark's other missing join. A naive
+  * `t BETWEEN start AND end` condition plans as BroadcastNestedLoopJoin
+  * (quadratic). Bucketizing turns it into an equi-join:
+  * intervals explode into the buckets they span (bounded by
+  * maxInterval/bucketWidth + 1 per row), points map to ONE bucket, the join
+  * keys on the bucket, and the exact range predicate filters residuals.
+  * Shuffle budget: one exchange keyed by bucket; no replication of the
+  * point side, no nested loop.
+  */
+object RangeJoin {
+
+  /** Inner-join each point row to every interval row (same `keyCol`) whose
+    * [startCol, endCol] contains `tCol`. All three are numeric (e.g. epoch
+    * micros). `bucketWidth` should be ≥ the typical interval length. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, keyCol: String,
+      tCol: String, startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    val p = points.withColumn("_bkt", floor(col(tCol) / bucketWidth))
+    val i = intervals.withColumn("_bkt",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    p.join(i, Seq(keyCol, "_bkt"))
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("_bkt")
+  }
+}
+
 /** Gap-based sessionization.
   * Shuffle budget: ONE exchange (partition by entity, one window sort);
   * the session aggregation reuses the same partitioning. */

@@ -63,6 +63,25 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
   }
 
+  test("RangeJoin.pointInInterval reproduces session event counts") {
+    // joining raw events against their own session intervals must recover
+    // each session's n_events exactly
+    val sessions = OlapB.eventsSessionize(spark, sfDir)
+    val points = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+    val joined = RangeJoin.pointInInterval(points, sessions, "user_id",
+      "t", "start_us", "end_us", bucketWidth = 3600L * 1000000)
+    val counts = joined.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("joined_n"))
+    val bad = counts.join(sessions, Seq("user_id", "session_id"))
+      .filter(col("joined_n") =!= col("n_events")).count()
+    assert(bad === 0)
+    assert(counts.count() === sessions.count())
+    // and the plan is an equi-join, not a nested loop
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("top_k_by_score keeps best-k with deterministic tie-breaks") {
     val df = Seq((1L, 0.9, 10L), (1L, 0.9, 5L), (1L, 0.8, 1L), (1L, 0.95, 7L),
       (2L, 0.1, 3L)).toDF("g", "score", "id")
