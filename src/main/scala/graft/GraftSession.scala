@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // bucketed-table metadata (Sinks.writeBucketed) lives in the local
+      // warehouse; on a cluster this is the shared metastore
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as LONG
       // nanos (Tables.events converts to a microsecond timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

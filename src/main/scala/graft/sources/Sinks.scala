@@ -40,4 +40,17 @@ object Sinks {
     * the same payloads land as JSONL for a downstream forwarder). */
   def writeJsonLines(df: DataFrame, path: String, files: Int = 1): Unit =
     df.coalesce(files).write.mode("overwrite").json(path)
+
+  /** Bucketed managed table: pre-shuffles ONCE at write time so every
+    * subsequent join/aggregation on `bucketCol` between co-bucketed tables
+    * runs with ZERO exchanges — the canonical way to make a repeated
+    * 100 TB fact-fact join affordable. `sortCols` pre-sorts buckets so the
+    * join can skip its sort too.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -31,6 +31,21 @@ class SinksSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    val t = Tables(spark, sfDir)
+    Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
+      "bkt_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+    Sinks.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"),
+      "bkt_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+    val joined = spark.table("bkt_lineitem")
+      .join(spark.table("bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity"), max("o_totalprice"))
+    assert(joined.count() === t.lineitem.select("l_orderkey").distinct().count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(
