@@ -49,6 +49,14 @@ object Sinks {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with an in-memory catalog an orphaned managed-table directory can
+    // survive a previous session; clear it or saveAsTable refuses the name
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)
