@@ -109,11 +109,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs via a shingle inverted index.
     * Shuffle budget: shingle-keyed self-join + pair aggregation. Exact —
-    * use as the verify stage behind [[minhashLshPairs]] at corpus scale. */
+    * use as the verify stage behind [[minhashLshPairs]] at corpus scale.
+    *
+    * `maxShingleDf` is the scale guard: a shingle appearing in d documents
+    * contributes d² join rows, so stop-shingles (boilerplate, headers)
+    * dominate cost while contributing almost nothing to high-Jaccard pairs.
+    * Capping document frequency bounds the join quadratically; the result
+    * becomes a (tight) under-count, so keep it None when exactness is
+    * required and the corpus allows it. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val d = df.select(col(idCol).as("_id"), word_shingles(col(textCol), n).as("_sh"))
-    val ex = d.select(col("_id"), explode(col("_sh")).as("_s"))
+    val exAll = d.select(col("_id"), explode(col("_sh")).as("_s"))
+    val ex = maxShingleDf match {
+      case None => exAll
+      case Some(cap) =>
+        // one extra partial-agg shuffle to measure df, then an equi-join
+        // (broadcast while the hot-shingle list is small) to drop them
+        val hot = exAll.groupBy(col("_s")).count().filter(col("count") > cap)
+          .select(col("_s"))
+        exAll.join(broadcast(hot), Seq("_s"), "left_anti")
+    }
     val sizes = d.select(col("_id"), size(col("_sh")).as("_n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))

@@ -63,6 +63,19 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
   }
 
+  test("ngramJaccardPairs df-cap drops stop-shingle pairs only") {
+    // "x y z" is a stop-shingle shared by all docs; docs 1/2 share unique
+    // content beyond it, doc 3 shares ONLY the stop-shingle
+    val df = Seq((1L, "x y z a b c d"), (2L, "x y z a b c e"), (3L, "x y z q r s t"))
+      .toDF("id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.01).collect()
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.01,
+      maxShingleDf = Some(2)).collect()
+    assert(exact.length === 3)  // all pairs share the x-y-z shingle
+    assert(capped.length === 1) // only (1,2) survive via their unique overlap
+    assert(capped(0).getAs[Long]("id_a") === 1L && capped(0).getAs[Long]("id_b") === 2L)
+  }
+
   test("RangeJoin.pointInInterval reproduces session event counts") {
     // joining raw events against their own session intervals must recover
     // each session's n_events exactly
