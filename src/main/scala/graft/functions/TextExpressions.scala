@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -18,13 +18,30 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Distinct word n-gram shingles of a text column (set semantics — element
   * order is unspecified and irrelevant downstream). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SketchKernels$$.MODULE$$.shingles($x, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+
+/** Static kernels shared by interpreted eval and generated code. The
+  * expressions below emit a single static call from `doGenCode`, so the
+  * surrounding stage keeps WholeStageCodegen fusion while the per-row work
+  * stays in these tight JVM loops. */
+object SketchKernels {
+
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.trim.split("\\s+")
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     var i = 0
@@ -40,7 +57,40 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  def minhash(arr: ArrayData, k: Int): GenericArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = SketchHash.baseHash(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = SketchHash.mix(h ^ (j * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = SketchHash.baseHash(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
 }
 
 object SketchHash {
@@ -61,28 +111,17 @@ object SketchHash {
 /** k-wide MinHash signature over a shingle array: one byte-level hash per
   * shingle, then k cheap mixes — O(|sh| · k) register ops, no boxing. */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val h = SketchHash.baseHash(arr.getUTF8String(i))
-      var j = 0
-      while (j < k) {
-        val v = SketchHash.mix(h ^ (j * 0xC2B2AE3D27D4EB4FL))
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SketchKernels$$.MODULE$$.minhash($x, $k);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -91,29 +130,17 @@ case class MinHashSignature(child: Expression, k: Int)
   * ±1 bit sign sums, sign-threshold fingerprint. Fully map-side — replaces
   * an explode + 64-aggregate shuffle with a per-row loop. */
 case class Simhash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val h = SketchHash.baseHash(arr.getUTF8String(i))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var fp = 0L; var b = 0
-    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
-    fp
-  }
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SketchKernels$$.MODULE$$.simhash($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
