@@ -16,7 +16,9 @@ import graft.operators.Olap.dsum
 object Receipts {
 
   // --- A9: receipt with nested line_items array ----------------------------
-  def etlReceiptsNested(spark: SparkSession, dir: String): DataFrame =
+  /** Library form: one row per invoice with the nested `line_items`
+    * array-of-struct (the ProcessedReceipt shape). */
+  def receiptsNested(spark: SparkSession, dir: String): DataFrame =
     InvoiceView.enriched(spark, dir)
       .groupBy(col("invoice_number").as("receipt_id"))
       .agg(
@@ -38,6 +40,23 @@ object Receipts {
         ))).as("line_items"))
       .orderBy(col("receipt_id"))
 
+  /** Gate form: the driver's comparator orders rows via pandas, which cannot
+    * sort a raw array-of-struct cell — so the gate output carries the nested
+    * product serialized to ONE canonical string per receipt. Price goes
+    * through decimal(18,2) so both engines format it identically; the
+    * element order is `receiptsNested`'s array_sort order. */
+  def etlReceiptsNested(spark: SparkSession, dir: String): DataFrame =
+    receiptsNested(spark, dir)
+      .withColumn("line_items", array_join(
+        transform(col("line_items"), x => concat_ws("|",
+          x.getField("line_number").cast("string"),
+          x.getField("item_name"),
+          x.getField("quantity").cast("string"),
+          x.getField("unit_of_measure"),
+          x.getField("category"),
+          x.getField("price").cast("decimal(18,2)").cast("string"),
+          x.getField("upc"))), ";"))
+
   val etlReceiptsNestedSql: String = InvoiceView.enrichedSql + {
     val fmtUpc: String => String = c =>
       s"""CASE WHEN trim(coalesce($c,'')) IN ('','nan','None') THEN NULL
@@ -46,15 +65,12 @@ object Receipts {
        |   min(vendor_name) AS vendor,
        |   CAST(SUM(CAST(extended_price AS DECIMAL(25,2))) AS DOUBLE) AS subtotal,
        |   COUNT(*) AS item_count,
-       |   list(struct_pack(
-       |      line_number := line_number,
-       |      item_name := product_description,
-       |      quantity := qty_calc,
-       |      unit_of_measure := uom,
-       |      category := category,
-       |      price := extended_price,
-       |      upc := coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")})
-       |    ) ORDER BY line_number, product_description, qty_calc, uom,
+       |   string_agg(
+       |      concat_ws('|', CAST(line_number AS VARCHAR), product_description,
+       |        CAST(qty_calc AS VARCHAR), uom, category,
+       |        CAST(CAST(extended_price AS DECIMAL(18,2)) AS VARCHAR),
+       |        coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")})),
+       |      ';' ORDER BY line_number, product_description, qty_calc, uom,
        |      category, extended_price,
        |      coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")}) NULLS FIRST
        |   ) AS line_items

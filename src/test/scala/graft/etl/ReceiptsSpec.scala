@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 class ReceiptsSpec extends SparkSpec {
 
   test("nested receipts: line_items count equals item_count, sorted by line") {
-    val rows = Receipts.etlReceiptsNested(spark, sfDir).limit(50).collect()
+    val rows = Receipts.receiptsNested(spark, sfDir).limit(50).collect()
     rows.foreach { r =>
       val items = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("line_items"))
       assert(items.size === r.getAs[Long]("item_count"))
       val lineNums = items.map(_.getAs[Int]("line_number"))
       assert(lineNums === lineNums.sorted)
+    }
+  }
+
+  test("gate form serializes every nested line item, one segment per item") {
+    val rows = Receipts.etlReceiptsNested(spark, sfDir).limit(50).collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("line_items")
+      assert(s.split(';').length === r.getAs[Long]("item_count"))
     }
   }
 
