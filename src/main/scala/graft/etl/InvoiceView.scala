@@ -28,8 +28,26 @@ object InvoiceView {
   /** The raw invoice rows (pre-rule application), cached per (session, sf). */
   def inv(spark: SparkSession, dir: String): DataFrame =
     invCache.computeIfAbsent((spark, dir), { _ =>
+      // evict this session's entries when its context stops, so a long-lived
+      // multi-session deployment doesn't pin dead sessions' RDD blocks
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            invCache.keySet.removeIf(_._1 eq spark)
+        })
       build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Unpersist and drop every cached frame belonging to `spark` — the
+    * explicit lifecycle hook for servers that cycle many sessions. */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = invCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
 
   /** The uncached join (plan-shape tests use this). */
   def build(spark: SparkSession, dir: String): DataFrame = {

@@ -15,14 +15,20 @@ final class TopKBuffer(val k: Int) {
   // picked up by sortBy below and scramble the output order.
   private val goodness: Ordering[(Double, Long)] =
     Ordering.fromLessThan[(Double, Long)] { (a, b) =>
-      // a < b  ⇔  a is WORSE than b  ⇔  lower score, or same score+higher id
-      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+      // a < b  ⇔  a is WORSE than b  ⇔  lower score, or same score+higher id.
+      // Double.compare (not <) so the order stays total on -0.0/NaN —
+      // raw NaN comparisons are false both ways and corrupt heap invariants.
+      val c = java.lang.Double.compare(a._1, b._1)
+      c < 0 || (c == 0 && a._2 > b._2)
     }
   // PriorityQueue dequeues its maximum; reversing goodness puts the WORST
   // element at the head for O(log k) eviction.
   val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(goodness.reverse)
 
   def add(score: Double, id: Long): Unit = {
+    // a NaN score (e.g. cosine of a zero-norm vector) is not a ranking —
+    // dropping it keeps results deterministic under any partitioning
+    if (java.lang.Double.isNaN(score)) return
     if (heap.size < k) heap.enqueue((score, id))
     else if (goodness.lt(heap.head, (score, id))) { heap.dequeue(); heap.enqueue((score, id)) }
   }

@@ -121,6 +121,12 @@ case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
     dim: Int, seed: Long)
     extends UnaryExpression {
 
+  // bucket ids pack (table << 24) | bucket: more than 24 hyperplane bits
+  // would silently collide buckets ACROSS tables (wrong candidate pairs)
+  require(bits > 0 && bits <= 24, s"bits must be in [1,24], got $bits")
+  require(numTables > 0 && numTables <= (1 << 24),
+    s"numTables must be in [1,2^24], got $numTables")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_sign_buckets"
 

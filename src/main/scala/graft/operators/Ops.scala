@@ -45,10 +45,17 @@ object AsofJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    // Carry ONE struct of all value columns (not per-column last()): a
+    // matched right row with a legitimately NULL value field must surface
+    // that NULL, not an older row's value — per-column carry would mix
+    // fields from different right rows.
+    val carried = unioned.withColumn("_carry",
+      last(when(col("_side") === 0, struct(valueCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("_carry").getField(c))
     }
-    carried.filter(col("_side") === 1).drop("_side")
+    unpacked.filter(col("_side") === 1).drop("_side", "_carry")
   }
 }
 

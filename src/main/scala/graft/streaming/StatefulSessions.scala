@@ -24,11 +24,16 @@ object StatefulSessions {
 
   val GapUs: Long = 1800L * 1000000
 
-  final case class Ev(user_id: Long, event_id: Long, ts_us: Long, value: Double,
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long, cents: Long,
       ts: java.sql.Timestamp)
-  final case class SessionState(start_us: Long, end_us: Long, n: Long, value_sum: Double)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long, cents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
-      start_us: Long, end_us: Long)
+      start_us: Long, end_us: Long, session_value: Double)
+
+  private def close(userId: Long, sessionId: Long, s: SessionState): SessionOut =
+    // cents/100.0 is the correctly-rounded double of the exact decimal sum,
+    // so this bit-matches the batch dsum(value, 2) column
+    SessionOut(userId, sessionId, s.n, s.start_us, s.end_us, s.cents / 100.0)
 
   /** Incremental sessionizer for one user's new events. Events within a
     * batch arrive unordered → sort locally (bounded by per-batch per-key
@@ -41,19 +46,22 @@ object StatefulSessions {
     if (state.hasTimedOut) {
       if (open != null) {
         closedCount += 1
-        out += SessionOut(userId, closedCount, open.n, open.start_us, open.end_us)
+        out += close(userId, closedCount, open)
       }
-      state.remove()
+      // keep the session counter: a later in-watermark event for this user
+      // must continue numbering, not restart at 1 (state.remove() here
+      // would emit duplicate (user_id, session_id) keys in a live stream)
+      state.update((closedCount, null))
       return out.iterator
     }
     for (e <- sorted) {
-      if (open == null) open = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+      if (open == null) open = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
       else if (e.ts_us - open.end_us > GapUs) {
         closedCount += 1
-        out += SessionOut(userId, closedCount, open.n, open.start_us, open.end_us)
-        open = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+        out += close(userId, closedCount, open)
+        open = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
       } else {
-        open = SessionState(open.start_us, e.ts_us, open.n + 1, open.value_sum + e.value)
+        open = SessionState(open.start_us, e.ts_us, open.n + 1, open.cents + e.cents)
       }
     }
     state.update((closedCount, open))
@@ -78,7 +86,10 @@ object StatefulSessions {
     val evs: Dataset[Ev] = withTs
       .withWatermark("ts", "1 second")
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("value"), col("ts"))
+        unix_micros(col("ts")).as("ts_us"),
+        // exact cents via the same decimal(25,2) quantization dsum uses
+        (col("value").cast("decimal(25,2)") * 100).cast("long").as("cents"),
+        col("ts"))
       .as[Ev]
     val sessions = evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -24,6 +24,22 @@ class OpsSpec extends SparkSpec {
     assert(out(12L) === None)        // t=50: no right row at or before
   }
 
+  test("AsofJoin.asof carries NULL value fields from the matched row intact") {
+    // right row at t=90 has rv=NULL, rw=7: a per-column carry would reach
+    // back to t=10's rv=5 and mix two right rows — the match must surface
+    // (NULL, 7) as one row
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+      .withColumn("event_id", col("lid"))
+    val right = Seq((1L, 10L, Some(5L), 1L, 900L), (1L, 90L, None, 7L, 901L))
+      .toDF("k", "t", "rv", "rw", "rid")
+      .withColumn("event_id", col("rid"))
+    val out = AsofJoin.asof(left, right, "k", "t", "event_id", Seq("rv", "rw"))
+      .select("rv", "rw").collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(0), "NULL rv of the matched row must survive")
+    assert(out(0).getLong(1) === 7L)
+  }
+
   test("Sessionize.assign starts a new session after the gap") {
     val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 0L, 4L))
       .toDF("u", "ts", "eid")
