@@ -13,8 +13,8 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "q1_agg" -> (Olap.q1Agg _)
     ) ++ graft.etl.EtlQueries.queries ++ graft.etl.Receipts.queries ++
-      OlapB.queries ++ TextOps.queries ++ VectorOps.queries ++
-      Sketch.queries ++ Multimodal.queries ++
+      OlapB.queries ++ TextOps.queries ++ Pipeline.queries ++
+      VectorOps.queries ++ Sketch.queries ++ Multimodal.queries ++
       graft.streaming.StreamOps.queries ++
       graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries
 
@@ -23,6 +23,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Olap.q1AggSql
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
-    OlapB.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
-    graft.streaming.StreamOps.oracles
+    OlapB.oracles ++ TextOps.oracles ++ Pipeline.oracles ++
+    VectorOps.oracles ++ graft.streaming.StreamOps.oracles
 }

@@ -303,6 +303,58 @@ object Ann {
   }
 }
 
+/** Connected components over a pair list — the survivorship step behind
+  * every near-dup Dedup variant: candidate PAIRS become clusters, the
+  * cluster keeper is its minimum id.
+  *
+  * Algorithm: iterative min-label propagation (each round every node takes
+  * the min label among itself and its neighbors). Rounds = component
+  * diameter; near-dup clusters are shallow (diameter ≤ a few hops), so this
+  * converges in 2-4 rounds. Each round is ONE shuffle (join + partial-agg
+  * groupBy), lineage is cut with localCheckpoint so plans stay flat. For
+  * adversarial web-graph diameters swap the round body for the
+  * large-star/small-star transform (Kiveris et al., "Connected Components
+  * in MapReduce"); the driver loop and convergence test stay the same.
+  */
+object Cluster {
+
+  /** Label every node (either endpoint of `edges`, plus all of `nodes`)
+    * with the minimum node id reachable through the pair graph. Columns
+    * out: (id, cluster_id). Convergence is detected by an exact changed-row
+    * count, so the result is the true fixpoint, not an iteration-capped
+    * approximation; `maxIter` only bounds pathological inputs. */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .unionAll(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = nodes.select(col(idCol).as("_id"))
+      .distinct().withColumn("_lab", col("_id"))
+      .localCheckpoint(eager = true)
+    // labels only ever DECREASE, so the label sum strictly decreases while
+    // anything changes — one scalar aggregate per round detects the
+    // fixpoint, no per-round join against the previous labels. decimal(38)
+    // so a billion-node id-sum cannot overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("_lab").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = e.join(labels, e("_src") === labels("_id"))
+        .select(col("_dst").as("_id"), col("_lab"))
+      labels = labels.unionByName(viaEdges)
+        .groupBy(col("_id")).agg(min(col("_lab")).as("_lab"))
+        .localCheckpoint(eager = true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("_id").as("id"), col("_lab").as("cluster_id"))
+  }
+}
+
 /** Skew-mitigation join helper. AQE's skew-join splitting handles most
   * cases at runtime; explicit salting is for the pathological hot keys a
   * planner cannot split (e.g. one key holding >1 executor's worth of rows

@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 block C continued (C13–C17): the curation stages a large-scale
+  * training-data pipeline runs AFTER similarity/dedup analysis — scrubbing,
+  * splitting, quality gating, vocabulary statistics, and cluster
+  * survivorship.
+  *
+  * Scale notes (100 TB):
+  *  - C13/C14/C15 are pure map stages (regex + hash + column algebra inside
+  *    WholeStageCodegen) — zero shuffles before the gate's ORDER BY.
+  *  - C16 is one partial-agg shuffle + TakeOrderedAndProject: the full
+  *    n-gram distribution is never sorted, only the top-k heap survives.
+  *  - C17 is the iterative min-label propagation of [[Cluster]] — one
+  *    shuffle per round, rounds = cluster diameter (2-4 for near-dup
+  *    graphs).
+  *
+  * The synthetic corpus carries no PII, so C13 injects deterministic
+  * doc_id-derived PII (same derivation in the SQL twin) — the operator's
+  * positive path is exercised end-to-end, like [[TextOps.dedupCorpus]].
+  */
+object Pipeline {
+
+  // --- C13: PII scrubbing --------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** documents with deterministic injected PII (ids drive which docs get
+    * an email / phone / ssn suffix). */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+      ).as("text"))
+
+  private val piiCorpusSql =
+    """pii AS (
+      |  SELECT doc_id,
+      |    concat(text,
+      |      CASE WHEN doc_id % 3 = 0
+      |           THEN ' contact user' || doc_id || '@example.com' ELSE '' END,
+      |      CASE WHEN doc_id % 4 = 0
+      |           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END,
+      |      CASE WHEN doc_id % 5 = 0
+      |           THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    ) AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Redact emails/SSNs/phones with typed placeholders; emit per-doc match
+    * counts and the scrubbed-content fingerprint. Patterns stay in the
+    * Java∩RE2 regex subset so every engine sees the same matches. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        SsnRe, "[SSN]"),
+      PhoneRe, "[PHONE]")
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiCorpus(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(SsnRe)).as("n_ssns"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      md5(scrub(col("text"))).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+
+  val textPiiScrubSql: String =
+    s"""WITH $piiCorpusSql
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$SsnRe')) AS n_ssns,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |        '$EmailRe', '[EMAIL]', 'g'),
+       |        '$SsnRe', '[SSN]', 'g'),
+       |        '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_fp
+       |FROM pii ORDER BY doc_id""".stripMargin
+
+  // --- C14: deterministic train/val/test split -----------------------------
+  /** Content-hash split: bucket = first 4 hex chars of md5(doc_id), which
+    * both engines format identically, so assignment is reproducible
+    * anywhere and stable under resharding/reprocessing (the property that
+    * matters — never split by position or random()). Thresholds are hex
+    * string compares ≈ 80/10/10. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      h.as("hash_prefix"),
+      when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+        .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- C15: quality filter chain -------------------------------------------
+  /** Gopher-style hard filters, evaluated as one codegen'd pass; the reject
+    * reason is the FIRST failing rule (fixed precedence) so downstream
+    * sampling of rejects is stable. Flags are ints, not booleans — engine
+    * boolean formatting differs, exact ints never do. */
+  def qualityFilterChain(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nWords = size(toks)
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    val awl = nNonSpace.cast("double") / nWords
+    val nStop = size(filter(toks, w => w.isin(TextOps.Stopwords: _*)))
+    val passMin = (nWords >= 20).cast("int")
+    val passMax = (nWords <= 500).cast("int")
+    val passAwl = (awl >= 2.5 && awl <= 8.0).cast("int")
+    val passStop = (nStop >= 1).cast("int")
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      awl.as("avg_word_len"),
+      nStop.as("n_stopwords"),
+      passMin.as("pass_min_words"), passMax.as("pass_max_words"),
+      passAwl.as("pass_word_len"), passStop.as("pass_stopwords"),
+      (passMin * passMax * passAwl * passStop).as("passes"),
+      when(passMin === 0, "too_short").when(passMax === 0, "too_long")
+        .when(passAwl === 0, "word_len").when(passStop === 0, "no_stopwords")
+        .otherwise("ok").as("reject_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterChainSql: String = {
+    val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    LEN(toks) AS n_words,
+       |    CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / LEN(toks) AS awl,
+       |    LEN(list_filter(toks, w -> w IN ($in))) AS n_stop
+       |  FROM (SELECT doc_id, text,
+       |          regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |        FROM documents)
+       |), f AS (
+       |  SELECT doc_id, n_words, awl, n_stop,
+       |    CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS pass_min_words,
+       |    CASE WHEN n_words <= 500 THEN 1 ELSE 0 END AS pass_max_words,
+       |    CASE WHEN awl >= 2.5 AND awl <= 8.0 THEN 1 ELSE 0 END AS pass_word_len,
+       |    CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS pass_stopwords
+       |  FROM m)
+       |SELECT doc_id, n_words, awl AS avg_word_len, n_stop AS n_stopwords,
+       |  pass_min_words, pass_max_words, pass_word_len, pass_stopwords,
+       |  pass_min_words * pass_max_words * pass_word_len * pass_stopwords AS passes,
+       |  CASE WHEN pass_min_words = 0 THEN 'too_short'
+       |       WHEN pass_max_words = 0 THEN 'too_long'
+       |       WHEN pass_word_len = 0 THEN 'word_len'
+       |       WHEN pass_stopwords = 0 THEN 'no_stopwords'
+       |       ELSE 'ok' END AS reject_reason
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // --- C16: corpus top-k n-grams -------------------------------------------
+  val NgramTopK = 100
+
+  /** Top bigrams by document frequency. word_shingles is per-doc DISTINCT,
+    * so counts are document frequencies; orderBy+limit plans as
+    * TakeOrderedAndProject — a bounded heap per partition, never a full
+    * sort of the vocabulary. */
+  def ngramTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(NgramTopK)
+
+  val ngramTopkSql: String =
+    s"""SELECT s AS gram, COUNT(*) AS df
+       |FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+       |         i -> toks[i] || ' ' || toks[i+1]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents))
+       |GROUP BY 1 ORDER BY df DESC, gram LIMIT $NgramTopK""".stripMargin
+
+  // --- C17: near-dup cluster survivorship ----------------------------------
+  /** Jaccard pairs → connected components → keeper = min doc_id per
+    * cluster. This is the step that turns every pairwise Dedup variant's
+    * output into a drop list. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = TextOps.JaccardThreshold)
+    Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}),
+       |lab(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, l.lab FROM lab l JOIN edges e ON e.a = l.node
+       |)
+       |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       |  CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS is_keeper
+       |FROM lab GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Registry for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
+    "sample_split" -> (sampleSplit _),
+    "quality_filter_chain" -> (qualityFilterChain _),
+    "ngram_topk" -> (ngramTopk _),
+    "dedup_clusters" -> (dedupClusters _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
+    "sample_split" -> sampleSplitSql,
+    "quality_filter_chain" -> qualityFilterChainSql,
+    "ngram_topk" -> ngramTopkSql,
+    "dedup_clusters" -> dedupClustersSql
+  )
+}

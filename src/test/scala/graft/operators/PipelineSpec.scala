@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("scrub redacts emails, ssns, and phones with typed placeholders") {
+    val out = Seq("mail a.b+c@test.org ssn 123-45-6789 call 555-0199 done")
+      .toDF("text").select(Pipeline.scrub(col("text"))).head().getString(0)
+    assert(out === "mail [EMAIL] ssn [SSN] call [PHONE] done")
+  }
+
+  test("pii scrub counts match the injected corpus pattern") {
+    val rows = Pipeline.textPiiScrub(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") === (if (id % 3 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_phones") === (if (id % 4 == 0) 1 else 0))
+      assert(r.getAs[Int]("n_ssns") === (if (id % 5 == 0) 1 else 0))
+    }
+  }
+
+  test("sample split is deterministic and near the 80/10/10 design point") {
+    val counts = Pipeline.sampleSplit(spark, sfDir)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // rerun gives the identical assignment (content-hash, not random())
+    val a = Pipeline.sampleSplit(spark, sfDir).collect().map(_.toString)
+    val b = Pipeline.sampleSplit(spark, sfDir).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("quality filter chain: passes=1 iff every rule passes, reason=ok") {
+    Pipeline.qualityFilterChain(spark, sfDir).collect().foreach { r =>
+      val flags = Seq("pass_min_words", "pass_max_words", "pass_word_len",
+        "pass_stopwords").map(r.getAs[Int])
+      assert(r.getAs[Int]("passes") === flags.product)
+      assert((r.getAs[String]("reject_reason") == "ok") === (flags.product == 1))
+    }
+  }
+
+  test("ngram topk is ordered by document frequency with stable ties") {
+    val rows = Pipeline.ngramTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Pipeline.NgramTopK)
+    val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("gram")))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq)
+  }
+
+  test("connectedComponents labels every node with its component minimum") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3 (diameter 2), pair 5-6, isolated 4 and 7
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("a", "b")
+    val got = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedup clusters: keepers are cluster minima and cover all docs") {
+    val rows = Pipeline.dedupClusters(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === cid)
+      assert(members.count(_.getAs[Int]("is_keeper") == 1) === 1)
+    }
+    val nDocs = graft.sources.Tables(spark, sfDir).documents.count()
+    assert(rows.length.toLong === nDocs)
+  }
+}
