@@ -178,20 +178,40 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Widest simhash band layout that still GUARANTEES recall at
+    * `maxHamming`: flipping h bits can touch at most h bands, so a
+    * colliding band survives whenever bands ≥ h+1, i.e.
+    * bandBits ≤ 64/(h+1). Wider bands = exponentially fewer bucket
+    * collisions, so always take the widest admissible power of two.
+    *
+    * This is also the corpus-size knob: bucket hot-spotting grows with
+    * corpus size (measured: 8-bit bands stay cheap to ~100k docs; beyond
+    * that drop maxHamming to ≤3 so 16-bit bands apply — 2^16× more bucket
+    * space per table). */
+  def simhashBandBitsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
+    Seq(32, 16, 8, 4, 2, 1).find(_ <= 64 / (maxHamming + 1)).get
+  }
+
   /** SimHash near-dup pairs within a hamming radius. Banding guarantees
-    * recall while `64/bandBits > maxHamming`. Sketch is map-side; the
-    * hamming filter runs BEFORE pair-dedup so hot buckets never reach a
-    * shuffle. */
+    * recall while `64/bandBits > maxHamming` (see [[simhashBandBitsFor]]).
+    * Sketch is map-side; the hamming filter runs BEFORE pair-dedup so hot
+    * buckets never reach a shuffle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bandBits: Int = 8, maxHamming: Int = 6): DataFrame = {
+    require(64 / bandBits > maxHamming,
+      s"bandBits=$bandBits cannot guarantee recall at hamming<=$maxHamming" +
+        s" — need bands>maxHamming; use simhashBandBitsFor($maxHamming)")
     val bands = 64 / bandBits
     val fps = df.select(col(idCol).as("_id"),
       simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
     val bucketed = fps.select(col("_id"), col("_fp"),
       explode(array((0 until bands).map { j =>
-        lit(j.toLong << 16).bitwiseOR(
+        // band tag in bits 40+ keeps tag and bucket disjoint for any
+        // admissible bandBits (≤ 32)
+        lit(j.toLong << 40).bitwiseOR(
           shiftrightunsigned(col("_fp"), j * bandBits)
-            .bitwiseAND((1L << bandBits) - 1))
+            .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1))
       }: _*)).as("_bkt"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
@@ -251,26 +271,27 @@ object Ann {
     * persisted deployment the assignment pass is computed once and reused
     * across query batches (write `list_id` as a partition column).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nLists)
+  /** Deterministic seed centroids: the first `nLists` corpus vectors. */
+  private def centroids(corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nLists)
       .select(col(idCol).as("_cent_id"), col(embCol).as("_cent"))
-    def nearestLists(df: DataFrame, id: String, emb: String, keep: Int) = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("_sim").desc, col("_cent_id"))
-      df.crossJoin(broadcast(cents))
-        .select(col(id), col(emb),
-          col("_cent_id"), quantized_cosine(col(emb), col("_cent")).as("_sim"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= keep)
-        .drop("_sim", "_rn")
-    }
-    val assigned = nearestLists(
-      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
-      "neighbor_id", "_e", 1)
-    val probes = nearestLists(
-      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
-      "query_id", "_q", nProbe)
+
+  /** For each row, its `keep` nearest centroids (centroid set broadcast). */
+  private def nearestLists(cents: DataFrame, df: DataFrame, id: String,
+      emb: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("_sim").desc, col("_cent_id"))
+    df.crossJoin(broadcast(cents))
+      .select(col(id), col(emb),
+        col("_cent_id"), quantized_cosine(col(emb), col("_cent")).as("_sim"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= keep)
+      .drop("_sim", "_rn")
+  }
+
+  private def probeAndRank(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), "_cent_id")
@@ -279,6 +300,62 @@ object Ann {
         quantized_cosine(col("_e"), col("_q")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(corpus, idCol, embCol, nLists)
+    val assigned = nearestLists(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "neighbor_id", "_e", 1)
+    val probes = nearestLists(cents,
+      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
+      "query_id", "_q", nProbe)
+    probeAndRank(assigned, probes, k)
+  }
+
+  /** Persist the IVF index: centroids (tiny) + list assignments laid out as
+    * `list_id=` partition directories. The corpus-assignment pass — the
+    * expensive half of [[ivfTopK]] — runs ONCE here and is amortized over
+    * every subsequent query batch; probing then reads only the probed
+    * lists' directories (partition pruning), i.e. nProbe/nLists of the
+    * corpus instead of all of it. */
+  def ivfBuild(corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int, path: String): Unit = {
+    val cents = centroids(corpus, idCol, embCol, nLists)
+    cents.select(col("_cent_id").as("cent_id"), col("_cent").as("cent"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = nearestLists(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "neighbor_id", "_e", 1)
+    graft.sources.Sinks.writePartitionedParquet(
+      assigned.select(col("_cent_id").as("list_id"), col("neighbor_id"),
+        col("_e").as("emb")),
+      s"$path/lists", partitionCols = Seq("list_id"),
+      sortCols = Seq("neighbor_id"))
+  }
+
+  /** Query a persisted IVF index. The probed list ids reach the scan as a
+    * partition filter (IN list over `list_id=` directories), so the read is
+    * bounded by nProbe × list size at any corpus scale. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
+    val probes = nearestLists(cents,
+      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
+      "query_id", "_q", nProbe)
+    // static IN-filter on the partition column: probe batches are small
+    // (they were just broadcast), so the collect is a few ints, and the
+    // scan prunes to the probed directories without relying on runtime DPP
+    val probedIds = probes.select(col("_cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedIds.toIndexedSeq: _*))
+      .select(col("list_id").as("_cent_id"), col("neighbor_id"),
+        col("emb").as("_e"))
+    probeAndRank(assigned, probes, k)
   }
 
   /** Approximate top-k: LSH-bucketed candidate generation, exact scoring of

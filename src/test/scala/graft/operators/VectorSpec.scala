@@ -65,6 +65,35 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("persisted IVF index returns the same results as the direct operator") {
+    val corpus = embDouble.select(col("vec_id"), col("emb"))
+    val queries = corpus.limit(10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/index"
+    Ann.ivfBuild(corpus, "vec_id", "emb", nLists = 32, path = path)
+    val direct = Ann.ivfTopK(corpus, queries, "vec_id", "emb",
+      k = 10, nLists = 32, nProbe = 8).collect().map(_.toString).sorted
+    val indexed = Ann.ivfTopKIndexed(spark, path, queries, "vec_id", "emb",
+      k = 10, nProbe = 8).collect().map(_.toString).sorted
+    assert(indexed.toSeq === direct.toSeq)
+    // the probe scan must prune to the probed list_id partitions
+    val scan = Ann.ivfTopKIndexed(spark, path, queries, "vec_id", "emb",
+      k = 10, nProbe = 8).queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [list_id"), scan)
+  }
+
+  test("simhashBandBitsFor picks the widest recall-guaranteeing layout") {
+    assert(Dedup.simhashBandBitsFor(6) === 8)  // 8 bands ≥ 7
+    assert(Dedup.simhashBandBitsFor(3) === 16) // 4 bands ≥ 4
+    assert(Dedup.simhashBandBitsFor(1) === 32) // 2 bands ≥ 2
+    assert(Dedup.simhashBandBitsFor(15) === 4)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(embDouble.withColumn("text", lit("x"))
+        .withColumnRenamed("vec_id", "id"), "id", "text",
+        bandBits = 16, maxHamming = 6)
+    }
+  }
+
   test("dedup_embedding finds exactly the seeded near-dup pairs") {
     val pairs = VectorOps.dedupEmbedding(spark, sfDir).collect()
     val n = embDouble.filter(col("vec_id") % 10 === 0).count()
