@@ -24,5 +24,6 @@ object SparkEntry {
     "q1_agg" -> Olap.q1AggSql
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
     OlapB.oracles ++ TextOps.oracles ++ Pipeline.oracles ++
-    VectorOps.oracles ++ graft.streaming.StreamOps.oracles
+    VectorOps.oracles ++ Sketch.oracles ++
+    graft.streaming.StreamOps.oracles
 }

@@ -62,10 +62,10 @@ object SketchKernels {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = SketchHash.baseHash(arr.getUTF8String(i))
+      val fp = SketchHash.fingerprint56(arr.getUTF8String(i))
       var j = 0
       while (j < k) {
-        val v = SketchHash.mix(h ^ (j * 0xC2B2AE3D27D4EB4FL))
+        val v = SketchHash.affineM61(fp, j)
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -94,9 +94,7 @@ object SketchKernels {
 }
 
 object SketchHash {
-  /** splitmix64 finalizer — derives the i-th hash family member from one
-    * base hash (one-permutation-style MinHash: hash bytes once, mix per
-    * permutation). */
+  /** splitmix64 finalizer. */
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -106,6 +104,49 @@ object SketchHash {
 
   @inline def baseHash(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  // --- engine-portable MinHash family --------------------------------------
+  // The family is chosen so ANY engine can replicate it with exact-integer
+  // SQL (the DuckDB oracle does): fingerprint = first 14 hex chars of
+  // md5(shingle) as a 56-bit integer; member j is the affine map
+  // (A(j)*fp + B(j)) mod M61 — one 128-bit multiply, exact in JVM longs
+  // (multiplyHigh) and in DuckDB HUGEINT arithmetic alike.
+
+  val M61: Long = (1L << 61) - 1
+
+  /** Deterministic affine coefficients; A is nonzero mod M61. */
+  val AffineA: Array[Long] =
+    Array.tabulate(64)(j => math.max(1L, (mix(0xA11CE5L + j) & Long.MaxValue) % M61))
+  val AffineB: Array[Long] =
+    Array.tabulate(64)(j => (mix(0xB0BCA7L + j) & Long.MaxValue) % M61)
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 56 bits of md5 (== parsing the first 14 hex chars of the hex
+    * digest, which SQL engines can do positionally). */
+  def fingerprint56(s: UTF8String): Long = {
+    val d = md5.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 48) | ((b(1) & 0xffL) << 40) | ((b(2) & 0xffL) << 32) |
+      ((b(3) & 0xffL) << 24) | ((b(4) & 0xffL) << 16) | ((b(5) & 0xffL) << 8) |
+      (b(6) & 0xffL)
+  }
+
+  /** (A(j)*fp + B(j)) mod M61 with exact 128-bit intermediate math:
+    * 2^64 ≡ 8 (mod M61), so hi*2^64 + lo ≡ (hi<<3) + lo-folded. */
+  def affineM61(fp: Long, j: Int): Long = {
+    val a = AffineA(j)
+    val hi = java.lang.Math.multiplyHigh(a, fp) // both < 2^61: signed==unsigned
+    val lo = a * fp
+    var r = (hi << 3) + (lo & M61) + (lo >>> 61)
+    while (r >= M61) r -= M61
+    r += AffineB(j)
+    if (r >= M61) r -= M61
+    r
+  }
 }
 
 /** k-wide MinHash signature over a shingle array: one byte-level hash per

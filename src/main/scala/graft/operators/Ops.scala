@@ -161,9 +161,12 @@ object Dedup {
       .select(col(idCol).as("_id"), word_shingles(col(textCol), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .select(col("_id"), minhash_signature(col("_sh"), numHashes).as("_sig"))
+    // exact band tuples as the join key (not a hash of them): candidacy is
+    // precisely "shares >= 1 band", no cross-band hash-collision caveat,
+    // and the semantics are replicable by any engine (the DuckDB oracle)
     val bandKeys = array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rows).map(r =>
-        element_at(col("_sig"), b * rows + r + 1)): _*)
+      struct(lit(b).as("b") +: (0 until rows).map(r =>
+        element_at(col("_sig"), b * rows + r + 1).as(s"s$r")): _*)
     }: _*)
     val bucketed = sigs.select(col("_id"), col("_sig"), explode(bandKeys).as("_bkt"))
     // sig_overlap is a codegen'd loop, so estimating on band-duplicated

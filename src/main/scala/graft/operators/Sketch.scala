@@ -30,16 +30,20 @@ object Sketch {
   def minhashSig(sh: Column): Column =
     graft.functions.textsketch.minhash_signature(sh, NumHashes)
 
-  /** Band keys: hash RowsPerBand consecutive signature slots per band and
-    * tag the band index into the high bits (disjoint bucket key spaces). */
+  /** Band keys: (band index, RowsPerBand consecutive signature slots) as an
+    * exact struct tuple — candidacy is precisely "shares >= 1 band". */
   def bandKeys(sig: Column): Column =
     array((0 until Bands).map { b =>
-      val slots = (0 until RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r + 1))
-      xxhash64(lit(b) +: slots: _*)
+      struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>
+        element_at(sig, b * RowsPerBand + r + 1).as(s"s$r")): _*)
     }: _*)
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables(spark, dir).documents, "doc_id", "text",
+    // one small parquet file = one input split: spread rows across cores so
+    // the (map-side) sketching parallelizes. A cluster-scale corpus already
+    // has thousands of splits — there this exchange is skippable.
+    Dedup.minhashLshPairs(
+      Tables(spark, dir).documents.repartition(col("doc_id")), "doc_id", "text",
         shingleN = 3, numHashes = NumHashes, bands = Bands,
         minEstJaccard = MinEstJaccard)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
@@ -69,9 +73,58 @@ object Sketch {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Registry for SparkEntry — both rows-only (see SketchSpec). */
+  /** DuckDB twin of [[dedupMinhashLsh]] — possible because the MinHash
+    * family is engine-portable by design (SketchHash: md5-prefix
+    * fingerprints + affine maps mod M61, exact in HUGEINT arithmetic).
+    * The affine coefficients are spliced from the SAME Scala constants the
+    * expression uses, so the two engines share one definition. */
+  val dedupMinhashLshSql: String = {
+    import graft.functions.SketchHash.{AffineA, AffineB, M61}
+    val permRows = (0 until NumHashes)
+      .map(j => s"($j, ${AffineA(j)}, ${AffineB(j)})").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |), fp AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 15),
+       |         i -> (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
+       |              << (4 * (14 - i)))) AS BIGINT) AS fp
+       |  FROM sh
+       |), perm(j, a, b) AS (VALUES $permRows),
+       |hv AS (
+       |  SELECT doc_id, j, MIN(CAST((a::HUGEINT * fp + b) % $M61 AS BIGINT)) AS h
+       |  FROM fp CROSS JOIN perm GROUP BY 1, 2
+       |), sg AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM hv GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |         CAST(sig[$RowsPerBand*b+1 : $RowsPerBand*b+$RowsPerBand] AS VARCHAR) AS slot
+       |  FROM sg, range(0, $Bands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.slot = y.slot AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / $NumHashes.0
+       |    AS est_jaccard
+       |FROM cand
+       |JOIN sg sa ON doc_a = sa.doc_id
+       |JOIN sg sb ON doc_b = sb.doc_id
+       |WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |      / $NumHashes.0 >= $MinEstJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Registry for SparkEntry — minhash is oracle-checked (portable hash
+    * family); simhash stays rows-only (see SketchSpec). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> dedupMinhashLshSql
   )
 }
