@@ -79,7 +79,7 @@ object SketchKernels {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = SketchHash.baseHash(arr.getUTF8String(i))
+      val h = SketchHash.fingerprint64(arr.getUTF8String(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -123,6 +123,17 @@ object SketchHash {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes as a signed 64-bit value (== parsing the first 16
+    * hex chars of the hex digest as unsigned and wrapping to signed —
+    * SQL engines do it positionally in 128-bit then subtract 2^64). */
+  def fingerprint64(s: UTF8String): Long = {
+    val d = md5.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
   }
 
   /** First 56 bits of md5 (== parsing the first 14 hex chars of the hex

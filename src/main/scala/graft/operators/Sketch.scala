@@ -117,14 +117,61 @@ object Sketch {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Registry for SparkEntry — minhash is oracle-checked (portable hash
-    * family); simhash stays rows-only (see SketchSpec). */
+  /** DuckDB twin of [[dedupSimhash]]: same md5-prefix token hashes (signed
+    * 64-bit via positional hex parse + 2^64 wrap), same sign-sum bits, same
+    * 8×8 banding ((fp>>8b)&255 masks away shift-fill bits, so arithmetic
+    * vs logical shift is immaterial), same hamming filter. */
+  val dedupSimhashSql: String = {
+    // fp64 = first 16 md5 hex chars as unsigned 128-bit sum (positional
+    // nibble * 16^(16-i) literals), wrapped to signed 64-bit
+    val nibbleTerms = (1 to 16).map { i =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+    }.mkString(" + ")
+    val pow2Rows = (0 until 64).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, $nibbleTerms AS u
+       |        FROM (SELECT doc_id, md5(w) AS m FROM tk))
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN range(0, 64) t(b) GROUP BY 1, 2
+       |), pw(b, p) AS (VALUES $pow2Rows),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+       |  FROM (SELECT bits.doc_id, SUM(bit::HUGEINT * p) AS u
+       |        FROM bits JOIN pw ON bits.b = pw.b GROUP BY 1)
+       |), bd AS (
+       |  SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS bkt
+       |  FROM fps, range(0, $SimhashBands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.fp AS fa, y.fp AS fb
+       |  FROM bd x JOIN bd y
+       |    ON x.b = y.b AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Registry for SparkEntry — both sketches are oracle-checked thanks to
+    * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _)
   )
 
   val oracles: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> dedupMinhashLshSql
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql
   )
 }
