@@ -55,11 +55,66 @@ object StreamOps {
       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B17: stream-stream interval join ------------------------------------
+  val AttributionWindow = "6 hours"
+  val JoinQueryName = "graft_stream_join"
+
+  /** Watermarked stream-stream inner join: attribute each purchase to the
+    * same user's views within [view_ts, view_ts + 6h] — the classic
+    * streaming attribution shape. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark derives state
+    * watermarks and EVICTS join state older than the bound: state is
+    * O(events in the window), not O(stream) — the property that keeps a
+    * 100 TB/day stream joinable. AvailableNow replay makes the result equal
+    * the batch interval join, so this is oracle-checked. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tag: String, typ: String) = {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      ev.filter(col("event_type") === typ)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as(s"${tag}_user"), col("event_id").as(s"${tag}_event"),
+          col("ts").as(s"${tag}_ts"))
+    }
+    val views = side("v", "view")
+    val purchases = side("p", "purchase")
+    val joined = views.join(purchases,
+        expr(s"""v_user = p_user AND
+                 p_ts >= v_ts AND p_ts <= v_ts + interval $AttributionWindow"""))
+      .select(col("v_user").as("user_id"),
+        col("v_event").as("view_event_id"), col("p_event").as("purchase_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+
+    spark.streams.active.filter(_.name == JoinQueryName).foreach(_.stop())
+    val q = joined.writeStream.format("memory").queryName(JoinQueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(JoinQueryName)
+      .orderBy(col("user_id"), col("view_event_id"), col("purchase_event_id"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT a.user_id,
+      |  a.event_id AS view_event_id, b.event_id AS purchase_event_id,
+      |  epoch_ns(b.ts) // 1000 - epoch_ns(a.ts) // 1000 AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_events" -> (streamEvents _)
+    "stream_events" -> (streamEvents _),
+    "stream_join" -> (streamJoin _)
   )
 
   val oracles: Map[String, String] = Map(
-    "stream_events" -> streamEventsSql
+    "stream_events" -> streamEventsSql,
+    "stream_join" -> streamJoinSql
   )
 }

@@ -15,6 +15,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamJoin(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val e = graft.sources.Tables(spark, sfDir).events
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"), col("ts").as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event_id"),
+        col("ts").as("p_ts"))
+    val batch = v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("interval 6 hours"))
+      .select(col("user_id"), col("view_event_id"), col("purchase_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
