@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Dev tool: probe operator wall-clock at corpus sizes beyond the sf dirs
+  * by replicating documents/embeddings with shifted ids (worst-case
+  * duplicate load: every replica is a true near-dup of its source).
+  *
+  * Usage: runMain graft.ScaleProbe <replicas> [probe...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.headOption.map(_.toInt).getOrElse(24)
+    val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until reps).map(r => df.withColumn(idCol, col(idCol) + lit(r * 10000000L)))
+        .reduce(_ unionAll _).repartition(col(idCol))
+        .persist()
+
+    val docs = replicate(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+      "doc_id")
+    val embs = replicate(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+      "vec_id")
+    println(s"corpus: ${docs.count()} docs, ${embs.count()} vectors")
+
+    def time(name: String)(f: => Long): Unit =
+      if (which.isEmpty || which(name)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n rows)")
+      }
+
+    time("dedup_exact") {
+      Dedup.exactGroups(docs, "doc_id", "text").filter(col("n_copies") > 1).count()
+    }
+    time("dedup_simhash") {
+      Dedup.simhashPairs(docs, "doc_id", "text",
+        bandBits = Dedup.simhashBandBitsFor(3), maxHamming = 3).count()
+    }
+    time("dedup_minhash_lsh") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", minEstJaccard = 0.9).count()
+    }
+    time("dedup_clusters") {
+      val edges = Dedup.minhashLshPairs(docs, "doc_id", "text", minEstJaccard = 0.9)
+        .select(col("id_a"), col("id_b"))
+      Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        edges, "id_a", "id_b")
+        .filter(col("id") =!= col("cluster_id")).count()
+    }
+    val queries = embs.limit(40)
+    time("ann_brute") {
+      Ann.bruteTopK(embs, queries, "vec_id", "emb", 10).count()
+    }
+    time("ann_lsh") {
+      Ann.lshTopK(embs, queries, "vec_id", "emb", dim = 64, k = 10).count()
+    }
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    time("ivf_build") {
+      Ann.ivfBuild(embs, "vec_id", "emb", nLists = 128, path = ivfPath); 0L
+    }
+    time("ivf_query40") {
+      Ann.ivfTopKIndexed(spark, ivfPath, queries, "vec_id", "emb",
+        k = 10, nProbe = 8).count()
+    }
+    spark.stop()
+  }
+}
