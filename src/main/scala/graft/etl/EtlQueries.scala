@@ -128,22 +128,13 @@ object EtlQueries {
       |  upper(trim(coalesce(raw_txt, ''))) AS txt
       |FROM e ORDER BY event_id""".stripMargin
 
-  // --- A8 + A11: receipts assembly (one shuffle on the invoice key) -------
+  // --- A8 + A11: receipts assembly (one shuffle on the invoice key,
+  // computed once in Receipts.receiptsBase and shared with A9/A10) --------
   def etlReceipts(spark: SparkSession, dir: String): DataFrame =
-    enr(spark, dir)
-      .groupBy(col("invoice_number").as("receipt_id"))
-      .agg(
-        min(col("vendor_name")).as("vendor"),
-        min(Rules.parseInvoiceDate(col("invoice_date_str"))).as("transaction_date"),
-        max(col("invoice_amount")).as("total_amount"),
-        dsum(col("extended_price"), 2).as("subtotal"),
-        // "first row's tax" (processor.py:69): (line_number, tax) arg-min with
-        // a numeric composite key — line_number alone is not unique, and an
-        // ambiguous arg-min would be nondeterministic across partitionings.
-        min_by(col("tax_adj"),
-          col("line_number") * 10000000000.0 + floor(col("tax_adj") * 10000 + 0.5)).as("sales_tax"),
-        count(lit(1)).as("item_count"),
-        dsum(col("qty_calc"), 0).cast("bigint").as("total_units"))
+    Receipts.receiptsBase(spark, dir)
+      .select(col("invoice_number").as("receipt_id"), col("vendor"),
+        col("transaction_date"), col("total_amount"), col("subtotal"),
+        col("sales_tax"), col("item_count"), col("total_units"))
       .withColumn("document_id", Rules.documentId(col("receipt_id"), col("receipt_id")))
       .orderBy("receipt_id")
 

@@ -22,32 +22,14 @@ object InvoiceView {
   // it, so one session computes the join once and persists it (the exact
   // analogue of the reference parsing each CSV batch once and applying all
   // rules to the in-memory frame). MEMORY_AND_DISK: spills instead of OOM.
-  private val invCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val invCache = new CachedView(build _)
 
   /** The raw invoice rows (pre-rule application), cached per (session, sf). */
-  def inv(spark: SparkSession, dir: String): DataFrame =
-    invCache.computeIfAbsent((spark, dir), { _ =>
-      // evict this session's entries when its context stops, so a long-lived
-      // multi-session deployment doesn't pin dead sessions' RDD blocks
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            invCache.keySet.removeIf(_._1 eq spark)
-        })
-      build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  def inv(spark: SparkSession, dir: String): DataFrame = invCache(spark, dir)
 
   /** Unpersist and drop every cached frame belonging to `spark` — the
     * explicit lifecycle hook for servers that cycle many sessions. */
-  def invalidate(spark: SparkSession): Unit = {
-    val it = invCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
-    }
-  }
+  def invalidate(spark: SparkSession): Unit = invCache.invalidate(spark)
 
   /** The uncached join (plan-shape tests use this). */
   def build(spark: SparkSession, dir: String): DataFrame = {

@@ -15,16 +15,27 @@ import graft.operators.Olap.dsum
   */
 object Receipts {
 
-  // --- A9: receipt with nested line_items array ----------------------------
-  /** Library form: one row per invoice with the nested `line_items`
-    * array-of-struct (the ProcessedReceipt shape). */
-  def receiptsNested(spark: SparkSession, dir: String): DataFrame =
+  /** The ONE receipts aggregation: every receipt-shaped query (flat A8,
+    * nested A9, webhook A10) projects from this per-(session, sf) cached
+    * base, so the invoice-key shuffle and the nested assembly run once —
+    * exactly like the reference service building each ProcessedReceipt
+    * once and rendering it into multiple outputs. */
+  private val base = new CachedView((spark, dir) =>
     InvoiceView.enriched(spark, dir)
-      .groupBy(col("invoice_number").as("receipt_id"))
+      .groupBy(col("invoice_number"))
       .agg(
         min(col("vendor_name")).as("vendor"),
+        min(Rules.parseInvoiceDate(col("invoice_date_str"))).as("transaction_date"),
+        max(col("invoice_amount")).as("total_amount"),
         dsum(col("extended_price"), 2).as("subtotal"),
+        // "first row's tax" (processor.py:69): (line_number, tax) arg-min
+        // with a numeric composite key — line_number alone is not unique,
+        // and an ambiguous arg-min would be nondeterministic.
+        min_by(col("tax_adj"),
+          col("line_number") * 10000000000.0 + floor(col("tax_adj") * 10000 + 0.5))
+          .as("sales_tax"),
         count(lit(1)).as("item_count"),
+        dsum(col("qty_calc"), 0).cast("bigint").as("total_units"),
         // line_number is NOT unique within a synthetic invoice, so the
         // element order ties break on the full field tuple; nullable upc is
         // last so non-null fields settle order first (array_sort compares
@@ -37,7 +48,18 @@ object Receipts {
           col("category"),
           col("extended_price").as("price"),
           Rules.extractUpc(col("pack_upc"), col("clean_upc"), col("case_upc")).as("upc")
-        ))).as("line_items"))
+        ))).as("line_items")))
+
+  def receiptsBase(spark: SparkSession, dir: String): DataFrame = base(spark, dir)
+  def invalidate(spark: SparkSession): Unit = base.invalidate(spark)
+
+  // --- A9: receipt with nested line_items array ----------------------------
+  /** Library form: one row per invoice with the nested `line_items`
+    * array-of-struct (the ProcessedReceipt shape). */
+  def receiptsNested(spark: SparkSession, dir: String): DataFrame =
+    receiptsBase(spark, dir)
+      .select(col("invoice_number").as("receipt_id"), col("vendor"),
+        col("subtotal"), col("item_count"), col("line_items"))
       .orderBy(col("receipt_id"))
 
   /** Gate form: the driver's comparator orders rows via pandas, which cannot
@@ -83,21 +105,12 @@ object Receipts {
     * document id. JSON text differs between engines on number formatting,
     * so this is rows-only; the STRUCTURE is asserted in ReceiptsSpec. */
   def etlWebhookJson(spark: SparkSession, dir: String): DataFrame = {
-    val enr = InvoiceView.enriched(spark, dir)
-    val receipts = enr
-      .groupBy(col("invoice_number"))
-      .agg(
-        min(col("vendor_name")).as("vendor"),
-        min(Rules.parseInvoiceDate(col("invoice_date_str"))).as("transaction_date"),
-        max(col("invoice_amount")).as("total_amount"),
-        dsum(col("extended_price"), 2).as("subtotal"),
-        count(lit(1)).as("item_count"),
-        array_sort(collect_list(struct(
-          col("line_number"),
-          col("product_description").as("item_name"),
-          col("qty_calc").as("quantity"),
-          col("extended_price").as("price")
-        ))).as("line_items"))
+    val receipts = receiptsBase(spark, dir)
+      .withColumn("line_items", transform(col("line_items"), x =>
+        struct(x.getField("line_number").as("line_number"),
+          x.getField("item_name").as("item_name"),
+          x.getField("quantity").as("quantity"),
+          x.getField("price").as("price"))))
     receipts.select(
       col("invoice_number").as("receipt_id"),
       to_json(struct(

@@ -69,18 +69,19 @@ object StreamOps {
     * the batch interval join, so this is oracle-checked. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def side(tag: String, typ: String) = {
-      val raw = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+    // ONE streaming source, self-joined: both sides reuse the same scan
+    // (and the event_type filters prune each side's state)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    def side(tag: String, typ: String) =
       ev.filter(col("event_type") === typ)
         .withWatermark("ts", "1 hour")
         .select(col("user_id").as(s"${tag}_user"), col("event_id").as(s"${tag}_event"),
           col("ts").as(s"${tag}_ts"))
-    }
     val views = side("v", "view")
     val purchases = side("p", "purchase")
     val joined = views.join(purchases,
