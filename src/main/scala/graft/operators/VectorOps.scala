@@ -131,6 +131,60 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- C18: per-label embedding statistics ---------------------------------
+  /** Corpus statistics a curation pipeline reports per cluster/label:
+    * vector count, exact quantized norm mass, norm range, and the
+    * (unnormalized) centroid's quantized norm². All cross-row arithmetic is
+    * integer/decimal-exact — order-independent under any partitioning and
+    * bit-identical across engines; the only floats are per-row sqrt and the
+    * final casts.
+    *
+    * Shuffle budget: one partial-agg shuffle for the scalar stats + one
+    * (label, dim)-keyed shuffle for the centroid sums — the element-wise
+    * vector-sum aggregation pattern at any scale. */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir).embeddings.select(col("label"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1e6).cast("long")).as("qv"))
+    val perRow = q.select(col("label"),
+      aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x).as("qn2"))
+    val scalar = perRow.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vectors"),
+      sum(col("qn2")).as("sum_q_norm2"),
+      min(sqrt(col("qn2").cast("double")) / 1e6).as("min_norm"),
+      max(sqrt(col("qn2").cast("double")) / 1e6).as("max_norm"))
+    val centroid = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("col")).as("sq"))
+      .groupBy(col("label")).agg(
+        sum(col("sq").cast("decimal(38,0)") * col("sq").cast("decimal(38,0)"))
+          .cast("double").as("centroid_norm2_q"))
+    scalar.join(centroid, "label").orderBy(col("label"))
+  }
+
+  val embedStatsSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), pr AS (
+      |  SELECT label, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn2
+      |  FROM q
+      |), s1 AS (
+      |  SELECT label, COUNT(*) AS n_vectors, CAST(SUM(qn2) AS BIGINT) AS sum_q_norm2,
+      |    MIN(sqrt(CAST(qn2 AS DOUBLE)) / 1000000.0) AS min_norm,
+      |    MAX(sqrt(CAST(qn2 AS DOUBLE)) / 1000000.0) AS max_norm
+      |  FROM pr GROUP BY 1
+      |), d AS (
+      |  SELECT label, i, SUM(qv[i]) AS sq
+      |  FROM q, range(1, 65) t(i) GROUP BY 1, 2
+      |), c AS (
+      |  SELECT label, CAST(SUM(sq::HUGEINT * sq::HUGEINT) AS DOUBLE) AS centroid_norm2_q
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT s1.label, n_vectors, sum_q_norm2, min_norm, max_norm, centroid_norm2_q
+      |FROM s1 JOIN c ON s1.label = c.label ORDER BY 1""".stripMargin
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -138,11 +192,13 @@ object VectorOps {
     "ann_brute_topk" -> (annBruteTopk _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh_topk" -> (annLshTopk _),
-    "ann_ivf_topk" -> (annIvfTopk _)
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "embed_stats" -> (embedStats _)
   )
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopkSql,
-    "dedup_embedding" -> dedupEmbeddingSql
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "embed_stats" -> embedStatsSql
   )
 }

@@ -65,6 +65,18 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("embed_stats covers every label with exact counts") {
+    val rows = VectorOps.embedStats(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(total === graft.sources.Tables(spark, sfDir).embeddings.count())
+    rows.foreach { r =>
+      // unit-norm corpus: per-vector quantized norm ≈ 1, so the norm range
+      // brackets 1 and the summed norm mass ≈ n (quantization undershoots)
+      assert(r.getAs[Double]("min_norm") > 0.9 && r.getAs[Double]("max_norm") < 1.1)
+      assert(r.getAs[Double]("centroid_norm2_q") > 0)
+    }
+  }
+
   test("persisted IVF index returns the same results as the direct operator") {
     val corpus = embDouble.select(col("vec_id"), col("emb"))
     val queries = corpus.limit(10)
