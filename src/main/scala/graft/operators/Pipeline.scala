@@ -198,6 +198,34 @@ object Pipeline {
        |        FROM documents))
        |GROUP BY 1 ORDER BY df DESC, gram LIMIT $NgramTopK""".stripMargin
 
+  // --- C19: corpus token frequencies via a bounded-memory sketch -----------
+  val HeavyHitterCapacity = 256
+
+  /** Token frequencies through the Misra–Gries [[graft.functions.HeavyHitters]]
+    * aggregate: O(capacity) state per partition, mergeable partials, no
+    * full-vocabulary shuffle — frequency analysis for a token stream whose
+    * vocabulary doesn't fit an exact groupBy. On this corpus the capacity
+    * exceeds the vocabulary, so counts are exact and oracle-checked; at
+    * scale the same query degrades gracefully to guaranteed
+    * error ≤ n/(capacity+1). */
+  def tokenFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .agg(graft.functions.heavyhitters.heavy_hitters(col("token"),
+        HeavyHitterCapacity).as("hh"))
+      .select(posexplode(col("hh")))
+      .select(col("col.item").as("token"), col("col.count").as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  val tokenFreqSql: String =
+    """SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+      |FROM (
+      |  SELECT w AS token, COUNT(*) AS n
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1)
+      |ORDER BY rank""".stripMargin
+
   // --- C17: near-dup cluster survivorship ----------------------------------
   /** Jaccard pairs → connected components → keeper = min doc_id per
     * cluster. This is the step that turns every pairwise Dedup variant's
@@ -249,6 +277,7 @@ object Pipeline {
     "sample_split" -> (sampleSplit _),
     "quality_filter_chain" -> (qualityFilterChain _),
     "ngram_topk" -> (ngramTopk _),
+    "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _)
   )
 
@@ -257,6 +286,7 @@ object Pipeline {
     "sample_split" -> sampleSplitSql,
     "quality_filter_chain" -> qualityFilterChainSql,
     "ngram_topk" -> ngramTopkSql,
+    "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql
   )
 }

@@ -52,6 +52,29 @@ class PipelineSpec extends SparkSpec {
     assert(keys.toSeq === keys.sortBy(identity).toSeq)
   }
 
+  test("heavy hitters: exact when capacity covers the vocabulary") {
+    val words = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")
+    val got = words.toDF("w").repartition(7)
+      .agg(graft.functions.heavyhitters.heavy_hitters(col("w"), 8).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("a" -> 40L, "b" -> 25L, "c" -> 5L))
+  }
+
+  test("heavy hitters: retains all items above n/(k+1) under tight capacity") {
+    // skewed stream: one dominant item + 50 rare ones, capacity 4
+    val words = Seq.fill(300)("hot") ++ (1 to 50).flatMap(i => Seq(s"w$i", s"w$i"))
+    val got = words.toDF("w").repartition(5)
+      .agg(graft.functions.heavyhitters.heavy_hitters(col("w"), 4).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = words.size
+    assert(got.contains("hot"), s"dominant item lost: $got")
+    // Misra-Gries undercount bound: count >= true - n/(k+1)
+    assert(got("hot") >= 300 - n / 5)
+    assert(got("hot") <= 300)
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3 (diameter 2), pair 5-6, isolated 4 and 7
