@@ -265,7 +265,8 @@ object OlapB {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  val eventsSessionizeSql: String =
+  /** The WITH chain shared by B11 and B18. */
+  private val sessionCtesSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, $tsUsSql AS ts_us, value FROM events
        |), flagged AS (
@@ -277,11 +278,44 @@ object OlapB {
        |), sessioned AS (
        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-       |  FROM flagged)
-       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS session_value
-       |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  FROM flagged)""".stripMargin
+
+  val eventsSessionizeSql: String = sessionCtesSql +
+    """
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS session_value
+      |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- B18: bucketized point-in-interval range join -----------------------
+  /** Join every event to the session interval containing it (intervals from
+    * B11) through [[RangeJoin.pointInInterval]]: bucketizing turns the
+    * range predicate into an equi-join — no BroadcastNestedLoopJoin, no
+    * point-side replication. Self-consistency makes this a strong oracle:
+    * each event must land in exactly its own session. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"))
+    val intervals = eventsSessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+    RangeJoin.pointInInterval(points, intervals, keyCol = "user_id",
+        tCol = "ts_us", startCol = "start_us", endCol = "end_us",
+        bucketWidth = SessionGapUs)
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy(col("user_id"), col("event_id"), col("session_id"))
+  }
+
+  val rangeJoinSql: String = sessionCtesSql +
+    s""", sess AS (
+       |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+       |  FROM sessioned GROUP BY 1, 2
+       |), pts AS (SELECT user_id, event_id, $tsUsSql AS ts_us FROM events)
+       |SELECT p.user_id, p.event_id, s.session_id
+       |FROM pts p JOIN sess s
+       |  ON p.user_id = s.user_id
+       | AND p.ts_us >= s.start_us AND p.ts_us <= s.end_us
+       |ORDER BY 1, 2, 3""".stripMargin
 
   // --- B12: tumbling event-time windows -----------------------------------
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
@@ -355,6 +389,7 @@ object OlapB {
     "semi_anti_join" -> (semiAntiJoin _),
     "asof_join" -> (asofJoin _),
     "events_sessionize" -> (eventsSessionize _),
+    "range_join" -> (rangeJoin _),
     "events_windowed" -> (eventsWindowed _),
     "json_extract" -> (jsonExtract _),
     "quantiles" -> (quantiles _)
@@ -371,6 +406,7 @@ object OlapB {
     "semi_anti_join" -> semiAntiJoinSql,
     "asof_join" -> asofJoinSql,
     "events_sessionize" -> eventsSessionizeSql,
+    "range_join" -> rangeJoinSql,
     "events_windowed" -> eventsWindowedSql,
     "json_extract" -> jsonExtractSql,
     "quantiles" -> quantilesSql
