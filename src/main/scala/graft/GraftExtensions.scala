@@ -52,5 +52,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lsh_sign_buckets(vec, tables, bits, dim) - random-hyperplane LSH bucket ids"),
       (es: Seq[Expression]) => LshSignBuckets(es(0), intArg(es(1), "tables"),
         intArg(es(2), "bits"), intArg(es(3), "dim"), 42L)))
+
+    ext.injectFunction((FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - per-group best-k (score desc) via bounded heap"),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1), intArg(es(2), "k"))
+        .toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(item, k) - Misra-Gries top items with k counters"),
+      (es: Seq[Expression]) => HeavyHitters(es(0), intArg(es(1), "k"))
+        .toAggregateExpression()))
   }
 }

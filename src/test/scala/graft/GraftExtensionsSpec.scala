@@ -28,4 +28,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     assert(buckets.length === 4)
   }
+
+  test("custom aggregates are callable from SQL") {
+    val tk = spark.sql(
+      """SELECT top_k_by_score(s, id, 2) AS t FROM
+        |VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS v(s, id)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(_.getLong(0)) === Seq(2L, 3L))
+
+    val hh = spark.sql(
+      """SELECT heavy_hitters(w, 4) AS h FROM
+        |VALUES ('a'), ('a'), ('b') AS v(w)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 2L), ("b", 1L)))
+  }
 }
