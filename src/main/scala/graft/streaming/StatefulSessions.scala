@@ -95,9 +95,11 @@ object StatefulSessions {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(updateUser)
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamOps.withStatePartitions(spark) {
+      val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(QueryName).orderBy(col("user_id"), col("session_id"))
   }
 

