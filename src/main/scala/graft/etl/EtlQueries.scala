@@ -52,6 +52,7 @@ object EtlQueries {
       .select(col("product_number"), col("pack_upc"), col("clean_upc"), col("case_upc"),
         Rules.extractUpc(col("pack_upc"), col("clean_upc"), col("case_upc")).as("upc"),
         Rules.formatSku(col("case_upc")).as("sku"))
+      .withColumn("upc_valid", Rules.validateUpc(col("upc")))
       .distinct()
       .orderBy("product_number")
 
@@ -60,10 +61,16 @@ object EtlQueries {
        |     ELSE substr(lpad(trim($c),14,'0'),1,14) END""".stripMargin
 
   val etlUpcSkuSql: String = InvoiceView.invSql +
-    s""" SELECT DISTINCT product_number, pack_upc, clean_upc, case_upc,
-       |   coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")}) AS upc,
-       |   ${fmtUpc("case_upc")} AS sku
-       | FROM inv ORDER BY product_number""".stripMargin
+    s""" SELECT DISTINCT product_number, pack_upc, clean_upc, case_upc, upc, sku,
+       |   CASE WHEN regexp_matches(trim(coalesce(upc, '')), '^[0-9]+$$')
+       |             AND length(trim(coalesce(upc, ''))) <= 14
+       |        THEN 1 ELSE 0 END AS upc_valid
+       | FROM (
+       |   SELECT product_number, pack_upc, clean_upc, case_upc,
+       |     coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")}) AS upc,
+       |     ${fmtUpc("case_upc")} AS sku
+       |   FROM inv)
+       | ORDER BY product_number""".stripMargin
 
   // --- A6: price/adjustment extraction + notes ----------------------------
   def etlPrices(spark: SparkSession, dir: String): DataFrame =

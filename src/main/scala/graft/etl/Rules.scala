@@ -94,6 +94,13 @@ object Rules {
   /** SKU = formatted Case UPC (rules/item.py:31). */
   def formatSku(caseUpc: Column): Column = formatUpc(caseUpc)
 
+  /** UPC validity: all digits, at most 14 of them (rules/item.py:67).
+    * Null/empty → false. Int (0/1), not boolean — see §4 oracle rules. */
+  def validateUpc(c: Column): Column = {
+    val s = trim(coalesce(c.cast("string"), lit("")))
+    (s.rlike("^[0-9]+$") && length(s) <= 14).cast("int")
+  }
+
   /** Deterministic fallback date. The reference falls back to `date.today()`
     * (rules/base.py:62) — wall-clock nondeterminism is a defect at scale
     * (re-running a partition must not change results), so the engine pins

@@ -232,8 +232,7 @@ object Pipeline {
     * output into a drop list. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 3, threshold = TextOps.JaccardThreshold)
+    val edges = TextOps.jaccardPairs(spark, dir)
     Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
         edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"),

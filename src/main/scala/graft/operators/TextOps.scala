@@ -65,13 +65,23 @@ object TextOps {
   // --- C4: n-gram Jaccard near-dup pairs ----------------------------------
   val JaccardThreshold = 0.4
 
+  /** The documents' exact Jaccard pairs, computed once per (session, sf):
+    * C4 reports them and C17 consumes them as the survivorship edge list —
+    * the similarity graph is a staging product, not a per-query
+    * recomputation. */
+  private val pairsCache = new graft.etl.CachedView((spark, dir) =>
+    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "doc_id", "text",
+      n = 3, threshold = JaccardThreshold))
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache(spark, dir)
+
   /** Inverted-index exact Jaccard: explode distinct shingles, self-join on
     * the shingle (one shuffle keyed by shingle), count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Integer-exact until the final division, so the
     * score is bit-identical across engines and partitionings. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables(spark, dir).documents, "doc_id", "text",
-        n = 3, threshold = JaccardThreshold)
+    jaccardPairs(spark, dir)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("intersection").as("inter"), col("size_a").as("na"),
         col("size_b").as("nb"), col("jaccard"))
