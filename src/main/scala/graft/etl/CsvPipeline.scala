@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference service's whole main loop as ONE declarative pipeline:
+  * raw vendor-invoice CSV (the reference's input headers, verbatim) →
+  * rule application → per-invoice ProcessedReceipt → webhook payloads →
+  * JSONL sink (stream/processor.py + stream/util.py end to end).
+  *
+  * This is the drop-in entry point for a reference user: point it at the
+  * same CSV their service ingests and it emits the same webhook-shaped
+  * payloads — except distributable, with every rule inside
+  * WholeStageCodegen and ONE shuffle (the invoice grouping).
+  *
+  * Deviation by design: document ids are content-derived, not wall-clock
+  * (processor.py:27 uses now(); a re-run partition must not change ids).
+  */
+object CsvPipeline {
+
+  /** Tolerant read of a vendor CSV: PERMISSIVE, corrupt-record capture,
+    * everything as strings — coercion is the rules' job, like the
+    * reference's `_num`/`_text` (rules/base.py). */
+  def readVendorCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    df.filter(col("Invoice Number").isNotNull)
+  }
+
+  private def num(name: String): Column = Rules.safeNum(col(name))
+
+  /** Per-row rule application → the LineItem columns (schema.py LineItem,
+    * processor.py:_create_line_item_from_row). */
+  def lineItems(raw: DataFrame): DataFrame = {
+    val category = Rules.categorize(col("GL Code"), col("Product Class"))
+    val uom = Rules.normalizeUom(col("Unit Of Measure"))
+    val packs = Rules.packsLike(col("Packs Per Case"))
+    val units = Rules.packsLike(col("Units Per Pack"))
+    raw.select(
+      trim(coalesce(col("Invoice Number"), lit(""))).as("receipt_id"),
+      trim(coalesce(col("Vendor Name"), lit("Unknown Vendor"))).as("vendor_raw"),
+      trim(coalesce(col("Invoice Date"), lit(""))).as("invoice_date_raw"),
+      num("Invoice Amount").as("invoice_amount"),
+      trim(coalesce(col("Product Description"), lit(""))).as("name"),
+      Rules.quantity(col("Quantity"), uom, category, packs, units).as("qty"),
+      num("Extended Price").as("price"),
+      num("Discount Adjustment Total").as("discount"),
+      Rules.extractUpc(col("Pack UPC"), col("Clean UPC"), col("Case UPC")).as("upc"),
+      Rules.formatSku(col("Case UPC")).as("sku"),
+      trim(coalesce(col("Product Description"), lit(""))).as("text"),
+      uom.as("unitOfMeasure"),
+      category.as("category"),
+      num("Tax Adjustment Total").as("tax"),
+      Rules.notes(num("Discount Adjustment Total"), num("DepositAdjustmentTotal"),
+        num("Miscellaneous Adjustment Total"), num("Delivery Adjustment Total"))
+        .as("notes"),
+      packs.as("packs_per_case"),
+      units.as("units_per_pack"),
+      monotonically_increasing_id().as("_row"))
+  }
+
+  /** Group line items to ProcessedReceipts — one shuffle on the invoice
+    * key; "first row" metadata = arg-min by input row order, like the
+    * reference's iloc[0]. */
+  def receipts(raw: DataFrame, sourceId: String): DataFrame =
+    lineItems(raw)
+      .groupBy(col("receipt_id"))
+      .agg(
+        min_by(col("vendor_raw"), col("_row")).as("vendor"),
+        min_by(col("invoice_date_raw"), col("_row")).as("invoice_date_raw"),
+        min_by(col("invoice_amount"), col("_row")).as("total_amount"),
+        min_by(col("tax"), col("_row")).as("sales_tax"),
+        (sum(col("price").cast("decimal(25,2)"))).cast("double").as("subtotal"),
+        count(lit(1)).as("item_count"),
+        array_sort(collect_list(struct(
+          col("_row"), col("name"), col("qty"), col("price"), col("discount"),
+          col("upc"), col("sku"), col("text"), col("unitOfMeasure"),
+          col("category"), col("tax"), col("notes"),
+          col("packs_per_case"), col("units_per_pack")
+        ))).as("line_items"))
+      .withColumn("transaction_date",
+        date_format(Rules.parseInvoiceDate(col("invoice_date_raw")), "yyyy-MM-dd"))
+      .withColumn("document_id",
+        Rules.documentId(lit(sourceId), col("receipt_id")))
+      .drop("invoice_date_raw")
+
+  /** Webhook payloads (stream/util.py:to_webhook_schema key names). */
+  def webhookPayloads(raw: DataFrame, sourceId: String): DataFrame =
+    receipts(raw, sourceId).select(
+      col("receipt_id"),
+      to_json(struct(
+        col("receipt_id").as("receiptId"),
+        col("vendor"),
+        col("transaction_date").as("transactionDate"),
+        col("total_amount").as("totalAmount"),
+        col("sales_tax").as("salesTax"),
+        col("subtotal"),
+        col("item_count").as("itemCount"),
+        col("document_id"),
+        transform(col("line_items"), li => struct(
+          li.getField("name").as("name"),
+          li.getField("qty").as("qty"),
+          li.getField("price").as("price"),
+          li.getField("discount").as("discount"),
+          li.getField("upc").as("upc"),
+          li.getField("sku").as("sku"),
+          li.getField("text").as("text"),
+          li.getField("unitOfMeasure").as("unitOfMeasure"),
+          li.getField("category").as("category"),
+          li.getField("tax").as("tax"),
+          li.getField("notes").as("notes"),
+          li.getField("packs_per_case").as("packs_per_case"),
+          li.getField("units_per_pack").as("units_per_pack")
+        )).as("lineItems"),
+        lit(sourceId).as("source_file")
+      )).as("payload"))
+
+  /** End to end: CSV in, webhook JSONL out (the batch analogue of the
+    * reference POSTing each payload). */
+  def run(spark: SparkSession, csvPath: String, outDir: String,
+      sourceId: String): Unit =
+    graft.sources.Sinks.writeJsonLines(
+      webhookPayloads(readVendorCsv(spark, csvPath), sourceId), outDir)
+}

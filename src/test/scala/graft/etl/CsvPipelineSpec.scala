@@ -1,0 +1,67 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** End-to-end: the reference's own input format through the whole graft
+  * pipeline — CSV intake → rules → receipts → webhook JSONL. */
+class CsvPipelineSpec extends SparkSpec {
+
+  private val header =
+    "Invoice Number,Vendor Name,Invoice Date,Invoice Amount,Product Description," +
+      "Product Number,Product Class,GL Code,Unit Of Measure,Quantity," +
+      "Packs Per Case,Units Per Pack,Extended Price,Discount Adjustment Total," +
+      "DepositAdjustmentTotal,Miscellaneous Adjustment Total," +
+      "Tax Adjustment Total,Delivery Adjustment Total,Pack UPC,Clean UPC,Case UPC"
+
+  private val rows = Seq(
+    // BEER, special pack size 6 → qty = 2*6*4 = 48; null Pack/Clean UPC → Case
+    "INV-1,ACME BEV,3/5/2024,100.50,IPA 6PK,101,STANDARD,GL-5010 BEER,6 CT,2,6,4,40.00,1.50,0,0,2.00,0,,,123",
+    // bottle passthrough: qty = floor(3) regardless of packs
+    "INV-1,ACME BEV,3/5/2024,100.50,PINOT BO,102,STANDARD,GL-5020 WINE,BO,3,12,2,60.50,0,2.50,0,0,0,777,888,999",
+    // NONALCOHOL + MISCELLANEOUS class override; malformed date on its invoice
+    "INV-2,ZETA LLC,not-a-date,55.00,SODA CASE,103,MISCELLANEOUS ITEMS,GL-5040 NONALCOHOLIC,CA,5,0,1,55.00,0,0,0.75,0,10.00,,444,"
+  )
+
+  private lazy val csvPath = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_csv_pipeline_fixture.csv")
+    Files.write(p, (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("vendor CSV flows to webhook payloads with reference semantics") {
+    val out = CsvPipeline
+      .webhookPayloads(CsvPipeline.readVendorCsv(spark, csvPath), "mail-1")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set("INV-1", "INV-2"))
+
+    val inv1 = out("INV-1")
+    assert(inv1.contains("\"receiptId\":\"INV-1\""))
+    assert(inv1.contains("\"vendor\":\"ACME BEV\""))
+    assert(inv1.contains("\"transactionDate\":\"2024-03-05\""))
+    assert(inv1.contains("\"subtotal\":100.5"))
+    assert(inv1.contains("\"itemCount\":2"))
+    assert(inv1.contains("\"qty\":48"))         // BEER 2 qty × 6 packs × 4 units
+    assert(inv1.contains("\"qty\":3"))          // bottle passthrough
+    assert(inv1.contains("\"category\":\"BEER\""))
+    assert(inv1.contains("\"upc\":\"00000000000123\"")) // case-UPC fallback, zfilled
+    assert(inv1.contains("\"upc\":\"00000000000777\"")) // pack-UPC priority
+    assert(inv1.contains("Discount: 1.5"))
+    assert(inv1.contains("Deposit: 2.5"))
+    assert(inv1.contains("\"document_id\":\"fnt-"))
+
+    val inv2 = out("INV-2")
+    assert(inv2.contains("\"category\":\"MISCELLANEOUS\"")) // class override
+    assert(inv2.contains("\"transactionDate\":\"1970-01-01\"")) // pinned fallback
+    assert(inv2.contains("\"qty\":5")) // packs 0 → 1, case uom: qty×packs
+  }
+
+  test("run() lands webhook JSONL that reads back row-per-receipt") {
+    val outDir = Files.createTempDirectory("graft_webhook_out").toString + "/jsonl"
+    CsvPipeline.run(spark, csvPath, outDir, "mail-1")
+    val back = spark.read.json(outDir)
+    assert(back.count() === 2)
+    assert(back.columns.toSet === Set("receipt_id", "payload"))
+  }
+}
