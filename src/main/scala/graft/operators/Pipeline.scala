@@ -270,6 +270,73 @@ object Pipeline {
        |  CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS is_keeper
        |FROM lab GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // --- C20: the composed curation pipeline ---------------------------------
+  /** The full curation flow as ONE declarative plan: quality-gate the
+    * corpus (C15), near-dup it and keep cluster minima (C4+C17 over the
+    * SURVIVING docs), then assign reshard-stable splits (C14). Each stage's
+    * output feeds the next without materialization — Catalyst sees the
+    * whole pipeline, so the quality filter prunes the dedup join's inputs
+    * and only keeper rows reach the split projection. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityFilterChain(spark, dir)
+      .filter(col("passes") === 1).select(col("doc_id"))
+    val docs = Tables(spark, dir).documents.join(q, "doc_id")
+    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = TextOps.JaccardThreshold)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        edges, "id_a", "id_b")
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"),
+        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curatePipelineSql: String = {
+    val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE kept AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      LEN(toks) AS n_words,
+       |      CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / LEN(toks) AS awl,
+       |      LEN(list_filter(toks, w -> w IN ($in))) AS n_stop
+       |    FROM (SELECT doc_id, text,
+       |            regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |          FROM documents))
+       |  WHERE n_words BETWEEN 20 AND 500 AND awl BETWEEN 2.5 AND 8.0 AND n_stop >= 1
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM kept)
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}),
+       |lab(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT e.b, l.lab FROM lab l JOIN edges e ON e.a = l.node
+       |)
+       |SELECT node AS doc_id,
+       |  CASE WHEN substr(md5(CAST(node AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+       |       WHEN substr(md5(CAST(node AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab GROUP BY node HAVING MIN(lab) = node ORDER BY doc_id""".stripMargin
+  }
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
@@ -277,7 +344,8 @@ object Pipeline {
     "quality_filter_chain" -> (qualityFilterChain _),
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
-    "dedup_clusters" -> (dedupClusters _)
+    "dedup_clusters" -> (dedupClusters _),
+    "curate_pipeline" -> (curatePipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,6 +354,7 @@ object Pipeline {
     "quality_filter_chain" -> qualityFilterChainSql,
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "curate_pipeline" -> curatePipelineSql
   )
 }

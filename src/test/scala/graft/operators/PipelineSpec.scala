@@ -85,6 +85,18 @@ class PipelineSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("curate pipeline: output is quality-passing keepers with stable splits") {
+    val out = Pipeline.curatePipeline(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val passing = Pipeline.qualityFilterChain(spark, sfDir)
+      .filter(col("passes") === 1).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out.keySet.subsetOf(passing), "curated docs must pass the quality gate")
+    val splits = Pipeline.sampleSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.foreach { case (id, s) => assert(splits(id) === s) }
+    assert(out.nonEmpty && out.size < passing.size + 1)
+  }
+
   test("dedup clusters: keepers are cluster minima and cover all docs") {
     val rows = Pipeline.dedupClusters(spark, sfDir).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
