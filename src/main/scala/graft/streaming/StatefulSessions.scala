@@ -72,11 +72,15 @@ object StatefulSessions {
 
   val QueryName = "graft_stream_sessions"
 
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+  /** The sessionizer DAG over a streaming event source — shared by the
+    * driver query (memory sink) and durable deployments (file/Kafka sink +
+    * checkpoint; see StatefulSessionsSpec's recovery test). */
+  def sessionsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): Dataset[SessionOut] = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", glob).parquet(dir)
     val withTs =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -91,9 +95,13 @@ object StatefulSessions {
         (col("value").cast("decimal(25,2)") * 100).cast("long").as("cents"),
         col("ts"))
       .as[Ev]
-    val sessions = evs.groupByKey(_.user_id)
+    evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(updateUser)
+  }
+
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionsStream(spark, dir)
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
     StreamOps.withStatePartitions(spark) {
       val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)

@@ -32,6 +32,64 @@ class StatefulSessionsSpec extends SparkSpec {
       s"unexpected sessions ${(extra -- batchAll).take(3)}")
   }
 
+  test("checkpointed restart: exactly-once output, session numbering continues") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery")
+    val src = base.resolve("src").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val events = graft.sources.Tables(spark, sfDir).events
+      .select("user_id", "event_id", "ts", "value")
+
+    def runOnce(): Unit = StreamOps.withStatePartitions(spark) {
+      val q = StatefulSessions.sessionsStream(spark, src, glob = "*.parquet")
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: the full corpus
+    events.coalesce(1).write.parquet(s"$src/part1")
+    // flatten: file source wants files under src
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def promote(sub: String): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(s"$src/$sub.parquet")))
+    promote("part1")
+    runOnce()
+    val after1 = spark.read.parquet(out)
+    val counts1 = after1.groupBy("user_id")
+      .agg(max("session_id").as("max_sid"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts1.nonEmpty)
+
+    // batch 2 (after restart): a later burst for some users — 3 days on
+    val shifted = events.filter(col("user_id") % 5 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 3 DAYS"))
+      .withColumn("event_id", col("event_id") + 10000000L)
+    shifted.coalesce(1).write.parquet(s"$src/part2")
+    promote("part2")
+    runOnce()
+    val after2 = spark.read.parquet(out)
+
+    // exactly-once: no (user, session, start) appears twice
+    assert(after2.groupBy("user_id", "session_id", "start_us").count()
+      .filter(col("count") > 1).isEmpty)
+    // continuity: users in batch 2 keep counting up, never restart at 1
+    val counts2 = after2.groupBy("user_id").agg(max("session_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touched = counts2.keySet.filter(_ % 5 == 0).filter(counts1.contains)
+    assert(touched.nonEmpty)
+    touched.foreach { u =>
+      assert(counts2(u) > counts1(u)._1,
+        s"user $u: max session ${counts2(u)} did not advance past ${counts1(u)._1}")
+    }
+  }
+
   test("session counter survives a timeout close (no duplicate session ids)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
