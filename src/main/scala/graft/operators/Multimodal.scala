@@ -93,7 +93,37 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Metadata-pruned decode: the typed metadata columns exist precisely so
+    * predicates run BEFORE the expensive decode — the filter stays below
+    * the mapPartitions in the plan, so only surviving rows are ever
+    * decoded. At deploy scale the same predicate also partition-prunes
+    * when media is laid out by (fmt, size-bucket). */
+  def decodeFiltered(spark: SparkSession, dir: String, fmt: String,
+      maxWidth: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("fmt") === fmt && col("meta_width") <= maxWidth)
+      .select("media_id", "fmt", "media").as[MediaRow]
+      .mapPartitions(decodeBatch)
+  }
+
+  /** Decoded features feeding similarity search: the C12→C6 composition a
+    * multimodal dedup pipeline runs (decode once, then ANN over the
+    * extracted features). */
+  def multimodalSimilar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = mediaTable(spark, dir)
+      .select("media_id", "fmt", "media").as[MediaRow]
+      .mapPartitions(decodeBatch)
+      .toDF()
+      .select(col("media_id"), col("feat"))
+    Ann.bruteTopK(feats, feats.filter(col("media_id") % 100 === 0),
+        "media_id", "feat", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _)
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_similar" -> (multimodalSimilar _)
   )
 }

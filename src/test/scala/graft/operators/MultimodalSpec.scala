@@ -40,4 +40,28 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("metadata predicates prune BEFORE the decode stage") {
+    val ds = Multimodal.decodeFiltered(spark, sfDir, "img", maxWidth = 200)
+    val expected = Multimodal.mediaTable(spark, sfDir)
+      .filter(col("fmt") === "img" && col("meta_width") <= 200).count()
+    assert(ds.count() === expected && expected > 0)
+    // plan order (root first): the mapPartitions must sit ABOVE the filter,
+    // i.e. only filtered rows reach the decode
+    val plan = ds.queryExecution.executedPlan.toString
+    val mp = plan.indexOf("MapPartitions")
+    val fl = plan.indexOf("Filter")
+    assert(mp >= 0 && fl > mp, plan)
+  }
+
+  test("decoded features drive similarity search (C12 -> C6 composition)") {
+    val out = Multimodal.multimodalSimilar(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
 }
