@@ -75,6 +75,17 @@ class PipelineSpec extends SparkSpec {
     assert(got("hot") <= 300)
   }
 
+  test("connectedComponents converges in O(log n) rounds on a path graph") {
+    // a 400-node chain has diameter 399: pure neighbor propagation would
+    // need 399 rounds; pointer doubling must finish well inside 25
+    val nodes = (1L to 400L).toDF("id")
+    val edges = (1L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+    assert(got.length === 400)
+    assert(got.forall(_._2 === 1L), got.filter(_._2 != 1L).take(3).toSeq.toString)
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3 (diameter 2), pair 5-6, isolated 4 and 7
