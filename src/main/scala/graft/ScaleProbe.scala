@@ -71,6 +71,27 @@ object ScaleProbe {
       Ann.ivfTopKIndexed(spark, ivfPath, queries, "vec_id", "emb",
         k = 10, nProbe = 8).count()
     }
+    time("stream_sessions") {
+      // replicated event stream through the stateful sessionizer + a
+      // durable parquet sink (the deployment shape, not the memory sink)
+      val evDir = java.nio.file.Files.createTempDirectory("graft_sev").toString
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until reps).map(r => ev.withColumn("user_id",
+          col("user_id") + lit(r * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$evDir/src")
+      val out = s"$evDir/out"
+      graft.streaming.StreamOps.withStatePartitions(spark) {
+        val q = graft.streaming.StatefulSessions
+          .sessionsStream(spark, s"$evDir/src", glob = "*.parquet")
+          .toDF().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", s"$evDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.read.parquet(out).count()
+    }
     spark.stop()
   }
 }

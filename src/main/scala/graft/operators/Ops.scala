@@ -423,11 +423,16 @@ object Cluster {
     while (iter < maxIter && !converged) {
       val viaEdges = e.join(labels, e("_src") === labels("_id"))
         .select(col("_dst").as("_id"), col("_lab"))
-      // pointer doubling: adopt the label of my label
-      val viaLabels = labels.as("a")
-        .join(labels.as("b"), col("a._lab") === col("b._id"))
-        .select(col("a._id").as("_id"), col("b._lab").as("_lab"))
-      labels = labels.unionByName(viaEdges).unionByName(viaLabels)
+      // pointer doubling (adopt the label of my label) engages only after
+      // the first rounds: shallow near-dup graphs converge by then and
+      // never pay the extra join; deep graphs still finish in O(log d)
+      val withNeighbors = labels.unionByName(viaEdges)
+      val propagated =
+        if (iter < 3) withNeighbors
+        else withNeighbors.unionByName(labels.as("a")
+          .join(labels.as("b"), col("a._lab") === col("b._id"))
+          .select(col("a._id").as("_id"), col("b._lab").as("_lab")))
+      labels = propagated
         .groupBy(col("_id")).agg(min(col("_lab")).as("_lab"))
         .localCheckpoint(eager = true)
       val s = labelSum(labels)
