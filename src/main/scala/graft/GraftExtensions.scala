@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => LshSignBuckets(es(0), intArg(es(1), "tables"),
         intArg(es(2), "bits"), intArg(es(3), "dim"), 42L)))
 
+    ext.injectFunction((FunctionIdentifier("compress_ratio"),
+      info("compress_ratio",
+        "compress_ratio(text) - deflate compressed/raw size (redundancy signal)"),
+      (es: Seq[Expression]) => CompressRatio(es(0))))
+
     ext.injectFunction((FunctionIdentifier("top_k_by_score"),
       info("top_k_by_score",
         "top_k_by_score(score, id, k) - per-group best-k (score desc) via bounded heap"),

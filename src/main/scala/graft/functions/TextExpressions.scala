@@ -93,6 +93,42 @@ object SketchKernels {
   }
 }
 
+object TextKernels {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+
+  /** Deflate-compressed size / raw size — the redundancy signal CCNet-style
+    * quality filters use (boilerplate and repetition compress far below
+    * natural text). Deterministic: fixed level, no dictionary. */
+  def compressRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = deflater.get(); d.reset()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / raw.length
+  }
+}
+
+/** Deflate compression ratio of a text column (see TextKernels). */
+case class CompressRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "compress_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.compressRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.compressRatio($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchHash {
   /** splitmix64 finalizer. */
   @inline def mix(z0: Long): Long = {
@@ -249,4 +285,7 @@ object textsketch {
 
   def sig_overlap(a: Column, b: Column): Column =
     column(SigOverlap(expression(a), expression(b)))
+
+  def compress_ratio(text: Column): Column =
+    column(CompressRatio(expression(text)))
 }

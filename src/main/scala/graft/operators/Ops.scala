@@ -445,6 +445,22 @@ object Cluster {
         "(O(log diameter) expected — raise maxIter or check the edge list)")
     labels.select(col("_id").as("id"), col("_lab").as("cluster_id"))
   }
+
+  /** Survivorship with a quality policy: given cluster labels and a score
+    * per id, the keeper of each cluster is its best-scoring member (ties →
+    * lowest id) instead of the minimum id. One partial-agg shuffle on the
+    * cluster key. Output: (id, cluster_id, is_keeper). */
+  def keepersBy(labels: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val joined = labels.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
+    val best = joined.groupBy(col("cluster_id"))
+      .agg(min_by(col("id"), struct((-col("_score")).as("n"), col("id")))
+        .as("_keeper"))
+    joined.join(best, "cluster_id")
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("_keeper")).cast("int").as("is_keeper"))
+  }
 }
 
 /** Skew-mitigation join helper. AQE's skew-join splitting handles most

@@ -231,9 +231,25 @@ object TextOps {
       |  COUNT(*) OVER (PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS n_same
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- C21: compression-ratio quality signal (rows-only; TextOpsSpec) ------
+  /** Deflate ratio per document plus a corpus-relative redundancy flag —
+    * the CCNet-style signal that catches boilerplate/repetition lexical
+    * filters miss. Pure map stage via the codegen'd CompressRatio
+    * expression; no SQL twin (zlib is not available to the oracle), pinned
+    * by spec instead. */
+  def textCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      graft.functions.textsketch.compress_ratio(col("text")).as("compress_ratio"))
+      .withColumn("is_redundant",
+        (col("compress_ratio") < 0.35).cast("int"))
+      .orderBy(col("doc_id"))
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "text_compress_ratio" -> (textCompressRatio _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),

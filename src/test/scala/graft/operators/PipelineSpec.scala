@@ -108,6 +108,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.nonEmpty && out.size < passing.size + 1)
   }
 
+  test("keepersBy picks the best-scoring cluster member, ties to lowest id") {
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val labels = Cluster.connectedComponents(nodes, "id", edges, "a", "b")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.1),
+      (6L, 0.0)).toDF("id", "q")
+    val keepers = Cluster.keepersBy(labels, scores, "id", "q")
+      .filter(col("is_keeper") === 1)
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("id")).toMap
+    assert(keepers === Map(1L -> 2L, 4L -> 4L, 6L -> 6L)) // 2 beats tie with 3
+  }
+
   test("dedup clusters: keepers are cluster minima and cover all docs") {
     val rows = Pipeline.dedupClusters(spark, sfDir).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
