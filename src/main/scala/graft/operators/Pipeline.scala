@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** SURVEY §2 block C continued (C13–C17): the curation stages a large-scale
+/** SURVEY §2 block C continued (C13–C20): the curation stages a large-scale
   * training-data pipeline runs AFTER similarity/dedup analysis — scrubbing,
-  * splitting, quality gating, vocabulary statistics, and cluster
-  * survivorship.
+  * splitting, quality gating, vocabulary statistics, cluster survivorship,
+  * and the composed end-to-end curation flow.
   *
   * Scale notes (100 TB):
   *  - C13/C14/C15 are pure map stages (regex + hash + column algebra inside
