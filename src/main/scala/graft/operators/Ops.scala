@@ -150,6 +150,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact-Jaccard verification of CANDIDATE pairs — the scale-shaped verify
+    * stage behind [[minhashLshPairs]]/[[simhashPairs]]: instead of the
+    * shingle-keyed self-join of [[ngramJaccardPairs]] (quadratic in shingle
+    * document frequency), each candidate pair fetches both shingle sets by
+    * id and intersects them per-row.
+    * Shuffle budget: two id-keyed equi-joins, each bounded by |candidates| —
+    * a boilerplate shingle shared by a million documents costs nothing here,
+    * because no shingle is ever a join key. */
+  def verifyJaccardPairs(candidates: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"), word_shingles(col(textCol), n).as("_sh"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("intersection", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (size(col("_sha")) + size(col("_shb")) - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
     * Shuffle budget: band-bucket self-join only — all sketching is
     * map-side. Tune (numHashes, bands) for the recall/cost point. */

@@ -272,16 +272,26 @@ object Pipeline {
 
   // --- C20: the composed curation pipeline ---------------------------------
   /** The full curation flow as ONE declarative plan: quality-gate the
-    * corpus (C15), near-dup it and keep cluster minima (C4+C17 over the
-    * SURVIVING docs), then assign reshard-stable splits (C14). Each stage's
-    * output feeds the next without materialization — Catalyst sees the
-    * whole pipeline, so the quality filter prunes the dedup join's inputs
-    * and only keeper rows reach the split projection. */
+    * corpus (C15), near-dup it with the 100 TB candidate path — MinHash-LSH
+    * candidates (C2) verified by per-pair exact Jaccard — keep cluster
+    * minima (C17), then assign reshard-stable splits (C14).
+    *
+    * Scale shape: candidate generation is the band-bucket equi-join (cost
+    * bounded by band collisions, never all-pairs) and verification fetches
+    * the two shingle sets per CANDIDATE (cost O(|candidates|)) — no shingle
+    * ever becomes a join key, so a boilerplate shingle shared by a million
+    * surviving docs cannot create a quadratic hot key the way the exact
+    * inverted-index join (Dedup.ngramJaccardPairs) would. Catalyst still
+    * sees one declarative plan, so the quality filter prunes the sketch
+    * input and only keeper rows reach the split projection. */
   def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
     val q = qualityFilterChain(spark, dir)
       .filter(col("passes") === 1).select(col("doc_id"))
     val docs = Tables(spark, dir).documents.join(q, "doc_id")
-    val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = Sketch.NumHashes, bands = Sketch.Bands,
+      minEstJaccard = Sketch.MinEstJaccard)
+    val edges = Dedup.verifyJaccardPairs(cands, docs, "doc_id", "text",
       n = 3, threshold = TextOps.JaccardThreshold)
     val h = substring(md5(col("doc_id").cast("string")), 1, 4)
     Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
@@ -305,26 +315,26 @@ object Pipeline {
        |            regexp_split_to_array(TRIM(text), '\\s+') AS toks
        |          FROM documents))
        |  WHERE n_words BETWEEN 20 AND 500 AND awl BETWEEN 2.5 AND 8.0 AND n_stop >= 1
-       |), sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
-       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |        FROM kept)
-       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |), ${Sketch.minhashCandidateCtes("kept")},
+       |cands AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sg sa ON doc_a = sa.doc_id
+       |  JOIN sg sb ON doc_b = sb.doc_id
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |        / ${Sketch.NumHashes}.0 >= ${Sketch.MinEstJaccard}
+       |), shl AS (SELECT doc_id, list(s) AS shl FROM sh GROUP BY 1),
+       |verified AS (
+       |  SELECT doc_a, doc_b FROM cands
+       |  JOIN shl a ON doc_a = a.doc_id
+       |  JOIN shl b ON doc_b = b.doc_id
+       |  WHERE CAST(len(list_filter(a.shl, s -> list_contains(b.shl, s))) AS DOUBLE)
+       |        / (len(a.shl) + len(b.shl)
+       |           - len(list_filter(a.shl, s -> list_contains(b.shl, s))))
+       |        >= ${TextOps.JaccardThreshold}),
        |edges AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  JOIN sizes sa ON doc_a = sa.doc_id
-       |  JOIN sizes sb ON doc_b = sb.doc_id
-       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  UNION
-       |  SELECT doc_b, doc_a FROM pairs
-       |  JOIN sizes sa ON doc_a = sa.doc_id
-       |  JOIN sizes sb ON doc_b = sb.doc_id
-       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${TextOps.JaccardThreshold}),
+       |  SELECT doc_b, doc_a FROM verified),
        |lab(node, lab) AS (
        |  SELECT doc_id, doc_id FROM kept
        |  UNION

@@ -73,20 +73,20 @@ object Sketch {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB twin of [[dedupMinhashLsh]] — possible because the MinHash
-    * family is engine-portable by design (SketchHash: md5-prefix
-    * fingerprints + affine maps mod M61, exact in HUGEINT arithmetic).
-    * The affine coefficients are spliced from the SAME Scala constants the
-    * expression uses, so the two engines share one definition. */
-  val dedupMinhashLshSql: String = {
+  /** The minhash-LSH candidate CTE chain (shingles → md5-prefix
+    * fingerprints → 64 affine-mod-M61 hashes → signatures → band buckets →
+    * distinct colliding pairs) over `sourceTable(doc_id, text)`. Shared by
+    * [[dedupMinhashLshSql]] and Pipeline.curatePipelineSql so both engines
+    * AND both queries use one definition of candidacy. */
+  def minhashCandidateCtes(sourceTable: String): String = {
     import graft.functions.SketchHash.{AffineA, AffineB, M61}
     val permRows = (0 until NumHashes)
       .map(j => s"($j, ${AffineA(j)}, ${AffineB(j)})").mkString(", ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |        FROM documents)
+       |        FROM $sourceTable)
        |), fp AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 15),
        |         i -> (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
@@ -105,7 +105,16 @@ object Sketch {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.b = y.b AND x.slot = y.slot AND x.doc_id < y.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[dedupMinhashLsh]] — possible because the MinHash
+    * family is engine-portable by design (SketchHash: md5-prefix
+    * fingerprints + affine maps mod M61, exact in HUGEINT arithmetic).
+    * The affine coefficients are spliced from the SAME Scala constants the
+    * expression uses, so the two engines share one definition. */
+  val dedupMinhashLshSql: String =
+    s"""WITH ${minhashCandidateCtes("documents")}
        |SELECT doc_a, doc_b,
        |  len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / $NumHashes.0
        |    AS est_jaccard
@@ -115,7 +124,6 @@ object Sketch {
        |WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** DuckDB twin of [[dedupSimhash]]: same md5-prefix token hashes (signed
     * 64-bit via positional hex parse + 2^64 wrap), same sign-sum bits, same
