@@ -81,15 +81,14 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$evDir/src")
       val out = s"$evDir/out"
-      graft.streaming.StreamOps.withStatePartitions(spark) {
-        val q = graft.streaming.StatefulSessions
-          .sessionsStream(spark, s"$evDir/src", glob = "*.parquet")
-          .toDF().writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", s"$evDir/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      val ss = graft.streaming.StreamOps.streamingSession(spark)
+      val q = graft.streaming.StatefulSessions
+        .sessionsStream(ss, s"$evDir/src", glob = "*.parquet")
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$evDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
       spark.read.parquet(out).count()
     }
     spark.stop()

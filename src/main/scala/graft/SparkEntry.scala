@@ -25,5 +25,6 @@ object SparkEntry {
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
     OlapB.oracles ++ TextOps.oracles ++ Pipeline.oracles ++
     VectorOps.oracles ++ Sketch.oracles ++
-    graft.streaming.StreamOps.oracles
+    graft.streaming.StreamOps.oracles ++
+    graft.streaming.StatefulSessions.oracles
 }

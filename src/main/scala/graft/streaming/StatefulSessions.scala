@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -10,15 +11,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * accumulation the service does in memory, stream/processor.py:56, made
   * incremental and fault-tolerant).
   *
-  * State per user is O(1) (current session accumulator), keyed state lives
-  * in the state store (RocksDB at deploy scale), and event-time timeouts
-  * close sessions when the watermark passes the gap. With shuffle
-  * partitioning on the group key this scales linearly in distinct keys —
-  * the pattern a 100 TB clickstream needs.
+  * State per user is O(1) (the open-session accumulator) and BOUNDED in key
+  * count: session identity is content-derived — (user_id, start_us) — so a
+  * timeout close can `state.remove()` outright. An idle key costs zero
+  * state forever; nothing about past sessions has to be remembered to name
+  * future ones. (A stored per-user session counter would have to outlive
+  * every timeout, growing the state store with the lifetime key space —
+  * the round-2 design this replaces.)
   *
-  * The driver-facing query replays the events table with AvailableNow (all
-  * rows in one batch, then a timeout flush), so closed sessions match the
-  * batch operator exactly — asserted in StatefulSessionsSpec.
+  * The driver-facing query replays the events table with AvailableNow plus
+  * one far-future sentinel event under a synthetic key: the sentinel
+  * advances the global event-time watermark past every real session's
+  * timeout, so ALL sessions close before the drain terminates and the
+  * streamed result equals the batch operator exactly — which makes
+  * `stream_sessions` oracle-checkable against the SAME SQL twin as
+  * `events_sessionize` (presentation `session_id` = row_number over
+  * (user_id, start_us), the same 1-based numbering the batch query
+  * derives).
   */
 object StatefulSessions {
 
@@ -27,44 +36,40 @@ object StatefulSessions {
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long, cents: Long,
       ts: java.sql.Timestamp)
   final case class SessionState(start_us: Long, end_us: Long, n: Long, cents: Long)
-  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+  final case class SessionOut(user_id: Long, n_events: Long,
       start_us: Long, end_us: Long, session_value: Double)
 
-  private def close(userId: Long, sessionId: Long, s: SessionState): SessionOut =
+  private def close(userId: Long, s: SessionState): SessionOut =
     // cents/100.0 is the correctly-rounded double of the exact decimal sum,
     // so this bit-matches the batch dsum(value, 2) column
-    SessionOut(userId, sessionId, s.n, s.start_us, s.end_us, s.cents / 100.0)
+    SessionOut(userId, s.n, s.start_us, s.end_us, s.cents / 100.0)
 
   /** Incremental sessionizer for one user's new events. Events within a
     * batch arrive unordered → sort locally (bounded by per-batch per-key
     * volume); the gap rule then extends or closes the open session. */
   def updateUser(userId: Long, events: Iterator[Ev],
-      state: GroupState[(Long, SessionState)]): Iterator[SessionOut] = {
-    var (closedCount, open) = state.getOption.getOrElse((0L, null: SessionState))
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var open = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     if (state.hasTimedOut) {
-      if (open != null) {
-        closedCount += 1
-        out += close(userId, closedCount, open)
-      }
-      // keep the session counter: a later in-watermark event for this user
-      // must continue numbering, not restart at 1 (state.remove() here
-      // would emit duplicate (user_id, session_id) keys in a live stream)
-      state.update((closedCount, null))
+      // the watermark passed the gap: the open session is complete. The
+      // state is REMOVED — session identity is (user_id, start_us), so no
+      // counter must survive the close and idle keys hold no state.
+      if (open != null) out += close(userId, open)
+      state.remove()
       return out.iterator
     }
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
     for (e <- sorted) {
       if (open == null) open = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
       else if (e.ts_us - open.end_us > GapUs) {
-        closedCount += 1
-        out += close(userId, closedCount, open)
+        out += close(userId, open)
         open = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
       } else {
         open = SessionState(open.start_us, e.ts_us, open.n + 1, open.cents + e.cents)
       }
     }
-    state.update((closedCount, open))
+    state.update(open)
     // close the open session once the event-time watermark passes the gap
     state.setTimeoutTimestamp(open.end_us / 1000 + GapUs / 1000)
     out.iterator
@@ -72,12 +77,8 @@ object StatefulSessions {
 
   val QueryName = "graft_stream_sessions"
 
-  /** The sessionizer DAG over a streaming event source — shared by the
-    * driver query (memory sink) and durable deployments (file/Kafka sink +
-    * checkpoint; see StatefulSessionsSpec's recovery test). */
-  def sessionsStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): Dataset[SessionOut] = {
-    import spark.implicits._
+  /** One source's events, normalized to (user_id, event_id, value, ts). */
+  private def rawEvents(spark: SparkSession, dir: String, glob: String): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
@@ -85,9 +86,22 @@ object StatefulSessions {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
+    withTs.select(col("user_id"), col("event_id"), col("value"), col("ts"))
+  }
+
+  /** The sessionizer DAG over a streaming event source — shared by the
+    * driver query (memory sink) and durable deployments (file/Kafka sink +
+    * checkpoint; see StatefulSessionsSpec's recovery test). `extra` unions
+    * a second streaming source (the driver query's watermark sentinel). */
+  def sessionsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      extra: Option[DataFrame] = None): Dataset[SessionOut] = {
+    import spark.implicits._
+    val base = rawEvents(spark, dir, glob)
+    val all = extra.fold(base)(base.unionByName(_))
     // the watermark column must survive into the typed Dataset for
     // EventTimeTimeout bookkeeping
-    val evs: Dataset[Ev] = withTs
+    val evs: Dataset[Ev] = all
       .withWatermark("ts", "1 second")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
@@ -100,18 +114,49 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout())(updateUser)
   }
 
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = sessionsStream(spark, dir)
+  /** Synthetic far-future event (user_id = −1) written to a temp dir: its
+    * event time pushes the global watermark beyond every real session's
+    * timeout, so the AvailableNow drain closes them all. */
+  private def writeSentinel(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val maxTs = // epoch micros regardless of the source's ts physical type
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        ev.agg(max(col("ts"))).head().getLong(0) / 1000 // ns → us
+      else ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val out = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
+    Seq((-1L, -1L, 0.0, new java.sql.Timestamp(0L)))
+      .toDF("user_id", "event_id", "value", "ts")
+      .withColumn("ts", timestamp_micros(lit(maxTs + 3 * GapUs)))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  def streamSessions(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = StreamOps.streamingSession(rootSpark) // isolated conf
+    val sentinelDir = writeSentinel(spark, dir)
+    val sessions = sessionsStream(spark, dir,
+      extra = Some(rawEvents(spark, sentinelDir, "*.parquet")))
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    StreamOps.withStatePartitions(spark) {
-      val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    spark.table(QueryName).orderBy(col("user_id"), col("session_id"))
+    val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // presentation numbering = the batch operator's 1-based per-user order
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    spark.table(QueryName)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"), row_number().over(w).cast("bigint").as("session_id"),
+        col("n_events"), col("start_us"), col("end_us"), col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessions" -> (streamSessions _)
+  )
+
+  /** The sentinel-flushed replay equals the batch sessionization, so the
+    * oracle is the SAME SQL as `events_sessionize`. */
+  val oracles: Map[String, String] = Map(
+    "stream_sessions" -> graft.operators.OlapB.eventsSessionizeSql
   )
 }

@@ -29,18 +29,31 @@ object StreamOps {
     * measured 6.2s → 3.0s on the replay corpus going 32 → 8. Size it to
     * state volume and throughput (hundreds+ on a real cluster), NOT to the
     * batch shuffle default; override via `graft.streaming.statePartitions`.
-    */
-  def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key,
-      spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
-    try f finally spark.conf.set(key, prev)
-  }
+    *
+    * The sizing lives in a dedicated child session (isolated conf over the
+    * shared SparkContext) so concurrent BATCH queries on the caller's
+    * session never see the streaming partition count — streaming DAGs must
+    * be BUILT on this session for its conf to apply. One child per root
+    * session, weakly keyed so cycled sessions can be collected. */
+  private val streamingSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  def streamingSession(spark: SparkSession): SparkSession =
+    streamingSessions.synchronized {
+      var s = streamingSessions.get(spark)
+      if (s == null) {
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+        streamingSessions.put(spark, s)
+      }
+      s
+    }
 
   val QueryName = "graft_stream_events"
 
-  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+  def streamEvents(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark) // isolated state-partition conf
     // schema from a batch peek (ts arrives as LONG nanos, see GraftSession)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
@@ -59,11 +72,9 @@ object StreamOps {
 
     // drain: complete-mode memory sink, AvailableNow terminates at EOF
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = agg.writeStream.format("memory").queryName(QueryName)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream.format("memory").queryName(QueryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     spark.table(QueryName).orderBy(col("window_start_us"), col("event_type"))
   }
 
@@ -85,7 +96,8 @@ object StreamOps {
     * O(events in the window), not O(stream) — the property that keeps a
     * 100 TB/day stream joinable. AvailableNow replay makes the result equal
     * the batch interval join, so this is oracle-checked. */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamJoin(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark) // isolated state-partition conf
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // ONE streaming source, self-joined: both sides reuse the same scan
     // (and the event_type filters prune each side's state)
@@ -110,11 +122,9 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
 
     spark.streams.active.filter(_.name == JoinQueryName).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(JoinQueryName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    val q = joined.writeStream.format("memory").queryName(JoinQueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     spark.table(JoinQueryName)
       .orderBy(col("user_id"), col("view_event_id"), col("purchase_event_id"))
   }

@@ -2,38 +2,24 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.operators.OlapB
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class StatefulSessionsSpec extends SparkSpec {
 
-  test("stateful streaming sessions equal batch sessions (closed set)") {
+  test("stateful streaming sessions equal batch sessions EXACTLY (sentinel flush)") {
+    // the far-future sentinel advances the watermark past every session's
+    // timeout, so the replay closes ALL sessions — including each user's
+    // final one — and the streamed result is the batch result, bit for bit.
     val streamed = StatefulSessions.streamSessions(spark, sfDir)
-      .select("user_id", "session_id", "n_events", "start_us", "end_us", "session_value")
       .collect().map(_.toString).toSet
-    // AvailableNow replay closes a session only when a later event (or a
-    // fired timeout) seals it, so the comparison set is the batch result
-    // minus each user's final (still-open) session.
-    val w = Window.partitionBy("user_id")
-    val batchClosed = OlapB.eventsSessionize(spark, sfDir)
-      .withColumn("_max", max("session_id").over(w))
-      .filter(col("session_id") < col("_max"))
-      .select("user_id", "session_id", "n_events", "start_us", "end_us", "session_value")
+    val batch = OlapB.eventsSessionize(spark, sfDir)
       .collect().map(_.toString).toSet
-    assert(batchClosed.nonEmpty)
-    assert(batchClosed.subsetOf(streamed),
-      s"missing ${(batchClosed -- streamed).take(3)}")
-    // anything extra must be timeout-closed final sessions — also valid
-    val extra = streamed -- batchClosed
-    val batchAll = OlapB.eventsSessionize(spark, sfDir)
-      .select("user_id", "session_id", "n_events", "start_us", "end_us", "session_value")
-      .collect().map(_.toString).toSet
-    assert(extra.subsetOf(batchAll -- batchClosed),
-      s"unexpected sessions ${(extra -- batchAll).take(3)}")
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"missing ${(batch -- streamed).take(3)} extra ${(streamed -- batch).take(3)}")
   }
 
-  test("checkpointed restart: exactly-once output, session numbering continues") {
-    import org.apache.spark.sql.functions._
+  test("checkpointed restart: exactly-once output under content-derived session keys") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_recovery")
     val src = base.resolve("src").toString
@@ -42,8 +28,9 @@ class StatefulSessionsSpec extends SparkSpec {
     val events = graft.sources.Tables(spark, sfDir).events
       .select("user_id", "event_id", "ts", "value")
 
-    def runOnce(): Unit = StreamOps.withStatePartitions(spark) {
-      val q = StatefulSessions.sessionsStream(spark, src, glob = "*.parquet")
+    def runOnce(): Unit = {
+      val ss = StreamOps.streamingSession(spark)
+      val q = StatefulSessions.sessionsStream(ss, src, glob = "*.parquet")
         .toDF().writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -62,10 +49,10 @@ class StatefulSessionsSpec extends SparkSpec {
     promote("part1")
     runOnce()
     val after1 = spark.read.parquet(out)
-    val counts1 = after1.groupBy("user_id")
-      .agg(max("session_id").as("max_sid"), count(lit(1)).as("n"))
+    val starts1 = after1.groupBy("user_id")
+      .agg(max("start_us").as("max_start"), count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(counts1.nonEmpty)
+    assert(starts1.nonEmpty)
 
     // batch 2 (after restart): a later burst for some users — 3 days on
     val shifted = events.filter(col("user_id") % 5 === 0)
@@ -76,40 +63,46 @@ class StatefulSessionsSpec extends SparkSpec {
     runOnce()
     val after2 = spark.read.parquet(out)
 
-    // exactly-once: no (user, session, start) appears twice
-    assert(after2.groupBy("user_id", "session_id", "start_us").count()
+    // exactly-once: session identity (user_id, start_us) never duplicates
+    // across a restart — the checkpoint replays nothing twice and the
+    // content-derived key is stable under recovery
+    assert(after2.groupBy("user_id", "start_us").count()
       .filter(col("count") > 1).isEmpty)
-    // continuity: users in batch 2 keep counting up, never restart at 1
-    val counts2 = after2.groupBy("user_id").agg(max("session_id").as("m"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val touched = counts2.keySet.filter(_ % 5 == 0).filter(counts1.contains)
+    // progress: batch-2 users gained sessions strictly later than batch 1
+    val starts2 = after2.groupBy("user_id").agg(max("start_us").as("m"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val touched = starts2.keySet.filter(_ % 5 == 0).filter(starts1.contains)
     assert(touched.nonEmpty)
     touched.foreach { u =>
-      assert(counts2(u) > counts1(u)._1,
-        s"user $u: max session ${counts2(u)} did not advance past ${counts1(u)._1}")
+      assert(starts2(u)._1 > starts1(u)._1,
+        s"user $u: max start ${starts2(u)._1} did not advance past ${starts1(u)._1}")
+      assert(starts2(u)._2 > starts1(u)._2,
+        s"user $u: session count did not grow across the restart")
     }
   }
 
-  test("session counter survives a timeout close (no duplicate session ids)") {
+  test("timeout close removes per-user state entirely (bounded state store)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
     import StatefulSessions.{Ev, SessionState, updateUser}
-    // user has 3 closed sessions and an open one; the watermark fires
-    val s1 = TestGroupState.create[(Long, SessionState)](
-      Optional.of((3L, SessionState(0L, 1000L, 2L, 300L))),
+    // user has an open session; the watermark fires its timeout
+    val s1 = TestGroupState.create[SessionState](
+      Optional.of(SessionState(0L, 1000L, 2L, 300L)),
       GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(999999L),
       hasTimedOut = true)
     val closed = updateUser(7L, Iterator.empty, s1).toSeq
-    assert(closed.map(_.session_id) === Seq(4L))
+    assert(closed.map(_.start_us) === Seq(0L))
     assert(closed.head.session_value === 3.0)
-    // the counter must persist so a later in-watermark event continues at 5
-    assert(!s1.isRemoved)
-    assert(s1.get._1 === 4L && s1.get._2 == null)
-    val s2 = TestGroupState.create[(Long, SessionState)](
-      Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout, 0L,
+    // no residue: the key holds ZERO state after the close — an idle user
+    // costs nothing for the lifetime of the stream
+    assert(s1.isRemoved)
+    // a later in-watermark event simply opens a fresh session from scratch
+    val s2 = TestGroupState.create[SessionState](
+      Optional.empty[SessionState](), GroupStateTimeout.EventTimeTimeout, 0L,
       Optional.of(999999L), hasTimedOut = false)
     val ev = Ev(7L, 1L, 10000000000L, 100L, new java.sql.Timestamp(10000000L))
     assert(updateUser(7L, Iterator(ev), s2).toSeq.isEmpty)
-    assert(s2.get._1 === 4L && s2.get._2.n === 1L)
+    assert(s2.get.n === 1L && s2.get.start_us === 10000000000L)
   }
 }

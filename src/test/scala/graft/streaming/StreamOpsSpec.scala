@@ -5,6 +5,17 @@ import graft.operators.OlapB
 
 class StreamOpsSpec extends SparkSpec {
 
+  test("streaming conf is isolated: caller session's shuffle partitions untouched") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    StreamOps.streamEvents(spark, sfDir).collect()
+    assert(spark.conf.get(key) === before,
+      "a streaming drain must not mutate the shared session conf")
+    assert(StreamOps.streamingSession(spark).conf.get(key) === "8")
+    // the child is cached per root session, not re-created per query
+    assert(StreamOps.streamingSession(spark) eq StreamOps.streamingSession(spark))
+  }
+
   test("streamed windowed agg equals the batch windowed agg") {
     val streamed = StreamOps.streamEvents(spark, sfDir)
       .collect().map(_.toString).sorted
