@@ -24,7 +24,7 @@ object SparkEntry {
     "q1_agg" -> Olap.q1AggSql
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
     OlapB.oracles ++ TextOps.oracles ++ Pipeline.oracles ++
-    VectorOps.oracles ++ Sketch.oracles ++
+    VectorOps.oracles ++ Sketch.oracles ++ Multimodal.oracles ++
     graft.streaming.StreamOps.oracles ++
     graft.streaming.StatefulSessions.oracles
 }

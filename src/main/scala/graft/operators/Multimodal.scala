@@ -59,10 +59,15 @@ object Multimodal {
     val parsedFmt = header.substring(4, 7)
     val width = header.substring(7, 11).toInt
     val height = header.substring(11, 15).toInt
-    // FNV-1a over the payload — the deterministic stand-in for decoding
-    var h = 0xcbf29ce484222325L
-    var i = 15
-    while (i < media.length) { h ^= media(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    // md5-derived checksum (first 8 digest bytes, big-endian signed) over
+    // the payload body — the deterministic stand-in for decoding, chosen
+    // over FNV because any engine can recompute it from the same bytes,
+    // which is what makes `multimodal_meta` oracle-checkable.
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.util.Arrays.copyOfRange(media, 15, media.length))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
     val feat = Array.tabulate(4) { k =>
       ((h >>> (k * 16)) & 0xffffL).toDouble / 65536.0
     }
@@ -125,5 +130,43 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_similar" -> (multimodalSimilar _)
+  )
+
+  /** DuckDB twin of [[multimodalMeta]]: re-derives the synthesized payload
+    * (header is pure column algebra; body = the document text) and the
+    * md5-prefix checksum with the same positional-hex parse used by the
+    * sketch oracles. `strlen` counts BYTES, matching `media.length`;
+    * `u >> k & 65535` on the unsigned HUGEINT equals Scala's `>>>` on the
+    * wrapped signed long. `multimodal_similar` stays rows-only (ANN
+    * composition over the decoded features). */
+  val multimodalMetaSql: String = {
+    val nibbleTerms = (1 to 16).map { i =>
+      s"(strpos('0123456789abcdef', substr(mh, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+    }.mkString(" + ")
+    val feats = (0 until 4).map { k =>
+      s"CAST((u >> ${k * 16}) & 65535 AS DOUBLE) / 65536.0 AS feat$k"
+    }.mkString(",\n      |  ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
+       |         ELSE 'vid' END AS fmt,
+       |    CAST(doc_id % 640 + 16 AS INT) AS width,
+       |    CAST(doc_id % 480 + 16 AS INT) AS height,
+       |    CAST(15 + strlen(text) AS INT) AS n_bytes,
+       |    md5(text) AS mh
+       |  FROM documents
+       |), h AS (
+       |  SELECT media_id, fmt, width, height, n_bytes, $nibbleTerms AS u FROM m
+       |)
+       |SELECT media_id, fmt, width, height, n_bytes,
+       |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |            THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+       |    AS checksum,
+       |  $feats
+       |FROM h ORDER BY media_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" -> multimodalMetaSql
   )
 }
