@@ -295,11 +295,45 @@ object Ann {
     * persisted deployment the assignment pass is computed once and reused
     * across query batches (write `list_id` as a partition column).
     */
-  /** Deterministic seed centroids: the first `nLists` corpus vectors. */
+  /** Lloyd refinement rounds and the refinement-sample size multiplier. */
+  val LloydIters = 3
+  val LloydSampleFactor = 32
+
+  /** Deterministic k-means-lite centroids: seeds are the `nLists` smallest
+    * md5(id) rows — a content-hash spread over the corpus, not the first-N
+    * of an id-ordered (often clustered) layout — refined by [[LloydIters]]
+    * Lloyd iterations over a bounded hash-ordered sample.
+    *
+    * Everything stays deterministic with NO RNG: hash order replaces random
+    * sampling, per-dimension means are decimal-exact (order-independent
+    * under any partitioning), and nearest-centroid ties break on centroid
+    * id — so a rebuilt index is always bit-identical. Scale shape: both the
+    * seed and sample selections plan as TakeOrderedAndProject (bounded
+    * per-partition heaps, never a full sort) and each Lloyd round touches
+    * only the O(nLists × factor) sample; the corpus-wide passes remain in
+    * [[ivfTopK]]/[[ivfBuild]]. A seed whose sample cluster empties drops
+    * out (standard k-means collapse), leaving at most nLists lists. */
   private def centroids(corpus: DataFrame, idCol: String, embCol: String,
-      nLists: Int): DataFrame =
-    corpus.orderBy(col(idCol)).limit(nLists)
-      .select(col(idCol).as("_cent_id"), col(embCol).as("_cent"))
+      nLists: Int): DataFrame = {
+    val hashed = corpus.select(col(idCol).as("_sid"), col(embCol).as("_semb"),
+      md5(col(idCol).cast("string")).as("_h"))
+    var cents = hashed.orderBy(col("_h")).limit(nLists)
+      .select(col("_sid").as("_cent_id"), col("_semb").as("_cent"))
+    val sample = hashed.orderBy(col("_h")).limit(nLists * LloydSampleFactor)
+      .select(col("_sid"), col("_semb")).localCheckpoint(eager = true)
+    for (_ <- 1 to LloydIters) {
+      val assigned = nearestLists(cents, sample, "_sid", "_semb", keep = 1)
+      cents = assigned.select(col("_cent_id"), posexplode(col("_semb")))
+        .groupBy(col("_cent_id"), col("pos"))
+        .agg(avg(col("col").cast("decimal(25,8)")).as("_m"))
+        .groupBy(col("_cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
+        .select(col("_cent_id"),
+          expr("transform(_pm, p -> CAST(p._m AS DOUBLE))").as("_cent"))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
 
   /** For each row, its `keep` nearest centroids (centroid set broadcast). */
   private def nearestLists(cents: DataFrame, df: DataFrame, id: String,

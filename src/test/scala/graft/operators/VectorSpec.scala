@@ -62,7 +62,27 @@ class VectorSpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+    // the synthetic corpus is near-uniform on the sphere — IVF's worst
+    // case, since full top-10 neighbors have no cluster structure and the
+    // probes cover 8/32 lists. The floor here is the worst-case smoke
+    // check (k-means-lite centroids lifted it from ~0.3); the recall claim
+    // that matters for dedup is the near-dup spec below.
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
+  test("IVF finds near-duplicate neighbors with recall >= 0.9 (perturbed corpus)") {
+    import org.apache.spark.sql.functions.col
+    // the case IVF exists for: a query and its near-identical neighbor
+    // (cosine ~0.99999) must quantize to the same list, so probing finds it
+    val corpus = VectorOps.dedupEmbCorpus(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") >= 1000000L)
+    val res = Ann.ivfTopK(corpus, queries, "vec_id", "emb", k = 10,
+      nLists = VectorOps.IvfLists, nProbe = VectorOps.IvfProbes)
+    val found = res
+      .filter(col("neighbor_id") === col("query_id") - 1000000L)
+      .select("query_id").distinct().count()
+    val recall = found.toDouble / queries.count()
+    assert(recall >= 0.9, s"IVF near-dup recall = $recall")
   }
 
   test("embed_stats covers every label with exact counts") {
