@@ -99,30 +99,74 @@ object Receipts {
        | FROM enr2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  // --- A10: webhook JSON rendering (rows-only; pinned by ReceiptsSpec) -----
+  // --- A10: webhook JSON rendering (oracle-checked canonical form) ---------
   /** Maps the nested receipt to the webhook payload shape
-    * (stream/util.py:67): renamed keys, '; '-joined notes, deterministic
-    * document id. JSON text differs between engines on number formatting,
-    * so this is rows-only; the STRUCTURE is asserted in ReceiptsSpec. */
+    * (stream/util.py:67): renamed keys, deterministic document id. The
+    * rendering is CANONICAL so the text is engine-reproducible: every
+    * floating field passes through decimal(18,2) — Spark's to_json prints a
+    * decimal via BigDecimal.toString, scale preserved ("5.00", never "5.0"
+    * or scientific notation) — and key order is fixed by struct declaration
+    * order. The DuckDB twin rebuilds the exact same text by concatenation
+    * (its own to_json strips trailing decimal zeros, so string assembly is
+    * the portable path there). */
   def etlWebhookJson(spark: SparkSession, dir: String): DataFrame = {
     val receipts = receiptsBase(spark, dir)
       .withColumn("line_items", transform(col("line_items"), x =>
         struct(x.getField("line_number").as("line_number"),
           x.getField("item_name").as("item_name"),
           x.getField("quantity").as("quantity"),
-          x.getField("price").as("price"))))
+          x.getField("price").cast("decimal(18,2)").as("price"))))
     receipts.select(
       col("invoice_number").as("receipt_id"),
       to_json(struct(
         Rules.documentId(col("invoice_number"), col("invoice_number")).as("document_id"),
         col("vendor"),
         date_format(col("transaction_date"), "yyyy-MM-dd").as("transaction_date"),
-        col("subtotal"),
-        col("total_amount"),
+        col("subtotal").cast("decimal(18,2)").as("subtotal"),
+        col("total_amount").cast("decimal(18,2)").as("total_amount"),
         col("item_count"),
         col("line_items")
       )).as("webhook_json"))
       .orderBy(col("receipt_id"))
+  }
+
+  /** DuckDB twin of [[etlWebhookJson]]: the canonical JSON text assembled
+    * by concatenation — decimal casts render with fixed scale in both
+    * engines, the line-item order is receiptsBase's full-tuple array_sort
+    * order, and the synthesized vendor/item strings contain no characters
+    * needing JSON escaping (pinned by ReceiptsSpec). */
+  val etlWebhookJsonSql: String = InvoiceView.enrichedSql + {
+    val fmtUpc: String => String = c =>
+      s"""CASE WHEN trim(coalesce($c,'')) IN ('','nan','None') THEN NULL
+         |     ELSE substr(lpad(trim($c),14,'0'),1,14) END""".stripMargin
+    s""" , r AS (
+       | SELECT invoice_number,
+       |   min(vendor_name) AS vendor,
+       |   min(coalesce(CAST(try_strptime(invoice_date_str, '%-m/%-d/%Y') AS DATE),
+       |                DATE '1970-01-01')) AS transaction_date,
+       |   CAST(max(invoice_amount) AS DECIMAL(18,2)) AS total_amount,
+       |   CAST(SUM(CAST(extended_price AS DECIMAL(25,2))) AS DECIMAL(18,2)) AS subtotal,
+       |   COUNT(*) AS item_count,
+       |   string_agg(concat('{"line_number":', CAST(line_number AS VARCHAR),
+       |       ',"item_name":"', product_description,
+       |       '","quantity":', CAST(qty_calc AS VARCHAR),
+       |       ',"price":', CAST(CAST(extended_price AS DECIMAL(18,2)) AS VARCHAR), '}'),
+       |     ',' ORDER BY line_number, product_description, qty_calc, uom,
+       |     category, extended_price,
+       |     coalesce(${fmtUpc("pack_upc")}, ${fmtUpc("clean_upc")}, ${fmtUpc("case_upc")}) NULLS FIRST
+       |   ) AS items_json
+       | FROM enr2 GROUP BY 1)
+       | SELECT invoice_number AS receipt_id,
+       |   concat('{"document_id":"',
+       |     concat_ws('-', 'fnt', substr(md5(CAST(invoice_number AS VARCHAR)), 1, 16),
+       |               CAST(invoice_number AS VARCHAR)),
+       |     '","vendor":"', vendor,
+       |     '","transaction_date":"', strftime(transaction_date, '%Y-%m-%d'),
+       |     '","subtotal":', CAST(subtotal AS VARCHAR),
+       |     ',"total_amount":', CAST(total_amount AS VARCHAR),
+       |     ',"item_count":', CAST(item_count AS VARCHAR),
+       |     ',"line_items":[', items_json, ']}') AS webhook_json
+       | FROM r ORDER BY receipt_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,6 +175,7 @@ object Receipts {
   )
 
   val oracles: Map[String, String] = Map(
-    "etl_receipts_nested" -> etlReceiptsNestedSql
+    "etl_receipts_nested" -> etlReceiptsNestedSql,
+    "etl_webhook_json" -> etlWebhookJsonSql
   )
 }

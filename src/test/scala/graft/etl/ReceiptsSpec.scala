@@ -32,6 +32,13 @@ class ReceiptsSpec extends SparkSpec {
         assert(json.contains("\"" + key + "\""), s"missing $key in $json")
       assert(json.contains("\"fnt-"))
     }
+    // the canonical-JSON oracle rebuilds this text by concatenation, which
+    // is sound only while no payload string needs JSON escaping — pin it
+    val all = Receipts.etlWebhookJson(spark, sfDir).collect()
+    all.foreach { row =>
+      val json = row.getString(row.fieldIndex("webhook_json"))
+      assert(!json.contains("\\"), s"escape sequence would break the oracle: $json")
+    }
   }
 
   test("document ids are deterministic across runs") {
