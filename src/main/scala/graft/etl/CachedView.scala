@@ -11,14 +11,24 @@ private[graft] final class CachedView(build: (SparkSession, String) => DataFrame
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // ONE eviction listener per SparkContext for this view's lifetime —
+  // registering per cache miss would leak a listener on every
+  // invalidate/rebuild cycle and every new session over the same context.
+  private val listenerRegistered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
   def apply(spark: SparkSession, dir: String): DataFrame =
     cache.computeIfAbsent((spark, dir), { _ =>
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            cache.keySet.removeIf(_._1 eq spark)
-        })
+      val sc = spark.sparkContext
+      if (listenerRegistered.add(sc))
+        sc.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              cache.keySet.removeIf(_._1.sparkContext eq sc)
+              listenerRegistered.remove(sc)
+            }
+          })
       build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

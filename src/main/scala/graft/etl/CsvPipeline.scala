@@ -57,25 +57,38 @@ object CsvPipeline {
         num("Miscellaneous Adjustment Total"), num("Delivery Adjustment Total"))
         .as("notes"),
       packs.as("packs_per_case"),
-      units.as("units_per_pack"),
-      monotonically_increasing_id().as("_row"))
+      units.as("units_per_pack"))
   }
 
   /** Group line items to ProcessedReceipts — one shuffle on the invoice
-    * key; "first row" metadata = arg-min by input row order, like the
-    * reference's iloc[0]. */
+    * key. Deviation by design (like document ids): the reference's "first
+    * row" metadata is iloc[0] — CSV physical order — which a distributed
+    * read cannot preserve under resharding or file splits. The
+    * deterministic analogue is arg-min by the row's FULL content tuple: a
+    * pure function of the data under any partitioning, and identical to
+    * the reference whenever the per-invoice metadata agrees across rows
+    * (the well-formed-vendor-CSV case). Two rows with an equal content key
+    * are identical rows, so every aggregated field is unambiguous. */
+  private val rowContentKey = struct(
+    col("name"), col("qty"), col("price"), col("discount"), col("upc"),
+    col("sku"), col("unitOfMeasure"), col("category"), col("tax"),
+    col("notes"), col("packs_per_case"), col("units_per_pack"),
+    col("vendor_raw"), col("invoice_date_raw"), col("invoice_amount"))
+
   def receipts(raw: DataFrame, sourceId: String): DataFrame =
     lineItems(raw)
       .groupBy(col("receipt_id"))
       .agg(
-        min_by(col("vendor_raw"), col("_row")).as("vendor"),
-        min_by(col("invoice_date_raw"), col("_row")).as("invoice_date_raw"),
-        min_by(col("invoice_amount"), col("_row")).as("total_amount"),
-        min_by(col("tax"), col("_row")).as("sales_tax"),
+        min_by(col("vendor_raw"), rowContentKey).as("vendor"),
+        min_by(col("invoice_date_raw"), rowContentKey).as("invoice_date_raw"),
+        min_by(col("invoice_amount"), rowContentKey).as("total_amount"),
+        min_by(col("tax"), rowContentKey).as("sales_tax"),
         (sum(col("price").cast("decimal(25,2)"))).cast("double").as("subtotal"),
         count(lit(1)).as("item_count"),
+        // element order = the same content tuple (array_sort compares
+        // struct fields in declaration order) — stable under any layout
         array_sort(collect_list(struct(
-          col("_row"), col("name"), col("qty"), col("price"), col("discount"),
+          col("name"), col("qty"), col("price"), col("discount"),
           col("upc"), col("sku"), col("text"), col("unitOfMeasure"),
           col("category"), col("tax"), col("notes"),
           col("packs_per_case"), col("units_per_pack")
@@ -86,8 +99,14 @@ object CsvPipeline {
         Rules.documentId(lit(sourceId), col("receipt_id")))
       .drop("invoice_date_raw")
 
-  /** Webhook payloads (stream/util.py:to_webhook_schema key names). */
-  def webhookPayloads(raw: DataFrame, sourceId: String): DataFrame =
+  /** Webhook payloads (stream/util.py:to_webhook_schema key names).
+    * `gcsBucket`/`gcsPath` are the source-object provenance fields the
+    * reference carries on every ProcessedReceipt (stream/schema.py:33) —
+    * constants per ingested file, passed through to the payload. The
+    * reference's `processed_at` wall-clock field is deliberately omitted:
+    * a replayed partition must emit byte-identical payloads. */
+  def webhookPayloads(raw: DataFrame, sourceId: String,
+      gcsBucket: String = "", gcsPath: String = ""): DataFrame =
     receipts(raw, sourceId).select(
       col("receipt_id"),
       to_json(struct(
@@ -114,13 +133,16 @@ object CsvPipeline {
           li.getField("packs_per_case").as("packs_per_case"),
           li.getField("units_per_pack").as("units_per_pack")
         )).as("lineItems"),
-        lit(sourceId).as("source_file")
+        lit(sourceId).as("source_file"),
+        lit(gcsBucket).as("gcs_bucket"),
+        lit(gcsPath).as("gcs_path")
       )).as("payload"))
 
   /** End to end: CSV in, webhook JSONL out (the batch analogue of the
     * reference POSTing each payload). */
   def run(spark: SparkSession, csvPath: String, outDir: String,
-      sourceId: String): Unit =
+      sourceId: String, gcsBucket: String = "", gcsPath: String = ""): Unit =
     graft.sources.Sinks.writeJsonLines(
-      webhookPayloads(readVendorCsv(spark, csvPath), sourceId), outDir)
+      webhookPayloads(readVendorCsv(spark, csvPath), sourceId,
+        gcsBucket, gcsPath), outDir)
 }

@@ -57,6 +57,36 @@ class CsvPipelineSpec extends SparkSpec {
     assert(inv2.contains("\"qty\":5")) // packs 0 → 1, case uom: qty×packs
   }
 
+  test("payload carries the full reference key set incl. GCS provenance") {
+    val out = CsvPipeline
+      .webhookPayloads(CsvPipeline.readVendorCsv(spark, csvPath), "mail-1",
+        gcsBucket = "invoices-bucket", gcsPath = "inbox/2024/03/file.csv")
+      .collect().map(r => r.getString(1))
+    // reference payload keys (stream/util.py:to_webhook_schema +
+    // schema.py:22–35 provenance, minus wall-clock processed_at by design)
+    val keys = Seq("receiptId", "vendor", "transactionDate", "totalAmount",
+      "salesTax", "subtotal", "itemCount", "document_id", "lineItems",
+      "source_file", "gcs_bucket", "gcs_path")
+    out.foreach { json =>
+      keys.foreach(k => assert(json.contains("\"" + k + "\""), s"missing $k in $json"))
+      assert(json.contains("\"gcs_bucket\":\"invoices-bucket\""))
+      assert(json.contains("\"gcs_path\":\"inbox/2024/03/file.csv\""))
+    }
+  }
+
+  test("receipts are invariant to input partitioning (content-keyed arg-min)") {
+    val raw = CsvPipeline.readVendorCsv(spark, csvPath)
+    val once = CsvPipeline.receipts(raw, "mail-1")
+      .collect().map(_.toString).sorted.toSeq
+    // reshuffled/reversed input must produce the identical receipts — the
+    // reference's iloc[0] cannot survive a reshard, the content key can
+    val reshuffled = CsvPipeline.receipts(
+      raw.repartition(7).sortWithinPartitions(org.apache.spark.sql.functions
+        .col("Extended Price")), "mail-1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(once === reshuffled)
+  }
+
   test("run() lands webhook JSONL that reads back row-per-receipt") {
     val outDir = Files.createTempDirectory("graft_webhook_out").toString + "/jsonl"
     CsvPipeline.run(spark, csvPath, outDir, "mail-1")

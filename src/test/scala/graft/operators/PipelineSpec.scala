@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(got("hot") <= 300)
   }
 
+  test("token_freq exactness precondition: vocabulary fits the MG capacity at every sf") {
+    // the oracle equality of token_freq holds only in the EXACT regime
+    // (capacity >= distinct tokens); this enforces the precondition at
+    // every driver scale factor so a corpus change fails loudly here
+    // rather than nondeterministically in the gate
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val vocab = graft.sources.Tables(spark, s"/root/testdata/$sf").documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .agg(countDistinct(col("t"))).head().getLong(0)
+      assert(vocab < Pipeline.HeavyHitterCapacity,
+        s"$sf vocabulary $vocab >= capacity ${Pipeline.HeavyHitterCapacity}: " +
+          "token_freq would leave the exact regime")
+    }
+  }
+
   test("connectedComponents converges in O(log n) rounds on a path graph") {
     // a 400-node chain has diameter 399: pure neighbor propagation would
     // need 399 rounds; pointer doubling must finish well inside 25
