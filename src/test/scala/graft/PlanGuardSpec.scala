@@ -33,6 +33,52 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested-loop plans in: $offenders")
   }
 
+  /** Documented shuffle budgets (operator scaladocs in Ops/EtlQueries/
+    * OlapB) pinned as plan assertions: a future edit that introduces an
+    * extra exchange — the unit of cost that survives a 100× scale-up —
+    * fails HERE, not in a bench regression three rounds later. Counts
+    * include the gate ORDER BY's range partitioning; `curate_pipeline` is
+    * excluded because its connected-components tail executes eagerly and
+    * checkpoints away its upstream exchanges. */
+  private val shuffleBudget = Map(
+    "q1_agg" -> 2, // partial+final agg exchange, gate sort
+    "q3_topk" -> 1, // broadcast dims; TakeOrderedAndProject needs no sort exchange
+    "q5_multijoin" -> 2, // one fact-fact shuffle + agg exchange (dims broadcast)
+    "etl_receipts" -> 2, // ONE invoice-key agg exchange + gate sort
+    "etl_receipts_nested" -> 2, // shares the receiptsBase aggregation
+    "etl_webhook_json" -> 2, // shares the receiptsBase aggregation
+    "etl_prices" -> 1, // pure map over cached inv + gate sort
+    "dedup_exact" -> 2, // content-hash agg + gate sort
+    "dedup_minhash_lsh" -> 3, // spread repartition, band-tuple join, gate sort
+    "dedup_simhash" -> 2, // band-bucket join + gate sort (sketch map-side)
+    "dedup_ngram_jaccard" -> 3, // shingle join + pair agg + gate sort (fresh build; the shared CachedView hides these once materialized)
+    "json_extract" -> 3,
+    "events_sessionize" -> 2, // ONE user-key window exchange + gate sort
+    "range_join" -> 3, // bucket equi-join + session agg + gate sort
+    "window_rank" -> 2,
+    "ngram_topk" -> 1, // partial-agg exchange; top-k is a bounded heap
+    "token_freq" -> 1, // single MG-buffer merge exchange
+    "sample_split" -> 1, // map-only + gate sort
+    "text_pii_scrub" -> 1, // map-only + gate sort
+    "quality_filter_chain" -> 1, // map-only + gate sort
+    "asof_join" -> 2, // union co-partition window + gate sort
+    "multimodal_meta" -> 1 // decode is a pure map stage + gate sort
+  )
+
+  test("per-query shuffle budgets hold (exchange-count regression guard)") {
+    val offenders = shuffleBudget.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val got = plan.linesIterator.count(
+        _.replaceAll("^[^A-Za-z]*", "").startsWith("Exchange"))
+      // ceiling, not equality: cached-view materialization order can only
+      // HIDE exchanges (InMemoryTableScan), never add them — a regression
+      // that introduces an exchange still breaches the ceiling
+      if (got <= budget) None else Some(s"$name: $got exchanges (budget $budget)")
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("oracle-checked outputs carry only atomic (comparator-safe) columns") {
     val offenders = SparkEntry.oracleSql.keys.toSeq.sorted
       .filterNot(_.startsWith("stream"))
