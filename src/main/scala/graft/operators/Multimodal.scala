@@ -166,7 +166,37 @@ object Multimodal {
        |FROM h ORDER BY media_id""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalSimilar]]: the decoded features are
+    * md5-derived (see [[multimodalMetaSql]]), so the whole decode→ANN
+    * composition is SQL-reproducible — quantized-cosine brute top-k over
+    * the re-derived 4-dim feature vectors, tie-broken like
+    * VectorOps.annBruteTopkSql. */
+  val multimodalSimilarSql: String = {
+    val nibbleTerms = (1 to 16).map { i =>
+      s"(strpos('0123456789abcdef', substr(mh, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+    }.mkString(" + ")
+    val featList = (0 until 4).map { k =>
+      s"CAST((u >> ${k * 16}) & 65535 AS DOUBLE) / 65536.0"
+    }.mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS mh FROM documents),
+       |h AS (SELECT media_id, $nibbleTerms AS u FROM m),
+       |f AS (SELECT media_id, $featList AS feat FROM h),
+       |q AS (SELECT media_id, ${VectorOps.qSql("feat")} AS qv FROM f),
+       |qs AS (SELECT media_id AS query_id, qv AS qqv FROM q WHERE media_id % 100 = 0),
+       |scored AS (
+       |  SELECT query_id, q.media_id AS neighbor_id,
+       |    ${VectorOps.qcosSql("q.qv", "qs.qqv")} AS score
+       |  FROM q CROSS JOIN qs WHERE q.media_id <> qs.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_similar" -> multimodalSimilarSql
   )
 }

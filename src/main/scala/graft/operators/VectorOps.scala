@@ -32,10 +32,10 @@ object VectorOps {
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
 
   // quantized vector in SQL (the oracle twin of QuantizedCosine's integers)
-  private def qSql(v: String) =
+  private[operators] def qSql(v: String) =
     s"list_transform($v, x -> CAST(floor(x * 1000000.0) AS BIGINT))"
 
-  private def qcosSql(a: String, b: String) =
+  private[operators] def qcosSql(a: String, b: String) =
     s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
        |      / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
        |      / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
