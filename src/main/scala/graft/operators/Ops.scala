@@ -463,7 +463,12 @@ object Cluster {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .unionAll(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
       .distinct().localCheckpoint(eager = true)
-    var labels = nodes.select(col(idCol).as("_id"))
+    // iterate over EDGE-TOUCHING nodes only: a node with no edges can never
+    // change labels, so the per-round frames scale with the similarity
+    // GRAPH (|candidate pairs|), not the corpus — at 100 TB the near-dup
+    // graph is orders of magnitude smaller than the document set. Isolated
+    // nodes rejoin as singleton clusters after the fixpoint.
+    var labels = e.select(col("_src").as("_id"))
       .distinct().withColumn("_lab", col("_id"))
       .localCheckpoint(eager = true)
     // labels only ever DECREASE, so the label sum strictly decreases while
@@ -471,7 +476,10 @@ object Cluster {
     // fixpoint, no per-round join against the previous labels. decimal(38)
     // so a billion-node id-sum cannot overflow.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("_lab").cast("decimal(38,0)"))).head().getDecimal(0)
+      // null sum = empty label frame (edge-less graph): treat as zero so
+      // the loop converges immediately and only singletons are emitted
+      Option(df.agg(sum(col("_lab").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -498,7 +506,11 @@ object Cluster {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(O(log diameter) expected — raise maxIter or check the edge list)")
-    labels.select(col("_id").as("id"), col("_lab").as("cluster_id"))
+    val singletons = nodes.select(col(idCol).as("_id")).distinct()
+      .join(labels, Seq("_id"), "left_anti")
+      .withColumn("_lab", col("_id"))
+    labels.unionByName(singletons)
+      .select(col("_id").as("id"), col("_lab").as("cluster_id"))
   }
 
   /** Survivorship with a quality policy: given cluster labels and a score
