@@ -513,6 +513,68 @@ object Cluster {
       .select(col("_id").as("id"), col("_lab").as("cluster_id"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm): each round rewires every node toward its neighborhood
+    * minimum, so intermediate edge sets stay bounded by the INPUT degree
+    * distribution. This is the variant for adversarial web-scale graphs:
+    * [[connectedComponents]]'s min-label propagation re-emits one labeled
+    * row per (edge, round), which a single million-degree hub turns into a
+    * million-row fan-out every round, while star operations attach the
+    * hub's neighbors directly to the component minimum and shrink the
+    * graph as they go. Both converge in O(log) rounds; prefer min-label
+    * for shallow near-dup graphs (fewer jobs/round), stars for unknown or
+    * hub-heavy topologies. Output matches [[connectedComponents]] exactly:
+    * (id, cluster_id = component minimum). */
+  def connectedComponentsStars(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 40): DataFrame = {
+    def sym(df: DataFrame) =
+      df.unionAll(df.select("v", "u").toDF("u", "v")).distinct()
+    var e = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      val s = sym(e)
+      // each star is ONE window pass over the u-partitioned neighborhood —
+      // no self-join against a per-u aggregate, so the round's exchanges
+      // are the symmetrize-distinct plus one per star
+      val wU = Window.partitionBy(col("u"))
+      // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u})
+      val withM = s.withColumn("_m", least(min(col("v")).over(wU), col("u")))
+      val large = withM.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+      // small-star: smaller neighbors (and u itself) attach to the
+      // minimum of the smaller neighborhood
+      val sIn = s.filter(col("v") < col("u"))
+        .withColumn("_m", min(col("v")).over(wU))
+      val small = sIn.select(col("v").as("u"), col("_m").as("v"))
+        .unionAll(sIn.select(col("u"), col("_m").as("v")))
+      val eNew = large.unionAll(small)
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = true)
+      // exact stability check: the edge SET is unchanged (cheap — both
+      // sides are checkpointed and the diff short-circuits on first row)
+      converged = eNew.count() == e.count() &&
+        eNew.exceptAll(e).isEmpty
+      e = eNew
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIter rounds")
+    val labels = sym(e).groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("_lab"))
+      .select(col("u").as("_id"), col("_lab"))
+    val singletons = nodes.select(col(idCol).as("_id")).distinct()
+      .join(labels, Seq("_id"), "left_anti")
+      .withColumn("_lab", col("_id"))
+    labels.unionByName(singletons)
+      .select(col("_id").as("id"), col("_lab").as("cluster_id"))
+  }
+
   /** Survivorship with a quality policy: given cluster labels and a score
     * per id, the keeper of each cluster is its best-scoring member (ties →
     * lowest id) instead of the minimum id. One partial-agg shuffle on the

@@ -149,6 +149,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star CC matches min-label CC on every topology") {
+    def check(nodes: Seq[Long], edges: Seq[(Long, Long)]): Unit = {
+      val n = nodes.toDF("id")
+      val e = edges.toDF("a", "b")
+      val a = Cluster.connectedComponents(n, "id", e, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Cluster.connectedComponentsStars(n, "id", e, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+    }
+    // path (diameter = n-1), the doubling/star worst case
+    check(1L to 60L, (1L until 60L).map(i => (i, i + 1)))
+    // high-degree hub + chain tail: the topology star ops exist for
+    check(1L to 250L,
+      (2L to 200L).map(i => (200L, i)) ++ (200L until 250L).map(i => (i, i + 1)))
+    // disconnected mix incl. singletons and a triangle
+    check(1L to 12L, Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (9L, 8L)))
+    // edge-less graph: all singletons
+    check(1L to 5L, Seq.empty)
+  }
+
   test("curate pipeline: output is quality-passing keepers with stable splits") {
     val out = Pipeline.curatePipeline(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
