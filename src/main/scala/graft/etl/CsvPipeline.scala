@@ -31,6 +31,32 @@ object CsvPipeline {
 
   private def num(name: String): Column = Rules.safeNum(col(name))
 
+  /** Invoice-level metadata getters (reference rules/invoice.py:17–67):
+    * tolerant column access — an absent CSV column or a null cell yields
+    * the getter's default, matching `row.get(col, default)`. (The
+    * reference's `str(NaN) == 'nan'` pandas artifact is deliberately not
+    * reproduced; a null cell is the default, consistent with safeNum.)
+    * One output row per input row, pure map stage. */
+  def invoiceMetadata(raw: DataFrame): DataFrame = {
+    val cols = raw.columns.toSet
+    def txt(c: String, default: String = ""): Column =
+      if (cols.contains(c)) trim(coalesce(col(c), lit(default))) else lit(default)
+    def n(c: String): Column =
+      if (cols.contains(c)) Rules.safeNum(col(c)) else lit(0.0)
+    raw.select(
+      txt("Vendor Name", "Unknown Vendor").as("vendor_name"),
+      txt("Retailer Name").as("retailer_name"),
+      txt("Retailer VendorID").as("retailer_vendor_id"),
+      txt("Vendor Store Number").as("vendor_store_number"),
+      txt("Retailer Store Number").as("retailer_store_number"),
+      txt("Fintech Process Date").as("fintech_process_date"),
+      txt("Invoice Date").as("invoice_date"),
+      txt("Invoice DueDate").as("invoice_due_date"),
+      txt("Invoice Number").as("invoice_number"),
+      n("Invoice Amount").as("invoice_amount"),
+      n("Invoice Item Count").cast("int").as("invoice_item_count"))
+  }
+
   /** Per-row rule application → the LineItem columns (schema.py LineItem,
     * processor.py:_create_line_item_from_row). */
   def lineItems(raw: DataFrame): DataFrame = {

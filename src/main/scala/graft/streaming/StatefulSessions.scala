@@ -114,9 +114,16 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout())(updateUser)
   }
 
+  // sentinel parquet is immutable per (session, source dir) — write once
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Synthetic far-future event (user_id = −1) written to a temp dir: its
     * event time pushes the global watermark beyond every real session's
     * timeout, so the AvailableNow drain closes them all. */
+  private def sentinelDir(spark: SparkSession, dir: String): String =
+    sentinelCache.computeIfAbsent((spark, dir), _ => writeSentinel(spark, dir))
+
   private def writeSentinel(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -134,9 +141,8 @@ object StatefulSessions {
 
   def streamSessions(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = StreamOps.streamingSession(rootSpark) // isolated conf
-    val sentinelDir = writeSentinel(spark, dir)
     val sessions = sessionsStream(spark, dir,
-      extra = Some(rawEvents(spark, sentinelDir, "*.parquet")))
+      extra = Some(rawEvents(spark, sentinelDir(spark, dir), "*.parquet")))
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
     val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -74,6 +74,28 @@ class CsvPipelineSpec extends SparkSpec {
     }
   }
 
+  test("invoice metadata getters: defaults for absent columns, trim for present") {
+    // the fixture has Vendor Name / Invoice * but none of the retailer
+    // or store columns — those must yield the reference's defaults
+    val m = CsvPipeline.invoiceMetadata(CsvPipeline.readVendorCsv(spark, csvPath))
+      .collect()
+    assert(m.forall(_.getAs[String]("retailer_name") == ""))
+    assert(m.forall(_.getAs[String]("retailer_vendor_id") == ""))
+    assert(m.forall(_.getAs[String]("vendor_store_number") == ""))
+    assert(m.forall(_.getAs[Int]("invoice_item_count") == 0))
+    assert(m.exists(_.getAs[String]("vendor_name") == "ACME BEV"))
+    assert(m.exists(_.getAs[Double]("invoice_amount") == 100.50))
+    // a CSV that does carry retailer columns gets them trimmed
+    val p2 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_meta.csv")
+    Files.write(p2, ("Invoice Number,Retailer Name,Retailer VendorID\n" +
+      "INV-9,  Mega Mart  ,RV-77").getBytes(StandardCharsets.UTF_8))
+    val m2 = CsvPipeline.invoiceMetadata(
+      CsvPipeline.readVendorCsv(spark, p2.toString)).collect()
+    assert(m2.head.getAs[String]("retailer_name") == "Mega Mart")
+    assert(m2.head.getAs[String]("retailer_vendor_id") == "RV-77")
+    assert(m2.head.getAs[String]("vendor_name") == "Unknown Vendor")
+  }
+
   test("receipts are invariant to input partitioning (content-keyed arg-min)") {
     val raw = CsvPipeline.readVendorCsv(spark, csvPath)
     val once = CsvPipeline.receipts(raw, "mail-1")
