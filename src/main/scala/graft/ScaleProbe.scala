@@ -56,6 +56,19 @@ object ScaleProbe {
         edges, "id_a", "id_b")
         .filter(col("id") =!= col("cluster_id")).count()
     }
+    time("cc_stars_hub") {
+      // adversarial topology: one hub of degree ~n/2 plus a long chain —
+      // the shape where min-label fan-out explodes and stars must not
+      val n = 200000L
+      val nodes = spark.range(1, n + 1).toDF("id")
+      val hub = spark.range(1, n / 2).toDF("b").withColumn("a", lit(n / 2))
+      val chain = spark.range(n / 2, n).toDF("a").withColumn("b", col("a") + 1)
+      val edges = hub.select(col("a"), col("b"))
+        .unionAll(chain.select(col("a"), col("b")))
+      // one giant component: every node must label to the minimum (1)
+      Cluster.connectedComponentsStars(nodes, "id", edges, "a", "b")
+        .filter(col("cluster_id") === 1L).count()
+    }
     val queries = embs.limit(40)
     time("ann_brute") {
       Ann.bruteTopK(embs, queries, "vec_id", "emb", 10).count()

@@ -529,33 +529,38 @@ object Cluster {
   def connectedComponentsStars(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 40): DataFrame = {
-    def sym(df: DataFrame) =
-      df.unionAll(df.select("v", "u").toDF("u", "v")).distinct()
+    val wU = Window.partitionBy(col("u"))
+    // the edge set is kept canonically oriented (u = larger endpoint):
+    // every undirected edge appears exactly once, which is what bounds
+    // each star's output by |E| + |V| — the paper's size invariant. The
+    // operators MUST compose sequentially (small∘large); unioning both
+    // stars of the same edge set is a different recurrence that
+    // accumulates skip-level edges on long chains.
+    def largeStar(e0: DataFrame): DataFrame = {
+      val s = e0.unionAll(e0.select("v", "u").toDF("u", "v"))
+      // one window pass per star — no self-join against a per-u aggregate
+      s.withColumn("_m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e0: DataFrame): DataFrame = {
+      val withM = e0.withColumn("_m", min(col("v")).over(wU))
+      withM.select(col("v").as("u"), col("_m").as("v"))
+        .unionAll(withM.select(col("u"), col("_m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
     var e = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = e.isEmpty
     while (iter < maxIter && !converged) {
-      val s = sym(e)
-      // each star is ONE window pass over the u-partitioned neighborhood —
-      // no self-join against a per-u aggregate, so the round's exchanges
-      // are the symmetrize-distinct plus one per star
-      val wU = Window.partitionBy(col("u"))
-      // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u})
-      val withM = s.withColumn("_m", least(min(col("v")).over(wU), col("u")))
-      val large = withM.filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("_m").as("v"))
-      // small-star: smaller neighbors (and u itself) attach to the
-      // minimum of the smaller neighborhood
-      val sIn = s.filter(col("v") < col("u"))
-        .withColumn("_m", min(col("v")).over(wU))
-      val small = sIn.select(col("v").as("u"), col("_m").as("v"))
-        .unionAll(sIn.select(col("u"), col("_m").as("v")))
-      val eNew = large.unionAll(small)
-        .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(eager = true)
+      val eNew = smallStar(largeStar(e)).localCheckpoint(eager = true)
       // exact stability check: the edge SET is unchanged (cheap — both
       // sides are checkpointed and the diff short-circuits on first row)
       converged = eNew.count() == e.count() &&
@@ -565,7 +570,9 @@ object Cluster {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStars did not converge in $maxIter rounds")
-    val labels = sym(e).groupBy(col("u"))
+    // at the fixpoint every edge is (child, component-minimum)
+    val labels = e.unionAll(e.select("v", "u").toDF("u", "v"))
+      .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("_lab"))
       .select(col("u").as("_id"), col("_lab"))
     val singletons = nodes.select(col(idCol).as("_id")).distinct()
