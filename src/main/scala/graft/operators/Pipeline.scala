@@ -226,6 +226,47 @@ object Pipeline {
       |  GROUP BY 1)
       |ORDER BY rank""".stripMargin
 
+  // --- C22: deterministic stratified sampling ------------------------------
+  /** Per-stratum keep rates as 4-hex-digit md5-prefix thresholds
+    * (0x10000 = keep all). Rebalancing a multilingual corpus is the
+    * canonical use: downsample over-represented languages at exact,
+    * auditable rates. */
+  val StrataThresholds: Seq[(String, String)] = Seq(
+    "en" -> "ffff", // ~keep all
+    "es" -> "8000", // ~50 %
+    "de" -> "4000", // ~25 %
+    "fr" -> "2000") // ~12.5 %
+
+  /** Stratified sampling by content hash: a document survives iff its
+    * md5(doc_id) prefix falls under its stratum's threshold. This is the
+    * reshard-stable analogue of `DataFrame.sampleBy`, whose per-partition
+    * RNG makes membership depend on data layout — here membership is a
+    * pure function of (doc_id, stratum), identical on every engine, every
+    * partitioning, every rerun, which is what an auditable training-mix
+    * spec needs. Pure map stage. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val thr = StrataThresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), h.as("hash_prefix"), thr.as("threshold"))
+      .filter(col("hash_prefix") < col("threshold"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = StrataThresholds.reverse
+      .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix,
+       |  CASE $cases ELSE '0000' END AS threshold
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |      < CASE $cases ELSE '0000' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- C17: near-dup cluster survivorship ----------------------------------
   /** Jaccard pairs → connected components → keeper = min doc_id per
     * cluster. This is the step that turns every pairwise Dedup variant's
@@ -351,6 +392,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
     "sample_split" -> (sampleSplit _),
+    "stratified_sample" -> (stratifiedSample _),
     "quality_filter_chain" -> (qualityFilterChain _),
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
@@ -361,6 +403,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "text_pii_scrub" -> textPiiScrubSql,
     "sample_split" -> sampleSplitSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "quality_filter_chain" -> qualityFilterChainSql,
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,

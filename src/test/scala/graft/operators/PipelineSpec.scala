@@ -36,6 +36,27 @@ class PipelineSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("stratified sample: per-stratum rates near target, layout-invariant") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Pipeline.stratifiedSample(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipeline.StrataThresholds.foreach { case (lang, thr) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+      val target = Integer.parseInt(thr, 16) / 65536.0
+      assert(math.abs(rate - target) < 0.15,
+        s"$lang rate $rate vs target $target")
+    }
+    // membership is a pure function of (doc_id, lang): identical under
+    // any repartitioning — the property sampleBy's per-partition RNG lacks
+    val a = Pipeline.stratifiedSample(spark, sfDir).collect().map(_.toString)
+    val b = Pipeline.stratifiedSample(spark, sfDir)
+      .repartition(13).orderBy(col("doc_id")).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("quality filter chain: passes=1 iff every rule passes, reason=ok") {
     Pipeline.qualityFilterChain(spark, sfDir).collect().foreach { r =>
       val flags = Seq("pass_min_words", "pass_max_words", "pass_word_len",
