@@ -227,15 +227,22 @@ object Pipeline {
       |ORDER BY rank""".stripMargin
 
   // --- C22: deterministic stratified sampling ------------------------------
-  /** Per-stratum keep rates as 4-hex-digit md5-prefix thresholds
-    * (0x10000 = keep all). Rebalancing a multilingual corpus is the
-    * canonical use: downsample over-represented languages at exact,
-    * auditable rates. */
+  /** Per-stratum keep rates as 4-hex-digit md5-prefix thresholds, compared
+    * lexicographically against the 4-hex-digit hash prefix. Rebalancing a
+    * multilingual corpus is the canonical use: downsample over-represented
+    * languages at exact, auditable rates. A stratum NOT listed here keeps
+    * everything ([[KeepAllThreshold]] sorts above every hex prefix) — a
+    * rebalancing spec names the strata it downsamples; silence means
+    * untouched, never dropped. */
   val StrataThresholds: Seq[(String, String)] = Seq(
-    "en" -> "ffff", // ~keep all
+    "en" -> "ffff", // ~keep all (65535/65536)
     "es" -> "8000", // ~50 %
     "de" -> "4000", // ~25 %
     "fr" -> "2000") // ~12.5 %
+
+  /** Sorts lexicographically above any 4-hex-digit prefix in both engines:
+    * exact keep-all (the 4-digit space tops out one row short at ffff). */
+  val KeepAllThreshold = "g"
 
   /** Stratified sampling by content hash: a document survives iff its
     * md5(doc_id) prefix falls under its stratum's threshold. This is the
@@ -246,7 +253,7 @@ object Pipeline {
     * spec needs. Pure map stage. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 4)
-    val thr = StrataThresholds.foldLeft(lit("0000")) { case (acc, (lang, t)) =>
+    val thr = StrataThresholds.foldLeft(lit(KeepAllThreshold)) { case (acc, (lang, t)) =>
       when(col("lang") === lang, lit(t)).otherwise(acc)
     }
     Tables(spark, dir).documents
@@ -260,10 +267,10 @@ object Pipeline {
       .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }.mkString(" ")
     s"""SELECT doc_id, lang,
        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix,
-       |  CASE $cases ELSE '0000' END AS threshold
+       |  CASE $cases ELSE '$KeepAllThreshold' END AS threshold
        |FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-       |      < CASE $cases ELSE '0000' END
+       |      < CASE $cases ELSE '$KeepAllThreshold' END
        |ORDER BY doc_id""".stripMargin
   }
 

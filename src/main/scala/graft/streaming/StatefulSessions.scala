@@ -114,39 +114,75 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout())(updateUser)
   }
 
-  // sentinel parquet is immutable per (session, source dir) — write once
+  // sentinel parquet keyed by (source dir, max event time): the stats agg
+  // runs on EVERY call, so data appended under dir after a first run gets a
+  // fresh sentinel beyond the NEW max — a stale far-future timestamp can
+  // never leave sessions open. Keys hold no SparkSession (cycled sessions
+  // stay collectable); temp dirs are removed by a shutdown hook.
   private val sentinelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  locally {
+    sys.addShutdownHook {
+      sentinelCache.values.forEach { d =>
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(d)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
+  /** (max event-time micros, row count) of the real event source — one tiny
+    * agg over the parquet footprint, recomputed per call by design. */
+  private def eventStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val r = // epoch micros regardless of the source's ts physical type
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        ev.agg(max(expr("ts div 1000")), count(lit(1))).head()
+      else ev.agg(max(unix_micros(col("ts"))), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Synthetic far-future event (user_id = −1) written to a temp dir: its
     * event time pushes the global watermark beyond every real session's
     * timeout, so the AvailableNow drain closes them all. */
-  private def sentinelDir(spark: SparkSession, dir: String): String =
-    sentinelCache.computeIfAbsent((spark, dir), _ => writeSentinel(spark, dir))
+  private def sentinelDir(spark: SparkSession, dir: String, maxTsUs: Long): String =
+    sentinelCache.computeIfAbsent((dir, maxTsUs), _ => writeSentinel(spark, maxTsUs))
 
-  private def writeSentinel(spark: SparkSession, dir: String): String = {
+  private def writeSentinel(spark: SparkSession, maxTsUs: Long): String = {
     import spark.implicits._
-    val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val maxTs = // epoch micros regardless of the source's ts physical type
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        ev.agg(max(col("ts"))).head().getLong(0) / 1000 // ns → us
-      else ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val out = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
     Seq((-1L, -1L, 0.0, new java.sql.Timestamp(0L)))
       .toDF("user_id", "event_id", "value", "ts")
-      .withColumn("ts", timestamp_micros(lit(maxTs + 3 * GapUs)))
+      .withColumn("ts", timestamp_micros(lit(maxTsUs + 3 * GapUs)))
       .coalesce(1).write.mode("overwrite").parquet(out)
     out
   }
 
   def streamSessions(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = StreamOps.streamingSession(rootSpark) // isolated conf
+    val (maxTsUs, realCount) = eventStats(spark, dir)
     val sessions = sessionsStream(spark, dir,
-      extra = Some(rawEvents(spark, sentinelDir(spark, dir), "*.parquet")))
+      extra = Some(rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet")))
     spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
     val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // Sentinel-flush correctness needs the sentinel consumed in the same
+    // (or a later) micro-batch as every real event; with default file-source
+    // options AvailableNow drains everything in ONE batch. Assert it, so a
+    // maxFilesPerTrigger/many-file layout fails loudly instead of silently
+    // dropping events the advanced watermark would mark late.
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    require(dataBatches.length == 1 &&
+        dataBatches.head.numInputRows == realCount + 1,
+      s"sentinel flush requires a single-batch drain, got batches of " +
+        s"${dataBatches.map(_.numInputRows).mkString("/")} rows (expected " +
+        s"${realCount + 1} in one batch) — unset maxFilesPerTrigger or feed " +
+        "the sentinel after the event source is exhausted")
     // presentation numbering = the batch operator's 1-based per-user order
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     spark.table(QueryName)

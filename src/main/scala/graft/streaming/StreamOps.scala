@@ -43,10 +43,12 @@ object StreamOps {
       var s = streamingSessions.get(spark)
       if (s == null) {
         s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions",
-          spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
         streamingSessions.put(spark, s)
       }
+      // re-read on every call: a conf change on the root session must apply
+      // to the NEXT streaming query, not be frozen at child-session birth
+      s.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
       s
     }
 

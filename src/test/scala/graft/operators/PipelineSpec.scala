@@ -43,6 +43,12 @@ class PipelineSpec extends SparkSpec {
     val kept = Pipeline.stratifiedSample(spark, sfDir)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a stratum absent from the spec is kept in full, never dropped
+    val listed = Pipeline.StrataThresholds.map(_._1).toSet
+    (totals.keySet -- listed).foreach { lang =>
+      assert(kept.getOrElse(lang, 0L) === totals(lang),
+        s"unlisted stratum $lang must keep all rows")
+    }
     Pipeline.StrataThresholds.foreach { case (lang, thr) =>
       val rate = kept.getOrElse(lang, 0L).toDouble / totals(lang)
       val target = Integer.parseInt(thr, 16) / 65536.0
