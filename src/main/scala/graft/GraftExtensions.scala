@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => LshSignBuckets(es(0), intArg(es(1), "tables"),
         intArg(es(2), "bits"), intArg(es(3), "dim"), 42L)))
 
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - word/2-gram repetition counters (Gopher-style signals)"),
+      (es: Seq[Expression]) => RepetitionStats(es(0))))
+
     ext.injectFunction((FunctionIdentifier("compress_ratio"),
       info("compress_ratio",
         "compress_ratio(text) - deflate compressed/raw size (redundancy signal)"),

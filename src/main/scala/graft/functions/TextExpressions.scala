@@ -57,6 +57,29 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** One tokens pass: word counts + 2-gram occurrence counts (HashMap) with
+    * the running top count — O(tokens) time, O(distinct grams) space. */
+  def repetitionStats(text: UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = text.toString.trim.split("\\s+")
+    val nW = toks.length
+    val words = new java.util.HashSet[String](nW * 2)
+    var i = 0
+    while (i < nW) { words.add(toks(i)); i += 1 }
+    val grams = new java.util.HashMap[String, Integer]((nW max 1) * 2)
+    var top = 0
+    i = 0
+    while (i < nW - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = grams.merge(g, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nW, words.size, math.max(nW - 1, 0), grams.size, top))
+  }
+
   def minhash(arr: ArrayData, k: Int): GenericArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
@@ -271,11 +294,45 @@ case class SigOverlap(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-document repetition statistics over whitespace words and word
+  * 2-grams, in ONE pass over the tokens (Gopher-style repetition signals;
+  * cf. reference-free quality filtering in large-corpus curation). A
+  * groupBy-(doc, gram) formulation would shuffle the whole token stream on
+  * a per-document question — this stays map-side, like every other
+  * row-granular kernel in this file.
+  *
+  * Output struct (all ints, exactly reproducible in SQL):
+  * (n_words, distinct_words, n_grams, distinct_grams, top_gram_n).
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("distinct_words", IntegerType, nullable = false),
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("distinct_grams", IntegerType, nullable = false),
+    StructField("top_gram_n", IntegerType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SketchKernels$$.MODULE$$.repetitionStats($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textsketch {
   import GraftSqlBridge.{column, expression}
 
   def word_shingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
+
+  def repetition_stats(text: Column): Column =
+    column(RepetitionStats(expression(text)))
 
   def minhash_signature(sh: Column, k: Int): Column =
     column(MinHashSignature(expression(sh), k))

@@ -1,0 +1,375 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 block C continued (C23–C27): corpus-hygiene operators a
+  * large-scale training-data pipeline runs beyond dedup/quality — repetition
+  * filtering, benchmark decontamination, corpus search, sequence packing,
+  * and incremental (cross-batch) dedup.
+  *
+  * Scale notes (100 TB):
+  *  - C23 is a pure map stage: the repetition counters are a one-pass
+  *    row-granular kernel ([[graft.functions.RepetitionStats]]); the
+  *    groupBy-(doc, gram) formulation would shuffle the whole token stream
+  *    to answer a per-document question.
+  *  - C24 joins the corpus' shingle stream against the BROADCAST distinct
+  *    shingle set of the benchmark side — benchmark suites are MBs while
+  *    the corpus is TBs, so the corpus never shuffles (partial-agg count
+  *    per doc is the only exchange).
+  *  - C25 runs two corpus passes (global length stats, then the
+  *    term-match partial agg); query terms broadcast; per-(query,doc)
+  *    scores shuffle O(matches), never O(corpus).
+  *  - C26 packs within hash shards — each shard's running offset is an
+  *    independent window, so packing parallelism = shard count, and
+  *    membership is reshard-stable (pure function of doc_id).
+  *  - C27 builds a Bloom filter over the HISTORICAL corpus' content hashes
+  *    (one agg, mergeable partials) and broadcasts it: the new batch
+  *    anti-joins only its bloom-positive sliver — the shuffle carries
+  *    O(dups + false positives), not O(batch), exactly the shape Spark's
+  *    own runtime-filter injection uses.
+  */
+object CorpusOps {
+
+  // --- C23: repetition signals (Gopher-style) ------------------------------
+  /** Flag thresholds follow the Gopher repetition-filter family (Rae et al.
+    * 2021: fraction-of-characters-in-top-ngram ~0.20, duplicate-ngram
+    * fraction ~0.30), applied to word 2-grams. */
+  val TopGramFracMax = 0.2
+  val DupGramFracMax = 0.3
+
+  /** Per-document repetition metrics: duplicate-2-gram fraction (share of
+    * 2-gram OCCURRENCES that are repeats) and top-2-gram fraction (share
+    * claimed by the most frequent 2-gram). Counters are integers from a
+    * single map-side kernel pass; the fractions divide those integers in
+    * IEEE double, so every engine computes the identical bits. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.textsketch.repetition_stats(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.distinct_words"),
+        col("r.n_grams"), col("r.distinct_grams"), col("r.top_gram_n"))
+      .withColumn("dup_gram_frac",
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("distinct_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_gram_frac",
+        when(col("n_grams") > 0,
+          col("top_gram_n").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        (col("top_gram_frac") > TopGramFracMax ||
+          col("dup_gram_frac") > DupGramFracMax).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+       |         CAST(len(list_distinct(toks)) AS INT) AS distinct_words,
+       |         list_transform(range(1, len(toks)),
+       |                        i -> toks[i] || ' ' || toks[i+1]) AS grams
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, s, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(grams) AS s FROM w) GROUP BY 1, 2
+       |), g AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS INT) AS n_grams,
+       |         CAST(COUNT(*) AS INT) AS distinct_grams,
+       |         CAST(MAX(cnt) AS INT) AS top_gram_n
+       |  FROM c GROUP BY 1)
+       |SELECT w.doc_id, n_words, distinct_words,
+       |  COALESCE(n_grams, 0) AS n_grams,
+       |  COALESCE(distinct_grams, 0) AS distinct_grams,
+       |  COALESCE(top_gram_n, 0) AS top_gram_n,
+       |  CASE WHEN COALESCE(n_grams, 0) > 0
+       |       THEN CAST(n_grams - distinct_grams AS DOUBLE) / n_grams
+       |       ELSE 0.0 END AS dup_gram_frac,
+       |  CASE WHEN COALESCE(n_grams, 0) > 0
+       |       THEN CAST(top_gram_n AS DOUBLE) / n_grams
+       |       ELSE 0.0 END AS top_gram_frac,
+       |  CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+       |            AND (CAST(top_gram_n AS DOUBLE) / n_grams > $TopGramFracMax
+       |             OR CAST(n_grams - distinct_grams AS DOUBLE) / n_grams > $DupGramFracMax)
+       |       THEN 1 ELSE 0 END AS INT) AS repetitive
+       |FROM w LEFT JOIN g ON w.doc_id = g.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  // --- C24: benchmark decontamination --------------------------------------
+  /** Every 97th document plays the held-out benchmark/eval suite. */
+  val BenchmarkMod = 97
+
+  /** Training docs sharing ≥1 word 3-gram with the benchmark set (the GPT-3
+    * style n-gram-overlap decontamination check). The benchmark's distinct
+    * shingle set is broadcast — at deploy scale it is a few MB against a
+    * multi-TB corpus, so contamination detection costs one corpus map pass
+    * plus a per-doc partial-agg count. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 3)).as("s"))
+    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("s")).distinct()
+    sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % $BenchmarkMod = 0)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM sh JOIN bench USING (s)
+       |WHERE doc_id % $BenchmarkMod <> 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- C25: BM25 corpus search ---------------------------------------------
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** The canned keyword queries (query id → terms). Term scores sum in a
+    * fixed decimal quantization so the per-document score is
+    * order-independent and engine-identical. */
+  val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_perf" -> Seq("fast", "spark", "vector"),
+    "q_join" -> Seq("join", "merge", "hash"),
+    "q_scan" -> Seq("scan", "filter"))
+
+  /** Okapi BM25 top-k per query over the corpus: idf(t)·tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1).
+    * tf/df/dl are exact integers; avgdl is an exact decimal mean cast to
+    * double; the float formula is written with IDENTICAL association in
+    * both engines, and per-doc term scores accumulate via decimal(28,12)
+    * so the sum is order-free. Ranking compares the decimal (exact). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("dl"))
+    // one corpus pass for the two global stats (exact: integer count,
+    // integer-valued decimal sum)
+    val stats = docs
+      .agg(count(lit(1)).as("n"), sum(col("dl").cast("decimal(25,6)")).as("s"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDecimal(1).doubleValue() / nDocs
+
+    val terms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val occ = docs.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("tok"))
+    val tf = occ.join(broadcast(terms), occ("tok") === terms("term"))
+      .groupBy(col("query_id"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.select(col("term").as("t"), col("doc_id")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+
+    val idf = log(
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") +
+      lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        (lit(Bm25B) * col("dl").cast("double")) / lit(avgdl))
+    val termScore = idf * ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) / denom)
+
+    val scored = tf.join(broadcast(dfs), col("term") === col("t"))
+      .withColumn("term_score", termScore)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score").cast("decimal(28,12)")).as("score_dec"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("score_dec").cast("double").as("score"), col("n_terms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25SearchSql: String = {
+    val values = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, toks, len(toks) AS dl
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dd
+       |), terms(query_id, term) AS (VALUES $values),
+       |occ AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+       |tf AS (
+       |  SELECT query_id, term, doc_id, dl, COUNT(*) AS tf
+       |  FROM occ JOIN terms ON tok = term GROUP BY 1, 2, 3, 4
+       |), dfs AS (
+       |  SELECT term, COUNT(*) AS df
+       |  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY 1
+       |), scored AS (
+       |  SELECT query_id, doc_id,
+       |    SUM(CAST(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       |        * ((tf * ${Bm25K1 + 1.0}) /
+       |           (tf + $Bm25K1 * (${1.0 - Bm25B} + ($Bm25B * dl) / avgdl)))
+       |      AS DECIMAL(28,12))) AS score_dec,
+       |    COUNT(*) AS n_terms
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |                          ORDER BY score_dec DESC, doc_id) AS INT) AS rank,
+       |  CAST(score_dec AS DOUBLE) AS score, n_terms
+       |FROM scored
+       |QUALIFY rank <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- C26: deterministic sequence packing ---------------------------------
+  /** Tokens per packed training sequence. Small for the synthetic corpus
+    * (docs are ~30–60 words); 2048/4096/8192 at deployment — the plan shape
+    * is budget-independent. */
+  val PackBudget = 256L
+
+  /** Concatenate-then-chunk sequence packing (the GPT-style pretraining
+    * layout): documents are laid head-to-tail in a deterministic order and
+    * chopped into [[PackBudget]]-token sequences. Each document's placement
+    * is (shard, start_off) where the order inside a shard is (md5(doc_id),
+    * doc_id) — so the layout is a pure function of doc ids: reshard-stable,
+    * engine-identical, and auditable. Sharding by the first hash nibble
+    * makes every shard an INDEPENDENT running-sum window — packing
+    * parallelism scales with the shard count instead of serializing the
+    * corpus through one global cumsum (the single-partition trap). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).as("start_off"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        (col("start_off") + col("n_tokens")).as("end_off"),
+        expr(s"start_off div $PackBudget").as("first_seq"),
+        expr(s"(start_off + n_tokens - 1) div $PackBudget").as("last_seq"))
+      .orderBy(col("shard"), col("start_off"), col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), o AS (
+       |  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, start_off,
+       |       start_off + n_tokens AS end_off,
+       |       start_off // $PackBudget AS first_seq,
+       |       (start_off + n_tokens - 1) // $PackBudget AS last_seq
+       |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
+
+  // --- C27: incremental dedup (bloom-accelerated) --------------------------
+  /** The arriving batch: exact copies of every 11th historical doc (true
+    * cross-batch duplicates) plus every 13th doc with a novelty suffix
+    * (genuinely new content). Deterministic, so the oracle rebuilds it. */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+      .unionAll(
+        d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 300000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh "),
+              col("doc_id").cast("string")).as("text")))
+  }
+
+  /** Bloom sizing: estimated item count and bit width for the historical
+    * hash set. At deploy scale size these to the history cardinality; the
+    * plan shape (one mergeable agg + broadcast probe) is unchanged. */
+  val BloomEstItems = 1L << 20
+  val BloomNumBits = 1L << 22
+
+  /** New-batch survivors after dedup against the HISTORICAL corpus. The
+    * history never re-shuffles per batch: one Bloom aggregate over its
+    * xxhash64(content) (mergeable partials — same machinery Spark's
+    * runtime-filter injection uses), broadcast to the batch. Bloom
+    * negatives are definitely new and skip the join entirely; only the
+    * positive sliver (true dups + false positives) anti-joins history on
+    * the FULL sha256 content hash, which also makes a 64-bit hash
+    * collision harmless. Output is exact — the bloom only prunes. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import GraftSqlBridge.{column, expression}
+    val hist = Tables(spark, dir).documents.select(col("text"))
+    val bloomBytes = hist
+      .select(column(new BloomFilterAggregate(
+        expression(xxhash64(col("text"))),
+        Literal(BloomEstItems), Literal(BloomNumBits), 0, 0)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val batch = incrementalBatch(spark, dir)
+      .withColumn("maybe_dup", column(BloomFilterMightContain(
+        expression(lit(bloomBytes)), expression(xxhash64(col("text"))))))
+    val definitelyNew = batch.filter(!col("maybe_dup"))
+    val verifiedNew = batch.filter(col("maybe_dup"))
+      .withColumn("ch", sha2(col("text"), 256))
+      .join(hist.select(sha2(col("text"), 256).as("ch")), Seq("ch"), "left_anti")
+      .drop("ch")
+    definitelyNew.unionByName(verifiedNew)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 200000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000000,
+      |         text || ' fresh ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 13 = 0)
+      |SELECT doc_id, sha256(text) AS content_hash
+      |FROM batch
+      |WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "decontaminate" -> (decontaminate _),
+    "bm25_search" -> (bm25Search _),
+    "pack_sequences" -> (packSequences _),
+    "dedup_incremental" -> (dedupIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql,
+    "bm25_search" -> bm25SearchSql,
+    "pack_sequences" -> packSequencesSql,
+    "dedup_incremental" -> dedupIncrementalSql)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("repetition_stats kernel: known answers via the SQL registration") {
+    val r = spark.sql(
+      "SELECT repetition_stats('a b a b a') AS r").select(col("r.*")).head()
+    // 5 words, 2 distinct; 2-grams: [a b, b a, a b, b a] -> 4 total,
+    // 2 distinct, top count 2
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      === ((5, 2, 4, 2, 2)))
+    val one = spark.sql(
+      "SELECT repetition_stats('solo') AS r").select(col("r.*")).head()
+    assert((one.getInt(2), one.getInt(3), one.getInt(4)) === ((0, 0, 0)))
+  }
+
+  test("text_repetition: fractions derive from the counters; flag obeys thresholds") {
+    CorpusOps.textRepetition(spark, sfDir).collect().foreach { r =>
+      val nG = r.getAs[Int]("n_grams")
+      val dup = r.getAs[Double]("dup_gram_frac")
+      val top = r.getAs[Double]("top_gram_frac")
+      if (nG > 0) {
+        assert(dup === (nG - r.getAs[Int]("distinct_grams")).toDouble / nG)
+        assert(top === r.getAs[Int]("top_gram_n").toDouble / nG)
+      } else assert(dup === 0.0 && top === 0.0)
+      assert(r.getAs[Int]("repetitive") ===
+        (if (top > CorpusOps.TopGramFracMax || dup > CorpusOps.DupGramFracMax) 1 else 0))
+    }
+  }
+
+  test("decontaminate: matches an independent array-intersect computation") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val benchShingles = docs
+      .filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+      .select(explode(TextOps.shingles(col("text"), 3)).as("s"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val expected = docs
+      .filter(col("doc_id") % CorpusOps.BenchmarkMod =!= 0)
+      .select(col("doc_id"),
+        size(array_intersect(TextOps.shingles(col("text"), 3),
+          lit(benchShingles))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = CorpusOps.decontaminate(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(got === expected)
+    assert(got.keys.forall(_ % CorpusOps.BenchmarkMod != 0))
+  }
+
+  test("bm25: k rows per query, ranks dense, scores non-increasing, terms matched") {
+    val rows = CorpusOps.bm25Search(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getString(0))
+    assert(byQuery.keySet === CorpusOps.Bm25Queries.map(_._1).toSet)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byQuery.foreach { case (q, qr) =>
+      val sorted = qr.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to CorpusOps.Bm25TopK))
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores === scores.sorted.reverse, s"$q scores not non-increasing")
+      val terms = CorpusOps.Bm25Queries.toMap.apply(q)
+      sorted.foreach { r =>
+        val text = docs(r.getLong(1))
+        val matched = terms.count(t => text.split("\\s+").contains(t))
+        assert(matched === r.getAs[Long]("n_terms"), s"$q doc ${r.getLong(1)}")
+        assert(matched > 0)
+      }
+    }
+  }
+
+  test("pack_sequences: per-shard contiguous layout covering every token once") {
+    val rows = CorpusOps.packSequences(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_off"))
+      assert(sorted.head.getAs[Long]("start_off") === 0L, s"shard $shard")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_off") === b.getAs[Long]("start_off"),
+            s"gap/overlap in shard $shard")
+        case _ =>
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("end_off") ===
+          r.getAs[Long]("start_off") + r.getAs[Long]("n_tokens"))
+        assert(r.getAs[Long]("first_seq") <= r.getAs[Long]("last_seq"))
+        assert(r.getAs[Long]("first_seq") ===
+          r.getAs[Long]("start_off") / CorpusOps.PackBudget)
+      }
+    }
+    // the layout is a pure function of doc ids: identical after reshuffling
+    val again = CorpusOps.packSequences(spark, sfDir).repartition(7)
+      .orderBy(col("shard"), col("start_off")).collect().map(_.toString)
+    assert(again.toSeq === rows.sortBy(r =>
+      (r.getAs[String]("shard"), r.getAs[Long]("start_off"))).map(_.toString).toSeq)
+  }
+
+  test("dedup_incremental: equals the naive anti-join; bloom actually prunes") {
+    val naive = CorpusOps.incrementalBatch(spark, sfDir)
+      .withColumn("ch", sha2(col("text"), 256))
+      .join(graft.sources.Tables(spark, sfDir).documents
+        .select(sha2(col("text"), 256).as("ch")), Seq("ch"), "left_anti")
+      .select(col("doc_id"), col("ch").as("content_hash"))
+      .collect().map(_.toString).sorted
+    val got = CorpusOps.dedupIncremental(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq === naive.toSeq)
+    // every %11 exact copy is a dup (dropped); every %13 fresh doc survives
+    val ids = CorpusOps.dedupIncremental(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ >= 300000000L))
+    val nFresh = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 13 === 0).count()
+    assert(ids.size === nFresh.toInt)
+  }
+}
