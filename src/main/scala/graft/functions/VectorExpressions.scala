@@ -64,6 +64,51 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact squared L2 distance between a raw vector and an ALREADY-QUANTIZED
+  * one: the left input is array<double> (quantized on the fly with the same
+  * `floor(x * 1e6)` rule as [[QuantizedCosine]]), the right is array<long>
+  * of pre-quantized values (e.g. a k-means centroid literal). The sum of
+  * squared integer differences is exact and order-independent, so every
+  * engine agrees bit-for-bit — the assignment metric for the deterministic
+  * k-means operator (VectorOps.kmeansClusters).
+  */
+case class QuantizedL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val d = math.floor(x.getDouble(i) * 1e6).toLong - y.getLong(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = (long) java.lang.Math.floor($x.getDouble($i) * 1.0E6) - $y.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Plain double-accumulation cosine over array<double> — the fast
   * production scoring path (single pass, no quantization). Not used in
   * oracle-compared queries because float summation order is engine-specific.
@@ -193,6 +238,9 @@ object vectors {
 
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  def quantized_l2sq(v: Column, q: Column): Column =
+    column(QuantizedL2Sq(expression(v), expression(q)))
 
   def lsh_sign_buckets(v: Column, numTables: Int, bits: Int, dim: Int,
       seed: Long = 42L): Column =

@@ -359,17 +359,124 @@ object CorpusOps {
       |WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --- C29: per-domain document caps ---------------------------------------
+  /** Max documents kept per source domain. */
+  val DomainCap = 15
+
+  /** Frequency capping per source domain (the C4/RefinedWeb-style "no
+    * domain may dominate the corpus" rule): keep at most [[DomainCap]]
+    * documents per `source`, chosen by content-hash order so the selection
+    * is deterministic and reshard-stable.
+    *
+    * Scale shape: the per-domain selection is [[graft.functions.TopKByScore]]
+    * — per-partition bounded heaps with mergeable partials — so the shuffle
+    * carries O(domains × cap) rows, NOT the corpus (the window-function
+    * formulation would shuffle and sort every document of a hot domain
+    * through one partition; a heap never holds more than cap entries). */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+    // first 12 md5 hex chars as a number: 48 bits — exact in double, and
+    // numeric order == hex-string order, which is what the oracle sorts by
+    val h48 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":cap"))), 1, 12), 16, 10).cast("long")
+    Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"), h48.as("h48"))
+      .groupBy(col("source"))
+      .agg(graft.functions.topk.top_k_by_score(
+        -col("h48").cast("double"), col("doc_id"), DomainCap).as("_tk"))
+      .select(col("source"), posexplode(col("_tk")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("cap_rank"))
+      .orderBy(col("source"), col("cap_rank"))
+  }
+
+  val domainCapsSql: String =
+    s"""SELECT source, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 12),
+       |                doc_id) AS INT) AS cap_rank
+       |FROM documents
+       |QUALIFY cap_rank <= $DomainCap
+       |ORDER BY source, cap_rank""".stripMargin
+
+  // --- C30: token-budget mixture sampling ----------------------------------
+  /** Budget as a fraction of total corpus tokens: num/den (1/2 = keep half
+    * the tokens, split equally across sources). */
+  val MixBudgetNum = 1L
+  val MixBudgetDen = 2L
+
+  /** Data-mixing downsampler: give every source an equal share of a global
+    * token budget ([[MixBudgetNum]]/[[MixBudgetDen]] of the corpus), derive
+    * each source's keep RATE from its actual token mass, and select
+    * documents with the same md5-prefix threshold rule as C22 — so an
+    * over-represented source is downsampled hard while a rare one keeps
+    * everything. All threshold arithmetic is integer (floor division of
+    * exact token counts), so membership is engine-identical and
+    * reshard-stable.
+    *
+    * Scale shape: one partial-agg pass for per-source token masses (tiny —
+    * O(domains) rows, broadcast back), then a pure map filter over the
+    * corpus. The two driver scalars (total mass, source count) are the same
+    * bounded collect the BM25 stats use. */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+          1, 4), 16, 10).cast("int").as("h16"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = bySrc.agg(sum(col("src_tokens")), count(lit(1))).head()
+    val (totTokens, nSrc) = (tot.getLong(0), tot.getLong(1))
+    val thr = bySrc.select(col("source"),
+      least(lit(65536L),
+        expr(s"(${65536L * MixBudgetNum} * ${totTokens}L) div " +
+          s"(${MixBudgetDen * nSrc}L * src_tokens)")).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(col("h16") < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr").cast("int").as("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 4-hex-char positional parse (the md5-prefix → integer idiom). */
+  private def hex4Sql(m: String): String =
+    (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+
+  val corpusMixtureSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    ${hex4Sql(s"substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4)")} AS h16
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY 1
+       |), t AS (
+       |  SELECT SUM(src_tokens) AS tot, COUNT(*) AS n FROM s
+       |), thr AS (
+       |  SELECT source,
+       |    LEAST(65536, ($MixBudgetNum * 65536 * tot) // ($MixBudgetDen * n * src_tokens)) AS thr
+       |  FROM s CROSS JOIN t)
+       |SELECT d.doc_id, d.source, CAST(thr AS INT) AS thr
+       |FROM d JOIN thr USING (source)
+       |WHERE h16 < thr
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "bm25_search" -> (bm25Search _),
     "pack_sequences" -> (packSequences _),
-    "dedup_incremental" -> (dedupIncremental _))
+    "dedup_incremental" -> (dedupIncremental _),
+    "domain_caps" -> (domainCaps _),
+    "corpus_mixture" -> (corpusMixture _))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "bm25_search" -> bm25SearchSql,
     "pack_sequences" -> packSequencesSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "domain_caps" -> domainCapsSql,
+    "corpus_mixture" -> corpusMixtureSql)
 }

@@ -185,6 +185,108 @@ object VectorOps {
       |SELECT s1.label, n_vectors, sum_q_norm2, min_norm, max_norm, centroid_norm2_q
       |FROM s1 JOIN c ON s1.label = c.label ORDER BY 1""".stripMargin
 
+  // --- C28: deterministic k-means corpus clustering ------------------------
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  private def quantizeLocal(v: Seq[Double]): Array[Long] =
+    v.map(x => math.floor(x * 1e6).toLong).toArray
+
+  /** For each row of an `emb`-carrying frame: the (dist, cid) of its
+    * nearest centroid — fully map-side (the centroid set rides along as
+    * literals, the distance is the codegen'd [[graft.functions.QuantizedL2Sq]],
+    * and `least` over the per-centroid structs is the argmin with the
+    * (dist, cid) tie-break the oracle mirrors). */
+  private def nearestCentroid(cents: Seq[(Long, Array[Long])]): Column = {
+    val packed = cents.map { case (cid, q) =>
+      struct(quantized_l2sq(col("emb"), typedLit(q.toSeq)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    if (packed.size == 1) packed.head else least(packed: _*)
+  }
+
+  /** Deterministic Lloyd k-means over the embeddings corpus — the corpus
+    * clustering step of a curation pipeline (domain discovery, data
+    * mixing, curriculum buckets). No RNG anywhere: seeds are the
+    * [[KmeansK]] smallest `(md5(vec_id), vec_id)` rows (content-hash
+    * spread), distances are exact integers over `floor(x*1e6)` quantized
+    * elements, and centroid updates round per-dimension means with
+    * mathematically exact `floor(sum/count)` — so the final assignment is
+    * bit-identical in any engine and under any partitioning, and the DuckDB
+    * twin replays the whole iteration.
+    *
+    * Scale shape (100 TB): each round is ONE corpus map pass (centroids are
+    * k×dim literals — the broadcast analog; assignment never shuffles) plus
+    * a (cid, dim)-keyed partial aggregation whose shuffle carries
+    * O(k × dim) rows; the tiny per-round centroid collect is the same
+    * driver-side step `ivfBuild` uses. Rounds are fixed ([[KmeansRounds]]),
+    * so the job is a known, bounded DAG. Empty clusters drop (standard
+    * Lloyd collapse) — deterministically in both engines. */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    var cents: Seq[(Long, Array[Long])] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(KmeansK)
+      .collect()
+      .map(r => (r.getLong(0), quantizeLocal(r.getSeq[Double](1))))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to KmeansRounds) {
+      val upd = corpus
+        .select(nearestCentroid(cents).getField("cid").as("cid"),
+          posexplode(col("emb")))
+        .select(col("cid"), col("pos"),
+          floor(col("col") * lit(1e6)).cast("long").as("qel"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("qel")).as("s"), count(lit(1)).as("c"))
+        // floor(s/c) in double is exact here: |s| ≤ corpus·2e6 < 2^53 and
+        // the true quotient is ≥ 1/c away from any other integer
+        .select(col("cid"), col("pos"),
+          floor(col("s").cast("double") / col("c")).cast("long").as("m"))
+        .collect()
+      cents = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val arr = new Array[Long](Dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    corpus.select(col("vec_id"), nearestCentroid(cents).as("_b"))
+      .select(col("vec_id"), col("_b.cid").as("cluster_id"),
+        col("_b.dist").as("dist_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin: the same seeds, rounds, quantization, and tie-breaks,
+    * with the Lloyd iterations unrolled as CTE blocks. */
+  val kmeansClustersSql: String = {
+    def assign(n: Int, prev: String): String =
+      s"""a$n AS (
+         |  SELECT vec_id, qv, cid, dist FROM (
+         |    SELECT vec_id, qv, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT q.vec_id, q.qv, c.cid,
+         |            CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+         |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist
+         |          FROM q CROSS JOIN $prev c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(n: Int): String =
+      s"""c$n AS (
+         |  SELECT cid, list(m ORDER BY d) AS cq FROM (
+         |    SELECT cid, i AS d,
+         |      CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |    FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to KmeansRounds).map(i =>
+      assign(i, if (i == 1) "c0" else s"c${i - 1}") + ",\n" + update(i))
+      .mkString(",\n")
+    s"""WITH $embSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |c0 AS (SELECT vec_id AS cid, qv AS cq FROM q
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmeansK),
+       |$rounds,
+       |${assign(KmeansRounds + 1, s"c$KmeansRounds")}
+       |SELECT vec_id, cid AS cluster_id, dist AS dist_q
+       |FROM a${KmeansRounds + 1} ORDER BY vec_id""".stripMargin
+  }
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -193,12 +295,14 @@ object VectorOps {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "embed_stats" -> (embedStats _)
+    "embed_stats" -> (embedStats _),
+    "kmeans_clusters" -> (kmeansClusters _)
   )
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopkSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "embed_stats" -> embedStatsSql
+    "embed_stats" -> embedStatsSql,
+    "kmeans_clusters" -> kmeansClustersSql
   )
 }

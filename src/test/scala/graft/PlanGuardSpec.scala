@@ -62,7 +62,17 @@ class PlanGuardSpec extends SparkSpec {
     "text_pii_scrub" -> 1, // map-only + gate sort
     "quality_filter_chain" -> 1, // map-only + gate sort
     "asof_join" -> 2, // union co-partition window + gate sort
-    "multimodal_meta" -> 1 // decode is a pure map stage + gate sort
+    "multimodal_meta" -> 1, // decode is a pure map stage + gate sort
+    "text_repetition" -> 1, // one-pass kernel, map-only + gate sort
+    "decontaminate" -> 3, // bench distinct + per-doc agg + gate sort (bench side broadcast)
+    "bm25_search" -> 6, // tf agg, df distinct+agg, score agg, top-k window, gate sort — all over O(matches) rows, never the corpus
+    "pack_sequences" -> 2, // per-shard window + gate sort
+    "dedup_incremental" -> 1, // bloom prunes before the anti-join; hist hash side broadcast
+    "domain_caps" -> 2, // bounded-heap agg on source + gate sort
+    "corpus_mixture" -> 2, // per-source mass agg (thr broadcast back) + gate sort
+    "funnel" -> 2, // ONE user-key agg + gate sort
+    "retention" -> 3, // user agg, cohort-cell agg, gate sort
+    "kmeans_clusters" -> 1 // final assignment is map-side vs centroid literals + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -98,6 +98,47 @@ class CorpusOpsSpec extends SparkSpec {
       (r.getAs[String]("shard"), r.getAs[Long]("start_off"))).map(_.toString).toSeq)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("domain_caps keeps exactly the cap smallest-hash docs per source") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._2).sortBy(id => (md5hex(s"$id:cap").take(12), id))
+        .take(CorpusOps.DomainCap)
+        .zipWithIndex.map { case (id, i) => (src, id, i + 1) }
+    }.toSet
+    val got = CorpusOps.domainCaps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= CorpusOps.DomainCap))
+  }
+
+  test("corpus_mixture: thresholds follow the token-budget formula, membership exact") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tot = bySrc.values.sum
+    val n = bySrc.size
+    def thr(src: String): Long = math.min(65536L,
+      (CorpusOps.MixBudgetNum * 65536L * tot) /
+        (CorpusOps.MixBudgetDen * n * bySrc(src)))
+    val expected = docs.flatMap { case (id, src, _) =>
+      val h16 = Integer.parseInt(md5hex(s"$id:mix").take(4), 16)
+      if (h16 < thr(src)) Some((id, src, thr(src).toInt)) else None
+    }.toSet
+    val got = CorpusOps.corpusMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // the budget is half the corpus: real downsampling must be happening
+    assert(bySrc.keys.exists(s => thr(s) < 65536L))
+  }
+
   test("dedup_incremental: equals the naive anti-join; bloom actually prunes") {
     val naive = CorpusOps.incrementalBatch(spark, sfDir)
       .withColumn("ch", sha2(col("text"), 256))

@@ -136,6 +136,40 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("kmeans_clusters matches a plain-Scala Lloyd replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = graft.sources.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
+      .toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[(Long, Array[Long])]): Map[Long, (Long, Long)] =
+      vecs.map { case (id, q) =>
+        id -> cents.map { case (cid, cq) => (dist(q, cq), cid) }.min
+      }
+    var cents: Seq[(Long, Array[Long])] = vecs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(VectorOps.KmeansK)
+      .sorted.map(id => id -> vecs(id))
+    for (_ <- 1 to VectorOps.KmeansRounds) {
+      val members = assign(cents).toSeq.groupBy(_._2._2)
+      cents = members.map { case (cid, ms) =>
+        val qs = ms.map(m => vecs(m._1))
+        cid -> Array.tabulate(qs.head.length)(d =>
+          math.floor(qs.map(_(d)).sum.toDouble / qs.size).toLong)
+      }.toSeq.sortBy(_._1)
+    }
+    val expected = assign(cents)
+    val got = VectorOps.kmeansClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(got === expected)
+    // a real clustering: more than one cluster survives, distances bounded
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
