@@ -69,6 +69,56 @@ object ScaleProbe {
       Cluster.connectedComponentsStars(nodes, "id", edges, "a", "b")
         .filter(col("cluster_id") === 1L).count()
     }
+    time("text_repetition") {
+      CorpusOps.textRepetitionOn(docs, "doc_id", "text").count()
+    }
+    time("decontaminate") {
+      CorpusOps.decontaminateOn(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()
+    }
+    time("bm25_search") {
+      CorpusOps.bm25SearchOn(docs, "doc_id", "text",
+        CorpusOps.Bm25Queries, 10).count()
+    }
+    time("pack_sequences") {
+      CorpusOps.packSequencesOn(docs, "doc_id", "text", 2048L).count()
+    }
+    time("dedup_incremental") {
+      // history = the full replicated corpus; batch = one replica's worth
+      CorpusOps.dedupIncrementalOn(docs,
+        docs.filter(col("doc_id") < 10000000L)
+          .withColumn("doc_id", col("doc_id") + 900000000L),
+        "doc_id", "text", bloomEstItems = 1L << 22, bloomNumBits = 1L << 25)
+        .count()
+    }
+    time("domain_caps") {
+      // synthesize a skewed domain: doc_id mod 37, with one hot domain
+      val dom = docs.withColumn("source",
+        when(col("doc_id") % 3 === 0, lit("hot"))
+          .otherwise(concat(lit("d"), (col("doc_id") % 37).cast("string"))))
+      CorpusOps.domainCapsOn(dom, "doc_id", "source", 1000).count()
+    }
+    time("corpus_mixture") {
+      val dom = docs.withColumn("source",
+        concat(lit("d"), (col("doc_id") % 37).cast("string")))
+      CorpusOps.corpusMixtureOn(dom, "doc_id", "source", "text", 1L, 2L).count()
+    }
+    time("kmeans_clusters") {
+      VectorOps.kmeansOn(embs, "vec_id", "emb", k = 16, rounds = 2).count()
+    }
+    time("funnel_retention") {
+      // raw parquet ts is LONG nanos under nanosAsLong — convert like Tables
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val evBig = (0 until reps).map(r => ev.withColumn("user_id",
+          col("user_id") + lit(r * 10000000L)))
+        .reduce(_ unionAll _)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      OlapC.funnelOn(evBig, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase")).count() +
+        OlapC.retentionOn(evBig, "user_id", "ts").count()
+    }
     val queries = embs.limit(40)
     time("ann_brute") {
       Ann.bruteTopK(embs, queries, "vec_id", "emb", 10).count()

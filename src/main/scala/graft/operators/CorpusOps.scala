@@ -47,10 +47,10 @@ object CorpusOps {
     * claimed by the most frequent 2-gram). Counters are integers from a
     * single map-side kernel pass; the fractions divide those integers in
     * IEEE double, so every engine computes the identical bits. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val r = graft.functions.textsketch.repetition_stats(col("text"))
-    Tables(spark, dir).documents
-      .select(col("doc_id"), r.as("r"))
+  def textRepetitionOn(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val r = graft.functions.textsketch.repetition_stats(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), r.as("r"))
       .select(col("doc_id"), col("r.n_words"), col("r.distinct_words"),
         col("r.n_grams"), col("r.distinct_grams"), col("r.top_gram_n"))
       .withColumn("dup_gram_frac",
@@ -66,6 +66,9 @@ object CorpusOps {
           col("dup_gram_frac") > DupGramFracMax).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionOn(Tables(spark, dir).documents, "doc_id", "text")
 
   val textRepetitionSql: String =
     s"""WITH t AS (
@@ -111,17 +114,23 @@ object CorpusOps {
     * shingle set is broadcast — at deploy scale it is a few MB against a
     * multi-TB corpus, so contamination detection costs one corpus map pass
     * plus a per-doc partial-agg count. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(TextOps.shingles(col("text"), 3)).as("s"))
-    val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
-      .select(col("s")).distinct()
-    sh.filter(col("doc_id") % BenchmarkMod =!= 0)
-      .join(broadcast(bench), "s")
+  def decontaminateOn(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TextOps.shingles(col(textCol), n)).as("s")).distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), n)).as("s"))
+      .join(broadcast(benchShingles), "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    decontaminateOn(docs.filter(col("doc_id") % BenchmarkMod =!= 0),
+      docs.filter(col("doc_id") % BenchmarkMod === 0), "doc_id", "text")
   }
 
   val decontaminateSql: String =
@@ -156,10 +165,12 @@ object CorpusOps {
     * double; the float formula is written with IDENTICAL association in
     * both engines, and per-doc term scores accumulate via decimal(28,12)
     * so the sum is order-free. Ranking compares the decimal (exact). */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25SearchOn(documents: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], topK: Int): DataFrame = {
+    val spark = documents.sparkSession
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val docs = documents
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("bigint").as("dl"))
     // one corpus pass for the two global stats (exact: integer count,
@@ -170,7 +181,7 @@ object CorpusOps {
     val nDocs = stats.getLong(0)
     val avgdl = stats.getDecimal(1).doubleValue() / nDocs
 
-    val terms = Bm25Queries
+    val terms = queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val occ = docs.select(col("doc_id"), col("dl"),
@@ -198,11 +209,15 @@ object CorpusOps {
       .orderBy(col("score_dec").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Bm25TopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("score_dec").cast("double").as("score"), col("n_terms"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25SearchOn(Tables(spark, dir).documents, "doc_id", "text",
+      Bm25Queries, Bm25TopK)
 
   val bm25SearchSql: String = {
     val values = Bm25Queries
@@ -258,10 +273,11 @@ object CorpusOps {
     * makes every shard an INDEPENDENT running-sum window — packing
     * parallelism scales with the shard count instead of serializing the
     * corpus through one global cumsum (the single-partition trap). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-      md5(col("doc_id").cast("string")).as("h"))
+  def packSequencesOn(documents: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("h"))
       .withColumn("shard", substring(col("h"), 1, 1))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -270,10 +286,13 @@ object CorpusOps {
         (sum(col("n_tokens")).over(w) - col("n_tokens")).as("start_off"))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
         (col("start_off") + col("n_tokens")).as("end_off"),
-        expr(s"start_off div $PackBudget").as("first_seq"),
-        expr(s"(start_off + n_tokens - 1) div $PackBudget").as("last_seq"))
+        expr(s"start_off div $budget").as("first_seq"),
+        expr(s"(start_off + n_tokens - 1) div $budget").as("last_seq"))
       .orderBy(col("shard"), col("start_off"), col("doc_id"))
   }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOn(Tables(spark, dir).documents, "doc_id", "text", PackBudget)
 
   val packSequencesSql: String =
     s"""WITH t AS (
@@ -323,17 +342,21 @@ object CorpusOps {
     * positive sliver (true dups + false positives) anti-joins history on
     * the FULL sha256 content hash, which also makes a 64-bit hash
     * collision harmless. Output is exact — the bloom only prunes. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalOn(history: DataFrame, batchDocs: DataFrame,
+      idCol: String, textCol: String,
+      bloomEstItems: Long = BloomEstItems,
+      bloomNumBits: Long = BloomNumBits): DataFrame = {
     import GraftSqlBridge.{column, expression}
-    val hist = Tables(spark, dir).documents.select(col("text"))
+    val hist = history.select(col(textCol).as("text"))
     val bloomBytes = hist
       .select(column(new BloomFilterAggregate(
         expression(xxhash64(col("text"))),
-        Literal(BloomEstItems), Literal(BloomNumBits), 0, 0)
+        Literal(bloomEstItems), Literal(bloomNumBits), 0, 0)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
 
-    val batch = incrementalBatch(spark, dir)
+    val batch = batchDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("maybe_dup", column(BloomFilterMightContain(
         expression(lit(bloomBytes)), expression(xxhash64(col("text"))))))
     val definitelyNew = batch.filter(!col("maybe_dup"))
@@ -345,6 +368,10 @@ object CorpusOps {
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
       .orderBy(col("doc_id"))
   }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOn(Tables(spark, dir).documents,
+      incrementalBatch(spark, dir), "doc_id", "text")
 
   val dedupIncrementalSql: String =
     """WITH batch AS (
@@ -373,21 +400,26 @@ object CorpusOps {
     * carries O(domains × cap) rows, NOT the corpus (the window-function
     * formulation would shuffle and sort every document of a hot domain
     * through one partition; a heap never holds more than cap entries). */
-  def domainCaps(spark: SparkSession, dir: String): DataFrame = {
+  def domainCapsOn(documents: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
     // first 12 md5 hex chars as a number: 48 bits — exact in double, and
     // numeric order == hex-string order, which is what the oracle sorts by
-    val h48 = conv(substring(md5(concat(col("doc_id").cast("string"),
+    val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":cap"))), 1, 12), 16, 10).cast("long")
-    Tables(spark, dir).documents
-      .select(col("source"), col("doc_id"), h48.as("h48"))
+    documents
+      .select(col(domainCol).as("source"), col(idCol).as("doc_id"),
+        h48.as("h48"))
       .groupBy(col("source"))
       .agg(graft.functions.topk.top_k_by_score(
-        -col("h48").cast("double"), col("doc_id"), DomainCap).as("_tk"))
+        -col("h48").cast("double"), col("doc_id"), cap).as("_tk"))
       .select(col("source"), posexplode(col("_tk")))
       .select(col("source"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("int").as("cap_rank"))
       .orderBy(col("source"), col("cap_rank"))
   }
+
+  def domainCaps(spark: SparkSession, dir: String): DataFrame =
+    domainCapsOn(Tables(spark, dir).documents, "doc_id", "source", DomainCap)
 
   val domainCapsSql: String =
     s"""SELECT source, doc_id,
@@ -417,11 +449,12 @@ object CorpusOps {
     * O(domains) rows, broadcast back), then a pure map filter over the
     * corpus. The two driver scalars (total mass, source count) are the same
     * bounded collect the BM25 stats use. */
-  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+  def corpusMixtureOn(documents: DataFrame, idCol: String, domainCol: String,
+      textCol: String, budgetNum: Long, budgetDen: Long): DataFrame = {
+    val docs = documents
+      .select(col(idCol).as("doc_id"), col(domainCol).as("source"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))),
           1, 4), 16, 10).cast("int").as("h16"))
     val bySrc = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
@@ -429,13 +462,17 @@ object CorpusOps {
     val (totTokens, nSrc) = (tot.getLong(0), tot.getLong(1))
     val thr = bySrc.select(col("source"),
       least(lit(65536L),
-        expr(s"(${65536L * MixBudgetNum} * ${totTokens}L) div " +
-          s"(${MixBudgetDen * nSrc}L * src_tokens)")).as("thr"))
+        expr(s"(${65536L * budgetNum} * ${totTokens}L) div " +
+          s"(${budgetDen * nSrc}L * src_tokens)")).as("thr"))
     docs.join(broadcast(thr), "source")
       .filter(col("h16") < col("thr"))
       .select(col("doc_id"), col("source"), col("thr").cast("int").as("thr"))
       .orderBy(col("doc_id"))
   }
+
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame =
+    corpusMixtureOn(Tables(spark, dir).documents, "doc_id", "source", "text",
+      MixBudgetNum, MixBudgetDen)
 
   /** 4-hex-char positional parse (the md5-prefix → integer idiom). */
   private def hex4Sql(m: String): String =

@@ -25,24 +25,33 @@ object OlapC {
     * `purchase` strictly after that, and the stage reached (0–3). Step
     * times are `min` over filtered per-user history — order-free, so the
     * unordered `collect_list` is safe and no per-user sort ever happens. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).events
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_type"))
-    e.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+  def funnelOn(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("ts_us"), col(typeCol).as("event_type"))
+    val first = base.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === steps.head, col("ts_us")))
+          .as(s"t_${steps.head}"),
         collect_list(struct(col("ts_us"), col("event_type"))).as("_evs"))
-      .withColumn("t_click", array_min(expr(
-        "transform(filter(_evs, x -> x.event_type = 'click' AND x.ts_us > t_view), x -> x.ts_us)")))
-      .withColumn("t_purchase", array_min(expr(
-        "transform(filter(_evs, x -> x.event_type = 'purchase' AND x.ts_us > t_click), x -> x.ts_us)")))
-      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-        when(col("t_purchase").isNotNull, 3)
-          .when(col("t_click").isNotNull, 2)
-          .when(col("t_view").isNotNull, 1)
-          .otherwise(0).as("stage"))
+    val withSteps = steps.zip(steps.tail).foldLeft(first) { case (df, (prev, s)) =>
+      df.withColumn(s"t_$s", array_min(expr(
+        s"transform(filter(_evs, x -> x.event_type = '$s' AND x.ts_us > t_$prev), x -> x.ts_us)")))
+    }
+    // ascending fold: the outermost `when` is the deepest step reached
+    val stage = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col(s"t_$s").isNotNull, i + 1).otherwise(acc)
+    }
+    withSteps
+      .select(col("user_id") +: steps.map(s => col(s"t_$s")) :+
+        stage.as("stage"): _*)
       .orderBy(col("user_id"))
   }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
 
   val funnelSql: String =
     """WITH e AS (
@@ -70,10 +79,10 @@ object OlapC {
     * set aggregate together; exploding the per-user week set (bounded by
     * the observation span) yields unique (user, week) rows, so the final
     * count is distinct-free. */
-  def retention(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).events
-      .select(col("user_id"),
-        to_date(date_trunc("week", col("ts"))).as("wk"))
+  def retentionOn(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    events
+      .select(col(userCol).as("user_id"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
       .groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("_wks"))
       .select(col("user_id"), col("cohort_week"), explode(col("_wks")).as("wk"))
@@ -83,6 +92,9 @@ object OlapC {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retentionOn(Tables(spark, dir).events, "user_id", "ts")
 
   val retentionSql: String =
     """WITH a AS (

@@ -222,14 +222,15 @@ object VectorOps {
     * driver-side step `ivfBuild` uses. Rounds are fixed ([[KmeansRounds]]),
     * so the job is a known, bounded DAG. Empty clusters drop (standard
     * Lloyd collapse) — deterministically in both engines. */
-  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir)
+  def kmeansOn(corpusIn: DataFrame, idCol: String, embCol: String,
+      k: Int, rounds: Int, dim: Int = Dim): DataFrame = {
+    val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
     var cents: Seq[(Long, Array[Long])] = corpus
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(KmeansK)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .collect()
       .map(r => (r.getLong(0), quantizeLocal(r.getSeq[Double](1))))
       .sortBy(_._1).toSeq
-    for (_ <- 1 to KmeansRounds) {
+    for (_ <- 1 to rounds) {
       val upd = corpus
         .select(nearestCentroid(cents).getField("cid").as("cid"),
           posexplode(col("emb")))
@@ -243,7 +244,7 @@ object VectorOps {
           floor(col("s").cast("double") / col("c")).cast("long").as("m"))
         .collect()
       cents = upd.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        val arr = new Array[Long](Dim)
+        val arr = new Array[Long](dim)
         rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
         (cid, arr)
       }.toSeq.sortBy(_._1)
@@ -253,6 +254,9 @@ object VectorOps {
         col("_b.dist").as("dist_q"))
       .orderBy(col("vec_id"))
   }
+
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    kmeansOn(emb(spark, dir), "vec_id", "emb", KmeansK, KmeansRounds)
 
   /** DuckDB twin: the same seeds, rounds, quantization, and tie-breaks,
     * with the Lloyd iterations unrolled as CTE blocks. */
