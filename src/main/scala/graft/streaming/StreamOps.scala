@@ -141,13 +141,52 @@ object StreamOps {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // --- B21: streaming exact-dedup state -------------------------------------
+  val DedupQueryName = "graft_stream_dedup"
+
+  /** Streaming exact dedup: the arriving document stream folds into
+    * per-content-hash state (keeper = min id, copy count) — the incremental-
+    * ingestion complement of batch C1 and bloom-probe C27: here the state
+    * itself answers "seen before?" continuously as documents arrive. The
+    * replayed corpus is C1's exact seeded-dup corpus (every 7th doc
+    * re-arrives under a shifted id, via a second file source unioned in),
+    * and min/count are replay-invariant, so the AvailableNow drain equals
+    * the batch aggregation — oracle-checked with C1's own SQL.
+    *
+    * Scale: state is one row per distinct hash, sized by
+    * `graft.streaming.statePartitions`; on an unbounded production stream
+    * put the C27 bloom in front (negatives skip state entirely) or age
+    * state with a watermark on arrival time. */
+  def streamDedup(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark) // isolated state-partition conf
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val stream = src.unionByName(
+      src.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    val agg = stream
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+
+    spark.streams.active.filter(_.name == DedupQueryName).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(DedupQueryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(DedupQueryName).orderBy(col("content_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEvents _),
-    "stream_join" -> (streamJoin _)
+    "stream_join" -> (streamJoin _),
+    "stream_dedup" -> (streamDedup _)
   )
 
   val oracles: Map[String, String] = Map(
     "stream_events" -> streamEventsSql,
-    "stream_join" -> streamJoinSql
+    "stream_join" -> streamJoinSql,
+    // the streamed state must equal the batch dedup over the same corpus
+    "stream_dedup" -> graft.operators.TextOps.dedupExactSql
   )
 }

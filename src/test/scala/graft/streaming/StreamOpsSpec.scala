@@ -46,6 +46,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streamed dedup state equals the batch exact-dedup groups") {
+    val streamed = StreamOps.streamDedup(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.TextOps.dedupExact(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+    // the seeded duplicates actually exercised the state-merge path
+    assert(StreamOps.streamDedup(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("n_copies") > 1).count() > 0)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
