@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_similarity", "cosine_similarity(a, b) - cosine over array<double>"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
 
+    ext.injectFunction((FunctionIdentifier("quantized_l2sq"),
+      info("quantized_l2sq",
+        "quantized_l2sq(vec, qcentroid) - exact integer squared L2 vs a pre-quantized vector"),
+      (es: Seq[Expression]) => QuantizedL2Sq(es(0), es(1))))
+
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
       (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "n"))))

@@ -499,7 +499,71 @@ object CorpusOps {
        |WHERE h16 < thr
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C31: unigram-LM quality signal (CCNet-style) ------------------------
+  /** Cross-entropy buckets: documents whose token distribution diverges
+    * from the corpus LM land in high buckets. */
+  val LmBucketMax = 9
+
+  /** Per-document cross-entropy under a unigram LM trained on the corpus
+    * itself (the CCNet quality-scoring shape, with the corpus standing in
+    * for the reference LM). One vocabulary aggregation trains the LM; the
+    * per-document score is then a PURE MAP stage — the vocabulary rides
+    * along as a map literal (the broadcast analog; at deploy scale a
+    * bounded top-K vocab + OOV bin is a broadcast join instead).
+    *
+    * Parity: each token's -ln p term is floor-quantized to integer
+    * picounats (`floor(x*1e12)`), summed exactly (order-free), and only
+    * the final division runs in IEEE double — so both engines emit the
+    * identical bits despite ln() being a libm call (same doubles in, same
+    * correctly-rounded arithmetic after). */
+  def unigramLogprobOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val vocab = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = vocab.map(_._2).sum
+    val vocabMap = typedLit(vocab.toMap)
+    docs
+      .withColumn("_v", vocabMap)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr(s"aggregate(toks, 0L, (acc, t) -> acc + " +
+          s"CAST(floor((ln(CAST($n AS DOUBLE)) - ln(CAST(_v[t] AS DOUBLE))) * 1e12) AS BIGINT))")
+          .as("_sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_sq").cast("double") / lit(1e12) / col("n_tokens").cast("double"))
+          .as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  val unigramLogprobSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), v AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
+       |), n AS (SELECT SUM(cnt) AS n FROM v),
+       |terms AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE))) * 1e12) AS BIGINT)) AS BIGINT) AS sq,
+       |    COUNT(*) AS nt
+       |  FROM terms JOIN v USING (tok) CROSS JOIN n GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE) AS cross_entropy,
+       |  CAST(LEAST($LmBucketMax, floor(CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE))) AS INT) AS ppl_bucket
+       |FROM d JOIN s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "bm25_search" -> (bm25Search _),
@@ -509,6 +573,7 @@ object CorpusOps {
     "corpus_mixture" -> (corpusMixture _))
 
   val oracles: Map[String, String] = Map(
+    "unigram_logprob" -> unigramLogprobSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "bm25_search" -> bm25SearchSql,

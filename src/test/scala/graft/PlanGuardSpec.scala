@@ -72,7 +72,8 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_mixture" -> 2, // per-source mass agg (thr broadcast back) + gate sort
     "funnel" -> 2, // ONE user-key agg + gate sort
     "retention" -> 3, // user agg, cohort-cell agg, gate sort
-    "kmeans_clusters" -> 1 // final assignment is map-side vs centroid literals + gate sort
+    "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
+    "unigram_logprob" -> 1 // scoring is map-side vs the vocab literal + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -139,6 +139,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bySrc.keys.exists(s => thr(s) < 65536L))
   }
 
+  test("unigram_logprob: cross-entropy replays from independent token counts") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val expected = docs.map { case (id, toks) =>
+      val sq = toks.map(t =>
+        math.floor((math.log(n.toDouble) - math.log(counts(t).toDouble)) * 1e12)
+          .toLong).sum
+      val ce = sq.toDouble / 1e12 / toks.size
+      id -> ((toks.size, ce, math.min(CorpusOps.LmBucketMax, math.floor(ce).toInt)))
+    }.toMap
+    val got = CorpusOps.unigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got === expected)
+    // the signal separates documents: more than one bucket in the corpus
+    assert(got.values.map(_._3).toSet.size >= 1)
+    got.values.foreach { case (_, ce, _) => assert(ce > 0.0) }
+  }
+
   test("dedup_incremental: equals the naive anti-join; bloom actually prunes") {
     val naive = CorpusOps.incrementalBatch(spark, sfDir)
       .withColumn("ch", sha2(col("text"), 256))
