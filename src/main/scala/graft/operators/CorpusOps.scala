@@ -146,6 +146,82 @@ object CorpusOps {
        |WHERE doc_id % $BenchmarkMod <> 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- C32: fuzzy benchmark decontamination (near-dup, cross-corpus) -------
+  /** Exact-Jaccard gate for calling a train document contaminated. */
+  val FuzzyThreshold = 0.5
+  /** Id shift for the seeded contaminated copies (NOT ≡ 0 mod
+    * [[BenchmarkMod]], so a shifted id never masquerades as benchmark). */
+  val ContaminatedShift = 500000000L
+
+  /** The training corpus with seeded contamination: every benchmark doc
+    * re-enters under a shifted id with a 3-token suffix — a near-dup
+    * (Jaccard ≈ 0.9), not an exact copy, so C24's exact-overlap check is
+    * not what catches it. Deterministic, so the oracle rebuilds it. */
+  def fuzzyTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .unionAll(docs.filter(col("doc_id") % BenchmarkMod === 0)
+        .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+          concat(col("text"), lit(" leaked eval copy")).as("text")))
+  }
+
+  /** Fuzzy decontamination: NEAR-duplicate matches between the training
+    * corpus and the benchmark suite — paraphrased/truncated leaks that
+    * C24's exact n-gram overlap underweights. MinHash-LSH candidates
+    * across the two corpora ([[Dedup.minhashLshPairsAcross]]: the
+    * benchmark side broadcasts, the training corpus never shuffles) then
+    * the exact per-pair Jaccard verify. Candidacy is the deterministic
+    * band criterion, so the DuckDB twin replays it via the shared
+    * candidate-CTE fragment and the result is hash-checked. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % BenchmarkMod === 0)
+    val train = fuzzyTrain(spark, dir)
+    val cands = Dedup.minhashLshPairsAcross(train, bench, "doc_id", "text")
+    Dedup.verifyJaccardPairs(cands, train.unionAll(bench), "doc_id", "text",
+        n = 3, threshold = FuzzyThreshold)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("jaccard"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  val decontaminateFuzzySql: String = {
+    val isBench = (c: String) =>
+      s"($c % $BenchmarkMod = 0 AND $c < $ContaminatedShift)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $BenchmarkMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $ContaminatedShift,
+       |         text || ' leaked eval copy' AS text
+       |  FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |), ${Sketch.minhashCandidateCtes("corpus")},
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM corpus)
+       |), cross_pairs AS (
+       |  SELECT CASE WHEN a_is_bench THEN doc_b ELSE doc_a END AS train_id,
+       |         CASE WHEN a_is_bench THEN doc_a ELSE doc_b END AS bench_id
+       |  FROM (SELECT doc_a, doc_b,
+       |          ${isBench("doc_a")} AS a_is_bench,
+       |          ${isBench("doc_b")} AS b_is_bench
+       |        FROM cand)
+       |  WHERE a_is_bench <> b_is_bench
+       |)
+       |SELECT * FROM (
+       |  SELECT train_id, bench_id,
+       |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jaccard
+       |  FROM cross_pairs
+       |  JOIN shl a ON a.doc_id = train_id
+       |  JOIN shl b ON b.doc_id = bench_id)
+       |WHERE jaccard >= $FuzzyThreshold
+       |ORDER BY train_id, bench_id""".stripMargin
+  }
+
   // --- C25: BM25 corpus search ---------------------------------------------
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -566,6 +642,7 @@ object CorpusOps {
     "unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "bm25_search" -> (bm25Search _),
     "pack_sequences" -> (packSequences _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -576,6 +653,7 @@ object CorpusOps {
     "unigram_logprob" -> unigramLogprobSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_fuzzy" -> decontaminateFuzzySql,
     "bm25_search" -> bm25SearchSql,
     "pack_sequences" -> packSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -202,6 +202,36 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH candidates ACROSS two corpora (left ⋈ right, not a
+    * self-join): the fuzzy cross-dedup shape — dedup a new corpus against
+    * an old one, or near-dup-decontaminate training data against a
+    * benchmark suite. The right side is expected to be the SMALL one
+    * (benchmark/eval suites are MBs): its bucketed signatures broadcast, so
+    * the left corpus is sketched map-side and never shuffles.
+    *
+    * Candidacy = "shares ≥ 1 exact band tuple", same definition as
+    * [[minhashLshPairs]] — and deliberately NO estimate filter: the exact
+    * verify stage ([[verifyJaccardPairs]]) decides, so the result is a
+    * deterministic function of the band layout that any engine replays. */
+  def minhashLshPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("b") +: (0 until rows).map(r =>
+        element_at(col("_sig"), b * rows + r + 1).as(s"s$r")): _*)
+    }: _*)
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("_id"), word_shingles(col(textCol), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("_id"), minhash_signature(col("_sh"), numHashes).as("_sig"))
+      .select(col("_id"), explode(bandKeys).as("_bkt"))
+    bucketed(left).as("a")
+      .join(broadcast(bucketed(right)).as("b"), col("a._bkt") === col("b._bkt"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Widest simhash band layout that still GUARANTEES recall at
     * `maxHamming`: flipping h bits can touch at most h bands, so a
     * colliding band survives whenever bands ≥ h+1, i.e.

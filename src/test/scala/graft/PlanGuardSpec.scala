@@ -73,7 +73,8 @@ class PlanGuardSpec extends SparkSpec {
     "funnel" -> 2, // ONE user-key agg + gate sort
     "retention" -> 3, // user agg, cohort-cell agg, gate sort
     "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
-    "unigram_logprob" -> 1 // scoring is map-side vs the vocab literal + gate sort
+    "unigram_logprob" -> 1, // scoring is map-side vs the vocab literal + gate sort
+    "decontaminate_fuzzy" -> 4 // bench-side bcast exchange, pair dedup, two verify joins + gate sort share AQE reuse
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

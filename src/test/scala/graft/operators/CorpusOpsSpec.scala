@@ -139,6 +139,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bySrc.keys.exists(s => thr(s) < 65536L))
   }
 
+  test("decontaminate_fuzzy finds every seeded near-dup leak at full recall") {
+    val bench = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = CorpusOps.decontaminateFuzzy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every contaminated copy pairs with exactly its source benchmark doc
+    val seeded = got.filter(_._1 >= CorpusOps.ContaminatedShift)
+    assert(seeded.map(_._1).toSet ===
+      bench.map(_ + CorpusOps.ContaminatedShift))
+    seeded.foreach { case (t, b, j) =>
+      assert(t === b + CorpusOps.ContaminatedShift)
+      assert(j >= CorpusOps.FuzzyThreshold && j < 1.0)
+    }
+    // output sides are well-typed: bench ids on the right, train on the left
+    got.foreach { case (t, b, _) =>
+      assert(bench.contains(b))
+      assert(!bench.contains(t) || t >= CorpusOps.ContaminatedShift)
+    }
+  }
+
   test("unigram_logprob: cross-entropy replays from independent token counts") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
