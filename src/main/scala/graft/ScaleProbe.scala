@@ -107,6 +107,17 @@ object ScaleProbe {
     time("kmeans_clusters") {
       VectorOps.kmeansOn(embs, "vec_id", "emb", k = 16, rounds = 2).count()
     }
+    time("unigram_logprob") {
+      CorpusOps.unigramLogprobOn(docs, "doc_id", "text").count()
+    }
+    time("decontaminate_fuzzy") {
+      // benchmark = a 1/97 slice; candidates via broadcast-side LSH
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val cands = Dedup.minhashLshPairsAcross(
+        docs.filter(col("doc_id") % 97 =!= 0), bench, "doc_id", "text")
+      Dedup.verifyJaccardPairs(cands, docs, "doc_id", "text",
+        n = 3, threshold = 0.5).count()
+    }
     time("funnel_retention") {
       // raw parquet ts is LONG nanos under nanosAsLong — convert like Tables
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
