@@ -430,6 +430,11 @@ object CorpusOps {
         Literal(bloomEstItems), Literal(bloomNumBits), 0, 0)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    // an empty history aggregates to a NULL bloom: nothing can be a dup
+    if (bloomBytes == null)
+      return batchDocs
+        .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
+        .orderBy(col("doc_id"))
 
     val batch = batchDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))

@@ -230,6 +230,7 @@ object VectorOps {
       .collect()
       .map(r => (r.getLong(0), quantizeLocal(r.getSeq[Double](1))))
       .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "kmeansOn: empty corpus — nothing to seed from")
     for (_ <- 1 to rounds) {
       val upd = corpus
         .select(nearestCentroid(cents).getField("cid").as("cid"),

@@ -183,6 +183,22 @@ class CorpusOpsSpec extends SparkSpec {
     got.values.foreach { case (_, ce, _) => assert(ce > 0.0) }
   }
 
+  test("core APIs survive degenerate inputs (empty history / empty corpus)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    // empty history: every batch doc is new
+    val emptyHist = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = docs.select(col("doc_id"), col("text")).limit(10)
+    assert(CorpusOps.dedupIncrementalOn(emptyHist, batch, "doc_id", "text")
+      .count() === 10L)
+    // empty k-means corpus fails fast with a clear message
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.kmeansOn(emptyEmb, "vec_id", "emb", k = 4, rounds = 1)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("dedup_incremental: equals the naive anti-join; bloom actually prunes") {
     val naive = CorpusOps.incrementalBatch(spark, sfDir)
       .withColumn("ch", sha2(col("text"), 256))
