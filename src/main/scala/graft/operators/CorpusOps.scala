@@ -643,6 +643,71 @@ object CorpusOps {
        |FROM d JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C33: sharded training-data export -----------------------------------
+  /** Shards for the export layout. 16 here; thousands at deploy scale —
+    * write parallelism and downstream loader parallelism both equal the
+    * shard count, so size it to the trainer's data-loader world size. */
+  val ExportNumShards = 16
+
+  /** Per-document export assignment: shard = md5-derived 48-bit hash mod
+    * [[ExportNumShards]] — a pure function of doc_id, so the layout is
+    * reshard-stable (rerunning the export after a repartition or engine
+    * swap moves no document) and any shard can be rebuilt alone. */
+  def exportAssignOn(documents: DataFrame, idCol: String,
+      textCol: String, nShards: Int): DataFrame = {
+    val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":export"))), 1, 12), 16, 10).cast("long")
+    val c48 = conv(substring(md5(col(textCol)), 1, 12), 16, 10).cast("long")
+    documents.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      (h48 % nShards).cast("int").as("shard"),
+      size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+      octet_length(col(textCol)).cast("bigint").as("n_bytes"),
+      c48.as("content_h48"))
+  }
+
+  /** Per-shard export manifest: document/token/byte totals plus an
+    * ORDER-FREE content checksum (bit_xor of each document's md5-derived
+    * 48-bit content hash) — the property that lets a consumer verify a
+    * shard after any reshuffle, and lets two independent export runs be
+    * compared shard-by-shard without reading the data.
+    *
+    * Scale shape: assignment is a pure map stage; the manifest is one
+    * partial-agg shuffle carrying O(shards) rows. The data itself lands
+    * via [[graft.sources.Sinks.writePartitionedParquet]] partitioned by
+    * `shard` — bounded file counts, shard-dir pruning for loaders. */
+  def exportManifestOn(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
+        expr("bit_xor(content_h48)").as("content_xor"))
+      .orderBy(col("shard"))
+
+  def exportShards(spark: SparkSession, dir: String): DataFrame =
+    exportManifestOn(exportAssignOn(Tables(spark, dir).documents,
+      "doc_id", "text", ExportNumShards))
+
+  /** 12-hex-char positional parse → BIGINT (48 bits, exact). */
+  private def hex12Sql(m: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 13),
+       |      i -> (strpos('0123456789abcdef', substr($m, i, 1)) - 1)::BIGINT
+       |           << (4 * (12 - i)))) AS BIGINT)""".stripMargin
+
+  val exportShardsSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    ${hex12Sql(s"substr(md5(CAST(doc_id AS VARCHAR) || ':export'), 1, 12)")}
+       |      % $ExportNumShards AS shard,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |    ${hex12Sql("substr(md5(text), 1, 12)")} AS content_h48
+       |  FROM documents)
+       |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS n_tokens, SUM(n_bytes) AS n_bytes,
+       |  bit_xor(content_h48) AS content_xor
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_logprob" -> (unigramLogprob _),
     "text_repetition" -> (textRepetition _),
@@ -652,7 +717,8 @@ object CorpusOps {
     "pack_sequences" -> (packSequences _),
     "dedup_incremental" -> (dedupIncremental _),
     "domain_caps" -> (domainCaps _),
-    "corpus_mixture" -> (corpusMixture _))
+    "corpus_mixture" -> (corpusMixture _),
+    "export_shards" -> (exportShards _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -663,5 +729,6 @@ object CorpusOps {
     "pack_sequences" -> packSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "domain_caps" -> domainCapsSql,
-    "corpus_mixture" -> corpusMixtureSql)
+    "corpus_mixture" -> corpusMixtureSql,
+    "export_shards" -> exportShardsSql)
 }

@@ -1,12 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** SURVEY §2 block B continued (B19–B20): event-journey analytics — ordered
-  * funnel conversion and cohort retention — the two canonical product-
-  * analytics queries a reference user would run over the events stream.
+/** SURVEY §2 block B continued (B19–B23): event-journey and event-history
+  * analytics — ordered funnel conversion, cohort retention, SCD2 history
+  * compaction, and robust anomaly detection over the events stream.
   *
   * Scale notes (100 TB):
   *  - Both are ONE shuffle on `user_id` with partial aggregation; the
@@ -109,11 +110,136 @@ object OlapC {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B22: SCD2 history compaction (gaps-and-islands) ---------------------
+  /** Run-length compaction of a per-key attribute stream into SCD2-style
+    * validity intervals: for each user, consecutive events with the same
+    * `event_type` collapse into one versioned row `[valid_from, valid_to)`;
+    * the open interval (`valid_to` null) is the current state — the
+    * standard warehouse dimension-history shape, derived from an event log.
+    *
+    * Scale shape: ONE shuffle on the key. The change-flag window, the
+    * cumulative version sum, the per-run aggregation, and the `lead`
+    * closing each interval are ALL clustered by `user_id`, so Catalyst
+    * plans them over the single user-keyed exchange (the run agg's keys
+    * contain the window key — no second shuffle). Tiebreak on `event_id`
+    * keeps the order total, so versions are deterministic. */
+  def scd2On(events: DataFrame, keyCol: String, tsUsCol: String,
+      seqCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("seq"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col(keyCol).as("user_id"), col(tsUsCol).as("ts_us"),
+      col(seqCol).as("seq"), col(attrCol).as("attr"))
+    val versioned = base
+      .withColumn("_prev", lag(col("attr"), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col("attr"), 1).otherwise(0))
+      .withColumn("version", sum(col("_chg")).over(wRun).cast("int"))
+    val runs = versioned
+      .groupBy(col("user_id"), col("version"), col("attr"))
+      .agg(min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .select(col("user_id"), col("version"), col("attr").as("event_type"),
+        col("valid_from_us"),
+        lead(col("valid_from_us"), 1).over(wv).as("valid_to_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  def scd2Track(spark: SparkSession, dir: String): DataFrame =
+    scd2On(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type")
+
+  val scd2TrackSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), v AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS version
+      |  FROM c
+      |), r AS (
+      |  SELECT user_id, version, event_type,
+      |    MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM v GROUP BY 1, 2, 3)
+      |SELECT user_id, version, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to_us,
+      |  n_events
+      |FROM r ORDER BY user_id, version""".stripMargin
+
+  // --- B23: robust anomaly detection (median/MAD) --------------------------
+  /** Deviation threshold in MAD units. */
+  val AnomalyZ = 3.0
+
+  /** Robust per-group outlier detection: flag values whose absolute
+    * deviation from the group median exceeds [[AnomalyZ]] × the median
+    * absolute deviation — the estimator that, unlike mean/stddev z-scores,
+    * is not itself dragged by the outliers it hunts.
+    *
+    * Scale shape: two group-stat aggregations over O(groups) output rows,
+    * each broadcast back onto the event stream; the flagging pass is a pure
+    * map filter. `exact = true` uses interpolated `percentile` (matches
+    * DuckDB `quantile_cont` bit-for-bit — the oracle path, but its state
+    * collects each group's values); at 100 TB pass `exact = false` for
+    * t-digest `approx_percentile`, whose state is bounded — same plan
+    * shape, approximate cut-offs. */
+  def anomalyRobustOn(events: DataFrame, idCol: String, typeCol: String,
+      valCol: String, z: Double, exact: Boolean = true): DataFrame = {
+    def p50(c: Column): Column =
+      if (exact) percentile(c, lit(0.5)) else approx_percentile(c, lit(0.5), lit(10000))
+    val base = events.select(col(idCol).as("event_id"),
+      col(typeCol).as("event_type"), col(valCol).as("value"))
+    val meds = base.groupBy(col("event_type")).agg(p50(col("value")).as("med"))
+    val dev = base.join(broadcast(meds), "event_type")
+      .withColumn("deviation", abs(col("value") - col("med")))
+    val mads = dev.groupBy(col("event_type"))
+      .agg(p50(col("deviation")).as("mad"))
+    dev.join(broadcast(mads), "event_type")
+      .filter(col("deviation") > lit(z) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"), col("deviation"))
+      .orderBy(col("event_id"))
+  }
+
+  def anomalyRobust(spark: SparkSession, dir: String): DataFrame =
+    anomalyRobustOn(Tables(spark, dir).events, "event_id", "event_type",
+      "value", AnomalyZ)
+
+  val anomalyRobustSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, value FROM events
+       |), m AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM e GROUP BY 1
+       |), d AS (
+       |  SELECT e.event_id, e.event_type, e.value, m.med,
+       |         abs(e.value - m.med) AS deviation
+       |  FROM e JOIN m USING (event_type)
+       |), s AS (
+       |  SELECT event_type, quantile_cont(deviation, 0.5) AS mad
+       |  FROM d GROUP BY 1)
+       |SELECT event_id, d.event_type, value, med, mad, deviation
+       |FROM d JOIN s USING (event_type)
+       |WHERE deviation > $AnomalyZ * mad
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
-    "retention" -> (retention _))
+    "retention" -> (retention _),
+    "scd2_track" -> (scd2Track _),
+    "anomaly_robust" -> (anomalyRobust _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
-    "retention" -> retentionSql)
+    "retention" -> retentionSql,
+    "scd2_track" -> scd2TrackSql,
+    "anomaly_robust" -> anomalyRobustSql)
 }

@@ -199,6 +199,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("export_shards: manifest replays from scratch; sink round-trips per shard") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent manifest: JVM md5, JVM xor
+    val expected = docs.map { case (id, text) =>
+      val shard = (java.lang.Long.parseLong(md5hex(s"$id:export").take(12), 16)
+        % CorpusOps.ExportNumShards).toInt
+      val c48 = java.lang.Long.parseLong(md5hex(text).take(12), 16)
+      (shard, text.trim.split("\\s+").length.toLong,
+        text.getBytes("UTF-8").length.toLong, c48)
+    }.groupBy(_._1).map { case (shard, rows) =>
+      shard -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).reduce(_ ^ _)))
+    }
+    val got = CorpusOps.exportShards(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === expected)
+    // the sink lays data out by shard dir; the read-back manifest matches,
+    // proving the checksum verifies an export AFTER the write reshuffles it
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    try {
+      val assigned = CorpusOps.exportAssignOn(
+        graft.sources.Tables(spark, sfDir).documents, "doc_id", "text",
+        CorpusOps.ExportNumShards)
+      graft.sources.Sinks.writePartitionedParquet(assigned, out,
+        Seq("shard"), Seq("doc_id"))
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length === got.keySet.size)
+      val readBack = CorpusOps.exportManifestOn(spark.read.parquet(out))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(readBack === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("dedup_incremental: equals the naive anti-join; bloom actually prunes") {
     val naive = CorpusOps.incrementalBatch(spark, sfDir)
       .withColumn("ch", sha2(col("text"), 256))

@@ -55,4 +55,82 @@ class OlapCSpec extends SparkSpec {
     val cohortSizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     got.collect { case ((c, 0L), n) => assert(n === cohortSizes(c)) }
   }
+
+  test("scd2_track: run-length compaction replays from the raw event order") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      // collapse consecutive equal event_types into runs
+      val runs = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, ts, _, tpe)) =>
+          acc.lastOption match {
+            case Some((t, from, n)) if t == tpe =>
+              acc.init :+ ((t, from, n + 1))
+            case _ => acc :+ ((tpe, ts, 1L))
+          }
+      }
+      runs.zipWithIndex.map { case ((tpe, from, n), i) =>
+        val to = runs.lift(i + 1).map(_._2)
+        (u, i + 1, tpe, from, to, n)
+      }
+    }.toSet
+    val got = OlapC.scd2Track(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))
+    }.toSet
+    assert(got === expected)
+    // intervals tile: each user has exactly one open (current) interval
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.count(_._5.isEmpty) === 1)
+      val sorted = rs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), "valid_to must equal next valid_from")
+          assert(a._3 !== b._3, "adjacent runs must differ in attribute")
+        case _ =>
+      }
+    }
+  }
+
+  test("anomaly_robust: flags exactly the >z·MAD deviations; approx path agrees on medians") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      // continuous interpolation, matching Spark percentile/quantile_cont
+      val pos = 0.5 * (n - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val byType = evs.groupBy(_._2)
+    val expected = byType.toSeq.flatMap { case (tpe, es) =>
+      val med = median(es.toSeq.map(_._3))
+      val mad = median(es.toSeq.map(e => math.abs(e._3 - med)))
+      es.toSeq.filter(e => math.abs(e._3 - med) > OlapC.AnomalyZ * mad)
+        .map(e => (e._1, tpe, e._3))
+    }.toSet
+    val got = OlapC.anomalyRobust(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "synthetic corpus should contain some outliers")
+    // the t-digest production path lands near the exact medians
+    val exact = OlapC.anomalyRobust(spark, sfDir)
+      .select(col("event_type"), col("med"), col("mad")).distinct().collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = OlapC.anomalyRobustOn(graft.sources.Tables(spark, sfDir).events,
+        "event_id", "event_type", "value", OlapC.AnomalyZ, exact = false)
+      .select(col("event_type"), col("med"), col("mad")).distinct().collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    approx.foreach { case (tpe, (m, d)) =>
+      exact.get(tpe).foreach { case (me, de) =>
+        assert(math.abs(m - me) <= math.max(1.0, math.abs(me)) * 0.05)
+        assert(math.abs(d - de) <= math.max(1.0, de) * 0.10)
+      }
+    }
+  }
 }

@@ -33,9 +33,12 @@ def df_key(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con, oracle = load(sf_dir, out_dir)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
