@@ -222,6 +222,73 @@ object CorpusOps {
        |ORDER BY train_id, bench_id""".stripMargin
   }
 
+  // --- C34: fingerprint benchmark decontamination (SimHash, cross-corpus) --
+  /** The seeded leak corpus for C34: every benchmark doc re-enters under a
+    * shifted id with a ONE-token suffix — a fingerprint-level near-dup
+    * (median simhash hamming ≈ 2 on the synthetic corpus). Deterministic,
+    * so the oracle rebuilds it. */
+  def simhashLeakTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .unionAll(docs.filter(col("doc_id") % BenchmarkMod === 0)
+        .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+          concat(col("text"), lit(" leaked")).as("text")))
+  }
+
+  /** Fingerprint-based fuzzy decontamination: train documents within
+    * simhash hamming ≤ [[Sketch.MaxHamming]] of a benchmark document —
+    * the CONSTANT-SKETCH-SIZE complement of C32's MinHash path (64 bits
+    * per doc vs a 64-slot signature; the radius is bounded but recall
+    * inside it is GUARANTEED by pigeonhole banding, not probabilistic).
+    *
+    * Scale shape: [[Dedup.simhashPairsAcross]] — the benchmark side's
+    * banded fingerprints broadcast; the training corpus is fingerprinted
+    * map-side and never shuffles; the hamming verify runs before the
+    * pair-dedup so only true matches reach an exchange. */
+  def decontaminateSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % BenchmarkMod === 0)
+    Dedup.simhashPairsAcross(simhashLeakTrain(spark, dir), bench,
+        "doc_id", "text",
+        bandBits = Sketch.SimhashBandBits, maxHamming = Sketch.MaxHamming)
+      .select(col("id_a").as("train_id"), col("id_b").as("bench_id"),
+        col("hamming"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  val decontaminateSimhashSql: String = {
+    val isBench = (c: String) =>
+      s"($c % $BenchmarkMod = 0 AND $c < $ContaminatedShift)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $BenchmarkMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $ContaminatedShift, text || ' leaked' AS text
+       |  FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |), ${Sketch.simhashFpCtes("corpus")}, bd AS (
+       |  SELECT doc_id, fp, b, (fp >> (${Sketch.SimhashBandBits} * b)) & 255 AS bkt
+       |  FROM fps, range(0, ${Sketch.SimhashBands}) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN a_is_bench THEN doc_b ELSE doc_a END AS train_id,
+       |    CASE WHEN a_is_bench THEN doc_a ELSE doc_b END AS bench_id,
+       |    CASE WHEN a_is_bench THEN fb ELSE fa END AS train_fp,
+       |    CASE WHEN a_is_bench THEN fa ELSE fb END AS bench_fp
+       |  FROM (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |          x.fp AS fa, y.fp AS fb,
+       |          ${isBench("x.doc_id")} AS a_is_bench,
+       |          ${isBench("y.doc_id")} AS b_is_bench
+       |        FROM bd x JOIN bd y
+       |          ON x.b = y.b AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+       |  WHERE a_is_bench <> b_is_bench
+       |)
+       |SELECT train_id, bench_id,
+       |  CAST(bit_count(xor(train_fp, bench_fp)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(train_fp, bench_fp)) <= ${Sketch.MaxHamming}
+       |ORDER BY train_id, bench_id""".stripMargin
+  }
+
   // --- C25: BM25 corpus search ---------------------------------------------
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -713,6 +780,7 @@ object CorpusOps {
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "decontaminate_simhash" -> (decontaminateSimhash _),
     "bm25_search" -> (bm25Search _),
     "pack_sequences" -> (packSequences _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -725,6 +793,7 @@ object CorpusOps {
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "decontaminate_simhash" -> decontaminateSimhashSql,
     "bm25_search" -> bm25SearchSql,
     "pack_sequences" -> packSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -247,6 +247,17 @@ object Dedup {
     Seq(32, 16, 8, 4, 2, 1).find(_ <= 64 / (maxHamming + 1)).get
   }
 
+  /** Banded bucket keys of a simhash fingerprint: band tag in bits 40+
+    * keeps tag and bucket disjoint for any admissible bandBits (≤ 32). */
+  private def simhashBuckets(fp: Column, bandBits: Int): Column = {
+    val bands = 64 / bandBits
+    array((0 until bands).map { j =>
+      lit(j.toLong << 40).bitwiseOR(
+        shiftrightunsigned(fp, j * bandBits)
+          .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1))
+    }: _*)
+  }
+
   /** SimHash near-dup pairs within a hamming radius. Banding guarantees
     * recall while `64/bandBits > maxHamming` (see [[simhashBandBitsFor]]).
     * Sketch is map-side; the hamming filter runs BEFORE pair-dedup so hot
@@ -256,19 +267,39 @@ object Dedup {
     require(64 / bandBits > maxHamming,
       s"bandBits=$bandBits cannot guarantee recall at hamming<=$maxHamming" +
         s" — need bands>maxHamming; use simhashBandBitsFor($maxHamming)")
-    val bands = 64 / bandBits
     val fps = df.select(col(idCol).as("_id"),
       simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
     val bucketed = fps.select(col("_id"), col("_fp"),
-      explode(array((0 until bands).map { j =>
-        // band tag in bits 40+ keeps tag and bucket disjoint for any
-        // admissible bandBits (≤ 32)
-        lit(j.toLong << 40).bitwiseOR(
-          shiftrightunsigned(col("_fp"), j * bandBits)
-            .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1))
-      }: _*)).as("_bkt"))
+      explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
     bucketed.as("a").join(bucketed.as("b"),
         col("a._bkt") === col("b._bkt") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._fp").bitwiseXOR(col("b._fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs ACROSS two corpora (left ⋈ right) — the
+    * fingerprint analogue of [[minhashLshPairsAcross]]: the right side is
+    * the SMALL corpus (benchmark/eval suite), whose banded fingerprints
+    * broadcast, so the left corpus is sketched map-side and never
+    * shuffles. Within `maxHamming` the pigeonhole recall guarantee of
+    * [[simhashPairs]] holds identically (a pair differing in ≤ maxHamming
+    * bits leaves ≥ 1 of the `64/bandBits > maxHamming` bands untouched).
+    * Candidacy and the hamming verify are deterministic functions of the
+    * two fingerprints, so any engine replays the result exactly. */
+  def simhashPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, bandBits: Int = 8, maxHamming: Int = 6): DataFrame = {
+    require(64 / bandBits > maxHamming,
+      s"bandBits=$bandBits cannot guarantee recall at hamming<=$maxHamming" +
+        s" — need bands>maxHamming; use simhashBandBitsFor($maxHamming)")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("_id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
+      .select(col("_id"), col("_fp"),
+        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+    bucketed(left).as("a")
+      .join(broadcast(bucketed(right)).as("b"), col("a._bkt") === col("b._bkt"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         bit_count(col("a._fp").bitwiseXOR(col("b._fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -125,20 +125,21 @@ object Sketch {
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** DuckDB twin of [[dedupSimhash]]: same md5-prefix token hashes (signed
-    * 64-bit via positional hex parse + 2^64 wrap), same sign-sum bits, same
-    * 8×8 banding ((fp>>8b)&255 masks away shift-fill bits, so arithmetic
-    * vs logical shift is immaterial), same hamming filter. */
-  val dedupSimhashSql: String = {
+  /** The simhash fingerprint CTE chain (tokens → md5-prefix signed-64
+    * hashes → per-bit sign sums → fingerprint) over `sourceTable(doc_id,
+    * text)`, ending in `fps(doc_id, fp)`. Shared by [[dedupSimhashSql]]
+    * and CorpusOps.decontaminateSimhashSql so both engines AND both
+    * queries use one fingerprint definition. */
+  def simhashFpCtes(sourceTable: String): String = {
     // fp64 = first 16 md5 hex chars as unsigned 128-bit sum (positional
     // nibble * 16^(16-i) literals), wrapped to signed 64-bit
     val nibbleTerms = (1 to 16).map { i =>
       s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
     }.mkString(" + ")
     val pow2Rows = (0 until 64).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |  FROM documents
+       |  FROM $sourceTable
        |), th AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
@@ -157,7 +158,15 @@ object Sketch {
        |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
        |  FROM (SELECT bits.doc_id, SUM(bit::HUGEINT * p) AS u
        |        FROM bits JOIN pw ON bits.b = pw.b GROUP BY 1)
-       |), bd AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[dedupSimhash]]: same md5-prefix token hashes (signed
+    * 64-bit via positional hex parse + 2^64 wrap), same sign-sum bits, same
+    * 8×8 banding ((fp>>8b)&255 masks away shift-fill bits, so arithmetic
+    * vs logical shift is immaterial), same hamming filter. */
+  val dedupSimhashSql: String =
+    s"""WITH ${simhashFpCtes("documents")}, bd AS (
        |  SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS bkt
        |  FROM fps, range(0, $SimhashBands) t(b)
        |), cand AS (
@@ -169,7 +178,6 @@ object Sketch {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** Registry for SparkEntry — both sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */

@@ -75,6 +75,7 @@ class PlanGuardSpec extends SparkSpec {
     "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
     "unigram_logprob" -> 1, // scoring is map-side vs the vocab literal + gate sort
     "decontaminate_fuzzy" -> 4, // bench-side bcast exchange, pair dedup, two verify joins + gate sort share AQE reuse
+    "decontaminate_simhash" -> 3, // bench-side bcast exchange + pair dedup + gate sort (train side sketched map-side)
     "scd2_track" -> 2, // ONE user-key exchange feeds lag/version/run-agg/lead + gate sort
     "anomaly_robust" -> 4, // two O(groups) stat aggs (broadcast back) + gate sort
     "export_shards" -> 2 // manifest partial agg + gate sort (assignment map-side)

@@ -160,6 +160,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_simhash: pigeonhole recall within the radius; sides typed") {
+    import graft.functions.textsketch.simhash64
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val bench = docs.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+    // true hamming of every seeded (leak, source) pair, computed directly
+    val trueHam = bench.select(col("doc_id"),
+        bit_count(simhash64(split(trim(col("text")), "\\s+")).bitwiseXOR(
+          simhash64(split(trim(concat(col("text"), lit(" leaked"))), "\\s+"))))
+          .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = CorpusOps.decontaminateSimhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // GUARANTEE: every seeded pair within MaxHamming is found (pigeonhole)
+    trueHam.foreach { case (b, h) =>
+      if (h <= Sketch.MaxHamming)
+        assert(gotPairs.contains((b + CorpusOps.ContaminatedShift, b)),
+          s"missed in-radius leak $b (hamming $h)")
+    }
+    // the 1-token suffix keeps most leaks in radius: the operator catches
+    // a substantial share of the seeded contamination
+    val caught = trueHam.count { case (b, _) =>
+      gotPairs.contains((b + CorpusOps.ContaminatedShift, b)) }
+    assert(caught >= trueHam.size * 6 / 10,
+      s"caught $caught of ${trueHam.size} seeded leaks")
+    // sides well-typed; reported hamming is the true fingerprint distance
+    val benchIds = trueHam.keySet
+    got.foreach { case (t, b, h) =>
+      assert(benchIds.contains(b))
+      assert(!benchIds.contains(t))
+      assert(h <= Sketch.MaxHamming)
+      if (t == b + CorpusOps.ContaminatedShift) assert(h === trueHam(b))
+    }
+  }
+
   test("unigram_logprob: cross-entropy replays from independent token counts") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
