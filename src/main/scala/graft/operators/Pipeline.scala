@@ -123,7 +123,10 @@ object Pipeline {
     * reason is the FIRST failing rule (fixed precedence) so downstream
     * sampling of rejects is stable. Flags are ints, not booleans — engine
     * boolean formatting differs, exact ints never do. */
-  def qualityFilterChain(spark: SparkSession, dir: String): DataFrame = {
+  /** The gate's flag columns over any documents frame — a pure
+    * (stateless, codegen'd) map stage, so the SAME definition runs over a
+    * batch scan or a streaming source (see StreamOps.streamQualityGate). */
+  def qualityFlagsOn(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nWords = size(toks)
     val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
@@ -133,7 +136,7 @@ object Pipeline {
     val passMax = (nWords <= 500).cast("int")
     val passAwl = (awl >= 2.5 && awl <= 8.0).cast("int")
     val passStop = (nStop >= 1).cast("int")
-    Tables(spark, dir).documents.select(
+    docs.select(
       col("doc_id"),
       nWords.as("n_words"),
       awl.as("avg_word_len"),
@@ -144,8 +147,10 @@ object Pipeline {
       when(passMin === 0, "too_short").when(passMax === 0, "too_long")
         .when(passAwl === 0, "word_len").when(passStop === 0, "no_stopwords")
         .otherwise("ok").as("reject_reason"))
-      .orderBy(col("doc_id"))
   }
+
+  def qualityFilterChain(spark: SparkSession, dir: String): DataFrame =
+    qualityFlagsOn(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   val qualityFilterChainSql: String = {
     val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -177,16 +177,56 @@ object StreamOps {
     spark.table(DedupQueryName).orderBy(col("content_hash"))
   }
 
+  // --- B24: streaming ingestion quality gate --------------------------------
+  val GateQueryName = "graft_stream_quality_gate"
+
+  /** Streaming quality gate: the C15 filter chain applied to documents AS
+    * THEY ARRIVE — the ingestion-time shape of corpus curation (reject at
+    * the door, don't pay to store-then-filter). The flag computation is the
+    * SAME codegen'd map stage as batch C15 ([[graft.operators.Pipeline
+    * .qualityFlagsOn]] — one definition, two execution modes), so the only
+    * streaming state is the per-reason counter aggregation, which is
+    * replay-invariant: the AvailableNow drain equals the batch aggregate
+    * and the result is oracle-checked against C15's own SQL.
+    *
+    * At deploy scale the same DAG runs on a Kafka source with the accepted
+    * stream forwarded via foreachBatch and the per-reason counters as the
+    * monitoring feed; state is O(reasons) rows — nothing grows with the
+    * corpus. */
+  def streamQualityGate(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark) // isolated state-partition conf
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = graft.operators.Pipeline.qualityFlagsOn(docs)
+      .groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+
+    spark.streams.active.filter(_.name == GateQueryName).foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName(GateQueryName)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(GateQueryName).orderBy(col("reject_reason"))
+  }
+
+  /** Oracle: the per-reason aggregate of batch C15's own SQL. */
+  val streamQualityGateSql: String =
+    s"""SELECT reject_reason, COUNT(*) AS n_docs, SUM(n_words) AS n_words
+       |FROM (${graft.operators.Pipeline.qualityFilterChainSql})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEvents _),
     "stream_join" -> (streamJoin _),
-    "stream_dedup" -> (streamDedup _)
+    "stream_dedup" -> (streamDedup _),
+    "stream_quality_gate" -> (streamQualityGate _)
   )
 
   val oracles: Map[String, String] = Map(
     "stream_events" -> streamEventsSql,
     "stream_join" -> streamJoinSql,
     // the streamed state must equal the batch dedup over the same corpus
-    "stream_dedup" -> graft.operators.TextOps.dedupExactSql
+    "stream_dedup" -> graft.operators.TextOps.dedupExactSql,
+    "stream_quality_gate" -> streamQualityGateSql
   )
 }

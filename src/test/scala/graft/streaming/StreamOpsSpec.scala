@@ -58,6 +58,22 @@ class StreamOpsSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("n_copies") > 1).count() > 0)
   }
 
+  test("streamed quality gate equals the batch per-reason aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.streamQualityGate(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.Pipeline.qualityFilterChain(spark, sfDir)
+      .groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // the gate separates: both accepted and rejected documents exist
+    val reasons = StreamOps.streamQualityGate(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(reasons.contains("ok") && reasons.size > 1)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
