@@ -231,15 +231,68 @@ object OlapC {
        |WHERE deviation > $AnomalyZ * mad
        |ORDER BY event_id""".stripMargin
 
+  // --- B25: incremental materialized-view maintenance ----------------------
+  /** Partition of the canned demo: every 5th event plays the arriving
+    * delta batch; the rest are the already-materialized history. */
+  val MvBatchMod = 5
+
+  /** The MV definition: daily per-type event rollup in MERGEABLE partial
+    * form — count, decimal sum (exact, order-free), max. Every aggregate
+    * here is associative+commutative, which is the property that makes the
+    * view maintainable by merge instead of recompute. */
+  def mvDailyAggOn(events: DataFrame, tsCol: String, typeCol: String,
+      valCol: String): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(25,2)")).as("_vsum"),
+        max(col(valCol)).as("value_max"))
+
+  /** Merge an arriving delta's partial aggregate into the materialized
+    * state: union + re-aggregate on the view key. Cost is O(|state| +
+    * |delta|) — the 100 TB history is NEVER rescanned; a day's ingest
+    * touches one day of partials plus the (much smaller) view. This is the
+    * same partial-merge contract Spark's own ObjectHashAggregate relies
+    * on, expressed at the view level. */
+  def mvMergeOn(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("_vsum")).as("_vsum"),
+        max(col("value_max")).as("value_max"))
+
+  /** Driver query: maintain the daily view incrementally (history state +
+    * delta batch, merged) and emit the presentation schema. Equals the
+    * full recompute — which is exactly what the DuckDB oracle runs. */
+  def mvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val state = mvDailyAggOn(ev.filter(col("event_id") % MvBatchMod =!= 0),
+      "ts", "event_type", "value")
+    val delta = mvDailyAggOn(ev.filter(col("event_id") % MvBatchMod === 0),
+      "ts", "event_type", "value")
+    mvMergeOn(state, delta)
+      .select(col("day"), col("event_type"), col("n"),
+        col("_vsum").cast("double").as("value_sum"), col("value_max"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val mvIncrementalSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum,
+      |  MAX(value) AS value_max
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
     "scd2_track" -> (scd2Track _),
-    "anomaly_robust" -> (anomalyRobust _))
+    "anomaly_robust" -> (anomalyRobust _),
+    "mv_incremental" -> (mvIncremental _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
     "retention" -> retentionSql,
     "scd2_track" -> scd2TrackSql,
-    "anomaly_robust" -> anomalyRobustSql)
+    "anomaly_robust" -> anomalyRobustSql,
+    "mv_incremental" -> mvIncrementalSql)
 }

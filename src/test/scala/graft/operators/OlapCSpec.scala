@@ -95,6 +95,25 @@ class OlapCSpec extends SparkSpec {
     }
   }
 
+  test("mv_incremental: merge equals recompute; merging is associative") {
+    import graft.sources.Tables
+    val ev = Tables(spark, sfDir).events
+    val full = OlapC.mvDailyAggOn(ev, "ts", "event_type", "value")
+      .select(col("day"), col("event_type"), col("n"),
+        col("_vsum").cast("double").as("value_sum"), col("value_max"))
+      .collect().map(_.toString).sorted
+    val got = OlapC.mvIncremental(spark, sfDir).collect().map(_.toString).sorted
+    assert(got.toSeq === full.toSeq)
+    // three-way split merged pairwise in a different order: same view
+    def part(m: Int) = OlapC.mvDailyAggOn(
+      ev.filter(col("event_id") % 3 === m), "ts", "event_type", "value")
+    val threeWay = OlapC.mvMergeOn(part(2), OlapC.mvMergeOn(part(0), part(1)))
+      .select(col("day"), col("event_type"), col("n"),
+        col("_vsum").cast("double").as("value_sum"), col("value_max"))
+      .collect().map(_.toString).sorted
+    assert(threeWay.toSeq === full.toSeq)
+  }
+
   test("anomaly_robust: flags exactly the >z·MAD deviations; approx path agrees on medians") {
     val evs = graft.sources.Tables(spark, sfDir).events
       .select(col("event_id"), col("event_type"), col("value")).collect()
