@@ -16,7 +16,8 @@ object SparkEntry {
       OlapB.queries ++ OlapC.queries ++ TextOps.queries ++ Pipeline.queries ++ CorpusOps.queries ++
       VectorOps.queries ++ Sketch.queries ++ Multimodal.queries ++
       graft.streaming.StreamOps.queries ++
-      graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries
+      graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries ++
+      graft.sources.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,5 @@ object SparkEntry {
     OlapB.oracles ++ OlapC.oracles ++ TextOps.oracles ++ Pipeline.oracles ++ CorpusOps.oracles ++
     VectorOps.oracles ++ Sketch.oracles ++ Multimodal.oracles ++
     graft.streaming.StreamOps.oracles ++
-    graft.streaming.StatefulSessions.oracles
+    graft.streaming.StatefulSessions.oracles ++ graft.sources.Sinks.oracles
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-side scale discipline (SURVEY §2 D). Reading 100 TB well starts
@@ -40,6 +40,98 @@ object Sinks {
     * the same payloads land as JSONL for a downstream forwarder). */
   def writeJsonLines(df: DataFrame, path: String, files: Int = 1): Unit =
     df.coalesce(files).write.mode("overwrite").json(path)
+
+  /** Bits of each dimension that enter the interleave. */
+  val ZOrderBits = 16
+
+  /** Morton (Z-order) key of two integer dimensions ALREADY normalized to
+    * `[0, 2^bits)`: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. A sort by this key clusters rows that are close in BOTH
+    * dimensions, so parquet min/max row-group statistics prune selective
+    * scans on EITHER column — the standard multi-dimension data-skipping
+    * layout (a linear sort clusters only its leading column; the trailing
+    * column's per-file range stays global). Pure codegen'd Column algebra,
+    * exactly replayable in SQL. */
+  def zorderKey(x: Column, y: Column, bits: Int = ZOrderBits): Column =
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Write `df` Z-ordered on two integer dimensions: min-max normalize
+    * each into `[0, 2^bits)` (one tiny stats agg — four driver scalars,
+    * like the BM25 length stats; all-integer floor division keeps the
+    * mapping engine-identical and monotonic), range-partition by the
+    * Morton key into `numFiles` similar-sized files, sort inside each,
+    * write parquet. Every file then covers a compact region of the (x, y)
+    * grid — SinksSpec measures the bounding-box area shrink vs a linear
+    * sort. Interleaving RAW dimensions of unequal spans would degenerate
+    * to a linear sort on the wider one's high bits; the normalization is
+    * what makes the curve actually alternate between dimensions. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+      numFiles: Int, bits: Int = ZOrderBits): Unit = {
+    val s = df.agg(min(x), max(x), min(y), max(y)).head()
+    val m = (1L << bits) - 1
+    def norm(c: String, lo: Long, hi: Long) =
+      expr(s"(($c - ${lo}L) * ${m}L) div greatest(1L, ${hi - lo}L)")
+    val zx = norm("_zx_raw", s.getLong(0), s.getLong(1))
+    val zy = norm("_zy_raw", s.getLong(2), s.getLong(3))
+    df.withColumn("_zx_raw", x.cast("long")).withColumn("_zy_raw", y.cast("long"))
+      .withColumn("_zkey", zorderKey(zx, zy, bits))
+      .drop("_zx_raw", "_zy_raw")
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Driver query for the Z-order layout: the Morton key of (customer,
+    * order-day) per order — the clustering key [[writeZOrdered]] sorts by,
+    * exposed so the oracle replays normalization + interleave bit-for-bit.
+    * The min/max stats ride along via a broadcast 1-row cross join (the
+    * declarative form of the two driver scalars). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("x"),
+        day.cast("long").as("d"))
+    val stats = o.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val m = (1L << ZOrderBits) - 1
+    o.crossJoin(broadcast(stats))
+      .withColumn("zkey", zorderKey(
+        expr(s"((x - xmin) * ${m}L) div greatest(1L, xmax - xmin)"),
+        expr(s"((d - dmin) * ${m}L) div greatest(1L, dmax - dmin)")))
+      .select(col("o_orderkey"), col("x"), col("d"), col("zkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val zorderLayoutSql: String = {
+    val m = (1L << ZOrderBits) - 1
+    val terms = (0 until ZOrderBits).map { i =>
+      s"((zx >> $i) & 1) * ${1L << (2 * i)} + ((zd >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d
+       |  FROM orders
+       |), s AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM o
+       |), n AS (
+       |  SELECT o_orderkey, x, d,
+       |    ((x - xmin) * $m) // GREATEST(1, xmax - xmin) AS zx,
+       |    ((d - dmin) * $m) // GREATEST(1, dmax - dmin) AS zd
+       |  FROM o CROSS JOIN s)
+       |SELECT o_orderkey, x, d, CAST($terms AS BIGINT) AS zkey
+       |FROM n ORDER BY o_orderkey""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> (zorderLayout _))
+
+  val oracles: Map[String, String] = Map(
+    "zorder_layout" -> zorderLayoutSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

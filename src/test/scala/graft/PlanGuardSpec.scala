@@ -79,7 +79,8 @@ class PlanGuardSpec extends SparkSpec {
     "scd2_track" -> 2, // ONE user-key exchange feeds lag/version/run-agg/lead + gate sort
     "anomaly_robust" -> 4, // two O(groups) stat aggs (broadcast back) + gate sort
     "export_shards" -> 2, // manifest partial agg + gate sort (assignment map-side)
-    "mv_incremental" -> 3 // state+delta partial aggs, merge agg, gate sort — O(view), never the history
+    "mv_incremental" -> 3, // state+delta partial aggs, merge agg, gate sort — O(view), never the history
+    "zorder_layout" -> 3 // 1-row stats agg (broadcast back) + gate sort; interleave map-side
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -8,6 +8,57 @@ class SinksSpec extends SparkSpec {
 
   private val out = s"${sys.props("java.io.tmpdir")}/graft_sink_test"
 
+  test("z-order layout: morton key replays per-bit; files cover compact regions") {
+    val orders = Tables(spark, sfDir).orders
+    // the key interleaves the NORMALIZED dims: reconstruct both from the
+    // key bits and compare to an independent normalization
+    val all = Sinks.zorderLayout(spark, sfDir).collect()
+    val (xs, ds) = (all.map(_.getLong(1)), all.map(_.getLong(2)))
+    val m = (1L << Sinks.ZOrderBits) - 1
+    def norm(v: Long, lo: Long, hi: Long) = (v - lo) * m / math.max(1L, hi - lo)
+    all.foreach { r =>
+      val (x, d, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val xBack = (0 until Sinks.ZOrderBits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val dBack = (0 until Sinks.ZOrderBits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xBack === norm(x, xs.min, xs.max))
+      assert(dBack === norm(d, ds.min, ds.max))
+    }
+
+    // writeZOrdered vs a linear sort on x: the pruning property is that
+    // EVERY file's min/max range is sub-global in BOTH dimensions (so a
+    // selective predicate on either column skips files); a linear sort
+    // leaves the trailing dimension's per-file range at ~100% of global
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val base = orders.select(col("o_custkey").cast("long").as("x"),
+      day.cast("long").as("d"))
+    val zDir = s"$out-zorder"
+    val linDir = s"$out-linear"
+    Sinks.writeZOrdered(base, zDir, col("x"), col("d"), numFiles = 16)
+    base.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    def avgRanges(dir: String): (Double, Double) = {
+      val rs = spark.read.parquet(dir)
+        .withColumn("_f", input_file_name())
+        .groupBy(col("_f"))
+        .agg((max(col("x")) - min(col("x"))).as("xr"),
+          (max(col("d")) - min(col("d"))).as("dr"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      (rs.map(_._1).sum / rs.length, rs.map(_._2).sum / rs.length)
+    }
+    val g = base.agg(max(col("x")) - min(col("x")),
+      max(col("d")) - min(col("d"))).head()
+    val (gx, gd) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+    val (zx, zd) = avgRanges(zDir)
+    val (lx, ld) = avgRanges(linDir)
+    // z-order: both dims sub-global per file
+    assert(zx < gx * 0.6, s"z avg x-range $zx vs global $gx")
+    assert(zd < gd * 0.6, s"z avg d-range $zd vs global $gd")
+    // the linear layout prunes x harder but cannot prune d at all — the
+    // contrast that justifies z-order for two-predicate workloads
+    assert(lx < gx * 0.2, s"lin avg x-range $lx vs global $gx")
+    assert(ld > gd * 0.9, s"lin avg d-range $ld vs global $gd")
+  }
+
   test("partitioned parquet: layout, bounded files, lossless roundtrip") {
     val docs = Tables(spark, sfDir).documents
     Sinks.writePartitionedParquet(docs, out,
