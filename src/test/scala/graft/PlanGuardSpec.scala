@@ -19,7 +19,9 @@ class PlanGuardSpec extends SparkSpec {
 
   private val crossJoinByDesign = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "dedup_embedding", "multimodal_similar", "embed_stats")
+    "dedup_embedding", "multimodal_similar", "embed_stats",
+    // 1-row min/max stats frame broadcast onto the scan (bounded by design)
+    "zorder_layout")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
