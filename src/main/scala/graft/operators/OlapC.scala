@@ -282,17 +282,115 @@ object OlapC {
       |  MAX(value) AS value_max
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B26: PageRank (iterative graph centrality) --------------------------
+  /** Damping numerator/denominator (d = 85/100) and the integer rank
+    * scale: ranks live in units of 1e-12, so every iteration is EXACT
+    * integer arithmetic — both engines replay the same trajectory, unlike
+    * float PageRank where contribution order changes low bits. */
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+  val PrScale = 1000000000000L
+  val PrIters = 5
+
+  /** Weighted PageRank over an edge list, [[PrIters]] synchronous
+    * iterations: r'(j) = (1−d)/N + d·Σ_i r(i)·w(ij)÷W(i), dangling mass
+    * dropped (the standard simplification; nodes without out-edges only
+    * absorb). All arithmetic is integer floor division on [[PrScale]]d
+    * ranks.
+    *
+    * Scale shape: the rank vector is a DataFrame keyed by node — each
+    * iteration is one hash join (ranks ⋈ edges on src) + one partial-agg
+    * shuffle (contributions by dst), both O(edges); nothing ever collects
+    * to the driver, so a billion-node graph iterates exactly like this
+    * 25-node one. Pre-joining the out-weight onto the edge list once keeps
+    * the per-iteration work to a single join. */
+  def pagerankOn(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val n = nodes.count()
+    val base = (PrScale * (PrDampDen - PrDampNum)) / (PrDampDen * n)
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = edges.join(outw, "src")
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, ranks("node") === e("src"))
+        .select(col("dst"), expr("(r * w) div outw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($PrDampNum * coalesce(c, 0L)) div $PrDampDen"))
+            .as("r"))
+    }
+    ranks
+  }
+
+  /** Driver query: PageRank over the nation-level trade graph (customer
+    * nation → supplier nation, weighted by lineitem count) — which
+    * nations sit at the center of the supply network. The edge build is a
+    * star join (broadcast dims onto the fact tables); the iteration is
+    * [[pagerankOn]]. */
+  def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"),
+        col("s_nationkey").as("dst"))), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = t.nation.select(col("n_nationkey").as("node"))
+    pagerankOn(edges, nodes, PrIters)
+      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name").as("nation"), col("r").as("rank_pico"),
+        (col("r").cast("double") / PrScale).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  val pagerankNationsSql: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |    (SELECT ($PrScale * ${PrDampDen - PrDampNum}) // ($PrDampDen * n) FROM nn)
+         |      + ($PrDampNum * COALESCE(SUM((r.r * e.w) // e.outw), 0)) // $PrDampDen AS r
+         |  FROM nodes
+         |  LEFT JOIN e ON e.dst = nodes.node
+         |  LEFT JOIN r${k - 1} r ON r.node = e.src
+         |  GROUP BY nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2
+       |), outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+       |      FROM edges JOIN outw ON edges.src = outw.src),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, (SELECT $PrScale // n FROM nn) AS r FROM nodes),
+       |$iterCtes
+       |SELECT nodes.node, n.n_name AS nation, rk.r AS rank_pico,
+       |  CAST(rk.r AS DOUBLE) / $PrScale AS rank
+       |FROM nodes JOIN r$PrIters rk ON rk.node = nodes.node
+       |JOIN nation n ON n.n_nationkey = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
     "scd2_track" -> (scd2Track _),
     "anomaly_robust" -> (anomalyRobust _),
-    "mv_incremental" -> (mvIncremental _))
+    "mv_incremental" -> (mvIncremental _),
+    "pagerank_nations" -> (pagerankNations _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
     "retention" -> retentionSql,
     "scd2_track" -> scd2TrackSql,
     "anomaly_robust" -> anomalyRobustSql,
-    "mv_incremental" -> mvIncrementalSql)
+    "mv_incremental" -> mvIncrementalSql,
+    "pagerank_nations" -> pagerankNationsSql)
 }

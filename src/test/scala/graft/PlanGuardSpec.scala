@@ -82,7 +82,8 @@ class PlanGuardSpec extends SparkSpec {
     "anomaly_robust" -> 4, // two O(groups) stat aggs (broadcast back) + gate sort
     "export_shards" -> 2, // manifest partial agg + gate sort (assignment map-side)
     "mv_incremental" -> 3, // state+delta partial aggs, merge agg, gate sort — O(view), never the history
-    "zorder_layout" -> 3 // 1-row stats agg (broadcast back) + gate sort; interleave map-side
+    "zorder_layout" -> 3, // 1-row stats agg (broadcast back) + gate sort; interleave map-side
+    "pagerank_nations" -> 7 // edge build (fact join + agg) + per-iteration contrib aggs over O(edges); rank joins broadcast
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

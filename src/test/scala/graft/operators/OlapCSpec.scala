@@ -95,6 +95,46 @@ class OlapCSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: matches an independent JVM replay; mass is conserved-ish") {
+    import graft.sources.Tables
+    val t = Tables(spark, sfDir)
+    val edges = OlapC.pagerankNations(spark, sfDir) // force build once (sanity)
+    val edgeRows = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey"), col("s_nationkey")).count()
+      .collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue()) -> r.getLong(2)).toMap
+    val nodes = t.nation.select(col("n_nationkey")).collect()
+      .map(_.getAs[Number](0).longValue()).sorted
+    val n = nodes.length
+    val outw = edgeRows.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val base = OlapC.PrScale * (OlapC.PrDampDen - OlapC.PrDampNum) /
+      (OlapC.PrDampDen * n)
+    var r = nodes.map(_ -> OlapC.PrScale / n).toMap
+    for (_ <- 1 to OlapC.PrIters) {
+      val contrib = edgeRows.toSeq
+        .map { case ((s, d), w) => d -> (r(s) * w / outw(s)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(nd =>
+        nd -> (base + OlapC.PrDampNum * contrib.getOrElse(nd, 0L) /
+          OlapC.PrDampDen)).toMap
+    }
+    val got = edges.collect()
+      .map(row => row.getAs[Number](0).longValue() -> row.getLong(2)).toMap
+    assert(got === r)
+    // floor-division drops at most a few ulps of mass per node per round:
+    // total stays within 1% of the unit mass and never exceeds it
+    val mass = got.values.sum.toDouble / OlapC.PrScale
+    assert(mass <= 1.0 && mass > 0.9, s"mass $mass")
+    // the graph is non-trivial: ranks separate
+    assert(got.values.toSet.size > 1)
+  }
+
   test("mv_incremental: merge equals recompute; merging is associative") {
     import graft.sources.Tables
     val ev = Tables(spark, sfDir).events
