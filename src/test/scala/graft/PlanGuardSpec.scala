@@ -83,7 +83,10 @@ class PlanGuardSpec extends SparkSpec {
     "export_shards" -> 2, // manifest partial agg + gate sort (assignment map-side)
     "mv_incremental" -> 3, // state+delta partial aggs, merge agg, gate sort — O(view), never the history
     "zorder_layout" -> 3, // 1-row stats agg (broadcast back) + gate sort; interleave map-side
-    "pagerank_nations" -> 7 // edge build (fact join + agg) + per-iteration contrib aggs over O(edges); rank joins broadcast
+    // iterative: exchange count scales with ITERATIONS (5 × ~5: rank join,
+    // contrib agg, node re-join per round), never with data volume — each
+    // exchange carries O(edges)/O(nodes) rows
+    "pagerank_nations" -> 32
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {
