@@ -130,6 +130,48 @@ object ScaleProbe {
         Seq("view", "click", "purchase")).count() +
         OlapC.retentionOn(evBig, "user_id", "ts").count()
     }
+    time("decontaminate_simhash") {
+      // cross-corpus fingerprint decon: bench side broadcast
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.simhashPairsAcross(docs.filter(col("doc_id") % 97 =!= 0), bench,
+        "doc_id", "text").count()
+    }
+    time("export_shards") {
+      CorpusOps.exportManifestOn(
+        CorpusOps.exportAssignOn(docs, "doc_id", "text", 1024)).count()
+    }
+    time("scd2_anomaly_mv") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val evBig = (0 until reps).map(r => ev
+          .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(r * 100000000L)))
+        .reduce(_ unionAll _).persist()
+      val n = OlapC.scd2On(evBig.withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "event_id", "event_type").count() +
+        // production path: approx percentiles (bounded state)
+        OlapC.anomalyRobustOn(evBig, "event_id", "event_type", "value",
+          OlapC.AnomalyZ, exact = false).count() +
+        OlapC.mvMergeOn(
+          OlapC.mvDailyAggOn(evBig.filter(col("event_id") % 5 =!= 0),
+            "ts", "event_type", "value"),
+          OlapC.mvDailyAggOn(evBig.filter(col("event_id") % 5 === 0),
+            "ts", "event_type", "value")).count()
+      evBig.unpersist()
+      n
+    }
+    time("zorder_write") {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val base = (0 until reps).map(r => ev.withColumn("user_id",
+          col("user_id") + lit(r * 10000000L)))
+        .reduce(_ unionAll _)
+        .select(col("user_id").cast("long").as("x"),
+          expr("ts div 1000000000").cast("long").as("d"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+      graft.sources.Sinks.writeZOrdered(base, dir, col("x"), col("d"),
+        numFiles = 64)
+      spark.read.parquet(dir).count()
+    }
     val queries = embs.limit(40)
     time("ann_brute") {
       Ann.bruteTopK(embs, queries, "vec_id", "emb", 10).count()
