@@ -378,13 +378,140 @@ object OlapC {
        |ORDER BY nodes.node""".stripMargin
   }
 
+  // --- B27: time-range rolling features ------------------------------------
+  /** Rolling-window span: 1 hour in microseconds. */
+  val RollWindowUs = 3600000000L
+
+  /** Per-event rolling features over the key's trailing time window —
+    * the standard ML feature-engineering shape ("user's activity in the
+    * last hour, as of each event"). A RANGE frame on event-time keyed by
+    * `user_id`: one shuffle, and the frame is defined by VALUES (ties get
+    * identical frames), so the result is deterministic under any row
+    * order. Decimal sum keeps the rolling total exact. */
+  def rollingFeaturesOn(events: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, valCol: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col(keyCol).as("user_id"), col(tsUsCol).as("ts_us"),
+        col(idCol).as("event_id"), col(valCol).as("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(25,2)")).over(w).cast("double")
+          .as("vsum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  def rollingFeatures(spark: SparkSession, dir: String): DataFrame =
+    rollingFeaturesOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "value", RollWindowUs)
+
+  val rollingFeaturesSql: String =
+    s"""SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+       |  COUNT(*) OVER w AS n_1h,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS vsum_1h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+       |             RANGE BETWEEN $RollWindowUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  // --- B28: equi-width histogram -------------------------------------------
+  val HistBuckets = 20
+
+  /** Equi-width histogram of a numeric column per group: global min/max
+    * from one 1-row aggregate (broadcast back), bucket index by identical
+    * IEEE arithmetic in both engines, counts by partial agg — the
+    * distribution profile that drives skew diagnostics and bucket-size
+    * planning, at one corpus pass. */
+  def valueHistogramOn(events: DataFrame, typeCol: String, valCol: String,
+      buckets: Int): DataFrame = {
+    val base = events.select(col(typeCol).as("event_type"),
+      col(valCol).as("v"))
+    val stats = base.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    base.crossJoin(broadcast(stats))
+      .select(col("event_type"),
+        least(lit(buckets - 1),
+          floor((col("v") - col("vmin")) * buckets /
+            (col("vmax") - col("vmin"))).cast("int")).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogramOn(Tables(spark, dir).events, "event_type", "value",
+      HistBuckets)
+
+  val valueHistogramSql: String =
+    s"""WITH s AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events)
+       |SELECT event_type,
+       |  CAST(LEAST($HistBuckets - 1,
+       |    FLOOR((value - vmin) * $HistBuckets / (vmax - vmin))) AS INT) AS bucket,
+       |  COUNT(*) AS n
+       |FROM events CROSS JOIN s
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- B29: CDC upsert compaction ------------------------------------------
+  /** Every 4th order plays the arriving change batch (status flip +
+    * repriced), versioned above the base. Deterministic, so the oracle
+    * rebuilds it. */
+  val UpsertMod = 4
+
+  /** Latest-record-wins upsert compaction (the MERGE/SCD1 shape): base
+    * snapshot + change feed → one row per key, highest (version, then
+    * key-stable tiebreak) wins. ONE key shuffle via max-struct aggregation
+    * — `max` of a (version, payload) struct picks the winning record
+    * without a row_number sort (partial agg keeps only one candidate per
+    * partition, the shape that survives a billion-row change feed).
+    * Requires every payload column to be orderable; version leads the
+    * struct so it alone decides. */
+  def upsertLatestOn(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    val cols = base.columns.filterNot(c => c == keyCol || c == versionCol)
+    val packed = base.unionByName(changes)
+      .select(col(keyCol).as("k"),
+        struct((col(versionCol).as("_v") +: cols.map(col)): _*).as("_rec"))
+      .groupBy(col("k")).agg(max(col("_rec")).as("_rec"))
+    packed.select(col("k").as(keyCol) +: col("_rec._v").as(versionCol) +:
+      cols.map(c => col(s"_rec.$c").as(c)): _*)
+  }
+
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("version"))
+    val changes = o.filter(col("o_orderkey") % UpsertMod === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
+    upsertLatestOn(o, changes, "o_orderkey", "version")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val upsertLatestSql: String =
+    s"""WITH all_recs AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', o_totalprice * 2, 2
+       |  FROM orders WHERE o_orderkey % $UpsertMod = 0)
+       |SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |       CAST(version AS BIGINT) AS version
+       |FROM all_recs
+       |QUALIFY row_number() OVER (PARTITION BY o_orderkey
+       |                           ORDER BY version DESC) = 1
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
     "scd2_track" -> (scd2Track _),
     "anomaly_robust" -> (anomalyRobust _),
     "mv_incremental" -> (mvIncremental _),
-    "pagerank_nations" -> (pagerankNations _))
+    "pagerank_nations" -> (pagerankNations _),
+    "rolling_features" -> (rollingFeatures _),
+    "value_histogram" -> (valueHistogram _),
+    "upsert_latest" -> (upsertLatest _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -392,5 +519,8 @@ object OlapC {
     "scd2_track" -> scd2TrackSql,
     "anomaly_robust" -> anomalyRobustSql,
     "mv_incremental" -> mvIncrementalSql,
-    "pagerank_nations" -> pagerankNationsSql)
+    "pagerank_nations" -> pagerankNationsSql,
+    "rolling_features" -> rollingFeaturesSql,
+    "value_histogram" -> valueHistogramSql,
+    "upsert_latest" -> upsertLatestSql)
 }

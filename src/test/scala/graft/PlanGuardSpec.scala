@@ -21,7 +21,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_embedding", "multimodal_similar", "embed_stats",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
-    "zorder_layout")
+    "zorder_layout", "value_histogram")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -86,7 +86,10 @@ class PlanGuardSpec extends SparkSpec {
     // iterative: exchange count scales with ITERATIONS (5 × ~5: rank join,
     // contrib agg, node re-join per round), never with data volume — each
     // exchange carries O(edges)/O(nodes) rows
-    "pagerank_nations" -> 32
+    "pagerank_nations" -> 32,
+    "rolling_features" -> 2, // ONE user-key range-frame window + gate sort
+    "value_histogram" -> 4, // 1-row stats agg (broadcast back) + bucket agg + gate sort
+    "upsert_latest" -> 2 // ONE key shuffle (max-struct agg, partial combine) + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

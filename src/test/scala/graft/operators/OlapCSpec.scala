@@ -135,6 +135,66 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("rolling_features: trailing-window counts replay per user") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = evs.groupBy(_._1)
+    val got = OlapC.rollingFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    byUser.values.flatten.foreach { case (u, ts, id, _) =>
+      val inWin = byUser(u).filter(e =>
+        e._2 <= ts && e._2 >= ts - OlapC.RollWindowUs)
+      val expSum = inWin.map(e => BigDecimal(e._4).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(got(id)._1 === inWin.length.toLong, s"event $id count")
+      assert(got(id)._2 === expSum.toDouble, s"event $id sum")
+    }
+    // windows actually roll: not every count is the user's total
+    assert(got.values.exists(_._1 > 1))
+    assert(evs.groupBy(_._1).exists { case (u, es) =>
+      es.map(e => got(e._3)._1).min < es.length })
+  }
+
+  test("value_histogram: buckets replay; counts cover every event") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val (vmin, vmax) = (evs.map(_._2).min, evs.map(_._2).max)
+    val expected = evs.groupBy { case (t, v) =>
+      (t, math.min(OlapC.HistBuckets - 1,
+        math.floor((v - vmin) * OlapC.HistBuckets / (vmax - vmin)).toInt))
+    }.view.mapValues(_.length.toLong).toMap
+    val got = OlapC.valueHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.values.sum === evs.length.toLong)
+  }
+
+  test("upsert_latest: changed keys take v2, untouched keys keep the base row") {
+    val base = graft.sources.Tables(spark, sfDir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    // output order: key, version, then payload columns
+    val got = OlapC.upsertLatest(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getDouble(3), r.getLong(1))))
+      .toMap
+    assert(got.keySet === base.keySet, "exactly one row per key")
+    got.foreach { case (k, (st, price, v)) =>
+      if (k % OlapC.UpsertMod == 0) {
+        assert(v === 2L && st === "U")
+        assert(price === base(k)._2 * 2)
+      } else {
+        assert(v === 1L && st === base(k)._1)
+        assert(price === base(k)._2)
+      }
+    }
+  }
+
   test("mv_incremental: merge equals recompute; merging is associative") {
     import graft.sources.Tables
     val ev = Tables(spark, sfDir).events
