@@ -127,9 +127,54 @@ object Multimodal {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- C12 continued: video frame sampling ---------------------------------
+  /** Frame geometry of the stub "video" codec: fixed-size frames over the
+    * payload body, every [[FrameStride]]-th frame sampled (the standard
+    * pretraining recipe — decode only the frames you keep). */
+  val FrameBytes = 32
+  val FrameStride = 4
+
+  final case class FrameRow(media_id: Long, n_frames: Int, frame_idx: Int,
+      frame_h48: Long)
+
+  /** Stub frame extractor: chunks the payload body into fixed-size frames
+    * and emits an md5-derived 48-bit fingerprint for every sampled frame
+    * (stands in for the decoded frame tensor; a native codec would seek
+    * directly to the sampled frames, which is why sampling happens INSIDE
+    * the decode — the skipped frames are never materialized). */
+  private[operators] def sampleFrames(r: MediaRow): Iterator[FrameRow] = {
+    val body = java.util.Arrays.copyOfRange(r.media, 15, r.media.length)
+    val nFrames = body.length / FrameBytes
+    Iterator.range(0, nFrames).filter(_ % FrameStride == 0).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(body, j * FrameBytes,
+          (j + 1) * FrameBytes))
+      var h = 0L
+      var i = 0
+      while (i < 6) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+      FrameRow(r.media_id, nFrames, j, h)
+    }
+  }
+
+  /** Sampled-frame fingerprints for every video: metadata predicate (fmt)
+    * prunes BEFORE decode, the frame loop runs inside the batched decode
+    * map stage, and the per-frame rows are the only thing that ever
+    * reaches an exchange — O(frames kept), not O(bytes decoded). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("fmt") === "vid")
+      .select("media_id", "fmt", "media").as[MediaRow]
+      .mapPartitions(rows => rows.grouped(DecodeBatchSize)
+        .flatMap(_.iterator.flatMap(sampleFrames)))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_similar" -> (multimodalSimilar _)
+    "multimodal_similar" -> (multimodalSimilar _),
+    "multimodal_frames" -> (multimodalFrames _)
   )
 
   /** DuckDB twin of [[multimodalMeta]]: re-derives the synthesized payload
@@ -195,8 +240,35 @@ object Multimodal {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalFrames]]: the payload body is the document
+    * text (ASCII by construction — `strlen == length` holds corpus-wide,
+    * so char-based `substr` chunks exactly like the byte-based codec) and
+    * the frame fingerprint is the md5-prefix-48 idiom of the sketch
+    * oracles. */
+  val multimodalFramesSql: String = {
+    val hex12 = (1 to 12).map(i =>
+      s"((strpos('0123456789abcdef', substr(mh, $i, 1)) - 1)::BIGINT << ${4 * (12 - i)})")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id, text,
+       |    CAST(strlen(text) // $FrameBytes AS INT) AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), idx AS (
+       |  SELECT media_id, n_frames, text,
+       |    unnest(range(0, n_frames)) AS j
+       |  FROM v
+       |), fr AS (
+       |  SELECT media_id, n_frames, CAST(j AS INT) AS frame_idx,
+       |    md5(substr(text, 1 + CAST(j AS INT) * $FrameBytes, $FrameBytes)) AS mh
+       |  FROM idx WHERE j % $FrameStride = 0)
+       |SELECT media_id, n_frames, frame_idx,
+       |  CAST($hex12 AS BIGINT) AS frame_h48
+       |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_similar" -> multimodalSimilarSql
+    "multimodal_similar" -> multimodalSimilarSql,
+    "multimodal_frames" -> multimodalFramesSql
   )
 }

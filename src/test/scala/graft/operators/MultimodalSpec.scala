@@ -54,6 +54,39 @@ class MultimodalSpec extends SparkSpec {
     assert(mp >= 0 && fl > mp, plan)
   }
 
+  test("frame sampling: stride layout and fingerprints replay from the bytes") {
+    val got = Multimodal.multimodalFrames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // only videos, only every stride-th frame, idx within bounds
+    got.foreach { case (id, n, idx, _) =>
+      assert(id % 3 === 2)
+      assert(idx % Multimodal.FrameStride === 0 && idx < n)
+    }
+    // fingerprints replay from the raw text bytes
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, n, idx, h) =>
+      val body = texts(id).getBytes("UTF-8")
+      assert(n === body.length / Multimodal.FrameBytes)
+      val fb = java.util.Arrays.copyOfRange(body,
+        idx * Multimodal.FrameBytes, (idx + 1) * Multimodal.FrameBytes)
+      val d = md5.digest(fb)
+      val expected = (0 until 6).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      assert(h === expected, s"frame ($id, $idx)")
+    }
+    // every video with >= 1 full frame contributes its sampled frames
+    val byId = got.groupBy(_._1)
+    texts.foreach { case (id, t) =>
+      val n = t.getBytes("UTF-8").length / Multimodal.FrameBytes
+      val expFrames = (0 until n).count(_ % Multimodal.FrameStride == 0)
+      assert(byId.get(id).map(_.length).getOrElse(0) === expFrames, s"media $id")
+    }
+  }
+
   test("decoded features drive similarity search (C12 -> C6 composition)") {
     val out = Multimodal.multimodalSimilar(spark, sfDir).collect()
     assert(out.nonEmpty)
