@@ -400,6 +400,89 @@ object Pipeline {
        |FROM lab GROUP BY node HAVING MIN(lab) = node ORDER BY doc_id""".stripMargin
   }
 
+  // --- C35: contrastive pair mining ----------------------------------------
+  /** Mined pairs keep Jaccard in [lo, hi): related enough to be positives,
+    * not so close they are duplicates (those belong to dedup, not to a
+    * contrastive batch). */
+  val MinePairLo = 0.3
+  val MinePairHi = 0.9
+  /** Every 41st document contributes a truncated variant (first 2/3 of its
+    * words) under a shifted id — a PARTIAL-overlap relative (Jaccard
+    * ≈ 0.6), the relationship contrastive mining exists to find. The
+    * natural corpus' near-dups are ≥ 0.9 (dedup territory), so without
+    * the seed the band [lo, hi) is empty. Deterministic, so the oracle
+    * rebuilds it. */
+  val MinePairMod = 41
+  val MinePairShift = 700000000L
+
+  /** The mining corpus: documents plus the seeded truncated variants. */
+  def minePairsCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val toks = split(trim(col("text")), "\\s+")
+    docs.unionAll(
+      docs.filter(col("doc_id") % MinePairMod === 0)
+        .select((col("doc_id") + MinePairShift).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), (size(toks) * 2 / 3).cast("int")))
+            .as("text")))
+  }
+
+  /** Mine (anchor, positive) training pairs for contrastive/embedding
+    * training from the corpus' near-dup structure: MinHash-LSH band
+    * candidacy (NO estimate filter — the exact verify decides, so
+    * candidacy is a pure function of the band layout), per-pair exact
+    * Jaccard in [[MinePairLo]], [[MinePairHi]]), and a reshard-stable
+    * split on the anchor (C14's hash rule) so a pair never leaks across
+    * train/val/test.
+    *
+    * Scale shape: identical to C20's dedup stage — band-bucket equi-join
+    * for candidates, id-keyed shingle fetch for the verify, cost
+    * O(candidates); no shingle is ever a join key. */
+  def minePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = minePairsCorpus(spark, dir)
+    val cands = Dedup.minhashLshPairs(docs.repartition(col("doc_id")),
+      "doc_id", "text", shingleN = 3, numHashes = Sketch.NumHashes,
+      bands = Sketch.Bands, minEstJaccard = 0.0)
+    val h = substring(md5(col("id_a").cast("string")), 1, 4)
+    Dedup.verifyJaccardPairs(cands, docs, "doc_id", "text",
+        n = 3, threshold = MinePairLo)
+      .filter(col("jaccard") < MinePairHi)
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("jaccard"),
+        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
+  val minePairsSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $MinePairShift,
+       |    array_to_string(toks[1 : (len(toks) * 2) // 3], ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % $MinePairMod = 0
+       |), ${Sketch.minhashCandidateCtes("corpus")},
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM corpus)
+       |), j AS (
+       |  SELECT doc_a AS anchor, doc_b AS positive,
+       |    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN shl a ON a.doc_id = doc_a
+       |  JOIN shl b ON b.doc_id = doc_b)
+       |SELECT anchor, positive, jaccard,
+       |  CASE WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+       |       WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM j WHERE jaccard >= $MinePairLo AND jaccard < $MinePairHi
+       |ORDER BY anchor, positive""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
@@ -409,7 +492,8 @@ object Pipeline {
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _),
-    "curate_pipeline" -> (curatePipeline _)
+    "curate_pipeline" -> (curatePipeline _),
+    "mine_pairs" -> (minePairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,6 +504,7 @@ object Pipeline {
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql,
-    "curate_pipeline" -> curatePipelineSql
+    "curate_pipeline" -> curatePipelineSql,
+    "mine_pairs" -> minePairsSql
   )
 }

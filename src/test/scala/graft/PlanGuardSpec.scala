@@ -90,7 +90,8 @@ class PlanGuardSpec extends SparkSpec {
     "rolling_features" -> 2, // ONE user-key range-frame window + gate sort
     "value_histogram" -> 4, // 1-row stats agg (broadcast back) + bucket agg + gate sort
     "upsert_latest" -> 2, // ONE key shuffle (max-struct agg, partial combine) + gate sort
-    "multimodal_frames" -> 1 // fmt filter below decode, frame loop inside the map stage + gate sort
+    "multimodal_frames" -> 1, // fmt filter below decode, frame loop inside the map stage + gate sort
+    "mine_pairs" -> 6 // corpus spread, band join, pair dedup, two verify joins + gate sort — all O(candidates)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

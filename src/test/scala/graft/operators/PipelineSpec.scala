@@ -231,4 +231,30 @@ class PipelineSpec extends SparkSpec {
     val nDocs = graft.sources.Tables(spark, sfDir).documents.count()
     assert(rows.length.toLong === nDocs)
   }
+
+  test("mine_pairs: seeded partial-overlap variants surface as in-band pairs") {
+    import org.apache.spark.sql.functions._
+    val got = Pipeline.minePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, p, j, split) =>
+      assert(a < p)
+      assert(j >= Pipeline.MinePairLo && j < Pipeline.MinePairHi)
+      assert(Set("train", "val", "test").contains(split))
+    }
+    // the seeded (source, truncated-variant) pairs are the positives this
+    // op exists to find: band candidacy at J≈0.6 catches nearly all
+    val seeds = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % Pipeline.MinePairMod === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val found = got.count { case (a, p, _, _) =>
+      seeds.contains(a) && p == a + Pipeline.MinePairShift }
+    assert(found >= seeds.size * 3 / 4, s"found $found of ${seeds.size}")
+    // split is the anchor's C14 assignment — pairs never straddle splits
+    val bySplit = Pipeline.sampleSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (a, _, _, s) =>
+      bySplit.get(a).foreach(exp => assert(s === exp))
+    }
+  }
 }
