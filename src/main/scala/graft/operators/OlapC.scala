@@ -502,6 +502,44 @@ object OlapC {
        |                           ORDER BY version DESC) = 1
        |ORDER BY o_orderkey""".stripMargin
 
+  // --- B30: one-pass table profiling ---------------------------------------
+  /** The profiled table's columns — one definition drives BOTH the Spark
+    * aggregation and the generated oracle SQL. */
+  val ProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Data-quality profile of a table in ONE scan: per column, null count
+    * and distinct cardinality (plus the row count). `exact = true` uses
+    * exact distincts — Catalyst plans the multi-distinct agg via Expand,
+    * i.e. one scan multiplied by #columns, which is the oracle-checkable
+    * path; at 100 TB pass `exact = false` for `approx_count_distinct`
+    * (HLL): same single scan, NO Expand, bounded sketch state. */
+  def tableProfileOn(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    def dist(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"_n_$c"), dist(c).as(s"_d_$c")))
+    df.agg(count(lit(1)).as("_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("_rows").as("n_rows"),
+        col(s"_n_$c").as("n_nulls"), col(s"_d_$c").as("n_distinct"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfileOn(Tables(spark, dir).orders, ProfileCols)
+
+  val tableProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
@@ -511,7 +549,8 @@ object OlapC {
     "pagerank_nations" -> (pagerankNations _),
     "rolling_features" -> (rollingFeatures _),
     "value_histogram" -> (valueHistogram _),
-    "upsert_latest" -> (upsertLatest _))
+    "upsert_latest" -> (upsertLatest _),
+    "table_profile" -> (tableProfile _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -522,5 +561,6 @@ object OlapC {
     "pagerank_nations" -> pagerankNationsSql,
     "rolling_features" -> rollingFeaturesSql,
     "value_histogram" -> valueHistogramSql,
-    "upsert_latest" -> upsertLatestSql)
+    "upsert_latest" -> upsertLatestSql,
+    "table_profile" -> tableProfileSql)
 }

@@ -292,6 +292,55 @@ object VectorOps {
        |FROM a${KmeansRounds + 1} ORDER BY vec_id""".stripMargin
   }
 
+  // --- C36: int8 vector quantization ---------------------------------------
+  /** Per-vector min-max int8 quantization — the 4× memory/IO cut that keeps
+    * a billion-vector ANN corpus in executor memory. Codes, the weighted
+    * code checksum, and the max reconstruction error are ALL pure map-side
+    * array algebra (one pass, no shuffle); both engines run the identical
+    * IEEE expression order, so even the double-valued error hash-matches.
+    * The error contract max_err ≤ rng/255 (one quantization step) is pinned
+    * by spec — that is the bound a recall-sensitive ANN consumer budgets
+    * against. */
+  def embeddingQuantizeOn(df: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("vmin", array_min(col("emb")))
+      .withColumn("vmax", array_max(col("emb")))
+      .withColumn("rng", col("vmax") - col("vmin"))
+      .withColumn("codes", expr(
+        "transform(emb, v -> CAST(CASE WHEN rng = 0 THEN 0 ELSE " +
+          "least(255, floor((v - vmin) * 255 / rng)) END AS INT))"))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        expr("aggregate(zip_with(codes, sequence(1, size(codes)), " +
+          "(c, i) -> CAST(c AS BIGINT) * i), 0L, (a, x) -> a + x)")
+          .as("code_wsum"),
+        expr("array_max(zip_with(emb, codes, (v, c) -> " +
+          "abs(v - (vmin + CAST(c AS DOUBLE) * rng / 255))))").as("max_err"))
+      .orderBy(col("vec_id"))
+
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddingQuantizeOn(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+
+  val embeddingQuantizeSql: String =
+    s"""WITH $embSql,
+       |s AS (
+       |  SELECT vec_id, emb, list_min(emb) AS vmin, list_max(emb) AS vmax,
+       |         list_max(emb) - list_min(emb) AS rng
+       |  FROM emb
+       |), c AS (
+       |  SELECT vec_id, vmin, vmax, rng, emb,
+       |    list_transform(emb, v -> CAST(CASE WHEN rng = 0 THEN 0 ELSE
+       |      least(255, floor((v - vmin) * 255 / rng)) END AS INT)) AS codes
+       |  FROM s)
+       |SELECT vec_id, vmin, vmax,
+       |  CAST(list_sum(list_transform(range(1, len(codes) + 1),
+       |    i -> codes[i]::BIGINT * i)) AS BIGINT) AS code_wsum,
+       |  list_max(list_transform(range(1, len(codes) + 1),
+       |    i -> abs(emb[i] - (vmin + codes[i]::DOUBLE * rng / 255)))) AS max_err
+       |FROM c ORDER BY vec_id""".stripMargin
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -301,13 +350,15 @@ object VectorOps {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_stats" -> (embedStats _),
-    "kmeans_clusters" -> (kmeansClusters _)
+    "kmeans_clusters" -> (kmeansClusters _),
+    "embedding_quantize" -> (embeddingQuantize _)
   )
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> annBruteTopkSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "embed_stats" -> embedStatsSql,
-    "kmeans_clusters" -> kmeansClustersSql
+    "kmeans_clusters" -> kmeansClustersSql,
+    "embedding_quantize" -> embeddingQuantizeSql
   )
 }

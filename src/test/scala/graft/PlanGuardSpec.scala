@@ -91,7 +91,9 @@ class PlanGuardSpec extends SparkSpec {
     "value_histogram" -> 4, // 1-row stats agg (broadcast back) + bucket agg + gate sort
     "upsert_latest" -> 2, // ONE key shuffle (max-struct agg, partial combine) + gate sort
     "multimodal_frames" -> 1, // fmt filter below decode, frame loop inside the map stage + gate sort
-    "mine_pairs" -> 6 // corpus spread, band join, pair dedup, two verify joins + gate sort — all O(candidates)
+    "mine_pairs" -> 6, // corpus spread, band join, pair dedup, two verify joins + gate sort — all O(candidates)
+    "embedding_quantize" -> 1, // pure map-side array algebra + gate sort
+    "table_profile" -> 2 // ONE scan (Expand × #cols for exact distincts) + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

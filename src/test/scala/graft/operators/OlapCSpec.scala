@@ -135,6 +135,27 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("table_profile: one-pass stats replay; approx path lands near exact") {
+    val orders = graft.sources.Tables(spark, sfDir).orders
+    val rows = orders.select(OlapC.ProfileCols.map(col): _*).collect()
+    val expected = OlapC.ProfileCols.zipWithIndex.map { case (c, i) =>
+      c -> ((rows.length.toLong,
+        rows.count(_.isNullAt(i)).toLong,
+        rows.map(r => if (r.isNullAt(i)) null else r.get(i)).filter(_ != null)
+          .distinct.length.toLong))
+    }.toMap
+    val got = OlapC.tableProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    val approx = OlapC.tableProfileOn(orders, OlapC.ProfileCols, exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.foreach { case (c, d) =>
+      val e = expected(c)._3.toDouble
+      assert(math.abs(d - e) <= math.max(4.0, e * 0.1), s"$c approx $d vs $e")
+    }
+  }
+
   test("rolling_features: trailing-window counts replay per user") {
     val evs = graft.sources.Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),

@@ -170,6 +170,29 @@ class VectorSpec extends SparkSpec {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("embedding_quantize: codes replay in the JVM; error within one step") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val got = VectorOps.embeddingQuantize(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    embs.foreach { case (id, v) =>
+      val (vmin, vmax) = (v.min, v.max)
+      val rng = vmax - vmin
+      val codes = v.map(x => if (rng == 0) 0
+        else math.min(255, math.floor((x - vmin) * 255 / rng).toInt))
+      val wsum = codes.zipWithIndex.map { case (c, i) => c.toLong * (i + 1) }.sum
+      val maxErr = v.zip(codes)
+        .map { case (x, c) => math.abs(x - (vmin + c.toDouble * rng / 255)) }.max
+      val (gMin, gMax, gSum, gErr) = got(id)
+      assert(gMin === vmin && gMax === vmax && gSum === wsum && gErr === maxErr)
+      // the contract an ANN consumer budgets against: one quantization step
+      assert(gErr <= rng / 255 + 1e-12, s"vec $id err $gErr step ${rng / 255}")
+    }
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
