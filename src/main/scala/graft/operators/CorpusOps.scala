@@ -64,11 +64,11 @@ object CorpusOps {
       .withColumn("repetitive",
         (col("top_gram_frac") > TopGramFracMax ||
           col("dup_gram_frac") > DupGramFracMax).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     textRepetitionOn(Tables(spark, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_id"))
 
   val textRepetitionSql: String =
     s"""WITH t AS (

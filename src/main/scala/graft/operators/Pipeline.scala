@@ -483,6 +483,65 @@ object Pipeline {
        |FROM j WHERE jaccard >= $MinePairLo AND jaccard < $MinePairHi
        |ORDER BY anchor, positive""".stripMargin
 
+  // --- C37: the pretraining-layout composition -----------------------------
+  /** The nightly "corpus → training layout" flow as ONE declarative plan:
+    * quality gate (C15) → repetition filter (C23) → exact-dedup keepers
+    * (C1, min-id survivorship) → deterministic sequence packing (C26) of
+    * the survivors.
+    *
+    * Scale shape: the two filters are map stages Catalyst fuses into the
+    * scan (their flags never leave the projection); the dedup is the one
+    * content-hash shuffle; packing runs per-shard windows whose
+    * parallelism is the shard count. A reader of the output can rebuild
+    * any shard alone — placement is a pure function of the surviving doc
+    * ids. */
+  def preparePretrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val gated = docs
+      .join(qualityFlagsOn(docs).filter(col("passes") === 1)
+        .select(col("doc_id")), "doc_id")
+      .join(CorpusOps.textRepetitionOn(docs, "doc_id", "text")
+        .filter(col("repetitive") === 0).select(col("doc_id")), "doc_id")
+    val keepers = gated
+      .groupBy(sha2(col("text"), 256).as("_ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivors = docs.join(keepers, "doc_id")
+    CorpusOps.packSequencesOn(survivors, "doc_id", "text",
+      CorpusOps.PackBudget)
+  }
+
+  val preparePretrainSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id FROM (${qualityFilterChainSql.replace("ORDER BY doc_id", "")})
+       |  WHERE passes = 1
+       |), rep AS (
+       |  SELECT doc_id FROM (${CorpusOps.textRepetitionSql.replace("ORDER BY w.doc_id", "")})
+       |  WHERE repetitive = 0
+       |), keepers AS (
+       |  SELECT MIN(d.doc_id) AS doc_id
+       |  FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+       |  GROUP BY sha256(d.text)
+       |), surv AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+       |), t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM surv
+       |), o AS (
+       |  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, start_off,
+       |       start_off + n_tokens AS end_off,
+       |       start_off // ${CorpusOps.PackBudget} AS first_seq,
+       |       (start_off + n_tokens - 1) // ${CorpusOps.PackBudget} AS last_seq
+       |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> (textPiiScrub _),
@@ -493,7 +552,8 @@ object Pipeline {
     "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _),
     "curate_pipeline" -> (curatePipeline _),
-    "mine_pairs" -> (minePairs _)
+    "mine_pairs" -> (minePairs _),
+    "prepare_pretrain" -> (preparePretrain _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -505,6 +565,7 @@ object Pipeline {
     "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql,
     "curate_pipeline" -> curatePipelineSql,
-    "mine_pairs" -> minePairsSql
+    "mine_pairs" -> minePairsSql,
+    "prepare_pretrain" -> preparePretrainSql
   )
 }

@@ -93,7 +93,8 @@ class PlanGuardSpec extends SparkSpec {
     "multimodal_frames" -> 1, // fmt filter below decode, frame loop inside the map stage + gate sort
     "mine_pairs" -> 6, // corpus spread, band join, pair dedup, two verify joins + gate sort — all O(candidates)
     "embedding_quantize" -> 1, // pure map-side array algebra + gate sort
-    "table_profile" -> 2 // ONE scan (Expand × #cols for exact distincts) + gate sort
+    "table_profile" -> 2, // ONE scan (Expand × #cols for exact distincts) + gate sort
+    "prepare_pretrain" -> 6 // gate joins, content-hash dedup, survivor join, shard windows + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

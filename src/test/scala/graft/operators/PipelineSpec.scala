@@ -232,6 +232,35 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length.toLong === nDocs)
   }
 
+  test("prepare_pretrain: survivors are gated dedup keepers, layout tiles") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.preparePretrain(spark, sfDir).collect()
+    val packed = rows.map(_.getAs[Long]("doc_id")).toSet
+    // survivor set = quality-passing ∩ non-repetitive ∩ min-id per content
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val q = Pipeline.qualityFlagsOn(docs).filter(col("passes") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rep = CorpusOps.textRepetitionOn(docs, "doc_id", "text")
+      .filter(col("repetitive") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val byContent = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => q.contains(d._1) && rep.contains(d._1))
+      .groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(packed === byContent)
+    assert(packed.nonEmpty && packed.size < docs.count())
+    // per-shard contiguity (the pack invariant) holds over the composition
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_off"))
+      assert(sorted.head.getAs[Long]("start_off") === 0L, s"shard $s")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_off") === b.getAs[Long]("start_off"))
+        case _ =>
+      }
+    }
+  }
+
   test("mine_pairs: seeded partial-overlap variants surface as in-band pairs") {
     import org.apache.spark.sql.functions._
     val got = Pipeline.minePairs(spark, sfDir).collect()
