@@ -172,6 +172,20 @@ object ScaleProbe {
         numFiles = 64)
       spark.read.parquet(dir).count()
     }
+    time("embedding_quantize") {
+      VectorOps.embeddingQuantizeOn(embs, "vec_id", "emb").count()
+    }
+    time("prepare_pretrain") {
+      val gated = docs
+        .join(Pipeline.qualityFlagsOn(docs).filter(col("passes") === 1)
+          .select(col("doc_id")), "doc_id")
+        .join(CorpusOps.textRepetitionOn(docs, "doc_id", "text")
+          .filter(col("repetitive") === 0).select(col("doc_id")), "doc_id")
+      val keepers = gated.groupBy(sha2(col("text"), 256).as("_ch"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      CorpusOps.packSequencesOn(docs.join(keepers, "doc_id"),
+        "doc_id", "text", 2048L).count()
+    }
     val queries = embs.limit(40)
     time("ann_brute") {
       Ann.bruteTopK(embs, queries, "vec_id", "emb", 10).count()

@@ -710,6 +710,92 @@ object CorpusOps {
        |FROM d JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C38: token co-occurrence PMI ----------------------------------------
+  /** Vocabulary size and minimum pair support for the PMI table. */
+  val PmiVocabK = 50
+  val PmiMinPairs = 5
+
+  /** Document-level pointwise mutual information over the top-K vocabulary
+    * — the collocation signal phrase-mining and tokenizer audits run.
+    * pmi(a,b) = ln(N·c_ab / (c_a·c_b)) over document co-occurrence counts,
+    * floor-quantized to integer pico-nats (the C31/C25 ln-parity trick).
+    *
+    * Scale shape: the vocabulary is a bounded driver collect (top-K by
+    * count, deterministic tiebreak) broadcast back as a literal; per-doc
+    * pair generation is array algebra over the ≤K vocabulary tokens a doc
+    * contains (pairs per doc ≤ K²/2, independent of doc length); the only
+    * shuffles aggregate O(K²) pair rows and O(K) token rows. */
+  def tokenPmiOn(documents: DataFrame, idCol: String, textCol: String,
+      vocabK: Int, minPairs: Long): DataFrame = {
+    val toks = documents.select(col(idCol).as("doc_id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .collect().map(_.getString(0)).sorted
+    val nDocs = toks.count()
+    val inVocab = toks
+      .select(col("doc_id"),
+        array_sort(array_intersect(col("toks"), lit(vocab))).as("vt"))
+      .filter(size(col("vt")) > 0)
+    val dfCounts = inVocab.select(explode(col("vt")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = inVocab
+      .select(explode(expr(
+        """flatten(transform(vt, (x, i) ->
+          |  transform(slice(vt, i + 2, size(vt)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairs)
+    pairs
+      .join(broadcast(dfCounts.withColumnRenamed("tok", "token_a")
+        .withColumnRenamed("c", "c_a")), "token_a")
+      .join(broadcast(dfCounts.withColumnRenamed("tok", "token_b")
+        .withColumnRenamed("c", "c_b")), "token_b")
+      .select(col("token_a"), col("token_b"), col("c_ab"),
+        expr(s"CAST(floor(ln(CAST($nDocs AS DOUBLE) * c_ab / " +
+          "(CAST(c_a AS DOUBLE) * c_b)) * 1e12) AS BIGINT)").as("pmi_pico"))
+      .orderBy(col("token_a"), col("token_b"))
+  }
+
+  def tokenPmi(spark: SparkSession, dir: String): DataFrame =
+    tokenPmiOn(Tables(spark, dir).documents, "doc_id", "text",
+      PmiVocabK, PmiMinPairs)
+
+  val tokenPmiSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM documents
+       |), vc AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1
+       |  ORDER BY cnt DESC, tok LIMIT $PmiVocabK
+       |), vl AS (SELECT list(tok) AS vocab FROM vc),
+       |n AS (SELECT COUNT(*) AS n FROM d),
+       |iv AS (
+       |  SELECT doc_id,
+       |    list_sort(list_filter(toks, t -> list_contains(vocab, t))) AS vt
+       |  FROM d CROSS JOIN vl
+       |  WHERE len(list_filter(toks, t -> list_contains(vocab, t))) > 0
+       |), dfc AS (
+       |  SELECT tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(vt) AS tok FROM iv) GROUP BY 1
+       |), pr AS (
+       |  SELECT p[1] AS token_a, p[2] AS token_b, COUNT(*) AS c_ab
+       |  FROM (SELECT unnest(flatten(list_transform(range(1, len(vt) + 1),
+       |          i -> list_transform(vt[i + 1 :], y -> [vt[i], y])))) AS p
+       |        FROM iv)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $PmiMinPairs)
+       |SELECT token_a, token_b, c_ab,
+       |  CAST(floor(ln(CAST(n AS DOUBLE) * c_ab
+       |    / (CAST(a.c AS DOUBLE) * b.c)) * 1e12) AS BIGINT) AS pmi_pico
+       |FROM pr
+       |JOIN dfc a ON a.tok = token_a
+       |JOIN dfc b ON b.tok = token_b
+       |CROSS JOIN n
+       |ORDER BY token_a, token_b""".stripMargin
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -786,7 +872,8 @@ object CorpusOps {
     "dedup_incremental" -> (dedupIncremental _),
     "domain_caps" -> (domainCaps _),
     "corpus_mixture" -> (corpusMixture _),
-    "export_shards" -> (exportShards _))
+    "export_shards" -> (exportShards _),
+    "token_pmi" -> (tokenPmi _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -799,5 +886,6 @@ object CorpusOps {
     "dedup_incremental" -> dedupIncrementalSql,
     "domain_caps" -> domainCapsSql,
     "corpus_mixture" -> corpusMixtureSql,
-    "export_shards" -> exportShardsSql)
+    "export_shards" -> exportShardsSql,
+    "token_pmi" -> tokenPmiSql)
 }

@@ -234,6 +234,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("token_pmi: co-occurrence PMI replays from independent doc sets") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").distinct.toSet)
+    val vocab = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(CorpusOps.PmiVocabK)
+      .map(_._1).toSet
+    val n = docs.length.toLong
+    val dfc = vocab.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (_, ts) =>
+      val vt = ts.intersect(vocab).toSeq.sorted
+      for (i <- vt.indices; j <- i + 1 until vt.size) yield (vt(i), vt(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= CorpusOps.PmiMinPairs)
+      .map { case ((a, b), cab) =>
+        (a, b) -> ((cab, math.floor(math.log(n.toDouble * cab /
+          (dfc(a).toDouble * dfc(b))) * 1e12).toLong))
+      }.toMap
+    val got = CorpusOps.tokenPmi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // PMI separates: both positively and negatively associated pairs exist
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0))
+  }
+
   test("export_shards: manifest replays from scratch; sink round-trips per shard") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
