@@ -540,6 +540,46 @@ object OlapC {
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // --- B31: skew-proof salted join -----------------------------------------
+  val SaltBuckets = 8
+
+  /** The salted-join demo over a DELIBERATELY skewed key: half the event
+    * stream collapses onto one hot key, the kind of key that turns a
+    * plain shuffle join into one straggler partition. [[Dedup]]-style
+    * salting ([[Skew.saltedJoin]]) spreads each hot key across
+    * [[SaltBuckets]] partitions by joining on (key, salt) with the small
+    * side replicated saltBuckets× — bounded, explicit replication instead
+    * of an unbounded hot partition. The aggregation after the join erases
+    * the salt, so the result is EXACTLY the plain join's (the DuckDB
+    * oracle runs the unsalted join) — salting is a physical rewrite, not
+    * a semantic one. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(when(col("user_id") % 10 < 5, 1L).otherwise(col("user_id"))
+          .as("k"),
+        col("value"))
+    val dim = ev.select(col("k")).distinct()
+      .select(col("k"), substring(md5(col("k").cast("string")), 1, 8)
+        .as("label"))
+    Skew.saltedJoin(ev, dim, "k", SaltBuckets)
+      .groupBy(col("k"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,2)")).cast("double").as("value_sum"))
+      .orderBy(col("k"))
+  }
+
+  val saltedJoinSql: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN user_id % 10 < 5 THEN 1 ELSE user_id END AS k, value
+      |  FROM events
+      |), dim AS (
+      |  SELECT k, substr(md5(CAST(k AS VARCHAR)), 1, 8) AS label
+      |  FROM (SELECT DISTINCT k FROM e))
+      |SELECT e.k, label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+      |FROM e JOIN dim ON e.k = dim.k
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
@@ -550,7 +590,8 @@ object OlapC {
     "rolling_features" -> (rollingFeatures _),
     "value_histogram" -> (valueHistogram _),
     "upsert_latest" -> (upsertLatest _),
-    "table_profile" -> (tableProfile _))
+    "table_profile" -> (tableProfile _),
+    "salted_join" -> (saltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -562,5 +603,6 @@ object OlapC {
     "rolling_features" -> rollingFeaturesSql,
     "value_histogram" -> valueHistogramSql,
     "upsert_latest" -> upsertLatestSql,
-    "table_profile" -> tableProfileSql)
+    "table_profile" -> tableProfileSql,
+    "salted_join" -> saltedJoinSql)
 }

@@ -95,7 +95,8 @@ class PlanGuardSpec extends SparkSpec {
     "embedding_quantize" -> 1, // pure map-side array algebra + gate sort
     "table_profile" -> 2, // ONE scan (Expand × #cols for exact distincts) + gate sort
     "prepare_pretrain" -> 6, // gate joins, content-hash dedup, survivor join, shard windows + gate sort
-    "token_pmi" -> 6 // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
+    "token_pmi" -> 6, // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
+    "salted_join" -> 3 // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -135,6 +135,31 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("salted_join: equals the plain join; the salt reaches the join keys") {
+    import graft.sources.Tables
+    val ev = Tables(spark, sfDir).events
+      .select(when(col("user_id") % 10 < 5, 1L).otherwise(col("user_id"))
+        .as("k"), col("value"))
+    val dim = ev.select(col("k")).distinct()
+      .select(col("k"), substring(md5(col("k").cast("string")), 1, 8)
+        .as("label"))
+    val plain = ev.join(dim, "k")
+      .groupBy(col("k"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,2)")).cast("double").as("value_sum"))
+      .collect().map(_.toString).sorted
+    val salted = OlapC.saltedJoin(spark, sfDir).collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+    // the hot key actually dominates (the scenario salting exists for),
+    // and the salt column participates in the join
+    val hot = OlapC.saltedJoin(spark, sfDir)
+      .filter(col("k") === 1L).head().getAs[Long]("n")
+    val total = Tables(spark, sfDir).events.count()
+    assert(hot.toDouble / total > 0.4)
+    val joined = graft.operators.Skew.saltedJoin(ev, dim, "k", OlapC.SaltBuckets)
+    assert(joined.queryExecution.analyzed.toString.contains("_salt"))
+  }
+
   test("table_profile: one-pass stats replay; approx path lands near exact") {
     val orders = graft.sources.Tables(spark, sfDir).orders
     val rows = orders.select(OlapC.ProfileCols.map(col): _*).collect()
