@@ -215,11 +215,69 @@ object StreamOps {
        |FROM (${graft.operators.Pipeline.qualityFilterChainSql})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- B32/B33: batch cores run incrementally, unchanged --------------------
+  /** Shared streaming events source (LONG-nanos ts converted like Tables). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private def drainComplete(spark: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val FunnelQueryName = "graft_stream_funnel"
+
+  /** The ordered-step funnel (B19) over the LIVE event stream: the exact
+    * batch core (`OlapC.funnelOn` — one user-key aggregation whose
+    * post-agg step matching is array algebra) compiles unchanged into a
+    * streaming DAG; per-user state is the bounded user history, and the
+    * complete-mode drain equals the batch funnel — same DuckDB oracle.
+    * This is the composability dividend of keeping operator cores
+    * DataFrame-in/DataFrame-out: batch/streaming is a deployment choice,
+    * not a rewrite. */
+  def streamFunnel(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val ev = eventsStream(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val agg = graft.operators.OlapC.funnelOn(ev, "user_id", "ts_us",
+      "event_type", Seq("view", "click", "purchase"))
+    drainComplete(spark, agg, FunnelQueryName).orderBy(col("user_id"))
+  }
+
+  val MvQueryName = "graft_stream_mv"
+
+  /** The B25 materialized view maintained by the STREAM itself: the same
+    * mergeable-partial aggregation (`OlapC.mvDailyAggOn`) runs as a
+    * streaming aggregation — Spark's state store IS the view state, and
+    * every micro-batch merges its delta exactly like the batch
+    * `mvMergeOn`. Complete-mode drain == full recompute == the B25
+    * oracle. */
+  def streamMv(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val agg = graft.operators.OlapC.mvDailyAggOn(
+      eventsStream(spark, dir), "ts", "event_type", "value")
+    drainComplete(spark, agg, MvQueryName)
+      .select(col("day"), col("event_type"), col("n"),
+        col("_vsum").cast("double").as("value_sum"), col("value_max"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEvents _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
-    "stream_quality_gate" -> (streamQualityGate _)
+    "stream_quality_gate" -> (streamQualityGate _),
+    "stream_funnel" -> (streamFunnel _),
+    "stream_mv" -> (streamMv _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,6 +285,9 @@ object StreamOps {
     "stream_join" -> streamJoinSql,
     // the streamed state must equal the batch dedup over the same corpus
     "stream_dedup" -> graft.operators.TextOps.dedupExactSql,
-    "stream_quality_gate" -> streamQualityGateSql
+    "stream_quality_gate" -> streamQualityGateSql,
+    // the streamed drains must equal their batch twins' oracles
+    "stream_funnel" -> graft.operators.OlapC.funnelSql,
+    "stream_mv" -> graft.operators.OlapC.mvIncrementalSql
   )
 }

@@ -74,6 +74,15 @@ class StreamOpsSpec extends SparkSpec {
     assert(reasons.contains("ok") && reasons.size > 1)
   }
 
+  test("streamed funnel and MV equal their batch cores (one core, two modes)") {
+    val sf = StreamOps.streamFunnel(spark, sfDir).collect().map(_.toString).sorted
+    val bf = graft.operators.OlapC.funnel(spark, sfDir).collect().map(_.toString).sorted
+    assert(sf.nonEmpty && sf.toSeq === bf.toSeq)
+    val sm = StreamOps.streamMv(spark, sfDir).collect().map(_.toString).sorted
+    val bm = graft.operators.OlapC.mvIncremental(spark, sfDir).collect().map(_.toString).sorted
+    assert(sm.nonEmpty && sm.toSeq === bm.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
