@@ -796,6 +796,56 @@ object CorpusOps {
        |CROSS JOIN n
        |ORDER BY token_a, token_b""".stripMargin
 
+  // --- C39: vocabulary OOV audit -------------------------------------------
+  /** Tokenizer-audit vocabulary size — deliberately below the synthetic
+    * corpus' full vocabulary so the OOV tail is non-empty at every sf. */
+  val OovVocabK = 20
+
+  /** Per-document out-of-vocabulary rate against the corpus' own top-K
+    * vocabulary — the audit a tokenizer/vocab change runs before a
+    * retrain ("how much of the corpus does this vocab actually cover?").
+    * Vocabulary = bounded driver top-K (count desc, token tiebreak)
+    * broadcast as a literal; scoring is a pure map stage (array algebra
+    * over the token list). The OOV rate is an exact integer ratio
+    * divided once in IEEE double — engine-identical. */
+  def vocabOovOn(documents: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val toks = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
+      .collect().map(_.getString(0)).sorted
+    toks
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_oov",
+        size(filter(col("toks"), t => !t.isin(vocab.toSeq: _*))))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  def vocabOov(spark: SparkSession, dir: String): DataFrame =
+    vocabOovOn(Tables(spark, dir).documents, "doc_id", "text", OovVocabK)
+
+  val vocabOovSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), vc AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS cnt
+       |    FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
+       |    ORDER BY cnt DESC, tok LIMIT $OovVocabK)
+       |), vl AS (SELECT list(tok) AS vocab FROM vc)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> NOT list_contains(vocab, t))) AS INT)
+       |    AS n_oov,
+       |  CAST(len(list_filter(toks, t -> NOT list_contains(vocab, t))) AS DOUBLE)
+       |    / len(toks) AS oov_rate
+       |FROM d CROSS JOIN vl
+       |ORDER BY doc_id""".stripMargin
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -873,7 +923,8 @@ object CorpusOps {
     "domain_caps" -> (domainCaps _),
     "corpus_mixture" -> (corpusMixture _),
     "export_shards" -> (exportShards _),
-    "token_pmi" -> (tokenPmi _))
+    "token_pmi" -> (tokenPmi _),
+    "vocab_oov" -> (vocabOov _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -887,5 +938,6 @@ object CorpusOps {
     "domain_caps" -> domainCapsSql,
     "corpus_mixture" -> corpusMixtureSql,
     "export_shards" -> exportShardsSql,
-    "token_pmi" -> tokenPmiSql)
+    "token_pmi" -> tokenPmiSql,
+    "vocab_oov" -> vocabOovSql)
 }

@@ -580,6 +580,44 @@ object OlapC {
       |FROM e JOIN dim ON e.k = dim.k
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // --- B34: event-path transition matrix -----------------------------------
+  /** The user-journey transition matrix (Markov view of the event stream):
+    * count (previous event type → next event type) transitions along each
+    * user's time-ordered path, plus START transitions for first events.
+    * ONE user-key shuffle: `lead` over the per-user order produces the
+    * pairs; the transition aggregation groups O(types²) keys. */
+  def eventTransitionsOn(events: DataFrame, keyCol: String, tsUsCol: String,
+      seqCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("seq"))
+    events
+      .select(col(keyCol).as("user_id"), col(tsUsCol).as("ts_us"),
+        col(seqCol).as("seq"), col(typeCol).as("event_type"))
+      .select(
+        coalesce(lag(col("event_type"), 1).over(w), lit("START"))
+          .as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type")
+
+  val eventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      |  FROM events
+      |), p AS (
+      |  SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts_us, event_id), 'START') AS from_type,
+      |         event_type AS to_type
+      |  FROM e)
+      |SELECT from_type, to_type, COUNT(*) AS n
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
@@ -591,7 +629,8 @@ object OlapC {
     "value_histogram" -> (valueHistogram _),
     "upsert_latest" -> (upsertLatest _),
     "table_profile" -> (tableProfile _),
-    "salted_join" -> (saltedJoin _))
+    "salted_join" -> (saltedJoin _),
+    "event_transitions" -> (eventTransitions _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -604,5 +643,6 @@ object OlapC {
     "value_histogram" -> valueHistogramSql,
     "upsert_latest" -> upsertLatestSql,
     "table_profile" -> tableProfileSql,
-    "salted_join" -> saltedJoinSql)
+    "salted_join" -> saltedJoinSql,
+    "event_transitions" -> eventTransitionsSql)
 }

@@ -96,7 +96,9 @@ class PlanGuardSpec extends SparkSpec {
     "table_profile" -> 2, // ONE scan (Expand × #cols for exact distincts) + gate sort
     "prepare_pretrain" -> 6, // gate joins, content-hash dedup, survivor join, shard windows + gate sort
     "token_pmi" -> 6, // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
-    "salted_join" -> 3 // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
+    "salted_join" -> 3, // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
+    "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
+    "vocab_oov" -> 1 // vocab is a driver-bounded literal; scoring map-side + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

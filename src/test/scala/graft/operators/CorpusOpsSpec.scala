@@ -234,6 +234,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("vocab_oov: rates replay against the independent top-K vocabulary") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val vocab = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(CorpusOps.OovVocabK)
+      .map(_._1).toSet
+    val got = CorpusOps.vocabOov(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    docs.foreach { case (id, ts) =>
+      val oov = ts.count(!vocab.contains(_))
+      val (n, o, rate) = got(id)
+      assert(n === ts.size && o === oov)
+      assert(rate === oov.toDouble / ts.size)
+    }
+    // the audit discriminates: rates vary across the corpus
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("token_pmi: co-occurrence PMI replays from independent doc sets") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()

@@ -135,6 +135,25 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("event_transitions: counts replay from per-user ordered paths") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val path = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ("START" +: path.init.toSeq).zip(path.toSeq)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = OlapC.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // every event contributes exactly one transition
+    assert(got.values.sum === evs.length.toLong)
+    // START out-degree = number of users
+    assert(got.collect { case ((f, _), n) if f == "START" => n }.sum ===
+      evs.map(_._1).distinct.length.toLong)
+  }
+
   test("salted_join: equals the plain join; the salt reaches the join keys") {
     import graft.sources.Tables
     val ev = Tables(spark, sfDir).events
