@@ -846,6 +846,63 @@ object CorpusOps {
        |FROM d CROSS JOIN vl
        |ORDER BY doc_id""".stripMargin
 
+  // --- C40: deterministic weighted sampling --------------------------------
+  /** Sample size for the canned query. */
+  val WsK = 100
+
+  /** Weighted sampling WITHOUT randomness (Efraimidis–Spirakis A-ES with a
+    * hash-derived uniform): each doc gets u = (h48+1)/2^48 from its
+    * md5-prefix and priority ln(u)/w (monotone in u^(1/w)); the k largest
+    * priorities are the sample, so inclusion probability scales with the
+    * weight w (tokens here — sampling documents ∝ training mass). Unlike
+    * `rand()`-based sampling the result is a pure function of doc ids:
+    * reshard-stable, rerun-identical, engine-identical (priorities
+    * floor-quantized to pico integers via the ln-parity trick).
+    *
+    * Scale shape: priority is a pure map stage; top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps) — nothing is
+    * globally sorted; the final rank window runs over the k survivors
+    * only. */
+  def weightedSampleOn(documents: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":ws"))), 1, 12), 16, 10).cast("long")
+    val topk = documents
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+        h48.as("h48"))
+      .withColumn("u", (col("h48") + 1).cast("double") / lit(281474976710656.0))
+      .withColumn("key_pico",
+        expr("CAST(floor(ln(u) / n_tokens * 1e12) AS BIGINT)"))
+      .orderBy(col("key_pico").desc, col("doc_id"))
+      .limit(k)
+    topk
+      .select(col("doc_id"), col("n_tokens"), col("key_pico"),
+        row_number().over(Window.orderBy(col("key_pico").desc, col("doc_id")))
+          .cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOn(Tables(spark, dir).documents, "doc_id", "text", WsK)
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    ${hex12Sql(s"substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 12)")} AS h48
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor(ln(CAST(h48 + 1 AS DOUBLE) / 281474976710656.0)
+       |      / n_tokens * 1e12) AS BIGINT) AS key_pico
+       |  FROM d)
+       |SELECT doc_id, n_tokens, key_pico,
+       |  CAST(row_number() OVER (ORDER BY key_pico DESC, doc_id) AS INT) AS rank
+       |FROM p
+       |QUALIFY rank <= $WsK
+       |ORDER BY rank""".stripMargin
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -924,7 +981,8 @@ object CorpusOps {
     "corpus_mixture" -> (corpusMixture _),
     "export_shards" -> (exportShards _),
     "token_pmi" -> (tokenPmi _),
-    "vocab_oov" -> (vocabOov _))
+    "vocab_oov" -> (vocabOov _),
+    "weighted_sample" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -939,5 +997,6 @@ object CorpusOps {
     "corpus_mixture" -> corpusMixtureSql,
     "export_shards" -> exportShardsSql,
     "token_pmi" -> tokenPmiSql,
-    "vocab_oov" -> vocabOovSql)
+    "vocab_oov" -> vocabOovSql,
+    "weighted_sample" -> weightedSampleSql)
 }

@@ -98,7 +98,8 @@ class PlanGuardSpec extends SparkSpec {
     "token_pmi" -> 6, // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
     "salted_join" -> 3, // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
     "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
-    "vocab_oov" -> 1 // vocab is a driver-bounded literal; scoring map-side + gate sort
+    "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
+    "weighted_sample" -> 2 // TakeOrderedAndProject (bounded heaps) + k-row rank window
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -234,6 +234,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val prios = docs.map { case (id, w) =>
+      val h48 = java.lang.Long.parseLong(md5hex(s"$id:ws").take(12), 16)
+      val u = (h48 + 1).toDouble / 281474976710656.0
+      (id, w, math.floor(math.log(u) / w * 1e12).toLong)
+    }
+    val k = CorpusOps.WsK
+    val expected = prios.sortBy(p => (-p._3, p._1)).take(k)
+      .zipWithIndex.map { case ((id, w, kp), i) => (id, w, kp, i + 1) }.toSeq
+    val got = CorpusOps.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got === expected)
+    // weighting works: sampled docs are heavier on average than the corpus
+    val sampled = got.map(_._1).toSet
+    val avgIn = docs.filter(d => sampled.contains(d._1)).map(_._2).sum.toDouble / k
+    val avgAll = docs.map(_._2).sum.toDouble / docs.length
+    assert(avgIn > avgAll, s"sampled avg $avgIn vs corpus avg $avgAll")
+  }
+
   test("vocab_oov: rates replay against the independent top-K vocabulary") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
