@@ -179,15 +179,79 @@ object Sketch {
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- C41: sketch self-evaluation -----------------------------------------
+  /** Precision/recall of the MinHash-LSH detector against EXACT n-gram
+    * Jaccard ground truth (truth = jaccard ≥ TextOps.JaccardThreshold;
+    * detected = est ≥ [[MinEstJaccard]]) — the audit that turns "the
+    * sketch is probably fine" into a measured number. One declarative
+    * plan: both pair sets, full-outer joined on the pair key, reduced to
+    * confusion counts and exact-integer-ratio metrics.
+    *
+    * Scale note: the exact-truth side is the quadratic-risk inverted-index
+    * join — at deploy scale this op runs on a SAMPLED slice of the corpus
+    * (it is an audit, not a production path); the detector side is the
+    * production LSH pipeline unchanged, which is the point. */
+  def nearDupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = TextOps.JaccardThreshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    val det = Dedup.minhashLshPairs(docs.repartition(col("doc_id")),
+        "doc_id", "text", shingleN = 3, numHashes = NumHashes, bands = Bands,
+        minEstJaccard = MinEstJaccard)
+      .select(col("id_a"), col("id_b"), lit(1).as("d"))
+    det.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("d") === 1 && col("t") === 1, 1)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("d") === 1 && col("t").isNull, 1)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("d").isNull && col("t") === 1, 1)), lit(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+  }
+
+  val nearDupEvalSql: String =
+    s"""WITH ${minhashCandidateCtes("documents")},
+       |det AS (
+       |  SELECT doc_a AS id_a, doc_b AS id_b, 1 AS d
+       |  FROM cand
+       |  JOIN sg sa ON doc_a = sa.doc_id
+       |  JOIN sg sb ON doc_b = sb.doc_id
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |        / $NumHashes.0 >= $MinEstJaccard
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |ip AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b, 1 AS t
+       |  FROM ip
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+       |        >= ${TextOps.JaccardThreshold}
+       |), j AS (
+       |  SELECT COALESCE(SUM(CASE WHEN d = 1 AND t = 1 THEN 1 END), 0) AS tp,
+       |         COALESCE(SUM(CASE WHEN d = 1 AND t IS NULL THEN 1 END), 0) AS fp,
+       |         COALESCE(SUM(CASE WHEN d IS NULL AND t = 1 THEN 1 END), 0) AS fn
+       |  FROM det FULL OUTER JOIN truth USING (id_a, id_b))
+       |SELECT tp, fp, fn,
+       |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+       |  CAST(tp AS DOUBLE) / (tp + fn) AS recall
+       |FROM j""".stripMargin
+
   /** Registry for SparkEntry — both sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_simhash" -> (dedupSimhash _),
+    "near_dup_eval" -> (nearDupEval _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
-    "dedup_simhash" -> dedupSimhashSql
+    "dedup_simhash" -> dedupSimhashSql,
+    "near_dup_eval" -> nearDupEvalSql
   )
 }

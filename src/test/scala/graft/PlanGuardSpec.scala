@@ -99,7 +99,8 @@ class PlanGuardSpec extends SparkSpec {
     "salted_join" -> 3, // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
     "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
     "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
-    "weighted_sample" -> 2 // TakeOrderedAndProject (bounded heaps) + k-row rank window
+    "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window
+    "near_dup_eval" -> 8 // detector (band join) + exact-truth audit join + confusion agg — audit op, sampled slice at scale
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -46,6 +46,27 @@ class SketchSpec extends SparkSpec {
       s"simhash missed in-radius pairs: ${inRadius -- found}")
   }
 
+  test("near_dup_eval: confusion counts reconcile with the two pair sets") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = TextOps.JaccardThreshold)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        minEstJaccard = Sketch.MinEstJaccard)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = Sketch.nearDupEval(spark, sfDir).head()
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp === (det intersect truth).size.toLong)
+    assert(fp === (det diff truth).size.toLong)
+    assert(fn === (truth diff det).size.toLong)
+    assert(tp > 0)
+    assert(r.getDouble(3) === tp.toDouble / (tp + fp))
+    assert(r.getDouble(4) === tp.toDouble / (tp + fn))
+  }
+
   test("minhash signature is deterministic and 64 wide") {
     val d = graft.sources.Tables(spark, sfDir).documents.limit(3)
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
