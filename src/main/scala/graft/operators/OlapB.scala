@@ -332,6 +332,37 @@ object OlapB {
       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B35: sliding (overlapping) window aggregation -----------------------
+  /** 2-hour windows sliding by 1 hour: every event lands in exactly two
+    * overlapping windows — the smoothing shape monitoring dashboards use
+    * (`window(ts, width, slide)`; Spark expands each row into its member
+    * windows before the partial agg, so the cost is slide-factor × rows,
+    * map-side). Distinct users per window is the exact `countDistinct`;
+    * at 100 TB swap `approx_count_distinct` (same plan, HLL state). */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(unix_micros(
+        window(col("ts"), "2 hours", "1 hour").getField("start"))
+        .as("window_start_us"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 2).as("value_sum"))
+      .orderBy(col("window_start_us"))
+
+  /** Oracle: each event expands to its two member window starts
+    * (truncated hour, and one hour earlier). */
+  val eventsSlidingSql: String =
+    """WITH w AS (
+      |  SELECT unnest([epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))),
+      |                 epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) - 3600000000])
+      |           AS window_start_us,
+      |         user_id, value
+      |  FROM events)
+      |SELECT window_start_us, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- B16: exact quantiles ------------------------------------------------
   /** Exact interpolated percentiles. Spark `percentile` and DuckDB
     * `quantile_cont` share the (1−f)·a + f·b interpolation on the sorted
@@ -391,6 +422,7 @@ object OlapB {
     "events_sessionize" -> (eventsSessionize _),
     "range_join" -> (rangeJoin _),
     "events_windowed" -> (eventsWindowed _),
+    "events_sliding" -> (eventsSliding _),
     "json_extract" -> (jsonExtract _),
     "quantiles" -> (quantiles _)
   )
@@ -408,6 +440,7 @@ object OlapB {
     "events_sessionize" -> eventsSessionizeSql,
     "range_join" -> rangeJoinSql,
     "events_windowed" -> eventsWindowedSql,
+    "events_sliding" -> eventsSlidingSql,
     "json_extract" -> jsonExtractSql,
     "quantiles" -> quantilesSql
   )

@@ -88,6 +88,30 @@ class OlapSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("events_sliding: every event lands in exactly two overlapping windows") {
+    val sliding = OlapB.eventsSliding(spark, sfDir).collect()
+    val nEvents = graft.sources.Tables(spark, sfDir).events.count()
+    assert(sliding.map(_.getAs[Long]("n")).sum === 2 * nEvents)
+    // window starts sit on the 1h slide grid (empty hours may be skipped)
+    val starts = sliding.map(_.getAs[Long]("window_start_us")).sorted
+    starts.sliding(2).foreach {
+      case Array(a, b) => assert((b - a) % 3600000000L === 0L && b > a)
+      case _ =>
+    }
+    sliding.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n")))
+    // each 2h window equals the sum of its two member 1h tumbling buckets
+    val tumbling = OlapB.eventsWindowed(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("window_start_us")).view
+      .mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    sliding.foreach { r =>
+      val ws = r.getAs[Long]("window_start_us")
+      val expected = tumbling.getOrElse(ws, 0L) +
+        tumbling.getOrElse(ws + 3600000000L, 0L)
+      assert(r.getAs[Long]("n") === expected, s"window $ws")
+    }
+  }
+
   test("q1 scan prunes columns and pushes the shipdate filter") {
     val formatted = Olap.q1Agg(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
