@@ -623,6 +623,70 @@ object OlapC {
       |SELECT from_type, to_type, COUNT(*) AS n
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B36: interval-union coverage ----------------------------------------
+  /** Activity half-life: each event opens a 15-minute presence interval. */
+  val CoverageWindowUs = 900000000L
+
+  /** Per-user "active time": the total length of the UNION of the per-event
+    * presence intervals — the classic interval-merge (gaps-and-islands on
+    * ranges) problem, solved with ONE user-key shuffle: a running max of
+    * interval ends splits islands, a cumulative flag numbers them, and the
+    * per-island span aggregates up. All event-time arithmetic is integer
+    * microseconds, so both engines agree exactly. */
+  def intervalCoverageOn(events: DataFrame, keyCol: String, tsUsCol: String,
+      seqCol: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("seq"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("user_id"), col(tsUsCol).as("ts_us"),
+        col(seqCol).as("seq"))
+      .withColumn("end_us", col("ts_us") + windowUs)
+      .withColumn("_prev_max_end", max(col("end_us")).over(wPrev))
+      .withColumn("_new_island",
+        when(col("_prev_max_end").isNull ||
+          col("ts_us") > col("_prev_max_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("_new_island")).over(wRun))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("_s"), max(col("end_us")).as("_e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    intervalCoverageOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", CoverageWindowUs)
+
+  val intervalCoverageSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+       |         epoch_ns(ts) // 1000 + $CoverageWindowUs AS end_us
+       |  FROM events
+       |), f AS (
+       |  SELECT user_id, ts_us, end_us, event_id,
+       |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+       |           ORDER BY ts_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR ts_us > max(end_us) OVER (PARTITION BY user_id
+       |           ORDER BY ts_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM e
+       |), g AS (
+       |  SELECT user_id, ts_us, end_us,
+       |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f
+       |), isl AS (
+       |  SELECT user_id, island, MIN(ts_us) AS s, MAX(end_us) AS e
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id, CAST(COUNT(*) AS INT) AS n_islands,
+       |  SUM(e - s) AS covered_us
+       |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
@@ -635,7 +699,8 @@ object OlapC {
     "upsert_latest" -> (upsertLatest _),
     "table_profile" -> (tableProfile _),
     "salted_join" -> (saltedJoin _),
-    "event_transitions" -> (eventTransitions _))
+    "event_transitions" -> (eventTransitions _),
+    "interval_coverage" -> (intervalCoverage _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -649,5 +714,6 @@ object OlapC {
     "upsert_latest" -> upsertLatestSql,
     "table_profile" -> tableProfileSql,
     "salted_join" -> saltedJoinSql,
-    "event_transitions" -> eventTransitionsSql)
+    "event_transitions" -> eventTransitionsSql,
+    "interval_coverage" -> intervalCoverageSql)
 }

@@ -101,7 +101,8 @@ class PlanGuardSpec extends SparkSpec {
     "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
     "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window
     "near_dup_eval" -> 8, // detector (band join) + exact-truth audit join + confusion agg — audit op, sampled slice at scale
-    "events_sliding" -> 3 // slide-factor expand map-side + distinct agg + gate sort
+    "events_sliding" -> 3, // slide-factor expand map-side + distinct agg + gate sort
+    "interval_coverage" -> 2 // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -135,6 +135,32 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("interval_coverage: union length replays from a direct interval merge") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val w = OlapC.CoverageWindowUs
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val iv = es.map(_._2).sorted.map(t => (t, t + w))
+      val merged = iv.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((ms, me)) if s <= me =>
+              acc.init :+ ((ms, math.max(me, e)))
+            case _ => acc :+ ((s, e))
+          }
+      }
+      u -> ((merged.size, merged.map(p => p._2 - p._1).sum))
+    }
+    val got = OlapC.intervalCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // coverage is bounded by n_events × window and below the raw sum
+    // (overlaps actually merge somewhere in the corpus)
+    val rawSum = evs.length.toLong * w
+    assert(got.values.map(_._2).sum < rawSum)
+  }
+
   test("event_transitions: counts replay from per-user ordered paths") {
     val evs = graft.sources.Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
