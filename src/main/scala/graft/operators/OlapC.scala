@@ -687,6 +687,33 @@ object OlapC {
        |  SUM(e - s) AS covered_us
        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- B37: incremental distinct maintenance via mergeable HLL sketches ----
+  /** Cross-batch distinct-user maintenance WITHOUT rescanning history:
+    * one DataSketches HLL sketch per day (`hll_sketch_agg` — the same
+    * mergeable-partial discipline as B25's view and C27's bloom), stored
+    * with the day's partition; "distinct users ever" is then a UNION of
+    * the stored sketches (`hll_union_agg`), never a re-scan. HLL register
+    * updates are max-merges, so the union of the daily sketches is
+    * BIT-IDENTICAL to a single-pass sketch of the whole stream — the
+    * property the spec pins (plus a ≤5% error bound vs the exact count).
+    * Rows-only for the driver: the estimate is sketch-implementation-
+    * defined, so no cross-engine oracle exists by design. */
+  def distinctIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_est"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_users_direct"),
+      countDistinct(col("user_id")).as("n_users_exact"))
+    merged.crossJoin(direct)
+      .select(col("n_days"), col("n_users_est"), col("n_users_direct"),
+        col("n_users_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
     "retention" -> (retention _),
@@ -700,7 +727,8 @@ object OlapC {
     "table_profile" -> (tableProfile _),
     "salted_join" -> (saltedJoin _),
     "event_transitions" -> (eventTransitions _),
-    "interval_coverage" -> (intervalCoverage _))
+    "interval_coverage" -> (intervalCoverage _),
+    "distinct_incremental" -> (distinctIncremental _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,

@@ -21,7 +21,9 @@ class PlanGuardSpec extends SparkSpec {
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_embedding", "multimodal_similar", "embed_stats",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
-    "zorder_layout", "value_histogram")
+    "zorder_layout", "value_histogram",
+    // two 1-row aggregate sides joined (bounded by design)
+    "distinct_incremental")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -102,7 +104,8 @@ class PlanGuardSpec extends SparkSpec {
     "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window
     "near_dup_eval" -> 8, // detector (band join) + exact-truth audit join + confusion agg — audit op, sampled slice at scale
     "events_sliding" -> 3, // slide-factor expand map-side + distinct agg + gate sort
-    "interval_coverage" -> 2 // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
+    "interval_coverage" -> 2, // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
+    "distinct_incremental" -> 5 // daily sketch agg + union agg + direct sketch/exact agg (1-row sides joined)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -135,6 +135,21 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("distinct_incremental: daily-sketch union equals the single-pass sketch") {
+    val r = OlapC.distinctIncremental(spark, sfDir).head()
+    val (nDays, est, direct, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // HLL register updates are max-merges: union of daily sketches must be
+    // BIT-identical to sketching the whole stream at once
+    assert(est === direct)
+    // and the estimate lands near the exact cardinality
+    assert(math.abs(est - exact) <= math.max(2L, (exact * 0.05).toLong),
+      s"est $est vs exact $exact")
+    val expDays = graft.sources.Tables(spark, sfDir).events
+      .select(to_date(col("ts"))).distinct().count()
+    assert(nDays === expDays)
+  }
+
   test("interval_coverage: union length replays from a direct interval merge") {
     val evs = graft.sources.Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).collect()
