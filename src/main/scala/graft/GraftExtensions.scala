@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => TopKByScore(es(0), es(1), intArg(es(2), "k"))
         .toAggregateExpression()))
 
+    ext.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index",
+        "hilbert_index(x, y, bits) - Hilbert-curve position of a normalized 2-D point"),
+      (es: Seq[Expression]) => HilbertIndex(es(0), es(1), intArg(es(2), "bits"))))
+
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters",
         "heavy_hitters(item, k) - Misra-Gries top items with k counters"),

@@ -129,11 +129,73 @@ object Sinks {
        |FROM n ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Hilbert-curve layout key over the same (customer, order-day) dims as
+    * [[zorderLayout]] — strictly better locality than Morton (consecutive
+    * curve positions are always grid-adjacent), at the cost of the
+    * iterative walk, which lives in the codegen'd
+    * [[graft.functions.HilbertIndex]] expression (chained Column algebra
+    * would re-inline exponentially). Same all-integer normalization. */
+  def hilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("x"),
+        day.cast("long").as("d"))
+    val stats = o.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val m = (1L << ZOrderBits) - 1
+    o.crossJoin(broadcast(stats))
+      .withColumn("hkey", graft.functions.spatial.hilbert_index(
+        expr(s"((x - xmin) * ${m}L) div greatest(1L, xmax - xmin)"),
+        expr(s"((d - dmin) * ${m}L) div greatest(1L, dmax - dmin)"),
+        ZOrderBits))
+      .select(col("o_orderkey"), col("x"), col("d"), col("hkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB twin: the xy→d walk unrolled as one CTE per bit — iterative
+    * state (hx, hy, hd) carried through the chain, all-integer, so both
+    * engines follow the identical trajectory. */
+  val hilbertLayoutSql: String = {
+    val m = (1L << ZOrderBits) - 1
+    val steps = (0 until ZOrderBits).map { i =>
+      val s = 1L << (ZOrderBits - 1 - i)
+      s"""h${i + 1} AS (
+         |  SELECT o_orderkey, x, d,
+         |    hd + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS hd,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+         |         ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+         |         ELSE hy END AS hy
+         |  FROM (SELECT *,
+         |          CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d
+       |  FROM orders
+       |), s AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM o
+       |), h0 AS (
+       |  SELECT o_orderkey, x, d,
+       |    ((x - xmin) * $m) // GREATEST(1, xmax - xmin) AS hx,
+       |    ((d - dmin) * $m) // GREATEST(1, dmax - dmin) AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM o CROSS JOIN s),
+       |$steps
+       |SELECT o_orderkey, x, d, CAST(hd AS BIGINT) AS hkey
+       |FROM h$ZOrderBits ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_layout" -> (zorderLayout _))
+    "zorder_layout" -> (zorderLayout _),
+    "hilbert_layout" -> (hilbertLayout _))
 
   val oracles: Map[String, String] = Map(
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "hilbert_layout" -> hilbertLayoutSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -23,7 +23,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "zorder_layout", "value_histogram",
     // two 1-row aggregate sides joined (bounded by design)
-    "distinct_incremental")
+    "distinct_incremental",
+    // 1-row min/max stats frame broadcast onto the scan (bounded by design)
+    "hilbert_layout")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -105,7 +107,8 @@ class PlanGuardSpec extends SparkSpec {
     "near_dup_eval" -> 8, // detector (band join) + exact-truth audit join + confusion agg — audit op, sampled slice at scale
     "events_sliding" -> 3, // slide-factor expand map-side + distinct agg + gate sort
     "interval_coverage" -> 2, // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
-    "distinct_incremental" -> 5 // daily sketch agg + union agg + direct sketch/exact agg (1-row sides joined)
+    "distinct_incremental" -> 5, // daily sketch agg + union agg + direct sketch/exact agg (1-row sides joined)
+    "hilbert_layout" -> 3 // 1-row stats agg (broadcast back) + gate sort; the walk is one codegen'd expression
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -59,6 +59,54 @@ class SinksSpec extends SparkSpec {
     assert(ld > gd * 0.9, s"lin avg d-range $ld vs global $gd")
   }
 
+  test("hilbert: full-grid bijection, unit steps (the locality Morton lacks)") {
+    import graft.functions.spatial.hilbert_index
+    val bits = 3
+    val n = 1 << bits
+    // full 8×8 grid
+    val grid = spark.range(n.toLong * n).selectExpr(
+      s"id % $n AS x", s"id div $n AS y")
+      .withColumn("h", hilbert_index(col("x"), col("y"), bits))
+      .withColumn("z", Sinks.zorderKey(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bijection onto [0, n²)
+    assert(grid.map(_._3).toSet === (0L until n.toLong * n).toSet)
+    // Hilbert: EVERY consecutive pair of curve positions is grid-adjacent
+    val byH = grid.sortBy(_._3)
+    byH.sliding(2).foreach {
+      case Array((x1, y1, _, _), (x2, y2, _, _)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+      case _ =>
+    }
+    // Morton: provably NOT (seams exist) — the contrast that makes the
+    // iterative walk worth a custom expression
+    val byZ = grid.sortBy(_._4)
+    val zJumps = byZ.sliding(2).count {
+      case Array((x1, y1, _, _), (x2, y2, _, _)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+      case _ => false
+    }
+    assert(zJumps > 0)
+    // interpreted eval agrees with codegen (collect goes through codegen;
+    // spot-check a few points against an independent JVM walk)
+    def ref(xi: Long, yi: Long): Long = {
+      var (x, y, d) = (xi, yi, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    grid.foreach { case (x, y, h, _) => assert(h === ref(x, y)) }
+  }
+
   test("partitioned parquet: layout, bounded files, lossless roundtrip") {
     val docs = Tables(spark, sfDir).documents
     Sinks.writePartitionedParquet(docs, out,
