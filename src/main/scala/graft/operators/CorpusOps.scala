@@ -908,6 +908,107 @@ object CorpusOps {
        |QUALIFY rank <= $WsK
        |ORDER BY rank""".stripMargin
 
+  // --- C42: corpus phrase merging ------------------------------------------
+  /** Phrases to mine (top-K adjacent bigrams by document frequency) and
+    * the minimum support. */
+  val PhraseK = 10
+  val PhraseMinDf = 5L
+
+  /** The mined phrase vocabulary: top-[[PhraseK]] ADJACENT bigrams by
+    * document frequency (deterministic tiebreak), as `a_b` strings —
+    * bounded, so it collects to the driver and broadcasts as a literal,
+    * like the unigram LM and the OOV vocab. */
+  def minePhrases(documents: DataFrame, idCol: String,
+      textCol: String): Seq[String] = {
+    documents
+      .select(explode(TextOps.shingles(col(textCol), 2)).as("s"))
+      .select(regexp_replace(col("s"), " ", "_").as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= PhraseMinDf)
+      .orderBy(col("df").desc, col("bg")).limit(PhraseK)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Greedy left-to-right phrase merging (the wordpiece/phrase-vocab
+    * build pass): walk each document's token list once, joining an
+    * adjacent pair into `a_b` whenever it is in the mined phrase set; a
+    * merged token never chain-merges (greedy, deterministic). The walk is
+    * an explicit left FOLD (`aggregate` in Spark, `list_reduce` in the
+    * oracle) with identical init and step, so both engines follow the
+    * same trajectory token for token — a pure map stage over the corpus.
+    * Emits per-doc before/after token counts, merge count, and the md5
+    * fingerprint of the merged text. */
+  def phraseMergeOn(documents: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase set must not be empty")
+    val arr = phrases.map(p => s"'$p'").mkString("array(", ", ", ")")
+    val fold = s"""
+      |aggregate(
+      |  slice(toks, 2, greatest(0, size(toks) - 1)),
+      |  named_struct('toks', slice(toks, 1, 1), 'merges', 0),
+      |  (a, t) -> IF(
+      |    array_contains($arr, concat(element_at(a.toks, -1), '_', t)),
+      |    named_struct(
+      |      'toks', concat(slice(a.toks, 1, size(a.toks) - 1),
+      |                     array(concat(element_at(a.toks, -1), '_', t))),
+      |      'merges', a.merges + 1),
+      |    named_struct('toks', concat(a.toks, array(t)),
+      |                 'merges', a.merges)))""".stripMargin
+    documents
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("_m", expr(fold))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_before"),
+        size(col("_m.toks")).as("n_tokens_after"),
+        col("_m.merges").as("n_merges"),
+        md5(concat_ws(" ", col("_m.toks"))).as("merged_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    phraseMergeOn(docs, "doc_id", "text", minePhrases(docs, "doc_id", "text"))
+  }
+
+  /** The oracle walks the same greedy fold ONE TOKEN PER RECURSION STEP
+    * (WITH RECURSIVE over the position index) — NOT via `list_reduce`,
+    * whose struct-accumulator path segfaults DuckDB v1.0.0 on real data
+    * (reproduced; a crashing oracle would take the whole gate down).
+    * A merged token can never chain-merge because phrases join plain
+    * tokens with `_`, so no extra state flag is needed. */
+  val phraseMergeSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), bg AS (
+       |  SELECT bg, COUNT(*) AS df
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS bg
+       |        FROM d)
+       |  GROUP BY 1 HAVING COUNT(*) >= $PhraseMinDf
+       |  ORDER BY df DESC, bg LIMIT $PhraseK
+       |), vl AS (SELECT list(bg) AS phrases FROM bg),
+       |walk(doc_id, i, n, pend, acc, merges) AS (
+       |  SELECT doc_id, 1, len(toks), toks[1], CAST('' AS VARCHAR), 0 FROM d
+       |  UNION ALL
+       |  SELECT w.doc_id, w.i + 1, w.n,
+       |    CASE WHEN list_contains(vl.phrases, w.pend || '_' || d.toks[w.i + 1])
+       |         THEN w.pend || '_' || d.toks[w.i + 1] ELSE d.toks[w.i + 1] END,
+       |    CASE WHEN list_contains(vl.phrases, w.pend || '_' || d.toks[w.i + 1])
+       |         THEN w.acc
+       |         ELSE w.acc || (CASE WHEN w.acc = '' THEN '' ELSE ' ' END) || w.pend END,
+       |    w.merges + CASE WHEN list_contains(vl.phrases,
+       |                      w.pend || '_' || d.toks[w.i + 1]) THEN 1 ELSE 0 END
+       |  FROM walk w JOIN d ON d.doc_id = w.doc_id CROSS JOIN vl
+       |  WHERE w.i < w.n
+       |)
+       |SELECT doc_id, CAST(n AS INT) AS n_tokens_before,
+       |  CAST(n - merges AS INT) AS n_tokens_after,
+       |  CAST(merges AS INT) AS n_merges,
+       |  md5(acc || (CASE WHEN acc = '' THEN '' ELSE ' ' END) || pend) AS merged_fp
+       |FROM walk WHERE i = n ORDER BY doc_id""".stripMargin
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -988,7 +1089,8 @@ object CorpusOps {
     "export_shards" -> (exportShards _),
     "token_pmi" -> (tokenPmi _),
     "vocab_oov" -> (vocabOov _),
-    "weighted_sample" -> (weightedSample _))
+    "weighted_sample" -> (weightedSample _),
+    "phrase_merge" -> (phraseMerge _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1004,5 +1106,6 @@ object CorpusOps {
     "export_shards" -> exportShardsSql,
     "token_pmi" -> tokenPmiSql,
     "vocab_oov" -> vocabOovSql,
-    "weighted_sample" -> weightedSampleSql)
+    "weighted_sample" -> weightedSampleSql,
+    "phrase_merge" -> phraseMergeSql)
 }

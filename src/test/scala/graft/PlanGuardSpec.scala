@@ -108,7 +108,8 @@ class PlanGuardSpec extends SparkSpec {
     "events_sliding" -> 3, // slide-factor expand map-side + distinct agg + gate sort
     "interval_coverage" -> 2, // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
     "distinct_incremental" -> 5, // daily sketch agg + union agg + direct sketch/exact agg (1-row sides joined)
-    "hilbert_layout" -> 3 // 1-row stats agg (broadcast back) + gate sort; the walk is one codegen'd expression
+    "hilbert_layout" -> 3, // 1-row stats agg (broadcast back) + gate sort; the walk is one codegen'd expression
+    "phrase_merge" -> 1 // phrase vocab is a driver-bounded literal; the fold is a pure map stage + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -261,6 +261,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hb === Set(("a", 0, 2L), ("b", 0, 1L)))
   }
 
+  test("phrase_merge: greedy fold replays; merged tokens never chain") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val phrases = CorpusOps.minePhrases(docs, "doc_id", "text").toSet
+    assert(phrases.nonEmpty && phrases.size <= CorpusOps.PhraseK)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    def replay(toks: Seq[String]): (Seq[String], Int) =
+      toks.tail.foldLeft((Vector(toks.head), 0)) { case ((acc, m), t) =>
+        if (phrases.contains(acc.last + "_" + t))
+          (acc.init :+ (acc.last + "_" + t), m + 1)
+        else (acc :+ t, m)
+      }
+    val got = CorpusOps.phraseMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    texts.foreach { case (id, toks) =>
+      val (merged, m) = replay(toks)
+      val (nb, na, nm, fp) = got(id)
+      assert(nb === toks.size && na === merged.size && nm === m)
+      assert(fp === md5hex(merged.mkString(" ")), s"doc $id")
+      // no merged token ever chain-merges (phrases join plain tokens)
+      merged.filter(_.contains("_")).foreach(t =>
+        assert(t.count(_ == '_') === 1))
+    }
+    // the pass actually fires somewhere in the corpus
+    assert(got.values.map(_._3).sum > 0)
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
