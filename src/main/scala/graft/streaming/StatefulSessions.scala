@@ -192,13 +192,105 @@ object StatefulSessions {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // --- B38: streaming SCD2 (incremental history compaction) ----------------
+  final case class EvT(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String, ts: java.sql.Timestamp)
+  final case class Scd2State(version: Int, attr: String, valid_from_us: Long,
+      n: Long)
+  final case class Scd2Out(user_id: Long, version: Int, event_type: String,
+      valid_from_us: Long, valid_to_us: Option[Long], n_events: Long)
+
+  /** Incremental SCD2 for one user's new events: a run CLOSES (and emits,
+    * with `valid_to` = the closer's event time) the moment a different
+    * attribute value arrives; the open run emits with `valid_to` null when
+    * the event-time watermark passes it. Unlike the sessionizer, the
+    * VERSION counter must survive run closes — state is one small row per
+    * ACTIVE user (the keyed-counter shape; age it with a TTL policy on a
+    * production stream if the user space is unbounded). */
+  def updateScd2(userId: Long, events: Iterator[EvT],
+      state: GroupState[Scd2State]): Iterator[Scd2Out] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+    if (state.hasTimedOut) {
+      state.getOption.foreach(s => out +=
+        Scd2Out(userId, s.version, s.attr, s.valid_from_us, None, s.n))
+      state.remove()
+      return out.iterator
+    }
+    var st = state.getOption.orNull
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var lastTs = 0L
+    for (e <- sorted) {
+      lastTs = e.ts_us
+      if (st == null) st = Scd2State(1, e.event_type, e.ts_us, 1L)
+      else if (e.event_type == st.attr) st = st.copy(n = st.n + 1)
+      else {
+        out += Scd2Out(userId, st.version, st.attr, st.valid_from_us,
+          Some(e.ts_us), st.n)
+        st = Scd2State(st.version + 1, e.event_type, e.ts_us, 1L)
+      }
+    }
+    state.update(st)
+    state.setTimeoutTimestamp(lastTs / 1000 + 1000)
+    out.iterator
+  }
+
+  val Scd2QueryName = "graft_stream_scd2"
+
+  /** Streaming twin of the batch `scd2_track` (OlapC.scd2On): the same
+    * sentinel-flush drain discipline as [[streamSessions]] makes the
+    * AvailableNow replay equal the batch compaction exactly — so this
+    * shares `scd2_track`'s DuckDB oracle. */
+  def streamScd2(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = StreamOps.streamingSession(rootSpark)
+    import spark.implicits._
+    val (maxTsUs, realCount) = eventStats(spark, dir)
+    def typed(df: DataFrame): Dataset[EvT] = df
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("ts"))
+      .as[EvT]
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val base =
+      (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val sentinel = rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet")
+      .select(col("user_id"), col("event_id"),
+        lit("_sentinel").as("event_type"), col("ts"))
+    val runs = typed(base.unionByName(sentinel))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateScd2)
+
+    spark.streams.active.filter(_.name == Scd2QueryName).foreach(_.stop())
+    val q = runs.toDF().writeStream.format("memory").queryName(Scd2QueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    require(dataBatches.length == 1 &&
+        dataBatches.head.numInputRows == realCount + 1,
+      s"sentinel flush requires a single-batch drain, got " +
+        s"${dataBatches.map(_.numInputRows).mkString("/")} rows")
+    spark.table(Scd2QueryName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_sessions" -> (streamSessions _)
+    "stream_sessions" -> (streamSessions _),
+    "stream_scd2" -> (streamScd2 _)
   )
 
-  /** The sentinel-flushed replay equals the batch sessionization, so the
-    * oracle is the SAME SQL as `events_sessionize`. */
+  /** The sentinel-flushed replays equal their batch twins, so the oracles
+    * are the SAME SQL as `events_sessionize` / `scd2_track`. */
   val oracles: Map[String, String] = Map(
-    "stream_sessions" -> graft.operators.OlapB.eventsSessionizeSql
+    "stream_sessions" -> graft.operators.OlapB.eventsSessionizeSql,
+    "stream_scd2" -> graft.operators.OlapC.scd2TrackSql
   )
 }

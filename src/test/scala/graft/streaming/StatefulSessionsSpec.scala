@@ -82,6 +82,50 @@ class StatefulSessionsSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 equals batch scd2_track EXACTLY (sentinel flush)") {
+    // same drain discipline as the sessionizer: the sentinel advances the
+    // watermark past every open run's timeout, so the replay closes the
+    // history exactly as the batch gaps-and-islands compaction does —
+    // including the final open interval per user (valid_to null).
+    val streamed = StatefulSessions.streamScd2(spark, sfDir)
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.OlapC.scd2Track(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"missing ${(batch -- streamed).take(3)} extra ${(streamed -- batch).take(3)}")
+  }
+
+  test("SCD2 state: version counter survives run closes; timeout flushes open run") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import StatefulSessions.{EvT, Scd2State, updateScd2}
+    def ev(id: Long, tsUs: Long, t: String) =
+      EvT(7L, id, tsUs, t, new java.sql.Timestamp(tsUs / 1000))
+    // one batch, two attribute flips: the closed runs emit immediately and
+    // the retained state carries version 3 — closes must NOT reset it
+    val s1 = TestGroupState.create[Scd2State](
+      Optional.empty[Scd2State](), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(1L), hasTimedOut = false)
+    val closed = updateScd2(7L,
+      Iterator(ev(1, 1000000L, "view"), ev(2, 2000000L, "view"),
+        ev(3, 3000000L, "click"), ev(4, 4000000L, "view")), s1).toSeq
+    assert(closed.map(r => (r.version, r.event_type, r.n_events)) ===
+      Seq((1, "view", 2L), (2, "click", 1L)))
+    assert(closed.map(_.valid_to_us) === Seq(Some(3000000L), Some(4000000L)))
+    assert(s1.get === Scd2State(3, "view", 4000000L, 1L))
+    // the watermark fires the timeout: the open run emits valid_to = null
+    // and the key holds zero state afterwards
+    val s2 = TestGroupState.create[Scd2State](
+      Optional.of(Scd2State(3, "view", 4000000L, 1L)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(999999999L),
+      hasTimedOut = true)
+    val open = updateScd2(7L, Iterator.empty, s2).toSeq
+    assert(open.map(r => (r.version, r.valid_to_us, r.n_events)) ===
+      Seq((3, None, 1L)))
+    assert(s2.isRemoved)
+  }
+
   test("timeout close removes per-user state entirely (bounded state store)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
