@@ -171,6 +171,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document duplicated-substring statistics (the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): a document's w-token
+    * windows that also occur in ANOTHER document mark memorization-prone
+    * boilerplate; `dup_frac` is the removal/masking criterion.
+    *
+    * Windows are the distinct-per-document word shingles (within-doc
+    * repeats count once — the cross-document signal is the target), so a
+    * window's document frequency is exactly the number of docs containing
+    * it.
+    *
+    * Scale shape — LINEAR where pair-joins are quadratic: one window-keyed
+    * partial aggregation measures df, one window-keyed 1:df equi-join flags
+    * each (doc, window) occurrence, one doc-keyed aggregation rolls up. A
+    * boilerplate window in a million docs costs a million join rows (not a
+    * trillion pair rows); AQE skew-split handles the hottest keys. */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"),
+      explode(word_shingles(col(textCol), w)).as("_s"))
+    val dfreq = sh.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, "_s")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("_id").as("doc_id"), col("n_windows"), col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
     * Shuffle budget: band-bucket self-join only — all sketching is
     * map-side. Tune (numHashes, bands) for the recall/cost point. */

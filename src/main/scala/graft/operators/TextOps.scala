@@ -106,6 +106,37 @@ object TextOps {
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- C44: exact-substring duplication stats ------------------------------
+  /** Window width: long enough that a shared window means shared PASSAGES
+    * (not a common phrase), short enough that the synthetic docs carry
+    * many windows. Lee et al. use 50 BPE tokens on web text. */
+  val SubstrW = 8
+
+  /** Per-document duplicated-substring fraction over the seeded-dup corpus
+    * (exact copies guarantee the positive path; natural near-dups add
+    * partial overlaps). See [[Dedup.duplicatedWindowStats]]. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedWindowStats(dedupCorpus(spark, dir), "doc_id", "text",
+        SubstrW)
+      .orderBy(col("doc_id"))
+
+  val substringDedupSql: String =
+    s"""WITH $dedupCorpusSql,
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, len(toks) - ${SubstrW - 2}),
+       |         i -> array_to_string(toks[i:i+${SubstrW - 1}], ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM corpus)
+       |), df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY 1),
+       |perdoc AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_windows,
+       |         SUM(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS dup_windows
+       |  FROM sh JOIN df USING (s) GROUP BY 1)
+       |SELECT doc_id, n_windows, dup_windows,
+       |  CAST(dup_windows AS DOUBLE) / n_windows AS dup_frac
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   // --- C8: token counting --------------------------------------------------
   /** Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
     * runs, punctuation runs). Pure map stage, codegen'd regex. */
@@ -254,7 +285,8 @@ object TextOps {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "doc_fingerprint" -> (docFingerprint _)
+    "doc_fingerprint" -> (docFingerprint _),
+    "substring_dedup" -> (substringDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -263,6 +295,7 @@ object TextOps {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "doc_fingerprint" -> docFingerprintSql
+    "doc_fingerprint" -> docFingerprintSql,
+    "substring_dedup" -> substringDedupSql
   )
 }

@@ -225,12 +225,24 @@ object VectorOps {
   def kmeansOn(corpusIn: DataFrame, idCol: String, embCol: String,
       k: Int, rounds: Int, dim: Int = Dim): DataFrame = {
     val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val cents = lloydCentroids(corpus, k, rounds, dim)
+    corpus.select(col("vec_id"), nearestCentroid(cents).as("_b"))
+      .select(col("vec_id"), col("_b.cid").as("cluster_id"),
+        col("_b.dist").as("dist_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The deterministic Lloyd run of [[kmeansOn]], factored so compositions
+    * (semantic dedup C43) can reuse the FINAL centroid set for a map-side
+    * assignment of their own. `corpus` must carry (vec_id, emb). */
+  private[operators] def lloydCentroids(corpus: DataFrame, k: Int,
+      rounds: Int, dim: Int): Seq[(Long, Array[Long])] = {
     var cents: Seq[(Long, Array[Long])] = corpus
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .collect()
       .map(r => (r.getLong(0), quantizeLocal(r.getSeq[Double](1))))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty, "kmeansOn: empty corpus — nothing to seed from")
+    require(cents.nonEmpty, "lloydCentroids: empty corpus — nothing to seed from")
     for (_ <- 1 to rounds) {
       val upd = corpus
         .select(nearestCentroid(cents).getField("cid").as("cid"),
@@ -250,18 +262,18 @@ object VectorOps {
         (cid, arr)
       }.toSeq.sortBy(_._1)
     }
-    corpus.select(col("vec_id"), nearestCentroid(cents).as("_b"))
-      .select(col("vec_id"), col("_b.cid").as("cluster_id"),
-        col("_b.dist").as("dist_q"))
-      .orderBy(col("vec_id"))
+    cents
   }
 
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
     kmeansOn(emb(spark, dir), "vec_id", "emb", KmeansK, KmeansRounds)
 
-  /** DuckDB twin: the same seeds, rounds, quantization, and tie-breaks,
-    * with the Lloyd iterations unrolled as CTE blocks. */
-  val kmeansClustersSql: String = {
+  /** CTE chain `c0, a1, c1, …, a{rounds+1}` replaying the deterministic
+    * Lloyd run over an in-scope CTE `q(vec_id, qv)`. The final assignment
+    * CTE `a{rounds+1}` carries (vec_id, qv, cid, dist) — same seeds,
+    * rounds, quantization, and tie-breaks as [[lloydCentroids]]. */
+  private[operators] def kmeansSqlCtes(k: Int, rounds: Int,
+      dim: Int = Dim): String = {
     def assign(n: Int, prev: String): String =
       s"""a$n AS (
          |  SELECT vec_id, qv, cid, dist FROM (
@@ -277,20 +289,25 @@ object VectorOps {
          |  SELECT cid, list(m ORDER BY d) AS cq FROM (
          |    SELECT cid, i AS d,
          |      CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-         |    FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
+         |    FROM a$n, range(1, ${dim + 1}) t(i) GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
-    val rounds = (1 to KmeansRounds).map(i =>
+    val mid = (1 to rounds).map(i =>
       assign(i, if (i == 1) "c0" else s"c${i - 1}") + ",\n" + update(i))
       .mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, qv AS cq FROM q
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |$mid,
+       |${assign(rounds + 1, s"c$rounds")}""".stripMargin
+  }
+
+  /** DuckDB twin: the same seeds, rounds, quantization, and tie-breaks,
+    * with the Lloyd iterations unrolled as CTE blocks. */
+  val kmeansClustersSql: String =
     s"""WITH $embSql,
        |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
-       |c0 AS (SELECT vec_id AS cid, qv AS cq FROM q
-       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KmeansK),
-       |$rounds,
-       |${assign(KmeansRounds + 1, s"c$KmeansRounds")}
+       |${kmeansSqlCtes(KmeansK, KmeansRounds)}
        |SELECT vec_id, cid AS cluster_id, dist AS dist_q
        |FROM a${KmeansRounds + 1} ORDER BY vec_id""".stripMargin
-  }
 
   // --- C36: int8 vector quantization ---------------------------------------
   /** Per-vector min-max int8 quantization — the 4× memory/IO cut that keeps
@@ -341,6 +358,79 @@ object VectorOps {
        |    i -> abs(emb[i] - (vmin + codes[i]::DOUBLE * rng / 255)))) AS max_err
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // --- C43: semantic dedup (SemDeDup) ---------------------------------------
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding corpus, then drop any document that has a
+    * τ-similar same-cluster neighbor with a smaller id (the greedy
+    * keep-one-representative policy — the keeper of each duplicate relation
+    * is the smallest id, chosen without a transitive-closure pass).
+    *
+    * Scale shape — the whole point of SemDeDup at 100 TB: clustering bounds
+    * the pair problem to within-cluster (k grows with the corpus so cluster
+    * sizes stay bounded), and WITHIN a cluster candidates come from the same
+    * hyperplane-LSH banding C5 uses — the join key is (cluster, band bucket),
+    * so no cluster is ever all-pairs'd. Assignment is map-side against the
+    * k×dim centroid literals (the [[kmeansOn]] trick); the exact
+    * [[graft.functions.vectors.quantized_cosine]] verify decides membership,
+    * so LSH candidacy only needs recall, which the C5 threshold/parameter
+    * choice provides (inherited here verbatim).
+    *
+    * Shuffle budget: 2 Lloyd-round (cid, dim) aggs (eager, O(k×dim) rows) +
+    * one (cluster, bucket) candidate join + one dropped-doc agg + gate sort.
+    *
+    * Output: the DROPPED rows — (vec_id, cluster_id, dup_of = smallest
+    * τ-similar same-cluster id, score of that pair). Deterministic: ids are
+    * unique, so `min`/`min_by(…, id)` never tie. */
+  def semanticDedupOn(corpusIn: DataFrame, idCol: String, embCol: String,
+      k: Int, rounds: Int, threshold: Double,
+      tables: Int = DedupTables, bits: Int = DedupBits,
+      dim: Int = Dim): DataFrame = {
+    val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val cents = lloydCentroids(corpus, k, rounds, dim)
+    val bucketed = corpus
+      .select(col("vec_id"), col("emb"),
+        nearestCentroid(cents).getField("cid").as("cluster_id"),
+        explode(lsh_sign_buckets(col("emb"), tables, bits, dim)).as("_bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a._bkt") === col("b._bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("id_a"),
+        quantized_cosine(col("a.emb"), col("b.emb")).as("score"))
+      .filter(col("score") >= threshold)
+      // band-duplicate candidate rows carry identical (vec_id, id_a, score),
+      // so the keeper agg absorbs them — no pair-dedup exchange needed
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(min(col("id_a")).as("dup_of"),
+        min_by(col("score"), col("id_a")).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  val SemK = 8
+  val SemRounds = 2
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOn(dedupEmbCorpus(spark, dir), "vec_id", "emb",
+      SemK, SemRounds, DedupThreshold)
+
+  /** DuckDB twin: the shared Lloyd CTE chain over the seeded near-dup
+    * corpus, then plain within-cluster pairwise verify (candidacy is a
+    * recall-only superset — the exact τ filter decides membership in both
+    * engines, the C5 parity argument). */
+  val semanticDedupSql: String =
+    s"""WITH $dedupEmbCorpusSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM corpus),
+       |${kmeansSqlCtes(SemK, SemRounds)},
+       |pairs AS (
+       |  SELECT y.vec_id AS vec_id, y.cid AS cluster_id, x.vec_id AS id_a,
+       |    ${qcosSql("x.qv", "y.qv")} AS score
+       |  FROM a${SemRounds + 1} x JOIN a${SemRounds + 1} y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT vec_id, MIN(cluster_id) AS cluster_id, MIN(id_a) AS dup_of,
+       |  ARG_MIN(score, id_a) AS score
+       |FROM pairs WHERE score >= $DedupThreshold
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -351,7 +441,8 @@ object VectorOps {
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_stats" -> (embedStats _),
     "kmeans_clusters" -> (kmeansClusters _),
-    "embedding_quantize" -> (embeddingQuantize _)
+    "embedding_quantize" -> (embeddingQuantize _),
+    "semantic_dedup" -> (semanticDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,6 +450,7 @@ object VectorOps {
     "dedup_embedding" -> dedupEmbeddingSql,
     "embed_stats" -> embedStatsSql,
     "kmeans_clusters" -> kmeansClustersSql,
-    "embedding_quantize" -> embeddingQuantizeSql
+    "embedding_quantize" -> embeddingQuantizeSql,
+    "semantic_dedup" -> semanticDedupSql
   )
 }

@@ -109,7 +109,9 @@ class PlanGuardSpec extends SparkSpec {
     "interval_coverage" -> 2, // ONE user-key exchange: running-max, island cumsum, island agg, user agg + gate sort
     "distinct_incremental" -> 5, // daily sketch agg + union agg + direct sketch/exact agg (1-row sides joined)
     "hilbert_layout" -> 3, // 1-row stats agg (broadcast back) + gate sort; the walk is one codegen'd expression
-    "phrase_merge" -> 1 // phrase vocab is a driver-bounded literal; the fold is a pure map stage + gate sort
+    "phrase_merge" -> 1, // phrase vocab is a driver-bounded literal; the fold is a pure map stage + gate sort
+    "semantic_dedup" -> 4, // (cluster, band-bucket) candidate join + dropped-doc agg + gate sort; assignment map-side vs centroid literals
+    "substring_dedup" -> 5 // window-df agg + 1:df flag join + doc rollup + gate sort — linear, no pair join
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

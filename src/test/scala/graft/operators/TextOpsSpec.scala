@@ -32,6 +32,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("substring_dedup: exact copies and their originals are fully duplicated") {
+    val rows = TextOps.substringDedup(spark, sfDir).collect()
+    val byId = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val copies = byId.keys.filter(_ >= 100000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      // every window of a seeded copy exists in its original → frac 1.0,
+      // and the original carries the identical stats (windows are shared)
+      assert(byId(c)._3 === 1.0, s"copy $c not fully duplicated")
+      assert(byId(c) === byId(c - 100000000L))
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("compress_ratio is callable from SQL and stays in codegen") {
     val r = spark.sql("SELECT compress_ratio('a a a a a a a a a a') AS r")
       .head().getDouble(0)

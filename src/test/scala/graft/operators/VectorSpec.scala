@@ -193,6 +193,24 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("semantic_dedup drops exactly the seeded copies, keeping originals") {
+    val rows = VectorOps.semanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, dupOf, score) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      // only the seeded perturbed copies are dropped — the natural corpus
+      // has no τ-similar pairs, so precision here is exact
+      assert(id >= 1000000L, s"original $id wrongly dropped")
+      // the keeper of each copy is its own original (smallest-id policy)
+      assert(dupOf === id - 1000000L)
+      assert(score >= VectorOps.DedupThreshold)
+    }
+    // every seeded copy is found: the cluster+LSH candidate composition has
+    // full recall on the τ-pairs (originals and copies co-cluster)
+    val expected = embDouble.filter(col("vec_id") % 10 === 0).count()
+    assert(rows.length.toLong === expected)
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
