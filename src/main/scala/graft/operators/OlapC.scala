@@ -507,6 +507,135 @@ object OlapC {
        |                           ORDER BY version DESC) = 1
        |ORDER BY o_orderkey""".stripMargin
 
+  // --- B39: snapshot diff / table reconciliation ----------------------------
+  /** Deterministic "current" snapshot of `orders`: every [[DiffDelMod]]th
+    * key deleted, every [[DiffChgMod]]th repriced (×2 — IEEE-exact), every
+    * [[DiffAddMod]]th re-inserted under a shifted key. */
+  val DiffDelMod = 97
+  val DiffChgMod = 13
+  val DiffAddMod = 89
+
+  /** Snapshot reconciliation — the "what changed between loads" audit a
+    * warehouse runs after every ingest: full-outer key join of two
+    * snapshots comparing a map-side md5 row digest of the compared columns.
+    * Emits one row per NON-identical key (added / removed / changed).
+    *
+    * Scale shape: the digest shrinks each row to 32 bytes BEFORE the join,
+    * so the exchange carries (key, digest) only; the join is one
+    * co-partitioned key shuffle per side — and ZERO exchanges when both
+    * snapshots are written bucketed by the key (Sinks.writeBucketed).
+    * Nulls digest distinctly from empty strings (per-column sentinel), so
+    * a null→'' flip is reported as changed. */
+  def tableDiffOn(base: DataFrame, current: DataFrame, keyCol: String,
+      cmpCols: Seq[String]): DataFrame = {
+    def digest(df: DataFrame) = df.select(col(keyCol).as("k"),
+      md5(concat_ws("\u0001",
+        cmpCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+        .as("h"))
+    digest(base).as("a")
+      .join(digest(current).as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(coalesce(col("a.k"), col("b.k")).as(keyCol),
+        when(col("b.k").isNull, "removed")
+          .when(col("a.k").isNull, "added")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val cur = o.filter(col("o_orderkey") % DiffDelMod =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % DiffChgMod === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % DiffAddMod === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+    tableDiffOn(o, cur, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Twin compares column values directly — the digest is an
+    * implementation detail; the reported key/status set is the contract. */
+  val tableDiffSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |cur AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % $DiffChgMod = 0 THEN o_totalprice * 2
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM base WHERE o_orderkey % $DiffDelMod <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+       |  FROM base WHERE o_orderkey % $DiffAddMod = 0)
+       |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       |  CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+       |       WHEN a.o_orderkey IS NULL THEN 'added'
+       |       WHEN a.o_totalprice <> b.o_totalprice
+       |            OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM base a FULL OUTER JOIN cur b ON a.o_orderkey = b.o_orderkey
+       |WHERE CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+       |       WHEN a.o_orderkey IS NULL THEN 'added'
+       |       WHEN a.o_totalprice <> b.o_totalprice
+       |            OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+       |       ELSE 'unchanged' END <> 'unchanged'
+       |ORDER BY o_orderkey""".stripMargin
+
+  // --- B40: time-series resample + forward fill -----------------------------
+  /** Per-key daily resampling with forward fill — the gap-filling shape
+    * every time-series feature store needs (a user's "value as of day d"
+    * must exist for EVERY day, not just active ones).
+    *
+    * Scale shape: daily totals are ONE (key, day) partial agg; the spine
+    * is generated map-side from each key's 1-row (min, max) span
+    * (`sequence` + explode — no calendar table broadcast, no cross join);
+    * the fill is ONE key-partitioned window over values ordered by day —
+    * days are unique per key, so the frame is deterministic under any row
+    * order. Leading rows are never null by construction (the spine starts
+    * at each key's first active day). */
+  def resampleFfillOn(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg(Olap.dsum(col(valCol), 2).as("v"))
+    val spine = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("k"),
+        explode(sequence(col("_d0"), col("_d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("k", "day"), "left")
+      .select(col("k").as(keyCol), col("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+        when(col("v").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame =
+    resampleFfillOn(Tables(spark, dir).events, "user_id", "ts", "value")
+
+  val resampleFfillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+      |      CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT s.user_id, s.day,
+      |  LAST_VALUE(d.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+      |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS value_filled,
+      |  CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
   // --- B30: one-pass table profiling ---------------------------------------
   /** The profiled table's columns — one definition drives BOTH the Spark
     * aggregation and the generated oracle SQL. */
@@ -728,7 +857,9 @@ object OlapC {
     "salted_join" -> (saltedJoin _),
     "event_transitions" -> (eventTransitions _),
     "interval_coverage" -> (intervalCoverage _),
-    "distinct_incremental" -> (distinctIncremental _))
+    "distinct_incremental" -> (distinctIncremental _),
+    "table_diff" -> (tableDiff _),
+    "resample_ffill" -> (resampleFfill _))
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
@@ -743,5 +874,7 @@ object OlapC {
     "table_profile" -> tableProfileSql,
     "salted_join" -> saltedJoinSql,
     "event_transitions" -> eventTransitionsSql,
-    "interval_coverage" -> intervalCoverageSql)
+    "interval_coverage" -> intervalCoverageSql,
+    "table_diff" -> tableDiffSql,
+    "resample_ffill" -> resampleFfillSql)
 }

@@ -542,8 +542,71 @@ object Pipeline {
        |       (start_off + n_tokens - 1) // ${CorpusOps.PackBudget} AS last_seq
        |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
 
+  // --- C45: overlapping document chunking -----------------------------------
+  /** Chunk geometry: 64-token windows, stride 48 (25% overlap) — the RAG /
+    * long-context preprocessing shape. */
+  val ChunkWidth = 64
+  val ChunkStride = 48
+
+  /** Deterministic overlapping token-window chunking: each document yields
+    * `ceil(max(n-W, 0)/S) + 1` chunks starting every S tokens; the last
+    * chunk may be short. Chunk ids are a pure function of (doc_id, index)
+    * — reshard-stable, rerun-identical, any shard rebuildable alone.
+    *
+    * Scale shape: a pure MAP stage (tokenize → sequence → explode →
+    * slice); no shuffle before the gate sort, and chunk volume is
+    * predictable (≈ tokens/S), so downstream sizing is arithmetic. The
+    * chunk digest keeps the output comparator-safe and 32 bytes wide
+    * regardless of W. */
+  def chunkDocumentsOn(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"chunk geometry width=$width stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .withColumn("_idx", explode(sequence(lit(0),
+        expr(s"int((greatest(_n - $width, 0) + ${stride - 1}) div $stride)"))))
+      .select(
+        (col("doc_id") * 10000 + col("_idx")).as("chunk_id"),
+        col("doc_id"), col("_idx").as("chunk_idx"),
+        (col("_idx") * stride + 1).as("start_token"),
+        slice(col("_toks"), col("_idx") * stride + 1, lit(width)).as("_chunk"))
+      .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("start_token"), size(col("_chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+      .orderBy(col("chunk_id"))
+  }
+
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsOn(Tables(spark, dir).documents, "doc_id", "text",
+      ChunkWidth, ChunkStride)
+
+  val chunkDocumentsSql: String = {
+    val (w, s) = (ChunkWidth, ChunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n, toks,
+       |         unnest(range(0, (GREATEST(n - $w, 0) + ${s - 1}) // $s + 1))
+       |           AS idx
+       |  FROM t WHERE n > 0)
+       |SELECT doc_id * 10000 + idx AS chunk_id, doc_id,
+       |  CAST(idx AS INT) AS chunk_idx,
+       |  CAST(idx * $s + 1 AS INT) AS start_token,
+       |  CAST(len(toks[idx * $s + 1 : idx * $s + $w]) AS INT) AS n_tokens,
+       |  md5(array_to_string(toks[idx * $s + 1 : idx * $s + $w], ' '))
+       |    AS chunk_md5
+       |FROM c ORDER BY chunk_id""".stripMargin
+  }
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_documents" -> (chunkDocuments _),
     "text_pii_scrub" -> (textPiiScrub _),
     "sample_split" -> (sampleSplit _),
     "stratified_sample" -> (stratifiedSample _),
@@ -557,6 +620,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "chunk_documents" -> chunkDocumentsSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "sample_split" -> sampleSplitSql,
     "stratified_sample" -> stratifiedSampleSql,

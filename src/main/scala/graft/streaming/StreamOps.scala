@@ -271,13 +271,39 @@ object StreamOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  val UpsertQueryName = "graft_stream_upsert"
+
+  /** B29's CDC compaction maintained BY the stream: the same max-struct
+    * aggregation runs as a streaming aggregation — the state store holds
+    * exactly one winning record per key and every micro-batch's changes
+    * merge in via the aggregate's own partial-merge (a continuous MERGE,
+    * no per-batch rescan of the base). The change feed is derived from the
+    * streamed base rows map-side, so base and changes are one source
+    * replayed; complete-mode AvailableNow drain == the batch compaction —
+    * same DuckDB oracle as B29. */
+  def streamUpsert(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+    val o = raw.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), lit(1L).as("version"))
+    val changes = o.filter(col("o_orderkey") % graft.operators.OlapC.UpsertMod === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
+    val compacted = graft.operators.OlapC
+      .upsertLatestOn(o, changes, "o_orderkey", "version")
+    drainComplete(spark, compacted, UpsertQueryName).orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events" -> (streamEvents _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_funnel" -> (streamFunnel _),
-    "stream_mv" -> (streamMv _)
+    "stream_mv" -> (streamMv _),
+    "stream_upsert" -> (streamUpsert _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +314,7 @@ object StreamOps {
     "stream_quality_gate" -> streamQualityGateSql,
     // the streamed drains must equal their batch twins' oracles
     "stream_funnel" -> graft.operators.OlapC.funnelSql,
-    "stream_mv" -> graft.operators.OlapC.mvIncrementalSql
+    "stream_mv" -> graft.operators.OlapC.mvIncrementalSql,
+    "stream_upsert" -> graft.operators.OlapC.upsertLatestSql
   )
 }

@@ -111,7 +111,10 @@ class PlanGuardSpec extends SparkSpec {
     "hilbert_layout" -> 3, // 1-row stats agg (broadcast back) + gate sort; the walk is one codegen'd expression
     "phrase_merge" -> 1, // phrase vocab is a driver-bounded literal; the fold is a pure map stage + gate sort
     "semantic_dedup" -> 4, // (cluster, band-bucket) candidate join + dropped-doc agg + gate sort; assignment map-side vs centroid literals
-    "substring_dedup" -> 5 // window-df agg + 1:df flag join + doc rollup + gate sort — linear, no pair join
+    "substring_dedup" -> 5, // window-df agg + 1:df flag join + doc rollup + gate sort — linear, no pair join
+    "chunk_documents" -> 1, // pure map stage (tokenize → sequence → explode → slice) + gate sort
+    "table_diff" -> 3, // one co-partitioned key exchange per snapshot + gate sort; digests shrink rows before the join
+    "resample_ffill" -> 6 // daily agg, span agg, spine join, fill window, gate sort — all keyed by (user[, day])
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

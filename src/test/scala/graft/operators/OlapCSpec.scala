@@ -358,4 +358,49 @@ class OlapCSpec extends SparkSpec {
       }
     }
   }
+
+  test("table_diff: statuses partition the synthetic edits exactly") {
+    val keys = graft.sources.Tables(spark, sfDir).orders
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val got = OlapC.tableDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val removed = keys.filter(_ % OlapC.DiffDelMod == 0).toSet
+    val added = keys.filter(_ % OlapC.DiffAddMod == 0).map(_ + 100000000L).toSet
+    val changed = keys.filter(k =>
+      k % OlapC.DiffChgMod == 0 && k % OlapC.DiffDelMod != 0).toSet
+    assert(got.filter(_._2 == "removed").keySet === removed)
+    assert(got.filter(_._2 == "added").keySet === added)
+    assert(got.filter(_._2 == "changed").keySet === changed)
+    assert(got.size === removed.size + added.size + changed.size)
+  }
+
+  test("table_diff digest distinguishes null from empty string") {
+    import spark.implicits._
+    val base = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "v")
+    val cur = Seq((1L, Some("")), (2L, Some("x"))).toDF("k", "v")
+    val d = OlapC.tableDiffOn(base, cur, "k", Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "changed"))
+  }
+
+  test("resample_ffill: spine is dense per user and fills carry forward") {
+    val rows = OlapC.resampleFfill(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty && rows.exists(_._4 == 1), "no gaps to fill")
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2.toEpochDay)
+      // dense: every day between first and last is present exactly once
+      val days = sorted.map(_._2.toEpochDay)
+      assert(days.toSeq === (days.head to days.last))
+      // first day is active by construction; gaps repeat the previous fill
+      assert(sorted.head._4 === 0)
+      sorted.sliding(2).foreach {
+        case Array(prev, curr) if curr._4 == 1 =>
+          assert(curr._3 === prev._3, s"gap day ${curr._2} not carried")
+        case _ =>
+      }
+    }
+  }
 }

@@ -286,4 +286,28 @@ class PipelineSpec extends SparkSpec {
       bySplit.get(a).foreach(exp => assert(s === exp))
     }
   }
+
+  test("chunk_documents: geometry covers every token with the declared overlap") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (w, s) = (Pipeline.ChunkWidth, Pipeline.ChunkStride)
+    val chunks = Pipeline.chunkDocuments(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet.filter(docs(_) > 0))
+    chunks.foreach { case (doc, cs) =>
+      val n = docs(doc)
+      val sorted = cs.sortBy(_._2)
+      // expected chunk count: ceil(max(n-w,0)/s) + 1
+      assert(sorted.length === (math.max(n - w, 0) + s - 1) / s + 1)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx === i && start === i * s + 1)
+        assert(len === math.min(w, n - i * s)) // last chunk may be short
+      }
+      // coverage: last chunk reaches the last token; overlap is w - s
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 === n)
+    }
+  }
 }

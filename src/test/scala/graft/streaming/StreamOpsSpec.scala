@@ -83,6 +83,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(sm.nonEmpty && sm.toSeq === bm.toSeq)
   }
 
+  test("streamed upsert compaction equals the batch compaction") {
+    val s = StreamOps.streamUpsert(spark, sfDir).collect().map(_.toString).sorted
+    val b = graft.operators.OlapC.upsertLatest(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
