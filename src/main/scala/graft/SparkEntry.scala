@@ -13,7 +13,7 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "q1_agg" -> (Olap.q1Agg _)
     ) ++ graft.etl.EtlQueries.queries ++ graft.etl.Receipts.queries ++
-      OlapB.queries ++ OlapC.queries ++ TextOps.queries ++ Pipeline.queries ++ CorpusOps.queries ++
+      OlapB.queries ++ OlapC.queries ++ OlapD.queries ++ TextOps.queries ++ Pipeline.queries ++ CorpusOps.queries ++
       VectorOps.queries ++ Sketch.queries ++ Multimodal.queries ++
       graft.streaming.StreamOps.queries ++
       graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries ++
@@ -24,7 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Olap.q1AggSql
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
-    OlapB.oracles ++ OlapC.oracles ++ TextOps.oracles ++ Pipeline.oracles ++ CorpusOps.oracles ++
+    OlapB.oracles ++ OlapC.oracles ++ OlapD.oracles ++ TextOps.oracles ++ Pipeline.oracles ++ CorpusOps.oracles ++
     VectorOps.oracles ++ Sketch.oracles ++ Multimodal.oracles ++
     graft.streaming.StreamOps.oracles ++
     graft.streaming.StatefulSessions.oracles ++ graft.sources.Sinks.oracles

@@ -25,7 +25,9 @@ class PlanGuardSpec extends SparkSpec {
     // two 1-row aggregate sides joined (bounded by design)
     "distinct_incremental",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
-    "hilbert_layout")
+    "hilbert_layout",
+    // 1-row mean-weight stats frame broadcast onto the edge list
+    "triangle_count")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -114,7 +116,9 @@ class PlanGuardSpec extends SparkSpec {
     "substring_dedup" -> 5, // window-df agg + 1:df flag join + doc rollup + gate sort — linear, no pair join
     "chunk_documents" -> 1, // pure map stage (tokenize → sequence → explode → slice) + gate sort
     "table_diff" -> 3, // one co-partitioned key exchange per snapshot + gate sort; digests shrink rows before the join
-    "resample_ffill" -> 6 // daily agg, span agg, spine join, fill window, gate sort — all keyed by (user[, day])
+    "resample_ffill" -> 6, // daily agg, span agg, spine join, fill window, gate sort — all keyed by (user[, day])
+    "attribution" -> 2, // ONE user-key carry window + gate sort
+    "triangle_count" -> 12 // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

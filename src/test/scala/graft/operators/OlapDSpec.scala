@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OlapDSpec extends SparkSpec {
+
+  test("attribution: replays an independent last-touch computation") {
+    val evs = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val byUser = evs.groupBy(_._1)
+    val expected = evs.filter(_._4 == "purchase").map { p =>
+      val before = byUser(p._1)
+        .filter(e => e._4 == "click" &&
+          (e._2 < p._2 || (e._2 == p._2 && e._3 < p._3)))
+      val lastClick = if (before.isEmpty) None
+        else Some(before.maxBy(e => (e._2, e._3)))
+      val eligible = lastClick.filter(_._2 >= p._2 - OlapD.AttrWindowUs)
+      (p._3, eligible.map(_._3), eligible.map(_._2))
+    }.sortBy(_._1)
+    val got = OlapD.attribution(spark, sfDir).collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq === expected.toSeq)
+    // both buckets exist: attributed purchases and organic ones
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+  }
+
+  test("triangle_count: known graph — clique triangles, no path/star/hub false positives") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (each node in C(3,2)=3 triangles), a path 4-5-6,
+    // a star hub 7 -> {8,9,10}, node 11 isolated; duplicate directions
+    // and self-loops must collapse/drop
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 1L), (3L, 3L), // reverse dup + self-loop
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L)).toDF("src", "dst")
+    val nodes = (0L to 11L).toDF("node")
+    val got = OlapD.triangleCountOn(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 11L).map(n => n -> (if (n <= 3) 3L else 0L)).toMap
+    assert(got === expected)
+  }
+
+  test("triangle_count query: total is consistent and the graph is non-trivial") {
+    val rows = OlapD.triangleCount(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total % 3 === 0, "every triangle has exactly 3 corners")
+    assert(rows.map(_.getLong(2)).distinct.length > 1,
+      "thresholded trade graph should not be complete/regular")
+  }
+}
