@@ -229,6 +229,116 @@ case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encoder: for each of `m` equal subspaces of the
+  * input vector, the argmin codeword (exact integer squared-L2 over
+  * `floor(x*1e6)` quantized values, ties to the lower code). `right` is
+  * the flat pre-quantized codebook laid out [sub][code][dim] — a literal
+  * by construction (m × ks × subDim longs), so the whole argmin loop runs
+  * inside WholeStageCodegen; a `least(struct…)` formulation re-inlines the
+  * distance per codeword and breaks down past ~16 codes. Output:
+  * array<int> of `m` codes — the 8-byte corpus representation PQ scanning
+  * is about (Jégou et al., TPAMI 2011).
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int, ks: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val books = b.asInstanceOf[ArrayData]
+    val subDim = x.numElements() / m
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0L; var bestC = -1; var c = 0
+      while (c < ks) {
+        var acc = 0L; var i = 0
+        while (i < subDim) {
+          val d = math.floor(x.getDouble(s * subDim + i) * 1e6).toLong -
+            books.getLong((s * ks + c) * subDim + i)
+          acc += d * d; i += 1
+        }
+        if (bestC < 0 || acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC; s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, b) => {
+      val subDim = ctx.freshName("subDim"); val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $subDim = $x.numElements() / $m;
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  long $best = 0L; int $bestC = -1;
+         |  for (int $c = 0; $c < $ks; $c++) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      long $d = (long) java.lang.Math.floor(
+         |          $x.getDouble($s * $subDim + $i) * 1.0E6)
+         |        - $b.getLong(($s * $ks + $c) * $subDim + $i);
+         |      $acc += $d * $d;
+         |    }
+         |    if ($bestC < 0 || $acc < $best) { $best = $acc; $bestC = $c; }
+         |  }
+         |  $codes[$s] = $bestC;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PQ asymmetric-distance score: Σ_s tbl[s·ks + codes[s]] — the lookup-sum
+  * that replaces a full dot product when scanning a PQ-compressed corpus
+  * against one query's precomputed distance table. Pure integer adds,
+  * codegen'd: the hot inner loop of a billion-vector ADC scan must not
+  * interpret a lambda per element.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tbl = b.asInstanceOf[ArrayData]
+    var acc = 0L; var s = 0
+    val n = codes.numElements()
+    while (s < n) { acc += tbl.getLong(s * ks + codes.getInt(s)); s += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc += $b.getLong($s * $ks + $a.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-facing constructors. */
 object vectors {
   import GraftSqlBridge.{column, expression}
@@ -245,4 +355,10 @@ object vectors {
   def lsh_sign_buckets(v: Column, numTables: Int, bits: Int, dim: Int,
       seed: Long = 42L): Column =
     column(LshSignBuckets(expression(v), numTables, bits, dim, seed))
+
+  def pq_encode(v: Column, books: Column, m: Int, ks: Int): Column =
+    column(PqEncode(expression(v), expression(books), m, ks))
+
+  def pq_adc_score(codes: Column, tbl: Column, ks: Int): Column =
+    column(PqAdcScore(expression(codes), expression(tbl), ks))
 }

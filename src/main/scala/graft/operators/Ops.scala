@@ -526,6 +526,141 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // --- Product quantization (PQ) --------------------------------------------
+  /** PQ geometry: `PqM` subspaces × `PqKs` codewords. A 64-dim vector
+    * compresses to 8 bytes (one code per subspace) — the 64× memory/IO cut
+    * that keeps a billion-vector corpus scannable in memory (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011). */
+  val PqM = 8
+  val PqKs = 64
+  val PqSampleFactor = 32
+
+  /** Deterministic per-subspace codebooks. The training set is the bounded
+    * hash-ordered sample ([[PqKs]] × [[PqSampleFactor]] rows — a driver
+    * literal by construction, like the top-K vocabularies), fetched with
+    * ONE TakeOrdered job; the [[PqM]] per-subspace Lloyd runs execute
+    * driver-side over it — the distributed work of PQ is encoding and
+    * scanning the corpus, never training on a fixed-size sample. Seeds are
+    * the first [[PqKs]] sample subvectors (content-hash spread); ties
+    * break on the lower code, empty clusters keep their previous codeword
+    * — rebuilds are bit-identical, no RNG anywhere. */
+  private[operators] def pqTrain(corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int): Map[(Int, Int), Array[Double]] = {
+    require(dim % PqM == 0, s"dim=$dim must split into $PqM subspaces")
+    val subDim = dim / PqM
+    val sample = corpus
+      .select(col(idCol).as("_sid"), col(embCol).as("_semb"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_sid")).limit(PqKs * PqSampleFactor)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus — nothing to sample")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until PqM).flatMap { m =>
+      val sub = sample.map(_.slice(m * subDim, (m + 1) * subDim))
+      var cents = sub.take(PqKs).map(_.clone())
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Int](cents.length)
+        sub.foreach { v =>
+          var best = 0; var bestD = l2(v, cents(0)); var c = 1
+          while (c < cents.length) {
+            val d = l2(v, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.zipWithIndex.map { case (cw, c) => (m, c) -> cw }
+    }.toMap
+  }
+
+  /** The codebook as a flat pre-quantized literal laid out [sub][code][dim]
+    * — the input shape [[graft.functions.PqEncode]] loops over in codegen.
+    * Absent (sub, code) slots (empty-cluster collapse) repeat the previous
+    * codeword, which is harmless: the argmin just sees a duplicate. */
+  private def flatBooks(books: Map[(Int, Int), Array[Double]],
+      dim: Int): Seq[Long] = {
+    val subDim = dim / PqM
+    val out = new Array[Long](PqM * PqKs * subDim)
+    var lastQ = new Array[Long](subDim)
+    for (m <- 0 until PqM; c <- 0 until PqKs) {
+      val q = books.get((m, c))
+        .map(_.map(x => math.floor(x * 1e6).toLong)).getOrElse(lastQ)
+      lastQ = q
+      System.arraycopy(q, 0, out, (m * PqKs + c) * subDim, subDim)
+    }
+    out.toSeq
+  }
+
+  /** PQ asymmetric-distance top-k with exact re-rank: the corpus is
+    * scanned as 8-byte codes, each query's 128-entry distance table makes
+    * scoring a pure lookup-sum, the approximate top `rerank × k` survive
+    * via bounded heaps (O(queries × rerank·k) shuffle), and ONLY those
+    * fetch their full vectors for the exact cosine that decides the final
+    * ranking — the standard memory-bound ANN shape at billion-vector
+    * scale. Deterministic end to end (codebooks, ties, quantized exact
+    * scores); recall vs the brute-force oracle is pinned by spec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, dim: Int, k: Int, rerank: Int = 10): DataFrame = {
+    val books = pqTrain(corpus, idCol, embCol, dim)
+    val subDim = dim / PqM
+    val flat = flatBooks(books, dim)
+    val encoded = corpus.select(col(idCol).as("neighbor_id"),
+      pq_encode(col(embCol), typedLit(flat), PqM, PqKs).as("_codes"))
+    // per-query lookup tables: table[m*Ks + c] = <q_m, codeword_{m,c}>,
+    // quantized exactly like quantized_cosine's integer dot
+    val qRows = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("_q")).collect()
+    val qTables = qRows.map { r =>
+      val q = r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray
+      val tbl = new Array[Long](PqM * PqKs)
+      for (m <- 0 until PqM; c <- 0 until PqKs) {
+        val base = (m * PqKs + c) * subDim
+        var s = 0L
+        var i = 0
+        while (i < subDim) { s += q(m * subDim + i) * flat(base + i); i += 1 }
+        tbl(m * PqKs + c) = s
+      }
+      (r.getLong(0), tbl.toSeq)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = qTables.toSeq.toDF("query_id", "_tbl")
+    val approx = encoded.crossJoin(broadcast(qdf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pq_adc_score(col("_codes"), col("_tbl"), PqKs).cast("double")
+          .as("approx"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk.top_k_by_score(col("approx"),
+        col("neighbor_id"), rerank * k).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_c"))
+      .select(col("query_id"), col("_c.id").as("neighbor_id"))
+    // exact re-rank of the surviving candidates only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    approx
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(embCol).as("_q"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Connected components over a pair list — the survivorship step behind

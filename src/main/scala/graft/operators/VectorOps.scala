@@ -131,6 +131,17 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- C46: PQ-compressed top-k (rows-only; recall spec) -------------------
+  /** Asymmetric-distance PQ scan + exact re-rank (see [[Ann.pqTopK]]):
+    * the corpus is scanned as 8-byte codes — 64× less memory/IO than raw
+    * vectors — and only the approximate survivors fetch full vectors. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    Ann.pqTopK(corpus, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", Dim, TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --- C18: per-label embedding statistics ---------------------------------
   /** Corpus statistics a curation pipeline reports per cluster/label:
     * vector count, exact quantized norm mass, norm range, and the
@@ -442,7 +453,8 @@ object VectorOps {
     "embed_stats" -> (embedStats _),
     "kmeans_clusters" -> (kmeansClusters _),
     "embedding_quantize" -> (embeddingQuantize _),
-    "semantic_dedup" -> (semanticDedup _)
+    "semantic_dedup" -> (semanticDedup _),
+    "ann_pq_topk" -> (annPqTopk _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -18,7 +18,7 @@ class PlanGuardSpec extends SparkSpec {
   private def batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("stream"))
 
   private val crossJoinByDesign = Set(
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "dedup_embedding", "multimodal_similar", "embed_stats",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "zorder_layout", "value_histogram",

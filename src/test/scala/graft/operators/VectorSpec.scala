@@ -193,6 +193,21 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq_topk achieves reasonable recall vs brute force and is deterministic") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = VectorOps.annPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val approx = run1.map(t => (t._1, t._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ recall@10 = $recall")
+    // deterministic codebooks + quantized ties: rerun is bit-identical
+    val run2 = VectorOps.annPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(run1.toSeq === run2.toSeq)
+  }
+
   test("semantic_dedup drops exactly the seeded copies, keeping originals") {
     val rows = VectorOps.semanticDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
