@@ -201,6 +201,22 @@ object ScaleProbe {
       Ann.ivfTopKIndexed(spark, ivfPath, queries, "vec_id", "emb",
         k = 10, nProbe = 8).count()
     }
+    time("semantic_dedup") {
+      // k scaled with the corpus so cluster sizes stay bounded — the
+      // SemDeDup contract at scale
+      VectorOps.semanticDedupOn(embs, "vec_id", "emb",
+        k = 8 * reps, rounds = 2, threshold = 0.999).count()
+    }
+    time("substring_dedup") {
+      Dedup.duplicatedWindowStats(docs, "doc_id", "text", w = 8)
+        .filter(col("dup_windows") > 0).count()
+    }
+    time("chunk_documents") {
+      Pipeline.chunkDocumentsOn(docs, "doc_id", "text", 64, 48).count()
+    }
+    time("ann_pq_topk") {
+      Ann.pqTopK(embs, queries, "vec_id", "emb", dim = 64, k = 10).count()
+    }
     time("stream_sessions") {
       // replicated event stream through the stateful sessionizer + a
       // durable parquet sink (the deployment shape, not the memory sink)

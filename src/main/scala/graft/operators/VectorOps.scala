@@ -205,15 +205,30 @@ object VectorOps {
 
   /** For each row of an `emb`-carrying frame: the (dist, cid) of its
     * nearest centroid — fully map-side (the centroid set rides along as
-    * literals, the distance is the codegen'd [[graft.functions.QuantizedL2Sq]],
-    * and `least` over the per-centroid structs is the argmin with the
-    * (dist, cid) tie-break the oracle mirrors). */
+    * literals). Two physical forms with IDENTICAL semantics (argmin by
+    * (dist, cid) — centroids are cid-sorted, so [[graft.functions.PqEncode]]'s
+    * ties-to-lower-code IS the (dist, cid) tie-break the oracle mirrors):
+    *  - small k: `least` over per-centroid (dist, cid) structs — compact
+    *    codegen, one distance loop inlined per centroid;
+    *  - large k: the argmin loops INSIDE one codegen expression
+    *    (`pq_encode` with m = 1) over the flat centroid literal — the
+    *    inlined-struct form explodes Janino compile time past a few dozen
+    *    centroids (observed minutes at k ≈ 200). */
   private def nearestCentroid(cents: Seq[(Long, Array[Long])]): Column = {
-    val packed = cents.map { case (cid, q) =>
-      struct(quantized_l2sq(col("emb"), typedLit(q.toSeq)).as("dist"),
-        lit(cid).as("cid"))
+    if (cents.size <= 16) {
+      val packed = cents.map { case (cid, q) =>
+        struct(quantized_l2sq(col("emb"), typedLit(q.toSeq)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      if (packed.size == 1) packed.head else least(packed: _*)
+    } else {
+      val flat = cents.flatMap(_._2.toSeq)
+      val code = element_at(
+        pq_encode(col("emb"), typedLit(flat), 1, cents.size), 1)
+      val cw = element_at(typedLit(cents.map(_._2.toSeq)), code + 1)
+      struct(quantized_l2sq(col("emb"), cw).as("dist"),
+        element_at(typedLit(cents.map(_._1)), code + 1).as("cid"))
     }
-    if (packed.size == 1) packed.head else least(packed: _*)
   }
 
   /** Deterministic Lloyd k-means over the embeddings corpus — the corpus
