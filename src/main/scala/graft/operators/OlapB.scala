@@ -265,8 +265,8 @@ object OlapB {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** The WITH chain shared by B11 and B18. */
-  private val sessionCtesSql: String =
+  /** The WITH chain shared by B11, B18, and B44. */
+  private[operators] val sessionCtesSql: String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, $tsUsSql AS ts_us, value FROM events
        |), flagged AS (

@@ -199,11 +199,74 @@ object OlapD {
       |FROM nation n LEFT JOIN cnts c ON c.node = n.n_nationkey
       |ORDER BY node""".stripMargin
 
+  // --- B44: interval-overlap join -------------------------------------------
+  /** Promo window geometry: one window per epoch day, 10:00–14:00 UTC —
+    * derived from the event span by integer arithmetic, so both engines
+    * generate the identical window set. */
+  val DayUs: Long = 86400L * 1000000L
+  val PromoStartUs: Long = 10L * 3600 * 1000000L
+  val PromoEndUs: Long = 14L * 3600 * 1000000L
+
+  /** Which user sessions overlap which promo windows, and by how much —
+    * the campaign-exposure join. Sessions are B11's gap sessions; promos
+    * are the synthetic daily windows. See [[RangeJoin.intervalOverlap]]
+    * for the bucketized equi-join shape: no nested loop, and the
+    * ownership-bucket rule dedups multi-bucket pairs with a filter
+    * instead of a distinct shuffle. */
+  def intervalOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val sessions = Sessionize.assign(base, "user_id", "ts_us",
+        OlapB.SessionGapUs, "event_id")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val span = base.agg(
+      floor(min(col("ts_us")) / DayUs).cast("long").as("_d0"),
+      floor(max(col("ts_us")) / DayUs).cast("long").as("_d1"))
+    val promos = span // 1-row span frame → the bounded promo set
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("promo_id"))
+      .select(col("promo_id"),
+        (col("promo_id") * DayUs + PromoStartUs).as("p_start"),
+        (col("promo_id") * DayUs + PromoEndUs).as("p_end"))
+    RangeJoin.intervalOverlap(sessions, broadcast(promos), Seq.empty,
+        "s_start", "s_end", "p_start", "p_end",
+        bucketWidth = PromoEndUs - PromoStartUs)
+      .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+        col("promo_id"),
+        (least(col("s_end"), col("p_end")) -
+          greatest(col("s_start"), col("p_start"))).as("overlap_us"))
+      .orderBy(col("user_id"), col("session_id"), col("promo_id"))
+  }
+
+  /** Twin joins on the raw overlap predicate — the bucketization is the
+    * physical strategy, not the contract. */
+  val intervalOverlapSql: String = OlapB.sessionCtesSql +
+    s""",
+       |sess AS (
+       |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |         MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+       |  FROM sessioned GROUP BY 1, 2
+       |), span AS (
+       |  SELECT CAST(floor(MIN(ts_us) / $DayUs) AS BIGINT) AS d0,
+       |         CAST(floor(MAX(ts_us) / $DayUs) AS BIGINT) AS d1
+       |  FROM e
+       |), promos AS (
+       |  SELECT CAST(d AS BIGINT) AS promo_id,
+       |         CAST(d AS BIGINT) * $DayUs + $PromoStartUs AS p_start,
+       |         CAST(d AS BIGINT) * $DayUs + $PromoEndUs AS p_end
+       |  FROM span, unnest(range(d0, d1 + 1)) t(d))
+       |SELECT user_id, session_id, promo_id,
+       |       LEAST(s_end, p_end) - GREATEST(s_start, p_start) AS overlap_us
+       |FROM sess JOIN promos ON s_start <= p_end AND p_start <= s_end
+       |ORDER BY user_id, session_id, promo_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
-    "triangle_count" -> (triangleCount _))
+    "triangle_count" -> (triangleCount _),
+    "interval_overlap" -> (intervalOverlapQ _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
-    "triangle_count" -> triangleCountSql)
+    "triangle_count" -> triangleCountSql,
+    "interval_overlap" -> intervalOverlapSql)
 }

@@ -83,6 +83,30 @@ object RangeJoin {
       .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("_bkt")
   }
+
+  /** Interval-OVERLAP equi-join (closed intervals, numeric bounds): every
+    * (a, b) pair with `[sA,eA] ∩ [sB,eB] ≠ ∅`, sharing `keys` if given.
+    * Each side explodes into its covered fixed-width buckets and the range
+    * predicate becomes a hash equi-join on (keys, bucket) — no nested
+    * loop, no side replication beyond span/bucketWidth rows per interval.
+    *
+    * A pair sharing several buckets would duplicate; the OWNERSHIP rule
+    * dedups for free — a pair counts only in the first bucket BOTH
+    * intervals cover, `max(⌊sA/w⌋, ⌊sB/w⌋)`, a pure filter instead of a
+    * distinct shuffle. Pick `bucketWidth` near the typical interval length
+    * (shorter → more replication; longer → fatter buckets). */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keys: Seq[String],
+      sA: String, eA: String, sB: String, eB: String,
+      bucketWidth: Long): DataFrame = {
+    def bucketed(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bkt", explode(sequence(
+        floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    bucketed(a, sA, eA).join(bucketed(b, sB, eB), keys :+ "_bkt")
+      .filter(col(sA) <= col(eB) && col(sB) <= col(eA))
+      .filter(col("_bkt") === greatest(floor(col(sA) / bucketWidth),
+        floor(col(sB) / bucketWidth)))
+      .drop("_bkt")
+  }
 }
 
 /** Gap-based sessionization.

@@ -118,7 +118,8 @@ class PlanGuardSpec extends SparkSpec {
     "table_diff" -> 3, // one co-partitioned key exchange per snapshot + gate sort; digests shrink rows before the join
     "resample_ffill" -> 6, // daily agg, span agg, spine join, fill window, gate sort — all keyed by (user[, day])
     "attribution" -> 2, // ONE user-key carry window + gate sort
-    "triangle_count" -> 12 // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
+    "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
+    "interval_overlap" -> 5 // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

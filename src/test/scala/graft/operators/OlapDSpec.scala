@@ -47,6 +47,33 @@ class OlapDSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("interval_overlap equals a brute-force overlap join") {
+    val rows = OlapD.intervalOverlapQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ownership-bucket dedup: every (session, promo) pair appears once
+    val keys = rows.map(t => (t._1, t._2, t._3))
+    assert(keys.distinct.length === keys.length)
+    // brute force over the collected sessions × promo windows
+    val base = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val sessions = Sessionize.assign(base, "user_id", "ts_us",
+        OlapB.SessionGapUs, "event_id")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tsAll = sessions.flatMap(s => Seq(s._3, s._4))
+    val (d0, d1) = (tsAll.min / OlapD.DayUs, tsAll.max / OlapD.DayUs)
+    val expected = (for {
+      (u, sid, s, e) <- sessions
+      d <- d0 to d1
+      ps = d * OlapD.DayUs + OlapD.PromoStartUs
+      pe = d * OlapD.DayUs + OlapD.PromoEndUs
+      if s <= pe && ps <= e
+    } yield (u, sid, d, math.min(e, pe) - math.max(s, ps))).sortBy(t => (t._1, t._2, t._3))
+    assert(rows.toSeq === expected.toSeq)
+    assert(rows.nonEmpty)
+  }
+
   test("triangle_count query: total is consistent and the graph is non-trivial") {
     val rows = OlapD.triangleCount(spark, sfDir).collect()
     val total = rows.map(_.getLong(2)).sum
