@@ -303,7 +303,8 @@ object StreamOps {
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_funnel" -> (streamFunnel _),
     "stream_mv" -> (streamMv _),
-    "stream_upsert" -> (streamUpsert _)
+    "stream_upsert" -> (streamUpsert _),
+    "stream_attribution" -> (StatefulAttribution.streamAttribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,6 +316,8 @@ object StreamOps {
     // the streamed drains must equal their batch twins' oracles
     "stream_funnel" -> graft.operators.OlapC.funnelSql,
     "stream_mv" -> graft.operators.OlapC.mvIncrementalSql,
-    "stream_upsert" -> graft.operators.OlapC.upsertLatestSql
+    "stream_upsert" -> graft.operators.OlapC.upsertLatestSql,
+    // the order-sensitive stateful drain must equal the batch window op
+    "stream_attribution" -> graft.operators.OlapD.attributionSql
   )
 }

@@ -90,6 +90,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed attribution equals the batch window operator") {
+    val s = StatefulAttribution.streamAttribution(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val b = graft.operators.OlapD.attribution(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("attribution state machine: (ts, id) order decides strictly-before") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def run(evs: Seq[StatefulAttribution.Ev]) = {
+      val st = TestGroupState.create[StatefulAttribution.ClickState](
+        org.apache.spark.api.java.Optional.empty(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+        0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+      StatefulAttribution.updateUser(1L, evs.iterator, st).toSeq
+    }
+    def ev(id: Long, ts: Long, tpe: String) =
+      StatefulAttribution.Ev(1L, id, ts, tpe, 1.0, new java.sql.Timestamp(ts / 1000))
+    // click sorts before same-ts purchase (lower id) → credited
+    val a = run(Seq(ev(2, 1000000L, "purchase"), ev(1, 1000000L, "click")))
+    assert(a.map(o => (o.event_id, o.click_event_id)) === Seq((2L, Some(1L))))
+    // click sorts after same-ts purchase (higher id) → organic
+    val b = run(Seq(ev(1, 1000000L, "purchase"), ev(2, 1000000L, "click")))
+    assert(b.map(o => (o.event_id, o.click_event_id)) === Seq((1L, None)))
+    // click outside the lookback window → organic
+    val far = 1000000L + graft.operators.OlapD.AttrWindowUs + 1
+    val c = run(Seq(ev(1, 1000000L, "click"), ev(2, far, "purchase")))
+    assert(c.map(o => (o.event_id, o.click_event_id)) === Seq((2L, None)))
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
