@@ -932,37 +932,30 @@ object CorpusOps {
   /** Greedy left-to-right phrase merging (the wordpiece/phrase-vocab
     * build pass): walk each document's token list once, joining an
     * adjacent pair into `a_b` whenever it is in the mined phrase set; a
-    * merged token never chain-merges (greedy, deterministic). The walk is
-    * an explicit left FOLD (`aggregate` in Spark, `list_reduce` in the
-    * oracle) with identical init and step, so both engines follow the
-    * same trajectory token for token — a pure map stage over the corpus.
-    * Emits per-doc before/after token counts, merge count, and the md5
-    * fingerprint of the merged text. */
+    * merged token never chain-merges within a round (the chained form
+    * `a_b_c` is only in the vocabulary when a LATER mining round put it
+    * there — see [[phraseMergeRounds]]). The walk is one codegen'd kernel
+    * pass ([[graft.functions.GreedyPhraseMerge]] — formerly an
+    * interpreted `aggregate` fold, hoisted per the expressions-not-lambdas
+    * rule); the oracle replays it one token per recursion step, so both
+    * engines follow the same trajectory token for token — a pure map
+    * stage over the corpus. Emits per-doc before/after token counts,
+    * merge count, and the md5 fingerprint of the merged text. */
   def phraseMergeOn(documents: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrase set must not be empty")
-    val arr = phrases.map(p => s"'$p'").mkString("array(", ", ", ")")
-    val fold = s"""
-      |aggregate(
-      |  slice(toks, 2, greatest(0, size(toks) - 1)),
-      |  named_struct('toks', slice(toks, 1, 1), 'merges', 0),
-      |  (a, t) -> IF(
-      |    array_contains($arr, concat(element_at(a.toks, -1), '_', t)),
-      |    named_struct(
-      |      'toks', concat(slice(a.toks, 1, size(a.toks) - 1),
-      |                     array(concat(element_at(a.toks, -1), '_', t))),
-      |      'merges', a.merges + 1),
-      |    named_struct('toks', concat(a.toks, array(t)),
-      |                 'merges', a.merges)))""".stripMargin
     documents
       .select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("_m", expr(fold))
+      .withColumn("_m",
+        graft.functions.textsketch.greedy_phrase_merge(col("toks"), phrases))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens_before"),
-        size(col("_m.toks")).as("n_tokens_after"),
-        col("_m.merges").as("n_merges"),
-        md5(concat_ws(" ", col("_m.toks"))).as("merged_fp"))
+        size(col("_m")).as("n_tokens_after"),
+        // each merge removes exactly one token, so the count difference IS
+        // the merge count — same number the fold accumulator reported
+        (size(col("toks")) - size(col("_m"))).as("n_merges"),
+        md5(concat_ws(" ", col("_m"))).as("merged_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -971,43 +964,117 @@ object CorpusOps {
     phraseMergeOn(docs, "doc_id", "text", minePhrases(docs, "doc_id", "text"))
   }
 
-  /** The oracle walks the same greedy fold ONE TOKEN PER RECURSION STEP
+  /** Mining CTE pair: top-[[PhraseK]] adjacent bigrams by document
+    * frequency over a `src(doc_id, toks)` CTE, as `bg` + a 1-row phrase
+    * list `vl`. */
+  private def mineCtes(src: String, bg: String, vl: String): String =
+    s"""$bg AS (
+       |  SELECT bg, COUNT(*) AS df
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS bg
+       |        FROM $src)
+       |  GROUP BY 1 HAVING COUNT(*) >= $PhraseMinDf
+       |  ORDER BY df DESC, bg LIMIT $PhraseK
+       |), $vl AS (SELECT list(bg) AS phrases FROM $bg)""".stripMargin
+
+  /** Recursive greedy-walk CTE over `src(doc_id, toks)` with vocab `vl`:
+    * one token per recursion step; rows with `i = n` carry the final
+    * (pend, acc, merges) state. */
+  private def walkCtes(walk: String, src: String, vl: String): String =
+    s"""$walk(doc_id, i, n, pend, acc, merges) AS (
+       |  SELECT doc_id, 1, len(toks), toks[1], CAST('' AS VARCHAR), 0 FROM $src
+       |  UNION ALL
+       |  SELECT w.doc_id, w.i + 1, w.n,
+       |    CASE WHEN list_contains($vl.phrases, w.pend || '_' || d.toks[w.i + 1])
+       |         THEN w.pend || '_' || d.toks[w.i + 1] ELSE d.toks[w.i + 1] END,
+       |    CASE WHEN list_contains($vl.phrases, w.pend || '_' || d.toks[w.i + 1])
+       |         THEN w.acc
+       |         ELSE w.acc || (CASE WHEN w.acc = '' THEN '' ELSE ' ' END) || w.pend END,
+       |    w.merges + CASE WHEN list_contains($vl.phrases,
+       |                      w.pend || '_' || d.toks[w.i + 1]) THEN 1 ELSE 0 END
+       |  FROM $walk w JOIN $src d ON d.doc_id = w.doc_id CROSS JOIN $vl
+       |  WHERE w.i < w.n
+       |)""".stripMargin
+
+  /** The final merged text of a finished walk row. */
+  private val walkTxt = "acc || (CASE WHEN acc = '' THEN '' ELSE ' ' END) || pend"
+
+  /** The oracle walks the same greedy pass ONE TOKEN PER RECURSION STEP
     * (WITH RECURSIVE over the position index) — NOT via `list_reduce`,
     * whose struct-accumulator path segfaults DuckDB v1.0.0 on real data
     * (reproduced; a crashing oracle would take the whole gate down).
-    * A merged token can never chain-merge because phrases join plain
-    * tokens with `_`, so no extra state flag is needed. */
+    * A merged token can never chain-merge because single-round phrases
+    * join plain tokens with `_`, so no extra state flag is needed. */
   val phraseMergeSql: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
-       |), bg AS (
-       |  SELECT bg, COUNT(*) AS df
-       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-       |          range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS bg
-       |        FROM d)
-       |  GROUP BY 1 HAVING COUNT(*) >= $PhraseMinDf
-       |  ORDER BY df DESC, bg LIMIT $PhraseK
-       |), vl AS (SELECT list(bg) AS phrases FROM bg),
-       |walk(doc_id, i, n, pend, acc, merges) AS (
-       |  SELECT doc_id, 1, len(toks), toks[1], CAST('' AS VARCHAR), 0 FROM d
-       |  UNION ALL
-       |  SELECT w.doc_id, w.i + 1, w.n,
-       |    CASE WHEN list_contains(vl.phrases, w.pend || '_' || d.toks[w.i + 1])
-       |         THEN w.pend || '_' || d.toks[w.i + 1] ELSE d.toks[w.i + 1] END,
-       |    CASE WHEN list_contains(vl.phrases, w.pend || '_' || d.toks[w.i + 1])
-       |         THEN w.acc
-       |         ELSE w.acc || (CASE WHEN w.acc = '' THEN '' ELSE ' ' END) || w.pend END,
-       |    w.merges + CASE WHEN list_contains(vl.phrases,
-       |                      w.pend || '_' || d.toks[w.i + 1]) THEN 1 ELSE 0 END
-       |  FROM walk w JOIN d ON d.doc_id = w.doc_id CROSS JOIN vl
-       |  WHERE w.i < w.n
-       |)
+       |), ${mineCtes("d", "bg", "vl")},
+       |${walkCtes("walk", "d", "vl")}
        |SELECT doc_id, CAST(n AS INT) AS n_tokens_before,
        |  CAST(n - merges AS INT) AS n_tokens_after,
        |  CAST(merges AS INT) AS n_merges,
-       |  md5(acc || (CASE WHEN acc = '' THEN '' ELSE ' ' END) || pend) AS merged_fp
+       |  md5($walkTxt) AS merged_fp
        |FROM walk WHERE i = n ORDER BY doc_id""".stripMargin
+
+  // --- C47: multi-round phrase merging (vocab growth) -----------------------
+  /** Two mining+merge rounds — the BPE/wordpiece vocabulary-GROWTH loop
+    * with document-frequency mining: round 1 merges the raw corpus's top
+    * adjacent bigrams; round 2 re-mines over the MERGED corpus, where a
+    * mined pair can join a round-1 phrase to its neighbor
+    * (`a_b` + `c` → `a_b_c`) — the chaining a single greedy round
+    * deliberately forbids. Each round is one bounded driver-side mining
+    * aggregation (the vocab literal) plus one codegen'd map pass; rounds
+    * compose exactly like production BPE training iterations. */
+  def phraseMergeRoundsOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.textsketch.greedy_phrase_merge
+    val v1 = minePhrases(documents, idCol, textCol)
+    val t1 = documents
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks0"))
+      .withColumn("toks1", greedy_phrase_merge(col("toks0"), v1))
+    val v2 = minePhrases(
+      t1.select(col("doc_id"), concat_ws(" ", col("toks1")).as("text1")),
+      "doc_id", "text1")
+    t1.withColumn("toks2", greedy_phrase_merge(col("toks1"), v2))
+      .select(col("doc_id"),
+        size(col("toks0")).as("n_tokens_0"),
+        size(col("toks1")).as("n_tokens_1"),
+        size(col("toks2")).as("n_tokens_2"),
+        md5(concat_ws(" ", col("toks2"))).as("merged_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseMergeRounds(spark: SparkSession, dir: String): DataFrame =
+    phraseMergeRoundsOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Twin: two chained recursive walks; round 2's token arrays and vocab
+    * both derive from round 1's merged text. The round-1 products are
+    * `MATERIALIZED` — without the hint, every recursion step of walk2
+    * re-evaluates d2 ← m1 ← walk1, turning the chain quadratic (observed:
+    * minutes vs 5 s at sf0.01). */
+  val phraseMergeRoundsSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), ${mineCtes("d", "bg1", "vl1")},
+       |${walkCtes("walk1", "d", "vl1")},
+       |m1 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(n AS INT) AS n0, CAST(n - merges AS INT) AS n1,
+       |         $walkTxt AS txt
+       |  FROM walk1 WHERE i = n
+       |), d2 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m1
+       |), ${mineCtes("d2", "bg2", "vl2")},
+       |${walkCtes("walk2", "d2", "vl2")},
+       |m2 AS (
+       |  SELECT doc_id, CAST(n - merges AS INT) AS n2, $walkTxt AS txt
+       |  FROM walk2 WHERE i = n
+       |)
+       |SELECT m1.doc_id, m1.n0 AS n_tokens_0, m1.n1 AS n_tokens_1,
+       |  m2.n2 AS n_tokens_2, md5(m2.txt) AS merged_fp
+       |FROM m1 JOIN m2 ON m1.doc_id = m2.doc_id
+       |ORDER BY m1.doc_id""".stripMargin
 
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
@@ -1090,7 +1157,8 @@ object CorpusOps {
     "token_pmi" -> (tokenPmi _),
     "vocab_oov" -> (vocabOov _),
     "weighted_sample" -> (weightedSample _),
-    "phrase_merge" -> (phraseMerge _))
+    "phrase_merge" -> (phraseMerge _),
+    "phrase_merge_rounds" -> (phraseMergeRounds _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1107,5 +1175,6 @@ object CorpusOps {
     "token_pmi" -> tokenPmiSql,
     "vocab_oov" -> vocabOovSql,
     "weighted_sample" -> weightedSampleSql,
-    "phrase_merge" -> phraseMergeSql)
+    "phrase_merge" -> phraseMergeSql,
+    "phrase_merge_rounds" -> phraseMergeRoundsSql)
 }

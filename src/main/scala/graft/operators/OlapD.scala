@@ -260,13 +260,38 @@ object OlapD {
        |FROM sess JOIN promos ON s_start <= p_end AND p_start <= s_end
        |ORDER BY user_id, session_id, promo_id""".stripMargin
 
+  // --- B46: unpivot (melt) --------------------------------------------------
+  /** The inverse reshape of B8: the pivoted wide frame melts back to long
+    * (day, event_type, value_sum) rows via `Dataset.unpivot` — a pure
+    * map-side Expand (each row emits one output per value column, no
+    * shuffle beyond the source aggregation). Absent (day, type) cells are
+    * null after the pivot and are dropped on the way back, so the round
+    * trip equals the DIRECT long aggregation — which is the oracle (the
+    * same self-consistency trick as B18). */
+  def unpivotWide(spark: SparkSession, dir: String): DataFrame =
+    OlapB.pivotEvents(spark, dir)
+      .unpivot(Array(col("day")), OlapB.EventTypes.map(col).toArray,
+        variableColumnName = "event_type", valueColumnName = "value_sum")
+      .filter(col("value_sum").isNotNull)
+      .orderBy(col("day"), col("event_type"))
+
+  val unpivotWideSql: String = {
+    val types = OlapB.EventTypes.map(t => s"'$t'").mkString(", ")
+    s"""SELECT CAST(ts AS DATE) AS day, event_type,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+       |FROM events WHERE event_type IN ($types)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
     "triangle_count" -> (triangleCount _),
-    "interval_overlap" -> (intervalOverlapQ _))
+    "interval_overlap" -> (intervalOverlapQ _),
+    "unpivot_wide" -> (unpivotWide _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
     "triangle_count" -> triangleCountSql,
-    "interval_overlap" -> intervalOverlapSql)
+    "interval_overlap" -> intervalOverlapSql,
+    "unpivot_wide" -> unpivotWideSql)
 }

@@ -119,7 +119,9 @@ class PlanGuardSpec extends SparkSpec {
     "resample_ffill" -> 6, // daily agg, span agg, spine join, fill window, gate sort — all keyed by (user[, day])
     "attribution" -> 2, // ONE user-key carry window + gate sort
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
-    "interval_overlap" -> 5 // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
+    "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
+    "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand
+    "phrase_merge_rounds" -> 1 // two vocab literals + two fused codegen'd merge passes + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -289,6 +289,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._3).sum > 0)
   }
 
+  test("phrase_merge_rounds: round 2 chains round-1 phrases; JVM replay agrees") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val v1 = CorpusOps.minePhrases(docs, "doc_id", "text").toSet
+    def replay(toks: Seq[String], phrases: Set[String]): Seq[String] =
+      toks.tail.foldLeft(Vector(toks.head)) { case (acc, t) =>
+        if (phrases.contains(acc.last + "_" + t)) acc.init :+ (acc.last + "_" + t)
+        else acc :+ t
+      }
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val merged1 = texts.map { case (id, toks) => id -> replay(toks, v1) }
+    // round-2 vocab mined over the merged corpus, replayed independently
+    val v2 = merged1.flatMap { case (_, toks) =>
+      toks.sliding(2).filter(_.size == 2).map(_.mkString("_")).toSeq.distinct
+    }.groupBy(identity).view.mapValues(_.length)
+      .filter(_._2 >= CorpusOps.PhraseMinDf).toSeq
+      .sortBy { case (bg, df) => (-df, bg) }.take(CorpusOps.PhraseK)
+      .map(_._1).toSet
+    val got = CorpusOps.phraseMergeRounds(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    texts.foreach { case (id, toks) =>
+      val m1 = merged1.toMap.apply(id)
+      val m2 = replay(m1, v2)
+      val (n0, n1, n2, fp) = got(id)
+      assert(n0 === toks.size && n1 === m1.size && n2 === m2.size)
+      assert(fp === md5hex(m2.mkString(" ")), s"doc $id")
+    }
+    // round 2's vocabulary is genuinely NEW: a pair merged in round 1 no
+    // longer exists as an adjacency, so it cannot be re-mined
+    assert(v2.nonEmpty && (v2 & v1).isEmpty)
+    // and round 2 actually fires somewhere
+    assert(got.values.exists { case (_, n1, n2, _) => n2 < n1 })
+  }
+
+  test("phrase_merge_rounds: chained a_b_c phrases form when frequency warrants") {
+    import spark.implicits._
+    // "a b c" recurs corpus-wide; round 1 merges a_b (and b_c where a is
+    // absent), round 2 mines the now-adjacent (a_b, c) pair and chains it
+    val docs = (1L to 6L).map(i => (i, s"a b c u$i v$i")).toDF("doc_id", "text")
+    val got = CorpusOps.phraseMergeRoundsOn(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    got.foreach { case (id, n0, n1, n2, fp) =>
+      assert(n0 === 5 && n1 === 4 && n2 === 3) // a_b merged, then a_b_c chained
+      assert(fp === md5hex(s"a_b_c u$id v$id"))
+    }
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()

@@ -74,6 +74,16 @@ class OlapDSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("unpivot_wide is the inverse of the pivot (round trip = direct long agg)") {
+    val direct = graft.sources.Tables(spark, sfDir).events
+      .filter(col("event_type").isin(OlapB.EventTypes: _*))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(Olap.dsum(col("value"), 2).as("value_sum"))
+      .collect().map(_.toString).sorted
+    val melted = OlapD.unpivotWide(spark, sfDir).collect().map(_.toString).sorted
+    assert(melted.nonEmpty && melted.toSeq === direct.toSeq)
+  }
+
   test("triangle_count query: total is consistent and the graph is non-trivial") {
     val rows = OlapD.triangleCount(spark, sfDir).collect()
     val total = rows.map(_.getLong(2)).sum
