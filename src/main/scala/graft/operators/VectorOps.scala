@@ -457,6 +457,106 @@ object VectorOps {
        |FROM pairs WHERE score >= $DedupThreshold
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // --- C48: MMR diversity selection ----------------------------------------
+  val MmrPoolSize = 100
+  val MmrK = 10
+  val MmrLambda = 0.5
+
+  /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): pick [[MmrK]] vectors maximizing
+    * `rel − λ·max_sim_to_selected` — the diversity-aware sampling an
+    * eval-set or few-shot-pool builder needs (pure top-k returns near
+    * duplicates of the query's neighborhood).
+    *
+    * Scale shape: relevance is one map pass + a bounded-heap top-
+    * [[MmrPoolSize]] (TakeOrderedAndProject — the pool is a driver
+    * literal by construction, like the vocabularies); the pairwise sim
+    * matrix over the pool is computed IN Spark (pool self-join, O(C²)
+    * rows); only the inherently sequential k-step greedy walk runs
+    * driver-side over those collected doubles. Every number the walk
+    * compares was produced by the engine's own quantized-cosine — the
+    * DuckDB twin unrolls the same k rounds over the same pool/sims and
+    * hash-matches. Query anchor = the md5-smallest vec (content-hash
+    * spread, no RNG). */
+  def diverseTopkOn(corpusIn: DataFrame, idCol: String, embCol: String,
+      poolSize: Int, k: Int, lambda: Double): DataFrame = {
+    val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val qRow = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+      .collect()(0)
+    val qv = qRow.getSeq[Double](1)
+    val pool = corpus
+      .select(col("vec_id"), col("emb"),
+        quantized_cosine(col("emb"), typedLit(qv)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .localCheckpoint(eager = true)
+    val rels = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val sims = pool.as("a").join(pool.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        quantized_cosine(col("a.emb"), col("b.emb")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def simOf(x: Long, y: Long): Double =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    for (rank <- 1 to math.min(k, rels.length)) {
+      val best = rels.iterator.filterNot(r => chosen(r._1)).map { case (id, rel) =>
+        val maxSim = if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => simOf(id, s)).max
+        (id, rel, rel - lambda * maxSim)
+      }.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+      }
+      selected += ((rank, best._1, best._2, best._3))
+      chosen += best._1
+    }
+    val spark = corpusIn.sparkSession
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+      .orderBy(col("rank"))
+  }
+
+  def diverseTopk(spark: SparkSession, dir: String): DataFrame =
+    diverseTopkOn(emb(spark, dir), "vec_id", "emb", MmrPoolSize, MmrK, MmrLambda)
+
+  val diverseTopkSql: String = {
+    val rounds = (2 to MmrK).map { n =>
+      s"""s$n AS MATERIALIZED (
+         |  SELECT vec_id, rel,
+         |    rel - $MmrLambda * (
+         |      SELECT MAX(sim) FROM sims, sel${n - 1} s
+         |      WHERE (ia = p.vec_id AND ib = s.vec_id)
+         |         OR (ib = p.vec_id AND ia = s.vec_id)) AS mmr,
+         |    $n AS rank
+         |  FROM pool p WHERE vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+         |  ORDER BY mmr DESC, vec_id LIMIT 1
+         |), sel$n AS MATERIALIZED (SELECT vec_id FROM sel${n - 1}
+         |            UNION ALL SELECT vec_id FROM s$n)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL ")
+    s"""WITH $embSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |q0 AS (SELECT qv AS q0v FROM q
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, qv, ${qcosSql("qv", "q0.q0v")} AS rel
+       |  FROM q, q0 q0
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrPoolSize
+       |), sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, ${qcosSql("a.qv", "b.qv")} AS sim
+       |  FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, rel AS mmr, 1 AS rank FROM pool
+       |  ORDER BY rel DESC, vec_id LIMIT 1
+       |), sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance,
+       |       mmr AS mmr_score
+       |FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -469,7 +569,8 @@ object VectorOps {
     "kmeans_clusters" -> (kmeansClusters _),
     "embedding_quantize" -> (embeddingQuantize _),
     "semantic_dedup" -> (semanticDedup _),
-    "ann_pq_topk" -> (annPqTopk _)
+    "ann_pq_topk" -> (annPqTopk _),
+    "diverse_topk" -> (diverseTopk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,6 +579,7 @@ object VectorOps {
     "embed_stats" -> embedStatsSql,
     "kmeans_clusters" -> kmeansClustersSql,
     "embedding_quantize" -> embeddingQuantizeSql,
-    "semantic_dedup" -> semanticDedupSql
+    "semantic_dedup" -> semanticDedupSql,
+    "diverse_topk" -> diverseTopkSql
   )
 }

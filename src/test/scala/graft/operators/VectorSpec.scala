@@ -226,6 +226,39 @@ class VectorSpec extends SparkSpec {
     assert(rows.length.toLong === expected)
   }
 
+  test("diverse_topk: independent JVM replay of the MMR walk agrees") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def qz(v: Seq[Double]) = v.map(x => math.floor(x * 1e6).toLong).toArray
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble) /
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+    }
+    val vecs = embDouble.collect()
+      .map(r => r.getLong(0) -> qz(r.getSeq[Double](1))).toMap
+    val q0 = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).head
+    val pool = vecs.toSeq.map { case (id, v) => (id, qcos(v, vecs(q0))) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(VectorOps.MmrPoolSize)
+    def sim(a: Long, b: Long) = qcos(vecs(a), vecs(b))
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (rank <- 1 to VectorOps.MmrK) {
+      val picked = chosen.map(_._2).toSet
+      val best = pool.iterator.filterNot(p => picked(p._1)).map { case (id, rel) =>
+        val ms = if (picked.isEmpty) 0.0 else picked.iterator.map(sim(id, _)).max
+        (id, rel, rel - VectorOps.MmrLambda * ms)
+      }.reduceLeft((x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x)
+      chosen += ((rank, best._1, best._2, best._3))
+    }
+    val got = VectorOps.diverseTopk(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === chosen.toSeq)
+    // the selection actually diversifies: it differs from pure top-k
+    assert(got.map(_._2).toSet !== pool.take(VectorOps.MmrK).map(_._1).toSet)
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
