@@ -710,6 +710,97 @@ object CorpusOps {
        |FROM d JOIN s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C49: bigram-LM quality signal (interpolated backoff) ----------------
+  /** Bigram table bound: at deploy scale the table is the top-K bigrams
+    * (long tail backs off to the unigram term anyway); both engines cut
+    * with the same deterministic (count desc, a, b) order. */
+  val BigramK = 50000
+  val BigramLambda = "0.9" // textual so both engines parse identical doubles
+
+  /** Per-document cross-entropy under an interpolated bigram LM
+    * (p = λ·c(ab)/c(a) + (1−λ)·c(b)/N) trained on the corpus itself — the
+    * CCNet quality signal with one more order of context than C31: a doc
+    * of real phrases scores low even when its unigrams are common, word
+    * salad scores high even when every word is frequent.
+    *
+    * Scale shape: one unigram agg + one bigram agg train the LM; the
+    * bounded bigram table and the vocabulary broadcast onto the adjacency
+    * stream (three broadcast joins, zero corpus shuffles before the
+    * per-doc rollup). Parity: the C31 ln trick — each pair's −ln p is
+    * floor-quantized to integer pico-nats and summed exactly; p itself is
+    * the same textual IEEE formula in both engines. */
+  def bigramLogprobOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = uni.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val pairs = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .orderBy(col("cab").desc, col("a"), col("b")).limit(BigramK)
+    val lam = BigramLambda
+    val term = s"CAST(floor(-ln($lam * CAST(coalesce(cab, 0) AS DOUBLE) " +
+      s"/ CAST(ca AS DOUBLE) + (1 - $lam) * CAST(cb AS DOUBLE) " +
+      s"/ CAST($n AS DOUBLE)) * 1e12) AS BIGINT)"
+    pairs
+      .join(broadcast(bi), Seq("a", "b"), "left")
+      .join(broadcast(uni.select(col("tok").as("a"), col("cnt").as("ca"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("cnt").as("cb"))), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"),
+        (col("_sq").cast("double") / lit(1e12) / col("n_pairs").cast("double"))
+          .as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  val bigramLogprobSql: String = {
+    val lam = BigramLambda
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), uni AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
+       |), nn AS (SELECT SUM(cnt) AS n FROM uni),
+       |dp AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+       |  FROM d, unnest(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), bi AS (
+       |  SELECT a, b, COUNT(*) AS cab FROM dp GROUP BY 1, 2
+       |  ORDER BY cab DESC, a, b LIMIT $BigramK
+       |), s AS (
+       |  SELECT doc_id,
+       |    SUM(CAST(floor(-ln($lam * CAST(COALESCE(cab, 0) AS DOUBLE)
+       |      / CAST(ua.cnt AS DOUBLE) + (1 - $lam) * CAST(ub.cnt AS DOUBLE)
+       |      / CAST(nn.n AS DOUBLE)) * 1e12) AS BIGINT)) AS sq,
+       |    COUNT(*) AS np
+       |  FROM dp
+       |  LEFT JOIN bi USING (a, b)
+       |  JOIN uni ua ON ua.tok = dp.a
+       |  JOIN uni ub ON ub.tok = dp.b
+       |  CROSS JOIN nn
+       |  GROUP BY 1)
+       |SELECT doc_id, np AS n_pairs,
+       |  CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE) AS cross_entropy,
+       |  CAST(LEAST($LmBucketMax,
+       |       floor(CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE))) AS INT)
+       |    AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // --- C38: token co-occurrence PMI ----------------------------------------
   /** Vocabulary size and minimum pair support for the PMI table. */
   val PmiVocabK = 50
@@ -1158,7 +1249,8 @@ object CorpusOps {
     "vocab_oov" -> (vocabOov _),
     "weighted_sample" -> (weightedSample _),
     "phrase_merge" -> (phraseMerge _),
-    "phrase_merge_rounds" -> (phraseMergeRounds _))
+    "phrase_merge_rounds" -> (phraseMergeRounds _),
+    "bigram_logprob" -> (bigramLogprob _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1176,5 +1268,6 @@ object CorpusOps {
     "vocab_oov" -> vocabOovSql,
     "weighted_sample" -> weightedSampleSql,
     "phrase_merge" -> phraseMergeSql,
-    "phrase_merge_rounds" -> phraseMergeRoundsSql)
+    "phrase_merge_rounds" -> phraseMergeRoundsSql,
+    "bigram_logprob" -> bigramLogprobSql)
 }

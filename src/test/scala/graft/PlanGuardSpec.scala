@@ -121,7 +121,8 @@ class PlanGuardSpec extends SparkSpec {
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
     "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand
-    "phrase_merge_rounds" -> 1 // two vocab literals + two fused codegen'd merge passes + gate sort
+    "phrase_merge_rounds" -> 1, // two vocab literals + two fused codegen'd merge passes + gate sort
+    "bigram_logprob" -> 7 // unigram/bigram LM aggs (bounded tables broadcast back), per-doc rollup, gate sort — zero corpus shuffles before the rollup
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -338,6 +338,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram_logprob: JVM replay agrees; context lowers average entropy") {
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val allPairs = texts.flatMap { case (_, t) => t.zip(t.tail) }
+    val bi = allPairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // BigramK exceeds the distinct bigrams at this sf — the cut keeps all
+    assert(bi.size <= CorpusOps.BigramK)
+    // (1 - 0.9) evaluates in DECIMAL in both engines → exactly 0.1
+    val (lam, omLam) = (0.9, 0.1)
+    val expected = texts.filter(_._2.size >= 2).map { case (id, t) =>
+      val prs = t.zip(t.tail)
+      val sq = prs.map { case (a, b) =>
+        val p = lam * bi((a, b)).toDouble / uni(a).toDouble +
+          omLam * uni(b).toDouble / n.toDouble
+        math.floor(-math.log(p) * 1e12).toLong
+      }.sum
+      val ce = sq.toDouble / 1e12 / prs.size.toDouble
+      (id, prs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
+    }.sortBy(_._1)
+    val got = CorpusOps.bigramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === expected.toSeq)
+    // more context fits the corpus better: bigram CE below unigram CE on avg
+    val ceUni = CorpusOps.unigramLogprob(spark, sfDir).collect()
+      .map(_.getDouble(2))
+    val ceBi = got.map(_._3)
+    assert(ceBi.sum / ceBi.length < ceUni.sum / ceUni.length)
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
