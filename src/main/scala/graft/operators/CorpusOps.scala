@@ -733,8 +733,11 @@ object CorpusOps {
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
+    // both LM tables are STAGING products referenced by several joins —
+    // cut their lineage once (vocabulary- / K-bounded by construction)
     val uni = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val n = uni.agg(sum(col("cnt"))).collect()(0).getLong(0)
     val pairs = docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -744,6 +747,7 @@ object CorpusOps {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .orderBy(col("cab").desc, col("a"), col("b")).limit(BigramK)
+      .localCheckpoint(eager = true)
     val lam = BigramLambda
     val term = s"CAST(floor(-ln($lam * CAST(coalesce(cab, 0) AS DOUBLE) " +
       s"/ CAST(ca AS DOUBLE) + (1 - $lam) * CAST(cb AS DOUBLE) " +
