@@ -38,13 +38,15 @@ object Bench {
     graft.etl.InvoiceView.inv(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
-    // One timed run per query; queries past the ~2s Janino/plan floor get a
-    // second run with the min reported — single-run numbers there are
-    // dominated by JIT/GC/machine noise (observed ±50% swings), and the
-    // steady-state cost is what a deployment pays.
+    // First drain of each query is its warm-up (Janino codegen compile,
+    // classloading, page-cache fill — observed 3–10x the steady state for
+    // the codegen-kernel queries); any query past a 1s floor is then
+    // re-run and the min reported, so rounds compare PLANS, not cold
+    // starts. Sub-second queries keep their single-run number — the rerun
+    // would cost more than the noise it removes.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val t1 = drain(n)
-      n -> (if (t1 > 2.0) math.min(t1, drain(n)) else t1)
+      n -> (if (t1 > 1.0) math.min(t1, drain(n)) else t1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

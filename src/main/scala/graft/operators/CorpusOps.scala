@@ -450,10 +450,10 @@ object CorpusOps {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |           - n_tokens AS start_off
        |  FROM t)
-       |SELECT doc_id, shard, n_tokens, start_off,
-       |       start_off + n_tokens AS end_off,
-       |       start_off // $PackBudget AS first_seq,
-       |       (start_off + n_tokens - 1) // $PackBudget AS last_seq
+       |SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       |       CAST(start_off + n_tokens AS BIGINT) AS end_off,
+       |       CAST(start_off // $PackBudget AS BIGINT) AS first_seq,
+       |       CAST((start_off + n_tokens - 1) // $PackBudget AS BIGINT) AS last_seq
        |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
 
   // --- C27: incremental dedup (bloom-accelerated) --------------------------
@@ -652,12 +652,40 @@ object CorpusOps {
     * from the corpus LM land in high buckets. */
   val LmBucketMax = 9
 
+  /** LM vocabulary bound: top-K tokens by (count desc, token) keep their
+    * exact counts; everything else collapses into one OOV bin carrying the
+    * residual mass. K=24 is BELOW the test corpus' 31-token vocabulary on
+    * purpose, so the OOV backoff path is exercised — and oracle-checked —
+    * at every gate scale; at deploy scale K is the usual 10⁵–10⁶. */
+  val UnigramVocabK = 24
+
+  /** Bounded LM table: top-K vocabulary (DataFrame, never collected), the
+    * total token count N, and the OOV bin count (≥1 so ln stays finite). */
+  private[operators] case class LmVocab(vocab: DataFrame, n: Long, oovCnt: Long)
+
+  /** Trains the bounded unigram table. The full count table is a staging
+    * product that lives DISTRIBUTED (checkpointed, never collected); only
+    * two scalars (N, kept mass) come back to the driver, and the top-K cut
+    * is a total order (count desc, token) so both engines slice
+    * identically. */
+  private def lmVocabOf(docs: DataFrame): LmVocab = {
+    val counts = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val n = counts.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val vocab = counts.orderBy(col("cnt").desc, col("tok"))
+      .limit(UnigramVocabK).localCheckpoint(eager = true)
+    val kept = vocab.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    LmVocab(vocab, n, math.max(n - kept, 1L))
+  }
+
   /** Per-document cross-entropy under a unigram LM trained on the corpus
     * itself (the CCNet quality-scoring shape, with the corpus standing in
     * for the reference LM). One vocabulary aggregation trains the LM; the
-    * per-document score is then a PURE MAP stage — the vocabulary rides
-    * along as a map literal (the broadcast analog; at deploy scale a
-    * bounded top-K vocab + OOV bin is a broadcast join instead).
+    * BOUNDED top-K table then broadcast-joins onto the token stream (OOV
+    * tokens back off to the shared OOV bin), and the per-doc rollup's
+    * shuffle is one partially-aggregated row per document — the corpus
+    * itself never shuffles.
     *
     * Parity: each token's -ln p term is floor-quantized to integer
     * picounats (`floor(x*1e12)`), summed exactly (order-free), and only
@@ -668,17 +696,15 @@ object CorpusOps {
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val vocab = docs.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val n = vocab.map(_._2).sum
-    val vocabMap = typedLit(vocab.toMap)
-    docs
-      .withColumn("_v", vocabMap)
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        expr(s"aggregate(toks, 0L, (acc, t) -> acc + " +
-          s"CAST(floor((ln(CAST($n AS DOUBLE)) - ln(CAST(_v[t] AS DOUBLE))) * 1e12) AS BIGINT))")
-          .as("_sq"))
+    val lm = lmVocabOf(docs)
+    docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(lm.vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr(s"CAST(floor((ln(CAST(${lm.n} AS DOUBLE)) - " +
+          s"ln(CAST(coalesce(cnt, ${lm.oovCnt}L) AS DOUBLE))) * 1e12) AS BIGINT)"))
+          .as("_sq"),
+        count(lit(1)).cast("int").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         (col("_sq").cast("double") / lit(1e12) / col("n_tokens").cast("double"))
           .as("cross_entropy"))
@@ -690,21 +716,31 @@ object CorpusOps {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
 
+  /** Shared CTE block: full unigram counts → N → top-K cut → OOV bin.
+    * Reused by the unigram and bigram oracles so both mirror the engine's
+    * single bounded-vocab definition. */
+  private def lmVocabCtes: String =
+    s"""allv AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
+       |), n AS (SELECT SUM(cnt) AS n FROM allv),
+       |v AS (SELECT tok, cnt FROM allv ORDER BY cnt DESC, tok LIMIT $UnigramVocabK),
+       |oov AS (
+       |  SELECT GREATEST(n.n - (SELECT COALESCE(SUM(cnt), 0) FROM v), 1) AS oovc
+       |  FROM n)""".stripMargin
+
   val unigramLogprobSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
-       |), v AS (
-       |  SELECT tok, COUNT(*) AS cnt
-       |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
-       |), n AS (SELECT SUM(cnt) AS n FROM v),
+       |), $lmVocabCtes,
        |terms AS (SELECT doc_id, unnest(toks) AS tok FROM d),
        |s AS (
        |  SELECT doc_id,
-       |    CAST(SUM(CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE))) * 1e12) AS BIGINT)) AS BIGINT) AS sq,
+       |    CAST(SUM(CAST(floor((ln(CAST(n AS DOUBLE)) - ln(CAST(COALESCE(v.cnt, oovc) AS DOUBLE))) * 1e12) AS BIGINT)) AS BIGINT) AS sq,
        |    COUNT(*) AS nt
-       |  FROM terms JOIN v USING (tok) CROSS JOIN n GROUP BY 1)
-       |SELECT d.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  FROM terms LEFT JOIN v USING (tok) CROSS JOIN n CROSS JOIN oov GROUP BY 1)
+       |SELECT d.doc_id, CAST(nt AS INT) AS n_tokens,
        |  CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE) AS cross_entropy,
        |  CAST(LEAST($LmBucketMax, floor(CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE))) AS INT) AS ppl_bucket
        |FROM d JOIN s USING (doc_id)
@@ -723,22 +759,24 @@ object CorpusOps {
     * of real phrases scores low even when its unigrams are common, word
     * salad scores high even when every word is frequent.
     *
-    * Scale shape: one unigram agg + one bigram agg train the LM; the
-    * bounded bigram table and the vocabulary broadcast onto the adjacency
-    * stream (three broadcast joins, zero corpus shuffles before the
-    * per-doc rollup). Parity: the C31 ln trick — each pair's −ln p is
-    * floor-quantized to integer pico-nats and summed exactly; p itself is
-    * the same textual IEEE formula in both engines. */
+    * Scale shape: one unigram agg + one bigram agg train the LM; BOTH
+    * tables are bounded (top-$BigramK bigrams; top-$UnigramVocabK vocab
+    * with an OOV backoff bin — the C31 cut, shared) before they broadcast
+    * onto the adjacency stream (three broadcast joins, zero corpus
+    * shuffles before the per-doc rollup). Parity: the C31 ln trick — each
+    * pair's −ln p is floor-quantized to integer pico-nats and summed
+    * exactly; p itself is the same textual IEEE formula in both engines.
+    * (Declared risk, shared with C31: parity assumes JVM `Math.log` and
+    * the oracle's libm `log` round identically — IEEE 754 recommends but
+    * does not require correctly-rounded ln, so a 1-ulp divergence exactly
+    * at a floor boundary would flip one pico-nat. Interpolation widens the
+    * input domain over C31's integer ratios; observed exact at both gate
+    * scales, and any future flip localizes to one (a,b) pair.) */
   def bigramLogprobOn(documents: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    // both LM tables are STAGING products referenced by several joins —
-    // cut their lineage once (vocabulary- / K-bounded by construction)
-    val uni = docs.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = true)
-    val n = uni.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val lm = lmVocabOf(docs)
     val pairs = docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
@@ -750,12 +788,15 @@ object CorpusOps {
       .localCheckpoint(eager = true)
     val lam = BigramLambda
     val term = s"CAST(floor(-ln($lam * CAST(coalesce(cab, 0) AS DOUBLE) " +
-      s"/ CAST(ca AS DOUBLE) + (1 - $lam) * CAST(cb AS DOUBLE) " +
-      s"/ CAST($n AS DOUBLE)) * 1e12) AS BIGINT)"
+      s"/ CAST(coalesce(ca, ${lm.oovCnt}L) AS DOUBLE) " +
+      s"+ (1 - $lam) * CAST(coalesce(cb, ${lm.oovCnt}L) AS DOUBLE) " +
+      s"/ CAST(${lm.n} AS DOUBLE)) * 1e12) AS BIGINT)"
     pairs
       .join(broadcast(bi), Seq("a", "b"), "left")
-      .join(broadcast(uni.select(col("tok").as("a"), col("cnt").as("ca"))), "a")
-      .join(broadcast(uni.select(col("tok").as("b"), col("cnt").as("cb"))), "b")
+      .join(broadcast(lm.vocab.select(col("tok").as("a"), col("cnt").as("ca"))),
+        Seq("a"), "left")
+      .join(broadcast(lm.vocab.select(col("tok").as("b"), col("cnt").as("cb"))),
+        Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_pairs"))
       .select(col("doc_id"), col("n_pairs"),
@@ -774,10 +815,7 @@ object CorpusOps {
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
-       |), uni AS (
-       |  SELECT tok, COUNT(*) AS cnt
-       |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1
-       |), nn AS (SELECT SUM(cnt) AS n FROM uni),
+       |), $lmVocabCtes,
        |dp AS (
        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
        |  FROM d, unnest(range(1, len(toks))) t(i)
@@ -788,16 +826,18 @@ object CorpusOps {
        |), s AS (
        |  SELECT doc_id,
        |    SUM(CAST(floor(-ln($lam * CAST(COALESCE(cab, 0) AS DOUBLE)
-       |      / CAST(ua.cnt AS DOUBLE) + (1 - $lam) * CAST(ub.cnt AS DOUBLE)
-       |      / CAST(nn.n AS DOUBLE)) * 1e12) AS BIGINT)) AS sq,
+       |      / CAST(COALESCE(ua.cnt, oovc) AS DOUBLE)
+       |      + (1 - $lam) * CAST(COALESCE(ub.cnt, oovc) AS DOUBLE)
+       |      / CAST(n.n AS DOUBLE)) * 1e12) AS BIGINT)) AS sq,
        |    COUNT(*) AS np
        |  FROM dp
        |  LEFT JOIN bi USING (a, b)
-       |  JOIN uni ua ON ua.tok = dp.a
-       |  JOIN uni ub ON ub.tok = dp.b
-       |  CROSS JOIN nn
+       |  LEFT JOIN v ua ON ua.tok = dp.a
+       |  LEFT JOIN v ub ON ub.tok = dp.b
+       |  CROSS JOIN n
+       |  CROSS JOIN oov
        |  GROUP BY 1)
-       |SELECT doc_id, np AS n_pairs,
+       |SELECT doc_id, CAST(np AS BIGINT) AS n_pairs,
        |  CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE) AS cross_entropy,
        |  CAST(LEAST($LmBucketMax,
        |       floor(CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE))) AS INT)
@@ -1233,7 +1273,8 @@ object CorpusOps {
        |    ${hex12Sql("substr(md5(text), 1, 12)")} AS content_h48
        |  FROM documents)
        |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS n_tokens, SUM(n_bytes) AS n_bytes,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
        |  bit_xor(content_h48) AS content_xor
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 

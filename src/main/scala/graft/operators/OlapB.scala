@@ -105,7 +105,7 @@ object OlapB {
   }
 
   val windowRankSql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -303,16 +303,21 @@ object OlapC {
     * shuffle (contributions by dst), both O(edges); nothing ever collects
     * to the driver, so a billion-node graph iterates exactly like this
     * 25-node one. Pre-joining the out-weight onto the edge list once keeps
-    * the per-iteration work to a single join. */
+    * the per-iteration work to a single join. The rank lineage is cut
+    * every [[PrCheckpointEvery]] iterations (`localCheckpoint`, the
+    * standard iterative-plan discipline) so analysis cost stays linear in
+    * the iteration count — iters=50 plans exactly like iters=5. */
+  val PrCheckpointEvery = 5
+
   def pagerankOn(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val n = nodes.count()
     require(n > 0, "pagerank needs a non-empty node set")
     val base = (PrScale * (PrDampDen - PrDampNum)) / (PrDampDen * n)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val e = edges.join(outw, "src")
+    val e = edges.join(outw, "src").localCheckpoint(eager = false)
     var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks.join(e, ranks("node") === e("src"))
         .select(col("dst"), expr("(r * w) div outw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
@@ -320,6 +325,8 @@ object OlapC {
         .select(col("node"),
           (lit(base) + expr(s"($PrDampNum * coalesce(c, 0L)) div $PrDampDen"))
             .as("r"))
+      if (i % PrCheckpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
   }
@@ -373,7 +380,7 @@ object OlapC {
        |nn AS (SELECT COUNT(*) AS n FROM nodes),
        |r0 AS (SELECT node, (SELECT $PrScale // n FROM nn) AS r FROM nodes),
        |$iterCtes
-       |SELECT nodes.node, n.n_name AS nation, rk.r AS rank_pico,
+       |SELECT nodes.node, n.n_name AS nation, CAST(rk.r AS BIGINT) AS rank_pico,
        |  CAST(rk.r AS DOUBLE) / $PrScale AS rank
        |FROM nodes JOIN r$PrIters rk ON rk.node = nodes.node
        |JOIN nation n ON n.n_nationkey = nodes.node
@@ -524,13 +531,16 @@ object OlapC {
     * so the exchange carries (key, digest) only; the join is one
     * co-partitioned key shuffle per side — and ZERO exchanges when both
     * snapshots are written bucketed by the key (Sinks.writeBucketed).
-    * Nulls digest distinctly from empty strings (per-column sentinel), so
-    * a null→'' flip is reported as changed. */
+    * Each column is hashed INDIVIDUALLY before the row digest (md5 per
+    * column, then md5 of the fixed-width concat): every column contributes
+    * exactly 32 hex chars — or the 1-char null marker, which no md5 can
+    * equal — so no input value can shift a column boundary or collide with
+    * the null sentinel, and a null→'' flip is reported as changed. */
   def tableDiffOn(base: DataFrame, current: DataFrame, keyCol: String,
       cmpCols: Seq[String]): DataFrame = {
     def digest(df: DataFrame) = df.select(col(keyCol).as("k"),
-      md5(concat_ws("\u0001",
-        cmpCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+      md5(concat(
+        cmpCols.map(c => coalesce(md5(col(c).cast("string")), lit("-"))): _*))
         .as("h"))
     digest(base).as("a")
       .join(digest(current).as("b"), col("a.k") === col("b.k"), "full_outer")
@@ -813,7 +823,7 @@ object OlapC {
        |  SELECT user_id, island, MIN(ts_us) AS s, MAX(end_us) AS e
        |  FROM g GROUP BY 1, 2)
        |SELECT user_id, CAST(COUNT(*) AS INT) AS n_islands,
-       |  SUM(e - s) AS covered_us
+       |  CAST(SUM(e - s) AS BIGINT) AS covered_us
        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- B37: incremental distinct maintenance via mergeable HLL sketches ----

@@ -85,9 +85,9 @@ object Pipeline {
   val textPiiScrubSql: String =
     s"""WITH $piiCorpusSql
        |SELECT doc_id,
-       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
-       |  len(regexp_extract_all(text, '$SsnRe')) AS n_ssns,
-       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$SsnRe')) AS INT) AS n_ssns,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
        |        '$EmailRe', '[EMAIL]', 'g'),
        |        '$SsnRe', '[SSN]', 'g'),
@@ -169,7 +169,8 @@ object Pipeline {
        |    CASE WHEN awl >= 2.5 AND awl <= 8.0 THEN 1 ELSE 0 END AS pass_word_len,
        |    CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS pass_stopwords
        |  FROM m)
-       |SELECT doc_id, n_words, awl AS avg_word_len, n_stop AS n_stopwords,
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words, awl AS avg_word_len,
+       |  CAST(n_stop AS INT) AS n_stopwords,
        |  pass_min_words, pass_max_words, pass_word_len, pass_stopwords,
        |  pass_min_words * pass_max_words * pass_word_len * pass_stopwords AS passes,
        |  CASE WHEN pass_min_words = 0 THEN 'too_short'
@@ -536,10 +537,11 @@ object Pipeline {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |           - n_tokens AS start_off
        |  FROM t)
-       |SELECT doc_id, shard, n_tokens, start_off,
-       |       start_off + n_tokens AS end_off,
-       |       start_off // ${CorpusOps.PackBudget} AS first_seq,
-       |       (start_off + n_tokens - 1) // ${CorpusOps.PackBudget} AS last_seq
+       |SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       |       CAST(start_off + n_tokens AS BIGINT) AS end_off,
+       |       CAST(start_off // ${CorpusOps.PackBudget} AS BIGINT) AS first_seq,
+       |       CAST((start_off + n_tokens - 1) // ${CorpusOps.PackBudget} AS BIGINT)
+       |         AS last_seq
        |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
 
   // --- C45: overlapping document chunking -----------------------------------
@@ -547,6 +549,13 @@ object Pipeline {
     * long-context preprocessing shape. */
   val ChunkWidth = 64
   val ChunkStride = 48
+
+  /** Chunk-id packing base: chunk_id = doc_id * [[ChunkIdBase]] + idx is
+    * collision-free while idx < 1e9 (a single doc would need ~48e9 tokens
+    * at stride 48) and doc_id < 9.2e9 (long headroom) — both checked at
+    * runtime via a guarded expression so an out-of-domain corpus fails
+    * loudly instead of silently colliding. */
+  val ChunkIdBase = 1000000000L
 
   /** Deterministic overlapping token-window chunking: each document yields
     * `ceil(max(n-W, 0)/S) + 1` chunks starting every S tokens; the last
@@ -570,7 +579,12 @@ object Pipeline {
       .withColumn("_idx", explode(sequence(lit(0),
         expr(s"int((greatest(_n - $width, 0) + ${stride - 1}) div $stride)"))))
       .select(
-        (col("doc_id") * 10000 + col("_idx")).as("chunk_id"),
+        expr(s"CASE WHEN _idx < ${ChunkIdBase}L AND doc_id >= 0 " +
+          s"AND doc_id < ${Long.MaxValue / ChunkIdBase}L " +
+          s"THEN doc_id * ${ChunkIdBase}L + _idx " +
+          "ELSE raise_error(concat('chunk_id domain exceeded: doc_id=', " +
+          "CAST(doc_id AS STRING), ' idx=', CAST(_idx AS STRING))) END")
+          .as("chunk_id"),
         col("doc_id"), col("_idx").as("chunk_idx"),
         (col("_idx") * stride + 1).as("start_token"),
         slice(col("_toks"), col("_idx") * stride + 1, lit(width)).as("_chunk"))
@@ -595,7 +609,7 @@ object Pipeline {
        |         unnest(range(0, (GREATEST(n - $w, 0) + ${s - 1}) // $s + 1))
        |           AS idx
        |  FROM t WHERE n > 0)
-       |SELECT doc_id * 10000 + idx AS chunk_id, doc_id,
+       |SELECT doc_id * ${ChunkIdBase} + idx AS chunk_id, doc_id,
        |  CAST(idx AS INT) AS chunk_idx,
        |  CAST(idx * $s + 1 AS INT) AS start_token,
        |  CAST(len(toks[idx * $s + 1 : idx * $s + $w]) AS INT) AS n_tokens,

@@ -236,7 +236,8 @@ object Sketch {
        |         COALESCE(SUM(CASE WHEN d = 1 AND t IS NULL THEN 1 END), 0) AS fp,
        |         COALESCE(SUM(CASE WHEN d IS NULL AND t = 1 THEN 1 END), 0) AS fn
        |  FROM det FULL OUTER JOIN truth USING (id_a, id_b))
-       |SELECT tp, fp, fn,
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall
        |FROM j""".stripMargin

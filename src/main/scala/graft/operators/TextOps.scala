@@ -98,7 +98,7 @@ object TextOps {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       |SELECT doc_a, doc_b, inter, CAST(sa.n AS INT) AS na, CAST(sb.n AS INT) AS nb,
        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
        |FROM pairs
        |JOIN sizes sa ON doc_a = sa.doc_id
@@ -133,7 +133,7 @@ object TextOps {
        |  SELECT sh.doc_id, COUNT(*) AS n_windows,
        |         SUM(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS dup_windows
        |  FROM sh JOIN df USING (s) GROUP BY 1)
-       |SELECT doc_id, n_windows, dup_windows,
+       |SELECT doc_id, n_windows, CAST(dup_windows AS BIGINT) AS dup_windows,
        |  CAST(dup_windows AS DOUBLE) / n_windows AS dup_frac
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
@@ -149,9 +149,9 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val textTokensSql: String =
-    """SELECT doc_id, LENGTH(text) AS n_chars_measured,
-      |  LEN(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
-      |  LEN(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS re_tokens
+    """SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_measured,
+      |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INT) AS ws_tokens,
+      |  CAST(LEN(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INT) AS re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- C9: quality scoring -------------------------------------------------
@@ -179,7 +179,8 @@ object TextOps {
 
   val textQualitySql: String = {
     val in = Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""SELECT doc_id, n_words, n_stopwords,
+    s"""SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |  CAST(n_stopwords AS INT) AS n_stopwords,
        |  CAST(n_stopwords AS DOUBLE) / n_words AS stop_ratio,
        |  CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
        |  LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
@@ -224,7 +225,7 @@ object TextOps {
 
   val textLangidSql: String = {
     val scoreCols = LangMarkers.map { case (l, ms) =>
-      s"LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS score_$l"
+      s"CAST(LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS score_$l"
     }.mkString(",\n    ")
     // same fold as the Scala side: later language wins only on strictly
     // greater score

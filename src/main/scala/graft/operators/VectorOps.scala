@@ -214,22 +214,28 @@ object VectorOps {
     *    (`pq_encode` with m = 1) over the flat centroid literal — the
     *    inlined-struct form explodes Janino compile time past a few dozen
     *    centroids (observed minutes at k ≈ 200). */
-  private def nearestCentroid(cents: Seq[(Long, Array[Long])]): Column = {
-    if (cents.size <= 16) {
-      val packed = cents.map { case (cid, q) =>
-        struct(quantized_l2sq(col("emb"), typedLit(q.toSeq)).as("dist"),
-          lit(cid).as("cid"))
-      }
-      if (packed.size == 1) packed.head else least(packed: _*)
-    } else {
-      val flat = cents.flatMap(_._2.toSeq)
-      val code = element_at(
-        pq_encode(col("emb"), typedLit(flat), 1, cents.size), 1)
-      val cw = element_at(typedLit(cents.map(_._2.toSeq)), code + 1)
-      struct(quantized_l2sq(col("emb"), cw).as("dist"),
-        element_at(typedLit(cents.map(_._1)), code + 1).as("cid"))
+  private[operators] def nearestCentroidSmall(
+      cents: Seq[(Long, Array[Long])]): Column = {
+    val packed = cents.map { case (cid, q) =>
+      struct(quantized_l2sq(col("emb"), typedLit(q.toSeq)).as("dist"),
+        lit(cid).as("cid"))
     }
+    if (packed.size == 1) packed.head else least(packed: _*)
   }
+
+  private[operators] def nearestCentroidLarge(
+      cents: Seq[(Long, Array[Long])]): Column = {
+    val flat = cents.flatMap(_._2.toSeq)
+    val code = element_at(
+      pq_encode(col("emb"), typedLit(flat), 1, cents.size), 1)
+    val cw = element_at(typedLit(cents.map(_._2.toSeq)), code + 1)
+    struct(quantized_l2sq(col("emb"), cw).as("dist"),
+      element_at(typedLit(cents.map(_._1)), code + 1).as("cid"))
+  }
+
+  private def nearestCentroid(cents: Seq[(Long, Array[Long])]): Column =
+    if (cents.size <= 16) nearestCentroidSmall(cents)
+    else nearestCentroidLarge(cents)
 
   /** Deterministic Lloyd k-means over the embeddings corpus — the corpus
     * clustering step of a curation pipeline (domain discovery, data
@@ -406,7 +412,17 @@ object VectorOps {
     *
     * Output: the DROPPED rows — (vec_id, cluster_id, dup_of = smallest
     * τ-similar same-cluster id, score of that pair). Deterministic: ids are
-    * unique, so `min`/`min_by(…, id)` never tie. */
+    * unique, so `min`/`min_by(…, id)` never tie.
+    *
+    * Oracle-parity bound (declared, like C7's recall gate): the DuckDB twin
+    * verifies ALL within-cluster pairs while the engine verifies only LSH
+    * band candidates, so the hash gate rests on LSH recall for τ-pairs —
+    * ~4e-7 miss probability per τ-pair at τ = [[DedupThreshold]] with
+    * [[DedupTables]] tables × [[DedupBits]] bits (1−(1−p^b)^t, p =
+    * 1−θ/π). At the gate corpus (hundreds of τ-pairs) the run-level miss
+    * odds are ≲1e-4; if the gate corpus ever grows to where that bound is
+    * material, re-pin this query rows-only (the C7 treatment) or add the
+    * same banding to the oracle. */
   def semanticDedupOn(corpusIn: DataFrame, idCol: String, embCol: String,
       k: Int, rounds: Int, threshold: Double,
       tables: Int = DedupTables, bits: Int = DedupBits,

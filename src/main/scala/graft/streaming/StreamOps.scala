@@ -211,7 +211,8 @@ object StreamOps {
 
   /** Oracle: the per-reason aggregate of batch C15's own SQL. */
   val streamQualityGateSql: String =
-    s"""SELECT reject_reason, COUNT(*) AS n_docs, SUM(n_words) AS n_words
+    s"""SELECT reject_reason, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words
        |FROM (${graft.operators.Pipeline.qualityFilterChainSql})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -81,7 +81,7 @@ class PlanGuardSpec extends SparkSpec {
     "funnel" -> 2, // ONE user-key agg + gate sort
     "retention" -> 3, // user agg, cohort-cell agg, gate sort
     "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
-    "unigram_logprob" -> 1, // scoring is map-side vs the vocab literal + gate sort
+    "unigram_logprob" -> 2, // bounded vocab broadcast onto the token stream; per-doc rollup + gate sort (corpus never shuffles pre-rollup)
     "decontaminate_fuzzy" -> 4, // bench-side bcast exchange, pair dedup, two verify joins + gate sort share AQE reuse
     "decontaminate_simhash" -> 3, // bench-side bcast exchange + pair dedup + gate sort (train side sketched map-side)
     "scd2_track" -> 2, // ONE user-key exchange feeds lag/version/run-agg/lead + gate sort

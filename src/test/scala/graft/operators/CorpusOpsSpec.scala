@@ -202,10 +202,17 @@ class CorpusOpsSpec extends SparkSpec {
     val counts = docs.flatMap(_._2).groupBy(identity).view
       .mapValues(_.length.toLong).toMap
     val n = counts.values.sum
+    // the bounded top-K cut + OOV bin, replayed independently — and the
+    // corpus must actually EXERCISE the OOV path (vocab bigger than K)
+    assert(counts.size > CorpusOps.UnigramVocabK,
+      s"corpus vocab ${counts.size} must exceed K=${CorpusOps.UnigramVocabK}")
+    val kept = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(CorpusOps.UnigramVocabK).toMap
+    val oov = math.max(n - kept.values.sum, 1L)
     val expected = docs.map { case (id, toks) =>
       val sq = toks.map(t =>
-        math.floor((math.log(n.toDouble) - math.log(counts(t).toDouble)) * 1e12)
-          .toLong).sum
+        math.floor((math.log(n.toDouble) -
+          math.log(kept.getOrElse(t, oov).toDouble)) * 1e12).toLong).sum
       val ce = sq.toDouble / 1e12 / toks.size
       id -> ((toks.size, ce, math.min(CorpusOps.LmBucketMax, math.floor(ce).toInt)))
     }.toMap
@@ -344,6 +351,10 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
     val uni = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
     val n = uni.values.sum
+    // both unigram joins go through the SAME bounded top-K + OOV bin as C31
+    val kept = uni.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(CorpusOps.UnigramVocabK).toMap
+    val oov = math.max(n - kept.values.sum, 1L)
     val allPairs = texts.flatMap { case (_, t) => t.zip(t.tail) }
     val bi = allPairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
     // BigramK exceeds the distinct bigrams at this sf — the cut keeps all
@@ -353,8 +364,8 @@ class CorpusOpsSpec extends SparkSpec {
     val expected = texts.filter(_._2.size >= 2).map { case (id, t) =>
       val prs = t.zip(t.tail)
       val sq = prs.map { case (a, b) =>
-        val p = lam * bi((a, b)).toDouble / uni(a).toDouble +
-          omLam * uni(b).toDouble / n.toDouble
+        val p = lam * bi((a, b)).toDouble / kept.getOrElse(a, oov).toDouble +
+          omLam * kept.getOrElse(b, oov).toDouble / n.toDouble
         math.floor(-math.log(p) * 1e12).toLong
       }.sum
       val ce = sq.toDouble / 1e12 / prs.size.toDouble
@@ -363,11 +374,22 @@ class CorpusOpsSpec extends SparkSpec {
     val got = CorpusOps.bigramLogprob(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(got.toSeq === expected.toSeq)
-    // more context fits the corpus better: bigram CE below unigram CE on avg
+    // the OOV backoff path is actually exercised by the corpus
+    assert(texts.exists(_._2.exists(t => !kept.contains(t))),
+      "corpus must contain OOV tokens for the backoff to be tested")
+    // more context fits the corpus better — on FULLY in-vocab documents,
+    // where both models see true counts (the OOV bin deliberately inflates
+    // unigram p and deflates the bigram ratio for rare tokens, so the
+    // corpus-wide averages are not comparable across models)
+    val invocab = texts.filter { case (_, t) =>
+      t.size >= 2 && t.forall(kept.contains) }.map(_._1).toSet
+    assert(invocab.nonEmpty, "fixture must contain fully in-vocab docs")
+    def avg(xs: Seq[Double]) = xs.sum / xs.length
     val ceUni = CorpusOps.unigramLogprob(spark, sfDir).collect()
-      .map(_.getDouble(2))
-    val ceBi = got.map(_._3)
-    assert(ceBi.sum / ceBi.length < ceUni.sum / ceUni.length)
+      .filter(r => invocab.contains(r.getLong(0))).map(_.getDouble(2)).toSeq
+    val ceBi = got.filter(r => invocab.contains(r._1)).map(_._3).toSeq
+    assert(avg(ceBi) < avg(ceUni),
+      s"bigram ${avg(ceBi)} should beat unigram ${avg(ceUni)} on in-vocab docs")
   }
 
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {

@@ -135,6 +135,33 @@ class OlapCSpec extends SparkSpec {
     assert(got.values.toSet.size > 1)
   }
 
+  test("pagerank: deep iteration (iters=30) completes with a bounded plan") {
+    import graft.sources.Tables
+    val t = Tables(spark, sfDir)
+    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = t.nation.select(col("n_nationkey").as("node"))
+    // pre-checkpoint-cadence this would grow an exponentially-analyzed
+    // lineage; with the cadence the whole run (plan + execute) stays fast
+    val t0 = System.nanoTime()
+    val ranks = OlapC.pagerankOn(edges, nodes, iters = 30)
+    val rows = ranks.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 25)
+    assert(secs < 120, s"iters=30 took ${secs}s — lineage blow-up?")
+    // ranks are still a probability-ish vector after deep iteration
+    val mass = rows.map(_.getLong(1)).sum.toDouble / OlapC.PrScale
+    assert(mass <= 1.0 && mass > 0.9, s"mass $mass")
+    assert(rows.map(_.getLong(1)).toSet.size > 1)
+  }
+
   test("distinct_incremental: daily-sketch union equals the single-pass sketch") {
     val r = OlapC.distinctIncremental(spark, sfDir).head()
     val (nDays, est, direct, exact) =

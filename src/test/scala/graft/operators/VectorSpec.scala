@@ -259,6 +259,34 @@ class VectorSpec extends SparkSpec {
     assert(got.map(_._2).toSet !== pool.take(VectorOps.MmrK).map(_._1).toSet)
   }
 
+  test("nearestCentroid: small-k and large-k forms agree, ties to lower cid") {
+    // k = 20 (> the 16-centroid dispatch threshold) with cid-sorted
+    // centroids, including an exact DUPLICATE pair (cids 18 and 19) so the
+    // tie-break is exercised: both forms must pick the LOWER cid.
+    val sample = embDouble.orderBy(col("vec_id")).limit(19).collect()
+      .map(_.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
+    val cents: Seq[(Long, Array[Long])] =
+      sample.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toSeq :+
+        (19L, sample.last) // duplicate of cid 18 under a higher cid
+    val both = embDouble
+      .select(col("vec_id"),
+        VectorOps.nearestCentroidSmall(cents).as("s"),
+        VectorOps.nearestCentroidLarge(cents).as("l"))
+      .collect()
+    both.foreach { r =>
+      val (s, l) = (r.getStruct(1), r.getStruct(2))
+      assert(s.getLong(0) == l.getLong(0) && s.getLong(1) == l.getLong(1),
+        s"vec ${r.getLong(0)}: small=(${s.getLong(0)},${s.getLong(1)}) " +
+          s"large=(${l.getLong(0)},${l.getLong(1)})")
+    }
+    // at least one vector is nearest the duplicated centroid, and it
+    // resolved to the lower of the two identical cids
+    val dupHits = both.filter(_.getStruct(1).getLong(0) == 0L)
+    assert(dupHits.nonEmpty, "the duplicated centroid's own vector must hit it")
+    assert(both.forall(_.getStruct(1).getLong(1) != 19L),
+      "ties on the duplicated centroid must resolve to the lower cid (18)")
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()

@@ -25,11 +25,12 @@ def norm(v):
         return repr(v)
     return repr(v)
 
-def df_key(cols, rows):
+def df_key(cols, types, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
+    sorted_types = [str(types[i]) for i in order]
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return sorted_cols, out
+    return sorted_cols, sorted_types, out
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -44,13 +45,19 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            g_cols, g_rows = df_key(got.columns, got.fetchall())
+            g_cols, g_types, g_rows = df_key(got.columns, got.types, got.fetchall())
             exp = con.sql(sql)
-            e_cols, e_rows = df_key(exp.columns, exp.fetchall())
+            e_cols, e_types, e_rows = df_key(exp.columns, exp.types, exp.fetchall())
         except Exception as e:
             print(f"FAIL {name}: error {e}"); n_fail += 1; continue
         if g_cols != e_cols:
             print(f"FAIL {name}: columns {g_cols} != {e_cols}"); n_fail += 1; continue
+        # The driver's hasher is type-sensitive: a HUGEINT oracle column
+        # (DuckDB widens SUM(BIGINT) / window sums) mismatches Spark's
+        # BIGINT even when every value is equal. Compare typed.
+        if g_types != e_types:
+            diff = [(c, gt, et) for c, gt, et in zip(g_cols, g_types, e_types) if gt != et]
+            print(f"FAIL {name}: column types differ {diff}"); n_fail += 1; continue
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rowcount {len(g_rows)} != {len(e_rows)}"); n_fail += 1; continue
         if g_rows != e_rows:
