@@ -845,6 +845,130 @@ object CorpusOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --- C51: trigram-LM quality signal (interpolated backoff) ---------------
+  /** Trigram table bound (same discipline as [[BigramK]]) and the
+    * interpolation weights — textual so both engines parse the identical
+    * IEEE doubles. λ3 applies only when the context bigram survived its
+    * own top-K cut (else the trigram term backs off to zero — standard
+    * Katz-style "unseen context" handling, made deterministic by the
+    * shared cut). */
+  val TrigramK = 50000
+  val TriL3 = "0.6"
+  val TriL2 = "0.3"
+  val TriL1 = "0.1"
+
+  /** Per-document cross-entropy under an interpolated trigram LM
+    * (p(c|a,b) = λ3·c(abc)/c(ab) + λ2·c(bc)/c(b) + λ1·c(c)/N) — one more
+    * order of context than C49: detects documents whose word PAIRS are
+    * plausible but whose three-token sequences are not (shuffled-sentence
+    * spam, template stitching).
+    *
+    * Scale shape: three bounded LM tables (top-[[TrigramK]] trigrams,
+    * top-[[BigramK]] bigrams used for BOTH the (a,b) context and the
+    * (b,c) continuation, the shared C31 unigram cut) broadcast onto the
+    * triple adjacency stream — four broadcast joins, zero corpus shuffles
+    * before the one per-doc rollup. Parity: the C31/C49 pico-nat floor
+    * trick, with the same declared ln-rounding risk. */
+  def trigramLogprobOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lm = lmVocabOf(docs)
+    val pairs = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .orderBy(col("cab").desc, col("a"), col("b")).limit(BigramK)
+      .localCheckpoint(eager = true)
+    val triples = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b, " +
+          "element_at(toks, i + 2) AS c))")).as("t"))
+      .select(col("doc_id"), col("t.a").as("a"), col("t.b").as("b"),
+        col("t.c").as("c"))
+    val tri = triples.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cabc"))
+      .orderBy(col("cabc").desc, col("a"), col("b"), col("c")).limit(TrigramK)
+      .localCheckpoint(eager = true)
+    val term = s"CAST(floor(-ln(" +
+      s"(CASE WHEN cab IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $TriL3 * CAST(coalesce(cabc, 0) AS DOUBLE) / CAST(cab AS DOUBLE) END) " +
+      s"+ $TriL2 * CAST(coalesce(cbc, 0) AS DOUBLE) / CAST(coalesce(cb, ${lm.oovCnt}L) AS DOUBLE) " +
+      s"+ $TriL1 * CAST(coalesce(cc, ${lm.oovCnt}L) AS DOUBLE) / CAST(${lm.n} AS DOUBLE)" +
+      s") * 1e12) AS BIGINT)"
+    triples
+      .join(broadcast(tri), Seq("a", "b", "c"), "left")
+      .join(broadcast(bi), Seq("a", "b"), "left")
+      .join(broadcast(bi.select(col("a").as("b"), col("b").as("c"),
+        col("cab").as("cbc"))), Seq("b", "c"), "left")
+      .join(broadcast(lm.vocab.select(col("tok").as("b"), col("cnt").as("cb"))),
+        Seq("b"), "left")
+      .join(broadcast(lm.vocab.select(col("tok").as("c"), col("cnt").as("cc"))),
+        Seq("c"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_triples"))
+      .select(col("doc_id"), col("n_triples"),
+        (col("_sq").cast("double") / lit(1e12) / col("n_triples").cast("double"))
+          .as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def trigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    trigramLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  val trigramLogprobSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), $lmVocabCtes,
+       |dp AS (
+       |  SELECT toks[i] AS a, toks[i + 1] AS b
+       |  FROM d, unnest(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), bi AS (
+       |  SELECT a, b, COUNT(*) AS cab FROM dp GROUP BY 1, 2
+       |  ORDER BY cab DESC, a, b LIMIT $BigramK
+       |), dt AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+       |  FROM d, unnest(range(1, len(toks) - 1)) t(i)
+       |  WHERE len(toks) >= 3
+       |), tri AS (
+       |  SELECT a, b, c, COUNT(*) AS cabc FROM dt GROUP BY 1, 2, 3
+       |  ORDER BY cabc DESC, a, b, c LIMIT $TrigramK
+       |), s AS (
+       |  SELECT doc_id,
+       |    SUM(CAST(floor(-ln(
+       |      (CASE WHEN ab.cab IS NULL THEN CAST(0 AS DOUBLE)
+       |            ELSE $TriL3 * CAST(COALESCE(tri.cabc, 0) AS DOUBLE)
+       |                 / CAST(ab.cab AS DOUBLE) END)
+       |      + $TriL2 * CAST(COALESCE(bc.cab, 0) AS DOUBLE)
+       |        / CAST(COALESCE(ub.cnt, oovc) AS DOUBLE)
+       |      + $TriL1 * CAST(COALESCE(uc.cnt, oovc) AS DOUBLE)
+       |        / CAST(n.n AS DOUBLE)
+       |    ) * 1e12) AS BIGINT)) AS sq,
+       |    COUNT(*) AS nt
+       |  FROM dt
+       |  LEFT JOIN tri USING (a, b, c)
+       |  LEFT JOIN bi ab ON ab.a = dt.a AND ab.b = dt.b
+       |  LEFT JOIN bi bc ON bc.a = dt.b AND bc.b = dt.c
+       |  LEFT JOIN v ub ON ub.tok = dt.b
+       |  LEFT JOIN v uc ON uc.tok = dt.c
+       |  CROSS JOIN n
+       |  CROSS JOIN oov
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(nt AS BIGINT) AS n_triples,
+       |  CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE) AS cross_entropy,
+       |  CAST(LEAST($LmBucketMax,
+       |       floor(CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE))) AS INT)
+       |    AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // --- C38: token co-occurrence PMI ----------------------------------------
   /** Vocabulary size and minimum pair support for the PMI table. */
   val PmiVocabK = 50
@@ -1295,7 +1419,8 @@ object CorpusOps {
     "weighted_sample" -> (weightedSample _),
     "phrase_merge" -> (phraseMerge _),
     "phrase_merge_rounds" -> (phraseMergeRounds _),
-    "bigram_logprob" -> (bigramLogprob _))
+    "bigram_logprob" -> (bigramLogprob _),
+    "trigram_logprob" -> (trigramLogprob _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1314,5 +1439,6 @@ object CorpusOps {
     "weighted_sample" -> weightedSampleSql,
     "phrase_merge" -> phraseMergeSql,
     "phrase_merge_rounds" -> phraseMergeRoundsSql,
-    "bigram_logprob" -> bigramLogprobSql)
+    "bigram_logprob" -> bigramLogprobSql,
+    "trigram_logprob" -> trigramLogprobSql)
 }

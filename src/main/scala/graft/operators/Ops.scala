@@ -685,6 +685,127 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // --- IVF×PQ: coarse quantizer + residual codes ---------------------------
+  /** Build the composed billion-vector index (IVF-PQ, Jégou et al. 2011
+    * §IV): the coarse quantizer routes each vector to its nearest of
+    * `nLists` centroids, PQ codebooks are trained on the RESIDUALS
+    * (vector − its centroid — residuals concentrate near zero, so the
+    * same codebook budget quantizes them far more finely than raw
+    * vectors), and the persisted layout is `list_id=` partition
+    * directories carrying (neighbor_id, 8-byte codes, full vector).
+    *
+    * Scale shape: one corpus assignment pass + one residual-encode map
+    * pass, then a partitioned write — identical exchange budget to
+    * [[ivfBuild]] plus the free map-side encode. Probing reads
+    * nProbe/nLists of the corpus as CODES (the 64× IO cut) and only the
+    * heap survivors fetch full vectors. Deterministic like every other
+    * index here: hash-ordered seeds/samples, decimal-exact means,
+    * ties-to-lower ids — rebuilds are bit-identical. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, nLists: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids(corpus, idCol, embCol, nLists)
+      .localCheckpoint(eager = true)
+    cents.select(col("_cent_id").as("cent_id"), col("_cent").as("cent"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = nearestLists(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "neighbor_id", "_e", 1)
+      .join(broadcast(cents), "_cent_id")
+      .select(col("_cent_id"), col("neighbor_id"), col("_e"),
+        zip_with(col("_e"), col("_cent"), (x, y) => x - y).as("_r"))
+    val books = pqTrain(assigned, "neighbor_id", "_r", dim)
+    val flat = flatBooks(books, dim)
+    flat.toDF("q").agg(collect_list(col("q")).as("flat"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    graft.sources.Sinks.writePartitionedParquet(
+      assigned.select(col("_cent_id").as("list_id"), col("neighbor_id"),
+        pq_encode(col("_r"), typedLit(flat), PqM, PqKs).as("codes"),
+        col("_e").as("emb")),
+      s"$path/lists", partitionCols = Seq("list_id"),
+      sortCols = Seq("neighbor_id"))
+  }
+
+  /** Query a persisted IVF×PQ index: each query probes its `nProbe`
+    * nearest lists; within a probed list the asymmetric distance uses a
+    * per-(query, list) lookup table built from the query's RESIDUAL
+    * against that list's centroid (the table depends on the list — this
+    * is what distinguishes IVF-PQ from flat PQ); the approximate top
+    * `rerank × k` survive bounded heaps and only they fetch full vectors
+    * for the exact cosine that decides the ranking.
+    *
+    * The probed list ids reach the scan as a partition IN-filter, so the
+    * read is nProbe × list size at any corpus scale. The query batch is
+    * collected driver-side to build the ADC tables — bounded by the query
+    * set × nProbe × (PqM·PqKs) longs, the same contract as [[pqTopK]]. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, embCol: String, dim: Int,
+      k: Int, nProbe: Int, rerank: Int = 10): DataFrame = {
+    import spark.implicits._
+    val subDim = dim / PqM
+    val flat = spark.read.parquet(s"$path/codebooks")
+      .head().getSeq[Long](0).toArray
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
+    val probes = nearestLists(cents,
+      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
+      "query_id", "_q", nProbe)
+      .join(broadcast(cents), "_cent_id")
+    // Approximate similarity decomposes over the coarse + fine parts:
+    // <q, x> = <q, c> + <q, r> ≈ <q, c> + Σ_m <q_m, codeword_m(r)>.
+    // The lookup table is the query against the RESIDUAL codebooks; the
+    // per-(query, list) constant <q, c> makes scores comparable ACROSS
+    // probed lists (without it a far list's small residuals would outrank
+    // a near list's large ones).
+    val probeRows = probes.select(col("query_id"), col("_cent_id"),
+      col("_q"), col("_cent")).collect()
+    val qTables = probeRows.map { r =>
+      val q = r.getSeq[Double](2).map(x => math.floor(x * 1e6).toLong).toArray
+      val c = r.getSeq[Double](3).map(x => math.floor(x * 1e6).toLong).toArray
+      var qc = 0L
+      var j = 0
+      while (j < dim) { qc += q(j) * c(j); j += 1 }
+      val tbl = new Array[Long](PqM * PqKs)
+      for (m <- 0 until PqM; cw <- 0 until PqKs) {
+        val base = (m * PqKs + cw) * subDim
+        var s = 0L
+        var i = 0
+        while (i < subDim) { s += q(m * subDim + i) * flat(base + i); i += 1 }
+        tbl(m * PqKs + cw) = s
+      }
+      (r.getLong(0), r.getLong(1), qc, tbl.toSeq)
+    }
+    val probedIds = qTables.map(_._2).distinct
+    val tdf = qTables.toSeq.toDF("query_id", "_cent_id", "_qc", "_tbl")
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedIds.toIndexedSeq: _*))
+      .select(col("list_id").as("_cent_id"), col("neighbor_id"),
+        col("codes"), col("emb"))
+    val approx = lists
+      .join(broadcast(tdf), "_cent_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("_qc") + pq_adc_score(col("codes"), col("_tbl"), PqKs))
+          .cast("double").as("approx"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk.top_k_by_score(col("approx"),
+        col("neighbor_id"), rerank * k).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_c"))
+      .select(col("query_id"), col("_c.id").as("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    approx
+      .join(lists.select(col("neighbor_id"), col("emb").as("_e")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(embCol).as("_q"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Connected components over a pair list — the survivorship step behind

@@ -131,6 +131,22 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- C50: IVF×PQ composed index (rows-only; recall spec) -----------------
+  /** The composed billion-vector shape: coarse IVF routing + PQ codes over
+    * RESIDUALS on the persisted partition-pruned index (see
+    * [[Ann.ivfPqBuild]]/[[Ann.ivfPqTopK]]). The driver query builds the
+    * index into a deterministic scratch dir and probes it — the build is
+    * the amortized half, the probe is what a query batch pays. */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, path)
+    Ann.ivfPqTopK(spark, path, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", Dim, TopK, nProbe = IvfProbes)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --- C46: PQ-compressed top-k (rows-only; recall spec) -------------------
   /** Asymmetric-distance PQ scan + exact re-rank (see [[Ann.pqTopK]]):
     * the corpus is scanned as 8-byte codes — 64× less memory/IO than raw
@@ -586,6 +602,7 @@ object VectorOps {
     "embedding_quantize" -> (embeddingQuantize _),
     "semantic_dedup" -> (semanticDedup _),
     "ann_pq_topk" -> (annPqTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "diverse_topk" -> (diverseTopk _)
   )
 

@@ -19,6 +19,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val crossJoinByDesign = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk",
     "dedup_embedding", "multimodal_similar", "embed_stats",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "zorder_layout", "value_histogram",
@@ -122,7 +123,8 @@ class PlanGuardSpec extends SparkSpec {
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
     "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand
     "phrase_merge_rounds" -> 1, // two vocab literals + two fused codegen'd merge passes + gate sort
-    "bigram_logprob" -> 7 // unigram/bigram LM aggs (bounded tables broadcast back), per-doc rollup, gate sort — zero corpus shuffles before the rollup
+    "bigram_logprob" -> 7, // unigram/bigram LM aggs (bounded tables broadcast back), per-doc rollup, gate sort — zero corpus shuffles before the rollup
+    "trigram_logprob" -> 10 // + the trigram table agg/cut over C49's budget; the triple stream itself still never shuffles before the rollup
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

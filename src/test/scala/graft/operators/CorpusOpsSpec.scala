@@ -392,6 +392,53 @@ class CorpusOpsSpec extends SparkSpec {
       s"bigram ${avg(ceBi)} should beat unigram ${avg(ceUni)} on in-vocab docs")
   }
 
+  test("trigram_logprob: JVM replay agrees; unseen-context term backs off") {
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val kept = uni.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(CorpusOps.UnigramVocabK).toMap
+    val oov = math.max(n - kept.values.sum, 1L)
+    val biAll = texts.flatMap { case (_, t) => t.zip(t.tail) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val triAll = texts.flatMap { case (_, t) =>
+      t.lazyZip(t.tail).lazyZip(t.drop(2)).toSeq }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // the fixture stays under both cuts — the bounded tables keep all
+    assert(biAll.size <= CorpusOps.BigramK && triAll.size <= CorpusOps.TrigramK)
+    val (l3, l2, l1) = (0.6, 0.3, 0.1)
+    val expected = texts.filter(_._2.size >= 3).map { case (id, t) =>
+      val trs = t.lazyZip(t.tail).lazyZip(t.drop(2)).toSeq
+      val sq = trs.map { case (a, b, c) =>
+        val t3 = biAll.get((a, b)) match {
+          case Some(cab) => l3 * triAll.getOrElse((a, b, c), 0L).toDouble / cab
+          case None => 0.0
+        }
+        val p = t3 + l2 * biAll.getOrElse((b, c), 0L).toDouble /
+          kept.getOrElse(b, oov).toDouble +
+          l1 * kept.getOrElse(c, oov).toDouble / n.toDouble
+        math.floor(-math.log(p) * 1e12).toLong
+      }.sum
+      val ce = sq.toDouble / 1e12 / trs.size.toDouble
+      (id, trs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
+    }.sortBy(_._1)
+    val got = CorpusOps.trigramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === expected.toSeq)
+    // context helps: on fully in-vocab docs the trigram CE beats bigram CE
+    val invocab = texts.filter { case (_, t) =>
+      t.size >= 3 && t.forall(kept.contains) }.map(_._1).toSet
+    assert(invocab.nonEmpty)
+    val ceBi = CorpusOps.bigramLogprob(spark, sfDir).collect()
+      .filter(r => invocab.contains(r.getLong(0))).map(_.getDouble(2)).toSeq
+    val ceTri = got.filter(r => invocab.contains(r._1)).map(_._3).toSeq
+    assert(ceTri.sum / ceTri.length < ceBi.sum / ceBi.length,
+      s"trigram ${ceTri.sum / ceTri.length} vs bigram ${ceBi.sum / ceBi.length}")
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()

