@@ -1177,16 +1177,22 @@ object CorpusOps {
     * document frequency (deterministic tiebreak), as `a_b` strings —
     * bounded, so it collects to the driver and broadcasts as a literal,
     * like the unigram LM and the OOV vocab. */
-  def minePhrases(documents: DataFrame, idCol: String,
-      textCol: String): Seq[String] = {
+  /** Bounded mining WITH document frequencies — the per-round product the
+    * BPE trainer exports ([[bpeVocabOn]]); [[minePhrases]] is its stringly
+    * projection for the merge kernels. */
+  def minePhrasesDf(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     documents
       .select(explode(TextOps.shingles(col(textCol), 2)).as("s"))
       .select(regexp_replace(col("s"), " ", "_").as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= PhraseMinDf)
       .orderBy(col("df").desc, col("bg")).limit(PhraseK)
+
+  def minePhrases(documents: DataFrame, idCol: String,
+      textCol: String): Seq[String] =
+    minePhrasesDf(documents, idCol, textCol)
       .collect().map(_.getString(0)).toSeq
-  }
 
   /** Greedy left-to-right phrase merging (the wordpiece/phrase-vocab
     * build pass): walk each document's token list once, joining an
@@ -1335,6 +1341,78 @@ object CorpusOps {
        |FROM m1 JOIN m2 ON m1.doc_id = m2.doc_id
        |ORDER BY m1.doc_id""".stripMargin
 
+  // --- C52: BPE-style vocabulary trainer (R rounds, per-round export) ------
+  /** Trainer depth. Each round past the first chains the merged corpus
+    * through one more codegen kernel pass; at deploy scale R is the
+    * tokenizer team's merge-table budget, and the per-round export below
+    * is exactly the artifact they version. */
+  val BpeRounds = 3
+
+  /** The generalized [[phraseMergeRoundsOn]] trainer driven to R rounds,
+    * EXPORTING the per-round vocabulary — (round, phrase, df) is the
+    * merge-table artifact a tokenizer build pipelines into version
+    * control, not just a side effect of merging. Round r mines the corpus
+    * after r−1 merge passes, so later rounds grow chained phrases
+    * (`a_b` + `c` → `a_b_c`) exactly like the 2-round operator.
+    *
+    * Scale shape: per round, ONE bounded mining aggregation (top-K by
+    * document frequency, deterministic (df desc, phrase) cut — a driver
+    * literal by construction) plus one codegen map pass over the corpus;
+    * the output is R × K rows assembled driver-side. Lineage is cut every
+    * other round so deep trainers plan like shallow ones. */
+  def bpeVocabOn(documents: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    import graft.functions.textsketch.greedy_phrase_merge
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    var cur = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val rows = minePhrasesDf(
+        cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+        "doc_id", "text")
+        .collect().map(x => (r, x.getString(0), x.getLong(1)))
+      mined ++= rows
+      if (r < rounds) {
+        cur = cur.withColumn("toks",
+          greedy_phrase_merge(col("toks"), rows.map(_._2).toIndexedSeq))
+        if (r % 2 == 0) cur = cur.localCheckpoint(eager = true)
+      }
+    }
+    mined.toSeq.toDF("round", "phrase", "df")
+      .orderBy(col("round"), col("df").desc, col("phrase"))
+  }
+
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
+
+  /** Twin: the [[phraseMergeRoundsSql]] chain extended one round — round 3
+    * only MINES (no third walk is needed to export its vocabulary). */
+  val bpeVocabSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), ${mineCtes("d", "bg1", "vl1")},
+       |${walkCtes("walk1", "d", "vl1")},
+       |m1 AS MATERIALIZED (
+       |  SELECT doc_id, $walkTxt AS txt FROM walk1 WHERE i = n
+       |), d2 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m1
+       |), ${mineCtes("d2", "bg2", "vl2")},
+       |${walkCtes("walk2", "d2", "vl2")},
+       |m2 AS MATERIALIZED (
+       |  SELECT doc_id, $walkTxt AS txt FROM walk2 WHERE i = n
+       |), d3 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m2
+       |), ${mineCtes("d3", "bg3", "vl3")}
+       |SELECT round, phrase, df FROM (
+       |  SELECT 1 AS round, bg AS phrase, df FROM bg1
+       |  UNION ALL SELECT 2, bg, df FROM bg2
+       |  UNION ALL SELECT 3, bg, df FROM bg3)
+       |ORDER BY round, df DESC, phrase""".stripMargin
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -1420,7 +1498,8 @@ object CorpusOps {
     "phrase_merge" -> (phraseMerge _),
     "phrase_merge_rounds" -> (phraseMergeRounds _),
     "bigram_logprob" -> (bigramLogprob _),
-    "trigram_logprob" -> (trigramLogprob _))
+    "trigram_logprob" -> (trigramLogprob _),
+    "bpe_vocab" -> (bpeVocab _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1440,5 +1519,6 @@ object CorpusOps {
     "phrase_merge" -> phraseMergeSql,
     "phrase_merge_rounds" -> phraseMergeRoundsSql,
     "bigram_logprob" -> bigramLogprobSql,
-    "trigram_logprob" -> trigramLogprobSql)
+    "trigram_logprob" -> trigramLogprobSql,
+    "bpe_vocab" -> bpeVocabSql)
 }

@@ -553,6 +553,139 @@ object VectorOps {
   def diverseTopk(spark: SparkSession, dir: String): DataFrame =
     diverseTopkOn(emb(spark, dir), "vec_id", "emb", MmrPoolSize, MmrK, MmrLambda)
 
+  // --- C53: multi-query MMR (per-query diverse selection) ------------------
+  val MmrMultiQ = 4
+  val MmrMultiPool = 50
+
+  /** [[diverseTopkOn]] generalized to a QUERY SET — the few-shot-pool /
+    * eval-suite builder runs one diverse selection per probe query, not
+    * one global pick. Query anchors are the [[MmrMultiQ]] md5-smallest
+    * vectors (content-hash spread, no RNG).
+    *
+    * Scale shape: ONE corpus map pass scores relevance against the whole
+    * broadcast query set; per-query pools come from bounded heaps
+    * ([[graft.functions.TopKByScore]] — (rel desc, id) cut, no per-query
+    * sort of the corpus); the pairwise sim matrix is Q × P²/2 rows
+    * computed in Spark; only the inherently sequential greedy walks (Q × k
+    * steps over collected doubles) run driver-side. Everything the walks
+    * compare was produced by the engine's own quantized-cosine, so the
+    * per-query unrolled DuckDB twin hash-matches. */
+  def diverseTopkMultiOn(corpusIn: DataFrame, idCol: String, embCol: String,
+      nQueries: Int, poolSize: Int, k: Int, lambda: Double): DataFrame = {
+    val spark = corpusIn.sparkSession
+    import spark.implicits._
+    val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+    val qdf = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val pools = corpus.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("vec_id"),
+        quantized_cosine(col("emb"), col("qemb")).as("rel"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk.top_k_by_score(col("rel"), col("vec_id"),
+        poolSize).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_c"))
+      .select(col("query_id"), col("_c.id").as("vec_id"),
+        col("_c.score").as("rel"))
+      .join(corpus, "vec_id")
+      .localCheckpoint(eager = true)
+    val rels = pools.select(col("query_id"), col("vec_id"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sims = pools.as("a").join(pools.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.query_id").as("qid"), col("a.vec_id").as("ia"),
+        col("b.vec_id").as("ib"),
+        quantized_cosine(col("a.emb"), col("b.emb")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    def simOf(q: Long, x: Long, y: Long): Double =
+      if (x < y) sims((q, x, y)) else sims((q, y, x))
+    val out = rels.map(_._1).distinct.sorted.flatMap { qid =>
+      val qRels = rels.collect { case (`qid`, id, rel) => id -> rel }
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      (1 to math.min(k, qRels.length)).map { rank =>
+        val best = qRels.iterator.filterNot(r => chosen(r._1))
+          .map { case (id, rel) =>
+            val maxSim = if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(s => simOf(qid, id, s)).max
+            (id, rel, rel - lambda * maxSim)
+          }.reduceLeft { (x, y) =>
+            if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+          }
+        chosen += best._1
+        (qid, rank, best._1, best._2, best._3)
+      }
+    }
+    out.toSeq.toDF("query_id", "rank", "vec_id", "relevance", "mmr_score")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def diverseTopkMulti(spark: SparkSession, dir: String): DataFrame =
+    diverseTopkMultiOn(emb(spark, dir), "vec_id", "emb",
+      MmrMultiQ, MmrMultiPool, MmrK, MmrLambda)
+
+  /** Twin: the [[diverseTopkSql]] unrolled walk with a query dimension —
+    * per-round argmax becomes a per-query ROW_NUMBER() = 1. */
+  val diverseTopkMultiSql: String = {
+    val rounds = (2 to MmrK).map { n =>
+      s"""s$n AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel, mmr, $n AS rank FROM (
+         |    SELECT query_id, vec_id, rel, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, p.vec_id, p.rel,
+         |        p.rel - $MmrLambda * (
+         |          SELECT MAX(sim) FROM sims, sel${n - 1} s
+         |          WHERE sims.query_id = p.query_id AND s.query_id = p.query_id
+         |            AND ((sims.ia = p.vec_id AND sims.ib = s.vec_id)
+         |              OR (sims.ib = p.vec_id AND sims.ia = s.vec_id))) AS mmr
+         |      FROM pool p
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} s
+         |        WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)))
+         |  WHERE rn = 1
+         |), sel$n AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM sel${n - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM s$n)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(n =>
+      s"SELECT query_id, rank, vec_id, rel, mmr FROM s$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH $embSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |qs AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, qv AS qqv FROM q
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $MmrMultiQ),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, qv, rel FROM (
+       |    SELECT query_id, vec_id, qv, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, vec_id) AS rn
+       |    FROM (SELECT qs.query_id, q.vec_id, q.qv,
+       |            ${qcosSql("q.qv", "qs.qqv")} AS rel
+       |          FROM q CROSS JOIN qs))
+       |  WHERE rn <= $MmrMultiPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+       |    ${qcosSql("a.qv", "b.qv")} AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.vec_id < b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel, rel AS mmr, 1 AS rank FROM (
+       |    SELECT query_id, vec_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, vec_id) AS rn
+       |    FROM pool) WHERE rn = 1
+       |), sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM s1),
+       |$rounds
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       |  rel AS relevance, mmr AS mmr_score
+       |FROM ($out)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val diverseTopkSql: String = {
     val rounds = (2 to MmrK).map { n =>
       s"""s$n AS MATERIALIZED (
@@ -603,7 +736,8 @@ object VectorOps {
     "semantic_dedup" -> (semanticDedup _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
-    "diverse_topk" -> (diverseTopk _)
+    "diverse_topk" -> (diverseTopk _),
+    "diverse_topk_multi" -> (diverseTopkMulti _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,6 +747,7 @@ object VectorOps {
     "kmeans_clusters" -> kmeansClustersSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "semantic_dedup" -> semanticDedupSql,
-    "diverse_topk" -> diverseTopkSql
+    "diverse_topk" -> diverseTopkSql,
+    "diverse_topk_multi" -> diverseTopkMultiSql
   )
 }

@@ -305,7 +305,8 @@ object StreamOps {
     "stream_funnel" -> (streamFunnel _),
     "stream_mv" -> (streamMv _),
     "stream_upsert" -> (streamUpsert _),
-    "stream_attribution" -> (StatefulAttribution.streamAttribution _)
+    "stream_attribution" -> (StatefulAttribution.streamAttribution _),
+    "stream_transitions" -> (StatefulTransitions.streamTransitions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +320,7 @@ object StreamOps {
     "stream_mv" -> graft.operators.OlapC.mvIncrementalSql,
     "stream_upsert" -> graft.operators.OlapC.upsertLatestSql,
     // the order-sensitive stateful drain must equal the batch window op
-    "stream_attribution" -> graft.operators.OlapD.attributionSql
+    "stream_attribution" -> graft.operators.OlapD.attributionSql,
+    "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql
   )
 }

@@ -19,7 +19,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val crossJoinByDesign = Set(
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_topk", "diverse_topk_multi",
     "dedup_embedding", "multimodal_similar", "embed_stats",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "zorder_layout", "value_histogram",

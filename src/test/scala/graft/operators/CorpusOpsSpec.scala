@@ -439,6 +439,32 @@ class CorpusOpsSpec extends SparkSpec {
       s"trigram ${ceTri.sum / ceTri.length} vs bigram ${ceBi.sum / ceBi.length}")
   }
 
+  test("bpe_vocab: round 1 equals single-round mining; later rounds chain") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val got = CorpusOps.bpeVocab(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // exactly BpeRounds rounds, each bounded by PhraseK
+    val byRound = got.groupBy(_._1)
+    assert(byRound.keySet === (1 to CorpusOps.BpeRounds).toSet)
+    byRound.values.foreach(v => assert(v.length <= CorpusOps.PhraseK))
+    // round 1 is the single-round miner's vocabulary, with its frequencies
+    val r1 = got.filter(_._1 == 1).map(_._2).toSeq
+    assert(r1 === CorpusOps.minePhrases(docs, "doc_id", "text"))
+    // the vocabulary GROWS: every round mines phrases the previous rounds
+    // did not have (the merged corpus exposes new adjacencies; at larger
+    // corpora these include chained a_b_c phrases — at this fixture scale
+    // they are new pairs, which the round-over-round disjointness pins)
+    val sets = (1 to CorpusOps.BpeRounds).map(r =>
+      got.filter(_._1 == r).map(_._2).toSet)
+    sets.sliding(2).foreach { case Seq(prev, next) =>
+      assert((next -- prev).nonEmpty, s"round added nothing new: $next")
+    }
+    // deterministic rebuild
+    val again = CorpusOps.bpeVocab(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()

@@ -317,6 +317,29 @@ class VectorSpec extends SparkSpec {
       "ties on the duplicated centroid must resolve to the lower cid (18)")
   }
 
+  test("diverse_topk_multi: per-query MMR invariants hold") {
+    val rows = VectorOps.diverseTopkMulti(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === VectorOps.MmrMultiQ)
+    byQ.foreach { case (qid, sel) =>
+      // exactly k distinct picks per query, ranks 1..k
+      assert(sel.map(_._2).sorted.toSeq === (1 to VectorOps.MmrK).toSeq)
+      assert(sel.map(_._3).distinct.length === sel.length)
+      // rank 1 is pure relevance (nothing selected yet): mmr == rel, and
+      // the anchor's own vector (rel = 1) is the first pick
+      val first = sel.find(_._2 == 1).get
+      assert(first._4 === first._5)
+      assert(first._3 === qid, s"rank-1 pick ${first._3} is not anchor $qid")
+      // the diversity penalty only ever subtracts
+      sel.foreach { s => assert(s._5 <= s._4 + 1e-12) }
+    }
+    // different anchors select different-leading pools: not all queries
+    // pick the identical set (the corpus is not degenerate)
+    assert(byQ.values.map(_.map(_._3).toSet).toSet.size > 1)
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()

@@ -121,6 +121,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(c.map(o => (o.event_id, o.click_event_id)) === Seq((2L, None)))
   }
 
+  test("streamed transition matrix equals the batch lag-window operator") {
+    val s = StatefulTransitions.streamTransitions(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val b = graft.operators.OlapC.eventTransitions(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("transition state machine: START chains, (ts, id) order, one-record state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def mkState(init: Option[StatefulTransitions.LastEv]) =
+      TestGroupState.create[StatefulTransitions.LastEv](
+        init.map(org.apache.spark.api.java.Optional.of(_))
+          .getOrElse(org.apache.spark.api.java.Optional.empty()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+        0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    def ev(id: Long, ts: Long, tpe: String) =
+      StatefulTransitions.Ev(1L, id, ts, tpe, new java.sql.Timestamp(ts / 1000))
+    // fresh user: first edge comes from START; batch order is (ts, id)
+    val st = mkState(None)
+    val out = StatefulTransitions.updateUser(1L,
+      Seq(ev(2, 2000000L, "view"), ev(1, 1000000L, "click")).iterator, st).toSeq
+    assert(out.map(e => (e.from_type, e.to_type)) ===
+      Seq(("START", "click"), ("click", "view")))
+    // state carries exactly the last event across batches
+    assert(st.get === StatefulTransitions.LastEv(2000000L, 2L, "view"))
+    val st2 = mkState(Some(StatefulTransitions.LastEv(2000000L, 2L, "view")))
+    val out2 = StatefulTransitions.updateUser(1L,
+      Seq(ev(3, 3000000L, "purchase")).iterator, st2).toSeq
+    assert(out2.map(e => (e.from_type, e.to_type)) === Seq(("view", "purchase")))
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
