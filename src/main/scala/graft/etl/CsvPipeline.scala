@@ -128,14 +128,20 @@ object CsvPipeline {
   /** Webhook payloads (stream/util.py:to_webhook_schema key names).
     * `gcsBucket`/`gcsPath` are the source-object provenance fields the
     * reference carries on every ProcessedReceipt (stream/schema.py:33) —
-    * constants per ingested file, passed through to the payload. The
-    * reference's `processed_at` wall-clock field is deliberately omitted:
-    * a replayed partition must emit byte-identical payloads. */
+    * constants per ingested file, passed through to the payload.
+    *
+    * The reference's `processed_at` wall-clock provenance field
+    * (stream/schema.py:22, stamped in stream/util.py:103–110) is an
+    * INJECTED argument here, not a `current_timestamp()` call: pass the
+    * batch's wall-clock once and every payload carries it — a drop-in
+    * user keeps the field, while a replayed partition with the same
+    * injected stamp emits byte-identical payloads (the determinism the
+    * wall-clock call would destroy). Omitted (None) by default, and by
+    * the oracle-gated A10 query. */
   def webhookPayloads(raw: DataFrame, sourceId: String,
-      gcsBucket: String = "", gcsPath: String = ""): DataFrame =
-    receipts(raw, sourceId).select(
-      col("receipt_id"),
-      to_json(struct(
+      gcsBucket: String = "", gcsPath: String = "",
+      processedAt: Option[String] = None): DataFrame = {
+    val fields = Seq(
         col("receipt_id").as("receiptId"),
         col("vendor"),
         col("transaction_date").as("transactionDate"),
@@ -161,14 +167,19 @@ object CsvPipeline {
         )).as("lineItems"),
         lit(sourceId).as("source_file"),
         lit(gcsBucket).as("gcs_bucket"),
-        lit(gcsPath).as("gcs_path")
-      )).as("payload"))
+        lit(gcsPath).as("gcs_path")) ++
+      processedAt.map(ts => lit(ts).as("processed_at")).toSeq
+    receipts(raw, sourceId).select(
+      col("receipt_id"),
+      to_json(struct(fields: _*)).as("payload"))
+  }
 
   /** End to end: CSV in, webhook JSONL out (the batch analogue of the
     * reference POSTing each payload). */
   def run(spark: SparkSession, csvPath: String, outDir: String,
-      sourceId: String, gcsBucket: String = "", gcsPath: String = ""): Unit =
+      sourceId: String, gcsBucket: String = "", gcsPath: String = "",
+      processedAt: Option[String] = None): Unit =
     graft.sources.Sinks.writeJsonLines(
       webhookPayloads(readVendorCsv(spark, csvPath), sourceId,
-        gcsBucket, gcsPath), outDir)
+        gcsBucket, gcsPath, processedAt), outDir)
 }

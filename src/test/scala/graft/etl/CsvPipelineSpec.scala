@@ -74,6 +74,21 @@ class CsvPipelineSpec extends SparkSpec {
     }
   }
 
+  test("processed_at: injected clock rides every payload; absent by default") {
+    def payloads(at: Option[String]) = CsvPipeline
+      .webhookPayloads(CsvPipeline.readVendorCsv(spark, csvPath), "mail-1",
+        processedAt = at).collect().map(_.getString(1))
+    // default: omitted — replay determinism (documented design choice)
+    payloads(None).foreach(j => assert(!j.contains("processed_at")))
+    // injected: the reference's schema.py:22 provenance field, stamped
+    // identically on every payload of the batch
+    val stamped = payloads(Some("2024-03-01T12:00:00Z"))
+    stamped.foreach(j =>
+      assert(j.contains("\"processed_at\":\"2024-03-01T12:00:00Z\""), j))
+    // same injected stamp → byte-identical payloads across replays
+    assert(stamped.toSeq === payloads(Some("2024-03-01T12:00:00Z")).toSeq)
+  }
+
   test("invoice metadata getters: defaults for absent columns, trim for present") {
     // the fixture has Vendor Name / Invoice * but none of the retailer
     // or store columns — those must yield the reference's defaults
