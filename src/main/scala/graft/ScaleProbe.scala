@@ -217,6 +217,25 @@ object ScaleProbe {
     time("ann_pq_topk") {
       Ann.pqTopK(embs, queries, "vec_id", "emb", dim = 64, k = 10).count()
     }
+    val ivfPqPath = java.nio.file.Files.createTempDirectory("graft_probe_pq").toString
+    time("ivfpq_build") {
+      Ann.ivfPqBuild(embs, "vec_id", "emb", dim = 64, nLists = 128,
+        path = ivfPqPath); 0L
+    }
+    time("ivfpq_query40") {
+      Ann.ivfPqTopK(spark, ivfPqPath, queries, "vec_id", "emb", dim = 64,
+        k = 10, nProbe = 8).count()
+    }
+    time("trigram_logprob") {
+      CorpusOps.trigramLogprobOn(docs, "doc_id", "text").count()
+    }
+    time("bpe_vocab") {
+      CorpusOps.bpeVocabOn(docs, "doc_id", "text", CorpusOps.BpeRounds).count()
+    }
+    time("diverse_topk_multi") {
+      VectorOps.diverseTopkMultiOn(embs, "vec_id", "emb",
+        nQueries = 8, poolSize = 50, k = 10, lambda = 0.5).count()
+    }
     time("stream_sessions") {
       // replicated event stream through the stateful sessionizer + a
       // durable parquet sink (the deployment shape, not the memory sink)

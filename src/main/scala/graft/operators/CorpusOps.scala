@@ -753,6 +753,19 @@ object CorpusOps {
   val BigramK = 50000
   val BigramLambda = "0.9" // textual so both engines parse identical doubles
 
+  /** Quantization grid for the INTERPOLATED LM terms (C49/C51): micro-nats,
+    * not C31's pico-nats. The ln-parity argument ("same doubles in → same
+    * out") is only ~1-ulp tight — JVM `Math.log` and libm `log` are each
+    * allowed sub-ulp error, and an interpolated p (a 2–3-term IEEE sum)
+    * ranges over a wide input set, so some term eventually lands within an
+    * ulp of a floor boundary (observed at sf0.1: one trigram term hit an
+    * EXACT pico-nat integer in libm). At 1e6 the flip window per divergent
+    * input shrinks from ~4e-4 to ~4e-10 — negligible at any corpus scale —
+    * while ce keeps ~1e-6-nat resolution, far finer than the integer
+    * buckets the signal feeds. C31 stays pico: its ln inputs are the ≤K+1
+    * distinct vocabulary counts, a domain small enough to audit. */
+  val LmQuantum = "1e6"
+
   /** Per-document cross-entropy under an interpolated bigram LM
     * (p = λ·c(ab)/c(a) + (1−λ)·c(b)/N) trained on the corpus itself — the
     * CCNet quality signal with one more order of context than C31: a doc
@@ -764,14 +777,10 @@ object CorpusOps {
     * with an OOV backoff bin — the C31 cut, shared) before they broadcast
     * onto the adjacency stream (three broadcast joins, zero corpus
     * shuffles before the per-doc rollup). Parity: the C31 ln trick — each
-    * pair's −ln p is floor-quantized to integer pico-nats and summed
-    * exactly; p itself is the same textual IEEE formula in both engines.
-    * (Declared risk, shared with C31: parity assumes JVM `Math.log` and
-    * the oracle's libm `log` round identically — IEEE 754 recommends but
-    * does not require correctly-rounded ln, so a 1-ulp divergence exactly
-    * at a floor boundary would flip one pico-nat. Interpolation widens the
-    * input domain over C31's integer ratios; observed exact at both gate
-    * scales, and any future flip localizes to one (a,b) pair.) */
+    * pair's −ln p is floor-quantized to integer MICRO-nats
+    * ([[LmQuantum]] — see its scaladoc for why interpolated LMs quantize
+    * three orders coarser than C31) and summed exactly; p itself is the
+    * same textual IEEE formula in both engines. */
   def bigramLogprobOn(documents: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
@@ -790,7 +799,7 @@ object CorpusOps {
     val term = s"CAST(floor(-ln($lam * CAST(coalesce(cab, 0) AS DOUBLE) " +
       s"/ CAST(coalesce(ca, ${lm.oovCnt}L) AS DOUBLE) " +
       s"+ (1 - $lam) * CAST(coalesce(cb, ${lm.oovCnt}L) AS DOUBLE) " +
-      s"/ CAST(${lm.n} AS DOUBLE)) * 1e12) AS BIGINT)"
+      s"/ CAST(${lm.n} AS DOUBLE)) * $LmQuantum) AS BIGINT)"
     pairs
       .join(broadcast(bi), Seq("a", "b"), "left")
       .join(broadcast(lm.vocab.select(col("tok").as("a"), col("cnt").as("ca"))),
@@ -800,7 +809,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_pairs"))
       .select(col("doc_id"), col("n_pairs"),
-        (col("_sq").cast("double") / lit(1e12) / col("n_pairs").cast("double"))
+        (col("_sq").cast("double") / lit(LmQuantum.toDouble) / col("n_pairs").cast("double"))
           .as("cross_entropy"))
       .withColumn("ppl_bucket",
         least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
@@ -828,7 +837,7 @@ object CorpusOps {
        |    SUM(CAST(floor(-ln($lam * CAST(COALESCE(cab, 0) AS DOUBLE)
        |      / CAST(COALESCE(ua.cnt, oovc) AS DOUBLE)
        |      + (1 - $lam) * CAST(COALESCE(ub.cnt, oovc) AS DOUBLE)
-       |      / CAST(n.n AS DOUBLE)) * 1e12) AS BIGINT)) AS sq,
+       |      / CAST(n.n AS DOUBLE)) * $LmQuantum) AS BIGINT)) AS sq,
        |    COUNT(*) AS np
        |  FROM dp
        |  LEFT JOIN bi USING (a, b)
@@ -838,9 +847,9 @@ object CorpusOps {
        |  CROSS JOIN oov
        |  GROUP BY 1)
        |SELECT doc_id, CAST(np AS BIGINT) AS n_pairs,
-       |  CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE) AS cross_entropy,
+       |  CAST(sq AS DOUBLE) / $LmQuantum / CAST(np AS DOUBLE) AS cross_entropy,
        |  CAST(LEAST($LmBucketMax,
-       |       floor(CAST(sq AS DOUBLE) / 1e12 / CAST(np AS DOUBLE))) AS INT)
+       |       floor(CAST(sq AS DOUBLE) / $LmQuantum / CAST(np AS DOUBLE))) AS INT)
        |    AS ppl_bucket
        |FROM s ORDER BY doc_id""".stripMargin
   }
@@ -867,8 +876,8 @@ object CorpusOps {
     * top-[[BigramK]] bigrams used for BOTH the (a,b) context and the
     * (b,c) continuation, the shared C31 unigram cut) broadcast onto the
     * triple adjacency stream — four broadcast joins, zero corpus shuffles
-    * before the one per-doc rollup. Parity: the C31/C49 pico-nat floor
-    * trick, with the same declared ln-rounding risk. */
+    * before the one per-doc rollup. Parity: the C49 micro-nat floor
+    * ([[LmQuantum]] — the interpolated-LM quantum). */
   def trigramLogprobOn(documents: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
@@ -899,7 +908,7 @@ object CorpusOps {
       s"ELSE $TriL3 * CAST(coalesce(cabc, 0) AS DOUBLE) / CAST(cab AS DOUBLE) END) " +
       s"+ $TriL2 * CAST(coalesce(cbc, 0) AS DOUBLE) / CAST(coalesce(cb, ${lm.oovCnt}L) AS DOUBLE) " +
       s"+ $TriL1 * CAST(coalesce(cc, ${lm.oovCnt}L) AS DOUBLE) / CAST(${lm.n} AS DOUBLE)" +
-      s") * 1e12) AS BIGINT)"
+      s") * $LmQuantum) AS BIGINT)"
     triples
       .join(broadcast(tri), Seq("a", "b", "c"), "left")
       .join(broadcast(bi), Seq("a", "b"), "left")
@@ -912,7 +921,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_triples"))
       .select(col("doc_id"), col("n_triples"),
-        (col("_sq").cast("double") / lit(1e12) / col("n_triples").cast("double"))
+        (col("_sq").cast("double") / lit(LmQuantum.toDouble) / col("n_triples").cast("double"))
           .as("cross_entropy"))
       .withColumn("ppl_bucket",
         least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
@@ -951,7 +960,7 @@ object CorpusOps {
        |        / CAST(COALESCE(ub.cnt, oovc) AS DOUBLE)
        |      + $TriL1 * CAST(COALESCE(uc.cnt, oovc) AS DOUBLE)
        |        / CAST(n.n AS DOUBLE)
-       |    ) * 1e12) AS BIGINT)) AS sq,
+       |    ) * $LmQuantum) AS BIGINT)) AS sq,
        |    COUNT(*) AS nt
        |  FROM dt
        |  LEFT JOIN tri USING (a, b, c)
@@ -963,9 +972,9 @@ object CorpusOps {
        |  CROSS JOIN oov
        |  GROUP BY 1)
        |SELECT doc_id, CAST(nt AS BIGINT) AS n_triples,
-       |  CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE) AS cross_entropy,
+       |  CAST(sq AS DOUBLE) / $LmQuantum / CAST(nt AS DOUBLE) AS cross_entropy,
        |  CAST(LEAST($LmBucketMax,
-       |       floor(CAST(sq AS DOUBLE) / 1e12 / CAST(nt AS DOUBLE))) AS INT)
+       |       floor(CAST(sq AS DOUBLE) / $LmQuantum / CAST(nt AS DOUBLE))) AS INT)
        |    AS ppl_bucket
        |FROM s ORDER BY doc_id""".stripMargin
 

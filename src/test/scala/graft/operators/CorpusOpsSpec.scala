@@ -366,9 +366,9 @@ class CorpusOpsSpec extends SparkSpec {
       val sq = prs.map { case (a, b) =>
         val p = lam * bi((a, b)).toDouble / kept.getOrElse(a, oov).toDouble +
           omLam * kept.getOrElse(b, oov).toDouble / n.toDouble
-        math.floor(-math.log(p) * 1e12).toLong
+        math.floor(-math.log(p) * 1e6).toLong
       }.sum
-      val ce = sq.toDouble / 1e12 / prs.size.toDouble
+      val ce = sq.toDouble / 1e6 / prs.size.toDouble
       (id, prs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
     }.sortBy(_._1)
     val got = CorpusOps.bigramLogprob(spark, sfDir).collect()
@@ -420,9 +420,9 @@ class CorpusOpsSpec extends SparkSpec {
         val p = t3 + l2 * biAll.getOrElse((b, c), 0L).toDouble /
           kept.getOrElse(b, oov).toDouble +
           l1 * kept.getOrElse(c, oov).toDouble / n.toDouble
-        math.floor(-math.log(p) * 1e12).toLong
+        math.floor(-math.log(p) * 1e6).toLong
       }.sum
-      val ce = sq.toDouble / 1e12 / trs.size.toDouble
+      val ce = sq.toDouble / 1e6 / trs.size.toDouble
       (id, trs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
     }.sortBy(_._1)
     val got = CorpusOps.trigramLogprob(spark, sfDir).collect()

@@ -219,23 +219,28 @@ class VectorSpec extends SparkSpec {
     // neighbor's list); the residual codes claw most of it back
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall")
-    // rebuild from scratch (same scratch dir) is bit-identical
+    // repeat driver call (memoized index this JVM) is identical
     val run2 = VectorOps.annIvfPqTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(run1.toSeq === run2.toSeq)
-    // the probe reads only the probed list_id partitions
+    // two INDEPENDENT builds into different dirs probe bit-identically
+    // (rebuild determinism, not memoization), and the probe scan prunes
+    // to the probed list_id partitions
     val corpus = embDouble.select(col("vec_id"), col("emb"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivfpq_spec").toString + "/index"
-    Ann.ivfPqBuild(corpus, "vec_id", "emb", VectorOps.Dim,
-      nLists = 32, path = path)
-    val probe = Ann.ivfPqTopK(spark, path, corpus.limit(10), "vec_id", "emb",
-      VectorOps.Dim, k = 10, nProbe = 8)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [list_id"), plan)
-    // residual coding beats raw-vector coding: IVF-PQ candidates from a
-    // probed list are scored by codes trained on near-zero residuals
-    assert(probe.collect().nonEmpty)
+    def buildAndProbe(): (Seq[String], String) = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_spec").toString + "/index"
+      Ann.ivfPqBuild(corpus, "vec_id", "emb", VectorOps.Dim,
+        nLists = 32, path = path)
+      val probe = Ann.ivfPqTopK(spark, path, corpus.limit(10), "vec_id",
+        "emb", VectorOps.Dim, k = 10, nProbe = 8)
+      (probe.collect().map(_.toString).toSeq,
+        probe.queryExecution.executedPlan.toString)
+    }
+    val (a, planA) = buildAndProbe()
+    val (b, _) = buildAndProbe()
+    assert(a.nonEmpty && a === b)
+    assert(planA.contains("PartitionFilters: [list_id"), planA)
   }
 
   test("semantic_dedup drops exactly the seeded copies, keeping originals") {
