@@ -408,8 +408,48 @@ object OlapB {
       |      FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- B48: windowed top-K ("trending" per time window) ---------------------
+  val WindowTopkK = 3
+
+  /** The top-k step over a (day, key, n) counts frame, shared by the batch
+    * query and the streaming drain: per-window bounded heaps
+    * ([[graft.functions.TopKByScore]], (n desc, key) cut) — the scalable
+    * replacement for `row_number().over(Window)` ≤ k, whose per-partition
+    * sort is O(group log group). Counts are exact in double (< 2⁵³). */
+  def windowTopkOf(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(col("day"))
+      .agg(graft.functions.topk.top_k_by_score(col("n").cast("double"),
+        col("k"), WindowTopkK).as("_tk"))
+      .select(col("day"), posexplode(col("_tk")))
+      .select(col("day"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("user_id"), col("col.score").cast("long").as("n"))
+      .orderBy(col("day"), col("rank"))
+
+  /** Trending keys per tumbling day window — the "top movers" board every
+    * event dashboard keeps. ONE (day, key) partial-agg exchange + one
+    * per-day heap agg; no rank window, no per-day sort, so the plan is
+    * two exchanges at any scale. */
+  def windowTopk(spark: SparkSession, dir: String): DataFrame =
+    windowTopkOf(Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id").as("k"))
+      .groupBy(col("day"), col("k")).agg(count(lit(1)).as("n")))
+
+  val windowTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT day, user_id, n,
+       |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rank
+       |  FROM c)
+       |SELECT day, CAST(rank AS INT) AS rank, user_id, CAST(n AS BIGINT) AS n
+       |FROM r WHERE rank <= $WindowTopkK
+       |ORDER BY day, rank""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_topk" -> (windowTopk _),
     "q3_topk" -> (q3Topk _),
     "q5_multijoin" -> (q5Multijoin _),
     "window_rank" -> (windowRank _),
@@ -428,6 +468,7 @@ object OlapB {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_topk" -> windowTopkSql,
     "q3_topk" -> q3TopkSql,
     "q5_multijoin" -> q5MultijoinSql,
     "window_rank" -> windowRankSql,

@@ -272,6 +272,24 @@ object StreamOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  val TopkQueryName = "graft_stream_topk"
+
+  /** B48's trending board maintained BY the stream: the (day, key) counts
+    * are a streaming aggregation (state = one counter per active (day,
+    * key)); the per-day top-k heap runs over the complete-mode drain via
+    * the SAME [[graft.operators.OlapB.windowTopkOf]] step the batch query
+    * uses — the counts are the streaming product, the board is its
+    * materialized view (the B47 rollup discipline). Drain == batch, same
+    * DuckDB oracle. */
+  def streamTopk(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val counts = eventsStream(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id").as("k"))
+      .groupBy(col("day"), col("k")).agg(count(lit(1)).as("n"))
+    graft.operators.OlapB.windowTopkOf(
+      drainComplete(spark, counts, TopkQueryName))
+  }
+
   val UpsertQueryName = "graft_stream_upsert"
 
   /** B29's CDC compaction maintained BY the stream: the same max-struct
@@ -306,7 +324,8 @@ object StreamOps {
     "stream_mv" -> (streamMv _),
     "stream_upsert" -> (streamUpsert _),
     "stream_attribution" -> (StatefulAttribution.streamAttribution _),
-    "stream_transitions" -> (StatefulTransitions.streamTransitions _)
+    "stream_transitions" -> (StatefulTransitions.streamTransitions _),
+    "stream_topk" -> (streamTopk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +340,7 @@ object StreamOps {
     "stream_upsert" -> graft.operators.OlapC.upsertLatestSql,
     // the order-sensitive stateful drain must equal the batch window op
     "stream_attribution" -> graft.operators.OlapD.attributionSql,
-    "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql
+    "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql,
+    "stream_topk" -> graft.operators.OlapB.windowTopkSql
   )
 }

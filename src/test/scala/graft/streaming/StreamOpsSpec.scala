@@ -153,6 +153,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(out2.map(e => (e.from_type, e.to_type)) === Seq(("view", "purchase")))
   }
 
+  test("streamed trending board equals the batch windowed top-k") {
+    val batch = graft.operators.OlapB.windowTopk(spark, sfDir).collect()
+    val s = StreamOps.streamTopk(spark, sfDir).collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === batch.map(_.toString).toSeq)
+    // per day: ranks dense 1..k, counts non-increasing
+    batch.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_.getInt(1))
+        assert(sorted.map(_.getInt(1)).toSeq ===
+          (1 to sorted.length) && sorted.length <= graft.operators.OlapB.WindowTopkK)
+        val ns = sorted.map(_.getLong(3)).toSeq
+        assert(ns === ns.sorted.reverse)
+      }
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
