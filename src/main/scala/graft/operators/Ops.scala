@@ -285,6 +285,58 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --- Persisted near-dup index (the ivfBuild discipline for LSH) -----------
+  /** Sketch stage shared by the index build and probe: (_id, _sig, _bkt)
+    * band-tuple rows, all map-side. */
+  private def sketchBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("b") +: (0 until rows).map(r =>
+        element_at(col("_sig"), b * rows + r + 1).as(s"s$r")): _*)
+    }: _*)
+    df.select(col(idCol).as("_id"), word_shingles(col(textCol), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("_id"), minhash_signature(col("_sh"), numHashes).as("_sig"))
+      .select(col("_id"), col("_sig"), explode(bandKeys).as("_bkt"))
+  }
+
+  /** Persist the history corpus' MinHash band index: the EXPENSIVE half of
+    * recurring near-dup detection — shingling + 64-hash sketching of the
+    * full history — runs ONCE here and every subsequent batch probes the
+    * stored (band tuple, id, signature) rows instead of re-sketching 100 TB.
+    * The layout spreads rows by band-tuple hash so a probe join reads
+    * evenly; signatures ride along so the estimate stage needs no text
+    * fetch. The ivfBuild discipline applied to dedup. */
+  def dedupIndexBuild(history: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit =
+    sketchBands(history, idCol, textCol, shingleN, numHashes, bands)
+      .repartition(col("_bkt"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** Probe a persisted band index with an arriving batch: the batch is
+    * sketched map-side and BROADCAST onto the index scan (batches are
+    * small next to history), candidacy is the exact shared-band-tuple
+    * rule of [[minhashLshPairs]], and the signature-estimated Jaccard
+    * filters to `minEstJaccard` before the only shuffle (pair dedup).
+    * Output: (batch_id, hist_id, est_jaccard) — the batch docs that
+    * near-duplicate history. */
+  def dedupIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.35): DataFrame = {
+    val idx = spark.read.parquet(s"$path/bands")
+    val probe = sketchBands(batch, idCol, textCol, shingleN, numHashes, bands)
+    idx.as("h")
+      .join(broadcast(probe).as("p"), col("h._bkt") === col("p._bkt"))
+      .select(col("p._id").as("batch_id"), col("h._id").as("hist_id"),
+        (sig_overlap(col("h._sig"), col("p._sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .dropDuplicates("batch_id", "hist_id")
+  }
+
   /** Widest simhash band layout that still GUARANTEES recall at
     * `maxHamming`: flipping h bits can touch at most h bands, so a
     * colliding band survives whenever bands ≥ h+1, i.e.

@@ -242,17 +242,74 @@ object Sketch {
        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall
        |FROM j""".stripMargin
 
-  /** Registry for SparkEntry — both sketches are oracle-checked thanks to
+  // --- C54: persisted near-dup index (build once, probe per batch) ---------
+  /** Index builds already done in THIS JVM (keyed by path) — the build is
+    * deterministic, so repeat calls probe the existing index: the
+    * amortized steady state the operator exists for. */
+  private val idxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The C27 arriving batch probed against the PERSISTED history band
+    * index ([[Dedup.dedupIndexBuild]]): history is sketched once and
+    * stored as band-tuple rows; each batch sketches only itself and
+    * broadcasts onto the index scan. Where C27 answers "is this EXACT
+    * text already in history" (bloom + sha), this answers "does this
+    * near-duplicate anything in history" (banded MinHash + estimated
+    * Jaccard) — the second gate a recurring ingest pipeline runs. */
+  def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (idxBuilt.add(path))
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", path)
+    Dedup.dedupIndexProbe(spark, path,
+        graft.operators.CorpusOps.incrementalBatch(spark, dir),
+        "doc_id", "text", minEstJaccard = MinEstJaccard)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
+  /** Twin: the shared candidate CTEs over history ∪ batch, keeping only
+    * cross-side pairs — the same replay discipline as C32's fuzzy
+    * decontamination, over C27's deterministic batch. */
+  val dedupIndexProbeSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000000,
+       |         text || ' fresh ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 13 = 0
+       |), ${minhashCandidateCtes("corpus")},
+       |cp AS (
+       |  SELECT CASE WHEN doc_a >= 200000000 THEN doc_a ELSE doc_b END AS batch_id,
+       |         CASE WHEN doc_a >= 200000000 THEN doc_b ELSE doc_a END AS hist_id
+       |  FROM cand
+       |  WHERE (doc_a >= 200000000) <> (doc_b >= 200000000))
+       |SELECT batch_id, hist_id,
+       |  len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / $NumHashes.0
+       |    AS est_jaccard
+       |FROM cp
+       |JOIN sg sa ON hist_id = sa.doc_id
+       |JOIN sg sb ON batch_id = sb.doc_id
+       |WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |      / $NumHashes.0 >= $MinEstJaccard
+       |ORDER BY batch_id, hist_id""".stripMargin
+
+  /** Registry for SparkEntry — all sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "near_dup_eval" -> (nearDupEval _)
+    "near_dup_eval" -> (nearDupEval _),
+    "dedup_index_probe" -> (dedupIndexProbe _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "near_dup_eval" -> nearDupEvalSql
+    "near_dup_eval" -> nearDupEvalSql,
+    "dedup_index_probe" -> dedupIndexProbeSql
   )
 }

@@ -67,6 +67,36 @@ class SketchSpec extends SparkSpec {
     assert(r.getDouble(4) === tp.toDouble / (tp + fn))
   }
 
+  test("dedup_index_probe: seeded copies found at est 1.0; sides typed; index persists") {
+    val rows = Sketch.dedupIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // sides: batch ids on the left (shifted), history on the right
+    rows.foreach { case (b, h, est) =>
+      assert(b >= 200000000L && h < 200000000L)
+      assert(est >= Sketch.MinEstJaccard && est <= 1.0)
+    }
+    // every EXACT seeded copy (doc_id % 11, shifted +2e8) pairs with its
+    // source at estimated Jaccard exactly 1.0 (identical signatures)
+    val exactSeeds = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val got = rows.map(p => (p._1, p._2)).toSet
+    exactSeeds.foreach { src =>
+      assert(got.contains((src + 200000000L, src)), s"missing exact copy of $src")
+    }
+    rows.filter { case (b, h, _) => b - 200000000L == h }
+      .foreach { case (_, _, est) => assert(est === 1.0) }
+    // the index is a real persisted artifact
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    assert(new java.io.File(s"$path/bands").exists())
+    // probing again (memoized index) is identical
+    val again = Sketch.dedupIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("minhash signature is deterministic and 64 wide") {
     val d = graft.sources.Tables(spark, sfDir).documents.limit(3)
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
