@@ -290,6 +290,37 @@ object StreamOps {
       drainComplete(spark, counts, TopkQueryName))
   }
 
+  val HhQueryName = "graft_stream_hh_topk"
+
+  /** Per-day sketch capacity for the streaming heavy-hitters board: at the
+    * gate corpus this exceeds the distinct keys per day, so Misra–Gries
+    * counts are EXACT and the drain shares B48's oracle; at deploy scale
+    * the SAME query holds O(capacity) state per day — not O(distinct
+    * users) like [[streamTopk]] — with guaranteed error ≤ n/(capacity+1):
+    * the unbounded-key-domain shape. */
+  val HhStreamCapacity = 8192
+
+  /** B48's trending board with SKETCHED state: the streaming aggregation
+    * keeps one Misra–Gries buffer per day (mergeable partials — the
+    * state-store requirement — per Agarwal et al., PODS'12) instead of one
+    * counter per (day, key); the drained sketches re-enter the shared
+    * [[graft.operators.OlapB.windowTopkOf]] heap step. Drain == batch at
+    * gate scale (capacity ≥ distinct ⇒ exact counts), same oracle. */
+  def streamHhTopk(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val sketches = eventsStream(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("item"))
+      .groupBy(col("day"))
+      .agg(graft.functions.heavyhitters.heavy_hitters(col("item"),
+        HhStreamCapacity).as("_hh"))
+    graft.operators.OlapB.windowTopkOf(
+      drainComplete(spark, sketches, HhQueryName)
+        .select(col("day"), explode(col("_hh")).as("_e"))
+        .select(col("day"), col("_e.item").cast("bigint").as("k"),
+          col("_e.count").as("n")))
+  }
+
   val UpsertQueryName = "graft_stream_upsert"
 
   /** B29's CDC compaction maintained BY the stream: the same max-struct
@@ -325,7 +356,8 @@ object StreamOps {
     "stream_upsert" -> (streamUpsert _),
     "stream_attribution" -> (StatefulAttribution.streamAttribution _),
     "stream_transitions" -> (StatefulTransitions.streamTransitions _),
-    "stream_topk" -> (streamTopk _)
+    "stream_topk" -> (streamTopk _),
+    "stream_hh_topk" -> (streamHhTopk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +373,7 @@ object StreamOps {
     // the order-sensitive stateful drain must equal the batch window op
     "stream_attribution" -> graft.operators.OlapD.attributionSql,
     "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql,
-    "stream_topk" -> graft.operators.OlapB.windowTopkSql
+    "stream_topk" -> graft.operators.OlapB.windowTopkSql,
+    "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql
   )
 }

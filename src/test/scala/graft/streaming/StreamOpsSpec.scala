@@ -167,6 +167,16 @@ class StreamOpsSpec extends SparkSpec {
       }
   }
 
+  test("streamed heavy-hitters board equals the exact-counter board") {
+    // capacity ≥ distinct keys per day ⇒ Misra–Gries counts are exact ⇒
+    // the sketched-state board equals both the exact-state stream and the
+    // batch operator
+    val hh = StreamOps.streamHhTopk(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.OlapB.windowTopk(spark, sfDir).collect()
+      .map(_.toString)
+    assert(hh.nonEmpty && hh.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
