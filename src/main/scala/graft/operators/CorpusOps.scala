@@ -978,6 +978,117 @@ object CorpusOps {
        |    AS ppl_bucket
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- C55: Kneser–Ney bigram quality signal --------------------------------
+  /** Absolute discount, textual so both engines parse the identical
+    * double. 0.75 is the standard KN default. */
+  val KnDiscount = "0.75"
+
+  /** Per-document cross-entropy under an interpolated Kneser–Ney bigram
+    * LM — the smoothing CCNet-class quality scorers actually use: the
+    * continuation probability `p_cont(b) = N1+(·b)/|bigram types|` scores
+    * how PROMISCUOUSLY a word follows different contexts, so "Francisco"
+    * (frequent but only ever after "San") stops looking like a good
+    * continuation everywhere — the failure mode plain interpolation
+    * (C49) has.
+    *
+    * Boundedness comes from PROJECTION, not table cuts: every token maps
+    * to itself if in the shared top-K vocabulary ([[UnigramVocabK]]) else
+    * to the `<unk>` bin BEFORE counting, so every KN table (bigram counts,
+    * context totals, fan-out N1+(a·), fan-in N1+(·b)) lives on a ≤(K+1)²
+    * domain with NO top-N cut to tune — and the bigram table needs no
+    * coalesce: every scored pair is in it by construction.
+    *
+    * p(b|a) = (max(c(ab)−d, 0) + d·N1+(a·)·(N1+(·b)/D)) / c(a·), with
+    * c(a·) = Σ_b c(ab). All inputs are exact integers; the identical
+    * textual IEEE formula runs in both engines; terms floor-quantize at
+    * [[LmQuantum]] micro-nats (the interpolated-LM quantum). */
+  def knLogprobOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lm = lmVocabOf(docs)
+    val vocabA = broadcast(lm.vocab.select(col("tok").as("a"), lit(1).as("_ina")))
+    val vocabB = broadcast(lm.vocab.select(col("tok").as("b"), lit(1).as("_inb")))
+    val pairs = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(vocabA, Seq("a"), "left").join(vocabB, Seq("b"), "left")
+      .select(col("doc_id"),
+        when(col("_ina").isNotNull, col("a")).otherwise("<unk>").as("a"),
+        when(col("_inb").isNotNull, col("b")).otherwise("<unk>").as("b"))
+    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(eager = true)
+    val ctx = bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("b")).agg(count(lit(1)).as("n1p"))
+    val dTypes = bg.count()
+    val d = KnDiscount
+    val term = s"CAST(floor(-ln((greatest(CAST(cab AS DOUBLE) - $d, 0.0) " +
+      s"+ $d * CAST(n1f AS DOUBLE) " +
+      s"* (CAST(n1p AS DOUBLE) / CAST($dTypes AS DOUBLE))) " +
+      s"/ CAST(ca AS DOUBLE)) * $LmQuantum) AS BIGINT)"
+    pairs
+      .join(broadcast(bg), Seq("a", "b"))
+      .join(broadcast(ctx), Seq("a"))
+      .join(broadcast(cont), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"),
+        (col("_sq").cast("double") / lit(LmQuantum.toDouble) /
+          col("n_pairs").cast("double")).as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def knLogprob(spark: SparkSession, dir: String): DataFrame =
+    knLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  val knLogprobSql: String = {
+    val d = KnDiscount
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), $lmVocabCtes,
+       |dp0 AS (
+       |  SELECT doc_id, toks[i] AS a0, toks[i + 1] AS b0
+       |  FROM d, unnest(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), dp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN va.tok IS NULL THEN '<unk>' ELSE a0 END AS a,
+       |    CASE WHEN vb.tok IS NULL THEN '<unk>' ELSE b0 END AS b
+       |  FROM dp0
+       |  LEFT JOIN v va ON va.tok = dp0.a0
+       |  LEFT JOIN v vb ON vb.tok = dp0.b0
+       |), bg AS (SELECT a, b, COUNT(*) AS cab FROM dp GROUP BY 1, 2),
+       |ctx AS (SELECT a, SUM(cab) AS ca, COUNT(*) AS n1f FROM bg GROUP BY 1),
+       |cont AS (SELECT b, COUNT(*) AS n1p FROM bg GROUP BY 1),
+       |dd AS (SELECT COUNT(*) AS dt FROM bg),
+       |s AS (
+       |  SELECT doc_id,
+       |    SUM(CAST(floor(-ln((greatest(CAST(cab AS DOUBLE) - $d, 0.0)
+       |      + $d * CAST(n1f AS DOUBLE)
+       |      * (CAST(n1p AS DOUBLE) / CAST(dt AS DOUBLE)))
+       |      / CAST(ca AS DOUBLE)) * $LmQuantum) AS BIGINT)) AS sq,
+       |    COUNT(*) AS np
+       |  FROM dp
+       |  JOIN bg USING (a, b)
+       |  JOIN ctx USING (a)
+       |  JOIN cont USING (b)
+       |  CROSS JOIN dd
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(np AS BIGINT) AS n_pairs,
+       |  CAST(sq AS DOUBLE) / $LmQuantum / CAST(np AS DOUBLE) AS cross_entropy,
+       |  CAST(LEAST($LmBucketMax,
+       |       floor(CAST(sq AS DOUBLE) / $LmQuantum / CAST(np AS DOUBLE))) AS INT)
+       |    AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // --- C38: token co-occurrence PMI ----------------------------------------
   /** Vocabulary size and minimum pair support for the PMI table. */
   val PmiVocabK = 50
@@ -1508,7 +1619,8 @@ object CorpusOps {
     "phrase_merge_rounds" -> (phraseMergeRounds _),
     "bigram_logprob" -> (bigramLogprob _),
     "trigram_logprob" -> (trigramLogprob _),
-    "bpe_vocab" -> (bpeVocab _))
+    "bpe_vocab" -> (bpeVocab _),
+    "kn_logprob" -> (knLogprob _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -1529,5 +1641,6 @@ object CorpusOps {
     "phrase_merge_rounds" -> phraseMergeRoundsSql,
     "bigram_logprob" -> bigramLogprobSql,
     "trigram_logprob" -> trigramLogprobSql,
-    "bpe_vocab" -> bpeVocabSql)
+    "bpe_vocab" -> bpeVocabSql,
+    "kn_logprob" -> knLogprobSql)
 }

@@ -465,6 +465,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("kn_logprob: JVM replay agrees; continuation beats raw frequency") {
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val kept = uni.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(CorpusOps.UnigramVocabK).map(_._1).toSet
+    def proj(t: String) = if (kept(t)) t else "<unk>"
+    val pairs = texts.flatMap { case (_, t) =>
+      t.zip(t.tail).map { case (a, b) => (proj(a), proj(b)) } }
+    val bg = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = bg.toSeq.groupBy(_._1._1).view
+      .mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+    val cont = bg.toSeq.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val dt = bg.size.toLong
+    val disc = 0.75
+    val expected = texts.filter(_._2.size >= 2).map { case (id, t) =>
+      val prs = t.zip(t.tail).map { case (a, b) => (proj(a), proj(b)) }
+      val sq = prs.map { case (a, b) =>
+        val (ca, n1f) = ctx(a)
+        val p = (math.max(bg((a, b)).toDouble - disc, 0.0) +
+          disc * n1f.toDouble * (cont(b).toDouble / dt.toDouble)) / ca.toDouble
+        math.floor(-math.log(p) * 1e6).toLong
+      }.sum
+      val ce = sq.toDouble / 1e6 / prs.size.toDouble
+      (id, prs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
+    }.sortBy(_._1)
+    val got = CorpusOps.knLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === expected.toSeq)
+    // the KN signal is a proper distribution ingredient: continuation
+    // probabilities sum to 1 over the bigram-type domain
+    assert(math.abs(cont.values.map(_.toDouble / dt).sum - 1.0) < 1e-9)
+    // and the projection actually binned something
+    assert(pairs.exists(p => p._1 == "<unk>" || p._2 == "<unk>"))
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()
