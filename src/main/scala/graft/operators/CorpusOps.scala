@@ -1047,6 +1047,45 @@ object CorpusOps {
   def knLogprob(spark: SparkSession, dir: String): DataFrame =
     knLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
 
+  /** The trained KN model as driver-side lookup tables — the offline half
+    * of an online scorer ([[graft.streaming.StreamOps.streamKnScore]]).
+    * Every table is bounded by the ≤(K+1)² projected-bigram domain, so
+    * the collects are literals by construction (625 entries at the gate
+    * K). Bigram keys join `a` and `b` with a single space — safe because
+    * tokens are whitespace-split and can never contain one. */
+  case class KnModel(vocab: Set[String], bg: Map[String, Long],
+      ca: Map[String, Long], n1f: Map[String, Long], n1p: Map[String, Long],
+      dTypes: Long)
+
+  def knTrain(documents: DataFrame, idCol: String,
+      textCol: String): KnModel = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lm = lmVocabOf(docs)
+    val vocab = lm.vocab.select(col("tok")).collect()
+      .map(_.getString(0)).toSet
+    val vocabA = broadcast(lm.vocab.select(col("tok").as("a"), lit(1).as("_ina")))
+    val vocabB = broadcast(lm.vocab.select(col("tok").as("b"), lit(1).as("_inb")))
+    val pairs = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(vocabA, Seq("a"), "left").join(vocabB, Seq("b"), "left")
+      .select(
+        when(col("_ina").isNotNull, col("a")).otherwise("<unk>").as("a"),
+        when(col("_inb").isNotNull, col("b")).otherwise("<unk>").as("b"))
+    val bgRows = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bg = bgRows.map { case (a, b, c) => s"$a $b" -> c }.toMap
+    val byA = bgRows.groupBy(_._1)
+    val ca = byA.view.mapValues(_.map(_._3).sum).toMap
+    val n1f = byA.view.mapValues(_.size.toLong).toMap
+    val n1p = bgRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    KnModel(vocab, bg, ca, n1f, n1p, bgRows.length.toLong)
+  }
+
   val knLogprobSql: String = {
     val d = KnDiscount
     s"""WITH d AS (

@@ -290,6 +290,64 @@ object StreamOps {
       drainComplete(spark, counts, TopkQueryName))
   }
 
+  val KnScoreQueryName = "graft_stream_kn_score"
+
+  /** C55's Kneser–Ney scorer over a LIVE document feed — the production
+    * LM-gate shape: the model trains OFFLINE (one bounded batch pass →
+    * [[graft.operators.CorpusOps.knTrain]]'s ≤(K+1)²-entry tables), rides
+    * into the stream as map literals (the broadcast analog at this table
+    * size), and every arriving document scores in a single MAP expression
+    * — no state store, no per-doc aggregation, append mode. Unseen tokens
+    * and pairs at deploy time back off deterministically (`<unk>` row /
+    * zero bigram count), so the scorer is total over any input; on the
+    * training corpus the drain EQUALS the batch query and shares C55's
+    * DuckDB oracle. */
+  def streamKnScore(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val m = graft.operators.CorpusOps.knTrain(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val d = graft.operators.CorpusOps.KnDiscount
+    val q6 = graft.operators.CorpusOps.LmQuantum
+    val scored = docs
+      .withColumn("_vs", typedLit(m.vocab.toSeq.sorted))
+      .withColumn("_bg", typedLit(m.bg))
+      .withColumn("_ca", typedLit(m.ca))
+      .withColumn("_n1f", typedLit(m.n1f))
+      .withColumn("_n1p", typedLit(m.n1p))
+      .withColumn("_pt", expr(
+        "transform(split(trim(text), '\\\\s+'), " +
+          "t -> IF(array_contains(_vs, t), t, '<unk>'))"))
+      .filter(size(col("_pt")) >= 2)
+      .select(col("doc_id"),
+        (size(col("_pt")) - 1).cast("long").as("n_pairs"),
+        expr(
+          s"""aggregate(sequence(1, size(_pt) - 1), 0L, (acc, i) -> acc +
+             |CAST(floor(-ln((greatest(CAST(coalesce(
+             |    _bg[concat(element_at(_pt, i), ' ', element_at(_pt, i + 1))],
+             |    0L) AS DOUBLE) - $d, 0.0)
+             |  + $d * CAST(coalesce(element_at(_n1f, element_at(_pt, i)),
+             |      _n1f['<unk>']) AS DOUBLE)
+             |  * (CAST(coalesce(element_at(_n1p, element_at(_pt, i + 1)),
+             |      _n1p['<unk>']) AS DOUBLE) / CAST(${m.dTypes} AS DOUBLE)))
+             |  / CAST(coalesce(element_at(_ca, element_at(_pt, i)),
+             |      _ca['<unk>']) AS DOUBLE)) * $q6) AS BIGINT))""".stripMargin
+          .replaceAll("\n", " ")).as("_sq"))
+      .select(col("doc_id"), col("n_pairs"),
+        (col("_sq").cast("double") / lit(q6.toDouble) /
+          col("n_pairs").cast("double")).as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(graft.operators.CorpusOps.LmBucketMax),
+          floor(col("cross_entropy"))).cast("int"))
+    spark.streams.active.filter(_.name == KnScoreQueryName).foreach(_.stop())
+    val q = scored.writeStream.format("memory").queryName(KnScoreQueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(KnScoreQueryName).orderBy(col("doc_id"))
+  }
+
   val HhQueryName = "graft_stream_hh_topk"
 
   /** Per-day sketch capacity for the streaming heavy-hitters board: at the
@@ -357,7 +415,8 @@ object StreamOps {
     "stream_attribution" -> (StatefulAttribution.streamAttribution _),
     "stream_transitions" -> (StatefulTransitions.streamTransitions _),
     "stream_topk" -> (streamTopk _),
-    "stream_hh_topk" -> (streamHhTopk _)
+    "stream_hh_topk" -> (streamHhTopk _),
+    "stream_kn_score" -> (streamKnScore _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +433,8 @@ object StreamOps {
     "stream_attribution" -> graft.operators.OlapD.attributionSql,
     "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql,
     "stream_topk" -> graft.operators.OlapB.windowTopkSql,
-    "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql
+    "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql,
+    // the map-side scored stream must equal the batch KN query
+    "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql
   )
 }

@@ -177,6 +177,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(hh.nonEmpty && hh.toSeq === b.toSeq)
   }
 
+  test("streamed KN scorer equals the batch query (map-side, zero state)") {
+    val s = StreamOps.streamKnScore(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.CorpusOps.knLogprob(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
