@@ -411,6 +411,42 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Persist the history corpus' SimHash band index — [[dedupIndexBuild]]'s
+    * discipline for the FINGERPRINT family: one 64-bit fingerprint per
+    * history doc, banded, stored once; batches probe without re-hashing
+    * history. Same pigeonhole recall guarantee as [[simhashPairs]]. */
+  def simhashIndexBuild(history: DataFrame, idCol: String, textCol: String,
+      path: String, bandBits: Int = 8): Unit =
+    history
+      .select(col(idCol).as("_id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
+      .select(col("_id"), col("_fp"),
+        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+      .repartition(col("_bkt"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** Probe a persisted SimHash band index with an arriving batch: batch
+    * fingerprints compute map-side and BROADCAST onto the index scan; the
+    * hamming verify runs before the only shuffle (pair dedup). Output:
+    * (batch_id, hist_id, hamming ≤ maxHamming). */
+  def simhashIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String, bandBits: Int = 8,
+      maxHamming: Int = 6): DataFrame = {
+    require(64 / bandBits > maxHamming,
+      s"bandBits=$bandBits cannot guarantee recall at hamming<=$maxHamming")
+    val idx = spark.read.parquet(s"$path/bands")
+    val probe = batch
+      .select(col(idCol).as("_id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
+      .select(col("_id"), col("_fp"),
+        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+    idx.as("h").join(broadcast(probe).as("p"), col("h._bkt") === col("p._bkt"))
+      .select(col("p._id").as("batch_id"), col("h._id").as("hist_id"),
+        bit_count(col("h._fp").bitwiseXOR(col("p._fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("batch_id", "hist_id")
+  }
+
   /** Embedding-cosine near-dup pairs: hyperplane-LSH candidates, exact
     * (integer-quantized, engine-portable) cosine verify. */
   def embeddingPairs(df: DataFrame, idCol: String, embCol: String, dim: Int,

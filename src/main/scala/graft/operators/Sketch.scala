@@ -297,19 +297,73 @@ object Sketch {
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY batch_id, hist_id""".stripMargin
 
+  // --- C56: persisted SimHash band index ------------------------------------
+  /** C54's persisted-index discipline for the FINGERPRINT family: history
+    * fingerprints are banded and stored once; the arriving batch — every
+    * [[graft.operators.CorpusOps.BenchmarkMod]]-th doc re-entering under a
+    * shifted id with a one-token suffix, the C34 leak generator — hashes
+    * only itself and probes. Fingerprint near-dups (hamming ≤
+    * [[MaxHamming]]) surface with the pigeonhole recall GUARANTEE, which
+    * is what distinguishes this gate from C54's probabilistic MinHash
+    * banding. */
+  def simhashIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    val docs = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (idxBuilt.add(path))
+      Dedup.simhashIndexBuild(docs, "doc_id", "text", path,
+        bandBits = SimhashBandBits)
+    val batch = docs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+        concat(col("text"), lit(" leaked")).as("text"))
+    Dedup.simhashIndexProbe(spark, path, batch, "doc_id", "text",
+        bandBits = SimhashBandBits, maxHamming = MaxHamming)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
+  val simhashIndexProbeSql: String = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ContaminatedShift, text || ' leaked' AS text
+       |  FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |), ${simhashFpCtes("corpus")}, bd AS (
+       |  SELECT doc_id, fp, b, (fp >> ($SimhashBandBits * b)) & 255 AS bkt
+       |  FROM fps, range(0, $SimhashBands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN x.doc_id >= $ContaminatedShift THEN x.doc_id ELSE y.doc_id END AS batch_id,
+       |    CASE WHEN x.doc_id >= $ContaminatedShift THEN y.doc_id ELSE x.doc_id END AS hist_id,
+       |    CASE WHEN x.doc_id >= $ContaminatedShift THEN x.fp ELSE y.fp END AS bfp,
+       |    CASE WHEN x.doc_id >= $ContaminatedShift THEN y.fp ELSE x.fp END AS hfp
+       |  FROM bd x JOIN bd y
+       |    ON x.b = y.b AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |  WHERE (x.doc_id >= $ContaminatedShift) <> (y.doc_id >= $ContaminatedShift)
+       |)
+       |SELECT batch_id, hist_id,
+       |  CAST(bit_count(xor(bfp, hfp)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(bfp, hfp)) <= $MaxHamming
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
   /** Registry for SparkEntry — all sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "near_dup_eval" -> (nearDupEval _),
-    "dedup_index_probe" -> (dedupIndexProbe _)
+    "dedup_index_probe" -> (dedupIndexProbe _),
+    "simhash_index_probe" -> (simhashIndexProbe _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "near_dup_eval" -> nearDupEvalSql,
-    "dedup_index_probe" -> dedupIndexProbeSql
+    "dedup_index_probe" -> dedupIndexProbeSql,
+    "simhash_index_probe" -> simhashIndexProbeSql
   )
 }

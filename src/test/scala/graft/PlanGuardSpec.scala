@@ -127,7 +127,8 @@ class PlanGuardSpec extends SparkSpec {
     "trigram_logprob" -> 10, // + the trigram table agg/cut over C49's budget; the triple stream itself still never shuffles before the rollup
     "window_topk" -> 3, // (day, key) partial agg, per-day heap agg, gate sort — no rank window, no per-day sort
     "dedup_index_probe" -> 3, // batch sketch broadcast onto the index scan (zero history shuffle); pair-dedup exchange + gate sort
-    "kn_logprob" -> 8 // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup
+    "kn_logprob" -> 8, // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup
+    "simhash_index_probe" -> 3 // batch fingerprints broadcast onto the index scan; pair-dedup exchange + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -97,6 +97,35 @@ class SketchSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("simhash_index_probe equals the direct cross operator; index persists") {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    val rows = Sketch.simhashIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, h, ham) =>
+      assert(b >= ContaminatedShift && h < ContaminatedShift)
+      assert(ham >= 0 && ham <= Sketch.MaxHamming)
+    }
+    // the persisted probe equals the direct (non-persisted) cross operator
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+        concat(col("text"), lit(" leaked")).as("text"))
+    val direct = graft.operators.Dedup.simhashPairsAcross(docs, batch,
+        "doc_id", "text", bandBits = Sketch.SimhashBandBits,
+        maxHamming = Sketch.MaxHamming)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
+    assert(rows.toSet === direct)
+    // persisted artifact exists; memoized rerun identical
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    assert(new java.io.File(s"$path/bands").exists())
+    val again = Sketch.simhashIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("minhash signature is deterministic and 64 wide") {
     val d = graft.sources.Tables(spark, sfDir).documents.limit(3)
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
