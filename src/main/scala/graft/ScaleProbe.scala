@@ -236,6 +236,31 @@ object ScaleProbe {
       VectorOps.diverseTopkMultiOn(embs, "vec_id", "emb",
         nQueries = 8, poolSize = 50, k = 10, lambda = 0.5).count()
     }
+    time("kn_logprob") {
+      CorpusOps.knLogprobOn(docs, "doc_id", "text").count()
+    }
+    val dedupIdxPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_didx").toString
+    time("dedup_index_build") {
+      Dedup.dedupIndexBuild(docs, "doc_id", "text", dedupIdxPath); 0L
+    }
+    time("dedup_index_probe") {
+      // probe with a 1/97 slice re-entering under shifted ids
+      val batch = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      Dedup.dedupIndexProbe(spark, dedupIdxPath, batch, "doc_id", "text").count()
+    }
+    val shIdxPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_shidx").toString
+    time("simhash_index_build") {
+      Dedup.simhashIndexBuild(docs, "doc_id", "text", shIdxPath); 0L
+    }
+    time("simhash_index_probe") {
+      val batch = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" probe")).as("text"))
+      Dedup.simhashIndexProbe(spark, shIdxPath, batch, "doc_id", "text").count()
+    }
     time("stream_sessions") {
       // replicated event stream through the stateful sessionizer + a
       // durable parquet sink (the deployment shape, not the memory sink)
