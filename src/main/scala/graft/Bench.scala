@@ -48,10 +48,19 @@ object Bench {
       val t1 = drain(n)
       n -> (if (t1 > 1.0) math.min(t1, drain(n)) else t1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line compact enough to survive
+    // line-length caps in the capturing harness (full double reprs pushed
+    // r5's 125-query line past the cap and truncated the per-query tail).
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(results.map(_._2).sum)},""" +
+      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces: the same line lands in a file, so a truncated
+    // stdout capture can never lose the per-query numbers
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -1007,18 +1007,7 @@ object CorpusOps {
     val docs = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     val lm = lmVocabOf(docs)
-    val vocabA = broadcast(lm.vocab.select(col("tok").as("a"), lit(1).as("_ina")))
-    val vocabB = broadcast(lm.vocab.select(col("tok").as("b"), lit(1).as("_inb")))
-    val pairs = docs.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .join(vocabA, Seq("a"), "left").join(vocabB, Seq("b"), "left")
-      .select(col("doc_id"),
-        when(col("_ina").isNotNull, col("a")).otherwise("<unk>").as("a"),
-        when(col("_inb").isNotNull, col("b")).otherwise("<unk>").as("b"))
+    val pairs = knPairsOf(docs, lm.vocab)
     val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
       .localCheckpoint(eager = true)
     val ctx = bg.groupBy(col("a"))
@@ -1047,43 +1036,172 @@ object CorpusOps {
   def knLogprob(spark: SparkSession, dir: String): DataFrame =
     knLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
 
-  /** The trained KN model as driver-side lookup tables — the offline half
-    * of an online scorer ([[graft.streaming.StreamOps.streamKnScore]]).
-    * Every table is bounded by the ≤(K+1)² projected-bigram domain, so
-    * the collects are literals by construction (625 entries at the gate
-    * K). Bigram keys join `a` and `b` with a single space — safe because
-    * tokens are whitespace-split and can never contain one. */
-  case class KnModel(vocab: Set[String], bg: Map[String, Long],
-      ca: Map[String, Long], n1f: Map[String, Long], n1p: Map[String, Long],
-      dTypes: Long)
-
-  def knTrain(documents: DataFrame, idCol: String,
-      textCol: String): KnModel = {
-    val docs = documents.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("toks"))
-    val lm = lmVocabOf(docs)
-    val vocab = lm.vocab.select(col("tok")).collect()
-      .map(_.getString(0)).toSet
-    val vocabA = broadcast(lm.vocab.select(col("tok").as("a"), lit(1).as("_ina")))
-    val vocabB = broadcast(lm.vocab.select(col("tok").as("b"), lit(1).as("_inb")))
-    val pairs = docs.filter(size(col("toks")) >= 2)
+  /** Projected bigram stream: adjacent token pairs with BOTH sides mapped
+    * into the shared vocabulary (OOV → `<unk>`) before any counting — the
+    * step that bounds every KN table to the ≤(K+1)² domain. Shared by the
+    * batch scorer, the trainer, and the DataFrame-backed trainer. */
+  private def knPairsOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val vocabA = broadcast(vocab.select(col("tok").as("a"), lit(1).as("_ina")))
+    val vocabB = broadcast(vocab.select(col("tok").as("b"), lit(1).as("_inb")))
+    docs.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
       .join(vocabA, Seq("a"), "left").join(vocabB, Seq("b"), "left")
-      .select(
+      .select(col("doc_id"),
         when(col("_ina").isNotNull, col("a")).otherwise("<unk>").as("a"),
         when(col("_inb").isNotNull, col("b")).otherwise("<unk>").as("b"))
-    val bgRows = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val bg = bgRows.map { case (a, b, c) => s"$a $b" -> c }.toMap
-    val byA = bgRows.groupBy(_._1)
-    val ca = byA.view.mapValues(_.map(_._3).sum).toMap
-    val n1f = byA.view.mapValues(_.size.toLong).toMap
-    val n1p = bgRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
-    KnModel(vocab, bg, ca, n1f, n1p, bgRows.length.toLong)
+  }
+
+  /** The trained KN model as driver-side lookup tables — the offline half
+    * of an online scorer ([[graft.streaming.StreamOps.streamKnScore]]).
+    * Every table is bounded by the ≤(K+1)² projected-bigram domain, so
+    * the collects are literals by construction (625 entries at the gate
+    * K). Bigram keys join `a` and `b` with a single space — safe because
+    * tokens are whitespace-split and can never contain one. The ca/n1f/n1p
+    * maps always carry a `<unk>` row ([[knSeed]]), so the deploy-time
+    * backoff chain is total even when training produced no OOV pairs. */
+  case class KnModel(vocab: Set[String], bg: Map[String, Long],
+      ca: Map[String, Long], n1f: Map[String, Long], n1p: Map[String, Long],
+      dTypes: Long)
+
+  /** Guarantee a `<unk>` row: if training saw OOV pairs the trained counts
+    * stay; otherwise seed count 1 (the minimum support that keeps every
+    * ln() argument finite and positive), so an unseen deploy token can
+    * never bottom the backoff chain out at a missing key. */
+  private def knSeed(m: Map[String, Long]): Map[String, Long] =
+    if (m.contains("<unk>")) m else m + ("<unk>" -> 1L)
+
+  /** The trained KN model as BOUNDED DataFrames — the production-K
+    * spelling: nothing quadratic in the vocab knob is ever collected; the
+    * tables broadcast-join onto the scored stream. Only O(1) scalars (the
+    * bigram type count and the seeded `<unk>` fallback row) come back to
+    * the driver. */
+  case class KnTables(vocab: DataFrame, bg: DataFrame, ctx: DataFrame,
+      cont: DataFrame, dTypes: Long, unkCa: Long, unkN1f: Long, unkN1p: Long)
+
+  def knTrainTablesOn(documents: DataFrame, idCol: String,
+      textCol: String): KnTables = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lm = lmVocabOf(docs)
+    val bg = knPairsOf(docs, lm.vocab)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint(eager = true)
+    val ctx = bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1f"))
+      .localCheckpoint(eager = true)
+    val cont = bg.groupBy(col("b")).agg(count(lit(1)).as("n1p"))
+      .localCheckpoint(eager = true)
+    val dTypes = bg.count()
+    def unk(df: DataFrame, key: String, valCol: String): Long =
+      df.filter(col(key) === "<unk>").select(col(valCol)).collect()
+        .headOption.map(_.getLong(0)).getOrElse(1L)
+    KnTables(lm.vocab, bg, ctx, cont, dTypes,
+      unk(ctx, "a", "ca"), unk(ctx, "a", "n1f"), unk(cont, "b", "n1p"))
+  }
+
+  /** Collect the bounded tables into literal maps — ONLY sound below
+    * [[KnLiteralMax]]; callers at production K stay on [[knScoreJoinWith]]. */
+  def knCollect(t: KnTables): KnModel = {
+    val vocab = t.vocab.select(col("tok")).collect().map(_.getString(0)).toSet
+    val bg = t.bg.collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    val ctxRows = t.ctx.select(col("a"), col("ca"), col("n1f")).collect()
+    val ca = ctxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1f = ctxRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val n1p = t.cont.select(col("b"), col("n1p")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    KnModel(vocab, bg, knSeed(ca), knSeed(n1f), knSeed(n1p), t.dTypes)
+  }
+
+  def knTrain(documents: DataFrame, idCol: String,
+      textCol: String): KnModel =
+    knCollect(knTrainTablesOn(documents, idCol, textCol))
+
+  /** Literal-map entry ceiling for riding a trained KN model into a plan
+    * as `typedLit` maps. The bigram table is ≤(K+1)² — QUADRATIC in the
+    * vocab knob — so above this the scorer must switch to the
+    * broadcast-join spelling ([[knScoreJoinWith]]) instead of growing a
+    * multi-MB plan literal. 4096 entries ≈ a K=63 vocab. */
+  val KnLiteralMax = 4096L
+
+  /** Score documents under a TRAINED model riding the plan as map literals
+    * — the small-K spelling (zero joins, one map expression). Stateless,
+    * so it applies to batch and streaming DataFrames alike. Total over any
+    * input: OOV tokens project to `<unk>` before lookup and the `<unk>`
+    * fallback row is guaranteed by [[knSeed]]. No ordering is imposed
+    * (streams cannot sort); callers order after the drain. */
+  def knScoreWith(m: KnModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    require(m.bg.size <= KnLiteralMax,
+      s"KN literal scorer at ${m.bg.size} bigram entries exceeds " +
+        s"KnLiteralMax=$KnLiteralMax; use knScoreJoinWith (the tables are " +
+        "quadratic in the vocab size)")
+    val d = KnDiscount
+    val q6 = LmQuantum
+    docs
+      .withColumn("_vs", typedLit(m.vocab.toSeq.sorted))
+      .withColumn("_bg", typedLit(m.bg))
+      .withColumn("_ca", typedLit(m.ca))
+      .withColumn("_n1f", typedLit(m.n1f))
+      .withColumn("_n1p", typedLit(m.n1p))
+      .withColumn("_pt", expr(
+        s"transform(split(trim($textCol), '\\\\s+'), " +
+          "t -> IF(array_contains(_vs, t), t, '<unk>'))"))
+      .filter(size(col("_pt")) >= 2)
+      .select(col(idCol).as("doc_id"),
+        (size(col("_pt")) - 1).cast("long").as("n_pairs"),
+        expr(
+          s"""aggregate(sequence(1, size(_pt) - 1), 0L, (acc, i) -> acc +
+             |CAST(floor(-ln((greatest(CAST(coalesce(
+             |    _bg[concat(element_at(_pt, i), ' ', element_at(_pt, i + 1))],
+             |    0L) AS DOUBLE) - $d, 0.0)
+             |  + $d * CAST(coalesce(element_at(_n1f, element_at(_pt, i)),
+             |      _n1f['<unk>']) AS DOUBLE)
+             |  * (CAST(coalesce(element_at(_n1p, element_at(_pt, i + 1)),
+             |      _n1p['<unk>']) AS DOUBLE) / CAST(${m.dTypes} AS DOUBLE)))
+             |  / CAST(coalesce(element_at(_ca, element_at(_pt, i)),
+             |      _ca['<unk>']) AS DOUBLE)) * $q6) AS BIGINT))""".stripMargin
+          .replaceAll("\n", " ")).as("_sq"))
+      .select(col("doc_id"), col("n_pairs"),
+        (col("_sq").cast("double") / lit(q6.toDouble) /
+          col("n_pairs").cast("double")).as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+  }
+
+  /** Score documents under a trained model via BROADCAST JOINS — the
+    * production-K spelling: the ≤(K+1)² tables never leave the executors,
+    * so the vocab knob can go to its deploy value (10⁵–10⁶) without a
+    * quadratic plan literal or driver map. Semantics are IDENTICAL to
+    * [[knScoreWith]] term by term: missing bigram → count 0, missing
+    * context/continuation row → the seeded `<unk>` scalars. Stateless maps
+    * + stream-static joins, then one per-doc rollup (a streaming
+    * aggregation when `docs` streams — drain in complete mode). */
+  def knScoreJoinWith(t: KnTables, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val d = KnDiscount
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val term = "CAST(floor(-ln((greatest(CAST(coalesce(cab, 0L) AS DOUBLE) " +
+      s"- $d, 0.0) + $d * CAST(coalesce(n1f, ${t.unkN1f}L) AS DOUBLE) " +
+      s"* (CAST(coalesce(n1p, ${t.unkN1p}L) AS DOUBLE) " +
+      s"/ CAST(${t.dTypes} AS DOUBLE))) " +
+      s"/ CAST(coalesce(ca, ${t.unkCa}L) AS DOUBLE)) * $LmQuantum) AS BIGINT)"
+    knPairsOf(toks, t.vocab)
+      .join(broadcast(t.bg), Seq("a", "b"), "left")
+      .join(broadcast(t.ctx), Seq("a"), "left")
+      .join(broadcast(t.cont), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"),
+        (col("_sq").cast("double") / lit(LmQuantum.toDouble) /
+          col("n_pairs").cast("double")).as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
   }
 
   val knLogprobSql: String = {
@@ -1152,7 +1270,10 @@ object CorpusOps {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabK)
       .collect().map(_.getString(0)).sorted
-    val nDocs = toks.count()
+    // row count straight off the source (column-pruned to nothing — a
+    // footer-counting scan), NOT off `toks`, whose projection would
+    // re-tokenize the corpus just to throw the arrays away
+    val nDocs = documents.count()
     val inVocab = toks
       .select(col("doc_id"),
         array_sort(array_intersect(col("toks"), lit(vocab))).as("vt"))
@@ -1547,30 +1668,37 @@ object CorpusOps {
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     bpeVocabOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
 
-  /** Twin: the [[phraseMergeRoundsSql]] chain extended one round — round 3
-    * only MINES (no third walk is needed to export its vocabulary). */
-  val bpeVocabSql: String =
-    s"""WITH RECURSIVE d AS (
+  /** Twin: the [[phraseMergeRoundsSql]] chain GENERATED to [[BpeRounds]]
+    * depth (each non-final round mines + walks and feeds the next; the
+    * final round only mines — no walk is needed to export its
+    * vocabulary). Deriving the CTE chain from the same constant the
+    * trainer uses means changing [[BpeRounds]] re-derives the oracle
+    * instead of silently desyncing engine and SQL. */
+  val bpeVocabSql: String = {
+    val chain = (1 to BpeRounds).map { r =>
+      val mine = mineCtes(s"d$r", s"bg$r", s"vl$r")
+      if (r < BpeRounds)
+        s"""$mine,
+           |${walkCtes(s"walk$r", s"d$r", s"vl$r")},
+           |m$r AS MATERIALIZED (
+           |  SELECT doc_id, $walkTxt AS txt FROM walk$r WHERE i = n
+           |), d${r + 1} AS MATERIALIZED (
+           |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m$r
+           |)""".stripMargin
+      else mine
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { r =>
+      if (r == 1) s"  SELECT 1 AS round, bg AS phrase, df FROM bg1"
+      else s"  UNION ALL SELECT $r, bg, df FROM bg$r"
+    }.mkString("\n")
+    s"""WITH RECURSIVE d1 AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
-       |), ${mineCtes("d", "bg1", "vl1")},
-       |${walkCtes("walk1", "d", "vl1")},
-       |m1 AS MATERIALIZED (
-       |  SELECT doc_id, $walkTxt AS txt FROM walk1 WHERE i = n
-       |), d2 AS MATERIALIZED (
-       |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m1
-       |), ${mineCtes("d2", "bg2", "vl2")},
-       |${walkCtes("walk2", "d2", "vl2")},
-       |m2 AS MATERIALIZED (
-       |  SELECT doc_id, $walkTxt AS txt FROM walk2 WHERE i = n
-       |), d3 AS MATERIALIZED (
-       |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m2
-       |), ${mineCtes("d3", "bg3", "vl3")}
+       |), $chain
        |SELECT round, phrase, df FROM (
-       |  SELECT 1 AS round, bg AS phrase, df FROM bg1
-       |  UNION ALL SELECT 2, bg, df FROM bg2
-       |  UNION ALL SELECT 3, bg, df FROM bg3)
+       |$union)
        |ORDER BY round, df DESC, phrase""".stripMargin
+  }
 
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —

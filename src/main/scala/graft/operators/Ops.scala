@@ -806,7 +806,10 @@ object Ann {
         zip_with(col("_e"), col("_cent"), (x, y) => x - y).as("_r"))
     val books = pqTrain(assigned, "neighbor_id", "_r", dim)
     val flat = flatBooks(books, dim)
-    flat.toDF("q").agg(collect_list(col("q")).as("flat"))
+    // Persist (idx, value) rows, not a collect_list array: collect_list
+    // ordering after an exchange is not guaranteed on a cluster, and a
+    // permuted flat codebook would silently corrupt every ADC score.
+    flat.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "q")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     graft.sources.Sinks.writePartitionedParquet(
       assigned.select(col("_cent_id").as("list_id"), col("neighbor_id"),
@@ -834,7 +837,7 @@ object Ann {
     import spark.implicits._
     val subDim = dim / PqM
     val flat = spark.read.parquet(s"$path/codebooks")
-      .head().getSeq[Long](0).toArray
+      .orderBy("idx").select("q").as[Long].collect()
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
     val probes = nearestLists(cents,

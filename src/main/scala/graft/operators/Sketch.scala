@@ -243,11 +243,6 @@ object Sketch {
        |FROM j""".stripMargin
 
   // --- C54: persisted near-dup index (build once, probe per batch) ---------
-  /** Index builds already done in THIS JVM (keyed by path) — the build is
-    * deterministic, so repeat calls probe the existing index: the
-    * amortized steady state the operator exists for. */
-  private val idxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The C27 arriving batch probed against the PERSISTED history band
     * index ([[Dedup.dedupIndexBuild]]): history is sketched once and
     * stored as band-tuple rows; each batch sketches only itself and
@@ -258,10 +253,9 @@ object Sketch {
   def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val hist = graft.sources.Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    if (idxBuilt.add(path))
-      Dedup.dedupIndexBuild(hist, "doc_id", "text", path)
+    val path = graft.sources.IndexScratch.path("dedupidx", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
     Dedup.dedupIndexProbe(spark, path,
         graft.operators.CorpusOps.incrementalBatch(spark, dir),
         "doc_id", "text", minEstJaccard = MinEstJaccard)
@@ -310,11 +304,10 @@ object Sketch {
     import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
     val docs = graft.sources.Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    if (idxBuilt.add(path))
-      Dedup.simhashIndexBuild(docs, "doc_id", "text", path,
-        bandBits = SimhashBandBits)
+    val path = graft.sources.IndexScratch.path("shidx", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.simhashIndexBuild(docs, "doc_id", "text", p,
+        bandBits = SimhashBandBits))
     val batch = docs.filter(col("doc_id") % BenchmarkMod === 0)
       .select((col("doc_id") + ContaminatedShift).as("doc_id"),
         concat(col("text"), lit(" leaked")).as("text"))

@@ -137,17 +137,11 @@ object VectorOps {
     * [[Ann.ivfPqBuild]]/[[Ann.ivfPqTopK]]). The driver query builds the
     * index into a deterministic scratch dir and probes it — the build is
     * the amortized half, the probe is what a query batch pays. */
-  /** Index builds already done in THIS JVM (keyed by path): the build is
-    * deterministic, so a repeat call — the amortized steady state of an
-    * IVF-PQ deployment — probes the existing index instead of rebuilding. */
-  private val ivfPqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    if (ivfPqBuilt.add(path))
-      Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, path)
+    val path = graft.sources.IndexScratch.path("ivfpq", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, p))
     Ann.ivfPqTopK(spark, path, corpus.filter(col("vec_id") % 50 === 0),
         "vec_id", "emb", Dim, TopK, nProbe = IvfProbes)
       .orderBy(col("query_id"), col("rank"))

@@ -294,56 +294,45 @@ object StreamOps {
 
   /** C55's Kneser–Ney scorer over a LIVE document feed — the production
     * LM-gate shape: the model trains OFFLINE (one bounded batch pass →
-    * [[graft.operators.CorpusOps.knTrain]]'s ≤(K+1)²-entry tables), rides
-    * into the stream as map literals (the broadcast analog at this table
-    * size), and every arriving document scores in a single MAP expression
-    * — no state store, no per-doc aggregation, append mode. Unseen tokens
-    * and pairs at deploy time back off deterministically (`<unk>` row /
-    * zero bigram count), so the scorer is total over any input; on the
-    * training corpus the drain EQUALS the batch query and shares C55's
-    * DuckDB oracle. */
-  def streamKnScore(rootSpark: SparkSession, dir: String): DataFrame = {
+    * [[graft.operators.CorpusOps.knTrainTablesOn]]'s ≤(K+1)²-entry
+    * tables), then scores every arriving document statelessly. Below
+    * [[graft.operators.CorpusOps.KnLiteralMax]] bigram entries the tables
+    * ride the plan as map literals and scoring is ONE map expression in
+    * append mode (zero joins, zero state); above it — the tables are
+    * QUADRATIC in the vocab knob — the SAME semantics run as stream-static
+    * broadcast joins + one per-doc rollup, so a production K of 10⁵ never
+    * grows a multi-MB plan literal or driver map. Unseen tokens and pairs
+    * at deploy time back off deterministically (seeded `<unk>` row / zero
+    * bigram count), so the scorer is total over any input; on the training
+    * corpus the drain EQUALS the batch query and shares C55's DuckDB
+    * oracle. */
+  def streamKnScore(rootSpark: SparkSession, dir: String): DataFrame =
+    streamKnScoreImpl(rootSpark, dir,
+      graft.operators.CorpusOps.KnLiteralMax)
+
+  /** `literalMax` is injectable so the spec can force the broadcast-join
+    * path on the gate corpus and pin literal ≡ join. */
+  private[graft] def streamKnScoreImpl(rootSpark: SparkSession, dir: String,
+      literalMax: Long): DataFrame = {
     val spark = streamingSession(rootSpark)
-    val m = graft.operators.CorpusOps.knTrain(
+    val t = graft.operators.CorpusOps.knTrainTablesOn(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val d = graft.operators.CorpusOps.KnDiscount
-    val q6 = graft.operators.CorpusOps.LmQuantum
-    val scored = docs
-      .withColumn("_vs", typedLit(m.vocab.toSeq.sorted))
-      .withColumn("_bg", typedLit(m.bg))
-      .withColumn("_ca", typedLit(m.ca))
-      .withColumn("_n1f", typedLit(m.n1f))
-      .withColumn("_n1p", typedLit(m.n1p))
-      .withColumn("_pt", expr(
-        "transform(split(trim(text), '\\\\s+'), " +
-          "t -> IF(array_contains(_vs, t), t, '<unk>'))"))
-      .filter(size(col("_pt")) >= 2)
-      .select(col("doc_id"),
-        (size(col("_pt")) - 1).cast("long").as("n_pairs"),
-        expr(
-          s"""aggregate(sequence(1, size(_pt) - 1), 0L, (acc, i) -> acc +
-             |CAST(floor(-ln((greatest(CAST(coalesce(
-             |    _bg[concat(element_at(_pt, i), ' ', element_at(_pt, i + 1))],
-             |    0L) AS DOUBLE) - $d, 0.0)
-             |  + $d * CAST(coalesce(element_at(_n1f, element_at(_pt, i)),
-             |      _n1f['<unk>']) AS DOUBLE)
-             |  * (CAST(coalesce(element_at(_n1p, element_at(_pt, i + 1)),
-             |      _n1p['<unk>']) AS DOUBLE) / CAST(${m.dTypes} AS DOUBLE)))
-             |  / CAST(coalesce(element_at(_ca, element_at(_pt, i)),
-             |      _ca['<unk>']) AS DOUBLE)) * $q6) AS BIGINT))""".stripMargin
-          .replaceAll("\n", " ")).as("_sq"))
-      .select(col("doc_id"), col("n_pairs"),
-        (col("_sq").cast("double") / lit(q6.toDouble) /
-          col("n_pairs").cast("double")).as("cross_entropy"))
-      .withColumn("ppl_bucket",
-        least(lit(graft.operators.CorpusOps.LmBucketMax),
-          floor(col("cross_entropy"))).cast("int"))
     spark.streams.active.filter(_.name == KnScoreQueryName).foreach(_.stop())
-    val q = scored.writeStream.format("memory").queryName(KnScoreQueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q =
+      if (t.dTypes <= literalMax) {
+        val m = graft.operators.CorpusOps.knCollect(t)
+        graft.operators.CorpusOps.knScoreWith(m, docs, "doc_id", "text")
+          .writeStream.format("memory").queryName(KnScoreQueryName)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } else {
+        // per-doc rollup over the joined pairs is a streaming aggregation
+        graft.operators.CorpusOps.knScoreJoinWith(t, docs, "doc_id", "text")
+          .writeStream.format("memory").queryName(KnScoreQueryName)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
     q.awaitTermination()
     spark.table(KnScoreQueryName).orderBy(col("doc_id"))
   }

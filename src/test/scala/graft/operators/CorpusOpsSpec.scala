@@ -503,6 +503,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == "<unk>" || p._2 == "<unk>"))
   }
 
+  test("kn scorer is total over unseen deploy tokens (seeded <unk> row)") {
+    val s = spark
+    import s.implicits._
+    // training vocab fits inside UnigramVocabK => no OOV pairs were seen,
+    // so without seeding the '<unk>' fallback keys would be absent
+    val train = Seq((1L, "a b a b c"), (2L, "a c b a"), (3L, "b c a b"))
+      .toDF("doc_id", "text")
+    val t = CorpusOps.knTrainTablesOn(train, "doc_id", "text")
+    val m = CorpusOps.knCollect(t)
+    assert(!m.bg.keysIterator.exists(_.contains("<unk>")))
+    assert(m.ca.contains("<unk>") && m.n1f.contains("<unk>") &&
+      m.n1p.contains("<unk>"))
+    val deploy = Seq((9L, "zz qq a b")).toDF("doc_id", "text")
+    val lit = CorpusOps.knScoreWith(m, deploy, "doc_id", "text").collect()
+    val jn = CorpusOps.knScoreJoinWith(t, deploy, "doc_id", "text").collect()
+    for (r <- lit ++ jn) {
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(!ce.isNaN && !ce.isInfinity && ce > 0, s"not finite: $r")
+    }
+    // both spellings back off identically on the unseen input
+    assert(lit.map(_.toString).toSeq === jn.map(_.toString).toSeq)
+  }
+
+  test("kn literal and broadcast-join scorers agree on the gate corpus") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val t = CorpusOps.knTrainTablesOn(docs, "doc_id", "text")
+    val m = CorpusOps.knCollect(t)
+    val lit = CorpusOps.knScoreWith(m, docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    val jn = CorpusOps.knScoreJoinWith(t, docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    assert(lit.nonEmpty && lit.toSeq === jn.toSeq)
+    // and both equal the C55 batch query on the training corpus
+    val batch = CorpusOps.knLogprob(spark, sfDir).collect().map(_.toString)
+    assert(lit.toSeq === batch.toSeq)
+  }
+
+  test("knScoreWith refuses a model past the literal ceiling") {
+    val big = (1 to (CorpusOps.KnLiteralMax.toInt + 1))
+      .map(i => s"t$i x" -> 1L).toMap
+    val one = Map("x" -> 1L, "<unk>" -> 1L)
+    val m = CorpusOps.KnModel(Set("x"), big, one, one, one, big.size.toLong)
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.knScoreWith(m, spark.emptyDataFrame, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("KnLiteralMax"))
+  }
+
+  test("bpe_vocab oracle SQL is generated from BpeRounds") {
+    val sql = CorpusOps.bpeVocabSql
+    (1 to CorpusOps.BpeRounds).foreach(r =>
+      assert(sql.contains(s"FROM bg$r"), s"missing round-$r mine"))
+    assert(!sql.contains(s"bg${CorpusOps.BpeRounds + 1}"))
+    // every non-final round walks its merges forward; the final one only mines
+    (1 until CorpusOps.BpeRounds).foreach(r =>
+      assert(sql.contains(s"walk$r"), s"missing round-$r walk"))
+    assert(!sql.contains(s"walk${CorpusOps.BpeRounds}"))
+  }
+
   test("weighted_sample: replays in the JVM; inclusion tracks the weight") {
     val docs = graft.sources.Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).collect()

@@ -184,6 +184,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed KN scorer on the broadcast-join path equals the batch query") {
+    // literalMax = 0 forces the production-K spelling (stream-static
+    // broadcast joins + per-doc rollup) on the gate corpus
+    val s = StreamOps.streamKnScoreImpl(spark, sfDir, 0L).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.knLogprob(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
