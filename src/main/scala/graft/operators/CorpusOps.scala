@@ -978,6 +978,165 @@ object CorpusOps {
        |    AS ppl_bucket
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- C57: 4-gram-LM quality signal (interpolated backoff) -----------------
+  /** 4-gram table bound (the [[BigramK]]/[[TrigramK]] discipline one order
+    * up) and the interpolation weights — textual so both engines parse the
+    * identical IEEE doubles. As in C51, each higher-order λ applies only
+    * when its CONTEXT n-gram survived its own top-K cut (else that term
+    * backs off to zero — Katz-style "unseen context", made deterministic
+    * by the shared cuts). */
+  val FourgramK = 50000
+  val QuadL4 = "0.5"
+  val QuadL3 = "0.25"
+  val QuadL2 = "0.15"
+  val QuadL1 = "0.1"
+
+  /** Per-document cross-entropy under an interpolated 4-gram LM
+    * (p(d|a,b,c) = λ4·c(abcd)/c(abc) + λ3·c(bcd)/c(bc) + λ2·c(cd)/c(c)
+    * + λ1·c(d)/N) — the C51 chain extended one order: catches documents
+    * whose three-token windows are individually plausible but whose
+    * four-token sequences are stitched (the templating/spam signature one
+    * order past trigram reach).
+    *
+    * Scale shape: four bounded LM tables (top-[[FourgramK]] 4-grams,
+    * top-[[TrigramK]] trigrams serving BOTH the (a,b,c) context and the
+    * (b,c,d) continuation, top-[[BigramK]] bigrams for (b,c) and (c,d),
+    * the shared C31 unigram cut) broadcast onto the quad adjacency stream
+    * — seven broadcast joins, zero corpus shuffles before the one per-doc
+    * rollup. The shuffles that do exist carry O(distinct n-grams) after
+    * map-side combine, exactly C51's budget plus one counting agg. Parity:
+    * the C49/C51 micro-nat floor ([[LmQuantum]]). */
+  def fourgramLogprobOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val lm = lmVocabOf(docs)
+    val pairs = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .orderBy(col("cab").desc, col("a"), col("b")).limit(BigramK)
+      .localCheckpoint(eager = true)
+    val triples = docs.filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b, " +
+          "element_at(toks, i + 2) AS c))")).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+    val tri = triples.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cabc"))
+      .orderBy(col("cabc").desc, col("a"), col("b"), col("c")).limit(TrigramK)
+      .localCheckpoint(eager = true)
+    val quads = docs.filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 3), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b, " +
+          "element_at(toks, i + 2) AS c, element_at(toks, i + 3) AS d))"))
+        .as("q"))
+      .select(col("doc_id"), col("q.a").as("a"), col("q.b").as("b"),
+        col("q.c").as("c"), col("q.d").as("d"))
+    val quad = quads.groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg(count(lit(1)).as("cabcd"))
+      .orderBy(col("cabcd").desc, col("a"), col("b"), col("c"), col("d"))
+      .limit(FourgramK)
+      .localCheckpoint(eager = true)
+    val term = s"CAST(floor(-ln(" +
+      s"(CASE WHEN cabc IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $QuadL4 * CAST(coalesce(cabcd, 0) AS DOUBLE) / CAST(cabc AS DOUBLE) END) " +
+      s"+ (CASE WHEN cbc IS NULL THEN CAST(0 AS DOUBLE) " +
+      s"ELSE $QuadL3 * CAST(coalesce(cbcd, 0) AS DOUBLE) / CAST(cbc AS DOUBLE) END) " +
+      s"+ $QuadL2 * CAST(coalesce(ccd, 0) AS DOUBLE) / CAST(coalesce(cc, ${lm.oovCnt}L) AS DOUBLE) " +
+      s"+ $QuadL1 * CAST(coalesce(cd, ${lm.oovCnt}L) AS DOUBLE) / CAST(${lm.n} AS DOUBLE)" +
+      s") * $LmQuantum) AS BIGINT)"
+    quads
+      .join(broadcast(quad), Seq("a", "b", "c", "d"), "left")
+      .join(broadcast(tri), Seq("a", "b", "c"), "left")
+      .join(broadcast(tri.select(col("a").as("b"), col("b").as("c"),
+        col("c").as("d"), col("cabc").as("cbcd"))), Seq("b", "c", "d"), "left")
+      .join(broadcast(bi.select(col("a").as("b"), col("b").as("c"),
+        col("cab").as("cbc"))), Seq("b", "c"), "left")
+      .join(broadcast(bi.select(col("a").as("c"), col("b").as("d"),
+        col("cab").as("ccd"))), Seq("c", "d"), "left")
+      .join(broadcast(lm.vocab.select(col("tok").as("c"), col("cnt").as("cc"))),
+        Seq("c"), "left")
+      .join(broadcast(lm.vocab.select(col("tok").as("d"), col("cnt").as("cd"))),
+        Seq("d"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(term)).as("_sq"), count(lit(1)).as("n_quads"))
+      .select(col("doc_id"), col("n_quads"),
+        (col("_sq").cast("double") / lit(LmQuantum.toDouble) / col("n_quads").cast("double"))
+          .as("cross_entropy"))
+      .withColumn("ppl_bucket",
+        least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fourgramLogprob(spark: SparkSession, dir: String): DataFrame =
+    fourgramLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  val fourgramLogprobSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), $lmVocabCtes,
+       |dp AS (
+       |  SELECT toks[i] AS a, toks[i + 1] AS b
+       |  FROM d, unnest(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), bi AS (
+       |  SELECT a, b, COUNT(*) AS cab FROM dp GROUP BY 1, 2
+       |  ORDER BY cab DESC, a, b LIMIT $BigramK
+       |), dt AS (
+       |  SELECT toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+       |  FROM d, unnest(range(1, len(toks) - 1)) t(i)
+       |  WHERE len(toks) >= 3
+       |), tri AS (
+       |  SELECT a, b, c, COUNT(*) AS cabc FROM dt GROUP BY 1, 2, 3
+       |  ORDER BY cabc DESC, a, b, c LIMIT $TrigramK
+       |), dq AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c,
+       |         toks[i + 3] AS dd
+       |  FROM d, unnest(range(1, len(toks) - 2)) t(i)
+       |  WHERE len(toks) >= 4
+       |), quad AS (
+       |  SELECT a, b, c, dd, COUNT(*) AS cabcd FROM dq GROUP BY 1, 2, 3, 4
+       |  ORDER BY cabcd DESC, a, b, c, dd LIMIT $FourgramK
+       |), s AS (
+       |  SELECT doc_id,
+       |    SUM(CAST(floor(-ln(
+       |      (CASE WHEN abc.cabc IS NULL THEN CAST(0 AS DOUBLE)
+       |            ELSE $QuadL4 * CAST(COALESCE(quad.cabcd, 0) AS DOUBLE)
+       |                 / CAST(abc.cabc AS DOUBLE) END)
+       |      + (CASE WHEN bc.cab IS NULL THEN CAST(0 AS DOUBLE)
+       |            ELSE $QuadL3 * CAST(COALESCE(bcd.cabc, 0) AS DOUBLE)
+       |                 / CAST(bc.cab AS DOUBLE) END)
+       |      + $QuadL2 * CAST(COALESCE(cd.cab, 0) AS DOUBLE)
+       |        / CAST(COALESCE(uc.cnt, oovc) AS DOUBLE)
+       |      + $QuadL1 * CAST(COALESCE(ud.cnt, oovc) AS DOUBLE)
+       |        / CAST(n.n AS DOUBLE)
+       |    ) * $LmQuantum) AS BIGINT)) AS sq,
+       |    COUNT(*) AS nq
+       |  FROM dq
+       |  LEFT JOIN quad USING (a, b, c, dd)
+       |  LEFT JOIN tri abc ON abc.a = dq.a AND abc.b = dq.b AND abc.c = dq.c
+       |  LEFT JOIN tri bcd ON bcd.a = dq.b AND bcd.b = dq.c AND bcd.c = dq.dd
+       |  LEFT JOIN bi bc ON bc.a = dq.b AND bc.b = dq.c
+       |  LEFT JOIN bi cd ON cd.a = dq.c AND cd.b = dq.dd
+       |  LEFT JOIN v uc ON uc.tok = dq.c
+       |  LEFT JOIN v ud ON ud.tok = dq.dd
+       |  CROSS JOIN n
+       |  CROSS JOIN oov
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(nq AS BIGINT) AS n_quads,
+       |  CAST(sq AS DOUBLE) / $LmQuantum / CAST(nq AS DOUBLE) AS cross_entropy,
+       |  CAST(LEAST($LmBucketMax,
+       |       floor(CAST(sq AS DOUBLE) / $LmQuantum / CAST(nq AS DOUBLE))) AS INT)
+       |    AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // --- C55: Kneser–Ney bigram quality signal --------------------------------
   /** Absolute discount, textual so both engines parse the identical
     * double. 0.75 is the standard KN default. */
@@ -1786,6 +1945,7 @@ object CorpusOps {
     "phrase_merge_rounds" -> (phraseMergeRounds _),
     "bigram_logprob" -> (bigramLogprob _),
     "trigram_logprob" -> (trigramLogprob _),
+    "fourgram_logprob" -> (fourgramLogprob _),
     "bpe_vocab" -> (bpeVocab _),
     "kn_logprob" -> (knLogprob _))
 
@@ -1808,6 +1968,7 @@ object CorpusOps {
     "phrase_merge_rounds" -> phraseMergeRoundsSql,
     "bigram_logprob" -> bigramLogprobSql,
     "trigram_logprob" -> trigramLogprobSql,
+    "fourgram_logprob" -> fourgramLogprobSql,
     "bpe_vocab" -> bpeVocabSql,
     "kn_logprob" -> knLogprobSql)
 }

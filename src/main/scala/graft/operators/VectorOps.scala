@@ -137,12 +137,34 @@ object VectorOps {
     * [[Ann.ivfPqBuild]]/[[Ann.ivfPqTopK]]). The driver query builds the
     * index into a deterministic scratch dir and probes it — the build is
     * the amortized half, the probe is what a query batch pays. */
+  /** Scratch-index layout version: bumped whenever [[Ann.ivfPqBuild]]'s
+    * on-disk format changes (v2 added the refinement codebook + codes2),
+    * so a stale index from an older layout is never adopted. */
+  val IvfPqIndexKind = "ivfpq2"
+
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
-    val path = graft.sources.IndexScratch.path("ivfpq", dir)
+    val path = graft.sources.IndexScratch.path(IvfPqIndexKind, dir)
     graft.sources.IndexScratch.ensure(path)(p =>
       Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, p))
     Ann.ivfPqTopK(spark, path, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", Dim, TopK, nProbe = IvfProbes)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --- C58: IVF×PQ two-stage refine (rows-only; recall + fetch-cut spec) ---
+  /** The SAME persisted index as C50, queried through the ADC+R re-rank
+    * ([[Ann.ivfPqRefineTopK]]): coarse-ADC survivors are re-scored from
+    * the stored 16-byte (codes, codes2) reconstruction, so the rows that
+    * read a full vector drop from rerank×k=100 to refine×k=30 per query
+    * — the exact-fetch cut that matters when the codes live in memory
+    * and the vectors on remote storage. */
+  def annIvfPqRefineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val path = graft.sources.IndexScratch.path(IvfPqIndexKind, dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, p))
+    Ann.ivfPqRefineTopK(spark, path, corpus.filter(col("vec_id") % 50 === 0),
         "vec_id", "emb", Dim, TopK, nProbe = IvfProbes)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -736,6 +758,7 @@ object VectorOps {
     "semantic_dedup" -> (semanticDedup _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_ivfpq_refine" -> (annIvfPqRefineTopk _),
     "diverse_topk" -> (diverseTopk _),
     "diverse_topk_multi" -> (diverseTopkMulti _)
   )

@@ -439,6 +439,56 @@ class CorpusOpsSpec extends SparkSpec {
       s"trigram ${ceTri.sum / ceTri.length} vs bigram ${ceBi.sum / ceBi.length}")
   }
 
+  test("fourgram_logprob: JVM replay agrees; all four tables stay bounded") {
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val n = uni.values.sum
+    val kept = uni.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(CorpusOps.UnigramVocabK).toMap
+    val oov = math.max(n - kept.values.sum, 1L)
+    val biAll = texts.flatMap { case (_, t) => t.zip(t.tail) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val triAll = texts.flatMap { case (_, t) =>
+      t.lazyZip(t.tail).lazyZip(t.drop(2)).toSeq }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val quadAll = texts.flatMap { case (_, t) =>
+      if (t.size >= 4) t.sliding(4).map(w => (w(0), w(1), w(2), w(3))).toSeq
+      else Nil }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // the fixture stays under every cut — the bounded tables keep all
+    assert(biAll.size <= CorpusOps.BigramK && triAll.size <= CorpusOps.TrigramK
+      && quadAll.size <= CorpusOps.FourgramK)
+    val (l4, l3, l2, l1) = (0.5, 0.25, 0.15, 0.1)
+    val expected = texts.filter(_._2.size >= 4).map { case (id, t) =>
+      val qs = t.sliding(4).map(w => (w(0), w(1), w(2), w(3))).toSeq
+      val sq = qs.map { case (a, b, c, d) =>
+        val t4 = triAll.get((a, b, c)) match {
+          case Some(cabc) =>
+            l4 * quadAll.getOrElse((a, b, c, d), 0L).toDouble / cabc
+          case None => 0.0
+        }
+        val t3 = biAll.get((b, c)) match {
+          case Some(cbc) =>
+            l3 * triAll.getOrElse((b, c, d), 0L).toDouble / cbc
+          case None => 0.0
+        }
+        val p = t4 + t3 +
+          l2 * biAll.getOrElse((c, d), 0L).toDouble /
+            kept.getOrElse(c, oov).toDouble +
+          l1 * kept.getOrElse(d, oov).toDouble / n.toDouble
+        math.floor(-math.log(p) * 1e6).toLong
+      }.sum
+      val ce = sq.toDouble / 1e6 / qs.size.toDouble
+      (id, qs.size.toLong, ce, math.min(9, math.floor(ce).toLong).toInt)
+    }.sortBy(_._1)
+    val got = CorpusOps.fourgramLogprob(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty && got.toSeq === expected.toSeq)
+  }
+
   test("bpe_vocab: round 1 equals single-round mining; later rounds chain") {
     val docs = graft.sources.Tables(spark, sfDir).documents
     val got = CorpusOps.bpeVocab(spark, sfDir).collect()

@@ -243,6 +243,40 @@ class VectorSpec extends SparkSpec {
     assert(planA.contains("PartitionFilters: [list_id"), planA)
   }
 
+  test("ann_ivfpq_refine: recall >= plain C50 with 3.3x fewer exact fetches") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[(Long, Long)]): Double =
+      (exact & rows.toSet).size.toDouble / exact.size
+    val plain = recallOf(VectorOps.annIvfPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val run1 = VectorOps.annIvfPqRefineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val refined = recallOf(run1.map(t => (t._1, t._2)))
+    // the ADC+R re-rank must not give back what the 3.3x smaller
+    // survivor margin saves: same-or-better recall than rerank×k=100
+    assert(refined >= plain, s"refine recall $refined < plain $plain")
+    // deterministic replay (memoized index, quantized integer proxy)
+    val run2 = VectorOps.annIvfPqRefineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(run1.toSeq === run2.toSeq)
+    // the fetch budget itself: stage 2 hands the exact stage EXACTLY
+    // refine×k survivors per query — 30 ids vs ivfPqTopK's 100
+    val corpus = embDouble.select(col("vec_id"), col("emb"))
+    val path = graft.sources.IndexScratch.path(VectorOps.IvfPqIndexKind, sfDir)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val st = Ann.ivfPqRefineStage(spark, path, queries, "vec_id", "emb",
+      VectorOps.Dim, VectorOps.TopK, VectorOps.IvfProbes, rerank = 10,
+      refine = 3)
+    val perQuery = st.survivors.groupBy(col("query_id")).count()
+      .select("count").collect().map(_.getLong(0))
+    val nQueries = queries.count()
+    assert(perQuery.length.toLong === nQueries)
+    assert(perQuery.forall(_ === 3L * VectorOps.TopK),
+      s"survivor counts ${perQuery.distinct.toSeq} != ${3 * VectorOps.TopK}")
+  }
+
   test("semantic_dedup drops exactly the seeded copies, keeping originals") {
     val rows = VectorOps.semanticDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
