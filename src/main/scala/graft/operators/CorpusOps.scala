@@ -623,7 +623,7 @@ object CorpusOps {
       MixBudgetNum, MixBudgetDen)
 
   /** 4-hex-char positional parse (the md5-prefix → integer idiom). */
-  private def hex4Sql(m: String): String =
+  private[operators] def hex4Sql(m: String): String =
     (1 to 4).map(i =>
       s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
       .mkString(" + ")
@@ -1800,20 +1800,58 @@ object CorpusOps {
     * the output is R × K rows assembled driver-side. Lineage is cut every
     * other round so deep trainers plan like shallow ones. */
   def bpeVocabOn(documents: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    bpeTrain(documents, idCol, textCol, Nil, rounds)
+
+  /** WARM-START the trainer from a previous run's exported merge table:
+    * the stored rounds replay as pure codegen merge passes — their mining
+    * aggregations (the expensive half: one full-corpus n-gram count per
+    * round) are skipped, their rows pass through to the output — and only
+    * rounds past the stored depth mine. Because mining round r depends on
+    * the corpus state only THROUGH the merge vocabularies of rounds < r,
+    * warm-start(R+1 | table@R) ≡ cold-start(R+1) exactly (spec-pinned,
+    * including through a Sinks parquet round-trip of the artifact) — the
+    * property that lets a tokenizer team deepen a versioned merge table
+    * without retraining from round 1. */
+  def bpeVocabResumeOn(documents: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame, rounds: Int): DataFrame = {
+    val stored = mergeTable
+      .select(col("round").cast("int"), col("phrase"), col("df").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    if (stored.nonEmpty) {
+      val rs = stored.map(_._1).toSet
+      require((1 to rs.max).forall(rs.contains),
+        s"merge table is missing rounds: have $rs")
+    }
+    bpeTrain(documents, idCol, textCol, stored, rounds)
+  }
+
+  /** Shared trainer core: rounds ≤ the stored depth REPLAY (merge pass
+    * only), rounds past it MINE then merge — [[bpeVocabOn]] is the
+    * stored-nothing case. */
+  private def bpeTrain(documents: DataFrame, idCol: String, textCol: String,
+      stored: Seq[(Int, String, Long)], rounds: Int): DataFrame = {
     import graft.functions.textsketch.greedy_phrase_merge
     val spark = documents.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val r0 = if (stored.isEmpty) 0 else stored.map(_._1).max
+    require(rounds >= r0, s"rounds=$rounds below the stored depth $r0")
     var cur = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    mined ++= stored
     for (r <- 1 to rounds) {
-      val rows = minePhrasesDf(
-        cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
-        "doc_id", "text")
-        .collect().map(x => (r, x.getString(0), x.getLong(1)))
-      mined ++= rows
+      val rows: Seq[(Int, String, Long)] =
+        if (r <= r0) stored.filter(_._1 == r)
+        else {
+          val fresh = minePhrasesDf(
+            cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+            "doc_id", "text")
+            .collect().map(x => (r, x.getString(0), x.getLong(1))).toSeq
+          mined ++= fresh
+          fresh
+        }
       if (r < rounds) {
         cur = cur.withColumn("toks",
           greedy_phrase_merge(col("toks"), rows.map(_._2).toIndexedSeq))

@@ -618,8 +618,88 @@ object Pipeline {
        |FROM c ORDER BY chunk_id""".stripMargin
   }
 
+  // --- C59: per-day quality drift -------------------------------------------
+  /** Deterministic event-day for the document feed: an md5-derived 16-bit
+    * hash of doc_id spread over a [[DriftDays]]-day window from
+    * [[DriftEpoch]] — content-addressed like every synthetic assignment
+    * here, so both engines AND the streaming replay (B52) agree
+    * bit-for-bit, and reprocessing never moves a document's day. */
+  val DriftDays = 14
+  val DriftEpoch = "2024-01-01"
+
+  private def driftDayCol: Column = date_add(to_date(lit(DriftEpoch)),
+    conv(substring(md5(concat(col("doc_id").cast("string"), lit(":day"))),
+      1, 4), 16, 10).cast("int") % DriftDays)
+
+  /** Per-day gate counters — the streaming-safe half of the drift monitor:
+    * C15's codegen'd flag chain (a pure map stage) composed with one
+    * partial-agg shuffle carrying O(days) rows. Runs unchanged as a
+    * streaming aggregation ([[graft.streaming.StreamOps]] B52): state is
+    * one counter row per (day, reason-bucket), never O(corpus). */
+  def qualityDriftAggOn(docs: DataFrame): DataFrame =
+    qualityFlagsOn(docs)
+      .withColumn("day", driftDayCol)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("passes").cast("long")).as("n_pass"),
+        sum(when(col("reject_reason") === "too_short", 1L).otherwise(0L))
+          .as("n_too_short"),
+        sum(when(col("reject_reason") === "too_long", 1L).otherwise(0L))
+          .as("n_too_long"),
+        sum(when(col("reject_reason") === "word_len", 1L).otherwise(0L))
+          .as("n_word_len"),
+        sum(when(col("reject_reason") === "no_stopwords", 1L).otherwise(0L))
+          .as("n_no_stopwords"))
+
+  /** Rates + day-over-day drift over the drained counters: pass_rate is
+    * one IEEE division of exact integers; rate_delta subtracts the
+    * previous day's identical expression (lag over the O(days) board —
+    * the single-partition window is bounded by the calendar, not the
+    * corpus). The signal a curation team alerts on: a falling pass_rate
+    * means the upstream feed's quality mix is drifting. */
+  def qualityDriftOf(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    counts
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .withColumn("rate_delta",
+        col("pass_rate") - lag(col("pass_rate"), 1).over(w))
+      .orderBy(col("day"))
+  }
+
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame =
+    qualityDriftOf(qualityDriftAggOn(Tables(spark, dir).documents))
+
+  val qualityDriftSql: String = {
+    val h16 = CorpusOps.hex4Sql(
+      "substr(md5(CAST(doc_id AS VARCHAR) || ':day'), 1, 4)")
+    s"""WITH q AS (
+       |  ${qualityFilterChainSql.replace("ORDER BY doc_id", "")}
+       |), c AS (
+       |  SELECT DATE '$DriftEpoch' + CAST(($h16) % $DriftDays AS INT) AS day,
+       |    COUNT(*) AS n_docs,
+       |    SUM(passes) AS n_pass,
+       |    SUM(CASE WHEN reject_reason = 'too_short' THEN 1 ELSE 0 END) AS n_too_short,
+       |    SUM(CASE WHEN reject_reason = 'too_long' THEN 1 ELSE 0 END) AS n_too_long,
+       |    SUM(CASE WHEN reject_reason = 'word_len' THEN 1 ELSE 0 END) AS n_word_len,
+       |    SUM(CASE WHEN reject_reason = 'no_stopwords' THEN 1 ELSE 0 END) AS n_no_stopwords
+       |  FROM q GROUP BY 1)
+       |SELECT day, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_pass AS BIGINT) AS n_pass,
+       |  CAST(n_too_short AS BIGINT) AS n_too_short,
+       |  CAST(n_too_long AS BIGINT) AS n_too_long,
+       |  CAST(n_word_len AS BIGINT) AS n_word_len,
+       |  CAST(n_no_stopwords AS BIGINT) AS n_no_stopwords,
+       |  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+       |  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    - LAG(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+       |      OVER (ORDER BY day) AS rate_delta
+       |FROM c ORDER BY day""".stripMargin
+  }
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_drift" -> (qualityDrift _),
     "chunk_documents" -> (chunkDocuments _),
     "text_pii_scrub" -> (textPiiScrub _),
     "sample_split" -> (sampleSplit _),
@@ -634,6 +714,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_drift" -> qualityDriftSql,
     "chunk_documents" -> chunkDocumentsSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "sample_split" -> sampleSplitSql,

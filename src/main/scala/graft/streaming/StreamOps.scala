@@ -368,6 +368,27 @@ object StreamOps {
           col("_e.count").as("n")))
   }
 
+  val DriftQueryName = "graft_stream_quality_drift"
+
+  /** C59's per-day quality-drift monitor maintained BY the stream (B52):
+    * C15's stateless flag chain + the content-addressed day assignment run
+    * map-side on every arriving document; the only state is the per-day
+    * counter board (O(days) rows, the B24 discipline — nothing grows with
+    * the corpus). The drained board re-enters the SAME
+    * [[graft.operators.Pipeline.qualityDriftOf]] rate/lag step the batch
+    * query uses, so drain == batch and the key shares C59's oracle. At
+    * deploy scale this is the live curation dashboard: a falling
+    * pass_rate pages before a bad feed poisons a training snapshot. */
+  def streamQualityDrift(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.operators.Pipeline.qualityDriftOf(
+      drainComplete(spark,
+        graft.operators.Pipeline.qualityDriftAggOn(docs), DriftQueryName))
+  }
+
   val UpsertQueryName = "graft_stream_upsert"
 
   /** B29's CDC compaction maintained BY the stream: the same max-struct
@@ -405,7 +426,8 @@ object StreamOps {
     "stream_transitions" -> (StatefulTransitions.streamTransitions _),
     "stream_topk" -> (streamTopk _),
     "stream_hh_topk" -> (streamHhTopk _),
-    "stream_kn_score" -> (streamKnScore _)
+    "stream_kn_score" -> (streamKnScore _),
+    "stream_quality_drift" -> (streamQualityDrift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,6 +446,8 @@ object StreamOps {
     "stream_topk" -> graft.operators.OlapB.windowTopkSql,
     "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql,
     // the map-side scored stream must equal the batch KN query
-    "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql
+    "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql,
+    // the drained drift board must equal the batch C59 query
+    "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql
   )
 }

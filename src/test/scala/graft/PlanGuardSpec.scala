@@ -126,6 +126,7 @@ class PlanGuardSpec extends SparkSpec {
     "bigram_logprob" -> 7, // unigram/bigram LM aggs (bounded tables broadcast back), per-doc rollup, gate sort — zero corpus shuffles before the rollup
     "trigram_logprob" -> 10, // + the trigram table agg/cut over C49's budget; the triple stream itself still never shuffles before the rollup
     "fourgram_logprob" -> 2, // per-doc rollup + gate sort; the four bounded LM-table aggs run eagerly at build (checkpointed, broadcast back) and the quad stream never shuffles before the rollup
+    "quality_drift" -> 3, // flag chain is map-side; day-counter agg + O(days) single-partition lag window + gate sort
     "window_topk" -> 3, // (day, key) partial agg, per-day heap agg, gate sort — no rank window, no per-day sort
     "dedup_index_probe" -> 3, // batch sketch broadcast onto the index scan (zero history shuffle); pair-dedup exchange + gate sort
     "kn_logprob" -> 8, // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup

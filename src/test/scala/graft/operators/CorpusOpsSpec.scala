@@ -553,6 +553,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == "<unk>" || p._2 == "<unk>"))
   }
 
+  test("bpe_vocab warm-start from a stored merge table equals cold-start") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val cold3 = CorpusOps.bpeVocabOn(docs, "doc_id", "text", 3)
+      .collect().map(_.toString)
+    val table2 = CorpusOps.bpeVocabOn(docs, "doc_id", "text", 2)
+    // artifact round-trip: the exported merge table survives a partitioned
+    // Sinks write/read before the resume consumes it
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe")
+      .toString + "/merges"
+    graft.sources.Sinks.writePartitionedParquet(table2, path,
+      partitionCols = Seq("round"), sortCols = Seq("phrase"))
+    val warm3 = CorpusOps.bpeVocabResumeOn(docs, "doc_id", "text",
+      spark.read.parquet(path), 3).collect().map(_.toString)
+    assert(warm3.nonEmpty && warm3.toSeq === cold3.toSeq)
+    // full-depth resume degenerates to a pure replay: output == artifact
+    val replay = CorpusOps.bpeVocabResumeOn(docs, "doc_id", "text",
+      table2, 2).collect().map(_.toString)
+    assert(replay.toSeq === table2.collect().map(_.toString).toSeq)
+    // a gapped table is refused rather than silently mis-replayed
+    intercept[IllegalArgumentException] {
+      CorpusOps.bpeVocabResumeOn(docs, "doc_id", "text",
+        table2.filter(col("round") === 2), 3)
+    }
+  }
+
   test("kn scorer is total over unseen deploy tokens (seeded <unk> row)") {
     val s = spark
     import s.implicits._

@@ -194,6 +194,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed quality-drift board equals the batch C59 query") {
+    val s = StreamOps.streamQualityDrift(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.Pipeline.qualityDrift(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+    // the day span is the full drift window: per-day boards, not one blob
+    assert(s.length === graft.operators.Pipeline.DriftDays)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
