@@ -226,11 +226,28 @@ object ScaleProbe {
       Ann.ivfPqTopK(spark, ivfPqPath, queries, "vec_id", "emb", dim = 64,
         k = 10, nProbe = 8).count()
     }
+    time("ivfpq_refine_query40") {
+      Ann.ivfPqRefineTopK(spark, ivfPqPath, queries, "vec_id", "emb",
+        dim = 64, k = 10, nProbe = 8).count()
+    }
     time("trigram_logprob") {
       CorpusOps.trigramLogprobOn(docs, "doc_id", "text").count()
     }
+    time("fourgram_logprob") {
+      CorpusOps.fourgramLogprobOn(docs, "doc_id", "text").count()
+    }
     time("bpe_vocab") {
       CorpusOps.bpeVocabOn(docs, "doc_id", "text", CorpusOps.BpeRounds).count()
+    }
+    time("bpe_resume") {
+      // warm-start from the depth-2 table: mining rounds 1-2 are skipped,
+      // so this measures the incremental cost of ONE deeper round
+      val t2 = CorpusOps.bpeVocabOn(docs, "doc_id", "text", 2)
+        .localCheckpoint(eager = true)
+      CorpusOps.bpeVocabResumeOn(docs, "doc_id", "text", t2, 3).count()
+    }
+    time("quality_drift") {
+      Pipeline.qualityDriftOf(Pipeline.qualityDriftAggOn(docs)).count()
     }
     time("diverse_topk_multi") {
       VectorOps.diverseTopkMultiOn(embs, "vec_id", "emb",
@@ -261,6 +278,64 @@ object ScaleProbe {
           concat(col("text"), lit(" probe")).as("text"))
       Dedup.simhashIndexProbe(spark, shIdxPath, batch, "doc_id", "text").count()
     }
+    // --- streaming drains over the replicated feed, with state sizes ------
+    // The drains run through the SAME (rootSpark, dir) entry points the
+    // gate uses, pointed at a temp dir carrying single-file tables named
+    // like the sf dirs; a listener records each query's final state-store
+    // footprint — the number that justifies the bounded-state claims.
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_sfeed").toString
+    def writeSingle(df: DataFrame, name: String): Unit = {
+      val stage = s"$streamDir/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/$name"))
+    }
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    writeSingle((0 until reps).map(r => evRaw
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(r * 100000000L)))
+      .reduce(_ unionAll _), "events.parquet")
+    writeSingle(docs, "documents.parquet")
+    val states =
+      new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.name != null && p.stateOperators.nonEmpty)
+            states(p.name) = (p.stateOperators.map(_.numRowsTotal).sum,
+              p.stateOperators.map(_.memoryUsedBytes).sum)
+        }
+      }
+    val ssx = graft.streaming.StreamOps.streamingSession(spark)
+    ssx.streams.addListener(listener)
+    time("stream_topk") {
+      graft.streaming.StreamOps.streamTopk(spark, streamDir).count()
+    }
+    time("stream_hh_topk") {
+      graft.streaming.StreamOps.streamHhTopk(spark, streamDir).count()
+    }
+    time("stream_transitions") {
+      graft.streaming.StatefulTransitions
+        .streamTransitions(spark, streamDir).count()
+    }
+    time("stream_kn_score") {
+      graft.streaming.StreamOps.streamKnScore(spark, streamDir).count()
+    }
+    time("stream_quality_drift") {
+      graft.streaming.StreamOps.streamQualityDrift(spark, streamDir).count()
+    }
+    states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
+      println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")
+    }
+    ssx.streams.removeListener(listener)
     time("stream_sessions") {
       // replicated event stream through the stateful sessionizer + a
       // durable parquet sink (the deployment shape, not the memory sink)

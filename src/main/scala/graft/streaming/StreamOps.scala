@@ -368,6 +368,61 @@ object StreamOps {
           col("_e.count").as("n")))
   }
 
+  val IndexProbeQueryName = "graft_stream_index_probe"
+
+  /** C54's persisted-index near-dup gate run ON the live feed (B53): the
+    * history band index is built ONCE (the shared
+    * [[graft.sources.IndexScratch]] scratch, amortized with the batch
+    * C54 wrapper); each arriving micro-batch sketches only itself and
+    * probes through `foreachBatch` — the per-batch broadcast-join shape a
+    * recurring ingest actually deploys, with the probe output feeding the
+    * quarantine path. Every result pair is keyed by the ARRIVING doc, and
+    * each arriving doc lands in exactly one micro-batch, so batch
+    * boundaries can neither split nor duplicate a row: the accumulated
+    * drain EQUALS the one-shot batch probe and shares C54's oracle. */
+  def streamIndexProbe(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val hist = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupidx", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      graft.operators.Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    // C27's deterministic arriving batch, derived map-side on the stream
+    val arriving = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh "),
+            col("doc_id").cast("string")).as("text")))
+    val acc = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    spark.streams.active.filter(_.name == IndexProbeQueryName)
+      .foreach(_.stop())
+    val q = arriving.writeStream.queryName(IndexProbeQueryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          acc.addAll(java.util.Arrays.asList(
+            graft.operators.Dedup.dedupIndexProbe(mb.sparkSession, path, mb,
+              "doc_id", "text",
+              minEstJaccard = graft.operators.Sketch.MinEstJaccard)
+              .collect(): _*))
+          ()
+      }.start()
+    q.awaitTermination()
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    spark.createDataFrame(acc,
+        StructType(Seq(StructField("batch_id", LongType),
+          StructField("hist_id", LongType),
+          StructField("est_jaccard", DoubleType))))
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
   val DriftQueryName = "graft_stream_quality_drift"
 
   /** C59's per-day quality-drift monitor maintained BY the stream (B52):
@@ -427,7 +482,8 @@ object StreamOps {
     "stream_topk" -> (streamTopk _),
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
-    "stream_quality_drift" -> (streamQualityDrift _)
+    "stream_quality_drift" -> (streamQualityDrift _),
+    "stream_index_probe" -> (streamIndexProbe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,6 +504,8 @@ object StreamOps {
     // the map-side scored stream must equal the batch KN query
     "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql,
     // the drained drift board must equal the batch C59 query
-    "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql
+    "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql,
+    // the accumulated per-batch probes must equal the one-shot C54 probe
+    "stream_index_probe" -> graft.operators.Sketch.dedupIndexProbeSql
   )
 }

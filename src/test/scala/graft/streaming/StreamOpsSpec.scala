@@ -204,6 +204,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length === graft.operators.Pipeline.DriftDays)
   }
 
+  test("streamed index probe equals the one-shot batch probe (B53 == C54)") {
+    val s = StreamOps.streamIndexProbe(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.Sketch.dedupIndexProbe(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
