@@ -1897,6 +1897,137 @@ object CorpusOps {
        |ORDER BY round, df DESC, phrase""".stripMargin
   }
 
+  // --- C60: BPE tokenizer APPLY (train → encode) ----------------------------
+  /** Base-vocabulary bound for the encoder: after every merge round is
+    * applied, the top-K remaining tokens (count desc, token) get ids; the
+    * rest encode as OOV id 0. 256 here; 10⁴–10⁵ at deploy scale — the
+    * id table stays a driver literal either way (the merge table is
+    * R×[[PhraseK]] rows by construction). */
+  val EncodeBaseK = 256
+
+  /** The encoder's deterministic id assignment: merge-table phrases get
+    * ids 1..M in the table's export order (round, df desc, phrase) with
+    * first-wins on re-mined phrases; base tokens get M+1..M+K in
+    * (count desc, token) order. Merge ids take precedence on lookup. */
+  private def encodeIdMap(table: Seq[(Int, String, Long)],
+      base: Seq[String]): Map[String, Int] = {
+    val b = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    table.zipWithIndex.foreach { case ((_, p, _), i) =>
+      if (!b.contains(p)) b(p) = i + 1 }
+    base.zipWithIndex.foreach { case (t, i) =>
+      if (!b.contains(t)) b(t) = table.size + i + 1 }
+    b.toMap
+  }
+
+  /** Internal: the fully-merged token stream plus the id table — the
+    * encoder core shared by the gate query and the spec's id-level
+    * assertions. Applies ALL `rounds` vocabularies (the trainer only
+    * applies rounds < R internally; round R's export exists precisely so
+    * the APPLY side can use it), then maps tokens to ids in one codegen
+    * `transform` — the corpus never shuffles. */
+  private[operators] def bpeEncodeIdsOn(documents: DataFrame, idCol: String,
+      textCol: String, rounds: Int,
+      baseK: Int = EncodeBaseK): (DataFrame, Map[String, Int]) = {
+    import graft.functions.textsketch.greedy_phrase_merge
+    val table = bpeVocabOn(documents, idCol, textCol, rounds)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    var cur = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    for (r <- 1 to rounds) {
+      val v = table.filter(_._1 == r).map(_._2)
+      if (v.nonEmpty)
+        cur = cur.withColumn("toks", greedy_phrase_merge(col("toks"), v.toIndexedSeq))
+    }
+    val base = cur.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(baseK)
+      .collect().map(_.getString(0)).toSeq
+    val ids = encodeIdMap(table, base)
+    (cur.withColumn("_m", typedLit(ids))
+       .withColumn("ids", expr("transform(toks, t -> coalesce(_m[t], 0))"))
+       .drop("_m"), ids)
+  }
+
+  /** Per-document BPE ENCODE under the [[bpeVocabOn]] merge table — the
+    * missing half of the tokenizer story (train → encode → pack): each
+    * document's token stream after all merge rounds, mapped to the
+    * deterministic bounded id space, reported as the encoded length, the
+    * OOV count, and the md5 fingerprint of the exact id sequence.
+    *
+    * Scale shape: training is R bounded mining aggregations (driver
+    * literals by construction); encoding is R+1 codegen map passes
+    * (merges + id lookup) with ZERO corpus shuffles — the only exchange
+    * is the output ordering. The id table is M+K entries and rides the
+    * plan as one map literal (the [[KnLiteralMax]] discipline: at deploy
+    * K this switches to a broadcast join, same semantics). */
+  def bpeEncodeOn(documents: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (enc, _) = bpeEncodeIdsOn(documents, idCol, textCol, rounds)
+    enc.select(col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        expr("CAST(size(filter(ids, x -> x = 0)) AS INT)").as("n_oov"),
+        md5(concat_ws(",", expr("transform(ids, x -> CAST(x AS STRING))")))
+          .as("ids_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
+
+  /** Twin: the [[bpeVocabSql]] chain extended one walk (round R's vocab
+    * IS applied when encoding), then the same id assignment — merge rows
+    * numbered in export order with first-wins dedup, base tokens ranked
+    * over the merged corpus — replayed as joins; generated from
+    * [[BpeRounds]]/[[EncodeBaseK]] so the oracle re-derives with the
+    * knobs. */
+  val bpeEncodeSql: String = {
+    val chain = (1 to BpeRounds).map { r =>
+      s"""${mineCtes(s"d$r", s"bg$r", s"vl$r")},
+         |${walkCtes(s"walk$r", s"d$r", s"vl$r")},
+         |m$r AS MATERIALIZED (
+         |  SELECT doc_id, $walkTxt AS txt FROM walk$r WHERE i = n
+         |), d${r + 1} AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map { r =>
+      if (r == 1) s"  SELECT 1 AS round, bg AS phrase, df FROM bg1"
+      else s"  UNION ALL SELECT $r, bg, df FROM bg$r"
+    }.mkString("\n")
+    val dF = s"d${BpeRounds + 1}"
+    s"""WITH RECURSIVE d1 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), $chain,
+       |numbered AS (
+       |  SELECT phrase,
+       |    row_number() OVER (ORDER BY round, df DESC, phrase) AS id
+       |  FROM (
+       |$union)
+       |), mt AS (SELECT phrase, MIN(id) AS id FROM numbered GROUP BY 1),
+       |mtot AS (SELECT COUNT(*) AS m FROM numbered),
+       |base0 AS (
+       |  SELECT tok, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM $dF) GROUP BY 1
+       |), basek AS (
+       |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+       |  FROM base0 QUALIFY r <= $EncodeBaseK
+       |), basev AS (SELECT tok, r + (SELECT m FROM mtot) AS id FROM basek),
+       |p1 AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM $dF
+       |), p2 AS (
+       |  SELECT doc_id, i, toks[i] AS tok, len(toks) AS n FROM p1
+       |), pid AS (
+       |  SELECT p2.doc_id, p2.i, p2.n, COALESCE(mt.id, basev.id, 0) AS id
+       |  FROM p2 LEFT JOIN mt ON p2.tok = mt.phrase
+       |          LEFT JOIN basev ON p2.tok = basev.tok
+       |)
+       |SELECT doc_id, CAST(MAX(n) AS INT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       |  md5(array_to_string(list(id ORDER BY i), ',')) AS ids_fp
+       |FROM pid GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
     * write parallelism and downstream loader parallelism both equal the
@@ -1985,6 +2116,7 @@ object CorpusOps {
     "trigram_logprob" -> (trigramLogprob _),
     "fourgram_logprob" -> (fourgramLogprob _),
     "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode" -> (bpeEncode _),
     "kn_logprob" -> (knLogprob _))
 
   val oracles: Map[String, String] = Map(
@@ -2008,5 +2140,6 @@ object CorpusOps {
     "trigram_logprob" -> trigramLogprobSql,
     "fourgram_logprob" -> fourgramLogprobSql,
     "bpe_vocab" -> bpeVocabSql,
+    "bpe_encode" -> bpeEncodeSql,
     "kn_logprob" -> knLogprobSql)
 }

@@ -130,7 +130,8 @@ class PlanGuardSpec extends SparkSpec {
     "window_topk" -> 3, // (day, key) partial agg, per-day heap agg, gate sort — no rank window, no per-day sort
     "dedup_index_probe" -> 3, // batch sketch broadcast onto the index scan (zero history shuffle); pair-dedup exchange + gate sort
     "kn_logprob" -> 8, // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup
-    "simhash_index_probe" -> 3 // batch fingerprints broadcast onto the index scan; pair-dedup exchange + gate sort
+    "simhash_index_probe" -> 3, // batch fingerprints broadcast onto the index scan; pair-dedup exchange + gate sort
+    "bpe_encode" -> 1 // merge table + id table are driver-bounded literals (mined eagerly at build); the encode itself is R+1 fused map passes + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -578,6 +578,57 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode: bounded id space, OOV-consistent, round-1 == phrase_merge") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val (enc, ids) = CorpusOps.bpeEncodeIdsOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds)
+    val m = CorpusOps.bpeVocabOn(docs, "doc_id", "text", CorpusOps.BpeRounds)
+      .count()
+    val maxId = m + CorpusOps.EncodeBaseK
+    // every id is in the bounded space [0, M+K]; lengths line up per doc
+    val rows = enc.select(col("doc_id"), col("toks"), col("ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[Int](2))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, toks, idv) =>
+      assert(toks.length === idv.length)
+      assert(idv.forall(i => i >= 0 && i <= maxId))
+    }
+    assert(ids.values.forall(i => i >= 1 && i <= maxId))
+    // merge-table phrases take ids <= M (precedence over the base vocab)
+    val phrases = CorpusOps.bpeVocabOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds).collect().map(_.getString(1)).toSet
+    phrases.foreach(p => assert(ids(p) <= m, s"phrase $p got a base id"))
+    // the gate output's n_tokens / n_oov equal the id-level truth
+    val out = CorpusOps.bpeEncodeOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rows.foreach { case (id, toks, idv) =>
+      assert(out(id) === ((toks.length, idv.count(_ == 0))))
+    }
+    // the encoder actually compresses (some merge fired somewhere) and the
+    // fixture exercises the OOV path (vocab bound is below the inventory)
+    assert(rows.map(_._2.length.toLong).sum <
+      docs.select(graft.operators.TextOps.tokens(col("text"))).collect()
+        .map(_.getSeq[String](0).length.toLong).sum)
+    // the OOV path: a base vocab SMALLER than the merged inventory (the
+    // deploy-scale relationship) encodes the tail as id 0, and every
+    // in-vocab id keeps its value from the full-K map (cut stability)
+    val (encS, idsS) = CorpusOps.bpeEncodeIdsOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds, baseK = 8)
+    val sRows = encS.select(col("doc_id"), col("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sRows.values.exists(_.contains(0)))
+    assert(idsS.forall { case (t, i) => ids(t) === i })
+    // rounds=1 encode length equals the single-round phrase_merge result
+    val e1 = CorpusOps.bpeEncodeOn(docs, "doc_id", "text", 1)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pm = CorpusOps.phraseMerge(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens_after")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(e1 === pm)
+  }
+
   test("kn scorer is total over unseen deploy tokens (seeded <unk> row)") {
     val s = spark
     import s.implicits._
