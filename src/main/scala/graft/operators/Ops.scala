@@ -1194,7 +1194,7 @@ object Cluster {
   /** Survivorship with a quality policy: given cluster labels and a score
     * per id, the keeper of each cluster is its best-scoring member (ties →
     * lowest id) instead of the minimum id. One partial-agg shuffle on the
-    * cluster key. Output: (id, cluster_id, is_keeper). */
+    * cluster key. Output: (id, cluster_id, keeper_id, is_keeper). */
   def keepersBy(labels: DataFrame, scores: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
     val joined = labels.join(
@@ -1203,7 +1203,7 @@ object Cluster {
       .agg(min_by(col("id"), struct((-col("_score")).as("n"), col("id")))
         .as("_keeper"))
     joined.join(best, "cluster_id")
-      .select(col("id"), col("cluster_id"),
+      .select(col("id"), col("cluster_id"), col("_keeper").as("keeper_id"),
         (col("id") === col("_keeper")).cast("int").as("is_keeper"))
   }
 }

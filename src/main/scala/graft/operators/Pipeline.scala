@@ -294,8 +294,10 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE sh AS (
+  /** Shared oracle CTE block: 3-gram Jaccard edges → min-label CC. Reused
+    * by the C17 and C61 twins so both replay the ONE cluster definition. */
+  private def ccClusterCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -319,10 +321,65 @@ object Pipeline {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.b, l.lab FROM lab l JOIN edges e ON e.a = l.node
-       |)
+       |)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccClusterCtes
        |SELECT node AS doc_id, MIN(lab) AS cluster_id,
        |  CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS is_keeper
        |FROM lab GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // --- C61: quality-argmax survivorship -------------------------------------
+  /** [[dedupClusters]] with the retention policy a curation team actually
+    * deploys: within each near-dup cluster keep the HIGHEST-QUALITY copy
+    * (C9's composite score; ties → min doc_id), not the smallest id — the
+    * keeper choice that preserves corpus quality instead of id accidents.
+    *
+    * Scale shape: the cluster build is C17's (band-bounded candidate join
+    * + min-label CC); the quality score is a pure map stage co-keyed with
+    * the doc, so the join onto the cluster map is ONE doc_id exchange; the
+    * argmax is [[Cluster.keepersBy]]'s single cluster-key `min_by` agg
+    * (no per-cluster sort). The score is a fixed IEEE chain over exact ints
+    * (hash-green at C9), so both engines rank identical bits — the argmax
+    * needs no quantization. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val edges = TextOps.jaccardPairs(spark, dir)
+    val cc = Cluster.connectedComponents(docs.select(col("doc_id")), "doc_id",
+      edges, "id_a", "id_b")
+    Cluster.keepersBy(cc,
+        TextOps.textQuality(spark, dir)
+          .select(col("doc_id"), col("quality_score")),
+        "doc_id", "quality_score")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keeper_id"),
+        col("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String = {
+    val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE $ccClusterCtes,
+       |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM lab GROUP BY 1),
+       |q AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       |      * (1.0 - (CAST(n_stopwords AS DOUBLE) / n_words) * 0.5) AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      LEN(toks) AS n_words,
+       |      LEN(list_filter(toks, w -> w IN ($in))) AS n_stopwords
+       |    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |          FROM documents))
+       |), r AS (
+       |  SELECT cl.doc_id, cl.cluster_id,
+       |    first_value(cl.doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY quality_score DESC, cl.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+       |  FROM cl JOIN q USING (doc_id))
+       |SELECT doc_id, cluster_id, keeper_id,
+       |  CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   // --- C20: the composed curation pipeline ---------------------------------
   /** The full curation flow as ONE declarative plan: quality-gate the
@@ -708,6 +765,7 @@ object Pipeline {
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "curate_pipeline" -> (curatePipeline _),
     "mine_pairs" -> (minePairs _),
     "prepare_pretrain" -> (preparePretrain _)
@@ -723,6 +781,7 @@ object Pipeline {
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "curate_pipeline" -> curatePipelineSql,
     "mine_pairs" -> minePairsSql,
     "prepare_pretrain" -> preparePretrainSql

@@ -131,7 +131,8 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_index_probe" -> 3, // batch sketch broadcast onto the index scan (zero history shuffle); pair-dedup exchange + gate sort
     "kn_logprob" -> 8, // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup
     "simhash_index_probe" -> 3, // batch fingerprints broadcast onto the index scan; pair-dedup exchange + gate sort
-    "bpe_encode" -> 1 // merge table + id table are driver-bounded literals (mined eagerly at build); the encode itself is R+1 fused map passes + gate sort
+    "bpe_encode" -> 1, // merge table + id table are driver-bounded literals (mined eagerly at build); the encode itself is R+1 fused map passes + gate sort
+    "dedup_keep_best" -> 14 // C17's edge build + min-label CC rounds, then ONE cluster-key min_by agg + keeper join + gate sort — every exchange O(docs) or O(edges)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -232,6 +232,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length.toLong === nDocs)
   }
 
+  test("dedup_keep_best: same clusters as C17, keeper is the quality argmax") {
+    val rows = Pipeline.dedupKeepBest(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keeper_id"), r.getAs[Int]("is_keeper")))
+    // cluster assignment is C17's, independent of the retention policy
+    val c17 = Pipeline.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(rows.nonEmpty && rows.forall { case (d, c, _, _) => c17(d) == c })
+    // exactly one keeper per cluster; keeper_id is a member and is shared
+    val byCluster = rows.groupBy(_._2)
+    val quality = graft.operators.TextOps.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byCluster.foreach { case (_, members) =>
+      assert(members.count(_._4 == 1) === 1)
+      val ks = members.map(_._3).distinct
+      assert(ks.length === 1 && members.exists(_._1 == ks.head))
+      // the keeper is the (quality desc, doc_id) argmax over the cluster
+      val want = members.map(_._1).minBy(d => (-quality(d), d))
+      assert(ks.head === want)
+    }
+    // the policy DIFFERS from min-id somewhere on the fixture (a cluster
+    // whose best copy is not the smallest id), so the operator is not C17
+    assert(rows.exists { case (_, c, k, _) => k != c })
+  }
+
   test("prepare_pretrain: survivors are gated dedup keepers, layout tiles") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.preparePretrain(spark, sfDir).collect()
