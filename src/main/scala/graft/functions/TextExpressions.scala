@@ -138,6 +138,39 @@ object TextKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** Quantized character-entropy ingredients in ONE pass over the text's
+    * code points. Returns (n_chars, distinct_chars, hq) where
+    * `hq = floor(n·ln n·1e6) − Σ_c floor(cnt_c·ln cnt_c·1e6)` — entropy in
+    * exact integer micro-nats, so `H = hq/1e6/n` is a single IEEE division
+    * chain both engines reproduce bit-identically (the LM discipline: no
+    * raw libm result ever reaches the output unquantized). */
+  def charEntropyStats(text: UTF8String)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val str = text.toString
+    val counts = new java.util.HashMap[Integer, java.lang.Long](64)
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      counts.merge(Integer.valueOf(cp), java.lang.Long.valueOf(1L),
+        (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.valueOf(a.longValue + b.longValue))
+    }
+    var sq = 0L
+    val it = counts.values.iterator
+    while (it.hasNext) {
+      val c = it.next().longValue
+      sq += math.floor(c.toDouble * math.log(c.toDouble) * 1e6).toLong
+    }
+    val hq =
+      if (n == 0L) 0L
+      else math.floor(n.toDouble * math.log(n.toDouble) * 1e6).toLong - sq
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size, hq))
+  }
+
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6)
@@ -169,6 +202,27 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.compressRatio($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Character-level Shannon-entropy ingredients of a text column (see
+  * TextKernels.charEntropyStats): one codegen'd pass, integer micro-nat
+  * output — the gibberish/boilerplate signal CCNet-style quality filters
+  * pair with the compression ratio. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("distinct_chars", IntegerType, nullable = false),
+    StructField("hq", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropyStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.charEntropyStats($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -405,4 +459,7 @@ object textsketch {
 
   def greedy_phrase_merge(toks: Column, phrases: Seq[String]): Column =
     column(GreedyPhraseMerge(expression(toks), phrases))
+
+  def char_entropy_stats(text: Column): Column =
+    column(CharEntropyStats(expression(text)))
 }

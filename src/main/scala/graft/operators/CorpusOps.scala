@@ -289,6 +289,102 @@ object CorpusOps {
        |ORDER BY train_id, bench_id""".stripMargin
   }
 
+  // --- C62: containment benchmark decontamination (quote-inclusion) --------
+  /** Containment gate: the fraction of a BENCHMARK doc's distinct shingles
+    * present in a train doc must stay below this. Asymmetric on purpose —
+    * a 10k-token train doc quoting a 100-token eval item whole has Jaccard
+    * ≈ 0.01 (C32 passes it) but containment 1.0. */
+  val ContainmentThreshold = 0.8
+  /** Filler length (tokens) for the seeded quote-inclusion leaks — sized so
+    * the leaked pair's symmetric Jaccard sits BELOW [[FuzzyThreshold]] for
+    * any corpus doc (≤ ~1200 distinct shingles), proving C32 misses it. */
+  val ContainmentPadTokens = 1200
+
+  /** The seeded leak corpus: every benchmark doc re-enters under a shifted
+    * id EMBEDDED WHOLE after [[ContainmentPadTokens]] generated filler
+    * tokens — every benchmark shingle survives intact (containment 1.0)
+    * while the symmetric Jaccard drowns in filler. Deterministic, so the
+    * oracle rebuilds it with the same `sequence`-generated filler. */
+  def containmentLeakTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val filler = concat_ws(" ",
+      transform(sequence(lit(0), lit(ContainmentPadTokens - 1)),
+        i => concat(lit("pad"), i)))
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .unionAll(docs.filter(col("doc_id") % BenchmarkMod === 0)
+        .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+          concat(filler, lit(" "), col("text")).as("text")))
+  }
+
+  /** Containment decontamination: train docs holding ≥ τ of a benchmark
+    * doc's distinct 3-gram shingles — the QUOTE-INCLUSION leak class both
+    * C24 (corpus-wide overlap count, no per-pair normalization) and C32
+    * (symmetric Jaccard, diluted by the host doc) underweight.
+    *
+    * Scale shape: the benchmark's (bench_id, shingle) set and its per-doc
+    * sizes BROADCAST (a few MB of eval suite vs a multi-TB corpus); the
+    * train corpus explodes its distinct shingles map-side into the
+    * broadcast hash join, and the only exchange is the (train, bench) pair
+    * partial-agg — cost O(actual shared shingles), never O(corpus²). All
+    * inputs to the score are exact ints; containment is one IEEE division. */
+  def decontaminateContainmentOn(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      tau: Double = ContainmentThreshold): DataFrame = {
+    val bsh = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
+      .localCheckpoint(eager = true)
+    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+    train
+      .select(col(idCol).as("train_id"),
+        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
+      .join(broadcast(bsh), "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bsz), "bench_id")
+      .filter(col("n_shared").cast("double") / col("bench_n") >= tau)
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        col("bench_n"),
+        (col("n_shared").cast("double") / col("bench_n"))
+          .as("containment"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  def decontaminateContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    decontaminateContainmentOn(containmentLeakTrain(spark, dir),
+      docs.filter(col("doc_id") % BenchmarkMod === 0), "doc_id", "text")
+  }
+
+  val decontaminateContainmentSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $BenchmarkMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $ContaminatedShift,
+       |         array_to_string(list_transform(
+       |           range(0, $ContainmentPadTokens), i -> 'pad' || i), ' ')
+       |           || ' ' || text AS text
+       |  FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM corpus)
+       |), bsh AS (
+       |  SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+       |         range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents WHERE doc_id % $BenchmarkMod = 0)
+       |), bsz AS (SELECT bench_id, COUNT(*) AS bench_n FROM bsh GROUP BY 1),
+       |p AS (
+       |  SELECT sh.doc_id AS train_id, bsh.bench_id, COUNT(*) AS n_shared
+       |  FROM sh JOIN bsh USING (s) GROUP BY 1, 2)
+       |SELECT train_id, bench_id, n_shared, bench_n,
+       |  CAST(n_shared AS DOUBLE) / bench_n AS containment
+       |FROM p JOIN bsz USING (bench_id)
+       |WHERE CAST(n_shared AS DOUBLE) / bench_n >= $ContainmentThreshold
+       |ORDER BY train_id, bench_id""".stripMargin
+
   // --- C25: BM25 corpus search ---------------------------------------------
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -2101,6 +2197,7 @@ object CorpusOps {
     "decontaminate" -> (decontaminate _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "decontaminate_simhash" -> (decontaminateSimhash _),
+    "decontaminate_containment" -> (decontaminateContainment _),
     "bm25_search" -> (bm25Search _),
     "pack_sequences" -> (packSequences _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -2125,6 +2222,7 @@ object CorpusOps {
     "decontaminate" -> decontaminateSql,
     "decontaminate_fuzzy" -> decontaminateFuzzySql,
     "decontaminate_simhash" -> decontaminateSimhashSql,
+    "decontaminate_containment" -> decontaminateContainmentSql,
     "bm25_search" -> bm25SearchSql,
     "pack_sequences" -> packSequencesSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -196,6 +196,47 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C63: character-entropy quality signal -------------------------------
+  /** Character-level Shannon entropy per document — the gibberish /
+    * boilerplate detector quality filters pair with C21's compression
+    * ratio (low entropy = repeated boilerplate; implausibly high =
+    * random noise). One codegen'd pass per doc via the native
+    * [[graft.functions.CharEntropyStats]] expression — a pure map stage,
+    * zero shuffles before the gate sort, no per-char explode (the naive
+    * spelling shuffles one row PER CHARACTER — terabytes of exchange at
+    * corpus scale; the kernel keeps the histogram row-local).
+    *
+    * Parity: the kernel emits entropy as exact integer micro-nats
+    * (`floor(n·ln n·1e6) − Σ floor(cnt·ln cnt·1e6)`, the LM quantization
+    * discipline) so no raw libm double ever reaches the output; the final
+    * value is one IEEE division chain over exact ints. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+        col("doc_id"),
+        graft.functions.textsketch.char_entropy_stats(col("text")).as("_e"))
+      .select(col("doc_id"),
+        col("_e.n_chars").as("n_chars"),
+        col("_e.distinct_chars").as("distinct_chars"),
+        (col("_e.hq").cast("double") / lit(1e6) /
+          col("_e.n_chars").cast("double")).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+
+  val textEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |), g AS (
+      |  SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2
+      |), s AS (
+      |  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS d,
+      |    SUM(CAST(floor(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1e6)
+      |        AS BIGINT)) AS sq
+      |  FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  CAST(d AS INT) AS distinct_chars,
+      |  CAST(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) * 1e6)
+      |       AS BIGINT) - sq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS entropy_nats
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // --- C10: language-ID heuristic ------------------------------------------
   /** Marker-token score matrix. The synthetic corpus shares one vocabulary,
     * so this pins the MECHANISM (per-language marker scoring + deterministic
@@ -285,6 +326,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_entropy" -> (textEntropy _),
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
     "substring_dedup" -> (substringDedup _)
@@ -295,6 +337,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "text_entropy" -> textEntropySql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
     "substring_dedup" -> substringDedupSql

@@ -160,6 +160,44 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_containment catches whole-quote leaks the Jaccard gate misses") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val bench = docs.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = CorpusOps.decontaminateContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // every seeded quote-inclusion leak is caught at containment exactly 1.0
+    val seeded = got.filter(_._1 >= CorpusOps.ContaminatedShift)
+    assert(seeded.map(_._1).toSet ===
+      bench.keySet.map(_ + CorpusOps.ContaminatedShift))
+    seeded.foreach { case (t, b, shared, bn, c) =>
+      assert(t === b + CorpusOps.ContaminatedShift)
+      assert(shared === bn && c === 1.0)
+    }
+    // ...and the SYMMETRIC Jaccard of those same pairs sits below C32's
+    // gate — the filler dilutes it — so this leak class needs containment
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+")
+      t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val filler = (0 until CorpusOps.ContainmentPadTokens)
+      .map(i => s"pad$i").mkString(" ")
+    bench.foreach { case (_, text) =>
+      val b = shingleSet(text)
+      val l = shingleSet(s"$filler $text")
+      val j = (b & l).size.toDouble / (b | l).size
+      assert(j < CorpusOps.FuzzyThreshold,
+        s"leak not diluted below the fuzzy gate (j=$j)")
+    }
+    // sides are typed: bench ids right, train/leak ids left
+    got.foreach { case (t, b, _, _, _) =>
+      assert(bench.contains(b))
+      assert(!bench.contains(t))
+    }
+  }
+
   test("decontaminate_simhash: pigeonhole recall within the radius; sides typed") {
     import graft.functions.textsketch.simhash64
     val docs = graft.sources.Tables(spark, sfDir).documents

@@ -47,6 +47,41 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("text_entropy: JVM replay agrees; bounds and codegen hold") {
+    val rows = TextOps.textEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty && rows.length === texts.size)
+    rows.foreach { case (id, n, d, h) =>
+      // independent replay of the micro-nat quantization over code points
+      val cps = texts(id).codePoints().toArray
+      val counts = cps.groupBy(identity).map(_._2.length.toLong)
+      assert(n === cps.length.toLong && d === counts.size)
+      val sq = counts.map(c => math.floor(c * math.log(c.toDouble) * 1e6).toLong).sum
+      val hq = math.floor(n * math.log(n.toDouble) * 1e6).toLong - sq
+      assert(h === hq.toDouble / 1e6 / n)
+      // Shannon bounds: 0 ≤ H ≤ ln(distinct) (+ quantization slack)
+      assert(h >= -1e-6 && h <= math.log(d.toDouble) + 1e-6)
+    }
+    // degenerate cases: uniform text has zero entropy; two equiprobable
+    // chars have exactly ln 2 (quantized)
+    val tiny = Seq((1L, "aaaa"), (2L, "abab")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.textsketch.char_entropy_stats(col("text")).as("e"))
+      .select(col("doc_id"), (col("e.hq").cast("double") / 1e6 /
+        col("e.n_chars").cast("double")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tiny(1L) === 0.0)
+    assert(math.abs(tiny(2L) - math.log(2.0)) < 2e-6)
+    // the one-pass kernel stays inside whole-stage codegen
+    val plan = graft.sources.Tables(spark, sfDir).documents
+      .select(graft.functions.textsketch.char_entropy_stats(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+  }
+
   test("compress_ratio is callable from SQL and stays in codegen") {
     val r = spark.sql("SELECT compress_ratio('a a a a a a a a a a') AS r")
       .head().getDouble(0)
