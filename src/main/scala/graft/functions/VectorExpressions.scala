@@ -339,6 +339,79 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     copy(left = l, right = r)
 }
 
+/** Dense d×d Gram-matrix accumulator: one Array[Long] per partition,
+  * elementwise-merged — the exact-integer Σ qqᵀ a distributed PCA needs.
+  * Input rows are pre-quantized array<long> (the quantization rule stays
+  * visible in the calling plan); every accumulation is exact 64-bit
+  * integer arithmetic, so the result is ORDER-FREE — identical under any
+  * partitioning, which is what lets the downstream power iteration be
+  * replayed bit-exactly by another engine. Buffer is d²×8 bytes (32 KiB
+  * at d=64) regardless of row count. */
+final class GramBuffer(val d: Int) {
+  val g = new Array[Long](d * d)
+}
+
+case class GramMatrix(child: Expression, d: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[GramBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_matrix"
+
+  override def createAggregationBuffer(): GramBuffer = new GramBuffer(d)
+
+  override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
+    val a = child.eval(input)
+    if (a != null) {
+      val q = a.asInstanceOf[ArrayData]
+      val n = math.min(q.numElements(), d)
+      var i = 0
+      while (i < n) {
+        val qi = q.getLong(i)
+        if (qi != 0L) {
+          var j = 0
+          while (j < n) { buf.g(i * d + j) += qi * q.getLong(j); j += 1 }
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
+    var i = 0
+    while (i < buf.g.length) { buf.g(i) += other.g(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: GramBuffer): Any =
+    new GenericArrayData(buf.g.map(x => x: Any))
+
+  override def serialize(buf: GramBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.g.length * 8)
+    buf.g.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new GramBuffer(d)
+    var i = 0
+    while (i < buf.g.length) { buf.g(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): GramMatrix =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): GramMatrix =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
 /** Column-facing constructors. */
 object vectors {
   import GraftSqlBridge.{column, expression}
@@ -361,4 +434,7 @@ object vectors {
 
   def pq_adc_score(codes: Column, tbl: Column, ks: Int): Column =
     column(PqAdcScore(expression(codes), expression(tbl), ks))
+
+  def gram_matrix(q: Column, d: Int): Column =
+    column(GramMatrix(expression(q), d).toAggregateExpression())
 }

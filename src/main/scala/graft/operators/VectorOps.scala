@@ -234,6 +234,99 @@ object VectorOps {
       |SELECT s1.label, n_vectors, sum_q_norm2, min_norm, max_norm, centroid_norm2_q
       |FROM s1 JOIN c ON s1.label = c.label ORDER BY 1""".stripMargin
 
+  // --- C64: exact-integer PCA projection (embedding drift axis) -------------
+  val PcaDim = 64
+  /** Input quantization grid (1e-3 units) — the operator is DEFINED on the
+    * quantized embedding, trading 3 decimal digits of fidelity for exact
+    * cross-engine arithmetic (the QuantizedCosine discipline). */
+  val PcaQ = 1000L
+  /** Iteration-vector fixed-point grid (the max component is renormalized
+    * to exactly this every round). */
+  val PcaVQ = 1000000L
+  val PcaIters = 12
+
+  /** Top-principal-component projection of the embedding set — the drift /
+    * whitening axis an embedding-QA pipeline monitors (a feed whose pc1
+    * distribution shifts is re-embedded or quarantined).
+    *
+    * Exactness: the Gram matrix Σqqᵀ accumulates in exact 64-bit integers
+    * via the [[graft.functions.GramMatrix]] aggregate (order-free under any
+    * partitioning); the power iteration runs DRIVER-SIDE over BigInt with a
+    * fixed-point renorm `v' = trunc(u·VQ / max|u|)` (truncation toward
+    * zero — DuckDB's `//` semantics, replayed by the oracle's unrolled
+    * iteration CTEs over HUGEINT); the projection is an exact integer dot
+    * with the broadcast v literal. No float enters until the final display
+    * division, so the whole pipeline is hash-exact.
+    *
+    * Scale shape: ONE corpus pass / partial agg for the d²-long Gram buffer
+    * (32 KiB at d=64, independent of row count), O(d²·iters) driver work,
+    * then a pure map projection pass — the corpus never shuffles. */
+  def embedPcaOn(embs: DataFrame, idCol: String, embCol: String,
+      dim: Int): DataFrame = {
+    val qCol = transform(col(embCol).cast("array<double>"),
+      x => floor(x * PcaQ.toDouble).cast("long"))
+    val qdf = embs.select(col(idCol).as("vec_id"), qCol.as("q"))
+    val g = qdf.agg(graft.functions.vectors.gram_matrix(col("q"), dim).as("g"))
+      .head().getSeq[Long](0).toArray
+    var v = Array.fill(dim)(BigInt(PcaVQ))
+    for (_ <- 1 to PcaIters) {
+      val u = Array.tabulate(dim) { i =>
+        var s = BigInt(0)
+        var j = 0
+        while (j < dim) { s += BigInt(g(i * dim + j)) * v(j); j += 1 }
+        s
+      }
+      val m = u.map(_.abs).max.max(BigInt(1))
+      v = u.map(x => x * PcaVQ / m) // BigInt / truncates toward zero, like //
+    }
+    qdf
+      .withColumn("_v", typedLit(v.map(_.toLong).toSeq))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(q, _v, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)").as("pc1_q"))
+      .select(col("vec_id"), col("pc1_q"),
+        (col("pc1_q").cast("double") / lit((PcaQ * PcaVQ).toDouble))
+          .as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  def embedPca(spark: SparkSession, dir: String): DataFrame =
+    embedPcaOn(Tables(spark, dir).embeddings, "vec_id", "embedding", PcaDim)
+
+  /** Twin: Gram matrix as an unnest-join aggregation, then the SAME power
+    * iteration UNROLLED to [[PcaIters]] CTE rounds over HUGEINT (128-bit
+    * exact, `//` truncation = BigInt division), then the same integer
+    * projection — generated from the constants so oracle and engine cannot
+    * desync. */
+  val embedPcaSql: String = {
+    val d = PcaDim
+    val iters = (1 to PcaIters).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT g.i AS i, SUM(CAST(g.g AS HUGEINT) * v${k - 1}.x) AS s
+         |  FROM gm g JOIN v${k - 1} ON g.j = v${k - 1}.i GROUP BY 1
+         |), m$k AS MATERIALIZED (SELECT GREATEST(MAX(ABS(s)), 1) AS m FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, (s * $PcaVQ) // m AS x FROM u$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * $PcaQ.0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), gm AS MATERIALIZED (
+       |  SELECT i, j, CAST(SUM(q[i + 1] * q[j + 1]) AS HUGEINT) AS g
+       |  FROM qe, range(0, $d) ti(i), range(0, $d) tj(j) GROUP BY 1, 2
+       |), v0 AS MATERIALIZED (
+       |  SELECT i, CAST($PcaVQ AS HUGEINT) AS x FROM range(0, $d) t(i)),
+       |$iters,
+       |vf AS (SELECT list(CAST(x AS BIGINT) ORDER BY i) AS v FROM v$PcaIters)
+       |SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0, $d), k -> q[k + 1] * v[k + 1]))
+       |       AS BIGINT) AS pc1_q,
+       |  CAST(CAST(list_sum(list_transform(range(0, $d), k -> q[k + 1] * v[k + 1]))
+       |       AS BIGINT) AS DOUBLE) / ${PcaQ * PcaVQ}.0 AS pc1
+       |FROM qe, vf ORDER BY vec_id""".stripMargin
+  }
+
   // --- C28: deterministic k-means corpus clustering ------------------------
   val KmeansK = 8
   val KmeansRounds = 2
@@ -753,6 +846,7 @@ object VectorOps {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_stats" -> (embedStats _),
+    "embed_pca" -> (embedPca _),
     "kmeans_clusters" -> (kmeansClusters _),
     "embedding_quantize" -> (embeddingQuantize _),
     "semantic_dedup" -> (semanticDedup _),
@@ -767,6 +861,7 @@ object VectorOps {
     "ann_brute_topk" -> annBruteTopkSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "embed_stats" -> embedStatsSql,
+    "embed_pca" -> embedPcaSql,
     "kmeans_clusters" -> kmeansClustersSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "semantic_dedup" -> semanticDedupSql,

@@ -134,7 +134,8 @@ class PlanGuardSpec extends SparkSpec {
     "bpe_encode" -> 1, // merge table + id table are driver-bounded literals (mined eagerly at build); the encode itself is R+1 fused map passes + gate sort
     "dedup_keep_best" -> 14, // C17's edge build + min-label CC rounds, then ONE cluster-key min_by agg + keeper join + gate sort — every exchange O(docs) or O(edges)
     "decontaminate_containment" -> 4, // bench shingles + sizes broadcast (corpus never shuffles into the join); (train,bench) pair partial-agg + gate sort
-    "text_entropy" -> 1 // the char histogram is row-local inside the codegen'd kernel (never an exploded per-char exchange); gate sort only
+    "text_entropy" -> 1, // the char histogram is row-local inside the codegen'd kernel (never an exploded per-char exchange); gate sort only
+    "embed_pca" -> 1 // the d²-long Gram buffer aggregates eagerly at build (one corpus pass, 32 KiB result); the projection is a pure map vs the v literal + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

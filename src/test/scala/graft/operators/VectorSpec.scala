@@ -97,6 +97,47 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("embed_pca: BigInt replay agrees; pc1 dominates every axis; stable") {
+    val rows = VectorOps.embedPca(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent replay: quantize → Gram → 12 fixed-point iterations →
+    // projection, all in plain Scala BigInt
+    val embs = graft.sources.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = VectorOps.PcaDim
+    val q = embs.view.mapValues(_.map(x =>
+      math.floor(x * VectorOps.PcaQ).toLong)).toMap
+    val g = Array.ofDim[Long](d * d)
+    q.values.foreach { qv =>
+      for (i <- 0 until d; j <- 0 until d) g(i * d + j) += qv(i) * qv(j)
+    }
+    var v = Array.fill(d)(BigInt(VectorOps.PcaVQ))
+    for (_ <- 1 to VectorOps.PcaIters) {
+      val u = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(g(i * d + j)) * v(j)).sum)
+      val m = u.map(_.abs).max.max(BigInt(1))
+      v = u.map(x => x * VectorOps.PcaVQ / m)
+    }
+    rows.foreach { case (id, pq, p) =>
+      val want = (0 until d).map(k => BigInt(q(id)(k)) * v(k)).sum
+      assert(BigInt(pq) === want)
+      assert(p === pq.toDouble / (VectorOps.PcaQ * VectorOps.PcaVQ).toDouble)
+    }
+    // the converged axis dominates: Rayleigh quotient of v beats every
+    // coordinate axis (vᵀGv/vᵀv ≥ g_ii, up to fixed-point slack)
+    val vd = v.map(_.toDouble)
+    val num = (0 until d).map(i => vd(i) *
+      (0 until d).map(j => g(i * d + j) * vd(j)).sum).sum
+    val den = vd.map(x => x * x).sum
+    val axisMax = (0 until d).map(i => g(i * d + i).toDouble).max
+    assert(num / den >= axisMax * 0.99)
+    // deterministic rebuild
+    val again = VectorOps.embedPca(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("persisted IVF index returns the same results as the direct operator") {
     val corpus = embDouble.select(col("vec_id"), col("emb"))
     val queries = corpus.limit(10)
