@@ -249,6 +249,40 @@ object ScaleProbe {
     time("quality_drift") {
       Pipeline.qualityDriftOf(Pipeline.qualityDriftAggOn(docs)).count()
     }
+    time("bpe_encode") {
+      CorpusOps.bpeEncodeOn(docs, "doc_id", "text", CorpusOps.BpeRounds).count()
+    }
+    time("text_entropy") {
+      TextOps.textEntropyOn(docs).count()
+    }
+    time("decontaminate_containment") {
+      // every 97th doc re-enters embedded whole behind the filler pad
+      val filler = concat_ws(" ",
+        transform(sequence(lit(0), lit(CorpusOps.ContainmentPadTokens - 1)),
+          i => concat(lit("pad"), i)))
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionAll(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"),
+            concat(filler, lit(" "), col("text")).as("text")))
+      CorpusOps.decontaminateContainmentOn(train,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()
+    }
+    time("embed_pca") {
+      VectorOps.embedPcaOn(embs, "vec_id", "emb", VectorOps.PcaDim).count()
+    }
+    time("dedup_keep_best") {
+      // the deploy-path spelling: LSH-band edges (not the exact inverted
+      // index) feeding the same CC + quality-argmax retention
+      val edges = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        minEstJaccard = 0.9).select(col("id_a"), col("id_b"))
+      val cc = Cluster.connectedComponents(docs.select(col("doc_id")),
+        "doc_id", edges, "id_a", "id_b")
+      val quality = docs.select(col("doc_id"),
+        (size(split(trim(col("text")), "\\s+")).cast("double") / 100.0)
+          .as("q"))
+      Cluster.keepersBy(cc, quality, "doc_id", "q")
+        .filter(col("is_keeper") === 1).count()
+    }
     time("diverse_topk_multi") {
       VectorOps.diverseTopkMultiOn(embs, "vec_id", "emb",
         nQueries = 8, poolSize = 50, k = 10, lambda = 0.5).count()
@@ -331,6 +365,9 @@ object ScaleProbe {
     }
     time("stream_quality_drift") {
       graft.streaming.StreamOps.streamQualityDrift(spark, streamDir).count()
+    }
+    time("stream_entropy_gate") {
+      graft.streaming.StreamOps.streamEntropyGate(spark, streamDir).count()
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
       println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")

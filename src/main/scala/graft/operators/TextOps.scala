@@ -210,8 +210,11 @@ object TextOps {
     * (`floor(n·ln n·1e6) − Σ floor(cnt·ln cnt·1e6)`, the LM quantization
     * discipline) so no raw libm double ever reaches the output; the final
     * value is one IEEE division chain over exact ints. */
-  def textEntropy(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents.select(
+  /** The per-doc entropy columns over any documents frame — a stateless
+    * codegen map stage, so the SAME definition runs over a batch scan or
+    * a streaming source (see StreamOps.streamEntropyGate). */
+  def textEntropyOn(docs: DataFrame): DataFrame =
+    docs.select(
         col("doc_id"),
         graft.functions.textsketch.char_entropy_stats(col("text")).as("_e"))
       .select(col("doc_id"),
@@ -219,7 +222,9 @@ object TextOps {
         col("_e.distinct_chars").as("distinct_chars"),
         (col("_e.hq").cast("double") / lit(1e6) /
           col("_e.n_chars").cast("double")).as("entropy_nats"))
-      .orderBy(col("doc_id"))
+
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyOn(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   val textEntropySql: String =
     """WITH c AS (

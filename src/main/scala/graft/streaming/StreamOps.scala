@@ -444,6 +444,35 @@ object StreamOps {
         graft.operators.Pipeline.qualityDriftAggOn(docs), DriftQueryName))
   }
 
+  val EntropyQueryName = "graft_stream_entropy_gate"
+
+  /** C63's char-entropy scorer as a LIVE gate monitor (B54): the one-pass
+    * codegen kernel scores every arriving document map-side; streaming
+    * state is the deci-nat histogram — O(buckets) counter rows, nothing
+    * grows with the corpus (the B24 discipline). The bucket is a
+    * deterministic function of the hash-exact entropy double, so the
+    * AvailableNow drain equals the batch aggregate and the key is
+    * oracle-checked against C63's own SQL. At deploy scale the histogram
+    * shifting mass toward low buckets pages on boilerplate floods, toward
+    * high buckets on encoding noise. */
+  def streamEntropyGate(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = graft.operators.TextOps.textEntropyOn(docs)
+      .groupBy(floor(col("entropy_nats") * 10).cast("int").as("h_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    drainComplete(spark, agg, EntropyQueryName).orderBy(col("h_bucket"))
+  }
+
+  /** Oracle: the deci-nat histogram over batch C63's own SQL. */
+  val streamEntropyGateSql: String =
+    s"""SELECT CAST(floor(entropy_nats * 10) AS INT) AS h_bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM (${graft.operators.TextOps.textEntropySql})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val UpsertQueryName = "graft_stream_upsert"
 
   /** B29's CDC compaction maintained BY the stream: the same max-struct
@@ -483,7 +512,8 @@ object StreamOps {
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
     "stream_quality_drift" -> (streamQualityDrift _),
-    "stream_index_probe" -> (streamIndexProbe _)
+    "stream_index_probe" -> (streamIndexProbe _),
+    "stream_entropy_gate" -> (streamEntropyGate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -506,6 +536,8 @@ object StreamOps {
     // the drained drift board must equal the batch C59 query
     "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql,
     // the accumulated per-batch probes must equal the one-shot C54 probe
-    "stream_index_probe" -> graft.operators.Sketch.dedupIndexProbeSql
+    "stream_index_probe" -> graft.operators.Sketch.dedupIndexProbeSql,
+    // the drained histogram must equal the batch C63 rollup
+    "stream_entropy_gate" -> streamEntropyGateSql
   )
 }

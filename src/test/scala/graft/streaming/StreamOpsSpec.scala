@@ -212,6 +212,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed entropy histogram equals the batch C63 rollup (B54 == C63)") {
+    import org.apache.spark.sql.functions._
+    val s = StreamOps.streamEntropyGate(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val b = graft.operators.TextOps.textEntropy(spark, sfDir)
+      .groupBy(floor(col("entropy_nats") * 10).cast("int").as("h_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("h_bucket")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(s.length > 1 && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
