@@ -512,11 +512,13 @@ object CorpusOps {
     * makes every shard an INDEPENDENT running-sum window — packing
     * parallelism scales with the shard count instead of serializing the
     * corpus through one global cumsum (the single-partition trap). */
-  def packSequencesOn(documents: DataFrame, idCol: String, textCol: String,
-      budget: Long): DataFrame = {
-    val docs = documents.select(col(idCol).as("doc_id"),
-      size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
-      md5(col(idCol).cast("string")).as("h"))
+  /** The packing core over any (doc_id, n_tokens) frame — the LENGTH
+    * source is the caller's choice (whitespace for C26, the BPE-encoded
+    * length for C65: the unit the trainer's data loader actually bills). */
+  def packSequencesByLen(lengths: DataFrame, budget: Long): DataFrame = {
+    val docs = lengths.select(col("doc_id"),
+      col("n_tokens").cast("bigint").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
       .withColumn("shard", substring(col("h"), 1, 1))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -530,8 +532,54 @@ object CorpusOps {
       .orderBy(col("shard"), col("start_off"), col("doc_id"))
   }
 
+  def packSequencesOn(documents: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame =
+    packSequencesByLen(
+      documents.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens")),
+      budget)
+
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOn(Tables(spark, dir).documents, "doc_id", "text", PackBudget)
+
+  // --- C65: pack by ENCODED length (the trainer's billing unit) ------------
+  /** C26's deterministic packing layout computed over the BPE-ENCODED
+    * length from C60 instead of the whitespace count — the unit a
+    * pretraining data loader actually consumes, so sequence boundaries
+    * land where the trainer's token budget says, not where whitespace
+    * approximates it. Same reshard-stable hash layout, same per-shard
+    * independent cumsum; the length column rides out of the encode map
+    * stage, so the composition adds ZERO exchanges over C26. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    // the UNSORTED encode core — C60's gate sort must not ride into the
+    // packing plan as a third exchange
+    val (enc, _) = bpeEncodeIdsOn(Tables(spark, dir).documents,
+      "doc_id", "text", BpeRounds)
+    packSequencesByLen(
+      enc.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens")),
+      PackBudget)
+  }
+
+  /** Twin: the C60 encode chain as a derived table feeding C26's own
+    * window replay. Lazy: [[bpeEncodeSql]] initializes later in this
+    * object's declaration order. */
+  lazy val packSequencesBpeSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM ($bpeEncodeSql)
+       |), o AS (
+       |  SELECT doc_id, substr(h, 1, 1) AS shard, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+       |           ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_off
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       |       CAST(start_off + n_tokens AS BIGINT) AS end_off,
+       |       CAST(start_off // $PackBudget AS BIGINT) AS first_seq,
+       |       CAST((start_off + n_tokens - 1) // $PackBudget AS BIGINT) AS last_seq
+       |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
 
   val packSequencesSql: String =
     s"""WITH t AS (
@@ -2214,6 +2262,7 @@ object CorpusOps {
     "fourgram_logprob" -> (fourgramLogprob _),
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode" -> (bpeEncode _),
+    "pack_sequences_bpe" -> (packSequencesBpe _),
     "kn_logprob" -> (knLogprob _))
 
   val oracles: Map[String, String] = Map(
@@ -2239,5 +2288,6 @@ object CorpusOps {
     "fourgram_logprob" -> fourgramLogprobSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
+    "pack_sequences_bpe" -> packSequencesBpeSql,
     "kn_logprob" -> knLogprobSql)
 }

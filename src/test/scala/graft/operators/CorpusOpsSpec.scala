@@ -98,6 +98,32 @@ class CorpusOpsSpec extends SparkSpec {
       (r.getAs[String]("shard"), r.getAs[Long]("start_off"))).map(_.toString).toSeq)
   }
 
+  test("pack_sequences_bpe: lengths are C60's encoded counts; layout invariants hold") {
+    val rows = CorpusOps.packSequencesBpe(spark, sfDir).collect()
+    // the billed length IS the encoder's, per doc — and strictly less
+    // mass than the whitespace layout wherever merges fired
+    val enc = CorpusOps.bpeEncodeOn(
+      graft.sources.Tables(spark, sfDir).documents, "doc_id", "text",
+      CorpusOps.BpeRounds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_tokens") === enc(r.getAs[Long]("doc_id"))))
+    val wsMass = CorpusOps.packSequences(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum < wsMass)
+    // same contiguity/coverage invariants as C26
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_off"))
+      assert(sorted.head.getAs[Long]("start_off") === 0L, s"shard $shard")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_off") === b.getAs[Long]("start_off"),
+            s"gap/overlap in shard $shard")
+        case _ =>
+      }
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
