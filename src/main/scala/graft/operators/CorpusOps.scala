@@ -327,19 +327,32 @@ object CorpusOps {
     * broadcast hash join, and the only exchange is the (train, bench) pair
     * partial-agg — cost O(actual shared shingles), never O(corpus²). All
     * inputs to the score are exact ints; containment is one IEEE division. */
-  def decontaminateContainmentOn(train: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 3,
-      tau: Double = ContainmentThreshold): DataFrame = {
-    val bsh = bench.select(col(idCol).as("bench_id"),
+  /** The benchmark's exploded distinct-shingle set — the broadcast side of
+    * every containment probe (batch C62 and streaming B55 share it). */
+  def containmentBenchShingles(bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    bench.select(col(idCol).as("bench_id"),
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
       .localCheckpoint(eager = true)
-    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+
+  /** Stage 1: per-(train, bench) shared-shingle counts — a stateless
+    * map + broadcast join over the train side, then the pair partial-agg
+    * (a streaming aggregation when `train` streams). */
+  def containmentPairsOn(train: DataFrame, bsh: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
     train
       .select(col(idCol).as("train_id"),
         explode(array_distinct(TextOps.shingles(col(textCol), n))).as("s"))
       .join(broadcast(bsh), "s")
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
+
+  /** Stage 2: normalize by the bench doc's shingle count and gate on τ —
+    * runs over the O(pairs) count table, never the corpus. */
+  def containmentOf(pairs: DataFrame, bsh: DataFrame,
+      tau: Double): DataFrame = {
+    val bsz = bsh.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_n"))
+    pairs
       .join(broadcast(bsz), "bench_id")
       .filter(col("n_shared").cast("double") / col("bench_n") >= tau)
       .select(col("train_id"), col("bench_id"), col("n_shared"),
@@ -347,6 +360,13 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("bench_n"))
           .as("containment"))
       .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  def decontaminateContainmentOn(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      tau: Double = ContainmentThreshold): DataFrame = {
+    val bsh = containmentBenchShingles(bench, idCol, textCol, n)
+    containmentOf(containmentPairsOn(train, bsh, idCol, textCol, n), bsh, tau)
   }
 
   def decontaminateContainment(spark: SparkSession, dir: String): DataFrame = {
@@ -2069,19 +2089,30 @@ object CorpusOps {
     * applies rounds < R internally; round R's export exists precisely so
     * the APPLY side can use it), then maps tokens to ids in one codegen
     * `transform` — the corpus never shuffles. */
-  private[operators] def bpeEncodeIdsOn(documents: DataFrame, idCol: String,
+  /** Train to `rounds` and apply ALL rounds' merge vocabularies to the
+    * `toks` column of `base` (any extra columns pass through) — the shared
+    * apply loop of the encoder (C60) and the fertility rollup (C66). */
+  private def bpeApplyMerges(documents: DataFrame, idCol: String,
       textCol: String, rounds: Int,
-      baseK: Int = EncodeBaseK): (DataFrame, Map[String, Int]) = {
+      base: DataFrame): (DataFrame, Seq[(Int, String, Long)]) = {
     import graft.functions.textsketch.greedy_phrase_merge
     val table = bpeVocabOn(documents, idCol, textCol, rounds)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-    var cur = documents.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("toks"))
+    var cur = base
     for (r <- 1 to rounds) {
       val v = table.filter(_._1 == r).map(_._2)
       if (v.nonEmpty)
         cur = cur.withColumn("toks", greedy_phrase_merge(col("toks"), v.toIndexedSeq))
     }
+    (cur, table)
+  }
+
+  private[operators] def bpeEncodeIdsOn(documents: DataFrame, idCol: String,
+      textCol: String, rounds: Int,
+      baseK: Int = EncodeBaseK): (DataFrame, Map[String, Int]) = {
+    val (cur, table) = bpeApplyMerges(documents, idCol, textCol, rounds,
+      documents.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks")))
     val base = cur.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(baseK)
@@ -2118,14 +2149,60 @@ object CorpusOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
 
+  // --- C66: per-language tokenizer fertility --------------------------------
+  /** Tokens-per-word fertility of the C52 merge table, per language — THE
+    * tokenizer-QA number: a language whose fertility stays near 1.0 gets
+    * no compression from the learned vocabulary (undertrained for it), and
+    * a rising fertility on a language's new feed means the vocabulary has
+    * drifted away from its text. Raw and encoded counts ride one corpus
+    * map pass (the merge loop carries the pre-merge count through); the
+    * rollup is one O(languages) partial agg; fertility is one IEEE
+    * division of exact longs. */
+  def vocabFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (cur, _) = bpeApplyMerges(docs, "doc_id", "text", BpeRounds,
+      docs.select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n_raw", size(col("toks")).cast("long")))
+    cur
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).as("ws_tokens"),
+        sum(size(col("toks")).cast("long")).as("enc_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("enc_tokens"),
+        (col("enc_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  /** Twin: the shared apply chain, rolled up per language. */
+  val vocabFertilitySql: String = {
+    val dF = s"d${BpeRounds + 1}"
+    s"""WITH RECURSIVE d1 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), $bpeApplyChainSql
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(r.toks)) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(len(f.toks)) AS BIGINT) AS enc_tokens,
+       |  CAST(CAST(SUM(len(f.toks)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(len(r.toks)) AS BIGINT) AS DOUBLE) AS fertility
+       |FROM documents d
+       |JOIN d1 r ON d.doc_id = r.doc_id
+       |JOIN $dF f ON d.doc_id = f.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Twin: the [[bpeVocabSql]] chain extended one walk (round R's vocab
     * IS applied when encoding), then the same id assignment — merge rows
     * numbered in export order with first-wins dedup, base tokens ranked
     * over the merged corpus — replayed as joins; generated from
     * [[BpeRounds]]/[[EncodeBaseK]] so the oracle re-derives with the
     * knobs. */
-  val bpeEncodeSql: String = {
-    val chain = (1 to BpeRounds).map { r =>
+  /** The R-round mine+walk chain applying EVERY round's vocabulary
+    * (d1 raw → d{R+1} fully merged) — shared by the encode and fertility
+    * twins. */
+  private def bpeApplyChainSql: String =
+    (1 to BpeRounds).map { r =>
       s"""${mineCtes(s"d$r", s"bg$r", s"vl$r")},
          |${walkCtes(s"walk$r", s"d$r", s"vl$r")},
          |m$r AS MATERIALIZED (
@@ -2134,6 +2211,9 @@ object CorpusOps {
          |  SELECT doc_id, regexp_split_to_array(txt, ' ') AS toks FROM m$r
          |)""".stripMargin
     }.mkString(",\n")
+
+  val bpeEncodeSql: String = {
+    val chain = bpeApplyChainSql
     val union = (1 to BpeRounds).map { r =>
       if (r == 1) s"  SELECT 1 AS round, bg AS phrase, df FROM bg1"
       else s"  UNION ALL SELECT $r, bg, df FROM bg$r"
@@ -2263,6 +2343,7 @@ object CorpusOps {
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode" -> (bpeEncode _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
+    "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
 
   val oracles: Map[String, String] = Map(
@@ -2289,5 +2370,6 @@ object CorpusOps {
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
+    "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)
 }

@@ -423,6 +423,42 @@ object StreamOps {
       .orderBy(col("batch_id"), col("hist_id"))
   }
 
+  val DecontaminateQueryName = "graft_stream_decontaminate"
+
+  /** C62's containment gate run ON the live feed (B55) — the deploy shape
+    * of benchmark decontamination: the eval suite's distinct shingles
+    * broadcast once (a few MB, static side); every arriving document
+    * explodes its shingles map-side into the broadcast join and the
+    * streaming state is the per-(train, bench) shared-shingle counter —
+    * O(actually-overlapping pairs), nothing keyed by the corpus. The
+    * drained counter board re-enters the SAME
+    * [[graft.operators.CorpusOps.containmentOf]] normalize/τ-gate step the
+    * batch query uses, so drain == batch and the key shares C62's oracle.
+    * The arriving feed is C62's seeded leak corpus derived map-side. */
+  def streamDecontaminate(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val spark = streamingSession(rootSpark)
+    val bench = graft.sources.Tables(spark, dir).documents
+      .filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+      .select(col("doc_id"), col("text"))
+    val bsh = CorpusOps.containmentBenchShingles(bench, "doc_id", "text", 3)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val filler = concat_ws(" ",
+      transform(sequence(lit(0), lit(CorpusOps.ContainmentPadTokens - 1)),
+        i => concat(lit("pad"), i)))
+    val train = d.filter(col("doc_id") % CorpusOps.BenchmarkMod =!= 0)
+      .unionAll(d.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+        .select((col("doc_id") + CorpusOps.ContaminatedShift).as("doc_id"),
+          concat(filler, lit(" "), col("text")).as("text")))
+    val pairs = CorpusOps.containmentPairsOn(train, bsh, "doc_id", "text", 3)
+    CorpusOps.containmentOf(
+      drainComplete(spark, pairs, DecontaminateQueryName), bsh,
+      CorpusOps.ContainmentThreshold)
+  }
+
   val DriftQueryName = "graft_stream_quality_drift"
 
   /** C59's per-day quality-drift monitor maintained BY the stream (B52):
@@ -513,7 +549,8 @@ object StreamOps {
     "stream_kn_score" -> (streamKnScore _),
     "stream_quality_drift" -> (streamQualityDrift _),
     "stream_index_probe" -> (streamIndexProbe _),
-    "stream_entropy_gate" -> (streamEntropyGate _)
+    "stream_entropy_gate" -> (streamEntropyGate _),
+    "stream_decontaminate" -> (streamDecontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,6 +575,8 @@ object StreamOps {
     // the accumulated per-batch probes must equal the one-shot C54 probe
     "stream_index_probe" -> graft.operators.Sketch.dedupIndexProbeSql,
     // the drained histogram must equal the batch C63 rollup
-    "stream_entropy_gate" -> streamEntropyGateSql
+    "stream_entropy_gate" -> streamEntropyGateSql,
+    // the drained pair counters re-enter the same τ-gate → equal C62
+    "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql
   )
 }

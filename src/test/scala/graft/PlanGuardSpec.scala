@@ -136,7 +136,8 @@ class PlanGuardSpec extends SparkSpec {
     "decontaminate_containment" -> 4, // bench shingles + sizes broadcast (corpus never shuffles into the join); (train,bench) pair partial-agg + gate sort
     "text_entropy" -> 1, // the char histogram is row-local inside the codegen'd kernel (never an exploded per-char exchange); gate sort only
     "embed_pca" -> 1, // the d²-long Gram buffer aggregates eagerly at build (one corpus pass, 32 KiB result); the projection is a pure map vs the v literal + gate sort
-    "pack_sequences_bpe" -> 2 // the encoded length rides out of C60's map stage, so the composition matches C26's budget: one per-shard cumsum window + gate sort
+    "pack_sequences_bpe" -> 2, // the encoded length rides out of C60's map stage, so the composition matches C26's budget: one per-shard cumsum window + gate sort
+    "vocab_fertility" -> 2 // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -124,6 +124,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab_fertility: per-lang rollup is consistent with the C60 encoder") {
+    val rows = CorpusOps.vocabFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // fertility < 1 wherever merges fired; internal consistency per row
+    rows.foreach { case (_, n, ws, enc, f) =>
+      assert(n > 0 && enc <= ws)
+      assert(f === enc.toDouble / ws.toDouble)
+    }
+    // cross-operator: totals equal the encoder's summed lengths and the
+    // corpus' whitespace mass
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val encTotal = CorpusOps.bpeEncodeOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds).agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(rows.map(_._4).sum === encTotal)
+    val wsTotal = docs
+      .agg(sum(org.apache.spark.sql.functions.size(
+        graft.operators.TextOps.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum === wsTotal)
+    assert(rows.map(_._2).sum === docs.count())
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -224,6 +224,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length > 1 && s.toSeq === b.toSeq)
   }
 
+  test("streamed containment gate equals the batch C62 probe (B55 == C62)") {
+    val s = StreamOps.streamDecontaminate(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.decontaminateContainment(spark, sfDir)
+      .collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
