@@ -252,6 +252,17 @@ object ScaleProbe {
     time("bpe_encode") {
       CorpusOps.bpeEncodeOn(docs, "doc_id", "text", CorpusOps.BpeRounds).count()
     }
+    time("pack_sequences_bpe") {
+      CorpusOps.packSequencesByLen(
+        CorpusOps.bpeEncodeOn(docs, "doc_id", "text", CorpusOps.BpeRounds)
+          .select(col("doc_id"), col("n_tokens")), 2048L).count()
+    }
+    time("vocab_fertility") {
+      // the replicated corpus has no lang column; derive a deterministic one
+      CorpusOps.bpeEncodeOn(docs, "doc_id", "text", CorpusOps.BpeRounds)
+        .groupBy((col("doc_id") % 5).as("lang"))
+        .agg(count(lit(1)), sum(col("n_tokens"))).count()
+    }
     time("text_entropy") {
       TextOps.textEntropyOn(docs).count()
     }
@@ -368,6 +379,9 @@ object ScaleProbe {
     }
     time("stream_entropy_gate") {
       graft.streaming.StreamOps.streamEntropyGate(spark, streamDir).count()
+    }
+    time("stream_decontaminate") {
+      graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
       println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")

@@ -171,6 +171,54 @@ object TextKernels {
       Array[Any](n, counts.size, hq))
   }
 
+  /** One-pass Kneser–Ney bigram scoring over a token array: vocab
+    * projection, the four table lookups, and the micro-nat floor terms all
+    * happen row-locally — the hoisted-kernel replacement for the
+    * interpreted `aggregate(sequence(...))` HOF spelling (the
+    * expressions-not-lambdas rule; measured ~4× on the streaming drain).
+    * Arithmetic mirrors the SQL term op-for-op (same IEEE association), so
+    * the result is bit-identical to the join spelling and the oracle.
+    * Returns (n_pairs, sq); n_pairs = 0 marks docs too short to score. */
+  def knScore(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: java.util.HashSet[String],
+      bg: java.util.HashMap[String, java.lang.Long],
+      ca: java.util.HashMap[String, java.lang.Long],
+      n1f: java.util.HashMap[String, java.lang.Long],
+      n1p: java.util.HashMap[String, java.lang.Long],
+      dTypes: Double, d: Double, q: Double)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](0L, 0L))
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      toks(i) = if (vocab.contains(t)) t else "<unk>"
+      i += 1
+    }
+    val caU = ca.get("<unk>"); val n1fU = n1f.get("<unk>")
+    val n1pU = n1p.get("<unk>")
+    var sq = 0L
+    i = 0
+    while (i < n - 1) {
+      val a = toks(i); val b = toks(i + 1)
+      val bgc = bg.get(a + " " + b)
+      val bgd = if (bgc == null) 0.0 else bgc.longValue.toDouble
+      val n1fv = { val x = n1f.get(a); if (x == null) n1fU else x }
+      val n1pv = { val x = n1p.get(b); if (x == null) n1pU else x }
+      val cav = { val x = ca.get(a); if (x == null) caU else x }
+      val p = (math.max(bgd - d, 0.0) +
+        d * n1fv.longValue.toDouble * (n1pv.longValue.toDouble / dTypes)) /
+        cav.longValue.toDouble
+      sq += math.floor(-math.log(p) * q).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((n - 1).toLong, sq))
+  }
+
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6)
@@ -202,6 +250,56 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.compressRatio($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Kneser–Ney bigram scorer over a token array (see TextKernels.knScore):
+  * the bounded KN tables ride the generated class as reference objects (the
+  * GreedyPhraseMerge discipline — sound below CorpusOps.KnLiteralMax; the
+  * production-K path is the broadcast-join spelling). */
+case class KnScoreStats(child: Expression, vocab: Seq[String],
+    bg: Map[String, Long], ca: Map[String, Long], n1f: Map[String, Long],
+    n1p: Map[String, Long], dTypes: Long, discount: Double, quantum: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false)))
+  override def prettyName: String = "kn_score_stats"
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  private def jmap(m: Map[String, Long])
+      : java.util.HashMap[String, java.lang.Long] = {
+    val j = new java.util.HashMap[String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, v) => j.put(k, java.lang.Long.valueOf(v)) }
+    j
+  }
+  @transient private lazy val bgJ = jmap(bg)
+  @transient private lazy val caJ = jmap(ca)
+  @transient private lazy val n1fJ = jmap(n1f)
+  @transient private lazy val n1pJ = jmap(n1p)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.knScore(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vocabSet, bgJ, caJ, n1fJ, n1pJ, dTypes.toDouble, discount, quantum)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("knVocab", vocabSet, "java.util.HashSet")
+    val bgRef = ctx.addReferenceObj("knBg", bgJ, "java.util.HashMap")
+    val caRef = ctx.addReferenceObj("knCa", caJ, "java.util.HashMap")
+    val n1fRef = ctx.addReferenceObj("knN1f", n1fJ, "java.util.HashMap")
+    val n1pRef = ctx.addReferenceObj("knN1p", n1pJ, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.knScore($x, " +
+        s"$vRef, $bgRef, $caRef, $n1fRef, $n1pRef, " +
+        s"${dTypes.toDouble}, $discount, $quantum);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -462,4 +560,10 @@ object textsketch {
 
   def char_entropy_stats(text: Column): Column =
     column(CharEntropyStats(expression(text)))
+
+  def kn_score_stats(toks: Column, vocab: Seq[String], bg: Map[String, Long],
+      ca: Map[String, Long], n1f: Map[String, Long], n1p: Map[String, Long],
+      dTypes: Long, discount: Double, quantum: Double): Column =
+    column(KnScoreStats(expression(toks), vocab, bg, ca, n1f, n1p,
+      dTypes, discount, quantum))
 }

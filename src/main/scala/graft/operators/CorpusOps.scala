@@ -1463,35 +1463,22 @@ object CorpusOps {
       s"KN literal scorer at ${m.bg.size} bigram entries exceeds " +
         s"KnLiteralMax=$KnLiteralMax; use knScoreJoinWith (the tables are " +
         "quadratic in the vocab size)")
-    val d = KnDiscount
+    // ONE codegen'd kernel pass per doc (projection + lookups + micro-nat
+    // terms row-local — the expressions-not-lambdas rule; formerly an
+    // interpreted aggregate() HOF, measured ~4× slower on the stream
+    // drain). The kernel mirrors the SQL term op-for-op, so the output
+    // stays bit-identical to the join spelling and C55's oracle.
     val q6 = LmQuantum
     docs
-      .withColumn("_vs", typedLit(m.vocab.toSeq.sorted))
-      .withColumn("_bg", typedLit(m.bg))
-      .withColumn("_ca", typedLit(m.ca))
-      .withColumn("_n1f", typedLit(m.n1f))
-      .withColumn("_n1p", typedLit(m.n1p))
-      .withColumn("_pt", expr(
-        s"transform(split(trim($textCol), '\\\\s+'), " +
-          "t -> IF(array_contains(_vs, t), t, '<unk>'))"))
-      .filter(size(col("_pt")) >= 2)
       .select(col(idCol).as("doc_id"),
-        (size(col("_pt")) - 1).cast("long").as("n_pairs"),
-        expr(
-          s"""aggregate(sequence(1, size(_pt) - 1), 0L, (acc, i) -> acc +
-             |CAST(floor(-ln((greatest(CAST(coalesce(
-             |    _bg[concat(element_at(_pt, i), ' ', element_at(_pt, i + 1))],
-             |    0L) AS DOUBLE) - $d, 0.0)
-             |  + $d * CAST(coalesce(element_at(_n1f, element_at(_pt, i)),
-             |      _n1f['<unk>']) AS DOUBLE)
-             |  * (CAST(coalesce(element_at(_n1p, element_at(_pt, i + 1)),
-             |      _n1p['<unk>']) AS DOUBLE) / CAST(${m.dTypes} AS DOUBLE)))
-             |  / CAST(coalesce(element_at(_ca, element_at(_pt, i)),
-             |      _ca['<unk>']) AS DOUBLE)) * $q6) AS BIGINT))""".stripMargin
-          .replaceAll("\n", " ")).as("_sq"))
-      .select(col("doc_id"), col("n_pairs"),
-        (col("_sq").cast("double") / lit(q6.toDouble) /
-          col("n_pairs").cast("double")).as("cross_entropy"))
+        graft.functions.textsketch.kn_score_stats(
+          expr(s"split(trim($textCol), '\\\\s+')"),
+          m.vocab.toSeq.sorted, m.bg, m.ca, m.n1f, m.n1p,
+          m.dTypes, KnDiscount.toDouble, q6.toDouble).as("_k"))
+      .filter(col("_k.n_pairs") >= 1)
+      .select(col("doc_id"), col("_k.n_pairs").as("n_pairs"),
+        (col("_k.sq").cast("double") / lit(q6.toDouble) /
+          col("_k.n_pairs").cast("double")).as("cross_entropy"))
       .withColumn("ppl_bucket",
         least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
   }
@@ -2089,28 +2076,38 @@ object CorpusOps {
     * applies rounds < R internally; round R's export exists precisely so
     * the APPLY side can use it), then maps tokens to ids in one codegen
     * `transform` — the corpus never shuffles. */
-  /** Train to `rounds` and apply ALL rounds' merge vocabularies to the
-    * `toks` column of `base` (any extra columns pass through) — the shared
-    * apply loop of the encoder (C60) and the fertility rollup (C66). */
-  private def bpeApplyMerges(documents: DataFrame, idCol: String,
-      textCol: String, rounds: Int,
+  /** Train to `rounds` AND apply every round's merge vocabulary to the
+    * `toks` column of `base` in ONE sweep (any extra columns pass
+    * through) — the shared loop of the encoder (C60) and the fertility
+    * rollup (C66). Mining round r runs on the corpus with r−1 merges
+    * applied, exactly like [[bpeTrain]], so the returned table EQUALS the
+    * trainer's export; fusing the apply into the training loop lets the
+    * encode reuse the trainer's own checkpointed intermediates instead of
+    * re-merging from the raw corpus. `base` must carry (doc_id, toks). */
+  private def bpeApplyMerges(rounds: Int,
       base: DataFrame): (DataFrame, Seq[(Int, String, Long)]) = {
     import graft.functions.textsketch.greedy_phrase_merge
-    val table = bpeVocabOn(documents, idCol, textCol, rounds)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
     var cur = base
+    val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to rounds) {
-      val v = table.filter(_._1 == r).map(_._2)
-      if (v.nonEmpty)
-        cur = cur.withColumn("toks", greedy_phrase_merge(col("toks"), v.toIndexedSeq))
+      val fresh = minePhrasesDf(
+        cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+        "doc_id", "text")
+        .collect().map(x => (r, x.getString(0), x.getLong(1))).toSeq
+      mined ++= fresh
+      if (fresh.nonEmpty)
+        cur = cur.withColumn("toks",
+          greedy_phrase_merge(col("toks"), fresh.map(_._2).toIndexedSeq))
+      if (r % 2 == 0) cur = cur.localCheckpoint(eager = true)
     }
-    (cur, table)
+    (cur, mined.toSeq)
   }
 
   private[operators] def bpeEncodeIdsOn(documents: DataFrame, idCol: String,
       textCol: String, rounds: Int,
       baseK: Int = EncodeBaseK): (DataFrame, Map[String, Int]) = {
-    val (cur, table) = bpeApplyMerges(documents, idCol, textCol, rounds,
+    val (cur, table) = bpeApplyMerges(rounds,
       documents.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks")))
     val base = cur.select(explode(col("toks")).as("tok"))
@@ -2160,8 +2157,9 @@ object CorpusOps {
     * division of exact longs. */
   def vocabFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val (cur, _) = bpeApplyMerges(docs, "doc_id", "text", BpeRounds,
-      docs.select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val (cur, _) = bpeApplyMerges(BpeRounds,
+      docs.select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("toks"))
         .withColumn("n_raw", size(col("toks")).cast("long")))
     cur
       .groupBy(col("lang"))
