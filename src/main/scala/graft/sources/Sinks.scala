@@ -189,13 +189,104 @@ object Sinks {
        |FROM h$ZOrderBits ORDER BY o_orderkey""".stripMargin
   }
 
+  // --- C67: data-skipping effectiveness of the clustered layout ------------
+  /** Rows per simulated file for the pruning audit. At deploy the file
+    * split comes from the `repartitionByRange` writer; the audit emulates
+    * it with the same total order so the footer stats are computed over
+    * EXACTLY the row runs the writer would bin. */
+  val PruneRowsPerFile = 512L
+
+  /** WHY the clustered layout exists, measured: per-file min/max footer
+    * stats under (a) the Z-order layout and (b) the natural o_orderkey
+    * order, against one deterministic box query (the middle quarter of
+    * each dimension's range) — `overlaps = 0` marks a file a scan SKIPS
+    * entirely. The audit output is O(files), not O(rows); the spec pins
+    * that the Z-order layout skips strictly more files than the natural
+    * one (on this corpus: most vs none). */
+  def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = zorderLayout(spark, dir) // (o_orderkey, x, d, zkey)
+    val stats = base.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    def files(df: DataFrame, layout: String, order: Seq[org.apache.spark.sql.Column]) =
+      df.withColumn("_rn",
+          row_number().over(Window.orderBy(order: _*)))
+        .groupBy(expr(s"CAST((_rn - 1) div $PruneRowsPerFile AS BIGINT)")
+          .as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+        .withColumn("layout", lit(layout))
+    files(base, "zorder", Seq(col("zkey"), col("o_orderkey")))
+      .unionAll(files(base, "natural", Seq(col("o_orderkey"))))
+      .crossJoin(broadcast(stats))
+      .select(col("layout"), col("file_id"), col("n_rows"),
+        col("x_min"), col("x_max"), col("d_min"), col("d_max"),
+        expr("""CAST(x_max >= xmin + (xmax - xmin) div 4
+               |  AND x_min <= xmin + (xmax - xmin) div 2
+               |  AND d_max >= dmin + (dmax - dmin) div 4
+               |  AND d_min <= dmin + (dmax - dmin) div 2
+               |  AS INT)""".stripMargin.replaceAll("\n", " "))
+          .as("overlaps"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
+  /** Twin: the zkey CTE chain, windowed into the same simulated files. */
+  val zorderPruneSql: String = {
+    val m = (1L << ZOrderBits) - 1
+    val terms = (0 until ZOrderBits).map { i =>
+      s"((zx >> $i) & 1) * ${1L << (2 * i)} + ((zd >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d
+       |  FROM orders
+       |), s AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM o
+       |), n AS (
+       |  SELECT o_orderkey, x, d,
+       |    ((x - xmin) * $m) // GREATEST(1, xmax - xmin) AS zx,
+       |    ((d - dmin) * $m) // GREATEST(1, dmax - dmin) AS zd
+       |  FROM o CROSS JOIN s
+       |), z AS (
+       |  SELECT o_orderkey, x, d, CAST($terms AS BIGINT) AS zkey FROM n
+       |), fz AS (
+       |  SELECT 'zorder' AS layout,
+       |    (row_number() OVER (ORDER BY zkey, o_orderkey) - 1)
+       |      // $PruneRowsPerFile AS file_id, x, d
+       |  FROM z
+       |), fn AS (
+       |  SELECT 'natural' AS layout,
+       |    (row_number() OVER (ORDER BY o_orderkey) - 1)
+       |      // $PruneRowsPerFile AS file_id, x, d
+       |  FROM z
+       |), f AS (
+       |  SELECT layout, CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM (SELECT * FROM fz UNION ALL SELECT * FROM fn)
+       |  GROUP BY 1, 2)
+       |SELECT layout, file_id, n_rows,
+       |  CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       |  CAST(d_min AS BIGINT) AS d_min, CAST(d_max AS BIGINT) AS d_max,
+       |  CAST(CASE WHEN x_max >= xmin + (xmax - xmin) // 4
+       |             AND x_min <= xmin + (xmax - xmin) // 2
+       |             AND d_max >= dmin + (dmax - dmin) // 4
+       |             AND d_min <= dmin + (dmax - dmin) // 2
+       |       THEN 1 ELSE 0 END AS INT) AS overlaps
+       |FROM f CROSS JOIN s
+       |ORDER BY layout, file_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout _),
-    "hilbert_layout" -> (hilbertLayout _))
+    "hilbert_layout" -> (hilbertLayout _),
+    "zorder_prune" -> (zorderPrune _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
-    "hilbert_layout" -> hilbertLayoutSql)
+    "hilbert_layout" -> hilbertLayoutSql,
+    "zorder_prune" -> zorderPruneSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

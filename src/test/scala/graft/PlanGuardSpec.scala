@@ -27,6 +27,8 @@ class PlanGuardSpec extends SparkSpec {
     "distinct_incremental",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "hilbert_layout",
+    // 1-row stats frame broadcast onto the O(files) audit rollup
+    "zorder_prune",
     // 1-row mean-weight stats frame broadcast onto the edge list
     "triangle_count")
 

@@ -59,6 +59,28 @@ class SinksSpec extends SparkSpec {
     assert(ld > gd * 0.9, s"lin avg d-range $ld vs global $gd")
   }
 
+  test("zorder_prune: the clustered layout skips files the natural one cannot") {
+    val rows = Sinks.zorderPrune(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(7)))
+    val byLayout = rows.groupBy(_._1)
+    assert(byLayout.keySet === Set("zorder", "natural"))
+    val total = graft.sources.Tables(spark, sfDir).orders.count()
+    byLayout.foreach { case (layout, fs) =>
+      // files partition the corpus: full except the last, rows sum exactly
+      assert(fs.map(_._3).sum === total, layout)
+      val sorted = fs.sortBy(_._2)
+      sorted.dropRight(1).foreach(f =>
+        assert(f._3 === Sinks.PruneRowsPerFile, s"$layout file ${f._2}"))
+    }
+    // the measured win: the box query skips most z-ordered files and
+    // (on this uniformly-spread corpus) no naturally-ordered file
+    def skipped(l: String) = byLayout(l).count(_._4 == 0)
+    assert(skipped("zorder") > skipped("natural"))
+    assert(skipped("zorder") >= byLayout("zorder").size / 2,
+      s"zorder skipped only ${skipped("zorder")}/${byLayout("zorder").size}")
+    assert(skipped("natural") === 0)
+  }
+
   test("hilbert: full-grid bijection, unit steps (the locality Morton lacks)") {
     import graft.functions.spatial.hilbert_index
     val bits = 3
