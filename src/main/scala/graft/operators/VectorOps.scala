@@ -261,12 +261,19 @@ object VectorOps {
     * Scale shape: ONE corpus pass / partial agg for the d²-long Gram buffer
     * (32 KiB at d=64, independent of row count), O(d²·iters) driver work,
     * then a pure map projection pass — the corpus never shuffles. */
-  def embedPcaOn(embs: DataFrame, idCol: String, embCol: String,
-      dim: Int): DataFrame = {
-    val qCol = transform(col(embCol).cast("array<double>"),
+  /** The 1e-3-quantized embedding column. */
+  private def pcaQuantized(embCol: String) =
+    transform(col(embCol).cast("array<double>"),
       x => floor(x * PcaQ.toDouble).cast("long"))
-    val qdf = embs.select(col(idCol).as("vec_id"), qCol.as("q"))
-    val g = qdf.agg(graft.functions.vectors.gram_matrix(col("q"), dim).as("g"))
+
+  /** OFFLINE training half: one Gram pass + the BigInt power iteration →
+    * the fixed-point axis. The returned v is a 64-long literal, so it
+    * rides into ANY plan — including a streaming one (B56's deploy shape:
+    * train the axis on the corpus snapshot, monitor the live feed). */
+  def embedPcaAxis(embs: DataFrame, idCol: String, embCol: String,
+      dim: Int): Array[Long] = {
+    val g = embs.select(pcaQuantized(embCol).as("q"))
+      .agg(graft.functions.vectors.gram_matrix(col("q"), dim).as("g"))
       .head().getSeq[Long](0).toArray
     var v = Array.fill(dim)(BigInt(PcaVQ))
     for (_ <- 1 to PcaIters) {
@@ -279,16 +286,27 @@ object VectorOps {
       val m = u.map(_.abs).max.max(BigInt(1))
       v = u.map(x => x * PcaVQ / m) // BigInt / truncates toward zero, like //
     }
-    qdf
-      .withColumn("_v", typedLit(v.map(_.toLong).toSeq))
+    v.map(_.toLong)
+  }
+
+  /** Scoring half: exact integer projection against the trained axis — a
+    * stateless map stage, so it applies to batch and streaming frames
+    * alike. No ordering imposed (streams cannot sort). */
+  def embedPcaProjectWith(v: Array[Long], embs: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    embs.select(col(idCol).as("vec_id"), pcaQuantized(embCol).as("q"))
+      .withColumn("_v", typedLit(v.toSeq))
       .select(col("vec_id"),
         expr("aggregate(zip_with(q, _v, (a, b) -> a * b), 0L, " +
           "(acc, x) -> acc + x)").as("pc1_q"))
       .select(col("vec_id"), col("pc1_q"),
         (col("pc1_q").cast("double") / lit((PcaQ * PcaVQ).toDouble))
           .as("pc1"))
-      .orderBy(col("vec_id"))
-  }
+
+  def embedPcaOn(embs: DataFrame, idCol: String, embCol: String,
+      dim: Int): DataFrame =
+    embedPcaProjectWith(embedPcaAxis(embs, idCol, embCol, dim),
+      embs, idCol, embCol).orderBy(col("vec_id"))
 
   def embedPca(spark: SparkSession, dir: String): DataFrame =
     embedPcaOn(Tables(spark, dir).embeddings, "vec_id", "embedding", PcaDim)

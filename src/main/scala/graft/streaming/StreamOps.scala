@@ -532,6 +532,39 @@ object StreamOps {
        |FROM (${graft.operators.TextOps.textEntropySql})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  val PcaQueryName = "graft_stream_embed_pca"
+
+  /** C64's drift axis monitoring a LIVE embedding feed (B56) — the deploy
+    * shape of embedding QA: the axis trains OFFLINE on the corpus snapshot
+    * (one Gram pass + BigInt iteration, a 64-long literal), every arriving
+    * vector projects map-side, and the streaming state is the pc1
+    * histogram — O(buckets) counter rows (the B24 discipline). A feed
+    * whose histogram mass shifts has drifted from the snapshot and gets
+    * re-embedded or quarantined. The bucket is a deterministic function of
+    * the hash-exact projection, so drain == batch and the key is
+    * oracle-checked against a rollup of C64's own SQL. */
+  def streamEmbedPca(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val spark = streamingSession(rootSpark)
+    val v = VectorOps.embedPcaAxis(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      VectorOps.PcaDim)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val e = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val agg = VectorOps.embedPcaProjectWith(v, e, "vec_id", "embedding")
+      .groupBy(floor(col("pc1") * 10).cast("int").as("p_bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+    drainComplete(spark, agg, PcaQueryName).orderBy(col("p_bucket"))
+  }
+
+  /** Oracle: the deci-unit histogram over batch C64's own SQL. */
+  lazy val streamEmbedPcaSql: String =
+    s"""SELECT CAST(floor(pc1 * 10) AS INT) AS p_bucket,
+       |  COUNT(*) AS n_vectors
+       |FROM (${graft.operators.VectorOps.embedPcaSql})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val UpsertQueryName = "graft_stream_upsert"
 
   /** B29's CDC compaction maintained BY the stream: the same max-struct
@@ -573,7 +606,8 @@ object StreamOps {
     "stream_quality_drift" -> (streamQualityDrift _),
     "stream_index_probe" -> (streamIndexProbe _),
     "stream_entropy_gate" -> (streamEntropyGate _),
-    "stream_decontaminate" -> (streamDecontaminate _)
+    "stream_decontaminate" -> (streamDecontaminate _),
+    "stream_embed_pca" -> (streamEmbedPca _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +634,8 @@ object StreamOps {
     // the drained histogram must equal the batch C63 rollup
     "stream_entropy_gate" -> streamEntropyGateSql,
     // the drained pair counters re-enter the same τ-gate → equal C62
-    "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql
+    "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql,
+    // the drained histogram must equal the batch C64 rollup
+    "stream_embed_pca" -> streamEmbedPcaSql
   )
 }

@@ -232,6 +232,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed pc1 histogram equals the batch C64 rollup (B56 == C64)") {
+    import org.apache.spark.sql.functions._
+    val s = StreamOps.streamEmbedPca(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val b = graft.operators.VectorOps.embedPca(spark, sfDir)
+      .groupBy(floor(col("pc1") * 10).cast("int").as("p_bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("p_bucket")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(s.length > 1 && s.toSeq === b.toSeq)
+  }
+
   test("stream query restarts cleanly (idempotent memory sink)") {
     val a = StreamOps.streamEvents(spark, sfDir).count()
     val b = StreamOps.streamEvents(spark, sfDir).count()
