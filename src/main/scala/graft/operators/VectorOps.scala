@@ -234,6 +234,32 @@ object VectorOps {
       |SELECT s1.label, n_vectors, sum_q_norm2, min_norm, max_norm, centroid_norm2_q
       |FROM s1 JOIN c ON s1.label = c.label ORDER BY 1""".stripMargin
 
+  // --- C68: IVF index health audit (rows-only; invariant spec) --------------
+  /** Per-list occupancy of the persisted IVF×PQ index — the skew number an
+    * ANN ops team watches: probe latency is gated by the LARGEST probed
+    * list, so a hot list (load_factor ≫ 1) means re-train the coarse
+    * quantizer or split the list. Reads only the `list_id=` directory
+    * footers' row groups — O(index), never the vector payloads; rows-only
+    * like the rest of the ANN family (occupancy depends on index
+    * parameters), pinned by the partition/totals spec. */
+  def annIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val path = graft.sources.IndexScratch.path(IvfPqIndexKind, dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, p))
+    // partition-column inference narrows list_id to INT on read — pin LONG
+    val per = spark.read.parquet(s"$path/lists")
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = per.agg(sum(col("n_vectors")).as("total"),
+      count(lit(1)).as("n_lists"))
+    per.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_vectors"),
+        (col("n_vectors").cast("double") * col("n_lists") /
+          col("total").cast("double")).as("load_factor"))
+      .orderBy(col("list_id"))
+  }
+
   // --- C64: exact-integer PCA projection (embedding drift axis) -------------
   val PcaDim = 64
   /** Input quantization grid (1e-3 units) — the operator is DEFINED on the
@@ -871,6 +897,7 @@ object VectorOps {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_refine" -> (annIvfPqRefineTopk _),
+    "ann_ivf_stats" -> (annIvfStats _),
     "diverse_topk" -> (diverseTopk _),
     "diverse_topk_multi" -> (diverseTopkMulti _)
   )

@@ -29,6 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
     "zorder_prune",
+    // 1-row totals frame broadcast onto the O(lists) occupancy rollup
+    "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
     "triangle_count")
 

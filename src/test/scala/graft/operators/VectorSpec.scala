@@ -138,6 +138,24 @@ class VectorSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("ann_ivf_stats: lists partition the corpus; load factors are consistent") {
+    val rows = VectorOps.annIvfStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.sources.Tables(spark, sfDir).embeddings.count()
+    // every vector lives in exactly one list; list ids are the k-means ids
+    assert(rows.map(_._2).sum === n)
+    assert(rows.length <= VectorOps.IvfLists && rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // load factors average to 1 by construction and replay exactly
+    rows.foreach { case (_, c, lf) =>
+      assert(lf === c.toDouble * rows.length / n.toDouble)
+    }
+    // deterministic rebuild (the index is memoized + deterministic)
+    val again = VectorOps.annIvfStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("persisted IVF index returns the same results as the direct operator") {
     val corpus = embDouble.select(col("vec_id"), col("emb"))
     val queries = corpus.limit(10)
