@@ -281,6 +281,13 @@ object ScaleProbe {
     time("embed_pca") {
       VectorOps.embedPcaOn(embs, "vec_id", "emb", VectorOps.PcaDim).count()
     }
+    time("zorder_prune") {
+      // reads the sf tables directly (orders, not the replicated docs)
+      graft.sources.Sinks.zorderPrune(spark, sfDir).count()
+    }
+    time("ann_ivf_stats") {
+      VectorOps.annIvfStats(spark, sfDir).count()
+    }
     time("dedup_keep_best") {
       // the deploy-path spelling: LSH-band edges (not the exact inverted
       // index) feeding the same CC + quality-argmax retention
@@ -382,6 +389,12 @@ object ScaleProbe {
     }
     time("stream_decontaminate") {
       graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
+    }
+    time("stream_embed_pca") {
+      // embeddings feed: the replicated vectors written as one file
+      writeSingle(embs.select(col("vec_id"),
+        col("emb").cast("array<float>").as("embedding")), "embeddings.parquet")
+      graft.streaming.StreamOps.streamEmbedPca(spark, streamDir).count()
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
       println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")
