@@ -268,15 +268,10 @@ object ScaleProbe {
     }
     time("decontaminate_containment") {
       // every 97th doc re-enters embedded whole behind the filler pad
-      val filler = concat_ws(" ",
-        transform(sequence(lit(0), lit(CorpusOps.ContainmentPadTokens - 1)),
-          i => concat(lit("pad"), i)))
-      val train = docs.filter(col("doc_id") % 97 =!= 0)
-        .unionAll(docs.filter(col("doc_id") % 97 === 0)
-          .select((col("doc_id") + 500000000L).as("doc_id"),
-            concat(filler, lit(" "), col("text")).as("text")))
-      CorpusOps.decontaminateContainmentOn(train,
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()
+      CorpusOps.decontaminateContainmentOn(
+        CorpusOps.containmentLeakTrainOn(docs),
+        docs.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0),
+        "doc_id", "text").count()
     }
     time("embed_pca") {
       VectorOps.embedPcaOn(embs, "vec_id", "emb", VectorOps.PcaDim).count()
@@ -390,10 +385,11 @@ object ScaleProbe {
     time("stream_decontaminate") {
       graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
     }
+    // embeddings feed staged OUTSIDE the timed block (like the documents/
+    // events staging): the probe measures the drain, not the one-off write
+    writeSingle(embs.select(col("vec_id"),
+      col("emb").cast("array<float>").as("embedding")), "embeddings.parquet")
     time("stream_embed_pca") {
-      // embeddings feed: the replicated vectors written as one file
-      writeSingle(embs.select(col("vec_id"),
-        col("emb").cast("array<float>").as("embedding")), "embeddings.parquet")
       graft.streaming.StreamOps.streamEmbedPca(spark, streamDir).count()
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>

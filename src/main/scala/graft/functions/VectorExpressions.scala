@@ -339,6 +339,47 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of an array<long> column against a LITERAL
+  * axis (the trained PCA direction): one primitive codegen loop, no
+  * interpreted zip_with/aggregate lambdas on the per-row hot path — the
+  * expressions-not-lambdas rule applied to the C64/B56 projection. */
+case class DotWithLit(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_with_lit"
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), w.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * w(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("dotWeights", w, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($x.numElements(), $wRef.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getLong($i) * $wRef[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dense d×d Gram-matrix accumulator: one Array[Long] per partition,
   * elementwise-merged — the exact-integer Σ qqᵀ a distributed PCA needs.
   * Input rows are pre-quantized array<long> (the quantization rule stays
@@ -437,4 +478,7 @@ object vectors {
 
   def gram_matrix(q: Column, d: Int): Column =
     column(GramMatrix(expression(q), d).toAggregateExpression())
+
+  def dot_with_lit(q: Column, weights: Seq[Long]): Column =
+    column(DotWithLit(expression(q), weights))
 }

@@ -305,8 +305,10 @@ object CorpusOps {
     * tokens — every benchmark shingle survives intact (containment 1.0)
     * while the symmetric Jaccard drowns in filler. Deterministic, so the
     * oracle rebuilds it with the same `sequence`-generated filler. */
-  def containmentLeakTrain(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+  /** The derivation over ANY (doc_id, text) frame — ONE spelling shared by
+    * the batch query, the B55 stream twin, and the scale probe, so the
+    * stream's "drain == batch" claim cannot desync on a constant edit. */
+  def containmentLeakTrainOn(docs: DataFrame): DataFrame = {
     val filler = concat_ws(" ",
       transform(sequence(lit(0), lit(ContainmentPadTokens - 1)),
         i => concat(lit("pad"), i)))
@@ -315,6 +317,10 @@ object CorpusOps {
         .select((col("doc_id") + ContaminatedShift).as("doc_id"),
           concat(filler, lit(" "), col("text")).as("text")))
   }
+
+  def containmentLeakTrain(spark: SparkSession, dir: String): DataFrame =
+    containmentLeakTrainOn(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 
   /** Containment decontamination: train docs holding ≥ τ of a benchmark
     * doc's distinct 3-gram shingles — the QUOTE-INCLUSION leak class both
@@ -624,8 +630,9 @@ object CorpusOps {
   /** The arriving batch: exact copies of every 11th historical doc (true
     * cross-batch duplicates) plus every 13th doc with a novelty suffix
     * (genuinely new content). Deterministic, so the oracle rebuilds it. */
-  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+  /** The derivation over ANY (doc_id, text) frame — shared by the batch
+    * query and the B53 stream twin (drain == batch depends on it). */
+  def incrementalBatchOn(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
       .unionAll(
@@ -633,7 +640,10 @@ object CorpusOps {
           .select((col("doc_id") + 300000000L).as("doc_id"),
             concat(col("text"), lit(" fresh "),
               col("doc_id").cast("string")).as("text")))
-  }
+
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame =
+    incrementalBatchOn(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 
   /** Bloom sizing: estimated item count and bit width for the historical
     * hash set. At deploy scale size these to the history cardinality; the

@@ -217,6 +217,9 @@ object TextOps {
     docs.select(
         col("doc_id"),
         graft.functions.textsketch.char_entropy_stats(col("text")).as("_e"))
+      // empty text: the oracle's unnest yields no rows for it, and
+      // 0/0 would emit NaN — drop it on this side too (parity)
+      .filter(col("_e.n_chars") > 0)
       .select(col("doc_id"),
         col("_e.n_chars").as("n_chars"),
         col("_e.distinct_chars").as("distinct_chars"),

@@ -320,11 +320,9 @@ object VectorOps {
     * alike. No ordering imposed (streams cannot sort). */
   def embedPcaProjectWith(v: Array[Long], embs: DataFrame, idCol: String,
       embCol: String): DataFrame =
-    embs.select(col(idCol).as("vec_id"), pcaQuantized(embCol).as("q"))
-      .withColumn("_v", typedLit(v.toSeq))
-      .select(col("vec_id"),
-        expr("aggregate(zip_with(q, _v, (a, b) -> a * b), 0L, " +
-          "(acc, x) -> acc + x)").as("pc1_q"))
+    embs.select(col(idCol).as("vec_id"),
+        graft.functions.vectors.dot_with_lit(
+          pcaQuantized(embCol), v.toIndexedSeq).as("pc1_q"))
       .select(col("vec_id"), col("pc1_q"),
         (col("pc1_q").cast("double") / lit((PcaQ * PcaVQ).toDouble))
           .as("pc1"))

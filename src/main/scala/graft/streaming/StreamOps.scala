@@ -321,20 +321,42 @@ object StreamOps {
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     spark.streams.active.filter(_.name == KnScoreQueryName).foreach(_.stop())
-    val q =
-      if (t.dTypes <= literalMax) {
-        val m = graft.operators.CorpusOps.knCollect(t)
-        graft.operators.CorpusOps.knScoreWith(m, docs, "doc_id", "text")
-          .writeStream.format("memory").queryName(KnScoreQueryName)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      } else {
-        // per-doc rollup over the joined pairs is a streaming aggregation
-        graft.operators.CorpusOps.knScoreJoinWith(t, docs, "doc_id", "text")
-          .writeStream.format("memory").queryName(KnScoreQueryName)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      }
-    q.awaitTermination()
-    spark.table(KnScoreQueryName).orderBy(col("doc_id"))
+    if (t.dTypes <= literalMax) {
+      val m = graft.operators.CorpusOps.knCollect(t)
+      val q = graft.operators.CorpusOps.knScoreWith(m, docs, "doc_id", "text")
+        .writeStream.format("memory").queryName(KnScoreQueryName)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(KnScoreQueryName).orderBy(col("doc_id"))
+    } else {
+      // production-K spelling: the per-doc rollup runs PER MICRO-BATCH via
+      // foreachBatch — each doc lands wholly in one batch, so the
+      // accumulated drain equals the global rollup with ZERO streaming
+      // state (a streaming aggregation here would hold one state row per
+      // document ever seen — the unbounded-state shape B55's rewrite
+      // documents and avoids)
+      val acc = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      val q = docs.writeStream.queryName(KnScoreQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            acc.addAll(java.util.Arrays.asList(
+              graft.operators.CorpusOps
+                .knScoreJoinWith(t, mb, "doc_id", "text")
+                .collect(): _*))
+            ()
+        }.start()
+      q.awaitTermination()
+      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+      spark.createDataFrame(acc,
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("n_pairs", LongType),
+            StructField("cross_entropy", DoubleType),
+            StructField("ppl_bucket", IntegerType))))
+        .orderBy(col("doc_id"))
+    }
   }
 
   val HhQueryName = "graft_stream_hh_topk"
@@ -391,13 +413,9 @@ object StreamOps {
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), col("text"))
-    // C27's deterministic arriving batch, derived map-side on the stream
-    val arriving = d.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 300000000L).as("doc_id"),
-          concat(col("text"), lit(" fresh "),
-            col("doc_id").cast("string")).as("text")))
+    // C27's deterministic arriving batch — the SHARED derivation, applied
+    // map-side to the stream (drain == batch depends on one spelling)
+    val arriving = graft.operators.CorpusOps.incrementalBatchOn(d)
     val acc = java.util.Collections.synchronizedList(
       new java.util.ArrayList[org.apache.spark.sql.Row]())
     spark.streams.active.filter(_.name == IndexProbeQueryName)
@@ -449,13 +467,8 @@ object StreamOps {
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), col("text"))
-    val filler = concat_ws(" ",
-      transform(sequence(lit(0), lit(CorpusOps.ContainmentPadTokens - 1)),
-        i => concat(lit("pad"), i)))
-    val train = d.filter(col("doc_id") % CorpusOps.BenchmarkMod =!= 0)
-      .unionAll(d.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
-        .select((col("doc_id") + CorpusOps.ContaminatedShift).as("doc_id"),
-          concat(filler, lit(" "), col("text")).as("text")))
+    // the SHARED seeded-leak derivation, applied map-side to the stream
+    val train = CorpusOps.containmentLeakTrainOn(d)
     val acc = java.util.Collections.synchronizedList(
       new java.util.ArrayList[org.apache.spark.sql.Row]())
     spark.streams.active.filter(_.name == DecontaminateQueryName)
