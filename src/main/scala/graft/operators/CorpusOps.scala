@@ -1992,34 +1992,13 @@ object CorpusOps {
     * stored-nothing case. */
   private def bpeTrain(documents: DataFrame, idCol: String, textCol: String,
       stored: Seq[(Int, String, Long)], rounds: Int): DataFrame = {
-    import graft.functions.textsketch.greedy_phrase_merge
     val spark = documents.sparkSession
     import spark.implicits._
-    require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val r0 = if (stored.isEmpty) 0 else stored.map(_._1).max
-    require(rounds >= r0, s"rounds=$rounds below the stored depth $r0")
-    var cur = documents.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("toks"))
-    val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    mined ++= stored
-    for (r <- 1 to rounds) {
-      val rows: Seq[(Int, String, Long)] =
-        if (r <= r0) stored.filter(_._1 == r)
-        else {
-          val fresh = minePhrasesDf(
-            cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
-            "doc_id", "text")
-            .collect().map(x => (r, x.getString(0), x.getLong(1))).toSeq
-          mined ++= fresh
-          fresh
-        }
-      if (r < rounds) {
-        cur = cur.withColumn("toks",
-          greedy_phrase_merge(col("toks"), rows.map(_._2).toIndexedSeq))
-        if (r % 2 == 0) cur = cur.localCheckpoint(eager = true)
-      }
-    }
-    mined.toSeq.toDF("round", "phrase", "df")
+    val (_, mined) = bpeApplyMerges(rounds,
+      documents.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks")),
+      stored, mergeFinal = false)
+    mined.toDF("round", "phrase", "df")
       .orderBy(col("round"), col("df").desc, col("phrase"))
   }
 
@@ -2086,30 +2065,41 @@ object CorpusOps {
     * applies rounds < R internally; round R's export exists precisely so
     * the APPLY side can use it), then maps tokens to ids in one codegen
     * `transform` — the corpus never shuffles. */
-  /** Train to `rounds` AND apply every round's merge vocabulary to the
-    * `toks` column of `base` in ONE sweep (any extra columns pass
-    * through) — the shared loop of the encoder (C60) and the fertility
-    * rollup (C66). Mining round r runs on the corpus with r−1 merges
-    * applied, exactly like [[bpeTrain]], so the returned table EQUALS the
-    * trainer's export; fusing the apply into the training loop lets the
-    * encode reuse the trainer's own checkpointed intermediates instead of
-    * re-merging from the raw corpus. `base` must carry (doc_id, toks). */
-  private def bpeApplyMerges(rounds: Int,
-      base: DataFrame): (DataFrame, Seq[(Int, String, Long)]) = {
+  /** THE mine-then-merge loop, shared by the trainer ([[bpeTrain]]), the
+    * encoder (C60), and the fertility rollup (C66) — one spelling, so the
+    * encoder's "returned table EQUALS the trainer's export" claim holds by
+    * construction, not by eyeball. Mining round r runs on the corpus with
+    * r−1 merges applied; rounds ≤ the stored depth REPLAY their stored
+    * vocabulary (the resume path) instead of mining. `mergeFinal` is the
+    * apply/train distinction: the trainer skips the last merge pass (its
+    * product is the table), the encoder applies it (its product is the
+    * merged corpus). `base` must carry (doc_id, toks); extra columns pass
+    * through. */
+  private def bpeApplyMerges(rounds: Int, base: DataFrame,
+      stored: Seq[(Int, String, Long)] = Nil, mergeFinal: Boolean = true)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
     import graft.functions.textsketch.greedy_phrase_merge
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val r0 = if (stored.isEmpty) 0 else stored.map(_._1).max
+    require(rounds >= r0, s"rounds=$rounds below the stored depth $r0")
     var cur = base
     val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    mined ++= stored
     for (r <- 1 to rounds) {
-      val fresh = minePhrasesDf(
-        cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
-        "doc_id", "text")
-        .collect().map(x => (r, x.getString(0), x.getLong(1))).toSeq
-      mined ++= fresh
-      if (fresh.nonEmpty)
+      val rows: Seq[(Int, String, Long)] =
+        if (r <= r0) stored.filter(_._1 == r)
+        else {
+          val fresh = minePhrasesDf(
+            cur.select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+            "doc_id", "text")
+            .collect().map(x => (r, x.getString(0), x.getLong(1))).toSeq
+          mined ++= fresh
+          fresh
+        }
+      if ((r < rounds || mergeFinal) && rows.nonEmpty)
         cur = cur.withColumn("toks",
-          greedy_phrase_merge(col("toks"), fresh.map(_._2).toIndexedSeq))
-      if (r % 2 == 0) cur = cur.localCheckpoint(eager = true)
+          greedy_phrase_merge(col("toks"), rows.map(_._2).toIndexedSeq))
+      if (r % 2 == 0 && r < rounds) cur = cur.localCheckpoint(eager = true)
     }
     (cur, mined.toSeq)
   }
