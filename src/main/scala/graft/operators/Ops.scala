@@ -857,22 +857,42 @@ object Ann {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, embCol: String, dim: Int,
       k: Int, nProbe: Int, rerank: Int = 10): DataFrame = {
+    val ctx = pqProbeCtx(spark, path, queries, idCol, embCol, dim, nProbe,
+      withRefine = false)
+    pqExactRank(pqCoarseSurvivors(ctx, rerank * k), ctx.lists,
+      queries, idCol, embCol, k)
+  }
+
+  /** Shared driver-side probe context for BOTH IVF-PQ query paths: the
+    * per-(query, probed-list) ADC tables (plus the refinement table when
+    * the caller re-ranks from stored codes) and the partition-pruned list
+    * scan — ONE spelling, so the stage-1 arithmetic of [[ivfPqTopK]] and
+    * [[ivfPqRefineStage]] cannot fork.
+    *
+    * Approximate similarity decomposes over the coarse + fine parts:
+    * <q, x> = <q, c> + <q, r> ≈ <q, c> + Σ_m <q_m, codeword_m(r)>.
+    * The lookup table is the query against the RESIDUAL codebooks; the
+    * per-(query, list) constant <q, c> makes scores comparable ACROSS
+    * probed lists (without it a far list's small residuals would outrank
+    * a near list's large ones). */
+  private case class PqProbeCtx(tdf: DataFrame, lists: DataFrame)
+
+  private def pqProbeCtx(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, embCol: String,
+      dim: Int, nProbe: Int, withRefine: Boolean): PqProbeCtx = {
     import spark.implicits._
     val subDim = dim / PqM
-    val flat = spark.read.parquet(s"$path/codebooks")
-      .orderBy("idx").select("q").as[Long].collect()
+    def loadFlat(name: String): Array[Long] =
+      spark.read.parquet(s"$path/$name")
+        .orderBy("idx").select("q").as[Long].collect()
+    val flat = loadFlat("codebooks")
+    val flat2 = if (withRefine) loadFlat("codebooks2") else Array.empty[Long]
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
     val probes = nearestLists(cents,
       queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
       "query_id", "_q", nProbe)
       .join(broadcast(cents), "_cent_id")
-    // Approximate similarity decomposes over the coarse + fine parts:
-    // <q, x> = <q, c> + <q, r> ≈ <q, c> + Σ_m <q_m, codeword_m(r)>.
-    // The lookup table is the query against the RESIDUAL codebooks; the
-    // per-(query, list) constant <q, c> makes scores comparable ACROSS
-    // probed lists (without it a far list's small residuals would outrank
-    // a near list's large ones).
     val probeRows = probes.select(col("query_id"), col("_cent_id"),
       col("_q"), col("_cent")).collect()
     val qTables = probeRows.map { r =>
@@ -881,36 +901,55 @@ object Ann {
       var qc = 0L
       var j = 0
       while (j < dim) { qc += q(j) * c(j); j += 1 }
-      val tbl = new Array[Long](PqM * PqKs)
-      for (m <- 0 until PqM; cw <- 0 until PqKs) {
-        val base = (m * PqKs + cw) * subDim
-        var s = 0L
-        var i = 0
-        while (i < subDim) { s += q(m * subDim + i) * flat(base + i); i += 1 }
-        tbl(m * PqKs + cw) = s
+      def adcTable(fl: Array[Long]): Seq[Long] = {
+        val tbl = new Array[Long](PqM * PqKs)
+        for (m <- 0 until PqM; cw <- 0 until PqKs) {
+          val base = (m * PqKs + cw) * subDim
+          var s = 0L
+          var i = 0
+          while (i < subDim) { s += q(m * subDim + i) * fl(base + i); i += 1 }
+          tbl(m * PqKs + cw) = s
+        }
+        tbl.toSeq
       }
-      (r.getLong(0), r.getLong(1), qc, tbl.toSeq)
+      (r.getLong(0), r.getLong(1), qc, adcTable(flat),
+        if (withRefine) adcTable(flat2) else Seq.empty[Long])
     }
     val probedIds = qTables.map(_._2).distinct
-    val tdf = qTables.toSeq.toDF("query_id", "_cent_id", "_qc", "_tbl")
+    val tdf = qTables.toSeq
+      .toDF("query_id", "_cent_id", "_qc", "_tbl", "_tbl2")
+    val cols = Seq(col("list_id").as("_cent_id"), col("neighbor_id"),
+      col("codes")) ++
+      (if (withRefine) Seq(col("codes2")) else Nil) :+ col("emb")
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("list_id").isin(probedIds.toIndexedSeq: _*))
-      .select(col("list_id").as("_cent_id"), col("neighbor_id"),
-        col("codes"), col("emb"))
-    val approx = lists
-      .join(broadcast(tdf), "_cent_id")
+      .select(cols: _*)
+    PqProbeCtx(tdf, lists)
+  }
+
+  /** Stage 1: coarse ADC over the 8-byte stage-1 codes only — no vector
+    * reads, no codes2. Returns the `keep` best candidate ids per query. */
+  private def pqCoarseSurvivors(ctx: PqProbeCtx, keep: Int): DataFrame =
+    ctx.lists.select(col("_cent_id"), col("neighbor_id"), col("codes"))
+      .join(broadcast(ctx.tdf.select(col("query_id"), col("_cent_id"),
+        col("_qc"), col("_tbl"))), "_cent_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("_qc") + pq_adc_score(col("codes"), col("_tbl"), PqKs))
           .cast("double").as("approx"))
       .groupBy(col("query_id"))
       .agg(graft.functions.topk.top_k_by_score(col("approx"),
-        col("neighbor_id"), rerank * k).as("_tk"))
+        col("neighbor_id"), keep).as("_tk"))
       .select(col("query_id"), explode(col("_tk")).as("_c"))
       .select(col("query_id"), col("_c.id").as("neighbor_id"))
+
+  /** Exact tail shared by both query paths: only the survivor rows fetch
+    * full vectors for the exact cosine that decides the ranking. */
+  private def pqExactRank(survivors: DataFrame, lists: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    approx
+    survivors
       .join(lists.select(col("neighbor_id"), col("emb").as("_e")),
         "neighbor_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"),
@@ -952,65 +991,14 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, embCol: String, dim: Int,
       k: Int, nProbe: Int, rerank: Int, refine: Int): PqRefineStage = {
-    import spark.implicits._
-    val subDim = dim / PqM
-    def loadFlat(name: String): Array[Long] =
-      spark.read.parquet(s"$path/$name")
-        .orderBy("idx").select("q").as[Long].collect()
-    val flat = loadFlat("codebooks")
-    val flat2 = loadFlat("codebooks2")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
-    val probes = nearestLists(cents,
-      queries.select(col(idCol).as("query_id"), col(embCol).as("_q")),
-      "query_id", "_q", nProbe)
-      .join(broadcast(cents), "_cent_id")
-    val probeRows = probes.select(col("query_id"), col("_cent_id"),
-      col("_q"), col("_cent")).collect()
-    val qTables = probeRows.map { r =>
-      val q = r.getSeq[Double](2).map(x => math.floor(x * 1e6).toLong).toArray
-      val c = r.getSeq[Double](3).map(x => math.floor(x * 1e6).toLong).toArray
-      var qc = 0L
-      var j = 0
-      while (j < dim) { qc += q(j) * c(j); j += 1 }
-      def adcTable(fl: Array[Long]): Seq[Long] = {
-        val tbl = new Array[Long](PqM * PqKs)
-        for (m <- 0 until PqM; cw <- 0 until PqKs) {
-          val base = (m * PqKs + cw) * subDim
-          var s = 0L
-          var i = 0
-          while (i < subDim) { s += q(m * subDim + i) * fl(base + i); i += 1 }
-          tbl(m * PqKs + cw) = s
-        }
-        tbl.toSeq
-      }
-      (r.getLong(0), r.getLong(1), qc, adcTable(flat), adcTable(flat2))
-    }
-    val probedIds = qTables.map(_._2).distinct
-    val tdf = qTables.toSeq
-      .toDF("query_id", "_cent_id", "_qc", "_tbl", "_tbl2")
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedIds.toIndexedSeq: _*))
-      .select(col("list_id").as("_cent_id"), col("neighbor_id"),
-        col("codes"), col("codes2"), col("emb"))
-    // stage 1: coarse ADC over stage-1 codes only — no vector, no codes2
-    val coarse = lists.select(col("_cent_id"), col("neighbor_id"), col("codes"))
-      .join(broadcast(tdf.select(col("query_id"), col("_cent_id"),
-        col("_qc"), col("_tbl"))), "_cent_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (col("_qc") + pq_adc_score(col("codes"), col("_tbl"), PqKs))
-          .cast("double").as("approx"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.topk.top_k_by_score(col("approx"),
-        col("neighbor_id"), rerank * k).as("_tk"))
-      .select(col("query_id"), explode(col("_tk")).as("_c"))
-      .select(col("query_id"), col("_c.id").as("neighbor_id"))
+    val ctx = pqProbeCtx(spark, path, queries, idCol, embCol, dim, nProbe,
+      withRefine = true)
+    val coarse = pqCoarseSurvivors(ctx, rerank * k)
     // stage 2: re-score survivors from the 16-byte reconstruction
     val survivors = coarse
-      .join(lists.select(col("_cent_id"), col("neighbor_id"),
+      .join(ctx.lists.select(col("_cent_id"), col("neighbor_id"),
         col("codes"), col("codes2")), "neighbor_id")
-      .join(broadcast(tdf), Seq("query_id", "_cent_id"))
+      .join(broadcast(ctx.tdf), Seq("query_id", "_cent_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("_qc") + pq_adc_score(col("codes"), col("_tbl"), PqKs)
           + pq_adc_score(col("codes2"), col("_tbl2"), PqKs))
@@ -1020,7 +1008,7 @@ object Ann {
         col("neighbor_id"), refine * k).as("_tk"))
       .select(col("query_id"), explode(col("_tk")).as("_c"))
       .select(col("query_id"), col("_c.id").as("neighbor_id"))
-    PqRefineStage(survivors, lists)
+    PqRefineStage(survivors, ctx.lists)
   }
 
   /** Two-stage IVF-PQ query over the SAME persisted index as
