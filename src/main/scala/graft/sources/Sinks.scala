@@ -278,15 +278,73 @@ object Sinks {
        |ORDER BY layout, file_id""".stripMargin
   }
 
+  /** C67's audit for the Hilbert layout: the same simulated files and box
+    * query over `hkey` order — lets an ops team compare the two curves'
+    * skipping on THEIR data before committing a re-cluster (Hilbert's
+    * unit-step locality usually skips at least as many files). */
+  def hilbertPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = hilbertLayout(spark, dir) // (o_orderkey, x, d, hkey)
+    val stats = base.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    base.withColumn("_rn",
+        row_number().over(Window.orderBy(col("hkey"), col("o_orderkey"))))
+      .groupBy(expr(s"CAST((_rn - 1) div $PruneRowsPerFile AS BIGINT)")
+        .as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+      .crossJoin(broadcast(stats))
+      .select(col("file_id"), col("n_rows"),
+        col("x_min"), col("x_max"), col("d_min"), col("d_max"),
+        expr("""CAST(x_max >= xmin + (xmax - xmin) div 4
+               |  AND x_min <= xmin + (xmax - xmin) div 2
+               |  AND d_max >= dmin + (dmax - dmin) div 4
+               |  AND d_min <= dmin + (dmax - dmin) div 2
+               |  AS INT)""".stripMargin.replaceAll("\n", " "))
+          .as("overlaps"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Twin: the hilbert walk chain windowed into the same simulated files. */
+  lazy val hilbertPruneSql: String = {
+    // reuse the full hilbert chain as a derived table
+    s"""WITH h AS (
+       |  SELECT * FROM ($hilbertLayoutSql)
+       |), f AS (
+       |  SELECT (row_number() OVER (ORDER BY hkey, o_orderkey) - 1)
+       |           // $PruneRowsPerFile AS file_id, x, d
+       |  FROM h
+       |), s AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax
+       |  FROM h
+       |), g AS (
+       |  SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM f GROUP BY 1)
+       |SELECT file_id, n_rows,
+       |  CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       |  CAST(d_min AS BIGINT) AS d_min, CAST(d_max AS BIGINT) AS d_max,
+       |  CAST(CASE WHEN x_max >= xmin + (xmax - xmin) // 4
+       |             AND x_min <= xmin + (xmax - xmin) // 2
+       |             AND d_max >= dmin + (dmax - dmin) // 4
+       |             AND d_min <= dmin + (dmax - dmin) // 2
+       |       THEN 1 ELSE 0 END AS INT) AS overlaps
+       |FROM g CROSS JOIN s
+       |ORDER BY file_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
-    "zorder_prune" -> (zorderPrune _))
+    "zorder_prune" -> (zorderPrune _),
+    "hilbert_prune" -> (hilbertPrune _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
-    "zorder_prune" -> zorderPruneSql)
+    "zorder_prune" -> zorderPruneSql,
+    "hilbert_prune" -> hilbertPruneSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -28,7 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
-    "zorder_prune",
+    "zorder_prune", "hilbert_prune",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list

@@ -81,6 +81,19 @@ class SinksSpec extends SparkSpec {
     assert(skipped("natural") === 0)
   }
 
+  test("hilbert_prune: same invariants; curve skips at least half the files") {
+    val rows = Sinks.hilbertPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(6)))
+    val total = graft.sources.Tables(spark, sfDir).orders.count()
+    assert(rows.map(_._2).sum === total)
+    val sorted = rows.sortBy(_._1)
+    sorted.dropRight(1).foreach(f => assert(f._2 === Sinks.PruneRowsPerFile))
+    // the curve clusters: the box query skips at least half the files
+    // (the zorder_prune bar — the ops team compares the two on THEIR data)
+    val skipped = rows.count(_._3 == 0)
+    assert(skipped >= rows.length / 2, s"hilbert skipped only $skipped/${rows.length}")
+  }
+
   test("hilbert: full-grid bijection, unit steps (the locality Morton lacks)") {
     import graft.functions.spatial.hilbert_index
     val bits = 3
@@ -165,6 +178,11 @@ class SinksSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$plan")
+    // drop the catalog tables: leaving them registered was observed to
+    // perturb UNRELATED plans compiled later in the same session (the
+    // etl_receipts budget grew an exchange when this suite ran first)
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
   }
 
   test("json lines sink writes parseable records") {
