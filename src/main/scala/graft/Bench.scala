@@ -44,23 +44,49 @@ object Bench {
     // re-run and the min reported, so rounds compare PLANS, not cold
     // starts. Sub-second queries keep their single-run number — the rerun
     // would cost more than the noise it removes.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // Dev mode: `runMain graft.Bench q1 q2 …` times just those queries
+    // (same warmup + rerun discipline); the driver invokes with no args.
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { n =>
       val t1 = drain(n)
       n -> (if (t1 > 1.0) math.min(t1, drain(n)) else t1)
     }
-    // Millisecond precision keeps the JSON line compact enough to survive
-    // line-length caps in the capturing harness (full double reprs pushed
-    // r5's 125-query line past the cap and truncated the per-query tail).
+    // Millisecond precision keeps the JSON compact; the total is computed
+    // from the ALREADY-ROUNDED per-query values so the line is internally
+    // consistent (value == Σ queries exactly — r6 ADVICE).
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(results.map(_._2).sum)},""" +
-      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces: the same line lands in a file, so a truncated
-    // stdout capture can never lose the per-query numbers
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
-      (line + "\n").getBytes("UTF-8"))
-    println(line)
+    val rounded = results.map { case (k, v) => k -> ms(v) }
+    val total = ms(rounded.map(_._2).sum)
+    def render(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","n_queries":${rounded.size}$extra}"""
+    }
+    // The FULL per-query map always lands in a file (a truncated stdout
+    // capture can never lose the numbers)…
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
+        (render(rounded, "") + "\n").getBytes("UTF-8"))
+    // …while stdout gets a line the driver can actually parse: its capture
+    // keeps only the last ~2000 chars of output (r5+r6: the 143-query line
+    // is ~3.4 KB, so the tail started MID-LINE and parsed null). Budget-fit
+    // the stdout line to ~1600 chars — headline = the slowest queries (they
+    // carry the round-over-round signal), count of omitted keys declared,
+    // full map in the file above. sbt's trailing "[success]" line (~80
+    // chars) still fits in the same 2000-char tail.
+    val budget = 1600 - render(Seq.empty,
+      s""","queries_omitted":${rounded.size},"queries_full":"bench_results.json"""").length
+    var used = 0
+    val picked = rounded.sortBy { case (k, v) => (-v, k) }.takeWhile { case (k, v) =>
+      used += k.length + v.toString.length + 4
+      used <= budget
+    }
+    println(render(picked,
+      s""","queries_omitted":${rounded.size - picked.size},""" +
+        s""""queries_full":"bench_results.json""""))
     spark.stop()
   }
 }

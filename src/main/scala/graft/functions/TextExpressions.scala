@@ -219,6 +219,23 @@ object TextKernels {
       Array[Any]((n - 1).toLong, sq))
   }
 
+  /** Stopword membership count over a token array: one HashSet probe per
+    * token. The HOF spelling (`size(filter(toks, _.isin(...)))`) evaluates
+    * an interpreted per-token lambda — and, being CodegenFallback, re-runs
+    * its whole subtree (including the tokenizing `split`) per referencing
+    * column since interpreted eval gets no subexpression elimination. */
+  def stopwordCount(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      stops: java.util.HashSet[String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (stops.contains(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(6)
@@ -356,6 +373,36 @@ case class GreedyPhraseMerge(child: Expression, phrases: Seq[String])
     val setRef = ctx.addReferenceObj("phraseSet", set, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.greedyMerge($x, $setRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Stopword count of a token-array column (see TextKernels.stopwordCount):
+  * the codegen'd kernel behind `TextAnalysis.stopwordCount`, feeding the
+  * C9 quality score and the C15/B24/B52/C59 gate chain. The stopword set
+  * is a constructor parameter (a tiny driver literal), attached to the
+  * generated class as a reference object. */
+case class StopwordCount(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.stopwordCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.stopwordCount($x, $setRef);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -557,6 +604,9 @@ object textsketch {
 
   def greedy_phrase_merge(toks: Column, phrases: Seq[String]): Column =
     column(GreedyPhraseMerge(expression(toks), phrases))
+
+  def stopword_count(toks: Column, stopwords: Seq[String]): Column =
+    column(StopwordCount(expression(toks), stopwords))
 
   def char_entropy_stats(text: Column): Column =
     column(CharEntropyStats(expression(text)))

@@ -353,10 +353,14 @@ case class DotWithLit(child: Expression, weights: Seq[Long])
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), w.length)
+    // A dimension-mismatched embedding must fail fast, not silently project
+    // onto a truncated axis (r6 ADVICE; matches GramMatrix's d contract).
+    if (a.numElements() != w.length)
+      throw new IllegalArgumentException(
+        s"dot_with_lit: dimension mismatch: ${a.numElements()} vs ${w.length}")
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * w(i); i += 1 }
+    while (i < w.length) { s += a.getLong(i) * w(i); i += 1 }
     s
   }
 
@@ -364,12 +368,14 @@ case class DotWithLit(child: Expression, weights: Seq[Long])
     val wRef = ctx.addReferenceObj("dotWeights", w, "long[]")
     nullSafeCodeGen(ctx, ev, x => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($x.numElements(), $wRef.length);
+         |if ($x.numElements() != $wRef.length) {
+         |  throw new IllegalArgumentException("dot_with_lit: dimension mismatch: "
+         |    + $x.numElements() + " vs " + $wRef.length);
+         |}
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $wRef.length; $i++) {
          |  $s += $x.getLong($i) * $wRef[$i];
          |}
          |${ev.value} = $s;
@@ -404,17 +410,27 @@ case class GramMatrix(child: Expression, d: Int,
 
   override def createAggregationBuffer(): GramBuffer = new GramBuffer(d)
 
+  // All accumulation is CHECKED 64-bit arithmetic (r6 ADVICE): the docstring
+  // promises "exact / order-free", so past ~9e12 rows of the 1e-3-quantized
+  // grid a silent wrap would diverge from the HUGEINT oracle — fail loudly
+  // instead (the caller's answer at that scale is a coarser quantum).
   override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
     val a = child.eval(input)
     if (a != null) {
       val q = a.asInstanceOf[ArrayData]
-      val n = math.min(q.numElements(), d)
+      if (q.numElements() != d)
+        throw new IllegalArgumentException(
+          s"gram_matrix: dimension mismatch: ${q.numElements()} vs $d")
       var i = 0
-      while (i < n) {
+      while (i < d) {
         val qi = q.getLong(i)
         if (qi != 0L) {
           var j = 0
-          while (j < n) { buf.g(i * d + j) += qi * q.getLong(j); j += 1 }
+          while (j < d) {
+            buf.g(i * d + j) =
+              Math.addExact(buf.g(i * d + j), Math.multiplyExact(qi, q.getLong(j)))
+            j += 1
+          }
         }
         i += 1
       }
@@ -424,7 +440,9 @@ case class GramMatrix(child: Expression, d: Int,
 
   override def merge(buf: GramBuffer, other: GramBuffer): GramBuffer = {
     var i = 0
-    while (i < buf.g.length) { buf.g(i) += other.g(i); i += 1 }
+    while (i < buf.g.length) {
+      buf.g(i) = Math.addExact(buf.g(i), other.g(i)); i += 1
+    }
     buf
   }
 

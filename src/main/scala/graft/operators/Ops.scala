@@ -840,7 +840,19 @@ object Ann {
         col("_e").as("emb")),
       s"$path/lists", partitionCols = Seq("list_id"),
       sortCols = Seq("neighbor_id"))
+    // Format marker LAST (r6 ADVICE): a v1 index (single-row array
+    // codebooks, no codes2) under the same path must fail with an explicit
+    // "rebuild required", not an opaque AnalysisException mid-probe. Written
+    // through the same FS abstraction as the index itself (object-store
+    // safe), and only after every component landed — a marker can never
+    // describe a partial build.
+    Seq(("ivfpq", IvfPqFormatVersion)).toDF("kind", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/format")
   }
+
+  /** Bumped whenever the persisted layout changes incompatibly (v2 =
+    * (idx, q)-row codebooks + the codes2 refinement column). */
+  val IvfPqFormatVersion = 2
 
   /** Query a persisted IVF×PQ index: each query probes its `nProbe`
     * nearest lists; within a probed list the asymmetric distance uses a
@@ -882,6 +894,16 @@ object Ann {
       dim: Int, nProbe: Int, withRefine: Boolean): PqProbeCtx = {
     import spark.implicits._
     val subDim = dim / PqM
+    val ver =
+      try spark.read.parquet(s"$path/format")
+        .filter(col("kind") === "ivfpq").select("version")
+        .as[Int].collect().headOption
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (!ver.contains(IvfPqFormatVersion))
+      throw new IllegalStateException(
+        s"IVF-PQ index at $path has format ${ver.getOrElse("<absent>")} but " +
+          s"this reader needs v$IvfPqFormatVersion ((idx,q)-row codebooks + " +
+          "codes2) — rebuild required via Ann.ivfPqBuild")
     def loadFlat(name: String): Array[Long] =
       spark.read.parquet(s"$path/$name")
         .orderBy("idx").select("q").as[Long].collect()
@@ -1227,8 +1249,13 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
 
+  /** Codegen'd kernel (see [[graft.functions.StopwordCount]]) — the HOF
+    * spelling (`size(filter(tokens, _.isin(...)))`) is CodegenFallback:
+    * interpreted per-token lambdas AND per-reference re-evaluation of the
+    * tokenizing subtree (no subexpression elimination outside codegen),
+    * which is what made `quality_filter_chain` pay seconds for a map stage. */
   def stopwordCount(tokens: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens, w => w.isin(stopwords: _*)))
+    graft.functions.textsketch.stopword_count(tokens, stopwords)
 
   /** Normalized-content md5 fingerprint. */
   def fingerprint(text: Column): Column =

@@ -131,7 +131,7 @@ object Pipeline {
     val nWords = size(toks)
     val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
     val awl = nNonSpace.cast("double") / nWords
-    val nStop = size(filter(toks, w => w.isin(TextOps.Stopwords: _*)))
+    val nStop = TextAnalysis.stopwordCount(toks, TextOps.Stopwords)
     val passMin = (nWords >= 20).cast("int")
     val passMax = (nWords <= 500).cast("int")
     val passAwl = (awl >= 2.5 && awl <= 8.0).cast("int")

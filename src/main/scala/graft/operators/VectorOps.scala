@@ -140,7 +140,9 @@ object VectorOps {
   /** Scratch-index layout version: bumped whenever [[Ann.ivfPqBuild]]'s
     * on-disk format changes (v2 added the refinement codebook + codes2),
     * so a stale index from an older layout is never adopted. */
-  val IvfPqIndexKind = "ivfpq2"
+  // v3 scratch key: v2 indexes cached in tmpdir predate the format marker,
+  // so they must re-derive a fresh path rather than fail the marker check.
+  val IvfPqIndexKind = "ivfpq3"
 
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)

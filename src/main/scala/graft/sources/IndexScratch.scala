@@ -71,7 +71,11 @@ object IndexScratch {
       if (!dest.exists()) {
         val tmp = new java.io.File(
           path + ".build." + java.lang.ProcessHandle.current().pid())
-        build(tmp.getAbsolutePath)
+        // A failed build must not orphan its partial temp dir in tmpdir
+        // (r6 ADVICE): each new JVM derives a fresh pid suffix, so leaks
+        // would accumulate across retries.
+        try build(tmp.getAbsolutePath)
+        catch { case e: Throwable => deleteRec(tmp); throw e }
         if (!tmp.renameTo(dest)) {
           if (!dest.exists())
             throw new IllegalStateException(

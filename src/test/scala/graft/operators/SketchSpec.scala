@@ -87,9 +87,9 @@ class SketchSpec extends SparkSpec {
     }
     rows.filter { case (b, h, _) => b - 200000000L == h }
       .foreach { case (_, _, est) => assert(est === 1.0) }
-    // the index is a real persisted artifact
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    // the index is a real persisted artifact (at the IndexScratch-derived
+    // path — the pre-r5 hashCode spelling only passed on stale tmpdirs)
+    val path = graft.sources.IndexScratch.path("dedupidx", sfDir)
     assert(new java.io.File(s"$path/bands").exists())
     // probing again (memoized index) is identical
     val again = Sketch.dedupIndexProbe(spark, sfDir).collect()
@@ -118,8 +118,7 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
     assert(rows.toSet === direct)
     // persisted artifact exists; memoized rerun identical
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val path = graft.sources.IndexScratch.path("shidx", sfDir)
     assert(new java.io.File(s"$path/bands").exists())
     val again = Sketch.simhashIndexProbe(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
