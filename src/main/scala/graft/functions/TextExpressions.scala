@@ -219,6 +219,43 @@ object TextKernels {
       Array[Any]((n - 1).toLong, sq))
   }
 
+  /** First-fit-decreasing bin packing of one shard's documents. Input is
+    * the shard's docs as (negLen, docId) structs ALREADY sorted ascending
+    * (negLen asc = length desc, docId asc tiebreak — the caller's
+    * sort_array). Walk order is the FFD order; each doc lands in the
+    * FIRST bin whose used mass + len fits the budget, else opens a new
+    * bin (a doc longer than the budget gets its own bin whole — FFD
+    * never splits). Returns (doc_id, n_tokens, bin, bin_off) per doc;
+    * bins are 1-based in creation order, bin_off = used mass before
+    * placement. O(docs × bins) time, O(bins) state — per-shard work is
+    * bounded by shard sizing (the C26 contract: shard granularity is the
+    * parallelism/memory knob). */
+  def ffdPack(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      budget: Long): GenericArrayData = {
+    val n = arr.numElements()
+    val loads = new scala.collection.mutable.ArrayBuffer[Long](16)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val len = -row.getLong(0)
+      val id = row.getLong(1)
+      var b = 0
+      var placed = -1
+      while (placed < 0 && b < loads.length) {
+        if (loads(b) + len <= budget) placed = b
+        b += 1
+      }
+      val (bin, off) =
+        if (placed >= 0) { val o = loads(placed); loads(placed) += len; (placed + 1, o) }
+        else { loads += len; (loads.length, 0L) }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, len, bin, off))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Stopword membership count over a token array: one HashSet probe per
     * token. The HOF spelling (`size(filter(toks, _.isin(...)))`) evaluates
     * an interpreted per-token lambda — and, being CodegenFallback, re-runs
@@ -404,6 +441,31 @@ case class StopwordCount(child: Expression, stopwords: Seq[String])
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.stopwordCount($x, $setRef);")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** First-fit-decreasing packing of a shard's (negLen, docId) array (see
+  * TextKernels.ffdPack): the sequential greedy that cannot be a window
+  * function runs as ONE kernel call per shard — shards are the
+  * parallelism unit, exactly like C26's per-shard cumsum windows. */
+case class FfdPack(child: Expression, budget: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("bin", IntegerType, nullable = false),
+    StructField("bin_off", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ffd_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.ffdPack(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], budget)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.ffdPack($x, ${budget}L);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -607,6 +669,9 @@ object textsketch {
 
   def stopword_count(toks: Column, stopwords: Seq[String]): Column =
     column(StopwordCount(expression(toks), stopwords))
+
+  def ffd_pack(docs: Column, budget: Long): Column =
+    column(FfdPack(expression(docs), budget))
 
   def char_entropy_stats(text: Column): Column =
     column(CharEntropyStats(expression(text)))

@@ -431,6 +431,14 @@ object CorpusOps {
     * both engines, and per-doc term scores accumulate via decimal(28,12)
     * so the sum is order-free. Ranking compares the decimal (exact). */
   def bm25SearchOn(documents: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], topK: Int): DataFrame =
+    bm25RankedOn(documents, idCol, textCol, queries, topK)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** The ranked core without the presentation sort — reused by
+    * `hybrid_search`, where the ranks feed the RRF fusion join and a sort
+    * here would only be re-shuffled away. */
+  def bm25RankedOn(documents: DataFrame, idCol: String, textCol: String,
       queries: Seq[(String, Seq[String])], topK: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -477,18 +485,20 @@ object CorpusOps {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("score_dec").cast("double").as("score"), col("n_terms"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25SearchOn(Tables(spark, dir).documents, "doc_id", "text",
       Bm25Queries, Bm25TopK)
 
-  val bm25SearchSql: String = {
+  /** The BM25 CTE chain through `bm25ranked(query_id, doc_id, rank, score,
+    * n_terms)` — shared verbatim by the C25 oracle and the hybrid-fusion
+    * oracle so the lexical ranker cannot fork between them. */
+  private[operators] val bm25Ctes: String = {
     val values = Bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
       .mkString(", ")
-    s"""WITH dd AS (
+    s"""dd AS (
        |  SELECT doc_id, toks, len(toks) AS dl
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |        FROM documents)
@@ -513,15 +523,20 @@ object CorpusOps {
        |      AS DECIMAL(28,12))) AS score_dec,
        |    COUNT(*) AS n_terms
        |  FROM tf JOIN dfs USING (term) CROSS JOIN stats
-       |  GROUP BY 1, 2)
-       |SELECT query_id, doc_id,
-       |  CAST(row_number() OVER (PARTITION BY query_id
-       |                          ORDER BY score_dec DESC, doc_id) AS INT) AS rank,
-       |  CAST(score_dec AS DOUBLE) AS score, n_terms
-       |FROM scored
-       |QUALIFY rank <= $Bm25TopK
-       |ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY 1, 2
+       |), bm25ranked AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_dec DESC, doc_id) AS INT) AS rank,
+       |    CAST(score_dec AS DOUBLE) AS score, n_terms
+       |  FROM scored
+       |  QUALIFY rank <= $Bm25TopK)""".stripMargin
   }
+
+  val bm25SearchSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, doc_id, rank, score, n_terms
+       |FROM bm25ranked ORDER BY query_id, rank""".stripMargin
 
   // --- C26: deterministic sequence packing ---------------------------------
   /** Tokens per packed training sequence. Small for the synthetic corpus
@@ -625,6 +640,90 @@ object CorpusOps {
        |       CAST(start_off // $PackBudget AS BIGINT) AS first_seq,
        |       CAST((start_off + n_tokens - 1) // $PackBudget AS BIGINT) AS last_seq
        |FROM o ORDER BY shard, start_off, doc_id""".stripMargin
+
+  // --- C71: best-fit (first-fit-decreasing) sequence packing ---------------
+  /** FFD bin packing per shard — the OTHER pretraining layout: C26/C65
+    * concatenate-then-chunk fills every sequence exactly but SPLITS
+    * documents across boundaries (truncation / attention-mask churn the
+    * trainer pays for); FFD keeps every document whole (a doc longer
+    * than the budget gets its own bin — never split) at the cost of some
+    * per-bin slack, the textbook 11/9·OPT+1 bound (Johnson 1973).
+    *
+    * Scale/determinism shape — the C26 contract exactly: docs are
+    * md5-sharded (shard count is the parallelism/memory knob; the
+    * sequential greedy runs per shard over ONE kernel call); the FFD
+    * order inside a shard is (length desc, doc_id) — a pure function of
+    * (doc_id, n_tokens), so the placement is reshard-stable and
+    * engine-identical. One shard-key exchange + the gate sort. Oracle
+    * replays the greedy one doc per recursion step carrying the bin-load
+    * list — hash-checked. */
+  def packBestfitByLen(lengths: DataFrame, budget: Long): DataFrame = {
+    import graft.functions.textsketch.ffd_pack
+    val docs = lengths.select(col("doc_id"),
+      col("n_tokens").cast("bigint").as("n_tokens"),
+      substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+    docs.groupBy(col("shard"))
+      // sort_array ascending on (negLen, docId) = FFD's (len desc, id asc)
+      .agg(sort_array(collect_list(struct((-col("n_tokens")).as("nl"),
+        col("doc_id")))).as("_d"))
+      .select(col("shard"), explode(ffd_pack(col("_d"), budget)).as("_p"))
+      .select(col("_p.doc_id").as("doc_id"), col("shard"),
+        col("_p.n_tokens").as("n_tokens"), col("_p.bin").as("bin"),
+        col("_p.bin_off").as("bin_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packBestfitOn(documents: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame =
+    packBestfitByLen(
+      documents.select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens")),
+      budget)
+
+  def packBestfit(spark: SparkSession, dir: String): DataFrame =
+    packBestfitOn(Tables(spark, dir).documents, "doc_id", "text", PackBudget)
+
+  /** Twin: the greedy replayed one document per recursion step; the
+    * per-shard state is the list of bin USED masses, first fit = first
+    * list position where used + len ≤ budget (list_position over the
+    * fit-test booleans), update via the zip-with-index transform. All
+    * shards advance in lockstep on the step counter. */
+  val packBestfitSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_tokens, shard,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |              ORDER BY n_tokens DESC, doc_id) AS INT) AS step
+       |  FROM t
+       |), r AS (
+       |  SELECT shard, 0 AS step, CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       |         CAST(NULL AS INT) AS bin, CAST(NULL AS BIGINT) AS bin_off
+       |  FROM (SELECT DISTINCT shard FROM s)
+       |  UNION ALL
+       |  SELECT shard, step,
+       |    CASE WHEN pos IS NULL THEN list_append(loads, n_tokens)
+       |         ELSE list_transform(list_zip(loads, range(1, len(loads) + 1)),
+       |                p -> CASE WHEN p[2] = pos THEN p[1] + n_tokens
+       |                     ELSE p[1] END)
+       |    END AS loads,
+       |    doc_id, n_tokens,
+       |    CAST(CASE WHEN pos IS NULL THEN len(loads) + 1 ELSE pos END AS INT) AS bin,
+       |    CASE WHEN pos IS NULL THEN 0 ELSE loads[pos] END AS bin_off
+       |  FROM (
+       |    SELECT s.shard, s.step, r.loads, s.doc_id, s.n_tokens,
+       |      -- list_position yields 0 (not NULL) when nothing fits
+       |      NULLIF(list_position(
+       |        list_transform(r.loads, x -> x + s.n_tokens <= $PackBudget),
+       |        true), 0) AS pos
+       |    FROM r JOIN s ON s.shard = r.shard AND s.step = r.step + 1)
+       |)
+       |SELECT doc_id, shard, n_tokens, bin, CAST(bin_off AS BIGINT) AS bin_off
+       |FROM r WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
 
   // --- C27: incremental dedup (bloom-accelerated) --------------------------
   /** The arriving batch: exact copies of every 11th historical doc (true
@@ -2326,6 +2425,7 @@ object CorpusOps {
     "decontaminate_containment" -> (decontaminateContainment _),
     "bm25_search" -> (bm25Search _),
     "pack_sequences" -> (packSequences _),
+    "pack_bestfit" -> (packBestfit _),
     "dedup_incremental" -> (dedupIncremental _),
     "domain_caps" -> (domainCaps _),
     "corpus_mixture" -> (corpusMixture _),
@@ -2353,6 +2453,7 @@ object CorpusOps {
     "decontaminate_containment" -> decontaminateContainmentSql,
     "bm25_search" -> bm25SearchSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_bestfit" -> packBestfitSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "domain_caps" -> domainCapsSql,
     "corpus_mixture" -> corpusMixtureSql,

@@ -881,6 +881,100 @@ object VectorOps {
        |FROM ($out) ORDER BY rank""".stripMargin
   }
 
+  // --- C70: hybrid retrieval fusion (BM25 ⊕ ANN via RRF) -------------------
+  /** Reciprocal-rank fusion of the two retrieval families this engine
+    * already ships — Okapi BM25 (C25, keyword) and exact cosine top-k
+    * (C6, semantic) — the RAG-retrieval shape a corpus-search user reaches
+    * for right after deploying either index alone (Cormack et al.,
+    * SIGIR'09: RRF(d) = Σ_r 1/(K + rank_r(d)) with K = 60 routinely beats
+    * either ranker and needs no score calibration, only ranks).
+    *
+    * The semantic probe per query is the embedding of that query's top-1
+    * BM25 hit (the lexical-anchor / more-like-this expansion — no text
+    * encoder exists for the canned term queries, and anchoring keeps the
+    * whole pipeline deterministic and oracle-replayable). The anchor doc
+    * itself is excluded from its own semantic candidates.
+    *
+    * Scale shape: both ranker outputs are O(queries × k) frames, so the
+    * fusion is a full-outer join + one per-query heap over ≤ 2k rows —
+    * every exchange past the two rankers carries ranks, never the corpus.
+    * The semantic stage is C6's broadcast-scoring discipline (query
+    * anchors broadcast, corpus scanned once, TopKByScore partial heaps —
+    * no rank window over the scored stream). RRF terms are single IEEE
+    * divisions of exact ints summed in fixed textual order → engine-
+    * identical doubles (DuckDB oracle hash-checks). */
+  val RrfK = 60
+  val HybridK: Int = CorpusOps.Bm25TopK
+
+  def hybridSearchOn(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val lex = CorpusOps.bm25RankedOn(documents, "doc_id", "text", queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+      // O(queries × k) rows, consumed twice (anchor pick + fusion):
+      // checkpoint so the BM25 plan runs once, not once per consumer
+      .localCheckpoint(eager = true)
+    val anchors = embeddings.select(col("vec_id"), col("emb"))
+      .join(broadcast(lex.filter(col("lex_rank") === 1)
+        .select(col("query_id").as("_qid"), col("doc_id").as("_aid"))),
+        col("vec_id") === col("_aid"))
+      .select(col("_qid"), col("_aid"), col("emb").as("_qemb"))
+    val sem = embeddings.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("_aid"))
+      .select(col("_qid"), col("vec_id"),
+        quantized_cosine(col("emb"), col("_qemb")).as("_s"))
+      .groupBy(col("_qid"))
+      .agg(graft.functions.topk.top_k_by_score(col("_s"), col("vec_id"), k)
+        .as("_tk"))
+      .select(col("_qid"), posexplode(col("_tk")))
+      .select(col("_qid").as("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("sem_rank"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+          .as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchOn(Tables(spark, dir).documents, emb(spark, dir),
+      CorpusOps.Bm25Queries, HybridK)
+
+  val hybridSearchSql: String =
+    s"""WITH ${CorpusOps.bm25Ctes},
+       |$embSql,
+       |qv AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |anchors AS (SELECT query_id, doc_id AS anchor_id
+       |            FROM bm25ranked WHERE rank = 1),
+       |aq AS (SELECT query_id AS qid, anchor_id, qv.qv AS aqv
+       |       FROM anchors JOIN qv ON qv.vec_id = anchor_id),
+       |sems AS (
+       |  SELECT qid, vec_id AS doc_id, ${qcosSql("qv.qv", "aq.aqv")} AS s
+       |  FROM qv CROSS JOIN aq WHERE qv.vec_id <> aq.anchor_id),
+       |semr AS (
+       |  SELECT qid AS query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |         ORDER BY s DESC, doc_id) AS INT) AS sem_rank
+       |  FROM sems QUALIFY sem_rank <= $HybridK),
+       |lexr AS (SELECT query_id, doc_id, rank AS lex_rank FROM bm25ranked),
+       |fused AS (
+       |  SELECT query_id, doc_id, lex_rank, sem_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + sem_rank), CAST(0.0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM lexr FULL JOIN semr USING (query_id, doc_id))
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |FROM fused
+       |QUALIFY rank <= $HybridK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Registry for SparkEntry. ann_lsh_topk / ann_ivf_topk are rows-only:
     * their output depends on index parameters, so they are pinned by the
     * recall specs instead of SQL. */
@@ -899,7 +993,8 @@ object VectorOps {
     "ann_ivfpq_refine" -> (annIvfPqRefineTopk _),
     "ann_ivf_stats" -> (annIvfStats _),
     "diverse_topk" -> (diverseTopk _),
-    "diverse_topk_multi" -> (diverseTopkMulti _)
+    "diverse_topk_multi" -> (diverseTopkMulti _),
+    "hybrid_search" -> (hybridSearch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -911,6 +1006,7 @@ object VectorOps {
     "embedding_quantize" -> embeddingQuantizeSql,
     "semantic_dedup" -> semanticDedupSql,
     "diverse_topk" -> diverseTopkSql,
-    "diverse_topk_multi" -> diverseTopkMultiSql
+    "diverse_topk_multi" -> diverseTopkMultiSql,
+    "hybrid_search" -> hybridSearchSql
   )
 }

@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
-    "triangle_count")
+    "triangle_count",
+    // C6's broadcast-anchor scoring cross join feeding the RRF fusion
+    "hybrid_search")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -141,7 +143,9 @@ class PlanGuardSpec extends SparkSpec {
     "text_entropy" -> 1, // the char histogram is row-local inside the codegen'd kernel (never an exploded per-char exchange); gate sort only
     "embed_pca" -> 1, // the d²-long Gram buffer aggregates eagerly at build (one corpus pass, 32 KiB result); the projection is a pure map vs the v literal + gate sort
     "pack_sequences_bpe" -> 2, // the encoded length rides out of C60's map stage, so the composition matches C26's budget: one per-shard cumsum window + gate sort
-    "vocab_fertility" -> 2 // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
+    "vocab_fertility" -> 2, // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
+    "hybrid_search" -> 6, // BM25 ranks checkpoint eagerly (O(q×k) rows); sem heap agg + full-outer fusion join (both sides O(q×k)) + rank window + gate sort — every exchange past the rankers carries ranks, never the corpus
+    "pack_bestfit" -> 2 // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -98,6 +98,43 @@ class CorpusOpsSpec extends SparkSpec {
       (r.getAs[String]("shard"), r.getAs[Long]("start_off"))).map(_.toString).toSeq)
   }
 
+  test("pack_bestfit: FFD replay matches; no doc splits; bins never overflow") {
+    val rows = CorpusOps.packBestfit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // independent JVM replay of the greedy per shard
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val order = rs.sortBy(r => (-r._3, r._1))
+      val loads = scala.collection.mutable.ArrayBuffer[Long]()
+      order.foreach { case (id, _, len, bin, off) =>
+        val fit = loads.indexWhere(_ + len <= CorpusOps.PackBudget)
+        if (fit >= 0) {
+          assert(bin === fit + 1, s"doc $id not first-fit in shard $shard")
+          assert(off === loads(fit))
+          loads(fit) += len
+        } else {
+          assert(bin === loads.length + 1 && off === 0L, s"doc $id new-bin")
+          loads += len
+        }
+      }
+      // no bin of fitting docs overflows the budget
+      rs.groupBy(_._4).foreach { case (bin, docs) =>
+        if (docs.forall(_._3 <= CorpusOps.PackBudget))
+          assert(docs.map(_._3).sum <= CorpusOps.PackBudget,
+            s"shard $shard bin $bin overflows")
+      }
+    }
+    // THE win over C26 at the same budget: concatenate-then-chunk splits
+    // documents across sequence boundaries; FFD splits none (whole-doc
+    // placement — only a doc longer than the budget would stand alone)
+    val c26splits = CorpusOps.packSequences(spark, sfDir).collect()
+      .count(r => r.getAs[Long]("first_seq") != r.getAs[Long]("last_seq"))
+    assert(c26splits > 0, "fixture corpus should make C26 split documents")
+    val oversized = rows.count(_._3 > CorpusOps.PackBudget)
+    assert(oversized === 0)
+  }
+
   test("pack_sequences_bpe: lengths are C60's encoded counts; layout invariants hold") {
     val rows = CorpusOps.packSequencesBpe(spark, sfDir).collect()
     // the billed length IS the encoder's, per doc — and strictly less

@@ -438,6 +438,37 @@ class VectorSpec extends SparkSpec {
     assert(byQ.values.map(_.map(_._3).toSet).toSet.size > 1)
   }
 
+  test("hybrid_search: RRF fusion invariants hold") {
+    val rows = VectorOps.hybridSearch(spark, sfDir).collect().map { r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5))
+    }
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === CorpusOps.Bm25Queries.map(_._1).toSet)
+    byQ.foreach { case (q, sel) =>
+      // contiguous ranks from 1, capped at k, no duplicate docs
+      assert(sel.map(_._6).sorted.toSeq === (1 to sel.length).toSeq)
+      assert(sel.length <= VectorOps.HybridK)
+      assert(sel.map(_._2).distinct.length === sel.length)
+      // each row came from at least one ranker, and BOTH rankers
+      // contribute to the fused board
+      sel.foreach { s => assert(s._3.isDefined || s._4.isDefined) }
+      assert(sel.exists(_._3.isDefined), s"$q: no lexical contribution")
+      assert(sel.exists(_._4.isDefined), s"$q: no semantic contribution")
+      // the RRF score is exactly the two-term reciprocal sum of the ranks
+      sel.foreach { case (_, _, lex, sem, score, _) =>
+        val expect = lex.map(r => 1.0 / (VectorOps.RrfK + r)).getOrElse(0.0) +
+          sem.map(r => 1.0 / (VectorOps.RrfK + r)).getOrElse(0.0)
+        assert(score === expect)
+      }
+      // board is ordered by (score desc, doc_id) — the rank is real
+      val resorted = sel.sortBy(s => (-s._5, s._2)).map(_._2).toSeq
+      assert(sel.sortBy(_._6).map(_._2).toSeq === resorted)
+    }
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
