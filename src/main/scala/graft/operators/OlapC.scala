@@ -853,8 +853,113 @@ object OlapC {
         col("n_users_exact"))
   }
 
+  // --- B57: mergeable per-day quantile sketches ----------------------------
+  /** Cross-batch QUANTILE maintenance without rescanning history — the
+    * percentile analogue of B37's HLL: per day the value stream collapses
+    * to an O(buckets) log-histogram sketch; "p99 ever" is then a UNION of
+    * the stored daily sketches (bucket counts ADD — exactly order-free,
+    * unlike t-digest whose merge is order-dependent), never a re-scan.
+    *
+    * The sketch is an integer HDR/DDSketch-style mapping (Masson et al.,
+    * VLDB'19, in exact-integer form): values quantize to cents, buckets
+    * are identity below 2^6 and 2^[[QsSub]]-way linear sub-buckets per
+    * power-of-2 range above it — a pure integer CASE both engines compute
+    * bit-identically, so unlike every floating sketch this one is
+    * HASH-CHECKED against the oracle, not rows-only. Quantile estimates
+    * report the bucket's lower bound: relative error ≤ 2^-[[QsSub]]
+    * (≈3.1%), the bound the spec pins against exact percentiles.
+    *
+    * Scale shape: one (day, bucket) partial agg (the stored state), one
+    * O(buckets) merge agg, inversion windows over the O(buckets) board
+    * only. At 100 TB the raw stream is touched once per day, ever. */
+  val QsSub = 5 // sub-bucket bits → relative error ≤ 2^-5
+  /** Quantile targets as exact integer ranks: rank = ⌈n·num/den⌉. */
+  val QsTargets: Seq[(String, Long, Long)] =
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p95", 19L, 20L), ("p99", 99L, 100L))
+
+  /** Generated bucket mapping (top-of-range first; ELSE = identity region).
+    * Shared generator so the Spark expression and the DuckDB oracle carry
+    * the SAME case tree. */
+  private[operators] def qsBucketCase(v: String,
+      shift: (String, Int) => String): String = {
+    val top = s"WHEN $v >= ${1L << 57} THEN ${52L * 64} + ${shift(v, 52)}"
+    val mids = (56 to 6 by -1).map { i =>
+      val k = i - QsSub
+      s"WHEN $v >= ${1L << i} THEN ${k.toLong * 64} + ${shift(v, k)}"
+    }
+    (Seq(top) ++ mids).mkString("CASE ", " ", s" ELSE $v END")
+  }
+
+  /** Inverse: bucket → its lower-bound value in cents (exact). */
+  private def qsLowerCase(b: String): String = {
+    val whens = (52 to 1 by -1).map { k =>
+      s"WHEN $b >= ${k.toLong * 64} THEN ($b - ${k.toLong * 64}) * ${1L << k}"
+    }
+    whens.mkString("CASE ", " ", s" ELSE $b END")
+  }
+
+  def quantileSketchOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bCase = qsBucketCase("v", (x, k) => s"shiftright($x, $k)")
+    val ev = events.select(to_date(col("ts")).as("day"),
+      greatest(floor(col("value") * 100.0).cast("bigint"), lit(0L)).as("v"))
+      .withColumn("bucket", expr(bCase))
+    // the per-day stored state: O(days × buckets) counter rows
+    val daily = ev.groupBy(col("day"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // "ever" = union of the stored sketches (counts add; no raw rescan)
+    val merged = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val cum = merged.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = merged.agg(sum(col("cnt")).as("n_events"))
+    val targets = QsTargets.toDF("q_label", "num", "den")
+    cum.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(targets))
+      .filter(col("cum") >= expr("(n_events * num + den - 1) div den"))
+      .groupBy(col("q_label"))
+      .agg(min(col("n_events")).as("n_events"), min(col("bucket")).as("b"))
+      .select(col("q_label"), col("n_events"),
+        expr(qsLowerCase("b")).as("est_cents"))
+      .withColumn("est_value", col("est_cents").cast("double") / 100.0)
+      .orderBy(col("q_label"))
+  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchOn(Tables(spark, dir).events)
+
+  val quantileSketchSql: String = {
+    val bCase = qsBucketCase("v", (x, k) => s"($x >> $k)")
+    val values = QsTargets
+      .map { case (l, n, d) => s"('$l', $n, $d)" }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |         GREATEST(CAST(floor(value * 100.0) AS BIGINT), 0) AS v
+       |  FROM events
+       |), b AS (SELECT day, $bCase AS bucket FROM ev),
+       |daily AS (SELECT day, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |merged AS (SELECT bucket, SUM(cnt) AS cnt FROM daily GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM merged),
+       |totals AS (SELECT SUM(cnt) AS n_events FROM merged),
+       |targets(q_label, num, den) AS (VALUES $values),
+       |hit AS (
+       |  SELECT q_label, MIN(n_events) AS n_events, MIN(bucket) AS b
+       |  FROM cum CROSS JOIN totals CROSS JOIN targets
+       |  WHERE cum >= (n_events * num + den - 1) // den
+       |  GROUP BY 1)
+       |SELECT q_label, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(${qsLowerCase("b")} AS BIGINT) AS est_cents,
+       |  CAST(${qsLowerCase("b")} AS DOUBLE) / 100.0 AS est_value
+       |FROM hit ORDER BY q_label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel" -> (funnel _),
+    "quantile_sketch" -> (quantileSketch _),
     "retention" -> (retention _),
     "scd2_track" -> (scd2Track _),
     "anomaly_robust" -> (anomalyRobust _),
@@ -873,6 +978,7 @@ object OlapC {
 
   val oracles: Map[String, String] = Map(
     "funnel" -> funnelSql,
+    "quantile_sketch" -> quantileSketchSql,
     "retention" -> retentionSql,
     "scd2_track" -> scd2TrackSql,
     "anomaly_robust" -> anomalyRobustSql,

@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row mean-weight stats frame broadcast onto the edge list
     "triangle_count",
     // C6's broadcast-anchor scoring cross join feeding the RRF fusion
-    "hybrid_search")
+    "hybrid_search",
+    // 1-row totals + 4-row targets frames broadcast onto the O(buckets) board
+    "quantile_sketch")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -145,7 +147,8 @@ class PlanGuardSpec extends SparkSpec {
     "pack_sequences_bpe" -> 2, // the encoded length rides out of C60's map stage, so the composition matches C26's budget: one per-shard cumsum window + gate sort
     "vocab_fertility" -> 2, // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
     "hybrid_search" -> 6, // BM25 ranks checkpoint eagerly (O(q×k) rows); sem heap agg + full-outer fusion join (both sides O(q×k)) + rank window + gate sort — every exchange past the rankers carries ranks, never the corpus
-    "pack_bestfit" -> 2 // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
+    "pack_bestfit" -> 2, // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
+    "quantile_sketch" -> 5 // (day,bucket) partial agg + O(buckets) merge agg + cum window + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -177,6 +177,50 @@ class OlapCSpec extends SparkSpec {
     assert(nDays === expDays)
   }
 
+  test("quantile_sketch: day-merge is exact; estimates within the 2^-5 bound; state bounded") {
+    val ev = graft.sources.Tables(spark, sfDir).events
+    // 1) mergeability is EXACT: the union-of-daily-sketches board equals a
+    //    single-pass global sketch (bucket counts add, order-free)
+    val cents = ev.select(
+      greatest(floor(col("value") * 100.0).cast("bigint"), lit(0L)).as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val merged = OlapC.quantileSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.map(_._1).toSeq === OlapC.QsTargets.map(_._1).sorted)
+    merged.foreach { case (label, n, estCents, estValue) =>
+      assert(n === cents.length.toLong)
+      val (_, num, den) = OlapC.QsTargets.find(_._1 == label).get
+      // 2) exact-rank percentile from the raw stream: the estimate is the
+      //    bucket lower bound, so est ≤ exact ≤ est·(1 + 2^-5) (+1 cent
+      //    for the integer floor)
+      val rank = ((cents.length * num + den - 1) / den).toInt
+      val exact = cents(rank - 1)
+      assert(estCents <= exact, s"$label: est $estCents above exact $exact")
+      assert(exact <= estCents + (estCents >> OlapC.QsSub) + 1,
+        s"$label: exact $exact beyond error bound of est $estCents")
+      assert(estValue === estCents.toDouble / 100.0)
+    }
+    // 3) the stored state is O(buckets), not O(values): each daily sketch
+    //    holds at most the constant bucket space however large the day is
+    val bCase = OlapC.qsBucketCase("v", (x, k) => s"shiftright($x, $k)")
+    val perDay = ev.select(to_date(col("ts")).as("day"),
+      greatest(floor(col("value") * 100.0).cast("bigint"), lit(0L)).as("v"))
+      .withColumn("bucket", expr(bCase))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("bucket")).as("sketch_rows"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(perDay.nonEmpty)
+    perDay.foreach { case (rows, n) =>
+      assert(rows <= 64L * 53, s"sketch rows $rows exceed the bucket space")
+      assert(rows <= n, s"sketch ($rows rows) larger than the day ($n)")
+      // strict compression is only guaranteed once the day outgrows the
+      // constant bucket space (tiny sf0.001 days can be injective)
+      if (n > 64L * 53)
+        assert(rows < n, s"sketch ($rows rows) not smaller than the day ($n)")
+    }
+  }
+
   test("interval_coverage: union length replays from a direct interval merge") {
     val evs = graft.sources.Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).collect()
