@@ -35,6 +35,12 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as LONG
       // nanos (Tables.events converts to a microsecond timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive (isAdjustedToUTC=false) parquet timestamps read as plain
+      // TIMESTAMP, not TIMESTAMP_NTZ: with the session pinned to UTC the
+      // micros are identical, and every consumer (unix_micros, watermarks,
+      // window()) keeps the TIMESTAMP type it requires. DuckDB reads the
+      // same columns as naive timestamps, so oracle date math agrees.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

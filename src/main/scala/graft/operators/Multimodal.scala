@@ -171,10 +171,83 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // --- C70: perceptual near-dup over decoded media -------------------------
+  /** Region count basis and banding for the perceptual hash: 8×8 bands give
+    * the C3 pigeonhole guarantee — any pair within hamming ≤ 6 shares at
+    * least one untouched band, so recall is structural, not probabilistic. */
+  val PhashBandBits = 8
+  val PhashMaxHamming = 6
+
+  final case class MediaPhash(media_id: Long, fmt: String, n_frames: Int,
+      phash: Long)
+
+  /** The perceptual fingerprint, computed INSIDE the decode stage (where a
+    * real pipeline hashes decoded pixels/samples, not container bytes): the
+    * payload body is cut into fixed [[FrameBytes]] regions, each region
+    * fingerprints (md5 prefix, the engine-portable idiom of every sketch
+    * here), and per-bit sign-sums collapse the regions into one 64-bit
+    * pHash. A small content edit touches few regions and so flips few bits
+    * — the locality the avalanche checksum deliberately lacks — which is
+    * what makes Hamming distance a near-dup signal (Charikar, STOC'02). */
+  private[operators] def perceptualOne(r: MediaRow): MediaPhash = {
+    val body = java.util.Arrays.copyOfRange(r.media, 15, r.media.length)
+    val n = body.length / FrameBytes
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(body, j * FrameBytes,
+          (j + 1) * FrameBytes))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+      var b = 0
+      while (b < 64) {
+        acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    MediaPhash(r.media_id, r.fmt, n, fp)
+  }
+
+  /** Perceptual near-dup pairs over the media table — the multimodal twin
+    * of C3 (SimHash docs) and C5 (embedding dedup): decode-stage pHash,
+    * then the SAME banded candidacy as the text fingerprints
+    * ([[Dedup.simhashBuckets]] — one definition of fingerprint candidacy
+    * repo-wide), hamming-verified BEFORE the pair-dedup shuffle. Never
+    * all-pairs: candidate volume is O(colliding bucket pairs), and media
+    * too short to carry one region (no perceptual signal) are excluded
+    * rather than collapsing into a single all-zero-hash blob. The pHash is
+    * modality-agnostic content identity — filter `fmt_a = fmt_b` downstream
+    * for per-modality dedup. */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = mediaTable(spark, dir)
+      .select("media_id", "fmt", "media").as[MediaRow]
+      .mapPartitions(rows => rows.grouped(DecodeBatchSize)
+        .flatMap(_.iterator.map(perceptualOne)))
+      .toDF()
+      .filter(col("n_frames") >= 1)
+    val bucketed = ph.select(col("media_id"), col("fmt"), col("phash"),
+      explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a._bkt") === col("b._bkt") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.fmt").as("fmt_a"), col("b.fmt").as("fmt_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .dropDuplicates("media_a", "media_b")
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_similar" -> (multimodalSimilar _),
-    "multimodal_frames" -> (multimodalFrames _)
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_dedup" -> (multimodalDedup _)
   )
 
   /** DuckDB twin of [[multimodalMeta]]: re-derives the synthesized payload
@@ -266,9 +339,65 @@ object Multimodal {
        |FROM fr ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalDedup]]: the payload body is the document
+    * text (ASCII — char `substr` chunks exactly like the byte codec), the
+    * region hash is the md5-prefix signed-64 parse of Sketch.simhashFpCtes,
+    * the sign-sum/assembly replays the same CASE tree, and banding masks
+    * make arithmetic-vs-logical shift immaterial. */
+  val multimodalDedupSql: String = {
+    val nibbleTerms = (1 to 16).map { i =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
+    }.mkString(" + ")
+    val pow2Rows = (0 until 64).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
+    val bands = 64 / PhashBandBits
+    val mask = (1 << PhashBandBits) - 1
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
+       |         ELSE 'vid' END AS fmt,
+       |    text, CAST(strlen(text) // $FrameBytes AS INT) AS n_frames
+       |  FROM documents WHERE strlen(text) >= $FrameBytes
+       |), fr AS (
+       |  SELECT media_id,
+       |    md5(substr(text, 1 + CAST(j AS INT) * $FrameBytes, $FrameBytes)) AS m
+       |  FROM (SELECT media_id, text, unnest(range(0, n_frames)) AS j FROM v)
+       |), th AS (
+       |  SELECT media_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT media_id, $nibbleTerms AS u FROM fr)
+       |), bits AS (
+       |  SELECT media_id, b,
+       |    CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN range(0, 64) t(b) GROUP BY 1, 2
+       |), pw(b, p) AS (VALUES $pow2Rows),
+       |fps AS (
+       |  SELECT media_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+       |  FROM (SELECT bits.media_id, SUM(bit::HUGEINT * p) AS u
+       |        FROM bits JOIN pw ON bits.b = pw.b GROUP BY 1)
+       |), bd AS (
+       |  SELECT f.media_id, v.fmt, fp, t.b,
+       |    (fp >> ($PhashBandBits * t.b)) & $mask AS bkt
+       |  FROM fps f JOIN v ON f.media_id = v.media_id, range(0, $bands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |    x.fmt AS fmt_a, y.fmt AS fmt_b, x.fp AS fa, y.fp AS fb
+       |  FROM bd x JOIN bd y
+       |    ON x.b = y.b AND x.bkt = y.bkt AND x.media_id < y.media_id
+       |)
+       |SELECT media_a, media_b, fmt_a, fmt_b,
+       |  CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $PhashMaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_similar" -> multimodalSimilarSql,
-    "multimodal_frames" -> multimodalFramesSql
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_dedup" -> multimodalDedupSql
   )
 }

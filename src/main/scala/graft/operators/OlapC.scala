@@ -910,13 +910,17 @@ object OlapC {
       .agg(count(lit(1)).as("cnt"))
     // "ever" = union of the stored sketches (counts add; no raw rescan)
     val merged = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-    val cum = merged.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = merged.agg(sum(col("cnt")).as("n_events"))
+    // running total AND grand total ride ONE WindowExec (same single-
+    // partition O(buckets) exchange, different frames) — a separate
+    // totals aggregation would cost its own exchange + broadcast back
+    val w = Window.orderBy(col("bucket"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_events", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val targets = QsTargets.toDF("q_label", "num", "den")
-    cum.crossJoin(broadcast(totals))
-      .crossJoin(broadcast(targets))
+    cum.crossJoin(broadcast(targets))
       .filter(col("cum") >= expr("(n_events * num + den - 1) div den"))
       .groupBy(col("q_label"))
       .agg(min(col("n_events")).as("n_events"), min(col("bucket")).as("b"))

@@ -353,8 +353,10 @@ object Dedup {
   }
 
   /** Banded bucket keys of a simhash fingerprint: band tag in bits 40+
-    * keeps tag and bucket disjoint for any admissible bandBits (≤ 32). */
-  private def simhashBuckets(fp: Column, bandBits: Int): Column = {
+    * keeps tag and bucket disjoint for any admissible bandBits (≤ 32).
+    * `private[operators]` so the multimodal perceptual hash bands with the
+    * SAME spelling (one definition of fingerprint candidacy repo-wide). */
+  private[operators] def simhashBuckets(fp: Column, bandBits: Int): Column = {
     val bands = 64 / bandBits
     array((0 until bands).map { j =>
       lit(j.toLong << 40).bitwiseOR(

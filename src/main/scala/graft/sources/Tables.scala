@@ -24,9 +24,18 @@ final case class Tables(spark: SparkSession, dir: String) {
     * precision above 2^53 ns. Truncation matches DuckDB's ns→us cast. */
   def events: DataFrame = {
     val e = t("events")
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive micros re-stamped as a UTC instant (sessions tuned by
+        // GraftSession never hit this branch — inferTimestampNTZ=false
+        // reads the column as TIMESTAMP directly; this covers externally
+        // built sessions so `events` always yields the TIMESTAMP type
+        // watermarks and unix_micros require)
+        e.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => e
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

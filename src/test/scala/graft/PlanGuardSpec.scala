@@ -35,7 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "triangle_count",
     // C6's broadcast-anchor scoring cross join feeding the RRF fusion
     "hybrid_search",
-    // 1-row totals + 4-row targets frames broadcast onto the O(buckets) board
+    // 4-row targets frame broadcast onto the O(buckets) board
     "quantile_sketch")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
@@ -148,7 +148,8 @@ class PlanGuardSpec extends SparkSpec {
     "vocab_fertility" -> 2, // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
     "hybrid_search" -> 6, // BM25 ranks checkpoint eagerly (O(q×k) rows); sem heap agg + full-outer fusion join (both sides O(q×k)) + rank window + gate sort — every exchange past the rankers carries ranks, never the corpus
     "pack_bestfit" -> 2, // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
-    "quantile_sketch" -> 5 // (day,bucket) partial agg + O(buckets) merge agg + cum window + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
+    "quantile_sketch" -> 5, // (day,bucket) partial agg + O(buckets) merge agg + ONE cum+total window exchange + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
+    "multimodal_dedup" -> 3 // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -87,6 +87,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual near-dup: exact JVM replay + pigeonhole recall (C70)") {
+    val got = Multimodal.multimodalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, h) =>
+      assert(a < b); assert(h >= 0 && h <= Multimodal.PhashMaxHamming)
+    }
+    // replay every pHash from the raw text bytes (the media body)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val phashes = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val body = r.getString(1).getBytes("UTF-8")
+        val n = body.length / Multimodal.FrameBytes
+        if (n < 1) None else {
+          val acc = new Array[Int](64)
+          (0 until n).foreach { j =>
+            val d = md5.digest(java.util.Arrays.copyOfRange(body,
+              j * Multimodal.FrameBytes, (j + 1) * Multimodal.FrameBytes))
+            val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+            (0 until 64).foreach(b =>
+              acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+          }
+          val fp = (0 until 64).foldLeft(0L)((f, b) =>
+            if (acc(b) > 0) f | (1L << b) else f)
+          Some(r.getLong(0) -> fp)
+        }
+      }.sortBy(_._1)
+    // pigeonhole recall is EXACT: the banded join must emit precisely the
+    // pairs within the hamming radius — no more (verify filter), no fewer
+    // (hamming <= MaxHamming < bands leaves >= 1 band untouched)
+    val expected = (for {
+      i <- phashes.indices.iterator
+      j <- (i + 1) until phashes.length
+      h = java.lang.Long.bitCount(phashes(i)._2 ^ phashes(j)._2)
+      if h <= Multimodal.PhashMaxHamming
+    } yield (phashes(i)._1, phashes(j)._1, h)).toSet
+    assert(got === expected)
+  }
+
   test("decoded features drive similarity search (C12 -> C6 composition)") {
     val out = Multimodal.multimodalSimilar(spark, sfDir).collect()
     assert(out.nonEmpty)
