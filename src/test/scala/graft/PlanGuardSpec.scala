@@ -28,7 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
-    "zorder_prune", "hilbert_prune",
+    "zorder_prune", "hilbert_prune", "footer_prune",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
@@ -149,7 +149,8 @@ class PlanGuardSpec extends SparkSpec {
     "hybrid_search" -> 6, // BM25 ranks checkpoint eagerly (O(q×k) rows); sem heap agg + full-outer fusion join (both sides O(q×k)) + rank window + gate sort — every exchange past the rankers carries ranks, never the corpus
     "pack_bestfit" -> 2, // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
     "quantile_sketch" -> 5, // (day,bucket) partial agg + O(buckets) merge agg + ONE cum+total window exchange + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
-    "multimodal_dedup" -> 3 // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
+    "multimodal_dedup" -> 3, // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
+    "footer_prune" -> 3 // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -94,6 +94,35 @@ class SinksSpec extends SparkSpec {
     assert(skipped >= rows.length / 2, s"hilbert skipped only $skipped/${rows.length}")
   }
 
+  test("footer_prune: REAL parquet footers equal the engine recomputation (C71)") {
+    val got = Sinks.footerPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(got.nonEmpty)
+    // the footers must carry EXACTLY the per-bin stats a full scan finds:
+    // recompute each bin from the layout itself and require equality —
+    // this is what makes the footer audit trustworthy with zero row reads
+    val shift = 2 * Sinks.ZOrderBits - Sinks.FooterFilesLog
+    val expected = Sinks.zorderLayout(spark, sfDir)
+      .withColumn("fid", shiftright(col("zkey"), shift))
+      .groupBy("fid").agg(count(lit(1)).as("n"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("d").as("d0"), max("d").as("d1"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.length === expected.size) // one audit row per non-empty bin
+    got.foreach { case (fid, n, x0, x1, d0, d1, _) =>
+      assert(expected(fid) === ((n, x0, x1, d0, d1)), s"file $fid")
+    }
+    val total = graft.sources.Tables(spark, sfDir).orders.count()
+    assert(got.map(_._2).sum === total)
+    // and the deploy audit reaches the same conclusion as the C67 replay:
+    // the box query skips at least half of the z-ordered files
+    val skipped = got.count(_._7 == 0)
+    assert(skipped >= got.length / 2, s"skipped only $skipped/${got.length}")
+  }
+
   test("hilbert: full-grid bijection, unit steps (the locality Morton lacks)") {
     import graft.functions.spatial.hilbert_index
     val bits = 3
