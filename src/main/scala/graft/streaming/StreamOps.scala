@@ -330,32 +330,28 @@ object StreamOps {
       spark.table(KnScoreQueryName).orderBy(col("doc_id"))
     } else {
       // production-K spelling: the per-doc rollup runs PER MICRO-BATCH via
-      // foreachBatch — each doc lands wholly in one batch, so the
-      // accumulated drain equals the global rollup with ZERO streaming
-      // state (a streaming aggregation here would hold one state row per
-      // document ever seen — the unbounded-state shape B55's rewrite
-      // documents and avoids)
-      val acc = java.util.Collections.synchronizedList(
-        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      // foreachBatch — each doc lands wholly in one batch, so the drained
+      // sink equals the global rollup with ZERO streaming state (a
+      // streaming aggregation here would hold one state row per document
+      // ever seen — the unbounded-state shape B55's rewrite documents and
+      // avoids). Each batch writes STRAIGHT to a parquet sink: driver
+      // memory stays O(1) regardless of drain length (the r6-flagged
+      // ArrayList accumulator held the whole drain on the driver), which
+      // is the deploy sink shape — executors write, nothing collects.
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_kn_sink").toFile
       val q = docs.writeStream.queryName(KnScoreQueryName)
         .trigger(Trigger.AvailableNow())
         .foreachBatch {
           (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            _: Long) =>
-            acc.addAll(java.util.Arrays.asList(
-              graft.operators.CorpusOps
-                .knScoreJoinWith(t, mb, "doc_id", "text")
-                .collect(): _*))
+            graft.operators.CorpusOps
+              .knScoreJoinWith(t, mb, "doc_id", "text")
+              .write.mode("append").parquet(sink.getAbsolutePath)
             ()
         }.start()
       q.awaitTermination()
-      import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
-      spark.createDataFrame(acc,
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("n_pairs", LongType),
-            StructField("cross_entropy", DoubleType),
-            StructField("ppl_bucket", IntegerType))))
-        .orderBy(col("doc_id"))
+      spark.read.parquet(sink.getAbsolutePath).orderBy(col("doc_id"))
     }
   }
 
