@@ -898,16 +898,27 @@ object OlapC {
     whens.mkString("CASE ", " ", s" ELSE $b END")
   }
 
-  def quantileSketchOn(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  /** The per-day stored sketch state — O(days × buckets) counter rows.
+    * Split out so the B57 streaming drain can maintain EXACTLY this
+    * aggregation as its state store (the B52/B54 discipline) and feed the
+    * same rollup. */
+  def quantileDailyAggOn(events: DataFrame): DataFrame = {
     val bCase = qsBucketCase("v", (x, k) => s"shiftright($x, $k)")
-    val ev = events.select(to_date(col("ts")).as("day"),
+    events.select(to_date(col("ts")).as("day"),
       greatest(floor(col("value") * 100.0).cast("bigint"), lit(0L)).as("v"))
       .withColumn("bucket", expr(bCase))
-    // the per-day stored state: O(days × buckets) counter rows
-    val daily = ev.groupBy(col("day"), col("bucket"))
+      .groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def quantileSketchOn(events: DataFrame): DataFrame =
+    quantileSketchOf(quantileDailyAggOn(events))
+
+  /** Rollup from stored daily sketches to the quantile board — everything
+    * here is O(buckets), never the raw stream. */
+  def quantileSketchOf(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
     // "ever" = union of the stored sketches (counts add; no raw rescan)
     val merged = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
     // running total AND grand total ride ONE WindowExec (same single-

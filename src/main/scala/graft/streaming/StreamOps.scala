@@ -599,7 +599,28 @@ object StreamOps {
     drainComplete(spark, compacted, UpsertQueryName).orderBy(col("o_orderkey"))
   }
 
+  val QuantileQueryName = "graft_stream_quantile_sketch"
+
+  /** The B37-for-quantiles monitor maintained BY the stream (B57): every
+    * arriving event maps to its log-bucket (the exact-integer mergeable
+    * sketch of `quantile_sketch`) and the streaming state is the per-day
+    * bucket counter board — O(days × buckets) rows, nothing grows with the
+    * event count (the B24 discipline). The drained board re-enters the
+    * SAME [[graft.operators.OlapC.quantileSketchOf]] rollup the batch
+    * query uses — "p99 ever" never rescans history — so drain == batch
+    * and the key shares `quantile_sketch`'s oracle. At deploy scale this
+    * is the live latency/value dashboard: stored daily sketches merge by
+    * addition across any date range. */
+  def streamQuantileSketch(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    graft.operators.OlapC.quantileSketchOf(
+      drainComplete(spark,
+        graft.operators.OlapC.quantileDailyAggOn(eventsStream(spark, dir)),
+        QuantileQueryName))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quantile_sketch" -> (streamQuantileSketch _),
     "stream_events" -> (streamEvents _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
@@ -645,6 +666,8 @@ object StreamOps {
     // the drained pair counters re-enter the same τ-gate → equal C62
     "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql,
     // the drained histogram must equal the batch C64 rollup
-    "stream_embed_pca" -> streamEmbedPcaSql
+    "stream_embed_pca" -> streamEmbedPcaSql,
+    // the drained daily sketches roll up to the batch quantile board
+    "stream_quantile_sketch" -> graft.operators.OlapC.quantileSketchSql
   )
 }

@@ -204,6 +204,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length === graft.operators.Pipeline.DriftDays)
   }
 
+  test("streamed quantile board equals the batch sketch rollup (B57)") {
+    val s = StreamOps.streamQuantileSketch(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.OlapC.quantileSketch(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+    // the state the stream held is the daily board, not the raw events:
+    // counter rows live in the bounded (day, bucket) domain, so DOUBLING
+    // the event stream leaves the board size unchanged — state grows with
+    // the domain, never the event count
+    val ev = graft.sources.Tables(spark, sfDir).events
+    val daily = graft.operators.OlapC.quantileDailyAggOn(ev).count()
+    val doubled = graft.operators.OlapC.quantileDailyAggOn(
+      ev.unionAll(ev)).count()
+    assert(daily === doubled, "sketch state must not grow with event count")
+  }
+
   test("streamed index probe equals the one-shot batch probe (B53 == C54)") {
     val s = StreamOps.streamIndexProbe(spark, sfDir).collect()
       .map(_.toString)
