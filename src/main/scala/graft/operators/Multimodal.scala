@@ -34,8 +34,13 @@ object Multimodal {
     * payload = GRFT header (magic, format, dims) + content bytes. At deploy
     * time this column is real image/audio bytes read from object storage —
     * the schema (binary + typed metadata) is the contract. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    mediaTableOf(Tables(spark, dir).documents)
+
+  /** Media synthesis over ANY (doc_id, text) frame — split out so probe
+    * batches (leaked docs under shifted ids) synthesize through the SAME
+    * codec path as the history table. */
+  def mediaTableOf(d: DataFrame): DataFrame = {
     val fmt = when(col("doc_id") % 3 === 0, "img")
       .when(col("doc_id") % 3 === 1, "aud").otherwise("vid")
     val width = (col("doc_id") % 640 + 16).cast("int")
@@ -223,14 +228,23 @@ object Multimodal {
     * rather than collapsing into a single all-zero-hash blob. The pHash is
     * modality-agnostic content identity — filter `fmt_a = fmt_b` downstream
     * for per-modality dedup. */
-  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The decode-stage pHash map over a media frame — shared by the offline
+    * pairs query (C70), the index builder, and probe batches: one spelling
+    * of the fingerprint repo-wide. Media too short to carry one region
+    * (no perceptual signal) are excluded rather than collapsing into a
+    * single all-zero-hash blob. */
+  def phashOn(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val ph = mediaTable(spark, dir)
-      .select("media_id", "fmt", "media").as[MediaRow]
+    media.select("media_id", "fmt", "media").as[MediaRow]
       .mapPartitions(rows => rows.grouped(DecodeBatchSize)
         .flatMap(_.iterator.map(perceptualOne)))
       .toDF()
       .filter(col("n_frames") >= 1)
+  }
+
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phashOn(mediaTable(spark, dir))
     val bucketed = ph.select(col("media_id"), col("fmt"), col("phash"),
       explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
     bucketed.as("a").join(bucketed.as("b"),
@@ -243,11 +257,75 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // --- C72: persisted pHash index — the deployment shape of C70 -----------
+  /** Persist the media corpus' banded pHash index once (the C54/C56
+    * persisted-index discipline for the multimodal family): one 64-bit
+    * perceptual fingerprint per media row, banded, bucket-partitioned.
+    * Arriving batches probe without re-decoding history. */
+  def phashIndexBuild(media: DataFrame, path: String): Unit =
+    phashOn(media)
+      .select(col("media_id"), col("phash"),
+        explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
+      .repartition(col("_bkt"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** Probe the persisted index with an arriving media batch: the batch
+    * decodes and fingerprints map-side, BROADCASTS onto the index scan,
+    * and the hamming verify runs before the only shuffle (pair dedup) —
+    * zero history decode per batch. */
+  def phashIndexProbe(spark: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val idx = spark.read.parquet(s"$path/bands")
+    val probe = phashOn(batch)
+      .select(col("media_id"), col("phash"),
+        explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
+    idx.as("h").join(broadcast(probe).as("p"), col("h._bkt") === col("p._bkt"))
+      .select(col("p.media_id").as("batch_id"), col("h.media_id").as("hist_id"),
+        bit_count(col("h.phash").bitwiseXOR(col("p.phash"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .dropDuplicates("batch_id", "hist_id")
+  }
+
+  /** Driver key: the C34-style leak generator re-enters every
+    * [[graft.operators.CorpusOps.BenchmarkMod]]-th doc's media under a
+    * shifted id with a short appended suffix — shorter than one
+    * [[FrameBytes]] region, so most fingerprints survive untouched and the
+    * probe must surface them through the persisted index (pigeonhole
+    * recall, C3's guarantee). */
+  /** The C34-style leak generator over media: every BenchmarkMod-th doc's
+    * payload re-enters under a shifted id with a sub-region suffix. ONE
+    * spelling shared by the batch probe and the B58 streaming drain
+    * (drain == batch must not be able to desync on a constant edit). */
+  def leakedMediaOf(docs: DataFrame): DataFrame = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    mediaTableOf(docs
+      .filter(col("doc_id") % BenchmarkMod === 0)
+      .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+        concat(col("text"), lit(" leaked")).as("text")))
+  }
+
+  /** Ensure the persisted pHash index for `dir`'s media table exists and
+    * return its path — shared by the batch probe and the streaming drain. */
+  def phashIndexEnsure(spark: SparkSession, dir: String): String = {
+    val path = graft.sources.IndexScratch.path("phidx", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      phashIndexBuild(mediaTable(spark, dir), p))
+    path
+  }
+
+  def multimodalIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = phashIndexEnsure(spark, dir)
+    val batch = leakedMediaOf(Tables(spark, dir).documents)
+    phashIndexProbe(spark, path, batch)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_similar" -> (multimodalSimilar _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_dedup" -> (multimodalDedup _)
+    "multimodal_dedup" -> (multimodalDedup _),
+    "phash_index_probe" -> (multimodalIndexProbe _)
   )
 
   /** DuckDB twin of [[multimodalMeta]]: re-derives the synthesized payload
@@ -339,24 +417,23 @@ object Multimodal {
        |FROM fr ORDER BY media_id, frame_idx""".stripMargin
   }
 
-  /** DuckDB twin of [[multimodalDedup]]: the payload body is the document
-    * text (ASCII — char `substr` chunks exactly like the byte codec), the
-    * region hash is the md5-prefix signed-64 parse of Sketch.simhashFpCtes,
-    * the sign-sum/assembly replays the same CASE tree, and banding masks
-    * make arithmetic-vs-logical shift immaterial. */
-  val multimodalDedupSql: String = {
+  /** Shared pHash CTE chain over `corpus` (any SQL yielding (media_id,
+    * text)): the payload body is the document text (ASCII — char `substr`
+    * chunks exactly like the byte codec), the region hash is the
+    * md5-prefix signed-64 parse of Sketch.simhashFpCtes, the
+    * sign-sum/assembly replays the same CASE tree. Yields `v` (with fmt
+    * for consumers that need it) and `fps` (media_id, fp). */
+  private def phashCtes(corpus: String): String = {
     val nibbleTerms = (1 to 16).map { i =>
       s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)::HUGEINT * ${BigInt(16).pow(16 - i)}"
     }.mkString(" + ")
     val pow2Rows = (0 until 64).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
-    val bands = 64 / PhashBandBits
-    val mask = (1 << PhashBandBits) - 1
-    s"""WITH v AS (
-       |  SELECT doc_id AS media_id,
-       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
+    s"""v AS (
+       |  SELECT media_id,
+       |    CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
        |         ELSE 'vid' END AS fmt,
        |    text, CAST(strlen(text) // $FrameBytes AS INT) AS n_frames
-       |  FROM documents WHERE strlen(text) >= $FrameBytes
+       |  FROM ($corpus) WHERE strlen(text) >= $FrameBytes
        |), fr AS (
        |  SELECT media_id,
        |    md5(substr(text, 1 + CAST(j AS INT) * $FrameBytes, $FrameBytes)) AS m
@@ -378,10 +455,19 @@ object Multimodal {
        |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
        |  FROM (SELECT bits.media_id, SUM(bit::HUGEINT * p) AS u
        |        FROM bits JOIN pw ON bits.b = pw.b GROUP BY 1)
-       |), bd AS (
+       |)""".stripMargin
+  }
+
+  private val phashBands = 64 / PhashBandBits
+  private val phashMask = (1 << PhashBandBits) - 1
+
+  /** DuckDB twin of [[multimodalDedup]]: banding masks make
+    * arithmetic-vs-logical shift immaterial. */
+  val multimodalDedupSql: String =
+    s"""WITH ${phashCtes("SELECT doc_id AS media_id, text FROM documents")}, bd AS (
        |  SELECT f.media_id, v.fmt, fp, t.b,
-       |    (fp >> ($PhashBandBits * t.b)) & $mask AS bkt
-       |  FROM fps f JOIN v ON f.media_id = v.media_id, range(0, $bands) t(b)
+       |    (fp >> ($PhashBandBits * t.b)) & $phashMask AS bkt
+       |  FROM fps f JOIN v ON f.media_id = v.media_id, range(0, $phashBands) t(b)
        |), cand AS (
        |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
        |    x.fmt AS fmt_a, y.fmt AS fmt_b, x.fp AS fa, y.fp AS fb
@@ -392,12 +478,42 @@ object Multimodal {
        |  CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $PhashMaxHamming
        |ORDER BY media_a, media_b""".stripMargin
+
+  /** DuckDB twin of [[multimodalIndexProbe]]: the corpus is history ∪ the
+    * leaked batch; candidacy keeps only cross-group band collisions. */
+  val multimodalIndexProbeSql: String = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    val corpus =
+      s"""SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ContaminatedShift AS media_id,
+         |    text || ' leaked' AS text
+         |  FROM documents WHERE doc_id % $BenchmarkMod = 0""".stripMargin
+    s"""WITH ${phashCtes(corpus)}, bd AS (
+       |  SELECT media_id, fp, t.b,
+       |    (fp >> ($PhashBandBits * t.b)) & $phashMask AS bkt
+       |  FROM fps, range(0, $phashBands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN x.media_id >= $ContaminatedShift THEN x.media_id ELSE y.media_id END AS batch_id,
+       |    CASE WHEN x.media_id >= $ContaminatedShift THEN y.media_id ELSE x.media_id END AS hist_id,
+       |    CASE WHEN x.media_id >= $ContaminatedShift THEN x.fp ELSE y.fp END AS bfp,
+       |    CASE WHEN x.media_id >= $ContaminatedShift THEN y.fp ELSE x.fp END AS hfp
+       |  FROM bd x JOIN bd y
+       |    ON x.b = y.b AND x.bkt = y.bkt AND x.media_id < y.media_id
+       |  WHERE (x.media_id >= $ContaminatedShift) <> (y.media_id >= $ContaminatedShift)
+       |)
+       |SELECT batch_id, hist_id,
+       |  CAST(bit_count(xor(bfp, hfp)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(bfp, hfp)) <= $PhashMaxHamming
+       |ORDER BY batch_id, hist_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_similar" -> multimodalSimilarSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_dedup" -> multimodalDedupSql
+    "multimodal_dedup" -> multimodalDedupSql,
+    "phash_index_probe" -> multimodalIndexProbeSql
   )
 }

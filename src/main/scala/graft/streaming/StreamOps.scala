@@ -599,6 +599,42 @@ object StreamOps {
     drainComplete(spark, compacted, UpsertQueryName).orderBy(col("o_orderkey"))
   }
 
+  val PhashProbeQueryName = "graft_stream_phash_probe"
+
+  /** C72's persisted pHash index probed BY the live media feed (B58) — the
+    * deploy shape of multimodal near-dup: history decoded/fingerprinted
+    * once into the banded index; each arriving micro-batch fingerprints
+    * only itself map-side, broadcasts onto the index scan, and appends its
+    * surfaced pairs straight to a parquet sink (the B51 discipline —
+    * driver memory O(1), zero history decode and zero streaming state per
+    * batch). Every pair is keyed by the arriving media row, so the drained
+    * sink equals the one-shot C72 probe and shares its oracle. */
+  def streamPhashProbe(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val spark = streamingSession(rootSpark)
+    val path = Multimodal.phashIndexEnsure(spark, dir)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val arriving = Multimodal.leakedMediaOf(d)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_phash_sink").toFile
+    spark.streams.active.filter(_.name == PhashProbeQueryName)
+      .foreach(_.stop())
+    val q = arriving.writeStream.queryName(PhashProbeQueryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          Multimodal.phashIndexProbe(mb.sparkSession, path, mb)
+            .write.mode("append").parquet(sink.getAbsolutePath)
+          ()
+      }.start()
+    q.awaitTermination()
+    spark.read.parquet(sink.getAbsolutePath)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
   val QuantileQueryName = "graft_stream_quantile_sketch"
 
   /** The B37-for-quantiles monitor maintained BY the stream (B57): every
@@ -620,6 +656,7 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_phash_probe" -> (streamPhashProbe _),
     "stream_quantile_sketch" -> (streamQuantileSketch _),
     "stream_events" -> (streamEvents _),
     "stream_join" -> (streamJoin _),
@@ -668,6 +705,8 @@ object StreamOps {
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board
-    "stream_quantile_sketch" -> graft.operators.OlapC.quantileSketchSql
+    "stream_quantile_sketch" -> graft.operators.OlapC.quantileSketchSql,
+    // the per-batch pHash probes must equal the one-shot C72 probe
+    "stream_phash_probe" -> graft.operators.Multimodal.multimodalIndexProbeSql
   )
 }

@@ -150,7 +150,8 @@ class PlanGuardSpec extends SparkSpec {
     "pack_bestfit" -> 2, // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
     "quantile_sketch" -> 5, // (day,bucket) partial agg + O(buckets) merge agg + ONE cum+total window exchange + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
     "multimodal_dedup" -> 3, // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
-    "footer_prune" -> 3 // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
+    "footer_prune" -> 3, // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
+    "phash_index_probe" -> 3 // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

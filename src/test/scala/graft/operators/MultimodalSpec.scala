@@ -127,6 +127,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("persisted pHash index probe surfaces leaked media (C72)") {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    val got = Multimodal.multimodalIndexProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (b, h, ham) =>
+      assert(b >= ContaminatedShift && h < ContaminatedShift)
+      assert(ham >= 0 && ham <= Multimodal.PhashMaxHamming)
+    }
+    // pigeonhole-exact replay: probe == ALL cross pairs within the radius,
+    // computed from the same decode-stage fingerprints
+    def ph(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.phashOn(df).select("media_id", "phash").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+    val hist = ph(Multimodal.mediaTable(spark, sfDir))
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val batch = ph(Multimodal.mediaTableOf(
+      docs.filter(col("doc_id") % BenchmarkMod === 0)
+        .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+          concat(col("text"), lit(" leaked")).as("text"))))
+    val expected = (for {
+      (bid, bfp) <- batch.iterator
+      (hid, hfp) <- hist.iterator
+      ham = java.lang.Long.bitCount(bfp ^ hfp)
+      if ham <= Multimodal.PhashMaxHamming
+    } yield (bid, hid, ham)).toSet
+    assert(got === expected)
+    // the sub-region suffix leaves most fingerprints untouched: the bulk
+    // of the leaked batch surfaces its own source (hamming 0)
+    val selfHits = got.count { case (b, h, ham) =>
+      h == b - ContaminatedShift && ham == 0 }
+    assert(selfHits * 2 > batch.length,
+      s"only $selfHits/${batch.length} leaked docs surfaced their source")
+  }
+
   test("decoded features drive similarity search (C12 -> C6 composition)") {
     val out = Multimodal.multimodalSimilar(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -221,6 +221,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(daily === doubled, "sketch state must not grow with event count")
   }
 
+  test("streamed pHash probe equals the one-shot batch probe (B58 == C72)") {
+    val s = StreamOps.streamPhashProbe(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.Multimodal.multimodalIndexProbe(spark, sfDir)
+      .collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed index probe equals the one-shot batch probe (B53 == C54)") {
     val s = StreamOps.streamIndexProbe(spark, sfDir).collect()
       .map(_.toString)
