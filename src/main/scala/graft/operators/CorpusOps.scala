@@ -2208,7 +2208,10 @@ object CorpusOps {
       baseK: Int = EncodeBaseK): (DataFrame, Map[String, Int]) = {
     val (cur, table) = bpeApplyMerges(rounds,
       documents.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks")))
+        TextOps.tokens(col(textCol)).as("toks"),
+        // the pre-merge stream rides along so the C73 round-trip can
+        // compare decode(encode(x)) against x without a re-join
+        TextOps.tokens(col(textCol)).as("orig")))
     val base = cur.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(baseK)
@@ -2244,6 +2247,39 @@ object CorpusOps {
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
+
+  // --- C73: decode + round-trip QA -----------------------------------------
+  /** The DECODER closing the tokenizer lifecycle (train → encode → decode):
+    * each id maps back through the INVERSE id table (injective by
+    * first-wins construction), merged phrases split back into their
+    * whitespace tokens, OOV ids (0) decode to `<unk>`. `lossless` is an
+    * ACTUAL array comparison of decode(encode(x)) against the pre-merge
+    * stream — the per-document guarantee a pipeline needs before it
+    * stores ids instead of text. Same zero-corpus-shuffle shape as C60:
+    * the decode is one more codegen map pass, the only exchange is the
+    * gate sort. */
+  def bpeRoundtripOn(documents: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (enc, ids) = bpeEncodeIdsOn(documents, idCol, textCol, rounds)
+    val inv: Map[Int, String] = ids.map(_.swap)
+    require(inv.size == ids.size, "id table must be injective to decode")
+    enc.withColumn("_inv", typedLit(inv))
+      .withColumn("decoded", expr(
+        """flatten(transform(ids, x ->
+          |  CASE WHEN x = 0 THEN array('<unk>')
+          |       ELSE split(_inv[x], ' ') END))""".stripMargin
+          .replaceAll("\n", " ")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        expr("CAST(size(filter(ids, x -> x = 0)) AS INT)").as("n_oov"),
+        size(col("orig")).cast("int").as("n_ws"),
+        size(col("decoded")).cast("int").as("n_decoded"),
+        (col("decoded") === col("orig")).cast("int").as("lossless"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    bpeRoundtripOn(Tables(spark, dir).documents, "doc_id", "text", BpeRounds)
 
   // --- C66: per-language tokenizer fertility --------------------------------
   /** Tokens-per-word fertility of the C52 merge table, per language — THE
