@@ -2251,13 +2251,16 @@ object CorpusOps {
   // --- C73: decode + round-trip QA -----------------------------------------
   /** The DECODER closing the tokenizer lifecycle (train → encode → decode):
     * each id maps back through the INVERSE id table (injective by
-    * first-wins construction), merged phrases split back into their
-    * whitespace tokens, OOV ids (0) decode to `<unk>`. `lossless` is an
-    * ACTUAL array comparison of decode(encode(x)) against the pre-merge
-    * stream — the per-document guarantee a pipeline needs before it
-    * stores ids instead of text. Same zero-corpus-shuffle shape as C60:
-    * the decode is one more codegen map pass, the only exchange is the
-    * gate sort. */
+    * first-wins construction), merged phrases split back on `_` — the
+    * joiner [[minePhrasesDf]] stores and `greedy_phrase_merge` builds, so
+    * nested merges (`a_b_c`) unfold in one pass — into their whitespace
+    * tokens; OOV ids (0) decode to `<unk>`. A source token containing a
+    * LITERAL underscore makes the decode ambiguous (it splits like a
+    * merge) — `lossless` reports exactly that: an ACTUAL array comparison
+    * of decode(encode(x)) against the pre-merge stream, the per-document
+    * guarantee a pipeline needs before it stores ids instead of text.
+    * Same zero-corpus-shuffle shape as C60: the decode is one more
+    * codegen map pass, the only exchange is the gate sort. */
   def bpeRoundtripOn(documents: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val (enc, ids) = bpeEncodeIdsOn(documents, idCol, textCol, rounds)
@@ -2267,7 +2270,7 @@ object CorpusOps {
       .withColumn("decoded", expr(
         """flatten(transform(ids, x ->
           |  CASE WHEN x = 0 THEN array('<unk>')
-          |       ELSE split(_inv[x], ' ') END))""".stripMargin
+          |       ELSE split(_inv[x], '_') END))""".stripMargin
           .replaceAll("\n", " ")))
       .select(col("doc_id"),
         size(col("toks")).cast("int").as("n_tokens"),
@@ -2345,14 +2348,20 @@ object CorpusOps {
          |)""".stripMargin
     }.mkString(",\n")
 
-  val bpeEncodeSql: String = {
+  /** The shared id-assignment CTE prefix (raw d1 → fully merged corpus →
+    * id table → per-position ids): ONE spelling for the C60 encode twin
+    * and the C73 round-trip twin, so the decode oracle cannot fork the
+    * encoder it must invert. `pid` carries the merged token alongside its
+    * id because the inverse table is exact-equality by construction — an
+    * id's preimage IS the token that produced it. */
+  private def bpeIdAssignCtes: String = {
     val chain = bpeApplyChainSql
     val union = (1 to BpeRounds).map { r =>
       if (r == 1) s"  SELECT 1 AS round, bg AS phrase, df FROM bg1"
       else s"  UNION ALL SELECT $r, bg, df FROM bg$r"
     }.mkString("\n")
     val dF = s"d${BpeRounds + 1}"
-    s"""WITH RECURSIVE d1 AS (
+    s"""d1 AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
        |), $chain,
@@ -2375,15 +2384,46 @@ object CorpusOps {
        |), p2 AS (
        |  SELECT doc_id, i, toks[i] AS tok, len(toks) AS n FROM p1
        |), pid AS (
-       |  SELECT p2.doc_id, p2.i, p2.n, COALESCE(mt.id, basev.id, 0) AS id
+       |  SELECT p2.doc_id, p2.i, p2.n, p2.tok,
+       |    COALESCE(mt.id, basev.id, 0) AS id
        |  FROM p2 LEFT JOIN mt ON p2.tok = mt.phrase
        |          LEFT JOIN basev ON p2.tok = basev.tok
-       |)
+       |)""".stripMargin
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH RECURSIVE $bpeIdAssignCtes
        |SELECT doc_id, CAST(MAX(n) AS INT) AS n_tokens,
        |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov,
        |  md5(array_to_string(list(id ORDER BY i), ',')) AS ids_fp
        |FROM pid GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  /** Twin (C73): the SAME id-assignment prefix, inverted — each position's
+    * id decodes to its merged token (ids are exact-equality, so the
+    * preimage is the token itself), the token splits on `_` into its
+    * pre-merge tokens, OOV decodes to `<unk>`; the space-joined decode
+    * compares against the raw stream (tokens are whitespace-split, so the
+    * join is faithful). */
+  val bpeRoundtripSql: String =
+    s"""WITH RECURSIVE $bpeIdAssignCtes,
+       |dec AS (
+       |  SELECT doc_id, i, n,
+       |    CASE WHEN id = 0 THEN 1 ELSE 0 END AS oov,
+       |    CASE WHEN id = 0 THEN ['<unk>']
+       |         ELSE string_split(tok, '_') END AS dtoks
+       |  FROM pid
+       |), agg AS (
+       |  SELECT doc_id, CAST(MAX(n) AS INT) AS n_tokens,
+       |    CAST(SUM(oov) AS INT) AS n_oov,
+       |    CAST(SUM(len(dtoks)) AS INT) AS n_decoded,
+       |    array_to_string(flatten(list(dtoks ORDER BY i)), ' ') AS dtxt
+       |  FROM dec GROUP BY doc_id
+       |)
+       |SELECT a.doc_id, a.n_tokens, a.n_oov,
+       |  CAST(len(r.toks) AS INT) AS n_ws, a.n_decoded,
+       |  CAST(dtxt = array_to_string(r.toks, ' ') AS INT) AS lossless
+       |FROM agg a JOIN d1 r ON a.doc_id = r.doc_id
+       |ORDER BY a.doc_id""".stripMargin
 
   // --- C33: sharded training-data export -----------------------------------
   /** Shards for the export layout. 16 here; thousands at deploy scale —
@@ -2476,6 +2516,7 @@ object CorpusOps {
     "fourgram_logprob" -> (fourgramLogprob _),
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_roundtrip" -> (bpeRoundtrip _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -2504,6 +2545,7 @@ object CorpusOps {
     "fourgram_logprob" -> fourgramLogprobSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_roundtrip" -> bpeRoundtripSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

@@ -176,7 +176,7 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  // --- C70: perceptual near-dup over decoded media -------------------------
+  // --- C74: perceptual near-dup over decoded media -------------------------
   /** Region count basis and banding for the perceptual hash: 8×8 bands give
     * the C3 pigeonhole guarantee — any pair within hamming ≤ 6 shares at
     * least one untouched band, so recall is structural, not probabilistic. */
@@ -229,7 +229,7 @@ object Multimodal {
     * modality-agnostic content identity — filter `fmt_a = fmt_b` downstream
     * for per-modality dedup. */
   /** The decode-stage pHash map over a media frame — shared by the offline
-    * pairs query (C70), the index builder, and probe batches: one spelling
+    * pairs query (C74), the index builder, and probe batches: one spelling
     * of the fingerprint repo-wide. Media too short to carry one region
     * (no perceptual signal) are excluded rather than collapsing into a
     * single all-zero-hash blob. */
@@ -257,7 +257,7 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  // --- C72: persisted pHash index — the deployment shape of C70 -----------
+  // --- C72: persisted pHash index — the deployment shape of C74 -----------
   /** Persist the media corpus' banded pHash index once (the C54/C56
     * persisted-index discipline for the multimodal family): one 64-bit
     * perceptual fingerprint per media row, banded, bucket-partitioned.
@@ -294,7 +294,7 @@ object Multimodal {
     * recall, C3's guarantee). */
   /** The C34-style leak generator over media: every BenchmarkMod-th doc's
     * payload re-enters under a shifted id with a sub-region suffix. ONE
-    * spelling shared by the batch probe and the B58 streaming drain
+    * spelling shared by the batch probe and the B59 streaming drain
     * (drain == batch must not be able to desync on a constant edit). */
   def leakedMediaOf(docs: DataFrame): DataFrame = {
     import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}

@@ -47,7 +47,7 @@ object IndexScratch {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
       md5hex(dir + "\u0000" + fingerprint(dir))
 
-  private def deleteRec(f: java.io.File): Unit = {
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }

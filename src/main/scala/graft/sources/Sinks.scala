@@ -3,6 +3,14 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Per-file footer statistics for [[Sinks.footerPrune]] (C75). Top level
+  * on purpose: nested inside `object Sinks` the Dataset encoder's generated
+  * serializer failed to compile (`Sinks$FooterStat.x_min()` not found) and
+  * every projection fell back to interpreted mode — the repo's only
+  * codegen-fallback site until round 8. */
+private[sources] final case class FooterStat(file_id: Long, n_rows: Long,
+    x_min: Long, x_max: Long, d_min: Long, d_max: Long)
+
 /** Write-side scale discipline (SURVEY §2 D). Reading 100 TB well starts
   * with writing it well: bounded file counts, partition-dir layout that
   * matches downstream pruning keys, and sorted runs inside every file so
@@ -282,7 +290,7 @@ object Sinks {
        |ORDER BY layout, file_id""".stripMargin
   }
 
-  // --- C71: the DEPLOY-shaped prune audit — real parquet footers ----------
+  // --- C75: the DEPLOY-shaped prune audit — real parquet footers ----------
   /** log2 of the file count for the binned z-order writer: fid is the top
     * [[FooterFilesLog]] bits of the Morton key — a VALUE-range bin, so the
     * file assignment is a pure map (no global sort anywhere) and exactly
@@ -305,9 +313,6 @@ object Sinks {
       .write.partitionBy("_fid").mode("overwrite").parquet(path)
   }
 
-  private final case class FooterStat(file_id: Long, n_rows: Long,
-      x_min: Long, x_max: Long, d_min: Long, d_max: Long)
-
   /** What the judge's "replay" criticism of C67/C69 asks for (r6 What's
     * wrong #3): the SAME O(files) skip audit, but from REAL parquet footer
     * min/max statistics on a written z-ordered table — no row is ever read
@@ -324,14 +329,19 @@ object Sinks {
     import spark.implicits._
     val root = IndexScratch.path("zbin", dir)
     IndexScratch.ensure(root)(tmp => writeZOrderBinned(spark, dir, tmp))
-    val files = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_fid="))
+    // List through the Hadoop FileSystem resolved from the path, not
+    // java.io.File — the catalog-style audit must work against object-store
+    // and HDFS roots, not only the local filesystem the harness happens to
+    // use. The driver's role stays listing-only, as a catalog would.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fid="))
       .flatMap { d =>
-        val fid = d.getName.stripPrefix("_fid=").toLong
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".parquet"))
-          .map(f => (fid, f.getAbsolutePath))
+        val fid = d.getPath.getName.stripPrefix("_fid=").toLong
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (fid, f.getPath.toString))
       }.toSeq.sorted
     val stats = spark.createDataset(files).mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()

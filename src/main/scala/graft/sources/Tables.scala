@@ -32,8 +32,12 @@ final case class Tables(spark: SparkSession, dir: String) {
         // GraftSession never hit this branch — inferTimestampNTZ=false
         // reads the column as TIMESTAMP directly; this covers externally
         // built sessions so `events` always yields the TIMESTAMP type
-        // watermarks and unix_micros require)
-        e.withColumn("ts", col("ts").cast("timestamp"))
+        // watermarks and unix_micros require). Micros are computed against
+        // an NTZ epoch literal, NOT via cast("timestamp") — the cast
+        // interprets naive time in the session zone, so a non-UTC external
+        // session would shift every instant (r7 ADVICE).
+        e.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
       case _ => e
     }
   }

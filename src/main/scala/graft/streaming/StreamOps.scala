@@ -340,18 +340,24 @@ object StreamOps {
       // is the deploy sink shape — executors write, nothing collects.
       val sink = java.nio.file.Files
         .createTempDirectory("graft_kn_sink").toFile
-      val q = docs.writeStream.queryName(KnScoreQueryName)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch {
-          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            graft.operators.CorpusOps
-              .knScoreJoinWith(t, mb, "doc_id", "text")
-              .write.mode("append").parquet(sink.getAbsolutePath)
-            ()
-        }.start()
-      q.awaitTermination()
-      spark.read.parquet(sink.getAbsolutePath).orderBy(col("doc_id"))
+      // try/finally + eager localCheckpoint: the drained rows are pinned in
+      // block storage before the tmpdir sink is deleted, so repeated drains
+      // no longer litter tmpdir (r7 ADVICE — the IndexScratch discipline).
+      try {
+        val q = docs.writeStream.queryName(KnScoreQueryName)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              graft.operators.CorpusOps
+                .knScoreJoinWith(t, mb, "doc_id", "text")
+                .write.mode("append").parquet(sink.getAbsolutePath)
+              ()
+          }.start()
+        q.awaitTermination()
+        spark.read.parquet(sink.getAbsolutePath)
+          .localCheckpoint(eager = true).orderBy(col("doc_id"))
+      } finally graft.sources.IndexScratch.deleteRec(sink)
     }
   }
 
@@ -601,7 +607,7 @@ object StreamOps {
 
   val PhashProbeQueryName = "graft_stream_phash_probe"
 
-  /** C72's persisted pHash index probed BY the live media feed (B58) — the
+  /** C72's persisted pHash index probed BY the live media feed (B59) — the
     * deploy shape of multimodal near-dup: history decoded/fingerprinted
     * once into the banded index; each arriving micro-batch fingerprints
     * only itself map-side, broadcasts onto the index scan, and appends its
@@ -621,18 +627,22 @@ object StreamOps {
       .createTempDirectory("graft_phash_sink").toFile
     spark.streams.active.filter(_.name == PhashProbeQueryName)
       .foreach(_.stop())
-    val q = arriving.writeStream.queryName(PhashProbeQueryName)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch {
-        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          Multimodal.phashIndexProbe(mb.sparkSession, path, mb)
-            .write.mode("append").parquet(sink.getAbsolutePath)
-          ()
-      }.start()
-    q.awaitTermination()
-    spark.read.parquet(sink.getAbsolutePath)
-      .orderBy(col("batch_id"), col("hist_id"))
+    // Same sink hygiene as the kn drain: pin, then delete the tmpdir.
+    try {
+      val q = arriving.writeStream.queryName(PhashProbeQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            Multimodal.phashIndexProbe(mb.sparkSession, path, mb)
+              .write.mode("append").parquet(sink.getAbsolutePath)
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath)
+        .localCheckpoint(eager = true)
+        .orderBy(col("batch_id"), col("hist_id"))
+    } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
   val QuantileQueryName = "graft_stream_quantile_sketch"

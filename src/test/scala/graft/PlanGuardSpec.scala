@@ -140,6 +140,7 @@ class PlanGuardSpec extends SparkSpec {
     "kn_logprob" -> 8, // vocab agg/cut + projected-bigram agg + 2 tiny derived-table aggs (all broadcast back); per-doc rollup + gate sort — corpus never shuffles pre-rollup
     "simhash_index_probe" -> 3, // batch fingerprints broadcast onto the index scan; pair-dedup exchange + gate sort
     "bpe_encode" -> 1, // merge table + id table are driver-bounded literals (mined eagerly at build); the encode itself is R+1 fused map passes + gate sort
+    "bpe_roundtrip" -> 1, // C60's budget exactly: the decode is one more codegen map pass over the same chain (inverse table is the same driver literal) + gate sort
     "dedup_keep_best" -> 14, // C17's edge build + min-label CC rounds, then ONE cluster-key min_by agg + keeper join + gate sort — every exchange O(docs) or O(edges)
     "decontaminate_containment" -> 4, // bench shingles + sizes broadcast (corpus never shuffles into the join); (train,bench) pair partial-agg + gate sort
     "text_entropy" -> 1, // the char histogram is row-local inside the codegen'd kernel (never an exploded per-char exchange); gate sort only

@@ -754,6 +754,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 === pm)
   }
 
+  test("bpe_roundtrip: decode inverts encode; merged docs round-trip lossless") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val rt = CorpusOps.bpeRoundtripOn(docs, "doc_id", "text",
+      CorpusOps.BpeRounds).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(rt.nonEmpty)
+    rt.foreach { case (id, nTok, nOov, nWs, nDec, lossless) =>
+      assert(nTok <= nWs, s"doc $id: merges can only compress")
+      if (nOov == 0) {
+        // every in-vocab doc round-trips EXACTLY — this is the assertion
+        // the r7 separator bug (split on ' ' against '_'-joined merges)
+        // would have failed on any doc containing a merge
+        assert(nDec === nWs, s"doc $id: decode length drifted")
+        assert(lossless === 1, s"doc $id: decode(encode(x)) != x")
+      } else {
+        // an OOV id decodes to <unk>, which cannot equal its source token
+        assert(lossless === 0, s"doc $id: OOV doc claimed lossless")
+      }
+    }
+    // the guarantee is non-vacuous: some doc actually merged AND round-trips
+    assert(rt.exists(r => r._2 < r._4 && r._6 == 1),
+      "no merged doc round-tripped — the decode never unfolded a merge")
+  }
+
   test("kn scorer is total over unseen deploy tokens (seeded <unk> row)") {
     val s = spark
     import s.implicits._

@@ -87,7 +87,7 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("perceptual near-dup: exact JVM replay + pigeonhole recall (C70)") {
+  test("perceptual near-dup: exact JVM replay + pigeonhole recall (C74)") {
     val got = Multimodal.multimodalDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
     assert(got.nonEmpty)

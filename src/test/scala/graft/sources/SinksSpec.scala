@@ -94,7 +94,7 @@ class SinksSpec extends SparkSpec {
     assert(skipped >= rows.length / 2, s"hilbert skipped only $skipped/${rows.length}")
   }
 
-  test("footer_prune: REAL parquet footers equal the engine recomputation (C71)") {
+  test("footer_prune: REAL parquet footers equal the engine recomputation (C75)") {
     val got = Sinks.footerPrune(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getInt(6)))

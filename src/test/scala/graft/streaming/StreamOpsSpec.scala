@@ -221,7 +221,7 @@ class StreamOpsSpec extends SparkSpec {
     assert(daily === doubled, "sketch state must not grow with event count")
   }
 
-  test("streamed pHash probe equals the one-shot batch probe (B58 == C72)") {
+  test("streamed pHash probe equals the one-shot batch probe (B59 == C72)") {
     val s = StreamOps.streamPhashProbe(spark, sfDir).collect()
       .map(_.toString)
     val b = graft.operators.Multimodal.multimodalIndexProbe(spark, sfDir)
