@@ -230,6 +230,23 @@ object TextKernels {
     * placement. O(docs × bins) time, O(bins) state — per-shard work is
     * bounded by shard sizing (the C26 contract: shard granularity is the
     * parallelism/memory knob). */
+  /** The first-fit placement step — ONE spelling shared by the batch
+    * kernel ([[ffdPack]]) and the B60 streaming admission
+    * ([[graft.streaming.StreamOps.streamPackBestfit]]), so the live
+    * operator cannot fork the greedy it must replay. Mutates `loads`;
+    * returns (1-based bin, offset before placement). */
+  def ffdPlace(loads: scala.collection.mutable.ArrayBuffer[Long], len: Long,
+      budget: Long): (Int, Long) = {
+    var b = 0
+    var placed = -1
+    while (placed < 0 && b < loads.length) {
+      if (loads(b) + len <= budget) placed = b
+      b += 1
+    }
+    if (placed >= 0) { val o = loads(placed); loads(placed) += len; (placed + 1, o) }
+    else { loads += len; (loads.length, 0L) }
+  }
+
   def ffdPack(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       budget: Long): GenericArrayData = {
     val n = arr.numElements()
@@ -240,15 +257,7 @@ object TextKernels {
       val row = arr.getStruct(i, 2)
       val len = -row.getLong(0)
       val id = row.getLong(1)
-      var b = 0
-      var placed = -1
-      while (placed < 0 && b < loads.length) {
-        if (loads(b) + len <= budget) placed = b
-        b += 1
-      }
-      val (bin, off) =
-        if (placed >= 0) { val o = loads(placed); loads(placed) += len; (placed + 1, o) }
-        else { loads += len; (loads.length, 0L) }
+      val (bin, off) = ffdPlace(loads, len, budget)
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](id, len, bin, off))
       i += 1

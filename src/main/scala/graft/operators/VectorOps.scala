@@ -906,8 +906,11 @@ object VectorOps {
   val RrfK = 60
   val HybridK: Int = CorpusOps.Bm25TopK
 
-  def hybridSearchOn(documents: DataFrame, embeddings: DataFrame,
-      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+  /** The lexical ranks + per-query anchor embeddings — ONE spelling shared
+    * by the brute (C70) and index-probed (C70b) hybrids, so the variants
+    * can only differ in their semantic candidate source. */
+  private def lexAndAnchors(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int): (DataFrame, DataFrame) = {
     val lex = CorpusOps.bm25RankedOn(documents, "doc_id", "text", queries, k)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
       // O(queries × k) rows, consumed twice (anchor pick + fusion):
@@ -918,17 +921,13 @@ object VectorOps {
         .select(col("query_id").as("_qid"), col("doc_id").as("_aid"))),
         col("vec_id") === col("_aid"))
       .select(col("_qid"), col("_aid"), col("emb").as("_qemb"))
-    val sem = embeddings.select(col("vec_id"), col("emb"))
-      .crossJoin(broadcast(anchors))
-      .filter(col("vec_id") =!= col("_aid"))
-      .select(col("_qid"), col("vec_id"),
-        quantized_cosine(col("emb"), col("_qemb")).as("_s"))
-      .groupBy(col("_qid"))
-      .agg(graft.functions.topk.top_k_by_score(col("_s"), col("vec_id"), k)
-        .as("_tk"))
-      .select(col("_qid"), posexplode(col("_tk")))
-      .select(col("_qid").as("query_id"), col("col.id").as("doc_id"),
-        (col("pos") + 1).cast("int").as("sem_rank"))
+    (lex, anchors)
+  }
+
+  /** THE RRF step — one spelling for both hybrids: the probed variant can
+    * only differ in WHERE its semantic ranks come from, never in how ranks
+    * fuse. `sem` must carry (query_id, doc_id, sem_rank). */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), col("lex_rank"), col("sem_rank"),
         (coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
@@ -941,9 +940,74 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def hybridSearchOn(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val (lex, anchors) = lexAndAnchors(documents, embeddings, queries, k)
+    val sem = embeddings.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("_aid"))
+      .select(col("_qid"), col("vec_id"),
+        quantized_cosine(col("emb"), col("_qemb")).as("_s"))
+      .groupBy(col("_qid"))
+      .agg(graft.functions.topk.top_k_by_score(col("_s"), col("vec_id"), k)
+        .as("_tk"))
+      .select(col("_qid"), posexplode(col("_tk")))
+      .select(col("_qid").as("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("sem_rank"))
+    rrfFuse(lex, sem, k)
+  }
+
   def hybridSearch(spark: SparkSession, dir: String): DataFrame =
     hybridSearchOn(Tables(spark, dir).documents, emb(spark, dir),
       CorpusOps.Bm25Queries, HybridK)
+
+  // --- C70b: hybrid retrieval probing the persisted IVF×PQ index ----------
+  /** C70's 100 TB spelling: the semantic side PROBES the persisted C50
+    * IVF×PQ index through the ADC+R two-stage ranker instead of brute-
+    * scanning the corpus per query batch — the anchor embedding routes to
+    * `nProbe` coarse cells, codes rank candidates, only refine×k survivors
+    * read a full vector. The lexical ranks and the RRF step are the SAME
+    * code paths as C70 ([[lexAndAnchors]]/[[rrfFuse]]), so fusion recall
+    * vs the brute hybrid is exactly the semantic ranker's recall story —
+    * rows-only by design (output depends on index parameters), pinned by
+    * the fusion-recall spec against C70. */
+  def hybridSearchProbeOn(spark: SparkSession, indexPath: String,
+      documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    val (lex, anchors) = lexAndAnchors(documents, embeddings, queries, k)
+    // the probe machinery keys queries by LONG id; the O(queries) ordinal
+    // map rides the plan as a literal both ways
+    val qOrd: Map[String, Long] =
+      queries.map(_._1).zipWithIndex.map { case (q, i) => q -> i.toLong }.toMap
+    val qInv: Map[Long, String] = qOrd.map(_.swap)
+    val anchorsL = anchors
+      .withColumn("_qidl", element_at(typedLit(qOrd), col("_qid")))
+    // k+1 candidates so excluding the anchor itself still leaves k; the
+    // anchor ranks itself first in any sane index, but that is not assumed
+    val probed = Ann.ivfPqRefineTopK(spark, indexPath,
+      anchorsL, "_qidl", "_qemb", Dim, k + 1, nProbe = IvfProbes)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sem = probed
+      .join(broadcast(anchorsL.select(col("_qidl").as("query_id"), col("_aid"))),
+        "query_id")
+      .filter(col("neighbor_id") =!= col("_aid"))
+      .select(element_at(typedLit(qInv), col("query_id")).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("score"))
+      .withColumn("sem_rank", row_number().over(ws).cast("int"))
+      .filter(col("sem_rank") <= k)
+      .drop("score")
+    rrfFuse(lex, sem, k)
+  }
+
+  def hybridSearchProbe(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val path = graft.sources.IndexScratch.path(IvfPqIndexKind, dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Ann.ivfPqBuild(corpus, "vec_id", "emb", Dim, nLists = IvfLists, p))
+    hybridSearchProbeOn(spark, path, Tables(spark, dir).documents, corpus,
+      CorpusOps.Bm25Queries, HybridK)
+  }
 
   val hybridSearchSql: String =
     s"""WITH ${CorpusOps.bm25Ctes},
@@ -994,7 +1058,8 @@ object VectorOps {
     "ann_ivf_stats" -> (annIvfStats _),
     "diverse_topk" -> (diverseTopk _),
     "diverse_topk_multi" -> (diverseTopkMulti _),
-    "hybrid_search" -> (hybridSearch _)
+    "hybrid_search" -> (hybridSearch _),
+    "hybrid_search_probe" -> (hybridSearchProbe _)
   )
 
   val oracles: Map[String, String] = Map(

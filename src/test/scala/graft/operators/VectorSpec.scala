@@ -469,6 +469,26 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_search_probe: fusion recall >= 0.9 of the brute hybrid") {
+    def topk(rows: Array[Row]) = rows
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, s) => q -> s.map(_._2).toSet }
+    val brute = topk(VectorOps.hybridSearch(spark, sfDir).collect())
+    val probed = topk(VectorOps.hybridSearchProbe(spark, sfDir).collect())
+    assert(probed.keySet === brute.keySet)
+    // per-query fused-board recall at the pinned probe budget (IvfProbes
+    // of IvfLists cells): the probed semantic ranker may miss a candidate
+    // a full scan finds, but the FUSION must retain >= 0.9 of the brute
+    // hybrid's top-k — the C7/C50 recall discipline applied to C70b
+    val recalls = brute.map { case (q, exact) =>
+      (probed(q) & exact).size.toDouble / exact.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean fused recall = $mean (${recalls.toSeq.sorted})")
+    // determinism: a second probe of the same persisted index is identical
+    val again = topk(VectorOps.hybridSearchProbe(spark, sfDir).collect())
+    assert(again === probed)
+  }
+
   test("lsh buckets are deterministic across evaluations") {
     val a = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
