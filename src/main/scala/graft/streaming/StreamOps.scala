@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.operators.Olap.dsum
 
 /** SURVEY §2 B14: Structured Streaming analogue of the reference's stream-out
@@ -665,7 +665,65 @@ object StreamOps {
         QuantileQueryName))
   }
 
+  val PackQueryName = "graft_stream_pack_bestfit"
+
+  final case class PackDoc(doc_id: Long, n_tokens: Long, shard: String)
+  final case class PackState(loads: Array[Long])
+  final case class PackOut(doc_id: Long, shard: String, n_tokens: Long,
+      bin: Int, bin_off: Long)
+
+  /** B60: C71's FFD packer as LIVE admission — one shard's arrivals fold
+    * into the open-bin loads. The state is O(bins) longs per shard (the
+    * B47 bounded-state discipline: nothing grows with the document count
+    * — a bin's LOAD is one long however many documents it holds), and the
+    * placement step is [[graft.functions.TextKernels.ffdPlace]] — the
+    * SAME spelling the batch kernel runs, so the live operator cannot
+    * fork the greedy it must replay. Arrivals within a batch place in FFD
+    * order (length desc, doc_id); with the whole corpus in one
+    * AvailableNow batch this reproduces C71's placement EXACTLY (empty
+    * state + same order + same step), which is what lets the drain share
+    * C71's oracle. Across multiple batches the semantics are first-fit
+    * ADMISSION: earlier arrivals are already sealed into their bins —
+    * exactly what a live packer must do (it cannot re-open shipped bins).
+    */
+  def admitShard(shard: String, docs: Iterator[PackDoc],
+      state: GroupState[PackState]): Iterator[PackOut] = {
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    state.getOption.foreach(s => loads ++= s.loads)
+    val out = docs.toArray.sortBy(d => (-d.n_tokens, d.doc_id)).map { d =>
+      val (bin, off) = graft.functions.TextKernels.ffdPlace(loads,
+        d.n_tokens, graft.operators.CorpusOps.PackBudget)
+      PackOut(d.doc_id, shard, d.n_tokens, bin, off)
+    }
+    state.update(PackState(loads.toArray))
+    out.iterator
+  }
+
+  def streamPackBestfit(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // the same (doc_id, n_tokens, shard) derivation as C71's batch packer
+    val keyed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+      .as[PackDoc]
+    spark.streams.active.filter(_.name == PackQueryName).foreach(_.stop())
+    val q = keyed.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(admitShard)
+      .toDF()
+      .writeStream.format("memory").queryName(PackQueryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(PackQueryName).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_pack_bestfit" -> (streamPackBestfit _),
     "stream_phash_probe" -> (streamPhashProbe _),
     "stream_quantile_sketch" -> (streamQuantileSketch _),
     "stream_events" -> (streamEvents _),
@@ -717,6 +775,9 @@ object StreamOps {
     // the drained daily sketches roll up to the batch quantile board
     "stream_quantile_sketch" -> graft.operators.OlapC.quantileSketchSql,
     // the per-batch pHash probes must equal the one-shot C72 probe
-    "stream_phash_probe" -> graft.operators.Multimodal.multimodalIndexProbeSql
+    "stream_phash_probe" -> graft.operators.Multimodal.multimodalIndexProbeSql,
+    // the one-batch drain replays C71's FFD exactly (same order, same
+    // ffdPlace step, empty starting state) → shares its oracle
+    "stream_pack_bestfit" -> graft.operators.CorpusOps.packBestfitSql
   )
 }

@@ -221,6 +221,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(daily === doubled, "sketch state must not grow with event count")
   }
 
+  test("streamed FFD admission drain equals the batch packer (B60 == C71)") {
+    val s = StreamOps.streamPackBestfit(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.packBestfit(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("FFD admission state is O(bins) and carries across batches") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamOps.{PackDoc, PackOut, PackState}
+    val budget = graft.operators.CorpusOps.PackBudget
+    def doc(id: Long, len: Long) = PackDoc(id, len, "0")
+    val st = TestGroupState.create[PackState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // wave 1: two docs fill one bin exactly (budget 256: 200 + 56)
+    val w1 = StreamOps.admitShard("0",
+      Iterator(doc(1, 200), doc(2, 56)), st).toSeq
+    assert(w1 === Seq(PackOut(1, "0", 200, 1, 0), PackOut(2, "0", 56, 1, 200)))
+    assert(st.get.loads.toSeq === Seq(256L))
+    // wave 2: the sealed bin is full — a new arrival opens bin 2; state
+    // remains the LOAD VECTOR (one long per bin), not the documents
+    val w2 = StreamOps.admitShard("0", Iterator(doc(3, 10)), st).toSeq
+    assert(w2 === Seq(PackOut(3, "0", 10, 2, 0)))
+    assert(st.get.loads.toSeq === Seq(256L, 10L))
+    // wave 3: FFD order inside the batch (length desc, id) and first-fit
+    // against CARRIED loads: 250 cannot join bin 2 (10+250>256), opens
+    // bin 3; then 100 first-fits into bin 2
+    val w3 = StreamOps.admitShard("0",
+      Iterator(doc(4, 100), doc(5, 250)), st).toSeq
+    assert(w3 === Seq(PackOut(5, "0", 250, 3, 0), PackOut(4, "0", 100, 2, 10)))
+    assert(st.get.loads.toSeq === Seq(256L, 110L, 250L))
+  }
+
   test("streamed pHash probe equals the one-shot batch probe (B59 == C72)") {
     val s = StreamOps.streamPhashProbe(spark, sfDir).collect()
       .map(_.toString)
