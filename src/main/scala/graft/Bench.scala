@@ -33,7 +33,7 @@ object Bench {
     // phantom regressions manufactured by a busy bench host. Emit enough
     // provenance that a judge can classify a slowdown WITHOUT a rerun:
     //  - probe_pre/probe_post: wall time of a FIXED corpus-independent
-    //    computation (sum of xxhash64 over 2^26 longs, all cores) before
+    //    computation (bit_xor of xxhash64 over 2^26 longs, all cores) before
     //    and after the billed section — a loaded host inflates both;
     //  - loadavg_pre/post: the OS 1-min run-queue length;
     //  - proc_cpu_sec vs wall_sec: when other processes steal cores, this

@@ -156,7 +156,9 @@ object StreamOps {
     * Scale: state is one row per distinct hash, sized by
     * `graft.streaming.statePartitions`; on an unbounded production stream
     * put the C27 bloom in front (negatives skip state entirely) or age
-    * state with a watermark on arrival time. */
+    * state with a watermark on arrival time. The drain is O(distinct
+    * hashes) rows — corpus-sized, not board-sized — so it goes through the
+    * parquet sink, not the memory sink. */
   def streamDedup(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark) // isolated state-partition conf
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
@@ -169,12 +171,8 @@ object StreamOps {
     val agg = stream
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
-
-    spark.streams.active.filter(_.name == DedupQueryName).foreach(_.stop())
-    val q = agg.writeStream.format("memory").queryName(DedupQueryName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(DedupQueryName).orderBy(col("content_hash"))
+    drainViaParquetSink(spark, agg, DedupQueryName, complete = true)
+      .orderBy(col("content_hash"))
   }
 
   // --- B24: streaming ingestion quality gate --------------------------------
@@ -234,6 +232,63 @@ object StreamOps {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Drain a streaming DF through a per-micro-batch PARQUET sink — the
+    * deploy-shaped alternative to the memory sink for any drain whose row
+    * count grows with the corpus (O(docs)/O(distinct) outputs): executors
+    * write each batch straight to a tmpdir sink, the driver never holds
+    * output rows, and the drained frame is pinned before the tmpdir is
+    * deleted. The bounded-board drains (O(windows)/O(reasons) aggregates)
+    * stay on [[drainComplete]]'s memory sink, which is fine at any scale.
+    *
+    *  - `xform` runs INSIDE foreachBatch on each micro-batch (e.g. a
+    *    batch-side join against static tables) before the sink write.
+    *  - `complete = true` delivers the full result table every batch
+    *    (streaming aggregations) and overwrites the sink, so the final
+    *    batch's table is what's read back; append mode accumulates.
+    *  - `assertSingleBatch` guards drains whose ORACLE is only valid when
+    *    the whole corpus lands in one AvailableNow batch (order-sensitive
+    *    stateful ops like B60): if a future conf change (maxFilesPerTrigger,
+    *    a multi-file source) splits the replay, this fails loudly instead
+    *    of hash-mismatching with no hint why.
+    *
+    * NOTE (local-mode assumption): localCheckpoint pins the drained rows in
+    * UNREPLICATED executor blocks before the finally-block deletes the
+    * sink — correct in the single-JVM harness, where block loss means the
+    * app died. A multi-executor deploy keeps the sink directory (or a
+    * reliable checkpoint) until downstream consumption completes. */
+  private[graft] def drainViaParquetSink(spark: SparkSession, df: DataFrame,
+      name: String, complete: Boolean = false,
+      assertSingleBatch: Boolean = false,
+      xform: DataFrame => DataFrame = identity): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${name}_sink").toFile
+    try {
+      // foreachBatch closures run on the DRIVER; the counter is safe here.
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = df.writeStream.queryName(name)
+        .outputMode(if (complete) "complete" else "append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            nBatches.incrementAndGet()
+            xform(mb.toDF()).write
+              .mode(if (complete) "overwrite" else "append")
+              .parquet(sink.getAbsolutePath)
+            ()
+        }.start()
+      q.awaitTermination()
+      if (assertSingleBatch && nBatches.get() != 1L)
+        throw new IllegalStateException(
+          s"$name: drained in ${nBatches.get()} micro-batches, but its " +
+          "oracle is only valid for a single AvailableNow batch (earlier " +
+          "arrivals seal bins the batch twin would repack) — a trigger-size " +
+          "conf or multi-file source changed the replay shape")
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+    } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
   val FunnelQueryName = "graft_stream_funnel"
@@ -320,44 +375,27 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    spark.streams.active.filter(_.name == KnScoreQueryName).foreach(_.stop())
     if (t.dTypes <= literalMax) {
+      // literal-path scoring is stateless append over O(docs) output rows —
+      // corpus-sized, so it drains through the parquet sink like the join
+      // path, never the memory sink.
       val m = graft.operators.CorpusOps.knCollect(t)
-      val q = graft.operators.CorpusOps.knScoreWith(m, docs, "doc_id", "text")
-        .writeStream.format("memory").queryName(KnScoreQueryName)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(KnScoreQueryName).orderBy(col("doc_id"))
+      drainViaParquetSink(spark,
+        graft.operators.CorpusOps.knScoreWith(m, docs, "doc_id", "text"),
+        KnScoreQueryName).orderBy(col("doc_id"))
     } else {
       // production-K spelling: the per-doc rollup runs PER MICRO-BATCH via
       // foreachBatch — each doc lands wholly in one batch, so the drained
       // sink equals the global rollup with ZERO streaming state (a
       // streaming aggregation here would hold one state row per document
       // ever seen — the unbounded-state shape B55's rewrite documents and
-      // avoids). Each batch writes STRAIGHT to a parquet sink: driver
-      // memory stays O(1) regardless of drain length (the r6-flagged
-      // ArrayList accumulator held the whole drain on the driver), which
-      // is the deploy sink shape — executors write, nothing collects.
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_kn_sink").toFile
-      // try/finally + eager localCheckpoint: the drained rows are pinned in
-      // block storage before the tmpdir sink is deleted, so repeated drains
-      // no longer litter tmpdir (r7 ADVICE — the IndexScratch discipline).
-      try {
-        val q = docs.writeStream.queryName(KnScoreQueryName)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch {
-            (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
-              graft.operators.CorpusOps
-                .knScoreJoinWith(t, mb, "doc_id", "text")
-                .write.mode("append").parquet(sink.getAbsolutePath)
-              ()
-          }.start()
-        q.awaitTermination()
-        spark.read.parquet(sink.getAbsolutePath)
-          .localCheckpoint(eager = true).orderBy(col("doc_id"))
-      } finally graft.sources.IndexScratch.deleteRec(sink)
+      // avoids). Each batch joins against the static tables and writes
+      // STRAIGHT to the parquet sink: driver memory stays O(1) regardless
+      // of drain length — executors write, nothing collects.
+      drainViaParquetSink(spark, docs, KnScoreQueryName,
+        xform = mb => graft.operators.CorpusOps
+          .knScoreJoinWith(t, mb, "doc_id", "text"))
+        .orderBy(col("doc_id"))
     }
   }
 
@@ -623,26 +661,9 @@ object StreamOps {
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val arriving = Multimodal.leakedMediaOf(d)
-    val sink = java.nio.file.Files
-      .createTempDirectory("graft_phash_sink").toFile
-    spark.streams.active.filter(_.name == PhashProbeQueryName)
-      .foreach(_.stop())
-    // Same sink hygiene as the kn drain: pin, then delete the tmpdir.
-    try {
-      val q = arriving.writeStream.queryName(PhashProbeQueryName)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch {
-          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            Multimodal.phashIndexProbe(mb.sparkSession, path, mb)
-              .write.mode("append").parquet(sink.getAbsolutePath)
-            ()
-        }.start()
-      q.awaitTermination()
-      spark.read.parquet(sink.getAbsolutePath)
-        .localCheckpoint(eager = true)
-        .orderBy(col("batch_id"), col("hist_id"))
-    } finally graft.sources.IndexScratch.deleteRec(sink)
+    drainViaParquetSink(spark, arriving, PhashProbeQueryName,
+      xform = mb => Multimodal.phashIndexProbe(mb.sparkSession, path, mb))
+      .orderBy(col("batch_id"), col("hist_id"))
   }
 
   val QuantileQueryName = "graft_stream_quantile_sketch"
@@ -711,15 +732,15 @@ object StreamOps {
           .as("n_tokens"),
         substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
       .as[PackDoc]
-    spark.streams.active.filter(_.name == PackQueryName).foreach(_.stop())
-    val q = keyed.groupByKey(_.shard)
+    val placed = keyed.groupByKey(_.shard)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(admitShard)
       .toDF()
-      .writeStream.format("memory").queryName(PackQueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(PackQueryName).orderBy(col("doc_id"))
+    // O(docs) placements drain through the parquet sink (driver O(1));
+    // assertSingleBatch guards the drain==C71 oracle equivalence, which
+    // holds only when the whole corpus lands in one AvailableNow batch.
+    drainViaParquetSink(spark, placed, PackQueryName,
+      assertSingleBatch = true).orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

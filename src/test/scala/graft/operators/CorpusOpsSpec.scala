@@ -761,9 +761,15 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
         r.getInt(4), r.getInt(5)))
     assert(rt.nonEmpty)
+    // The documented decode semantics allow lossless = 0 for an in-vocab
+    // SOURCE token containing a literal '_' (it splits like a merge), so the
+    // exact-roundtrip assertions are guarded to underscore-free docs rather
+    // than leaning on the harness corpus happening to contain none.
+    val hasUnderscore = docs.filter(col("text").contains("_"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     rt.foreach { case (id, nTok, nOov, nWs, nDec, lossless) =>
       assert(nTok <= nWs, s"doc $id: merges can only compress")
-      if (nOov == 0) {
+      if (nOov == 0 && !hasUnderscore(id)) {
         // every in-vocab doc round-trips EXACTLY — this is the assertion
         // the r7 separator bug (split on ' ' against '_'-joined merges)
         // would have failed on any doc containing a merge
