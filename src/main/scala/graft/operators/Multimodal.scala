@@ -143,14 +143,16 @@ object Multimodal {
       frame_h48: Long)
 
   /** Stub frame extractor: chunks the payload body into fixed-size frames
-    * and emits an md5-derived 48-bit fingerprint for every sampled frame
-    * (stands in for the decoded frame tensor; a native codec would seek
-    * directly to the sampled frames, which is why sampling happens INSIDE
-    * the decode — the skipped frames are never materialized). */
-  private[operators] def sampleFrames(r: MediaRow): Iterator[FrameRow] = {
+    * and emits an md5-derived 48-bit fingerprint for every `stride`-th
+    * frame (stands in for the decoded frame tensor; a native codec would
+    * seek directly to the sampled frames, which is why sampling happens
+    * INSIDE the decode — the skipped frames are never materialized).
+    * Stride 1 = every frame, the containment-index density (C77). */
+  private[operators] def sampleFrames(r: MediaRow,
+      stride: Int = FrameStride): Iterator[FrameRow] = {
     val body = java.util.Arrays.copyOfRange(r.media, 15, r.media.length)
     val nFrames = body.length / FrameBytes
-    Iterator.range(0, nFrames).filter(_ % FrameStride == 0).map { j =>
+    Iterator.range(0, nFrames).filter(_ % stride == 0).map { j =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(java.util.Arrays.copyOfRange(body, j * FrameBytes,
           (j + 1) * FrameBytes))
@@ -161,20 +163,27 @@ object Multimodal {
     }
   }
 
+  /** Per-frame fingerprint rows over a media frame at a given stride — the
+    * decode-stage map shared by C12's frame sampler and C77's containment
+    * index (one spelling of the frame hash repo-wide). */
+  private[operators] def frameHashesOf(media: DataFrame,
+      stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "fmt", "media").as[MediaRow]
+      .mapPartitions(rows => rows.grouped(DecodeBatchSize)
+        .flatMap(_.iterator.flatMap(r => sampleFrames(r, stride))))
+      .toDF()
+  }
+
   /** Sampled-frame fingerprints for every video: metadata predicate (fmt)
     * prunes BEFORE decode, the frame loop runs inside the batched decode
     * map stage, and the per-frame rows are the only thing that ever
     * reaches an exchange — O(frames kept), not O(bytes decoded). */
-  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(col("fmt") === "vid")
-      .select("media_id", "fmt", "media").as[MediaRow]
-      .mapPartitions(rows => rows.grouped(DecodeBatchSize)
-        .flatMap(_.iterator.flatMap(sampleFrames)))
-      .toDF()
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameHashesOf(mediaTable(spark, dir).filter(col("fmt") === "vid"),
+        FrameStride)
       .orderBy(col("media_id"), col("frame_idx"))
-  }
 
   // --- C74: perceptual near-dup over decoded media -------------------------
   /** Region count basis and banding for the perceptual hash: 8×8 bands give
@@ -262,12 +271,31 @@ object Multimodal {
     * persisted-index discipline for the multimodal family): one 64-bit
     * perceptual fingerprint per media row, banded, bucket-partitioned.
     * Arriving batches probe without re-decoding history. */
-  def phashIndexBuild(media: DataFrame, path: String): Unit =
+  /** Banded fingerprint rows (media_id, phash, _bkt) — the decode+band
+    * stage shared by the index build, probe, and admit. */
+  private def phashBandRows(media: DataFrame): DataFrame =
     phashOn(media)
       .select(col("media_id"), col("phash"),
         explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
+
+  def phashIndexBuild(media: DataFrame, path: String): Unit =
+    phashBandRows(media)
       .repartition(col("_bkt"))
       .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** ADMIT a probed-clean media batch into the persisted pHash index —
+    * [[graft.operators.Dedup.dedupIndexAdmit]]'s verb for the multimodal
+    * family: the batch decodes and fingerprints ONCE here (map-side, the
+    * same [[phashBandRows]] spelling as build and probe) and its band rows
+    * append into the stored layout. The perceptual hash is a deterministic
+    * function of the payload, so probe-after-admit ≡ probe-against-rebuild
+    * of history ∪ batch (pinned by spec). Idempotent per `tag`. */
+  def phashIndexAdmit(path: String, tag: String, batch: DataFrame): Boolean =
+    graft.sources.IndexScratch.admitOnce(path, tag) {
+      phashBandRows(batch)
+        .repartition(col("_bkt"))
+        .write.mode("append").parquet(s"$path/bands")
+    }
 
   /** Probe the persisted index with an arriving media batch: the batch
     * decodes and fingerprints map-side, BROADCASTS onto the index scan,
@@ -276,9 +304,7 @@ object Multimodal {
   def phashIndexProbe(spark: SparkSession, path: String,
       batch: DataFrame): DataFrame = {
     val idx = spark.read.parquet(s"$path/bands")
-    val probe = phashOn(batch)
-      .select(col("media_id"), col("phash"),
-        explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
+    val probe = phashBandRows(batch)
     idx.as("h").join(broadcast(probe).as("p"), col("h._bkt") === col("p._bkt"))
       .select(col("p.media_id").as("batch_id"), col("h.media_id").as("hist_id"),
         bit_count(col("h.phash").bitwiseXOR(col("p.phash"))).as("hamming"))
@@ -320,11 +346,81 @@ object Multimodal {
       .orderBy(col("batch_id"), col("hist_id"))
   }
 
+  // --- C77: frame-level containment ("this video contains that clip") -----
+  /** C74/C72 fingerprint WHOLE media — an embedded or clipped reuse flips
+    * too many pHash bits to surface. Containment works at the FRAME level
+    * instead (the C62 quote-inclusion discipline over media payloads): a
+    * probe clip matches a history video when ≥ [[ContainTau]] of the
+    * clip's frame fingerprints appear among the video's frames. Frame
+    * hashes are the decode-stage md5-derived 48-bit ids of C12's sampler
+    * ([[sampleFrames]] at stride 1 — full density, since a clip can start
+    * at any frame), so the whole pipeline stays oracle-reproducible. */
+  val ContainTau = 0.8
+  /** Clip geometry of the seeded leak: frames skipped from the source
+    * head, frames taken. The clip is a FRAME-ALIGNED slice, the shape a
+    * re-encoder that respects keyframes produces (byte-unaligned re-cuts
+    * need the decoded-domain pHash of C74, not frame identity). */
+  val ClipSkipFrames = 2
+  val ClipFrames = 4
+  val ClipShift = 600000000L
+  /** Denser seeding than the C34 leak mod (97): the clip generator also
+    * requires fmt=vid (÷3) and a ≥192-byte body, and at gate scale the
+    * ×97 intersection is empty — 13 keeps the seeded-recall check
+    * non-vacuous at every sf dir. */
+  val ClipMod = 13
+
+  /** Seeded clip-leak generator: every `clipMod`-th video doc's payload
+    * re-enters as a SHORT clip — a frame-aligned contiguous slice of the
+    * source body — under a shifted id. Body bytes are the document text
+    * (the media synthesis contract), so the slice is a text substring and
+    * both engines replay it exactly. */
+  def clipLeaksOf(docs: DataFrame, clipMod: Int): DataFrame =
+    mediaTableOf(docs
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") % clipMod === 0)
+      .filter(length(col("text")) >=
+        (ClipSkipFrames + ClipFrames) * FrameBytes)
+      .select((col("doc_id") + ClipShift).as("doc_id"),
+        substring(col("text"), ClipSkipFrames * FrameBytes + 1,
+          ClipFrames * FrameBytes).as("text")))
+
+  /** Frame-containment pairs of a probe batch against a history frame
+    * index: the probe side is SMALL (a clip batch) and BROADCASTS onto the
+    * history frame scan — the frame-hash equijoin is the band join, no
+    * history shuffle, candidate volume O(matching frames). The τ-gate
+    * divides exact integers, so the score is engine-identical. */
+  def frameContainment(history: DataFrame, probe: DataFrame): DataFrame = {
+    val histFrames = frameHashesOf(history, stride = 1)
+      .select(col("media_id").as("hist_id"), col("frame_h48"))
+      .dropDuplicates()
+    val clipFrames = frameHashesOf(probe, stride = 1)
+      .select(col("media_id").as("clip_id"), col("frame_h48"))
+      .dropDuplicates()
+    val nClip = clipFrames.groupBy(col("clip_id"))
+      .agg(count(lit(1)).as("n_clip"))
+    histFrames
+      .join(broadcast(clipFrames), "frame_h48")
+      .groupBy(col("clip_id"), col("hist_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .join(broadcast(nClip), "clip_id")
+      .select(col("clip_id"), col("hist_id"), col("n_match"), col("n_clip"),
+        (col("n_match").cast("double") / col("n_clip")).as("containment"))
+      .filter(col("containment") >= ContainTau)
+  }
+
+  def multimodalContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    frameContainment(
+        mediaTable(spark, dir).filter(col("fmt") === "vid"),
+        clipLeaksOf(docs, ClipMod))
+      .orderBy(col("clip_id"), col("hist_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_similar" -> (multimodalSimilar _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_dedup" -> (multimodalDedup _),
+    "multimodal_containment" -> (multimodalContainment _),
     "phash_index_probe" -> (multimodalIndexProbe _)
   )
 
@@ -509,11 +605,52 @@ object Multimodal {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** DuckDB twin of [[multimodalContainment]]: frames re-derived from the
+    * document text (body bytes == text, ASCII — see [[multimodalFramesSql]]),
+    * hashes via the md5-prefix-48 idiom, τ-gate as an exact-integer
+    * division. The clip body is the same char-substring slice the Spark
+    * generator takes. */
+  val multimodalContainmentSql: String = {
+    val hex12 = (1 to 12).map(i =>
+      s"((strpos('0123456789abcdef', substr(mh, $i, 1)) - 1)::BIGINT << ${4 * (12 - i)})")
+      .mkString(" + ")
+    def frames(src: String, idCol: String) =
+      s"""SELECT DISTINCT $idCol, CAST($hex12 AS BIGINT) AS frame_h48
+         |  FROM (
+         |    SELECT $idCol,
+         |      md5(substr(body, 1 + CAST(j AS INT) * $FrameBytes, $FrameBytes)) AS mh
+         |    FROM (SELECT $idCol, body,
+         |            unnest(range(0, CAST(strlen(body) // $FrameBytes AS BIGINT))) AS j
+         |          FROM $src))""".stripMargin
+    s"""WITH hist AS (
+       |  SELECT doc_id AS hist_id, text AS body FROM documents
+       |  WHERE doc_id % 3 = 2
+       |), clips AS (
+       |  SELECT doc_id + $ClipShift AS clip_id,
+       |    substr(text, ${ClipSkipFrames * FrameBytes + 1},
+       |           ${ClipFrames * FrameBytes}) AS body
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND doc_id % $ClipMod = 0
+       |    AND strlen(text) >= ${(ClipSkipFrames + ClipFrames) * FrameBytes}
+       |), hf AS (${frames("hist", "hist_id")}),
+       |cf AS (${frames("clips", "clip_id")}),
+       |nc AS (SELECT clip_id, COUNT(*) AS n_clip FROM cf GROUP BY 1),
+       |m AS (
+       |  SELECT clip_id, hist_id, COUNT(*) AS n_match
+       |  FROM cf JOIN hf USING (frame_h48) GROUP BY 1, 2)
+       |SELECT m.clip_id, hist_id, n_match, n_clip,
+       |  CAST(n_match AS DOUBLE) / n_clip AS containment
+       |FROM m JOIN nc ON m.clip_id = nc.clip_id
+       |WHERE CAST(n_match AS DOUBLE) / n_clip >= $ContainTau
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_similar" -> multimodalSimilarSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_dedup" -> multimodalDedupSql,
+    "multimodal_containment" -> multimodalContainmentSql,
     "phash_index_probe" -> multimodalIndexProbeSql
   )
 }

@@ -315,6 +315,26 @@ object Dedup {
       .repartition(col("_bkt"))
       .write.mode("overwrite").parquet(s"$path/bands")
 
+  /** ADMIT a probed-clean batch into the persisted band index — the verb
+    * between build-once and probe-many that keeps a recurring ingest's
+    * index CURRENT without rebuilding history: the batch is sketched
+    * map-side (the same [[sketchBands]] spelling as build and probe, so
+    * admission cannot fork the sketch) and its band rows append into the
+    * stored layout with the same bucket-spread partitioning. Because a
+    * MinHash sketch is a deterministic function of the text alone,
+    * probe-after-admit is EXACTLY probe-against-a-full-rebuild of
+    * history ∪ batch (pinned by spec). Idempotent per `tag` via
+    * [[graft.sources.IndexScratch.admitOnce]] — a replayed ingest cannot
+    * double-admit. Returns true iff this call appended. */
+  def dedupIndexAdmit(path: String, tag: String, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Boolean =
+    graft.sources.IndexScratch.admitOnce(path, tag) {
+      sketchBands(batch, idCol, textCol, shingleN, numHashes, bands)
+        .repartition(col("_bkt"))
+        .write.mode("append").parquet(s"$path/bands")
+    }
+
   /** Probe a persisted band index with an arriving batch: the batch is
     * sketched map-side and BROADCAST onto the index scan (batches are
     * small next to history), candidacy is the exact shared-band-tuple
@@ -413,19 +433,37 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Banded fingerprint rows (_id, _fp, _bkt) — the sketch stage shared by
+    * the SimHash index build, probe, AND admit: one spelling repo-wide. */
+  private def simhashBandRows(df: DataFrame, idCol: String, textCol: String,
+      bandBits: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
+      .select(col("_id"), col("_fp"),
+        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+
   /** Persist the history corpus' SimHash band index — [[dedupIndexBuild]]'s
     * discipline for the FINGERPRINT family: one 64-bit fingerprint per
     * history doc, banded, stored once; batches probe without re-hashing
     * history. Same pigeonhole recall guarantee as [[simhashPairs]]. */
   def simhashIndexBuild(history: DataFrame, idCol: String, textCol: String,
       path: String, bandBits: Int = 8): Unit =
-    history
-      .select(col(idCol).as("_id"),
-        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
-      .select(col("_id"), col("_fp"),
-        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+    simhashBandRows(history, idCol, textCol, bandBits)
       .repartition(col("_bkt"))
       .write.mode("overwrite").parquet(s"$path/bands")
+
+  /** [[dedupIndexAdmit]] for the fingerprint family: append a probed-clean
+    * batch's banded fingerprints into the stored index. Fingerprints are
+    * deterministic functions of the text, so probe-after-admit ≡
+    * probe-against-rebuild of history ∪ batch (pinned by spec); idempotent
+    * per `tag`. */
+  def simhashIndexAdmit(path: String, tag: String, batch: DataFrame,
+      idCol: String, textCol: String, bandBits: Int = 8): Boolean =
+    graft.sources.IndexScratch.admitOnce(path, tag) {
+      simhashBandRows(batch, idCol, textCol, bandBits)
+        .repartition(col("_bkt"))
+        .write.mode("append").parquet(s"$path/bands")
+    }
 
   /** Probe a persisted SimHash band index with an arriving batch: batch
     * fingerprints compute map-side and BROADCAST onto the index scan; the
@@ -437,11 +475,7 @@ object Dedup {
     require(64 / bandBits > maxHamming,
       s"bandBits=$bandBits cannot guarantee recall at hamming<=$maxHamming")
     val idx = spark.read.parquet(s"$path/bands")
-    val probe = batch
-      .select(col(idCol).as("_id"),
-        simhash64(split(trim(col(textCol)), "\\s+")).as("_fp"))
-      .select(col("_id"), col("_fp"),
-        explode(simhashBuckets(col("_fp"), bandBits)).as("_bkt"))
+    val probe = simhashBandRows(batch, idCol, textCol, bandBits)
     idx.as("h").join(broadcast(probe).as("p"), col("h._bkt") === col("p._bkt"))
       .select(col("p._id").as("batch_id"), col("h._id").as("hist_id"),
         bit_count(col("h._fp").bitwiseXOR(col("p._fp"))).as("hamming"))
@@ -792,6 +826,43 @@ object Ann {
     * heap survivors fetch full vectors. Deterministic like every other
     * index here: hash-ordered seeds/samples, decimal-exact means,
     * ties-to-lower ids — rebuilds are bit-identical. */
+  /** Coarse assignment + residual — the first encode stage shared by
+    * [[ivfPqBuild]] and [[ivfPqAdmit]] (one spelling; admission cannot
+    * fork the routing it must replay). */
+  private def ivfPqAssign(cents: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    nearestLists(cents,
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
+      "neighbor_id", "_e", 1)
+      .join(broadcast(cents), "_cent_id")
+      .select(col("_cent_id"), col("neighbor_id"), col("_e"),
+        zip_with(col("_e"), col("_cent"), (x, y) => x - y).as("_r"))
+
+  /** Stage-1 residual encode against a FROZEN flat codebook, exposing the
+    * stage-2 residual (r − cw₁) the refinement codebook quantizes. */
+  private def ivfPqEncodeR2(assigned: DataFrame, flat: Seq[Long],
+      dim: Int): DataFrame = {
+    val subDim = dim / PqM
+    assigned
+      .select(col("_cent_id"), col("neighbor_id"), col("_e"), col("_r"),
+        pq_encode(col("_r"), typedLit(flat), PqM, PqKs).as("codes"))
+      .withColumn("_books", typedLit(flat))
+      .withColumn("_r2", expr(
+        s"transform(_r, (x, i) -> x - CAST(element_at(_books, CAST(" +
+          s"((i div $subDim) * $PqKs + " +
+          s"element_at(codes, CAST((i div $subDim) + 1 AS INT))) " +
+          s"* $subDim + (i % $subDim) + 1 AS INT)) AS DOUBLE) / 1e6)"))
+      .drop("_books")
+  }
+
+  /** The stored list-row shape (list_id, neighbor_id, codes, codes2, emb)
+    * with the stage-2 codes from a FROZEN refinement codebook. */
+  private def ivfPqListRows(withR2: DataFrame, flat2: Seq[Long]): DataFrame =
+    withR2.select(col("_cent_id").as("list_id"), col("neighbor_id"),
+      col("codes"),
+      pq_encode(col("_r2"), typedLit(flat2), PqM, PqKs).as("codes2"),
+      col("_e").as("emb"))
+
   def ivfPqBuild(corpus: DataFrame, idCol: String, embCol: String,
       dim: Int, nLists: Int, path: String): Unit = {
     val spark = corpus.sparkSession
@@ -800,12 +871,7 @@ object Ann {
       .localCheckpoint(eager = true)
     cents.select(col("_cent_id").as("cent_id"), col("_cent").as("cent"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = nearestLists(cents,
-      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("_e")),
-      "neighbor_id", "_e", 1)
-      .join(broadcast(cents), "_cent_id")
-      .select(col("_cent_id"), col("neighbor_id"), col("_e"),
-        zip_with(col("_e"), col("_cent"), (x, y) => x - y).as("_r"))
+    val assigned = ivfPqAssign(cents, corpus, idCol, embCol)
     val books = pqTrain(assigned, "neighbor_id", "_r", dim)
     val flat = flatBooks(books, dim)
     // Persist (idx, value) rows, not a collect_list array: collect_list
@@ -817,29 +883,16 @@ object Ann {
     // trained on the residual AFTER stage-1 quantization (r − cw₁), so the
     // stored pair (codes, codes2) is a 16-byte reconstruction — the
     // re-ranking stage reads it instead of the full vector.
-    val subDim = dim / PqM
-    val withR2 = assigned
-      .select(col("_cent_id"), col("neighbor_id"), col("_e"), col("_r"),
-        pq_encode(col("_r"), typedLit(flat), PqM, PqKs).as("codes"))
-      .withColumn("_books", typedLit(flat))
-      .withColumn("_r2", expr(
-        s"transform(_r, (x, i) -> x - CAST(element_at(_books, CAST(" +
-          s"((i div $subDim) * $PqKs + " +
-          s"element_at(codes, CAST((i div $subDim) + 1 AS INT))) " +
-          s"* $subDim + (i % $subDim) + 1 AS INT)) AS DOUBLE) / 1e6)"))
-      .drop("_books")
     // no checkpoint: like `assigned`, the encoded stream is recomputed per
     // consumer (train sample, final write) rather than materialized —
     // at corpus scale two map passes beat caching 3×dim doubles per row
+    val withR2 = ivfPqEncodeR2(assigned, flat, dim)
     val books2 = pqTrain(withR2, "neighbor_id", "_r2", dim)
     val flat2 = flatBooks(books2, dim)
     flat2.zipWithIndex.map { case (v, i) => (i, v) }.toDF("idx", "q")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks2")
     graft.sources.Sinks.writePartitionedParquet(
-      withR2.select(col("_cent_id").as("list_id"), col("neighbor_id"),
-        col("codes"),
-        pq_encode(col("_r2"), typedLit(flat2), PqM, PqKs).as("codes2"),
-        col("_e").as("emb")),
+      ivfPqListRows(withR2, flat2),
       s"$path/lists", partitionCols = Seq("list_id"),
       sortCols = Seq("neighbor_id"))
     // Format marker LAST (r6 ADVICE): a v1 index (single-row array
@@ -855,6 +908,40 @@ object Ann {
   /** Bumped whenever the persisted layout changes incompatibly (v2 =
     * (idx, q)-row codebooks + the codes2 refinement column). */
   val IvfPqFormatVersion = 2
+
+  /** ADMIT a batch of vectors into the persisted IVF×PQ index — the verb a
+    * recurring ingest needs between build-once and probe-many: route each
+    * batch vector to its nearest FROZEN coarse centroid, residual-encode
+    * with the FROZEN stage-1/stage-2 codebooks ([[ivfPqAssign]] →
+    * [[ivfPqEncodeR2]] → [[ivfPqListRows]] — the build's own stages, so
+    * admission cannot fork the encoding), and append into the `list_id=`
+    * partition directories. Codebooks staying frozen is the production
+    * IVF discipline (FAISS's add-after-train): retraining is a separate,
+    * rarer REBUILD — so probe-after-admit equals probing an index whose
+    * lists hold history ∪ batch encoded under the same codebooks, and
+    * split-admission ≡ one-admission (both pinned by spec, as is list
+    * occupancy accounting for the admitted rows).
+    *
+    * Idempotent per `tag` via [[graft.sources.IndexScratch.admitOnce]];
+    * returns true iff this call appended. The append itself is one
+    * map-side encode pass + a partitioned write — no shuffle of history,
+    * O(batch) work at any index scale. */
+  def ivfPqAdmit(spark: org.apache.spark.sql.SparkSession, path: String,
+      tag: String, batch: DataFrame, idCol: String, embCol: String,
+      dim: Int): Boolean =
+    graft.sources.IndexScratch.admitOnce(path, tag) {
+      checkIvfPqFormat(spark, path)
+      val flat = loadFlatBooks(spark, path, "codebooks").toSeq
+      val flat2 = loadFlatBooks(spark, path, "codebooks2").toSeq
+      val cents = spark.read.parquet(s"$path/centroids")
+        .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
+      ivfPqListRows(
+          ivfPqEncodeR2(ivfPqAssign(cents, batch, idCol, embCol), flat, dim),
+          flat2)
+        .repartition(col("list_id"))
+        .sortWithinPartitions(col("list_id"), col("neighbor_id"))
+        .write.partitionBy("list_id").mode("append").parquet(s"$path/lists")
+    }
 
   /** Query a persisted IVF×PQ index: each query probes its `nProbe`
     * nearest lists; within a probed list the asymmetric distance uses a
@@ -891,11 +978,13 @@ object Ann {
     * a near list's large ones). */
   private case class PqProbeCtx(tdf: DataFrame, lists: DataFrame)
 
-  private def pqProbeCtx(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, idCol: String, embCol: String,
-      dim: Int, nProbe: Int, withRefine: Boolean): PqProbeCtx = {
+  /** Format gate shared by every persisted-index READER and by admission:
+    * a v1 index under the same path must fail with an explicit "rebuild
+    * required", never an opaque AnalysisException mid-probe (or, worse, a
+    * silent mixed-format append). */
+  private def checkIvfPqFormat(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
     import spark.implicits._
-    val subDim = dim / PqM
     val ver =
       try spark.read.parquet(s"$path/format")
         .filter(col("kind") === "ivfpq").select("version")
@@ -906,11 +995,26 @@ object Ann {
         s"IVF-PQ index at $path has format ${ver.getOrElse("<absent>")} but " +
           s"this reader needs v$IvfPqFormatVersion ((idx,q)-row codebooks + " +
           "codes2) — rebuild required via Ann.ivfPqBuild")
-    def loadFlat(name: String): Array[Long] =
-      spark.read.parquet(s"$path/$name")
-        .orderBy("idx").select("q").as[Long].collect()
-    val flat = loadFlat("codebooks")
-    val flat2 = if (withRefine) loadFlat("codebooks2") else Array.empty[Long]
+  }
+
+  /** Read a persisted flat codebook back in its exact written order. */
+  private def loadFlatBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): Array[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/$name")
+      .orderBy("idx").select("q").as[Long].collect()
+  }
+
+  private def pqProbeCtx(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, embCol: String,
+      dim: Int, nProbe: Int, withRefine: Boolean): PqProbeCtx = {
+    import spark.implicits._
+    val subDim = dim / PqM
+    checkIvfPqFormat(spark, path)
+    val flat = loadFlatBooks(spark, path, "codebooks")
+    val flat2 =
+      if (withRefine) loadFlatBooks(spark, path, "codebooks2")
+      else Array.empty[Long]
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
     val probes = nearestLists(cents,

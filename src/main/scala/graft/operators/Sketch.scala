@@ -342,6 +342,69 @@ object Sketch {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  // --- C76: persisted-index ADMISSION (build → admit → probe) --------------
+  /** The C54 lifecycle completed with its third verb: history is indexed
+    * once, the C27 incremental batch probes clean and is ADMITTED into the
+    * stored index ([[Dedup.dedupIndexAdmit]] — an O(batch) band append,
+    * idempotent per tag), and a SECOND arriving batch probes the
+    * now-current index. Its near-dup hits must surface matches among the
+    * ADMITTED docs (ids ≥ 2·10⁸), not just original history — exactly
+    * what a build-once index gets wrong from the second ingest day on.
+    * MinHash sketches are deterministic functions of the text, so the
+    * admitted index EQUALS a full rebuild over history ∪ batch and the
+    * whole lifecycle is oracle-checked end to end (the rebuild is what
+    * the DuckDB twin computes). Uses a dedicated scratch index — C54's
+    * "dedupidx" stays history-only. */
+  def dedupIndexAdmitProbe(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupadm", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    Dedup.dedupIndexAdmit(path, "b1",
+      graft.operators.CorpusOps.incrementalBatch(spark, dir),
+      "doc_id", "text")
+    val batch2 = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 400000000L).as("doc_id"),
+        concat(col("text"), lit(" resubmitted")).as("text"))
+    Dedup.dedupIndexProbe(spark, path, batch2, "doc_id", "text",
+        minEstJaccard = MinEstJaccard)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
+  /** Twin: the FULL-REBUILD equivalent of the admitted index — candidates
+    * over history ∪ admitted batch ∪ second batch, keeping pairs that
+    * cross the second-batch boundary. Hash-equality of this against the
+    * Spark probe IS the probe-after-admit ≡ rebuild guarantee. */
+  val dedupIndexAdmitProbeSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000000,
+       |         text || ' fresh ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 13 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 400000000, text || ' resubmitted'
+       |  FROM documents WHERE doc_id % 7 = 0
+       |), ${minhashCandidateCtes("corpus")},
+       |cp AS (
+       |  SELECT CASE WHEN doc_a >= 400000000 THEN doc_a ELSE doc_b END AS batch_id,
+       |         CASE WHEN doc_a >= 400000000 THEN doc_b ELSE doc_a END AS hist_id
+       |  FROM cand
+       |  WHERE (doc_a >= 400000000) <> (doc_b >= 400000000))
+       |SELECT batch_id, hist_id,
+       |  len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / $NumHashes.0
+       |    AS est_jaccard
+       |FROM cp
+       |JOIN sg sa ON hist_id = sa.doc_id
+       |JOIN sg sb ON batch_id = sb.doc_id
+       |WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |      / $NumHashes.0 >= $MinEstJaccard
+       |ORDER BY batch_id, hist_id""".stripMargin
+
   /** Registry for SparkEntry — all sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,7 +412,8 @@ object Sketch {
     "dedup_simhash" -> (dedupSimhash _),
     "near_dup_eval" -> (nearDupEval _),
     "dedup_index_probe" -> (dedupIndexProbe _),
-    "simhash_index_probe" -> (simhashIndexProbe _)
+    "simhash_index_probe" -> (simhashIndexProbe _),
+    "dedup_index_admit" -> (dedupIndexAdmitProbe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,6 +421,7 @@ object Sketch {
     "dedup_simhash" -> dedupSimhashSql,
     "near_dup_eval" -> nearDupEvalSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
-    "simhash_index_probe" -> simhashIndexProbeSql
+    "simhash_index_probe" -> simhashIndexProbeSql,
+    "dedup_index_admit" -> dedupIndexAdmitProbeSql
   )
 }

@@ -58,6 +58,32 @@ object IndexScratch {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Admit exactly once per (index path, batch tag): the third verb of the
+    * build-once / probe-many index lifecycle (ensure → admit → probe). The
+    * caller's `append` writes the admitted batch's rows into the existing
+    * index layout; a marker directory inside the index records the tag, so
+    * a replayed ingest (same JVM or a later one over the same scratch
+    * path) can NEVER double-admit — without the marker every rerun would
+    * grow the stored index and corrupt occupancy/counts. Returns true iff
+    * this call performed the append.
+    *
+    * Same-JVM racers serialize on a per-(path, tag) lock like [[ensure]];
+    * concurrent-PROCESS admission of the same tag is the ingest
+    * pipeline's single-writer responsibility (append-then-mark is not
+    * cross-process atomic), matching how production table formats treat
+    * concurrent blind appends. */
+  def admitOnce(path: String, tag: String)(append: => Unit): Boolean = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe admission tag: $tag")
+    val marker = new java.io.File(s"$path/_admitted_$tag")
+    if (marker.exists()) return false
+    locks.computeIfAbsent(s"$path#admit#$tag", _ => new Object).synchronized {
+      if (marker.exists()) return false
+      append
+      marker.mkdirs()
+      true
+    }
+  }
+
   /** Build the index at `path` exactly once per JVM: `build` writes into a
     * process-scoped temp dir which is renamed into place atomically.
     * Same-JVM callers serialize on a per-path lock; if a concurrent

@@ -172,4 +172,31 @@ class MultimodalSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("frame containment: every seeded clip surfaces its source at 1.0; " +
+      "fresh frames match nothing (C77)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val hist = Multimodal.mediaTable(spark, sfDir).filter(col("fmt") === "vid")
+    // clipMod=1: EVERY eligible video doc seeds a clip — full recall check
+    val clips = Multimodal.clipLeaksOf(docs, 1)
+    val seeded = clips.select(col("media_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(seeded.nonEmpty, "no eligible clip sources in the spec corpus")
+    val r = Multimodal.frameContainment(hist, clips).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(4)))
+    seeded.foreach { cid =>
+      val src = cid - Multimodal.ClipShift
+      assert(r.exists(p => p._1 == cid && p._2 == src && p._3 == 1.0),
+        s"clip $cid did not surface source $src at full containment")
+    }
+    // negative control: frames of content absent from the corpus match
+    // nothing — the frame-hash equijoin cannot manufacture candidates
+    val freshText = Iterator.continually("graft-fresh-frame-xyzzy ")
+      .take(12).mkString.take(6 * Multimodal.FrameBytes)
+    val fresh = Multimodal.mediaTableOf(
+      spark.range(1).select(lit(999999998L).as("doc_id"),
+        lit(freshText).as("text")))
+    assert(Multimodal.frameContainment(hist, fresh).count() === 0L)
+  }
 }
