@@ -297,19 +297,21 @@ object Sinks {
     * replayable in SQL as `zkey >> (2*bits - log)`. */
   val FooterFilesLog = 5
 
-  /** Write `orders` z-ordered into one parquet file per zkey value-range
+  /** Write a clustered layout into one parquet file per key value-range
     * bin: `repartition(_fid)` puts each bin wholly in one task and
     * `partitionBy(_fid)` gives it its own directory, so each non-empty bin
-    * lands as exactly one footer-bearing file, sorted by zkey inside. Skew
-    * makes bins uneven — acceptable for an audit table; the row-balanced
-    * deploy writer stays [[writeZOrdered]]. */
-  private def writeZOrderBinned(spark: SparkSession, dir: String,
+    * lands as exactly one footer-bearing file, sorted by the curve key
+    * inside. Skew makes bins uneven — acceptable for an audit table; the
+    * row-balanced deploy writer stays [[writeZOrdered]]. Layout-agnostic:
+    * both curve keys span the same 2·[[ZOrderBits]]-bit range, so the same
+    * top-bit binning applies to zkey and hkey alike. */
+  private def writeKeyBinned(layout: DataFrame, keyCol: String,
       path: String): Unit = {
     val shift = 2 * ZOrderBits - FooterFilesLog
-    zorderLayout(spark, dir)
-      .withColumn("_fid", shiftright(col("zkey"), shift))
+    layout
+      .withColumn("_fid", shiftright(col(keyCol), shift))
       .repartition(col("_fid"))
-      .sortWithinPartitions(col("_fid"), col("zkey"), col("o_orderkey"))
+      .sortWithinPartitions(col("_fid"), col(keyCol), col("o_orderkey"))
       .write.partitionBy("_fid").mode("overwrite").parquet(path)
   }
 
@@ -325,10 +327,23 @@ object Sinks {
     * against first principles, not trusted. Footer reads are distributed
     * over the file list ([[FooterStat]] per file via mapPartitions); the
     * driver only lists the directory, as a catalog would. */
-  def footerPrune(spark: SparkSession, dir: String): DataFrame = {
+  def footerPrune(spark: SparkSession, dir: String): DataFrame =
+    footerPruneOver(spark, IndexScratch.path("zbin", dir),
+      tmp => writeKeyBinned(zorderLayout(spark, dir), "zkey", tmp))
+
+  /** C69's audit upgraded to REAL footers, like C75 did for C67: the same
+    * O(files) skip audit from actual parquet min/max statistics on a
+    * written hkey-binned table. The machinery is [[footerPrune]]'s —
+    * only the layout writer (Hilbert walk instead of Morton interleave)
+    * and the oracle's key chain differ. */
+  def footerPruneHilbert(spark: SparkSession, dir: String): DataFrame =
+    footerPruneOver(spark, IndexScratch.path("hbin", dir),
+      tmp => writeKeyBinned(hilbertLayout(spark, dir), "hkey", tmp))
+
+  private def footerPruneOver(spark: SparkSession, root: String,
+      build: String => Unit): DataFrame = {
     import spark.implicits._
-    val root = IndexScratch.path("zbin", dir)
-    IndexScratch.ensure(root)(tmp => writeZOrderBinned(spark, dir, tmp))
+    IndexScratch.ensure(root)(build)
     // List through the Hadoop FileSystem resolved from the path, not
     // java.io.File — the catalog-style audit must work against object-store
     // and HDFS roots, not only the local filesystem the harness happens to
@@ -343,8 +358,24 @@ object Sinks {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => (fid, f.getPath.toString))
       }.toSeq.sorted
+    // The executor-side footer reads use a BROADCAST copy of the session's
+    // hadoopConfiguration — a blank `new Configuration()` would lack the
+    // fs credentials/implementations an s3a/abfs/HDFS root needs, silently
+    // un-doing the portable listing above (r8 ADVICE). Hadoop's
+    // Configuration is not Serializable (and Spark's wrapper is
+    // private[spark]), so the EFFECTIVE entries ship as a plain key/value
+    // array and rebuild executor-side (defaults included — the iterator
+    // walks the merged view, so `new Configuration(false)` + set() is the
+    // same effective conf).
+    val confBc = spark.sparkContext.broadcast {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.toArray
+    }
     val stats = spark.createDataset(files).mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confBc.value.foreach { case (k, v) => conf.set(k, v) }
       it.map { case (fid, p) =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -423,6 +454,33 @@ object Sinks {
        |ORDER BY file_id""".stripMargin
   }
 
+  /** Twin of [[footerPruneHilbert]]: the hilbert chain binned by its top
+    * bits — what the written footers MUST contain if the writer and the
+    * statistics are honest. */
+  lazy val footerPruneHilbertSql: String = {
+    val shift = 2 * ZOrderBits - FooterFilesLog
+    s"""WITH h AS (
+       |  SELECT * FROM ($hilbertLayoutSql)
+       |), f AS (
+       |  SELECT hkey >> $shift AS file_id, COUNT(*) AS n_rows,
+       |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max
+       |  FROM h GROUP BY 1
+       |), g AS (
+       |  SELECT MIN(x_min) AS xmin, MAX(x_max) AS xmax,
+       |         MIN(d_min) AS dmin, MAX(d_max) AS dmax
+       |  FROM f)
+       |SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+       |  CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       |  CAST(d_min AS BIGINT) AS d_min, CAST(d_max AS BIGINT) AS d_max,
+       |  CAST(CASE WHEN x_max >= xmin + (xmax - xmin) // 4
+       |             AND x_min <= xmin + (xmax - xmin) // 2
+       |             AND d_max >= dmin + (dmax - dmin) // 4
+       |             AND d_min <= dmin + (dmax - dmin) // 2
+       |       THEN 1 ELSE 0 END AS INT) AS overlaps
+       |FROM f CROSS JOIN g
+       |ORDER BY file_id""".stripMargin
+  }
+
   /** C67's audit for the Hilbert layout: the same simulated files and box
     * query over `hkey` order — lets an ops team compare the two curves'
     * skipping on THEIR data before committing a re-cluster (Hilbert's
@@ -484,14 +542,16 @@ object Sinks {
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
     "hilbert_prune" -> (hilbertPrune _),
-    "footer_prune" -> (footerPrune _))
+    "footer_prune" -> (footerPrune _),
+    "footer_prune_hilbert" -> (footerPruneHilbert _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,
     "hilbert_prune" -> hilbertPruneSql,
-    "footer_prune" -> footerPruneSql)
+    "footer_prune" -> footerPruneSql,
+    "footer_prune_hilbert" -> footerPruneHilbertSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables
