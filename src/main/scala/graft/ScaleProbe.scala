@@ -230,6 +230,25 @@ object ScaleProbe {
       Ann.ivfPqRefineTopK(spark, ivfPqPath, queries, "vec_id", "emb",
         dim = 64, k = 10, nProbe = 8).count()
     }
+    // C70 vs C70b at 24×: both hybrids share the lexical side verbatim
+    // (lexAndAnchors), so the brute→probe delta IS the semantic ranker's
+    // corpus-scan vs nProbe-pruned-index cost — the inversion that favors
+    // the index as the corpus grows (at sf0.1 the index overhead dominates;
+    // this probe measures where that flips).
+    val hybPqPath = java.nio.file.Files
+      .createTempDirectory("graft_probe_hyb").toString
+    time("hybrid_ivfpq_build") {
+      Ann.ivfPqBuild(embs, "vec_id", "emb", dim = 64, nLists = 128,
+        path = hybPqPath); 0L
+    }
+    time("hybrid_search_brute") {
+      VectorOps.hybridSearchOn(docs, embs,
+        CorpusOps.Bm25Queries, VectorOps.HybridK).count()
+    }
+    time("hybrid_search_probe") {
+      VectorOps.hybridSearchProbeOn(spark, hybPqPath, docs, embs,
+        CorpusOps.Bm25Queries, VectorOps.HybridK).count()
+    }
     time("trigram_logprob") {
       CorpusOps.trigramLogprobOn(docs, "doc_id", "text").count()
     }
@@ -384,6 +403,12 @@ object ScaleProbe {
     }
     time("stream_decontaminate") {
       graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
+    }
+    time("stream_pack_bestfit") {
+      // B60 at 24×: state must report O(shards × bins) rows (one PackState
+      // per shard — the listener line below is the measured claim), and
+      // the drain goes through the parquet sink, never driver memory
+      graft.streaming.StreamOps.streamPackBestfit(spark, streamDir).count()
     }
     // embeddings feed staged OUTSIDE the timed block (like the documents/
     // events staging): the probe measures the drain, not the one-off write
