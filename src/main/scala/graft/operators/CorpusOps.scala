@@ -761,15 +761,33 @@ object CorpusOps {
   def dedupIncrementalOn(history: DataFrame, batchDocs: DataFrame,
       idCol: String, textCol: String,
       bloomEstItems: Long = BloomEstItems,
-      bloomNumBits: Long = BloomNumBits): DataFrame = {
+      bloomNumBits: Long = BloomNumBits): DataFrame =
+    dedupIncrementalWith(
+      historyBloomOf(history, textCol, bloomEstItems, bloomNumBits),
+      history, batchDocs, idCol, textCol)
+
+  /** History's bloom over xxhash64(content) — the broadcastable STATIC
+    * side of incremental exact-dedup, factored out so a recurring caller
+    * (the B61 admission chain's per-micro-batch gate) aggregates it ONCE,
+    * not once per batch. Null when history is empty. */
+  def historyBloomOf(history: DataFrame, textCol: String,
+      bloomEstItems: Long = BloomEstItems,
+      bloomNumBits: Long = BloomNumBits): Array[Byte] = {
     import GraftSqlBridge.{column, expression}
-    val hist = history.select(col(textCol).as("text"))
-    val bloomBytes = hist
+    history.select(col(textCol).as("text"))
       .select(column(new BloomFilterAggregate(
         expression(xxhash64(col("text"))),
         Literal(bloomEstItems), Literal(bloomNumBits), 0, 0)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** The probe half of [[dedupIncrementalOn]] against a precomputed
+    * history bloom — one spelling for the one-shot and recurring shapes. */
+  def dedupIncrementalWith(bloomBytes: Array[Byte], history: DataFrame,
+      batchDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import GraftSqlBridge.{column, expression}
+    val hist = history.select(col(textCol).as("text"))
     // an empty history aggregates to a NULL bloom: nothing can be a dup
     if (bloomBytes == null)
       return batchDocs

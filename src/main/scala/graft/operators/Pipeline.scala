@@ -152,7 +152,12 @@ object Pipeline {
   def qualityFilterChain(spark: SparkSession, dir: String): DataFrame =
     qualityFlagsOn(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
-  val qualityFilterChainSql: String = {
+  val qualityFilterChainSql: String = qualityFlagsSqlOver("documents")
+
+  /** The C15 flag chain as SQL over ANY (doc_id, text) table — shared by
+    * the C15/C59 oracles and the B61 admission-chain oracle, so the
+    * quality stage cannot fork between the batch and composed twins. */
+  def qualityFlagsSqlOver(table: String): String = {
     val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH m AS (
        |  SELECT doc_id,
@@ -161,7 +166,7 @@ object Pipeline {
        |    LEN(list_filter(toks, w -> w IN ($in))) AS n_stop
        |  FROM (SELECT doc_id, text,
        |          regexp_split_to_array(TRIM(text), '\\s+') AS toks
-       |        FROM documents)
+       |        FROM $table)
        |), f AS (
        |  SELECT doc_id, n_words, awl, n_stop,
        |    CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS pass_min_words,
@@ -752,6 +757,161 @@ object Pipeline {
        |    - LAG(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
        |      OVER (ORDER BY day) AS rate_delta
        |FROM c ORDER BY day""".stripMargin
+  }
+
+  // --- B61: the composed ingest admission chain ----------------------------
+  /** What a deploy actually runs at the ingest door — the four quarantine
+    * gates COMPOSED, in rejection-priority order: quality (C15) →
+    * exact-dup vs history (C27's bloom + sha verify) → near-dup vs the
+    * persisted history index (C54) → benchmark containment (C62). Each
+    * stage is the existing operator's own spelling — this file adds only
+    * the composition and the verdict precedence. Every static side is
+    * amortized: the history bloom aggregates once, the band index is the
+    * shared persisted scratch, the benchmark shingles broadcast once.
+    *
+    * Chain-specific seeding: the C62 pad (1200 tokens) would trip the
+    * quality gate's 500-word cap before containment ever saw the doc, so
+    * the chain's contaminated class pads with [[ChainPadTokens]] over
+    * benchmark sources of ≤ [[ChainContamMaxWords]] words — long enough to
+    * drown symmetric Jaccard below the C54 threshold, short enough to walk
+    * through the quality gate; and the clean class re-enters docs with the
+    * WORD ORDER reversed: every word-level quality stat is unchanged (the
+    * gate passes iff the source passes) while no 3-shingle survives, so
+    * neither dedup gate can fire — the accepted path is exercised, not
+    * assumed. */
+  val ChainPadTokens = 350
+  val ChainContamMaxWords = 100
+  val ChainExactShift = 200000000L
+  val ChainNearShift = 300000000L
+  val ChainCleanShift = 400000000L
+
+  /** The deterministic arriving batch — ONE spelling shared by the B61
+    * stream twin and the oracle (four classes: exact copies, near-dup
+    * variants, clean reversals, contaminated embeddings). */
+  def admissionBatchOn(d: DataFrame): DataFrame = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
+    val toks = split(trim(col("text")), "\\s+")
+    val filler = concat_ws(" ",
+      transform(sequence(lit(0), lit(ChainPadTokens - 1)),
+        i => concat(lit("pad"), i)))
+    CorpusOps.incrementalBatchOn(d) // +2e8 exact copies, +3e8 near-dups
+      .unionAll(d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + ChainCleanShift).as("doc_id"),
+          concat_ws(" ", reverse(toks)).as("text")))
+      .unionAll(d.filter(col("doc_id") % BenchmarkMod === 0 &&
+          size(toks) <= ChainContamMaxWords)
+        .select((col("doc_id") + ContaminatedShift).as("doc_id"),
+          concat(filler, lit(" "), col("text")).as("text")))
+  }
+
+  /** Per-doc admission verdicts for one batch: stage = the FIRST gate that
+    * rejects (fixed precedence, like C15's reject_reason), else accepted.
+    * All four gates evaluate declaratively over the batch; the precedence
+    * is one CASE — Catalyst sees a single plan, not four passes. */
+  def admissionVerdictsOn(spark: SparkSession, batch: DataFrame,
+      history: DataFrame, histBloom: Array[Byte], indexPath: String,
+      bsh: DataFrame): DataFrame = {
+    val flags = qualityFlagsOn(batch)
+      .select(col("doc_id"), col("passes"), col("reject_reason"))
+    val notExact = CorpusOps.dedupIncrementalWith(histBloom, history, batch,
+        "doc_id", "text")
+      .select(col("doc_id"), lit(1).as("_new"))
+    val near = Dedup.dedupIndexProbe(spark, indexPath, batch,
+        "doc_id", "text", minEstJaccard = Sketch.MinEstJaccard)
+      .select(col("batch_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1).as("_near"))
+    val contam = CorpusOps.containmentOf(
+        CorpusOps.containmentPairsOn(batch, bsh, "doc_id", "text", 3),
+        bsh, CorpusOps.ContainmentThreshold)
+      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1).as("_contam"))
+    batch.select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .join(notExact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("passes") === 0,
+          concat(lit("quality_"), col("reject_reason")))
+          .when(col("_new").isNull, lit("exact_dup"))
+          .when(col("_near") === 1, lit("near_dup"))
+          .when(col("_contam") === 1, lit("contaminated"))
+          .otherwise(lit("accepted")).as("stage"))
+  }
+
+  /** Twin: the composed CTEs — quality flags over the batch, the sha-set
+    * exact check, the minhash band candidacy over history ∪ batch, and the
+    * containment pairs, fused by the same precedence CASE. */
+  val admissionChainSql: String = {
+    import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift,
+      ContainmentThreshold}
+    import graft.operators.Sketch.{MinEstJaccard, NumHashes}
+    s"""WITH batch AS (
+       |  SELECT doc_id + $ChainExactShift AS doc_id, text
+       |  FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ChainNearShift,
+       |         text || ' fresh ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 13 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ChainCleanShift,
+       |         array_to_string(list_reverse(
+       |           regexp_split_to_array(trim(text), '\\s+')), ' ')
+       |  FROM documents WHERE doc_id % 17 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ContaminatedShift,
+       |         array_to_string(list_transform(
+       |           range(0, $ChainPadTokens), i -> 'pad' || i), ' ')
+       |           || ' ' || text
+       |  FROM documents WHERE doc_id % $BenchmarkMod = 0
+       |    AND len(regexp_split_to_array(trim(text), '\\s+'))
+       |        <= $ChainContamMaxWords
+       |), q AS (
+       |  ${qualityFlagsSqlOver("batch").replace("ORDER BY doc_id", "")}
+       |), ex AS (
+       |  SELECT doc_id FROM batch
+       |  WHERE sha256(text) IN (SELECT sha256(text) FROM documents)
+       |), corpus2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM batch
+       |), ${Sketch.minhashCandidateCtes("corpus2")},
+       |np AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN doc_a >= $ChainExactShift THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM cand
+       |  JOIN sg sa ON doc_a = sa.doc_id
+       |  JOIN sg sb ON doc_b = sb.doc_id
+       |  WHERE (doc_a >= $ChainExactShift) <> (doc_b >= $ChainExactShift)
+       |    AND len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |        / $NumHashes.0 >= $MinEstJaccard
+       |), bsh2 AS (
+       |  SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+       |         range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM documents WHERE doc_id % $BenchmarkMod = 0)
+       |), bsz AS (SELECT bench_id, COUNT(*) AS bench_n FROM bsh2 GROUP BY 1),
+       |tsh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, len(toks)-1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |        FROM batch)
+       |), cp AS (
+       |  SELECT DISTINCT p.doc_id
+       |  FROM (SELECT tsh.doc_id, bsh2.bench_id, COUNT(*) AS n_shared
+       |        FROM tsh JOIN bsh2 USING (s) GROUP BY 1, 2) p
+       |  JOIN bsz USING (bench_id)
+       |  WHERE CAST(n_shared AS DOUBLE) / bench_n >= $ContainmentThreshold
+       |)
+       |SELECT b.doc_id,
+       |  CASE WHEN q.passes = 0 THEN 'quality_' || q.reject_reason
+       |       WHEN b.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM np) THEN 'near_dup'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM cp) THEN 'contaminated'
+       |       ELSE 'accepted' END AS stage
+       |FROM batch b JOIN q ON b.doc_id = q.doc_id
+       |ORDER BY 1""".stripMargin
   }
 
   /** Registry for SparkEntry. */

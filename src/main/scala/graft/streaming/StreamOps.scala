@@ -456,28 +456,12 @@ object StreamOps {
     // C27's deterministic arriving batch — the SHARED derivation, applied
     // map-side to the stream (drain == batch depends on one spelling)
     val arriving = graft.operators.CorpusOps.incrementalBatchOn(d)
-    val acc = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[org.apache.spark.sql.Row]())
-    spark.streams.active.filter(_.name == IndexProbeQueryName)
-      .foreach(_.stop())
-    val q = arriving.writeStream.queryName(IndexProbeQueryName)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch {
-        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          acc.addAll(java.util.Arrays.asList(
-            graft.operators.Dedup.dedupIndexProbe(mb.sparkSession, path, mb,
-              "doc_id", "text",
-              minEstJaccard = graft.operators.Sketch.MinEstJaccard)
-              .collect(): _*))
-          ()
-      }.start()
-    q.awaitTermination()
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    spark.createDataFrame(acc,
-        StructType(Seq(StructField("batch_id", LongType),
-          StructField("hist_id", LongType),
-          StructField("est_jaccard", DoubleType))))
+    // per-batch probes drain through the parquet sink (driver O(1)) — the
+    // same discipline as every other corpus-sized drain in this file
+    drainViaParquetSink(spark, arriving, IndexProbeQueryName,
+      xform = mb => graft.operators.Dedup.dedupIndexProbe(
+        mb.sparkSession, path, mb, "doc_id", "text",
+        minEstJaccard = graft.operators.Sketch.MinEstJaccard))
       .orderBy(col("batch_id"), col("hist_id"))
   }
 
@@ -509,29 +493,10 @@ object StreamOps {
       .select(col("doc_id"), col("text"))
     // the SHARED seeded-leak derivation, applied map-side to the stream
     val train = CorpusOps.containmentLeakTrainOn(d)
-    val acc = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[org.apache.spark.sql.Row]())
-    spark.streams.active.filter(_.name == DecontaminateQueryName)
-      .foreach(_.stop())
-    val q = train.writeStream.queryName(DecontaminateQueryName)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch {
-        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          acc.addAll(java.util.Arrays.asList(
-            CorpusOps.containmentOf(
-              CorpusOps.containmentPairsOn(mb, bsh, "doc_id", "text", 3),
-              bsh, CorpusOps.ContainmentThreshold).collect(): _*))
-          ()
-      }.start()
-    q.awaitTermination()
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    spark.createDataFrame(acc,
-        StructType(Seq(StructField("train_id", LongType),
-          StructField("bench_id", LongType),
-          StructField("n_shared", LongType),
-          StructField("bench_n", LongType),
-          StructField("containment", DoubleType))))
+    drainViaParquetSink(spark, train, DecontaminateQueryName,
+      xform = mb => CorpusOps.containmentOf(
+        CorpusOps.containmentPairsOn(mb, bsh, "doc_id", "text", 3),
+        bsh, CorpusOps.ContainmentThreshold))
       .orderBy(col("train_id"), col("bench_id"))
   }
 
@@ -743,7 +708,47 @@ object StreamOps {
       assertSingleBatch = true).orderBy(col("doc_id"))
   }
 
+  val AdmissionQueryName = "graft_stream_admission_chain"
+
+  /** B61: the FULL ingest quarantine chain as one streaming operator —
+    * quality gate (B24) → bloom exact-dedup (C27) → persisted-index
+    * near-dup probe (B53) → benchmark containment (B55), composed through
+    * [[graft.operators.Pipeline.admissionVerdictsOn]] (each stage the
+    * existing operator's own spelling; this operator adds ONLY the
+    * composition). Every static side is amortized ONCE, outside the
+    * stream: the history bloom aggregates once and broadcasts per batch,
+    * the band index is the shared persisted scratch, the benchmark
+    * shingles checkpoint once. Each arriving micro-batch maps to per-doc
+    * verdicts with ZERO streaming state (every doc lands wholly in one
+    * batch, so the per-batch verdict equals the global one restricted to
+    * that batch) and the drained verdicts equal the composed batch plan —
+    * oracle-checked against the composed CTEs. At deploy the accepted
+    * stream forwards to storage and the per-stage counters are the
+    * monitoring feed a curation team pages on. */
+  def streamAdmissionChain(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup, Pipeline}
+    val spark = streamingSession(rootSpark)
+    val hist = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupidx", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    val bloom = CorpusOps.historyBloomOf(hist, "text")
+    val bench = hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
+    val bsh = CorpusOps.containmentBenchShingles(bench, "doc_id", "text", 3)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val arriving = Pipeline.admissionBatchOn(d)
+    drainViaParquetSink(spark, arriving, AdmissionQueryName,
+      xform = mb => Pipeline.admissionVerdictsOn(mb.sparkSession, mb,
+        hist, bloom, path, bsh))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_admission_chain" -> (streamAdmissionChain _),
     "stream_pack_bestfit" -> (streamPackBestfit _),
     "stream_phash_probe" -> (streamPhashProbe _),
     "stream_quantile_sketch" -> (streamQuantileSketch _),
@@ -799,6 +804,8 @@ object StreamOps {
     "stream_phash_probe" -> graft.operators.Multimodal.multimodalIndexProbeSql,
     // the one-batch drain replays C71's FFD exactly (same order, same
     // ffdPlace step, empty starting state) → shares its oracle
-    "stream_pack_bestfit" -> graft.operators.CorpusOps.packBestfitSql
+    "stream_pack_bestfit" -> graft.operators.CorpusOps.packBestfitSql,
+    // the drained per-doc verdicts must equal the composed batch CTEs
+    "stream_admission_chain" -> graft.operators.Pipeline.admissionChainSql
   )
 }

@@ -310,4 +310,44 @@ class StreamOpsSpec extends SparkSpec {
     val b = StreamOps.streamEvents(spark, sfDir).count()
     assert(a === b)
   }
+
+  test("B61 admission chain: drain == composed batch verdicts; every " +
+      "class routes to its gate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CorpusOps, Dedup, Pipeline}
+    val hist = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupidx", sfDir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    val bloom = CorpusOps.historyBloomOf(hist, "text")
+    val bsh = CorpusOps.containmentBenchShingles(
+      hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0),
+      "doc_id", "text", 3)
+    val batch = Pipeline
+      .admissionVerdictsOn(spark, Pipeline.admissionBatchOn(hist),
+        hist, bloom, path, bsh)
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val streamed = StreamOps.streamAdmissionChain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(batch.nonEmpty && streamed.toSeq === batch.toSeq)
+    val byClass = batch.groupBy(_._1 / 100000000L)
+    // exact copies: caught by the bloom gate unless quality rejects first
+    byClass(2L).foreach { case (id, s) =>
+      assert(s == "exact_dup" || s.startsWith("quality_"), s"$id -> $s") }
+    assert(byClass(2L).exists(_._2 == "exact_dup"))
+    // suffixed variants: the band probe catches them
+    assert(byClass(3L).exists(_._2 == "near_dup"))
+    // word-order reversals: every word-level quality stat is unchanged and
+    // no 3-shingle survives — NO dedup gate may fire, and some are accepted
+    byClass(4L).foreach { case (id, s) =>
+      assert(s == "accepted" || s.startsWith("quality_"), s"$id -> $s") }
+    assert(byClass(4L).exists(_._2 == "accepted"))
+    // padded benchmark embeddings: containment catches what Jaccard misses
+    // (never accepted, never an exact dup)
+    byClass(5L).foreach { case (id, s) =>
+      assert(s != "accepted" && s != "exact_dup", s"$id -> $s") }
+    assert(byClass(5L).exists(_._2 == "contaminated"))
+  }
 }
