@@ -28,7 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
-    "zorder_prune", "hilbert_prune", "footer_prune",
+    "zorder_prune", "hilbert_prune", "footer_prune", "footer_prune_hilbert",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
@@ -152,6 +152,7 @@ class PlanGuardSpec extends SparkSpec {
     "quantile_sketch" -> 5, // (day,bucket) partial agg + O(buckets) merge agg + ONE cum+total window exchange + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
     "multimodal_dedup" -> 3, // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
     "footer_prune" -> 3, // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
+    "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
     "phash_index_probe" -> 3 // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
   )
 
