@@ -389,18 +389,22 @@ object Multimodal {
     * history shuffle, candidate volume O(matching frames). The τ-gate
     * divides exact integers, so the score is engine-identical. */
   def frameContainment(history: DataFrame, probe: DataFrame): DataFrame = {
+    // history frames are NEVER pre-deduplicated: that would shuffle every
+    // history frame before the join. The raw frame stream feeds the
+    // broadcast join map-side, and set semantics (a frame hash counted
+    // once per (clip, video) however often it repeats) come from the
+    // countDistinct AFTER the join — the only shuffled rows are matches.
     val histFrames = frameHashesOf(history, stride = 1)
       .select(col("media_id").as("hist_id"), col("frame_h48"))
-      .dropDuplicates()
     val clipFrames = frameHashesOf(probe, stride = 1)
       .select(col("media_id").as("clip_id"), col("frame_h48"))
-      .dropDuplicates()
+      .dropDuplicates() // the small broadcast side
     val nClip = clipFrames.groupBy(col("clip_id"))
       .agg(count(lit(1)).as("n_clip"))
     histFrames
       .join(broadcast(clipFrames), "frame_h48")
       .groupBy(col("clip_id"), col("hist_id"))
-      .agg(count(lit(1)).as("n_match"))
+      .agg(countDistinct(col("frame_h48")).as("n_match"))
       .join(broadcast(nClip), "clip_id")
       .select(col("clip_id"), col("hist_id"), col("n_match"), col("n_clip"),
         (col("n_match").cast("double") / col("n_clip")).as("containment"))
