@@ -333,6 +333,37 @@ object ScaleProbe {
         .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
       Dedup.dedupIndexProbe(spark, dedupIdxPath, batch, "doc_id", "text").count()
     }
+    time("dedup_index_admit") {
+      // the C76 admission verb at 24×: append a 1/97 batch's band rows
+      // into the already-built index (O(batch) map-side + write)
+      val batch = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      Dedup.dedupIndexAdmit(dedupIdxPath, "sp24", batch, "doc_id", "text")
+      0L
+    }
+    time("dedup_index_probe_postadmit") {
+      // probe AFTER admission: the index now holds history ∪ batch
+      val batch2 = docs.filter(col("doc_id") % 89 === 0)
+        .select((col("doc_id") + 950000000L).as("doc_id"),
+          concat(col("text"), lit(" again")).as("text"))
+      Dedup.dedupIndexProbe(spark, dedupIdxPath, batch2, "doc_id", "text")
+        .count()
+    }
+    time("ivfpq_admit") {
+      // frozen-codebook list append at 24×: route + encode + partitioned
+      // append, no history shuffle
+      val b = embs.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("emb"))
+      Ann.ivfPqAdmit(spark, ivfPqPath, "sp24", b, "vec_id", "emb", 64)
+      0L
+    }
+    time("multimodal_containment") {
+      // C77 at 24×: raw history frames feed the broadcast clip join
+      // map-side; only matches shuffle
+      Multimodal.frameContainment(
+        Multimodal.mediaTableOf(docs).filter(col("fmt") === "vid"),
+        Multimodal.clipLeaksOf(docs, 97)).count()
+    }
     val shIdxPath = java.nio.file.Files
       .createTempDirectory("graft_probe_shidx").toString
     time("simhash_index_build") {
@@ -409,6 +440,14 @@ object ScaleProbe {
       // per shard — the listener line below is the measured claim), and
       // the drain goes through the parquet sink, never driver memory
       graft.streaming.StreamOps.streamPackBestfit(spark, streamDir).count()
+    }
+    time("stream_admission_chain") {
+      // B61 at 24×: all four gates composed over the replicated feed —
+      // includes the one-off static sides (history band-index build,
+      // bloom aggregate, benchmark shingle checkpoint) plus the per-batch
+      // verdict plan; zero streaming state
+      graft.streaming.StreamOps.streamAdmissionChain(spark, streamDir)
+        .count()
     }
     // embeddings feed staged OUTSIDE the timed block (like the documents/
     // events staging): the probe measures the drain, not the one-off write
