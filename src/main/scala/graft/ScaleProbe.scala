@@ -441,12 +441,31 @@ object ScaleProbe {
       // the drain goes through the parquet sink, never driver memory
       graft.streaming.StreamOps.streamPackBestfit(spark, streamDir).count()
     }
+    // B61's four batch classes are spread 1e8 apart, so its feed needs
+    // source ids < 1e8 — the replicate() shifts (r·1e7, up to ~2.3e8 at
+    // 24×) would alias classes onto each other (e.g. src+1e8 in class A
+    // colliding with src in class B). Re-densify ids (src·reps + r stays
+    // unique and < 1e8) into a chain-specific feed dir.
+    val chainDir = java.nio.file.Files
+      .createTempDirectory("graft_sfeed_chain").toString
+    def writeSingleTo(dirPath: String, df: DataFrame, name: String): Unit = {
+      val stage = s"$dirPath/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dirPath/$name"))
+    }
+    writeSingleTo(chainDir, docs.withColumn("doc_id",
+      (col("doc_id") % 10000000L) * reps +
+        expr("doc_id div 10000000")), "documents.parquet")
     time("stream_admission_chain") {
       // B61 at 24×: all four gates composed over the replicated feed —
       // includes the one-off static sides (history band-index build,
       // bloom aggregate, benchmark shingle checkpoint) plus the per-batch
       // verdict plan; zero streaming state
-      graft.streaming.StreamOps.streamAdmissionChain(spark, streamDir)
+      graft.streaming.StreamOps.streamAdmissionChain(spark, chainDir)
         .count()
     }
     // embeddings feed staged OUTSIDE the timed block (like the documents/

@@ -765,6 +765,10 @@ object CorpusOps {
     dedupIncrementalWith(
       historyBloomOf(history, textCol, bloomEstItems, bloomNumBits),
       history, batchDocs, idCol, textCol)
+      // the gate sort lives on the one-shot entry point only — recurring
+      // callers (the B61 chain, per micro-batch) consume the survivors
+      // through a join and must not pay a discarded per-batch sort
+      .orderBy(col("doc_id"))
 
   /** History's bloom over xxhash64(content) — the broadcastable STATIC
     * side of incremental exact-dedup, factored out so a recurring caller
@@ -783,17 +787,17 @@ object CorpusOps {
   }
 
   /** The probe half of [[dedupIncrementalOn]] against a precomputed
-    * history bloom — one spelling for the one-shot and recurring shapes. */
+    * history bloom — one spelling for the one-shot and recurring shapes
+    * (unsorted; the one-shot entry point adds the gate sort). */
   def dedupIncrementalWith(bloomBytes: Array[Byte], history: DataFrame,
       batchDocs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import GraftSqlBridge.{column, expression}
-    val hist = history.select(col(textCol).as("text"))
     // an empty history aggregates to a NULL bloom: nothing can be a dup
     if (bloomBytes == null)
       return batchDocs
         .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("content_hash"))
-        .orderBy(col("doc_id"))
 
+    val hist = history.select(col(textCol).as("text"))
     val batch = batchDocs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("maybe_dup", column(BloomFilterMightContain(
@@ -805,7 +809,6 @@ object CorpusOps {
       .drop("ch")
     definitelyNew.unionByName(verifiedNew)
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-      .orderBy(col("doc_id"))
   }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame =

@@ -267,10 +267,6 @@ object Multimodal {
   }
 
   // --- C72: persisted pHash index — the deployment shape of C74 -----------
-  /** Persist the media corpus' banded pHash index once (the C54/C56
-    * persisted-index discipline for the multimodal family): one 64-bit
-    * perceptual fingerprint per media row, banded, bucket-partitioned.
-    * Arriving batches probe without re-decoding history. */
   /** Banded fingerprint rows (media_id, phash, _bkt) — the decode+band
     * stage shared by the index build, probe, and admit. */
   private def phashBandRows(media: DataFrame): DataFrame =
@@ -278,6 +274,10 @@ object Multimodal {
       .select(col("media_id"), col("phash"),
         explode(Dedup.simhashBuckets(col("phash"), PhashBandBits)).as("_bkt"))
 
+  /** Persist the media corpus' banded pHash index once (the C54/C56
+    * persisted-index discipline for the multimodal family): one 64-bit
+    * perceptual fingerprint per media row, banded, bucket-partitioned.
+    * Arriving batches probe without re-decoding history. */
   def phashIndexBuild(media: DataFrame, path: String): Unit =
     phashBandRows(media)
       .repartition(col("_bkt"))

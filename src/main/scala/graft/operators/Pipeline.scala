@@ -156,8 +156,10 @@ object Pipeline {
 
   /** The C15 flag chain as SQL over ANY (doc_id, text) table — shared by
     * the C15/C59 oracles and the B61 admission-chain oracle, so the
-    * quality stage cannot fork between the batch and composed twins. */
-  def qualityFlagsSqlOver(table: String): String = {
+    * quality stage cannot fork between the batch and composed twins.
+    * `ordered = false` for embedding inside a CTE (replaces the fragile
+    * `.replace("ORDER BY doc_id", "")` surgery at every composer). */
+  def qualityFlagsSqlOver(table: String, ordered: Boolean = true): String = {
     val in = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH m AS (
        |  SELECT doc_id,
@@ -183,7 +185,7 @@ object Pipeline {
        |       WHEN pass_word_len = 0 THEN 'word_len'
        |       WHEN pass_stopwords = 0 THEN 'no_stopwords'
        |       ELSE 'ok' END AS reject_reason
-       |FROM f ORDER BY doc_id""".stripMargin
+       |FROM f${if (ordered) " ORDER BY doc_id" else ""}""".stripMargin
   }
 
   // --- C16: corpus top-k n-grams -------------------------------------------
@@ -576,7 +578,7 @@ object Pipeline {
 
   val preparePretrainSql: String =
     s"""WITH q AS (
-       |  SELECT doc_id FROM (${qualityFilterChainSql.replace("ORDER BY doc_id", "")})
+       |  SELECT doc_id FROM (${qualityFlagsSqlOver("documents", ordered = false)})
        |  WHERE passes = 1
        |), rep AS (
        |  SELECT doc_id FROM (${CorpusOps.textRepetitionSql.replace("ORDER BY w.doc_id", "")})
@@ -736,7 +738,7 @@ object Pipeline {
     val h16 = CorpusOps.hex4Sql(
       "substr(md5(CAST(doc_id AS VARCHAR) || ':day'), 1, 4)")
     s"""WITH q AS (
-       |  ${qualityFilterChainSql.replace("ORDER BY doc_id", "")}
+       |  ${qualityFlagsSqlOver("documents", ordered = false)}
        |), c AS (
        |  SELECT DATE '$DriftEpoch' + CAST(($h16) % $DriftDays AS INT) AS day,
        |    COUNT(*) AS n_docs,
@@ -787,7 +789,10 @@ object Pipeline {
 
   /** The deterministic arriving batch — ONE spelling shared by the B61
     * stream twin and the oracle (four classes: exact copies, near-dup
-    * variants, clean reversals, contaminated embeddings). */
+    * variants, clean reversals, contaminated embeddings). Precondition:
+    * source ids < 1e8 — the classes are spread 1e8 apart, so a wider
+    * source id space would alias one class onto another (the ScaleProbe
+    * feed re-densifies its replicated ids for exactly this reason). */
   def admissionBatchOn(d: DataFrame): DataFrame = {
     import graft.operators.CorpusOps.{BenchmarkMod, ContaminatedShift}
     val toks = split(trim(col("text")), "\\s+")
@@ -808,9 +813,15 @@ object Pipeline {
     * rejects (fixed precedence, like C15's reject_reason), else accepted.
     * All four gates evaluate declaratively over the batch; the precedence
     * is one CASE — Catalyst sees a single plan, not four passes. */
-  def admissionVerdictsOn(spark: SparkSession, batch: DataFrame,
+  def admissionVerdictsOn(spark: SparkSession, rawBatch: DataFrame,
       history: DataFrame, histBloom: Array[Byte], indexPath: String,
       bsh: DataFrame): DataFrame = {
+    // the batch subtree is referenced FIVE times (base + four gates) and
+    // Catalyst does not dedupe common subtrees across a join DAG — pin it
+    // once so a streaming micro-batch's source scan + class derivation
+    // does not re-run per gate (local-mode block storage, like the
+    // drain helper's pin)
+    val batch = rawBatch.localCheckpoint(true)
     val flags = qualityFlagsOn(batch)
       .select(col("doc_id"), col("passes"), col("reject_reason"))
     val notExact = CorpusOps.dedupIncrementalWith(histBloom, history, batch,
@@ -867,7 +878,7 @@ object Pipeline {
        |    AND len(regexp_split_to_array(trim(text), '\\s+'))
        |        <= $ChainContamMaxWords
        |), q AS (
-       |  ${qualityFlagsSqlOver("batch").replace("ORDER BY doc_id", "")}
+       |  ${qualityFlagsSqlOver("batch", ordered = false)}
        |), ex AS (
        |  SELECT doc_id FROM batch
        |  WHERE sha256(text) IN (SELECT sha256(text) FROM documents)

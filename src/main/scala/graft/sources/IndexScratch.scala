@@ -79,7 +79,11 @@ object IndexScratch {
     locks.computeIfAbsent(s"$path#admit#$tag", _ => new Object).synchronized {
       if (marker.exists()) return false
       append
-      marker.mkdirs()
+      // a failed marker write must fail LOUDLY: returning normally with no
+      // marker would let a later rerun double-admit the batch — exactly
+      // the corruption the marker exists to prevent
+      require(marker.mkdirs() || marker.isDirectory,
+        s"admission marker creation failed: $marker")
       true
     }
   }
