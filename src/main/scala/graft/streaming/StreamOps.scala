@@ -708,6 +708,58 @@ object StreamOps {
       assertSingleBatch = true).orderBy(col("doc_id"))
   }
 
+  val IndexAdmitLoopQueryName = "graft_stream_index_admit_loop"
+
+  /** B62 (library API): the recurring-ingest near-dup LOOP closed — each
+    * micro-batch PROBES the persisted band index and then ADMITS itself,
+    * so later batches dedup against earlier batches' content, not just
+    * the build-time history (B53 probes only; C76 admits only; this is
+    * the composition a recurring ingest actually runs). Each batch's
+    * probe materializes through the sink write BEFORE its admission
+    * append — lazy evaluation would otherwise scan the index after the
+    * batch's own rows landed and surface self-pairs. Admission is tagged
+    * by the micro-batch id, so an at-least-once replay of a batch cannot
+    * double-admit ([[graft.sources.IndexScratch.admitOnce]]).
+    * `maxFilesPerTrigger = 1` makes each source file one admission batch.
+    * Cross-batch detection is pinned by spec (a two-file replay whose
+    * second file near-duplicates the first); a single-batch drain equals
+    * B53's one-shot probe. */
+  def streamIndexAdmitLoop(rootSpark: SparkSession, srcDir: String,
+      glob: String, indexPath: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+    spark.streams.active.filter(_.name == IndexAdmitLoopQueryName)
+      .foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${IndexAdmitLoopQueryName}_sink").toFile
+    try {
+      val q = d.writeStream.queryName(IndexAdmitLoopQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            // the sink write EXECUTES the probe against the pre-admission
+            // index state; only then does this batch append itself
+            graft.operators.Dedup.dedupIndexProbe(mb.sparkSession,
+                indexPath, mb, "doc_id", "text",
+                minEstJaccard = graft.operators.Sketch.MinEstJaccard)
+              .write.mode("append").parquet(sink.getAbsolutePath)
+            graft.operators.Dedup.dedupIndexAdmit(indexPath, s"batch$bid",
+              mb, "doc_id", "text")
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+        .orderBy(col("batch_id"), col("hist_id"))
+    } finally graft.sources.IndexScratch.deleteRec(sink)
+  }
+
   val AdmissionQueryName = "graft_stream_admission_chain"
 
   /** B61: the FULL ingest quarantine chain as one streaming operator —

@@ -311,6 +311,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("B62 recurring-ingest loop: a later batch near-dups an EARLIER " +
+      "batch's admitted content, not just build-time history") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    // history and the ingest feed are DISJOINT doc populations, so any
+    // batch-2 hit can only come from batch-1's admission
+    val history = docs.filter(col("doc_id") % 3 === 1)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = b1.select((col("doc_id") + 900000000L).as("doc_id"),
+      concat(col("text"), lit(" probed")).as("text"))
+    val idx = new java.io.File(java.nio.file.Files
+      .createTempDirectory("graft_adm_loop").toFile, "idx").getPath
+    Dedup.dedupIndexBuild(history, "doc_id", "text", idx)
+    val src = java.nio.file.Files.createTempDirectory("graft_loop_src")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val stage = new java.io.File(src.toFile, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(src.toFile, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime)) // file-source batch order
+    }
+    val t0 = 1700000000000L
+    writeFile(b1, "b1.parquet", t0)
+    writeFile(b2, "b2.parquet", t0 + 60000L)
+    val hits = StreamOps.streamIndexAdmitLoop(spark, src.toString,
+        "b*.parquet", idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // batch 1 probes the PRE-admission index: any hit it surfaces can
+    // only be a natural near-dup against the %3==1 history population —
+    // never against b1 itself (not yet admitted when probed) or b2
+    assert(hits.filter(_._1 < 900000000L).forall(_._2 % 3 == 1),
+      "a batch-1 doc hit non-history content — probe ran post-admission")
+    // batch 2's near-dups surface THROUGH batch-1's admission: every b2
+    // doc is a one-token variant of its b1 source, so its admitted source
+    // MUST appear among its hits — the property B53 (probe-only) cannot
+    // provide
+    val hitPairs = hits.toSet
+    val missing = b1.select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(s => hitPairs.contains((s + 900000000L, s)))
+    assert(missing.isEmpty,
+      s"${missing.length} batch-2 docs missed their admitted batch-1 source")
+  }
+
   test("B61 admission chain: drain == composed batch verdicts; every " +
       "class routes to its gate") {
     import org.apache.spark.sql.functions._
