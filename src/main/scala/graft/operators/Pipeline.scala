@@ -123,30 +123,45 @@ object Pipeline {
     * reason is the FIRST failing rule (fixed precedence) so downstream
     * sampling of rejects is stable. Flags are ints, not booleans — engine
     * boolean formatting differs, exact ints never do. */
+  /** The C15 rule columns over a text column — factored so the gate
+    * ([[qualityFlagsOn]]) and the C78 seed labeler share ONE spelling of
+    * every rule. Pure column algebra: fuses map-side wherever it is
+    * composed, no join needed to attach a label. */
+  private[graft] case class QualityExprs(nWords: Column, awl: Column,
+      nStop: Column, passMin: Column, passMax: Column, passAwl: Column,
+      passStop: Column) {
+    def passes: Column = passMin * passMax * passAwl * passStop
+    def reason: Column =
+      when(passMin === 0, "too_short").when(passMax === 0, "too_long")
+        .when(passAwl === 0, "word_len").when(passStop === 0, "no_stopwords")
+        .otherwise("ok")
+  }
+
+  private[graft] def qualityExprsOf(text: Column): QualityExprs = {
+    val toks = split(trim(text), "\\s+")
+    val nWords = size(toks)
+    val nNonSpace = length(regexp_replace(text, "\\s", ""))
+    val awl = nNonSpace.cast("double") / nWords
+    val nStop = TextAnalysis.stopwordCount(toks, TextOps.Stopwords)
+    QualityExprs(nWords, awl, nStop,
+      (nWords >= 20).cast("int"), (nWords <= 500).cast("int"),
+      (awl >= 2.5 && awl <= 8.0).cast("int"), (nStop >= 1).cast("int"))
+  }
+
   /** The gate's flag columns over any documents frame — a pure
     * (stateless, codegen'd) map stage, so the SAME definition runs over a
     * batch scan or a streaming source (see StreamOps.streamQualityGate). */
   def qualityFlagsOn(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val nWords = size(toks)
-    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
-    val awl = nNonSpace.cast("double") / nWords
-    val nStop = TextAnalysis.stopwordCount(toks, TextOps.Stopwords)
-    val passMin = (nWords >= 20).cast("int")
-    val passMax = (nWords <= 500).cast("int")
-    val passAwl = (awl >= 2.5 && awl <= 8.0).cast("int")
-    val passStop = (nStop >= 1).cast("int")
+    val q = qualityExprsOf(col("text"))
     docs.select(
       col("doc_id"),
-      nWords.as("n_words"),
-      awl.as("avg_word_len"),
-      nStop.as("n_stopwords"),
-      passMin.as("pass_min_words"), passMax.as("pass_max_words"),
-      passAwl.as("pass_word_len"), passStop.as("pass_stopwords"),
-      (passMin * passMax * passAwl * passStop).as("passes"),
-      when(passMin === 0, "too_short").when(passMax === 0, "too_long")
-        .when(passAwl === 0, "word_len").when(passStop === 0, "no_stopwords")
-        .otherwise("ok").as("reject_reason"))
+      q.nWords.as("n_words"),
+      q.awl.as("avg_word_len"),
+      q.nStop.as("n_stopwords"),
+      q.passMin.as("pass_min_words"), q.passMax.as("pass_max_words"),
+      q.passAwl.as("pass_word_len"), q.passStop.as("pass_stopwords"),
+      q.passes.as("passes"),
+      q.reason.as("reject_reason"))
   }
 
   def qualityFilterChain(spark: SparkSession, dir: String): DataFrame =
@@ -925,6 +940,163 @@ object Pipeline {
        |ORDER BY 1""".stripMargin
   }
 
+  // --- C78: model-based quality classifier (multinomial Naive Bayes) ------
+  /** Every NbSeedMod-th doc is the labeled seed — emulating the real
+    * shape: a bounded labeled set, score EVERYTHING. */
+  val NbSeedMod = 3
+  /** Bounded feature vocabulary (top-K by seed frequency, (total desc,
+    * tok) cut — deterministic in both engines, the C31 discipline). */
+  val NbVocabK = 20000
+  /** Quantization grid: micro-nats (the C49/C51 grid, not C31's pico) —
+    * per-token weights are ln of integer count pairs, but the model also
+    * folds two single-value constants (smoothing denominators, class
+    * prior); at 1e6 the floor-boundary flip window per value is ~4e-10,
+    * negligible, while log-odds keep ~1e-6-nat resolution. */
+  val NbQuantumSql = "1e6"
+
+  /** Frozen NB model: the bounded per-token weight table (broadcast at
+    * score time) + the quantized per-token smoothing constant and class
+    * prior. All three live on the same micro-nat grid, so scoring is
+    * exact integer arithmetic until one final division. */
+  private[graft] case class NbModel(weights: DataFrame, perTokQ: Long,
+      priorQ: Long)
+
+  /** (doc_id, toks, seed_label) over any documents frame: seed_label is
+    * the C15 gate's own composite pass bit ([[qualityExprsOf]] — one
+    * spelling, fused map-side, no flags join) on seed rows, NULL
+    * elsewhere. */
+  private[graft] def nbFrameOf(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"),
+      when(col(idCol) % NbSeedMod === 0,
+        qualityExprsOf(col(textCol)).passes).as("seed_label"))
+
+  /** Train multinomial NB with add-one smoothing on the labeled seed rows
+    * of a [[nbFrameOf]] frame. One token-explode aggregation (shuffle
+    * bounded by the vocabulary, map-side partials) trains the
+    * class-conditional counts; the top-K cut and the four scalar totals
+    * are bounded driver literals (the lmVocabOf pattern). Weight per kept
+    * token = ln((c1+1)/(c0+1)) micro-nat-quantized; tokens outside the
+    * cut are OOV for BOTH classes, so their whole contribution is the
+    * per-token smoothing constant — OOV needs no bin of its own. */
+  private[graft] def nbTrain(frame: DataFrame): NbModel = {
+    val seedToks = frame.filter(col("seed_label").isNotNull)
+      .select(explode(col("toks")).as("tok"),
+        col("seed_label").cast("bigint").as("label"))
+    val counts = seedToks.groupBy(col("tok"))
+      .agg(sum(col("label")).as("c1"),
+        sum(lit(1L) - col("label")).as("c0"))
+      .localCheckpoint(eager = true)
+    val vocab = counts
+      .orderBy((col("c1") + col("c0")).desc, col("tok"))
+      .limit(NbVocabK).localCheckpoint(eager = true)
+    val t = vocab.agg(coalesce(sum(col("c1")), lit(0L)),
+      coalesce(sum(col("c0")), lit(0L)), count(lit(1))).head()
+    val (t1, t0, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d = frame.filter(col("seed_label").isNotNull)
+      .agg(coalesce(sum(col("seed_label").cast("bigint")), lit(0L)),
+        count(lit(1))).head()
+    val d1 = d.getLong(0); val d0 = d.getLong(1) - d1
+    val weights = vocab.select(col("tok"),
+      expr(s"CAST(floor((ln(CAST(c1 + 1 AS DOUBLE)) - " +
+        s"ln(CAST(c0 + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT)").as("w_q"))
+    // scala math.log IS the ln Spark's expression evaluates (both
+    // java.lang.Math.log), so driver constants and executor weights sit
+    // on one grid; DuckDB parity rests on the same integer-input-ln
+    // argument as the weights themselves (C31/C49 discipline).
+    val q = 1e6
+    NbModel(weights,
+      math.floor((math.log(t0 + v + 1.0) - math.log(t1 + v + 1.0)) * q).toLong,
+      math.floor((math.log(d1 + 1.0) - math.log(d0 + 1.0)) * q).toLong)
+  }
+
+  /** Score ANY [[nbFrameOf]]-shaped frame under a frozen model: token
+    * explode → broadcast weight join → one partially-aggregated row per
+    * doc. The corpus never shuffles; log-odds stay integer micro-nats
+    * until the final division, and the predicted label compares the
+    * INTEGER sum with zero — engine-exact. */
+  private[graft] def nbScore(model: NbModel, frame: DataFrame): DataFrame = {
+    val scoreQ = col("_wq") + col("n_tokens").cast("bigint") * model.perTokQ +
+      model.priorQ
+    frame.select(col("doc_id"), col("seed_label"),
+        explode(col("toks")).as("tok"))
+      .join(broadcast(model.weights), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("seed_label"))
+      .agg(sum(coalesce(col("w_q"), lit(0L))).as("_wq"),
+        count(lit(1)).cast("int").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (scoreQ.cast("double") / expr(NbQuantumSql)).as("log_odds"),
+        (scoreQ >= 0).cast("int").as("pred"),
+        col("seed_label").cast("int").as("seed_label"))
+    // no gate sort here — the one-shot entry point adds it; recurring
+    // callers (B63, per micro-batch) must not pay a discarded sort
+  }
+
+  /** The model-based quality filter every production pipeline pairs with
+    * the heuristic gate (CCNet's fastText shape): train a multinomial
+    * Naive Bayes on a BOUNDED labeled seed (every [[NbSeedMod]]-th doc,
+    * labeled by the C15 gate's own pass bit — classifier distills the
+    * heuristic, then generalizes it to token evidence), score the whole
+    * corpus with per-doc log-odds and a predicted label. seed_label rides
+    * along (NULL off-seed) so disagreement analysis — the reason to
+    * train a classifier at all — is one filter away. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val frame = nbFrameOf(Tables(spark, dir).documents, "doc_id", "text")
+    nbScore(nbTrain(frame), frame).orderBy(col("doc_id"))
+  }
+
+  /** Twin: the same seed labeling (the C15 flags CTE — one spelling),
+    * counts, (total desc, tok) cut, scalar totals, micro-nat weights and
+    * constants, and integer scoring. */
+  val qualityClassifierSql: String =
+    s"""WITH fl AS (
+       |  SELECT doc_id, passes
+       |  FROM (${qualityFlagsSqlOver("documents", ordered = false)})
+       |), d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    CASE WHEN doc_id % $NbSeedMod = 0 THEN passes ELSE NULL END AS seed_label
+       |  FROM documents JOIN fl USING (doc_id)
+       |), st AS (
+       |  SELECT unnest(toks) AS tok, CAST(seed_label AS BIGINT) AS label
+       |  FROM d WHERE seed_label IS NOT NULL
+       |), cnt AS (
+       |  SELECT tok, CAST(SUM(label) AS BIGINT) AS c1,
+       |         CAST(SUM(1 - label) AS BIGINT) AS c0
+       |  FROM st GROUP BY 1
+       |), v AS (
+       |  SELECT tok, c1, c0 FROM cnt ORDER BY (c1 + c0) DESC, tok LIMIT $NbVocabK
+       |), sc AS (
+       |  SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t1,
+       |         CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS t0,
+       |         COUNT(*) AS vn
+       |  FROM v
+       |), dc AS (
+       |  SELECT CAST(COALESCE(SUM(seed_label), 0) AS BIGINT) AS d1,
+       |         COUNT(*) AS dn
+       |  FROM d WHERE seed_label IS NOT NULL
+       |), w AS (
+       |  SELECT tok, CAST(floor((ln(CAST(c1 + 1 AS DOUBLE)) -
+       |    ln(CAST(c0 + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT) AS w_q
+       |  FROM v
+       |), k AS (
+       |  SELECT CAST(floor((ln(CAST(t0 + vn + 1 AS DOUBLE)) -
+       |           ln(CAST(t1 + vn + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT) AS ptq,
+       |         CAST(floor((ln(CAST(d1 + 1 AS DOUBLE)) -
+       |           ln(CAST(dn - d1 + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT) AS prq
+       |  FROM sc CROSS JOIN dc
+       |), terms AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(COALESCE(w_q, 0)) AS BIGINT) AS wq,
+       |         COUNT(*) AS nt
+       |  FROM terms LEFT JOIN w USING (tok) GROUP BY 1)
+       |SELECT d.doc_id, CAST(nt AS INT) AS n_tokens,
+       |  CAST(wq + nt * ptq + prq AS DOUBLE) / $NbQuantumSql AS log_odds,
+       |  CAST(CASE WHEN wq + nt * ptq + prq >= 0 THEN 1 ELSE 0 END AS INT) AS pred,
+       |  CAST(seed_label AS INT) AS seed_label
+       |FROM d JOIN s USING (doc_id) CROSS JOIN k
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_drift" -> (qualityDrift _),
@@ -939,7 +1111,8 @@ object Pipeline {
     "dedup_keep_best" -> (dedupKeepBest _),
     "curate_pipeline" -> (curatePipeline _),
     "mine_pairs" -> (minePairs _),
-    "prepare_pretrain" -> (preparePretrain _)
+    "prepare_pretrain" -> (preparePretrain _),
+    "quality_classifier" -> (qualityClassifier _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -955,6 +1128,7 @@ object Pipeline {
     "dedup_keep_best" -> dedupKeepBestSql,
     "curate_pipeline" -> curatePipelineSql,
     "mine_pairs" -> minePairsSql,
-    "prepare_pretrain" -> preparePretrainSql
+    "prepare_pretrain" -> preparePretrainSql,
+    "quality_classifier" -> qualityClassifierSql
   )
 }

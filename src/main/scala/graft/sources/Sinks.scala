@@ -342,8 +342,29 @@ object Sinks {
 
   private def footerPruneOver(spark: SparkSession, root: String,
       build: String => Unit): DataFrame = {
-    import spark.implicits._
     IndexScratch.ensure(root)(build)
+    val stats = footerStatsOf(spark, root)
+    val box = stats.agg(min(col("x_min")).as("xmin"), max(col("x_max")).as("xmax"),
+      min(col("d_min")).as("dmin"), max(col("d_max")).as("dmax"))
+    stats.crossJoin(broadcast(box))
+      .select(col("file_id"), col("n_rows"),
+        col("x_min"), col("x_max"), col("d_min"), col("d_max"),
+        expr("""CAST(x_max >= xmin + (xmax - xmin) div 4
+               |  AND x_min <= xmin + (xmax - xmin) div 2
+               |  AND d_max >= dmin + (dmax - dmin) div 4
+               |  AND d_min <= dmin + (dmax - dmin) div 2
+               |  AS INT)""".stripMargin.replaceAll("\n", " "))
+          .as("overlaps"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Distributed footer-stats scan over a written key-binned root: the
+    * driver only LISTS the `_fid=` directories (as a catalog would); the
+    * executors read each file's parquet footer — one [[FooterStat]] row
+    * per file, no data page ever read. Shared by the C75/C75b prune
+    * audits and the D3 compaction planner. */
+  private def footerStatsOf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
     // List through the Hadoop FileSystem resolved from the path, not
     // java.io.File — the catalog-style audit must work against object-store
     // and HDFS roots, not only the local filesystem the harness happens to
@@ -373,7 +394,7 @@ object Sinks {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.toArray
     }
-    val stats = spark.createDataset(files).mapPartitions { it =>
+    spark.createDataset(files).mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration(false)
       confBc.value.foreach { case (k, v) => conf.set(k, v) }
       it.map { case (fid, p) =>
@@ -400,29 +421,104 @@ object Sinks {
         } finally r.close()
       }
     }.toDF()
-    val box = stats.agg(min(col("x_min")).as("xmin"), max(col("x_max")).as("xmax"),
-      min(col("d_min")).as("dmin"), max(col("d_max")).as("dmax"))
-    stats.crossJoin(broadcast(box))
-      .select(col("file_id"), col("n_rows"),
-        col("x_min"), col("x_max"), col("d_min"), col("d_max"),
-        expr("""CAST(x_max >= xmin + (xmax - xmin) div 4
-               |  AND x_min <= xmin + (xmax - xmin) div 2
-               |  AND d_max >= dmin + (dmax - dmin) div 4
-               |  AND d_min <= dmin + (dmax - dmin) div 2
-               |  AS INT)""".stripMargin.replaceAll("\n", " "))
-          .as("overlaps"))
+  }
+
+  // --- D3: small-file compaction planner — real footers, FFD groups -------
+  /** Compaction-group budget as a fraction of the table: budget =
+    * max(1, total_rows / CompactFrac) rows per group. Fraction-of-total
+    * rather than an absolute constant so the plan exercises multi-file
+    * groups at every sf; a deploy sets an absolute row/byte target — the
+    * plan shape is identical. */
+  val CompactFrac = 8L
+
+  /** The lakehouse OPTIMIZE planner: which small files coalesce into
+    * which compacted output file. The zbin scratch's value-range writer
+    * leaves skewed file sizes (that skew is WHY compaction exists); the
+    * planner reads ONLY real parquet footers (row counts — O(files), no
+    * data page touched, like C75) and bin-packs the files into
+    * target-size groups with the SAME FFD kernel C71/B60 pack documents
+    * with — one greedy spelling repo-wide (Johnson 1973). Output
+    * (file_id, n_rows, grp, grp_off): grp is the compacted output file,
+    * grp_off the row offset within it, so a rewrite job can stream each
+    * group concatenating in file_id order with no further planning.
+    * O(files) is catalog-bounded (the driver already lists it), so the
+    * single FFD call sees one small array; at deploy scale the planner
+    * runs per partition/bucket of the table, exactly as OPTIMIZE does.
+    * Oracle: per-file row counts re-derived from the zkey chain
+    * ([[zbinFileCtes]] — first principles, footers NOT trusted, the C75
+    * discipline) and the greedy replayed one file per recursion step
+    * (the C71 oracle's spelling). */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.textsketch.ffd_pack
+    val root = IndexScratch.path("zbin", dir)
+    IndexScratch.ensure(root)(tmp =>
+      writeKeyBinned(zorderLayout(spark, dir), "zkey", tmp))
+    // bounded O(files) frame, read twice (total, then the pack) — pin it
+    val stats = footerStatsOf(spark, root)
+      .select(col("file_id"), col("n_rows"))
+      .localCheckpoint(eager = true)
+    val total = stats.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+    val budget = math.max(1L, total / CompactFrac)
+    stats
+      .agg(sort_array(collect_list(struct((-col("n_rows")).as("nl"),
+        col("file_id")))).as("_d"))
+      .select(explode(ffd_pack(col("_d"), budget)).as("_p"))
+      .select(col("_p.doc_id").as("file_id"), col("_p.n_tokens").as("n_rows"),
+        col("_p.bin").as("grp"), col("_p.bin_off").as("grp_off"))
       .orderBy(col("file_id"))
   }
 
-  /** Twin: the zkey chain binned by its top bits — what the footers MUST
-    * contain if the writer and the statistics are honest. */
-  val footerPruneSql: String = {
+  /** Twin: [[zbinFileCtes]] re-derives each file's row count from first
+    * principles; the FFD greedy replays one file per recursion step
+    * carrying the group-load list (the C71 oracle's recursion, single
+    * shard — the file list is catalog-bounded). */
+  lazy val compactPlanSql: String =
+    s"""WITH RECURSIVE $zbinFileCtes,
+       |b AS (SELECT GREATEST(1, CAST(SUM(n_rows) AS BIGINT) // $CompactFrac) AS budget FROM f),
+       |q AS (
+       |  SELECT CAST(file_id AS BIGINT) AS file_id,
+       |         CAST(n_rows AS BIGINT) AS n_rows,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, file_id) AS INT) AS step
+       |  FROM f
+       |), r AS (
+       |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS file_id, CAST(NULL AS BIGINT) AS n_rows,
+       |         CAST(NULL AS INT) AS grp, CAST(NULL AS BIGINT) AS grp_off
+       |  UNION ALL
+       |  SELECT step,
+       |    CASE WHEN pos IS NULL THEN list_append(loads, n_rows)
+       |         ELSE list_transform(list_zip(loads, range(1, len(loads) + 1)),
+       |                p -> CASE WHEN p[2] = pos THEN p[1] + n_rows
+       |                     ELSE p[1] END)
+       |    END AS loads,
+       |    file_id, n_rows,
+       |    CAST(CASE WHEN pos IS NULL THEN len(loads) + 1 ELSE pos END AS INT) AS grp,
+       |    CASE WHEN pos IS NULL THEN 0 ELSE loads[pos] END AS grp_off
+       |  FROM (
+       |    SELECT q.step, r.loads, q.file_id, q.n_rows,
+       |      -- list_position yields 0 (not NULL) when nothing fits;
+       |      -- budget rides in via the cross join (DuckDB lambdas cannot
+       |      -- hold subqueries, but they CAN capture joined columns)
+       |      NULLIF(list_position(
+       |        list_transform(r.loads, x -> x + q.n_rows <= b.budget),
+       |        true), 0) AS pos
+       |    FROM r JOIN q ON q.step = r.step + 1 CROSS JOIN b)
+       |)
+       |SELECT file_id, n_rows, grp, CAST(grp_off AS BIGINT) AS grp_off
+       |FROM r WHERE file_id IS NOT NULL ORDER BY file_id""".stripMargin
+
+  /** Shared oracle prefix (C75 + D3): the zkey chain binned to file ids
+    * with per-file stats — what the zbin writer MUST have put in each
+    * footer if the writer and the statistics are honest. ONE spelling, so
+    * the prune audit and the compaction planner cannot fork the file
+    * derivation. */
+  private val zbinFileCtes: String = {
     val m = (1L << ZOrderBits) - 1
     val shift = 2 * ZOrderBits - FooterFilesLog
     val terms = (0 until ZOrderBits).map { i =>
       s"((zx >> $i) & 1) * ${1L << (2 * i)} + ((zd >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
-    s"""WITH o AS (
+    s"""o AS (
        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d
        |  FROM orders
@@ -438,7 +534,13 @@ object Sinks {
        |  SELECT ($terms) >> $shift AS file_id, COUNT(*) AS n_rows,
        |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max
        |  FROM n GROUP BY 1
-       |), g AS (
+       |)""".stripMargin
+  }
+
+  /** Twin: the zkey chain binned by its top bits — what the footers MUST
+    * contain if the writer and the statistics are honest. */
+  val footerPruneSql: String = {
+    s"""WITH $zbinFileCtes, g AS (
        |  SELECT MIN(x_min) AS xmin, MAX(x_max) AS xmax,
        |         MIN(d_min) AS dmin, MAX(d_max) AS dmax
        |  FROM f)
@@ -543,7 +645,8 @@ object Sinks {
     "zorder_prune" -> (zorderPrune _),
     "hilbert_prune" -> (hilbertPrune _),
     "footer_prune" -> (footerPrune _),
-    "footer_prune_hilbert" -> (footerPruneHilbert _))
+    "footer_prune_hilbert" -> (footerPruneHilbert _),
+    "compact_plan" -> (compactPlan _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
@@ -551,7 +654,8 @@ object Sinks {
     "zorder_prune" -> zorderPruneSql,
     "hilbert_prune" -> hilbertPruneSql,
     "footer_prune" -> footerPruneSql,
-    "footer_prune_hilbert" -> footerPruneHilbertSql)
+    "footer_prune_hilbert" -> footerPruneHilbertSql,
+    "compact_plan" -> compactPlanSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

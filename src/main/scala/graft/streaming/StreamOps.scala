@@ -399,6 +399,33 @@ object StreamOps {
     }
   }
 
+  val NbScoreQueryName = "graft_stream_nb_score"
+
+  /** B63: C78's NB quality classifier over a LIVE document feed — the
+    * other half of the production LM-gate pair (B51 scores fluency, this
+    * scores learned quality): the model trains OFFLINE on the static
+    * corpus's labeled seed ([[graft.operators.Pipeline.nbTrain]] — a
+    * bounded broadcast weight table + two quantized constants), then
+    * every arriving document scores statelessly. Per micro-batch the
+    * rollup runs via foreachBatch — each doc lands wholly in one batch,
+    * so per-batch scoring == the global restricted to the batch, with
+    * ZERO streaming state — and executors write straight to the parquet
+    * sink (driver O(1) however long the feed runs). On the training
+    * corpus the drain EQUALS the batch C78 and shares its oracle. */
+  def streamNbScore(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val model = graft.operators.Pipeline.nbTrain(
+      graft.operators.Pipeline.nbFrameOf(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    drainViaParquetSink(spark, docs, NbScoreQueryName,
+      xform = mb => graft.operators.Pipeline.nbScore(model,
+        graft.operators.Pipeline.nbFrameOf(mb, "doc_id", "text")))
+      .orderBy(col("doc_id"))
+  }
+
   val HhQueryName = "graft_stream_hh_topk"
 
   /** Per-day sketch capacity for the streaming heavy-hitters board: at the
@@ -816,6 +843,7 @@ object StreamOps {
     "stream_topk" -> (streamTopk _),
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
+    "stream_nb_score" -> (streamNbScore _),
     "stream_quality_drift" -> (streamQualityDrift _),
     "stream_index_probe" -> (streamIndexProbe _),
     "stream_entropy_gate" -> (streamEntropyGate _),
@@ -840,6 +868,9 @@ object StreamOps {
     "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql,
     // the map-side scored stream must equal the batch KN query
     "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql,
+    // drain == batch C78 (stateless per-doc scoring under the same
+    // offline-trained model) — shares its oracle verbatim
+    "stream_nb_score" -> graft.operators.Pipeline.qualityClassifierSql,
     // the drained drift board must equal the batch C59 query
     "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql,
     // the accumulated per-batch probes must equal the one-shot C54 probe

@@ -155,7 +155,9 @@ class PlanGuardSpec extends SparkSpec {
     "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
     "dedup_index_admit" -> 3, // band-append is pure write; the probe broadcasts the batch sketch onto the index scan — pair-dedup exchange + est agg + gate sort
     "multimodal_containment" -> 8, // raw history frames feed the broadcast clip join MAP-SIDE; every exchange after it carries matches only (countDistinct partials + τ rollup + gate sort), never history frames
-    "phash_index_probe" -> 3 // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
+    "phash_index_probe" -> 3, // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
+    "compact_plan" -> 3, // O(files) footer stats into ONE single-partition FFD agg (catalog-bounded array) + gate sort; the training/footer scans are behind the eager checkpoint
+    "quality_classifier" -> 2 // token explode feeds the BROADCAST weight join map-side; per-doc partial agg + gate sort — the corpus never shuffles, the model is driver-bounded
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

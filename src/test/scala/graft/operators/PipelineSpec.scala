@@ -336,4 +336,34 @@ class PipelineSpec extends SparkSpec {
       assert(last._3 + last._4 - 1 === n)
     }
   }
+
+  test("quality_classifier: NB scores every doc; learns past the majority baseline (C78)") {
+    val rows = Pipeline.qualityClassifier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    // one scored row per document — scoring never drops the off-seed corpus
+    val docs = graft.sources.Tables(spark, sfDir).documents.count()
+    assert(rows.length === docs)
+    // seed labels ride exactly on the seed rows, and are the C15 gate's
+    // own pass bit (one spelling — recompute via qualityFlagsOn)
+    val gate = Pipeline.qualityFlagsOn(
+      graft.sources.Tables(spark, sfDir).documents)
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, _, _, _, lbl) =>
+      assert(lbl.isDefined === (id % Pipeline.NbSeedMod == 0), s"doc $id")
+      lbl.foreach(l => assert(l === gate(id), s"doc $id label forked"))
+    }
+    // pred is the sign of the integer log-odds sum
+    rows.foreach { case (id, _, lo, p, _) =>
+      assert((lo >= 0) === (p == 1), s"doc $id pred/log_odds disagree")
+    }
+    // the classifier must LEARN the heuristic from token evidence alone:
+    // seed agreement strictly above the majority-class baseline
+    // (deterministic corpus — 152 vs 147 at this sf)
+    val seed = rows.flatMap { case (_, _, _, p, l) => l.map(p -> _) }
+    val agree = seed.count { case (p, l) => p == l }
+    val maj = math.max(seed.count(_._2 == 1), seed.count(_._2 == 0))
+    assert(agree > maj, s"agree=$agree not above majority=$maj")
+  }
 }

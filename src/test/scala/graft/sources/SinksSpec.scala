@@ -222,4 +222,33 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 10)
     assert(back.columns.contains("webhook_json"))
   }
+
+  test("compact_plan: FFD groups from real footers — coverage, no overflow (D3)") {
+    val plan = Sinks.compactPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(plan.nonEmpty)
+    // every footer file is planned exactly once…
+    assert(plan.map(_._1).distinct.length === plan.length)
+    // …and the planned rows cover the table exactly (nothing lost by a
+    // rewrite that streams each group)
+    val total = graft.sources.Tables(spark, sfDir).orders.count()
+    assert(plan.map(_._2).sum === total)
+    val budget = math.max(1L, total / Sinks.CompactFrac)
+    plan.groupBy(_._3).foreach { case (grp, fs) =>
+      // no group exceeds the budget unless it is one oversized file
+      // (FFD's own-bin rule for len > budget)
+      assert(fs.map(_._2).sum <= budget || fs.length == 1,
+        s"group $grp overflows")
+      // offsets tile the group contiguously in placement order
+      val inOrder = fs.sortBy(_._4)
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._2, s"gap in group $grp")
+        case _ => ()
+      }
+      assert(inOrder.head._4 === 0L)
+    }
+    // the value-range writer leaves skew; the plan must actually compact
+    // (fewer output files than input files)
+    assert(plan.map(_._3).distinct.length < plan.length)
+  }
 }

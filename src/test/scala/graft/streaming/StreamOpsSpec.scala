@@ -194,6 +194,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed NB scorer equals the batch classifier (B63 == C78)") {
+    val s = StreamOps.streamNbScore(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.Pipeline.qualityClassifier(spark, sfDir)
+      .collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed quality-drift board equals the batch C59 query") {
     val s = StreamOps.streamQualityDrift(spark, sfDir).collect()
       .map(_.toString)
