@@ -265,6 +265,74 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Viterbi best segmentation of ONE word under a unigram-LM piece
+    * vocabulary (Kudo 2018's inference step, integer-cost form): pieces
+    * carry micro-nat-quantized costs, unknown SINGLE characters fall back
+    * to `unkCost` (so the DP is total — no infinities anywhere), and the
+    * lattice is walked positions 1..n with arcs (j → i) for piece lengths
+    * 1..maxLen. Tie rule, mirrored by the SQL twin's
+    * first-minimum-in-j-ascending-order: at equal cost the SMALLEST j
+    * (longest final piece) wins — the forward pass iterates j ascending
+    * with a strict `<`, so the kept argmin IS the first j achieving the
+    * final minimum. Appends the word's pieces to `out`. O(n·maxLen). */
+  def uniSegmentWord(word: String, costs: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, unkCost: Long, out: java.util.ArrayList[AnyRef]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val best = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bi = Long.MaxValue
+      var bj = -1
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val c: java.lang.Long =
+          if (i - j == 1) {
+            val x = costs.get(word.substring(j, i))
+            if (x == null) java.lang.Long.valueOf(unkCost) else x
+          } else costs.get(word.substring(j, i))
+        if (c != null) {
+          val v = best(j) + c.longValue
+          if (v < bi) { bi = v; bj = j }
+        }
+        j += 1
+      }
+      best(i) = bi
+      back(i) = bj
+      i += 1
+    }
+    // backtrace: collect split points, then emit pieces left-to-right
+    val cuts = new java.util.ArrayList[Integer](8)
+    var p = n
+    while (p > 0) { cuts.add(Integer.valueOf(p)); p = back(p) }
+    var k = cuts.size - 1
+    var start = 0
+    while (k >= 0) {
+      val end = cuts.get(k).intValue
+      out.add(UTF8String.fromString(word.substring(start, end)))
+      start = end
+      k -= 1
+    }
+  }
+
+  /** Per-document unigram segmentation: every token of the array segments
+    * through [[uniSegmentWord]] and the pieces concatenate in token order
+    * — ONE kernel call per document (the greedy_phrase_merge discipline:
+    * a codegen'd kernel, not an interpreted per-token HOF lambda). */
+  def uniSegmentAll(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      costs: java.util.HashMap[String, java.lang.Long], maxLen: Int,
+      unkCost: Long): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n * 2)
+    var i = 0
+    while (i < n) {
+      uniSegmentWord(arr.getUTF8String(i).toString, costs, maxLen, unkCost, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Stopword membership count over a token array: one HashSet probe per
     * token. The HOF spelling (`size(filter(toks, _.isin(...)))`) evaluates
     * an interpreted per-token lambda — and, being CodegenFallback, re-runs
@@ -419,6 +487,41 @@ case class GreedyPhraseMerge(child: Expression, phrases: Seq[String])
     val setRef = ctx.addReferenceObj("phraseSet", set, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.greedyMerge($x, $setRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unigram-LM (SentencePiece-style) Viterbi segmentation of a token-array
+  * column (see TextKernels.uniSegmentAll): each token segments into the
+  * min-cost piece sequence under a BOUNDED quantized-cost vocabulary
+  * (driver literal, attached as a reference object), pieces concatenated
+  * in token order — one codegen'd kernel call per document, zero joins,
+  * zero shuffles. Unknown single characters cost `unkCost`, so the
+  * expression is total over any input. */
+case class UnigramSegmentAll(child: Expression, vocab: Seq[(String, Long)],
+    maxLen: Int, unkCost: Long) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment_all"
+
+  @transient private lazy val costs
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.uniSegmentAll(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      costs, maxLen, unkCost)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("uniCosts", costs, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$" +
+        s".uniSegmentAll($x, $mapRef, $maxLen, ${unkCost}L);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -681,6 +784,10 @@ object textsketch {
 
   def ffd_pack(docs: Column, budget: Long): Column =
     column(FfdPack(expression(docs), budget))
+
+  def unigram_segment_all(toks: Column, vocab: Seq[(String, Long)],
+      maxLen: Int, unkCost: Long): Column =
+    column(UnigramSegmentAll(expression(toks), vocab, maxLen, unkCost))
 
   def char_entropy_stats(text: Column): Column =
     column(CharEntropyStats(expression(text)))

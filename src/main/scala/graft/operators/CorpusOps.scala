@@ -2492,6 +2492,292 @@ object CorpusOps {
     exportManifestOn(exportAssignOn(Tables(spark, dir).documents,
       "doc_id", "text", ExportNumShards))
 
+  // --- C80: unigram-LM (SentencePiece-style) tokenizer ---------------------
+  /** The SECOND tokenizer family (Kudo 2018), beside the BPE lifecycle
+    * (C52/C60/C73): instead of greedy merge rules, a unigram LM over a
+    * piece vocabulary with Viterbi-EM training — candidates are mined
+    * substrings, each EM round re-segments every word under the current
+    * piece costs and re-estimates counts from the best segmentations.
+    * Probabilistic-sampling regularization (subword dropout) is out of
+    * scope; the hard-EM (Viterbi) variant here is the deterministic core
+    * both engines can replay bit-exactly.
+    *
+    * Scale shape: training statistics live on the WORD HISTOGRAM (one
+    * corpus aggregation, then every EM pass runs over the bounded
+    * histogram — never the corpus again); the trained vocabulary is a
+    * driver literal (≤ UniCandK + alphabet); final encoding is ONE
+    * codegen kernel pass over the corpus (broadcast costs, zero joins,
+    * zero shuffles before the gate sort). Parity: piece costs are
+    * micro-nat-quantized lns of integer counts (the C31/C49 discipline);
+    * the DP and its tie rule (smallest split point at equal cost) are
+    * integer-exact; the oracle replays the same lattice via recursive
+    * CTEs carrying each word's best-cost list — the FFD-loads trick
+    * applied to Viterbi. */
+  val UniMaxPieceLen = 6
+  /** Multi-char candidate cut ((cnt desc, piece) — deterministic in both
+    * engines); single chars always survive so the DP is total. */
+  val UniCandK = 4000
+  /** Word-histogram cap: mining and EM statistics run over the top-W
+    * words — the SentencePiece training-sample bound. Encoding segments
+    * every token map-side regardless (no word table at encode time), so
+    * the cap bounds TRAINING state only. */
+  val UniWordW = 50000
+  val UniEmRounds = 2
+  private val UniQuantumSql = "1e6"
+
+  /** counts → (sorted cost table, unknown-single-char cost): cost(p) =
+    * floor((ln Σcnt − ln cnt_p)·1e6), unk = floor(ln Σcnt·1e6) (a
+    * count-1 singleton). scala math.log IS Spark's ln (both
+    * java.lang.Math.log); DuckDB parity is the integer-input-ln
+    * argument. */
+  private[graft] def uniCostsOf(counts: Map[String, Long]): (Seq[(String, Long)], Long) = {
+    val lt = math.log(counts.values.sum.toDouble)
+    (counts.toSeq.map { case (p, c) =>
+        p -> math.floor((lt - math.log(c.toDouble)) * 1e6).toLong }
+      .sortBy(_._1),
+      math.floor(lt * 1e6).toLong)
+  }
+
+  /** Frequency-weighted word histogram with the top-W training cut. */
+  private def uniWordsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(UniWordW)
+      .localCheckpoint(eager = true)
+
+  /** Round-0 candidates: every substring occurrence (length 1..L) over
+    * the capped histogram, frequency-weighted; ALL singles + top-K
+    * multis. Bounded driver literal (the lmVocabOf pattern). */
+  private def uniCandidatesOf(words: DataFrame): Map[String, Long] = {
+    val sub = words.select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(1), least(lit(UniMaxPieceLen),
+          length(col("word")) - col("i") + lit(1)))).as("l"))
+      .select(expr("substring(word, i, l)").as("piece"), col("freq"), col("l"))
+    val singles = sub.filter(col("l") === 1)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val multis = sub.filter(col("l") >= 2)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(UniCandK)
+    (singles.collect() ++ multis.collect())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Viterbi-EM over the word histogram: round r's counts are the
+    * frequency-weighted piece usage in each word's best segmentation
+    * under round r−1's costs (pieces never used drop out — the unigram
+    * analogue of SentencePiece's prune step). Returns the per-round
+    * count snapshots (round 0 = raw candidates) and the histogram. */
+  private[graft] def uniTrain(docs: DataFrame)
+      : (Seq[Map[String, Long]], DataFrame) = {
+    import graft.functions.textsketch.unigram_segment_all
+    val words = uniWordsOf(docs)
+    var counts = uniCandidatesOf(words)
+    val snaps = Seq.newBuilder[Map[String, Long]]
+    snaps += counts
+    for (_ <- 1 to UniEmRounds) {
+      val (costs, unk) = uniCostsOf(counts)
+      counts = words.select(col("freq"),
+          explode(unigram_segment_all(array(col("word")), costs,
+            UniMaxPieceLen, unk)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      snaps += counts
+    }
+    (snaps.result(), words)
+  }
+
+  private def uniDocsOf(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+
+  /** The trained vocabulary per EM round — (round, piece, cnt): round 0
+    * is the raw candidate mass, later rounds the Viterbi-usage counts.
+    * The export IS the model artifact (the C52 export discipline). */
+  def unigramVocabOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (snaps, _) = uniTrain(uniDocsOf(documents, idCol, textCol))
+    snaps.zipWithIndex
+      .flatMap { case (m, r) => m.toSeq.map { case (p, c) => (r, p, c) } }
+      .toDF("round", "piece", "cnt")
+      .orderBy(col("round"), col("piece"))
+  }
+
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame =
+    unigramVocabOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Encode under the final EM round's costs: per-doc piece stats +
+    * fertility + the md5 fingerprint of the exact piece sequence (the
+    * C60 ids_fp discipline — atomic columns, full-sequence pinning). One
+    * kernel map pass; the only exchange is the gate sort. */
+  def unigramEncodeOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.textsketch.unigram_segment_all
+    val docs = uniDocsOf(documents, idCol, textCol)
+    val (snaps, _) = uniTrain(docs)
+    val (costs, unk) = uniCostsOf(snaps.last)
+    docs.select(col("doc_id"), col("toks"),
+        unigram_segment_all(col("toks"), costs, UniMaxPieceLen, unk)
+          .as("pieces"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        size(col("pieces")).cast("int").as("n_pieces"),
+        (size(col("pieces")).cast("double") /
+          size(col("toks")).cast("double")).as("fertility"),
+        md5(concat_ws(",", col("pieces"))).as("pieces_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramEncodeOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** One Viterbi block over `wordsCte` under `costsCte`/`unkCte`: the
+    * lattice arcs (singles COALESCE to unk — the DP totality rule),
+    * the forward DP as a recursion carrying each word's best-cost LIST
+    * (all words advance in lockstep on position i), and the backtrace
+    * picking the FIRST arc (j ascending) achieving best[i] — exactly
+    * the kernel's strict-< argmin. Emits seg$s = (word, pieces). */
+  private def uniViterbiCtes(s: String, wordsCte: String, costsCte: String,
+      unkCte: String): String =
+    s"""pl$s AS (
+       |  SELECT word, i, unnest(range(1, least($UniMaxPieceLen, i) + 1)) AS l
+       |  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+       |        FROM $wordsCte)
+       |), arc$s AS (
+       |  SELECT p.word, p.i, p.i - p.l AS j,
+       |         substr(p.word, CAST(p.i - p.l + 1 AS INT), CAST(p.l AS INT)) AS piece,
+       |         CASE WHEN p.l = 1 THEN COALESCE(c.cost, (SELECT unk FROM $unkCte))
+       |              ELSE c.cost END AS cost
+       |  FROM pl$s p LEFT JOIN $costsCte c
+       |    ON c.piece = substr(p.word, CAST(p.i - p.l + 1 AS INT), CAST(p.l AS INT))
+       |  WHERE p.l = 1 OR c.piece IS NOT NULL
+       |), arcg$s AS (
+       |  SELECT word, i,
+       |         list(struct_pack(j := j, piece := piece, c := cost)
+       |              ORDER BY j) AS arcs
+       |  FROM arc$s GROUP BY 1, 2
+       |), r$s AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS best
+       |  FROM $wordsCte
+       |  UNION ALL
+       |  SELECT r.word, g.i,
+       |    list_append(r.best,
+       |      list_min(list_transform(g.arcs, a -> r.best[a.j + 1] + a.c)))
+       |  FROM r$s r JOIN arcg$s g ON g.word = r.word AND g.i = r.i + 1
+       |), fin$s AS (
+       |  SELECT word, best FROM r$s WHERE i = length(word)
+       |), bt$s AS (
+       |  SELECT word, length(word) AS p, CAST([] AS VARCHAR[]) AS pieces,
+       |         best
+       |  FROM fin$s
+       |  UNION ALL
+       |  SELECT word, a.j AS p, list_prepend(a.piece, pieces) AS pieces, best
+       |  FROM (
+       |    SELECT b.word, b.pieces, b.best,
+       |      g.arcs[list_position(
+       |        list_transform(g.arcs, x -> b.best[x.j + 1] + x.c),
+       |        b.best[b.p + 1])] AS a
+       |    FROM bt$s b JOIN arcg$s g ON g.word = b.word AND g.i = b.p)
+       |), seg$s AS (SELECT word, pieces FROM bt$s WHERE p = 0)""".stripMargin
+
+  /** cnt/t/c/u CTEs for one round from a (word, pieces) segmentation. */
+  private def uniRoundCountCtes(r: Int, segCte: String): String =
+    s"""cnt$r AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT word, unnest(pieces) AS piece FROM $segCte)
+       |  JOIN w USING (word) GROUP BY 1
+       |), t$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt$r),
+       |c$r AS (
+       |  SELECT piece, CAST(floor((ln(CAST(total AS DOUBLE)) -
+       |    ln(CAST(cnt AS DOUBLE))) * $UniQuantumSql) AS BIGINT) AS cost
+       |  FROM cnt$r CROSS JOIN t$r
+       |), u$r AS (
+       |  SELECT CAST(floor(ln(CAST(total AS DOUBLE)) * $UniQuantumSql)
+       |    AS BIGINT) AS unk FROM t$r)""".stripMargin
+
+  /** Shared trainer prefix: docs → capped histogram → round-0 candidates
+    * → costs → UniEmRounds of (Viterbi over w → counts → costs). Ends
+    * with cnt/c/u for every round 1..R. */
+  private def uniTrainCtes: String = {
+    val head =
+      s"""d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(toks) AS word FROM d)
+         |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $UniWordW
+         |), cand0 AS (
+         |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |         freq, l
+         |  FROM (
+         |    SELECT word, freq, i,
+         |      unnest(range(1, least($UniMaxPieceLen,
+         |                            length(word) - i + 1) + 1)) AS l
+         |    FROM (SELECT word, freq,
+         |            unnest(range(1, length(word) + 1)) AS i FROM w))
+         |), cnt0 AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM cand0 WHERE l = 1 GROUP BY 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |    FROM cand0 WHERE l >= 2 GROUP BY 1
+         |    ORDER BY cnt DESC, piece LIMIT $UniCandK)
+         |), t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt0),
+         |c0 AS (
+         |  SELECT piece, CAST(floor((ln(CAST(total AS DOUBLE)) -
+         |    ln(CAST(cnt AS DOUBLE))) * $UniQuantumSql) AS BIGINT) AS cost
+         |  FROM cnt0 CROSS JOIN t0
+         |), u0 AS (
+         |  SELECT CAST(floor(ln(CAST(total AS DOUBLE)) * $UniQuantumSql)
+         |    AS BIGINT) AS unk FROM t0)""".stripMargin
+    val rounds = (1 to UniEmRounds).map { r =>
+      uniViterbiCtes(s"e$r", "w", s"c${r - 1}", s"u${r - 1}") + ",\n" +
+        uniRoundCountCtes(r, s"sege$r")
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Twin: rounds 0..R of the count snapshots. */
+  lazy val unigramVocabSql: String = {
+    val union = (0 to UniEmRounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, piece, cnt FROM cnt$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $uniTrainCtes
+       |$union
+       |ORDER BY round, piece""".stripMargin
+  }
+
+  /** Twin: the final round's costs segment EVERY distinct corpus word
+    * (encoding is uncapped — the cap bounds training statistics only),
+    * then per-doc stats roll up with the fingerprint over the ordered
+    * piece sequence. */
+  lazy val unigramEncodeSql: String = {
+    val R = UniEmRounds
+    s"""WITH RECURSIVE $uniTrainCtes,
+       |wa AS (SELECT DISTINCT unnest(toks) AS word FROM d),
+       |${uniViterbiCtes("f", "wa", s"c$R", s"u$R")},
+       |td AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |         generate_subscripts(toks, 1) AS ti
+       |  FROM d
+       |), enc AS (
+       |  SELECT td.doc_id, td.ti, sf.pieces
+       |  FROM td JOIN segf sf ON sf.word = td.word)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       |  CAST(SUM(len(pieces)) AS INT) AS n_pieces,
+       |  CAST(SUM(len(pieces)) AS DOUBLE) / COUNT(*) AS fertility,
+       |  md5(string_agg(array_to_string(pieces, ','), ',' ORDER BY ti))
+       |    AS pieces_fp
+       |FROM enc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** 12-hex-char positional parse → BIGINT (48 bits, exact). */
   private def hex12Sql(m: String): String =
     s"""CAST(list_sum(list_transform(range(1, 13),
@@ -2538,6 +2824,8 @@ object CorpusOps {
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode" -> (bpeEncode _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
+    "unigram_vocab" -> (unigramVocab _),
+    "unigram_encode" -> (unigramEncode _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -2567,6 +2855,8 @@ object CorpusOps {
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_roundtrip" -> bpeRoundtripSql,
+    "unigram_vocab" -> unigramVocabSql,
+    "unigram_encode" -> unigramEncodeSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

@@ -971,4 +971,66 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(col("doc_id") % 13 === 0).count()
     assert(ids.size === nFresh.toInt)
   }
+
+  test("unigram kernel: Viterbi min-cost, longest-piece tie rule, unk fallback (C80)") {
+    import scala.jdk.CollectionConverters._
+    def seg(word: String, costs: Map[String, Long], unk: Long = 99L): Seq[String] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      val out = new java.util.ArrayList[AnyRef]()
+      graft.functions.TextKernels.uniSegmentWord(word, m, 6, unk, out)
+      out.asScala.map(_.toString).toSeq
+    }
+    // equal total cost (10 = 5+5): smallest split point wins → one piece
+    assert(seg("ab", Map("a" -> 5L, "b" -> 5L, "ab" -> 10L)) === Seq("ab"))
+    // strictly cheaper split beats the whole piece
+    assert(seg("ab", Map("a" -> 4L, "b" -> 5L, "ab" -> 10L)) === Seq("a", "b"))
+    // characters absent from the vocab segment as unk-cost singles
+    assert(seg("xq", Map.empty[String, Long], unk = 7L) === Seq("x", "q"))
+    // global optimum, not greedy-longest-prefix: ab+c (6) beats a+bc (12)
+    assert(seg("abc", Map("ab" -> 3L, "c" -> 3L, "a" -> 9L, "b" -> 9L,
+      "bc" -> 3L)) === Seq("ab", "c"))
+  }
+
+  test("unigram_vocab: EM rounds prune monotonically, counts positive") {
+    val rows = CorpusOps.unigramVocab(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val byRound = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byRound.keySet === (0 to CorpusOps.UniEmRounds).toSet)
+    // hard-EM counts only ever include pieces USED by a best segmentation
+    // → each round's vocabulary is a subset of the previous round's
+    (1 to CorpusOps.UniEmRounds).foreach { r =>
+      assert(byRound(r).subsetOf(byRound(r - 1)), s"round $r grew")
+      assert(byRound(r).nonEmpty)
+    }
+    assert(rows.forall(_._3 > 0))
+  }
+
+  test("unigram_encode: every token covered, concat-lossless, deterministic") {
+    val rows = CorpusOps.unigramEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nt, np, f, _) =>
+      assert(np >= nt, s"doc $id: fewer pieces than tokens")
+      assert(f === np.toDouble / nt, s"doc $id fertility")
+    }
+    // losslessness: the pieces of every doc concatenate back to its
+    // tokens exactly (the DP never drops or invents characters)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val (snaps, _) = CorpusOps.uniTrain(docs)
+    val (costs, unk) = CorpusOps.uniCostsOf(snaps.last)
+    docs.select(col("toks"),
+        graft.functions.textsketch.unigram_segment_all(col("toks"), costs,
+          CorpusOps.UniMaxPieceLen, unk).as("pieces"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](1).mkString("") ===
+          r.getSeq[String](0).mkString(""))
+      }
+    // determinism: a second full train+encode reproduces every fingerprint
+    val again = CorpusOps.unigramEncode(spark, sfDir).collect()
+      .map(_.getString(4))
+    assert(again.toSeq === rows.map(_._5).toSeq)
+  }
 }
