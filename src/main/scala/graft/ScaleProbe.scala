@@ -322,6 +322,18 @@ object ScaleProbe {
     time("kn_logprob") {
       CorpusOps.knLogprobOn(docs, "doc_id", "text").count()
     }
+    time("quality_classifier") {
+      // C78 at 24×: train on the replicated seed, score the replicated
+      // corpus — one vocab-bounded shuffle + a broadcast-join map pass
+      val frame = Pipeline.nbFrameOf(docs, "doc_id", "text")
+      Pipeline.nbScore(Pipeline.nbTrain(frame), frame).count()
+    }
+    time("unigram_encode") {
+      // C80 at 24×: EM trains on the word HISTOGRAM (replication leaves
+      // it unchanged — same distinct words), encode is the kernel pass
+      // over 24× docs; the probe measures exactly that map cost
+      CorpusOps.unigramEncodeOn(docs, "doc_id", "text").count()
+    }
     val dedupIdxPath = java.nio.file.Files
       .createTempDirectory("graft_probe_didx").toString
     time("dedup_index_build") {
@@ -425,6 +437,11 @@ object ScaleProbe {
     }
     time("stream_kn_score") {
       graft.streaming.StreamOps.streamKnScore(spark, streamDir).count()
+    }
+    time("stream_nb_score") {
+      // B63 at 24×: offline model, stateless per-batch scoring through
+      // the parquet sink — expect ~stream_kn_score's join-path shape
+      graft.streaming.StreamOps.streamNbScore(spark, streamDir).count()
     }
     time("stream_quality_drift") {
       graft.streaming.StreamOps.streamQualityDrift(spark, streamDir).count()
