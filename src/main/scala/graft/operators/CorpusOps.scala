@@ -2566,11 +2566,13 @@ object CorpusOps {
 
   /** Viterbi-EM over the word histogram: round r's counts are the
     * frequency-weighted piece usage in each word's best segmentation
-    * under round r−1's costs (pieces never used drop out — the unigram
-    * analogue of SentencePiece's prune step). Returns the per-round
-    * count snapshots (round 0 = raw candidates) and the histogram. */
-  private[graft] def uniTrain(docs: DataFrame)
-      : (Seq[Map[String, Long]], DataFrame) = {
+    * under round r−1's costs. MULTI-char pieces never used drop out (the
+    * unigram analogue of SentencePiece's prune step) and can never
+    * return; a pruned SINGLE char can re-enter a later round through the
+    * unk-cost fallback (its word may re-segment through it once other
+    * pieces' costs shift) — that totality valve is the only growth path.
+    * Returns the per-round count snapshots (round 0 = raw candidates). */
+  private[graft] def uniTrain(docs: DataFrame): Seq[Map[String, Long]] = {
     import graft.functions.textsketch.unigram_segment_all
     val words = uniWordsOf(docs)
     var counts = uniCandidatesOf(words)
@@ -2585,7 +2587,7 @@ object CorpusOps {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       snaps += counts
     }
-    (snaps.result(), words)
+    snaps.result()
   }
 
   private def uniDocsOf(documents: DataFrame, idCol: String,
@@ -2600,7 +2602,7 @@ object CorpusOps {
       textCol: String): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (snaps, _) = uniTrain(uniDocsOf(documents, idCol, textCol))
+    val snaps = uniTrain(uniDocsOf(documents, idCol, textCol))
     snaps.zipWithIndex
       .flatMap { case (m, r) => m.toSeq.map { case (p, c) => (r, p, c) } }
       .toDF("round", "piece", "cnt")
@@ -2618,7 +2620,7 @@ object CorpusOps {
       textCol: String): DataFrame = {
     import graft.functions.textsketch.unigram_segment_all
     val docs = uniDocsOf(documents, idCol, textCol)
-    val (snaps, _) = uniTrain(docs)
+    val snaps = uniTrain(docs)
     val (costs, unk) = uniCostsOf(snaps.last)
     docs.select(col("doc_id"), col("toks"),
         unigram_segment_all(col("toks"), costs, UniMaxPieceLen, unk)
