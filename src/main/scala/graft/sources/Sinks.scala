@@ -363,7 +363,8 @@ object Sinks {
     * executors read each file's parquet footer — one [[FooterStat]] row
     * per file, no data page ever read. Shared by the C75/C75b prune
     * audits and the D3 compaction planner. */
-  private def footerStatsOf(spark: SparkSession, root: String): DataFrame = {
+  private def footerStatsOf(spark: SparkSession, root: String,
+      prefix: String = "_fid="): DataFrame = {
     import spark.implicits._
     // List through the Hadoop FileSystem resolved from the path, not
     // java.io.File — the catalog-style audit must work against object-store
@@ -372,9 +373,9 @@ object Sinks {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(rootPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fid="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap { d =>
-        val fid = d.getPath.getName.stripPrefix("_fid=").toLong
+        val fid = d.getPath.getName.stripPrefix(prefix).toLong
         fs.listStatus(d.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => (fid, f.getPath.toString))
@@ -472,8 +473,11 @@ object Sinks {
     * principles; the FFD greedy replays one file per recursion step
     * carrying the group-load list (the C71 oracle's recursion, single
     * shard — the file list is catalog-bounded). */
-  lazy val compactPlanSql: String =
-    s"""WITH RECURSIVE $zbinFileCtes,
+  /** The D3 plan recursion without its final SELECT — shared with the
+    * D3b rewrite audit so the executed groups derive from the SAME plan
+    * spelling. */
+  private lazy val compactPlanCtes: String =
+    s"""$zbinFileCtes,
        |b AS (SELECT GREATEST(1, CAST(SUM(n_rows) AS BIGINT) // $CompactFrac) AS budget FROM f),
        |q AS (
        |  SELECT CAST(file_id AS BIGINT) AS file_id,
@@ -503,9 +507,55 @@ object Sinks {
        |        list_transform(r.loads, x -> x + q.n_rows <= b.budget),
        |        true), 0) AS pos
        |    FROM r JOIN q ON q.step = r.step + 1 CROSS JOIN b)
-       |)
+       |)""".stripMargin
+
+  lazy val compactPlanSql: String =
+    s"""WITH RECURSIVE $compactPlanCtes
        |SELECT file_id, n_rows, grp, CAST(grp_off AS BIGINT) AS grp_off
        |FROM r WHERE file_id IS NOT NULL ORDER BY file_id""".stripMargin
+
+  // --- D3b: compaction EXECUTED — rewrite the groups, audit the footers ---
+  /** The rewrite job [[compactPlan]] plans for, plus its acceptance
+    * audit: each planned group rewrites into EXACTLY ONE file (the
+    * fid→grp map is O(files) and broadcasts onto the scan;
+    * `repartition(grp)` puts each group wholly in one task, the
+    * partitioned write gives it one directory — the [[writeKeyBinned]]
+    * one-file-per-bin contract, now per GROUP), and the audit reads the
+    * REWRITTEN table's real footers: (grp, n_files, n_rows) per group.
+    * The oracle states what the rewrite MUST produce from the plan
+    * spelling alone — one file per group, the group's planned row sum —
+    * so a rewrite that splits a group, drops a row, or never ran fails
+    * the hash, exactly like C75's footers-vs-first-principles audit.
+    * The compacted table is memoized like every persisted scratch. */
+  def compactRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val plan = compactPlan(spark, dir) // also ensures the zbin scratch
+    val root = IndexScratch.path("zbin", dir)
+    val out = IndexScratch.path("zcompact", dir)
+    IndexScratch.ensure(out) { tmp =>
+      val grpMap = plan.select(col("file_id"), col("grp"))
+      spark.read.parquet(root)
+        .join(broadcast(grpMap), col("_fid") === col("file_id"))
+        .withColumn("_gid", col("grp"))
+        .repartition(col("_gid"))
+        .sortWithinPartitions(col("_gid"), col("zkey"), col("o_orderkey"))
+        .drop("file_id", "grp", "_fid")
+        .write.partitionBy("_gid").mode("overwrite").parquet(tmp)
+    }
+    footerStatsOf(spark, out, prefix = "_gid=")
+      .groupBy(col("file_id").cast("int").as("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("grp"))
+  }
+
+  /** Twin: the plan's own groups — one file each, the planned row sum.
+    * First-principles: if the executed rewrite differs in ANY way the
+    * hash breaks. */
+  lazy val compactRewriteSql: String =
+    s"""WITH RECURSIVE $compactPlanCtes
+       |SELECT CAST(grp AS INT) AS grp, CAST(1 AS BIGINT) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+       |FROM r WHERE file_id IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared oracle prefix (C75 + D3): the zkey chain binned to file ids
     * with per-file stats — what the zbin writer MUST have put in each
@@ -646,7 +696,8 @@ object Sinks {
     "hilbert_prune" -> (hilbertPrune _),
     "footer_prune" -> (footerPrune _),
     "footer_prune_hilbert" -> (footerPruneHilbert _),
-    "compact_plan" -> (compactPlan _))
+    "compact_plan" -> (compactPlan _),
+    "compact_rewrite" -> (compactRewrite _))
 
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
@@ -655,7 +706,8 @@ object Sinks {
     "hilbert_prune" -> hilbertPruneSql,
     "footer_prune" -> footerPruneSql,
     "footer_prune_hilbert" -> footerPruneHilbertSql,
-    "compact_plan" -> compactPlanSql)
+    "compact_plan" -> compactPlanSql,
+    "compact_rewrite" -> compactRewriteSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -157,6 +157,7 @@ class PlanGuardSpec extends SparkSpec {
     "multimodal_containment" -> 8, // raw history frames feed the broadcast clip join MAP-SIDE; every exchange after it carries matches only (countDistinct partials + τ rollup + gate sort), never history frames
     "phash_index_probe" -> 3, // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
     "compact_plan" -> 3, // O(files) footer stats into ONE single-partition FFD agg (catalog-bounded array) + gate sort; the training/footer scans are behind the eager checkpoint
+    "compact_rewrite" -> 3, // the rewrite itself is the memoized scratch build; the audit is O(files) footer rows → per-grp agg + gate sort
     "quality_classifier" -> 2, // token explode feeds the BROADCAST weight join map-side; per-doc partial agg + gate sort — the corpus never shuffles, the model is driver-bounded
     "unigram_encode" -> 1, // training lives on the bounded word histogram behind driver literals; encoding is ONE codegen kernel pass (broadcast costs, zero joins) + the gate sort
     "unigram_vocab" -> 1 // the export is a driver-literal vocab table; the only exchange is its gate sort

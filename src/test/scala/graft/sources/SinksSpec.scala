@@ -251,4 +251,21 @@ class SinksSpec extends SparkSpec {
     // (fewer output files than input files)
     assert(plan.map(_._3).distinct.length < plan.length)
   }
+
+  test("compact_rewrite: executed groups match the plan, one real file each (D3b)") {
+    val plan = Sinks.compactPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = Sinks.compactRewrite(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // audit covers exactly the planned groups
+    assert(got.map(_._1).toSet === plan.map(_._3).toSet)
+    got.foreach { case (grp, nFiles, nRows) =>
+      // the one-file-per-group write contract, observed in REAL footers
+      assert(nFiles === 1L, s"group $grp split across files")
+      assert(nRows === plan.filter(_._3 == grp).map(_._2).sum, s"group $grp rows")
+    }
+    // nothing lost end-to-end: the compacted table holds the whole input
+    assert(got.map(_._3).sum ===
+      graft.sources.Tables(spark, sfDir).orders.count())
+  }
 }
