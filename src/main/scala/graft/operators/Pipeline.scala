@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -1097,6 +1098,178 @@ object Pipeline {
        |FROM d JOIN s USING (doc_id) CROSS JOIN k
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C79: data selection via importance resampling (DSIR) ---------------
+  /** Hashed feature space (Xie et al., NeurIPS'23 use 10k buckets; a
+    * power of two keeps the modulus cheap). Bounded: every training and
+    * weight table is ≤ this many rows regardless of corpus size. */
+  val DsirBuckets = 8192
+  /** Selected sample size for the canned query. */
+  val DsirK = 150
+
+  /** Hashed unigram+bigram feature buckets of a token array — the DSIR
+    * feature map: every token and every adjacent pair hashes (md5 prefix,
+    * 16 bits) into [[DsirBuckets]]. One spelling for the trainer and the
+    * scorer; the oracle mirrors it with [[CorpusOps.hex4Sql]]. */
+  private def dsirBucketsExpr: String =
+    "transform(concat(toks, zip_with(slice(toks, 1, size(toks) - 1), " +
+      "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))), " +
+      s"f -> CAST(conv(substring(md5(f), 1, 4), 16, 10) AS BIGINT) % $DsirBuckets)"
+
+  /** Frozen DSIR importance model: per-bucket quantized log-ratio weights
+    * (≤ [[DsirBuckets]] rows, broadcast at score time) + the per-feature
+    * smoothing constant — the same two-piece shape as [[NbModel]]. */
+  private[graft] case class DsirModel(weights: DataFrame, perFeatQ: Long)
+
+  /** (doc_id, seed_label, b) — one row per hashed feature occurrence.
+    * Rides on [[nbFrameOf]] so the seed definition (every
+    * [[NbSeedMod]]-th doc, labeled by the C15 gate's own pass bit) is
+    * shared with C78 — one seed spelling for both learned selectors. */
+  private[graft] def dsirFeats(frame: DataFrame): DataFrame =
+    frame.select(col("doc_id"), col("seed_label"),
+      explode(expr(dsirBucketsExpr)).as("b"))
+
+  /** Fit the two hashed-n-gram unigram models DSIR compares: target =
+    * gate-passing seed docs, raw = all seed docs (the bounded holdout
+    * standing in for the target corpus / raw pool pair). ONE aggregation
+    * over the seed's feature stream — shuffle bounded by
+    * [[DsirBuckets]] — yields both count vectors; the per-bucket weight
+    * is ln((ct+1)/(cr+1)) micro-nat-quantized and the add-one smoothing
+    * denominators fold into one per-feature constant (buckets the seed
+    * never hit contribute exactly that constant, so they need no row —
+    * the NB OOV argument). */
+  private[graft] def dsirTrain(feats: DataFrame): DsirModel = {
+    val counts = feats.filter(col("seed_label").isNotNull)
+      .groupBy(col("b"))
+      .agg(sum(col("seed_label").cast("bigint")).as("ct"),
+        count(lit(1)).as("cr"))
+      .localCheckpoint(eager = true)
+    val t = counts.agg(coalesce(sum(col("ct")), lit(0L)),
+      coalesce(sum(col("cr")), lit(0L))).head()
+    val (tt, tr) = (t.getLong(0), t.getLong(1))
+    val weights = counts.select(col("b"),
+      expr(s"CAST(floor((ln(CAST(ct + 1 AS DOUBLE)) - " +
+        s"ln(CAST(cr + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT)").as("w_q"))
+    // driver constant on the same grid as the weights (math.log IS the ln
+    // Spark evaluates — the NbModel discipline)
+    DsirModel(weights, math.floor((math.log(tr + DsirBuckets.toDouble) -
+      math.log(tt + DsirBuckets.toDouble)) * 1e6).toLong)
+  }
+
+  /** Per-doc log importance weight under a frozen model: feature stream →
+    * broadcast weight join → one partially-aggregated row per doc (the
+    * corpus never shuffles except that rollup). Integer micro-nats. */
+  private[graft] def dsirScores(model: DsirModel, feats: DataFrame): DataFrame =
+    feats.join(broadcast(model.weights), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w_q"), lit(0L))).as("_wq"),
+        count(lit(1)).as("nf"))
+      .select(col("doc_id"), col("nf"),
+        (col("_wq") + col("nf") * model.perFeatQ).as("sq"))
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    * fit hashed-n-gram unigram models over a target (gate-passing seed)
+    * and the raw pool, score every document with its log importance
+    * weight Σ_f [ln p̂_target(f) − ln p̂_raw(f)], and draw a k-sample
+    * WITHOUT replacement ∝ the importance weights via the Gumbel-top-k
+    * trick (Kool et al., ICML'19) — with the Gumbel noise derived from
+    * the doc's md5 prefix (the C40 hash-uniform discipline), so the
+    * "random" sample is a pure function of doc ids: reshard-stable,
+    * rerun-identical, engine-identical.
+    *
+    * Scale shape: training statistics live on [[DsirBuckets]] buckets
+    * (one bounded-shuffle agg); scoring is explode → broadcast join →
+    * per-doc partial agg; selection plans as TakeOrderedAndProject
+    * (bounded per-partition heaps — the corpus is never globally
+    * sorted); the rank window runs over the k survivors only.
+    * 2-exchange budget pinned (PlanGuardSpec; measured 1 — the per-doc
+    * rollup; training exchanges are checkpoint-truncated and bounded by
+    * [[DsirBuckets]] anyway).
+    *
+    * Parity: weights/constants are micro-nat integers (ln of
+    * integer-derived doubles — the C31/C78 grid); the Gumbel key
+    * −ln(−ln u) chains two lns on a u that is one IEEE division of
+    * exact integers by 2^48+2 (strictly < 1, so the outer ln is finite),
+    * then floors onto the same grid; key_q compares exact integers. */
+  def dsirSelectOn(documents: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val feats = dsirFeats(nbFrameOf(documents, idCol, textCol))
+    val scored = dsirScores(dsirTrain(feats), feats)
+    val h48 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":dsir"))), 1, 12), 16, 10).cast("long")
+    val topk = scored
+      .withColumn("h48", h48)
+      .withColumn("_gq", expr(
+        "CAST(floor(-ln(-ln(CAST(h48 + 1 AS DOUBLE) / 281474976710658.0)) " +
+          s"* $NbQuantumSql) AS BIGINT)"))
+      .withColumn("key_q", col("sq") + col("_gq"))
+      .orderBy(col("key_q").desc, col("doc_id"))
+      .limit(k)
+    topk.select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+        (col("sq").cast("double") / expr(NbQuantumSql)).as("log_ratio"),
+        col("key_q"),
+        row_number().over(Window.orderBy(col("key_q").desc, col("doc_id")))
+          .cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOn(Tables(spark, dir).documents, "doc_id", "text", DsirK)
+
+  /** Twin: the same seed CTE (C78's spelling), hashed feature map
+    * ([[CorpusOps.hex4Sql]]), one-agg count vectors, micro-nat weights
+    * and constants, Gumbel keys from the same md5-derived uniform. */
+  val dsirSelectSql: String = {
+    val u48 = CorpusOps.hex12Sql(
+      "substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12)")
+    s"""WITH fl AS (
+       |  SELECT doc_id, passes
+       |  FROM (${qualityFlagsSqlOver("documents", ordered = false)})
+       |), d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    CASE WHEN doc_id % $NbSeedMod = 0 THEN passes ELSE NULL END AS seed_label
+       |  FROM documents JOIN fl USING (doc_id)
+       |), fb AS (
+       |  SELECT doc_id, seed_label,
+       |    (${CorpusOps.hex4Sql("substr(md5(feat), 1, 4)")}) % $DsirBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, seed_label,
+       |      unnest(list_concat(toks, list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+       |    FROM d)
+       |), cnt AS (
+       |  SELECT b, CAST(SUM(seed_label) AS BIGINT) AS ct, COUNT(*) AS cr
+       |  FROM fb WHERE seed_label IS NOT NULL GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt,
+       |         CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS tr
+       |  FROM cnt
+       |), w AS (
+       |  SELECT b, CAST(floor((ln(CAST(ct + 1 AS DOUBLE)) -
+       |    ln(CAST(cr + 1 AS DOUBLE))) * $NbQuantumSql) AS BIGINT) AS w_q
+       |  FROM cnt
+       |), kk AS (
+       |  SELECT CAST(floor((ln(CAST(tr + $DsirBuckets AS DOUBLE)) -
+       |    ln(CAST(tt + $DsirBuckets AS DOUBLE))) * $NbQuantumSql) AS BIGINT) AS cq
+       |  FROM tot
+       |), s AS (
+       |  SELECT doc_id, CAST(SUM(COALESCE(w_q, 0)) AS BIGINT) AS wq,
+       |         COUNT(*) AS nf
+       |  FROM fb LEFT JOIN w USING (b) GROUP BY 1
+       |), g AS (
+       |  SELECT doc_id, nf, wq + nf * cq AS sq,
+       |    CAST(floor(-ln(-ln(CAST($u48 + 1 AS DOUBLE) / 281474976710658.0))
+       |      * $NbQuantumSql) AS BIGINT) AS gq
+       |  FROM s CROSS JOIN kk)
+       |SELECT doc_id, CAST(nf AS INT) AS n_feats,
+       |  CAST(sq AS DOUBLE) / $NbQuantumSql AS log_ratio,
+       |  sq + gq AS key_q,
+       |  CAST(row_number() OVER (ORDER BY sq + gq DESC, doc_id) AS INT) AS rank
+       |FROM g
+       |QUALIFY rank <= $DsirK
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_drift" -> (qualityDrift _),
@@ -1112,7 +1285,8 @@ object Pipeline {
     "curate_pipeline" -> (curatePipeline _),
     "mine_pairs" -> (minePairs _),
     "prepare_pretrain" -> (preparePretrain _),
-    "quality_classifier" -> (qualityClassifier _)
+    "quality_classifier" -> (qualityClassifier _),
+    "dsir_select" -> (dsirSelect _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1129,6 +1303,7 @@ object Pipeline {
     "curate_pipeline" -> curatePipelineSql,
     "mine_pairs" -> minePairsSql,
     "prepare_pretrain" -> preparePretrainSql,
-    "quality_classifier" -> qualityClassifierSql
+    "quality_classifier" -> qualityClassifierSql,
+    "dsir_select" -> dsirSelectSql
   )
 }

@@ -160,7 +160,8 @@ class PlanGuardSpec extends SparkSpec {
     "compact_rewrite" -> 3, // the rewrite itself is the memoized scratch build; the audit is O(files) footer rows → per-grp agg + gate sort
     "quality_classifier" -> 2, // token explode feeds the BROADCAST weight join map-side; per-doc partial agg + gate sort — the corpus never shuffles, the model is driver-bounded
     "unigram_encode" -> 1, // training lives on the bounded word histogram behind driver literals; encoding is ONE codegen kernel pass (broadcast costs, zero joins) + the gate sort
-    "unigram_vocab" -> 1 // the export is a driver-literal vocab table; the only exchange is its gate sort
+    "unigram_vocab" -> 1, // the export is a driver-literal vocab table; the only exchange is its gate sort
+    "dsir_select" -> 2 // feature explode feeds the BROADCAST bucket-weight join map-side; per-doc partial agg, then TakeOrderedAndProject + k-row rank window — the corpus is never globally sorted (measured 1)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

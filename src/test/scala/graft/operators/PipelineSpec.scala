@@ -366,4 +366,42 @@ class PipelineSpec extends SparkSpec {
     val maj = math.max(seed.count(_._2 == 1), seed.count(_._2 == 0))
     assert(agree > maj, s"agree=$agree not above majority=$maj")
   }
+
+  test("dsir_select: Gumbel-top-k sample shifts toward the target distribution (C79)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val sel = Pipeline.dsirSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4)))
+    // exactly k survivors, ranks contiguous from 1, ordered by (key desc, id)
+    assert(sel.length === Pipeline.DsirK)
+    assert(sel.map(_._5).toSeq === (1 to Pipeline.DsirK))
+    sel.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1),
+        s"rank order broken at ${b._1}")
+    }
+    // deterministic: the "random" sample is a pure function of doc ids
+    val again = Pipeline.dsirSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq === sel.map(r => (r._1, r._4)).toSeq)
+    // the model must SEPARATE target from raw: among seed docs, mean log
+    // importance weight of gate-passing docs strictly above gate-failing
+    val frame = Pipeline.nbFrameOf(docs, "doc_id", "text")
+    val feats = Pipeline.dsirFeats(frame)
+    val scores = Pipeline.dsirScores(Pipeline.dsirTrain(feats), feats)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gate = Pipeline.qualityFlagsOn(docs)
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedIds = gate.keys.filter(_ % Pipeline.NbSeedMod == 0).toSeq
+    def mean(ids: Seq[Long]) = ids.map(scores(_).toDouble).sum / ids.size
+    val (pass, fail) = seedIds.partition(gate(_) == 1)
+    assert(pass.nonEmpty && fail.nonEmpty, "degenerate seed at this sf")
+    assert(mean(pass) > mean(fail),
+      s"no separation: pass=${mean(pass)} fail=${mean(fail)}")
+    // and the SAMPLE must shift toward the target: selected docs' mean
+    // log importance weight strictly above the corpus mean
+    val all = scores.keys.toSeq
+    assert(mean(sel.map(_._1).toSeq) > mean(all),
+      s"selection did not shift: sel=${mean(sel.map(_._1).toSeq)} corpus=${mean(all)}")
+  }
 }
