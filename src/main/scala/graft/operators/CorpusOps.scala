@@ -2590,7 +2590,7 @@ object CorpusOps {
     snaps.result()
   }
 
-  private def uniDocsOf(documents: DataFrame, idCol: String,
+  private[graft] def uniDocsOf(documents: DataFrame, idCol: String,
       textCol: String): DataFrame =
     documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
@@ -2618,11 +2618,21 @@ object CorpusOps {
     * kernel map pass; the only exchange is the gate sort. */
   def unigramEncodeOn(documents: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import graft.functions.textsketch.unigram_segment_all
     val docs = uniDocsOf(documents, idCol, textCol)
     val snaps = uniTrain(docs)
     val (costs, unk) = uniCostsOf(snaps.last)
-    docs.select(col("doc_id"), col("toks"),
+    unigramEncodeWith(costs, unk, documents, idCol, textCol)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The encode pass alone, under FROZEN piece costs — no training, no
+    * gate sort: the recurring-caller shape (B64 runs this per micro-batch
+    * with the model trained once, offline — the nbScore discipline). */
+  private[graft] def unigramEncodeWith(costs: Seq[(String, Long)], unk: Long,
+      documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.textsketch.unigram_segment_all
+    uniDocsOf(documents, idCol, textCol)
+      .select(col("doc_id"), col("toks"),
         unigram_segment_all(col("toks"), costs, UniMaxPieceLen, unk)
           .as("pieces"))
       .select(col("doc_id"),
@@ -2631,7 +2641,6 @@ object CorpusOps {
         (size(col("pieces")).cast("double") /
           size(col("toks")).cast("double")).as("fertility"),
         md5(concat_ws(",", col("pieces"))).as("pieces_fp"))
-      .orderBy(col("doc_id"))
   }
 
   def unigramEncode(spark: SparkSession, dir: String): DataFrame =

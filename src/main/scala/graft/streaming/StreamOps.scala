@@ -426,6 +426,39 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val UnigramQueryName = "graft_stream_unigram_encode"
+
+  /** B64: C80's unigram-LM tokenizer over a LIVE document feed — the
+    * tokenize-at-the-door shape of a recurring ingest (arriving docs are
+    * stored as ids, so the encoder must run before storage, not in a
+    * nightly batch): the piece costs train OFFLINE on the static corpus
+    * ([[graft.operators.CorpusOps.uniTrain]] — Viterbi-EM over the
+    * bounded word histogram, a driver-literal cost table), then every
+    * arriving document encodes statelessly through the same codegen
+    * kernel as the batch entry
+    * ([[graft.operators.CorpusOps.unigramEncodeWith]] — one segmenter
+    * spelling; the model ships to executors inside the kernel's
+    * broadcast-reference costs, amortized once outside the stream). Per
+    * micro-batch the encode is a pure map — each doc lands wholly in one
+    * batch, ZERO streaming state — and executors write straight to the
+    * parquet sink (driver O(1) however long the feed runs). On the
+    * training corpus the drain EQUALS the batch C80 encode and shares
+    * its oracle. */
+  def streamUnigramEncode(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val spark = streamingSession(rootSpark)
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    val (costs, unk) = CorpusOps.uniCostsOf(
+      CorpusOps.uniTrain(
+        CorpusOps.uniDocsOf(static, "doc_id", "text")).last)
+    val docs = spark.readStream.schema(static.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    drainViaParquetSink(spark, docs, UnigramQueryName,
+      xform = mb => CorpusOps.unigramEncodeWith(costs, unk, mb,
+        "doc_id", "text"))
+      .orderBy(col("doc_id"))
+  }
+
   val HhQueryName = "graft_stream_hh_topk"
 
   /** Per-day sketch capacity for the streaming heavy-hitters board: at the
@@ -844,6 +877,7 @@ object StreamOps {
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
     "stream_nb_score" -> (streamNbScore _),
+    "stream_unigram_encode" -> (streamUnigramEncode _),
     "stream_quality_drift" -> (streamQualityDrift _),
     "stream_index_probe" -> (streamIndexProbe _),
     "stream_entropy_gate" -> (streamEntropyGate _),
@@ -871,6 +905,9 @@ object StreamOps {
     // drain == batch C78 (stateless per-doc scoring under the same
     // offline-trained model) — shares its oracle verbatim
     "stream_nb_score" -> graft.operators.Pipeline.qualityClassifierSql,
+    // drain == batch C80 encode (stateless kernel map under the same
+    // offline-trained costs) — shares its oracle verbatim
+    "stream_unigram_encode" -> graft.operators.CorpusOps.unigramEncodeSql,
     // the drained drift board must equal the batch C59 query
     "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql,
     // the accumulated per-batch probes must equal the one-shot C54 probe

@@ -201,6 +201,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed unigram encoder equals the batch encode (B64 == C80)") {
+    val s = StreamOps.streamUnigramEncode(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.unigramEncode(spark, sfDir)
+      .collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed quality-drift board equals the batch C59 query") {
     val s = StreamOps.streamQualityDrift(spark, sfDir).collect()
       .map(_.toString)
