@@ -333,6 +333,55 @@ object TextKernels {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** Greedy longest-match-first (WordPiece) segmentation of one word:
+    * at each position take the LONGEST vocabulary piece matching the
+    * remaining prefix (continuation positions probe the `##`-prefixed
+    * spelling); if any position matches nothing, the WHOLE word becomes
+    * `[UNK]` — BERT's fail-to-unk rule, not a partial emit. */
+  def wpSegmentWord(word: String, vocab: java.util.HashSet[String],
+      out: java.util.ArrayList[AnyRef]): Unit = {
+    val n = word.length
+    if (n == 0) return
+    val tmp = new java.util.ArrayList[AnyRef](4)
+    var p = 0
+    while (p < n) {
+      var l = n - p
+      var found = -1
+      while (l >= 1 && found < 0) {
+        val cand =
+          if (p == 0) word.substring(0, l) else "##" + word.substring(p, p + l)
+        if (vocab.contains(cand)) found = l else l -= 1
+      }
+      if (found < 0) {
+        tmp.clear()
+        tmp.add(UTF8String.fromString("[UNK]"))
+        p = n
+      } else {
+        tmp.add(UTF8String.fromString(
+          if (p == 0) word.substring(0, found)
+          else "##" + word.substring(p, p + found)))
+        p += found
+      }
+    }
+    out.addAll(tmp)
+  }
+
+  /** Per-document WordPiece segmentation: every token of the array
+    * segments through [[wpSegmentWord]], pieces concatenated in token
+    * order — ONE codegen'd kernel call per document (the uniSegmentAll
+    * discipline). */
+  def wpSegmentAll(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: java.util.HashSet[String]): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n * 2)
+    var i = 0
+    while (i < n) {
+      wpSegmentWord(arr.getUTF8String(i).toString, vocab, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Stopword membership count over a token array: one HashSet probe per
     * token. The HOF spelling (`size(filter(toks, _.isin(...)))`) evaluates
     * an interpreted per-token lambda — and, being CodegenFallback, re-runs
@@ -522,6 +571,36 @@ case class UnigramSegmentAll(child: Expression, vocab: Seq[(String, Long)],
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$" +
         s".uniSegmentAll($x, $mapRef, $maxLen, ${unkCost}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WordPiece greedy longest-match segmentation of a token-array column
+  * (see TextKernels.wpSegmentAll): each token segments left-to-right into
+  * the longest vocabulary pieces (`##` continuations), failing whole-word
+  * to `[UNK]` — one codegen'd kernel call per document, the vocabulary a
+  * bounded driver literal attached as a reference object. */
+case class WordpieceSegmentAll(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_segment_all"
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wpSegmentAll(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wpVocab", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.wpSegmentAll($x, $setRef);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -788,6 +867,9 @@ object textsketch {
   def unigram_segment_all(toks: Column, vocab: Seq[(String, Long)],
       maxLen: Int, unkCost: Long): Column =
     column(UnigramSegmentAll(expression(toks), vocab, maxLen, unkCost))
+
+  def wordpiece_segment_all(toks: Column, vocab: Seq[String]): Column =
+    column(WordpieceSegmentAll(expression(toks), vocab))
 
   def char_entropy_stats(text: Column): Column =
     column(CharEntropyStats(expression(text)))

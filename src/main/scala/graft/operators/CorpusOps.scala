@@ -2789,6 +2789,286 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C81: WordPiece (BERT-style) tokenizer -------------------------------
+  /** The THIRD tokenizer family (Schuster & Nakajima 2012; Wu et al. 2016
+    * — BERT's tokenizer), beside BPE (C52/C60/C73) and the unigram LM
+    * (C80): training greedily merges the adjacent unit pair maximizing
+    * the likelihood score count(ab)/(count(a)·count(b)) — BPE's
+    * frequency argmax normalized by the parts, so rare-but-cohesive
+    * pairs win over merely-common ones — and ENCODING is greedy
+    * longest-match-first over the final vocabulary (`##` continuations,
+    * whole-word `[UNK]` on any miss), NOT a merge replay: the encode/
+    * train asymmetry is the family's defining trait.
+    *
+    * Scale shape: training statistics live on the SAME capped word
+    * histogram as C80 (one corpus aggregation; every merge round runs
+    * driver-side over ≤[[UniWordW]] bounded rows — the lmVocabOf
+    * pattern); the merge table is [[WpRounds]] rows and the encode
+    * vocabulary a bounded driver literal; encoding is ONE codegen kernel
+    * pass per doc ([[graft.functions.WordpieceSegmentAll]] — broadcast
+    * vocabulary as a reference object, zero joins). Parity: the merge
+    * score is floor((ln cab − ln ca − ln cb)·1e6) on integer-input lns
+    * (the C31 grid), tiebreak (a, b) ascending; the oracle replays every
+    * round's leftmost-nonoverlapping merge walk one unit per recursion
+    * step (the phrase-merge walk discipline) and the encoder's
+    * longest-match walk one piece per step. */
+  val WpRounds = 16
+
+  /** One trained merge: the pair, its spelling, and the quantized score
+    * (the export IS the model artifact — the C52 discipline). */
+  private[graft] case class WpMerge(round: Int, a: String, b: String,
+      merged: String, scoreQ: Long)
+
+  /** A word's initial units: first char bare, the rest `##`-prefixed. */
+  private def wpInitUnits(word: String): Array[String] = {
+    val out = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      out(i) = if (i == 0) word.substring(0, 1) else "##" + word.charAt(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Leftmost-nonoverlapping single-merge application — the walk both
+    * the oracle's recursion and BPE-family semantics demand ("a a a"
+    * under (a,a) → "aa a", never "a aa"). */
+  private def wpApplyMerge(u: Array[String], a: String, b: String,
+      m: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < u.length) {
+      if (i + 1 < u.length && u(i) == a && u(i + 1) == b) { out += m; i += 2 }
+      else { out += u(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** [[WpRounds]] likelihood-argmax merge rounds over the (word, freq)
+    * histogram — driver-side: the histogram is bounded ([[UniWordW]]),
+    * so each round's pair/unit counting is a few-ms loop, not a job.
+    * Deterministic: quantized ln score, (a, b)-ascending tiebreak. */
+  private[graft] def wpTrain(words: Seq[(String, Long)],
+      rounds: Int = WpRounds): Seq[WpMerge] = {
+    var segs = words.map { case (w, f) => (wpInitUnits(w), f) }
+    val merges = Seq.newBuilder[WpMerge]
+    for (r <- 1 to rounds) {
+      val pc = collection.mutable.HashMap.empty[(String, String), Long]
+      val uc = collection.mutable.HashMap.empty[String, Long]
+      segs.foreach { case (u, f) =>
+        var i = 0
+        while (i < u.length) {
+          uc.update(u(i), uc.getOrElse(u(i), 0L) + f)
+          if (i + 1 < u.length) {
+            val k = (u(i), u(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      // fail loudly rather than silently under-train (the oracle's walk
+      // would diverge if a round had no pair to merge)
+      require(pc.nonEmpty, s"wordpiece: no adjacent pairs left at round $r")
+      val (a, b, sq) = pc.iterator.map { case ((x, y), cab) =>
+        (x, y, math.floor((math.log(cab.toDouble) - math.log(uc(x).toDouble) -
+          math.log(uc(y).toDouble)) * 1e6).toLong)
+      }.toSeq.minBy { case (x, y, s) => (-s, x, y) }
+      require(b.startsWith("##"), s"pair position is not a continuation: $b")
+      val m = a + b.substring(2)
+      merges += WpMerge(r, a, b, m, sq)
+      segs = segs.map { case (u, f) => (wpApplyMerge(u, a, b, m), f) }
+    }
+    merges.result()
+  }
+
+  /** The encode vocabulary: the training histogram's alphabet (every
+    * initial unit) plus the merged spellings — greedy longest-match
+    * needs MEMBERSHIP only, no costs. */
+  private[graft] def wpVocabOf(words: Seq[(String, Long)],
+      merges: Seq[WpMerge]): Seq[String] =
+    (words.iterator.flatMap(w => wpInitUnits(w._1)) ++
+      merges.iterator.map(_.merged)).toSet.toSeq.sorted
+
+  /** The capped histogram as a driver literal (≤[[UniWordW]] rows —
+    * the same cap, same (freq desc, word) cut as C80's trainer). */
+  private[graft] def wpWordsOf(documents: DataFrame, idCol: String,
+      textCol: String): Seq[(String, Long)] =
+    uniWordsOf(uniDocsOf(documents, idCol, textCol))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The trained merge table — (round, a, b, merged, score_q). */
+  def wordpieceVocabOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wpTrain(wpWordsOf(documents, idCol, textCol))
+      .map(m => (m.round, m.a, m.b, m.merged, m.scoreQ))
+      .toDF("round", "a", "b", "merged", "score_q")
+      .orderBy(col("round"))
+  }
+
+  def wordpieceVocab(spark: SparkSession, dir: String): DataFrame =
+    wordpieceVocabOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Encode every document under the trained vocabulary: per-doc piece
+    * stats + unk count + fertility + the md5 fingerprint of the exact
+    * piece sequence (the C60/C80 ids_fp discipline). One kernel map
+    * pass; n_unk avoids the interpreted-HOF trap via array_remove
+    * (codegen'd) rather than a filter lambda. */
+  def wordpieceEncodeOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.textsketch.wordpiece_segment_all
+    val words = wpWordsOf(documents, idCol, textCol)
+    val vocab = wpVocabOf(words, wpTrain(words))
+    uniDocsOf(documents, idCol, textCol)
+      .select(col("doc_id"), col("toks"),
+        wordpiece_segment_all(col("toks"), vocab).as("pieces"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("int").as("n_tokens"),
+        size(col("pieces")).cast("int").as("n_pieces"),
+        (size(col("pieces")) -
+          size(array_remove(col("pieces"), "[UNK]"))).cast("int").as("n_unk"),
+        (size(col("pieces")).cast("double") /
+          size(col("toks")).cast("double")).as("fertility"),
+        md5(concat_ws(",", col("pieces"))).as("pieces_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wordpieceEncodeOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** One merge round as CTEs: pair/unit counts over seg `$prev`, the
+    * quantized-ln argmax, and the leftmost-nonoverlapping merge walk
+    * (one unit per recursion step — a word's pointer either consumes
+    * the matched pair or copies one unit). */
+  private def wpRoundCtes(r: Int, prev: String): String =
+    s"""pr$r AS (
+       |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cab
+       |  FROM (SELECT word, units[i] AS a, units[i + 1] AS b
+       |        FROM $prev, unnest(range(1, len(units))) t(i))
+       |  JOIN w USING (word) GROUP BY 1, 2
+       |), uc$r AS MATERIALIZED (
+       |  SELECT unit, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT word, unnest(units) AS unit FROM $prev)
+       |  JOIN w USING (word) GROUP BY 1
+       |), best$r AS MATERIALIZED (
+       |  SELECT a, b, a || substr(b, 3) AS m, sq
+       |  FROM (
+       |    SELECT p.a, p.b,
+       |      CAST(floor((ln(CAST(p.cab AS DOUBLE)) - ln(CAST(ua.cnt AS DOUBLE))
+       |        - ln(CAST(ub.cnt AS DOUBLE))) * $UniQuantumSql) AS BIGINT) AS sq
+       |    FROM pr$r p JOIN uc$r ua ON ua.unit = p.a
+       |    JOIN uc$r ub ON ub.unit = p.b)
+       |  ORDER BY sq DESC, a, b LIMIT 1
+       |), mw$r AS (
+       |  SELECT word, units, CAST(1 AS BIGINT) AS p,
+       |         CAST([] AS VARCHAR[]) AS acc
+       |  FROM $prev
+       |  UNION ALL
+       |  SELECT m.word, m.units,
+       |    CASE WHEN m.p < len(m.units) AND m.units[m.p] = b.a
+       |              AND m.units[m.p + 1] = b.b
+       |         THEN m.p + 2 ELSE m.p + 1 END,
+       |    list_append(m.acc,
+       |      CASE WHEN m.p < len(m.units) AND m.units[m.p] = b.a
+       |                AND m.units[m.p + 1] = b.b
+       |           THEN b.m ELSE m.units[m.p] END)
+       |  FROM mw$r m CROSS JOIN best$r b
+       |  WHERE m.p <= len(m.units)
+       |), s$r AS MATERIALIZED (SELECT word, acc AS units FROM mw$r WHERE p = len(units) + 1)""".stripMargin
+
+  /** Shared trainer prefix: the C80 histogram spelling (d/w), the
+    * initial `##`-unit segmentation, then [[WpRounds]] unrolled merge
+    * rounds — ends with best1..bestR and s0..sR. */
+  private def wpTrainCtes: String = {
+    val head =
+      s"""d AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), w AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(toks) AS word FROM d)
+         |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $UniWordW
+         |), s0 AS MATERIALIZED (
+         |  SELECT word, list_transform(range(1, length(word) + 1),
+         |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+         |              ELSE '##' || substr(word, CAST(i AS INT), 1) END) AS units
+         |  FROM w)""".stripMargin
+    (head +: (1 to WpRounds).map(r => wpRoundCtes(r, s"s${r - 1}")))
+      .mkString(",\n")
+  }
+
+  /** Twin: the merge table, one row per round's argmax. */
+  lazy val wordpieceVocabSql: String = {
+    val union = (1 to WpRounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, a, b, m AS merged, " +
+        s"sq AS score_q FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $wpTrainCtes
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Twin: vocabulary = s0's alphabet + merged spellings; every distinct
+    * corpus word walks greedy longest-match (bl = the longest vocab
+    * match per position, precomputed — the arcg discipline — so the
+    * recursion is one piece per step with no aggregate inside), failing
+    * whole-word to `[UNK]`; per-doc stats roll up in token order. */
+  lazy val wordpieceEncodeSql: String = {
+    val R = WpRounds
+    val merged = (1 to R).map(r => s"SELECT m FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $wpTrainCtes,
+       |voc AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(units) AS piece FROM s0
+       |  UNION
+       |  SELECT DISTINCT m AS piece FROM ($merged)
+       |), wa AS MATERIALIZED (SELECT DISTINCT unnest(toks) AS word FROM d),
+       |gl AS MATERIALIZED (
+       |  SELECT word, p, CAST(MAX(l) AS BIGINT) AS bl
+       |  FROM (
+       |    SELECT word, p, l,
+       |      CASE WHEN p = 1 THEN substr(word, 1, CAST(l AS INT))
+       |           ELSE '##' || substr(word, CAST(p AS INT), CAST(l AS INT)) END
+       |        AS cand
+       |    FROM (
+       |      SELECT word, p, unnest(range(1, length(word) - p + 2)) AS l
+       |      FROM (SELECT word, unnest(range(1, length(word) + 1)) AS p
+       |            FROM wa)))
+       |  JOIN voc v ON v.piece = cand
+       |  GROUP BY 1, 2
+       |), gm AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS p, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM wa
+       |  UNION ALL
+       |  SELECT g.word,
+       |    CASE WHEN x.bl IS NULL THEN length(g.word) + 1
+       |         ELSE g.p + x.bl END,
+       |    CASE WHEN x.bl IS NULL THEN ['[UNK]']
+       |         ELSE list_append(g.pieces,
+       |           CASE WHEN g.p = 1 THEN substr(g.word, 1, CAST(x.bl AS INT))
+       |                ELSE '##' || substr(g.word, CAST(g.p AS INT),
+       |                                    CAST(x.bl AS INT)) END) END
+       |  FROM gm g LEFT JOIN gl x ON x.word = g.word AND x.p = g.p
+       |  WHERE g.p <= length(g.word)
+       |), segw AS MATERIALIZED (SELECT word, pieces FROM gm WHERE p = length(word) + 1),
+       |td AS (
+       |  SELECT doc_id, unnest(toks) AS word,
+       |         generate_subscripts(toks, 1) AS ti
+       |  FROM d
+       |), enc AS (
+       |  SELECT td.doc_id, td.ti, sw.pieces
+       |  FROM td JOIN segw sw ON sw.word = td.word)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       |  CAST(SUM(len(pieces)) AS INT) AS n_pieces,
+       |  CAST(SUM(len(list_filter(pieces, x -> x = '[UNK]'))) AS INT) AS n_unk,
+       |  CAST(SUM(len(pieces)) AS DOUBLE) / COUNT(*) AS fertility,
+       |  md5(string_agg(array_to_string(pieces, ','), ',' ORDER BY ti))
+       |    AS pieces_fp
+       |FROM enc GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** 12-hex-char positional parse → BIGINT (48 bits, exact). Shared with
     * the C79 DSIR oracle (Pipeline) — one md5-prefix→u48 spelling. */
   private[operators] def hex12Sql(m: String): String =
@@ -2838,6 +3118,8 @@ object CorpusOps {
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "unigram_vocab" -> (unigramVocab _),
     "unigram_encode" -> (unigramEncode _),
+    "wordpiece_vocab" -> (wordpieceVocab _),
+    "wordpiece_encode" -> (wordpieceEncode _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -2869,6 +3151,8 @@ object CorpusOps {
     "bpe_roundtrip" -> bpeRoundtripSql,
     "unigram_vocab" -> unigramVocabSql,
     "unigram_encode" -> unigramEncodeSql,
+    "wordpiece_vocab" -> wordpieceVocabSql,
+    "wordpiece_encode" -> wordpieceEncodeSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

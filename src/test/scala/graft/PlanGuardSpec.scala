@@ -161,7 +161,9 @@ class PlanGuardSpec extends SparkSpec {
     "quality_classifier" -> 2, // token explode feeds the BROADCAST weight join map-side; per-doc partial agg + gate sort — the corpus never shuffles, the model is driver-bounded
     "unigram_encode" -> 1, // training lives on the bounded word histogram behind driver literals; encoding is ONE codegen kernel pass (broadcast costs, zero joins) + the gate sort
     "unigram_vocab" -> 1, // the export is a driver-literal vocab table; the only exchange is its gate sort
-    "dsir_select" -> 2 // feature explode feeds the BROADCAST bucket-weight join map-side; per-doc partial agg, then TakeOrderedAndProject + k-row rank window — the corpus is never globally sorted (measured 1)
+    "dsir_select" -> 2, // feature explode feeds the BROADCAST bucket-weight join map-side; per-doc partial agg, then TakeOrderedAndProject + k-row rank window — the corpus is never globally sorted (measured 1)
+    "wordpiece_vocab" -> 1, // training is driver-side over the bounded histogram; the export is a WpRounds-row literal — only its gate sort exchanges
+    "wordpiece_encode" -> 1 // encoding is ONE codegen kernel pass (membership vocab as a reference object, zero joins) + the gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -1037,4 +1037,74 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getString(4))
     assert(again.toSeq === rows.map(_._5).toSeq)
   }
+
+  test("wordpiece kernel: longest-match-first, ## continuations, whole-word unk (C81)") {
+    import graft.functions.TextKernels
+    def seg(word: String, vocab: Seq[String]): Seq[String] = {
+      val s = new java.util.HashSet[String](); vocab.foreach(s.add)
+      val out = new java.util.ArrayList[AnyRef]()
+      TextKernels.wpSegmentWord(word, s, out)
+      (0 until out.size).map(i => out.get(i).toString)
+    }
+    // longest match wins over a shorter valid split
+    assert(seg("abc", Seq("a", "ab", "##b", "##c")) === Seq("ab", "##c"))
+    // continuation pieces probe the ##-spelling, never the bare one
+    assert(seg("abc", Seq("a", "bc", "##bc")) === Seq("a", "##bc"))
+    // any positional miss fails the WHOLE word, discarding partial pieces
+    assert(seg("abc", Seq("ab")) === Seq("[UNK]"))
+    assert(seg("xyz", Seq("a", "##y", "##z")) === Seq("[UNK]"))
+    // single-char word, present and absent
+    assert(seg("a", Seq("a")) === Seq("a"))
+    assert(seg("q", Seq("a")) === Seq("[UNK]"))
+  }
+
+  test("wordpiece trainer: likelihood argmax with deterministic tiebreak (C81)") {
+    // histogram {aaab:3, aab:2}: unit counts a:5 ##a:8 ##b:5; pair counts
+    // (a,##a):5 (##a,##a):3 (##a,##b):5 -> scores 5/40, 3/64, 5/40: the
+    // two 1/8s tie on the micro-nat grid and '##a' < 'a' breaks the tie
+    val merges = CorpusOps.wpTrain(Seq("aaab" -> 3L, "aab" -> 2L), rounds = 2)
+    assert(merges.head.a === "##a" && merges.head.b === "##b" &&
+      merges.head.merged === "##ab")
+    // every merged spelling strips the continuation marker of b
+    merges.foreach { m =>
+      assert(m.b.startsWith("##"))
+      assert(m.merged === m.a + m.b.drop(2))
+    }
+    assert(merges.map(_.round) === Seq(1, 2))
+    // the full corpus supports all WpRounds rounds (the require() inside
+    // wpTrain is the loud-failure guard the oracle's walk depends on)
+    val full = CorpusOps.wpTrain(
+      CorpusOps.wpWordsOf(graft.sources.Tables(spark, sfDir).documents,
+        "doc_id", "text"))
+    assert(full.map(_.round) === (1 to CorpusOps.WpRounds))
+    assert(full.map(_.merged).distinct.size === CorpusOps.WpRounds)
+  }
+
+  test("wordpiece_encode: unk-free docs round-trip; pieces never exceed chars (C81)") {
+    import graft.functions.textsketch.wordpiece_segment_all
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val enc = CorpusOps.wordpieceEncode(spark, sfDir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getInt(2) >= r.getInt(1), s"doc ${r.getLong(0)}: fewer pieces than words")
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= r.getInt(1))
+    }
+    // recompute pieces with the kernel under the same trained vocab: on
+    // unk-free words, stripping ## and concatenating restores the word
+    val words = CorpusOps.wpWordsOf(docs, "doc_id", "text")
+    val vocab = CorpusOps.wpVocabOf(words, CorpusOps.wpTrain(words))
+    val rows = docs.select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+      .select(explode(col("toks")).as("w")).distinct()
+      .select(col("w"), wordpiece_segment_all(array(col("w")), vocab).as("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, p) =>
+      if (!p.contains("[UNK]"))
+        assert(p.map(_.stripPrefix("##")).mkString === w, s"word $w broke")
+      else assert(p === Seq("[UNK]"), s"word $w: partial unk emit")
+    }
+    // the training corpus must not be all-unk (the vocab LEARNED something)
+    assert(rows.count(!_._2.contains("[UNK]")) > rows.length / 2)
+  }
 }
