@@ -334,6 +334,16 @@ object ScaleProbe {
       // over 24× docs; the probe measures exactly that map cost
       CorpusOps.unigramEncodeOn(docs, "doc_id", "text").count()
     }
+    time("wordpiece_encode") {
+      // C81 at 24×: merge rounds run driver-side on the unchanged
+      // histogram; the probe is the greedy longest-match kernel pass
+      CorpusOps.wordpieceEncodeOn(docs, "doc_id", "text").count()
+    }
+    time("dsir_select") {
+      // C79 at 24×: bucket-bounded training agg + broadcast-join score
+      // pass + TakeOrderedAndProject — no corpus sort anywhere
+      Pipeline.dsirSelectOn(docs, "doc_id", "text", Pipeline.DsirK).count()
+    }
     val dedupIdxPath = java.nio.file.Files
       .createTempDirectory("graft_probe_didx").toString
     time("dedup_index_build") {
@@ -442,6 +452,12 @@ object ScaleProbe {
       // B63 at 24×: offline model, stateless per-batch scoring through
       // the parquet sink — expect ~stream_kn_score's join-path shape
       graft.streaming.StreamOps.streamNbScore(spark, streamDir).count()
+    }
+    time("stream_unigram_encode") {
+      // B64 at 24×: offline-trained costs, stateless kernel map per
+      // batch through the parquet sink — expect ~stream_nb_score's shape
+      // minus the join (the kernel needs no weight table join)
+      graft.streaming.StreamOps.streamUnigramEncode(spark, streamDir).count()
     }
     time("stream_quality_drift") {
       graft.streaming.StreamOps.streamQualityDrift(spark, streamDir).count()
