@@ -2917,9 +2917,17 @@ object CorpusOps {
     * (codegen'd) rather than a filter lambda. */
   def wordpieceEncodeOn(documents: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import graft.functions.textsketch.wordpiece_segment_all
     val words = wpWordsOf(documents, idCol, textCol)
-    val vocab = wpVocabOf(words, wpTrain(words))
+    wordpieceEncodeWith(wpVocabOf(words, wpTrain(words)), documents,
+      idCol, textCol).orderBy(col("doc_id"))
+  }
+
+  /** The encode pass alone, under a FROZEN vocabulary — no training, no
+    * gate sort (the unigramEncodeWith discipline: recurring callers and
+    * rollups never pay a discarded sort). */
+  private[graft] def wordpieceEncodeWith(vocab: Seq[String],
+      documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.textsketch.wordpiece_segment_all
     uniDocsOf(documents, idCol, textCol)
       .select(col("doc_id"), col("toks"),
         wordpiece_segment_all(col("toks"), vocab).as("pieces"))
@@ -2931,7 +2939,6 @@ object CorpusOps {
         (size(col("pieces")).cast("double") /
           size(col("toks")).cast("double")).as("fertility"),
         md5(concat_ws(",", col("pieces"))).as("pieces_fp"))
-      .orderBy(col("doc_id"))
   }
 
   def wordpieceEncode(spark: SparkSession, dir: String): DataFrame =
@@ -3069,6 +3076,95 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C82: cross-family tokenizer comparison board ------------------------
+  /** The tokenizer-selection board a pipeline runs BEFORE committing to a
+    * vocabulary: all three trained families (BPE merge chain C52/C60,
+    * unigram LM C80, WordPiece C81) encode the same corpus and one row
+    * per family reports corpus-level fertility and unk exposure.
+    * Families measure "unk" at their own segmentation level: the BPE
+    * merge stage and the unigram DP are total (0 — BPE's id-level OOV
+    * is C62/C71's separate axis), WordPiece fails whole words.
+    *
+    * Scale shape: three corpus map passes (each family's own kernel —
+    * no new spelling anywhere) into three 1-row partial aggs; the union
+    * is 3 rows. Each family's oracle subquery IS its existing twin
+    * verbatim ([[vocabFertilitySql]]'s apply chain /
+    * [[unigramEncodeSql]] / [[wordpieceEncodeSql]]) — the board cannot
+    * fork any encoder it compares. 3-exchange budget pinned. */
+  def tokenizerCompareOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = uniDocsOf(documents, idCol, textCol)
+    def board(family: String, perDoc: DataFrame, unkCol: Column): DataFrame =
+      perDoc.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          sum(col("n_pieces").cast("long")).as("n_pieces"),
+          sum(unkCol.cast("long")).as("n_unk"))
+        .select(lit(family).as("family"), col("n_docs"), col("n_tokens"),
+          col("n_pieces"), col("n_unk"),
+          (col("n_pieces").cast("double") / col("n_tokens").cast("double"))
+            .as("fertility"),
+          (col("n_unk").cast("double") / col("n_tokens").cast("double"))
+            .as("unk_rate"))
+    val (bpeCur, _) = bpeApplyMerges(BpeRounds,
+      docs.withColumn("n_raw", size(col("toks")).cast("long")))
+    val bpe = board("bpe", bpeCur.select(col("n_raw").as("n_tokens"),
+      size(col("toks")).as("n_pieces")), lit(0L))
+    val (uniCosts, uniUnk) = uniCostsOf(uniTrain(docs).last)
+    val uni = board("unigram",
+      unigramEncodeWith(uniCosts, uniUnk, documents, idCol, textCol), lit(0L))
+    val words = wpWordsOf(documents, idCol, textCol)
+    val wp = board("wordpiece",
+      wordpieceEncodeWith(wpVocabOf(words, wpTrain(words)), documents,
+        idCol, textCol), col("n_unk"))
+    bpe.unionAll(uni).unionAll(wp).orderBy(col("family"))
+  }
+
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame =
+    tokenizerCompareOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Twin: each family's FULL existing twin as a subquery (CTE name
+    * spaces stay separate), rolled up to the same 1-row board. */
+  lazy val tokenizerCompareSql: String = {
+    val dF = s"d${BpeRounds + 1}"
+    s"""SELECT * FROM (
+       |SELECT 'bpe' AS family, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(rt)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(ft)) AS BIGINT) AS n_pieces,
+       |  CAST(0 AS BIGINT) AS n_unk,
+       |  CAST(CAST(SUM(len(ft)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(len(rt)) AS BIGINT) AS DOUBLE) AS fertility,
+       |  CAST(CAST(0 AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(len(rt)) AS BIGINT) AS DOUBLE) AS unk_rate
+       |FROM (
+       |  WITH RECURSIVE d1 AS (
+       |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |    FROM documents
+       |  ), $bpeApplyChainSql
+       |  SELECT r.toks AS rt, f.toks AS ft
+       |  FROM d1 r JOIN $dF f USING (doc_id))
+       |UNION ALL
+       |SELECT 'unigram' AS family, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(0 AS BIGINT) AS n_unk,
+       |  CAST(CAST(SUM(n_pieces) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS fertility,
+       |  CAST(CAST(0 AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS unk_rate
+       |FROM ($unigramEncodeSql)
+       |UNION ALL
+       |SELECT 'wordpiece' AS family, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+       |  CAST(CAST(SUM(n_pieces) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS fertility,
+       |  CAST(CAST(SUM(n_unk) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) AS unk_rate
+       |FROM ($wordpieceEncodeSql)
+       |) ORDER BY family""".stripMargin
+  }
+
   /** 12-hex-char positional parse → BIGINT (48 bits, exact). Shared with
     * the C79 DSIR oracle (Pipeline) — one md5-prefix→u48 spelling. */
   private[operators] def hex12Sql(m: String): String =
@@ -3120,6 +3216,7 @@ object CorpusOps {
     "unigram_encode" -> (unigramEncode _),
     "wordpiece_vocab" -> (wordpieceVocab _),
     "wordpiece_encode" -> (wordpieceEncode _),
+    "tokenizer_compare" -> (tokenizerCompare _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -3153,6 +3250,7 @@ object CorpusOps {
     "unigram_encode" -> unigramEncodeSql,
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
+    "tokenizer_compare" -> tokenizerCompareSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

@@ -163,7 +163,8 @@ class PlanGuardSpec extends SparkSpec {
     "unigram_vocab" -> 1, // the export is a driver-literal vocab table; the only exchange is its gate sort
     "dsir_select" -> 2, // feature explode feeds the BROADCAST bucket-weight join map-side; per-doc partial agg, then TakeOrderedAndProject + k-row rank window — the corpus is never globally sorted (measured 1)
     "wordpiece_vocab" -> 1, // training is driver-side over the bounded histogram; the export is a WpRounds-row literal — only its gate sort exchanges
-    "wordpiece_encode" -> 1 // encoding is ONE codegen kernel pass (membership vocab as a reference object, zero joins) + the gate sort
+    "wordpiece_encode" -> 1, // encoding is ONE codegen kernel pass (membership vocab as a reference object, zero joins) + the gate sort
+    "tokenizer_compare" -> 3 // three kernel map passes into three 1-row partial aggs (one single-partition exchange each); the union/sort is 3 rows
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

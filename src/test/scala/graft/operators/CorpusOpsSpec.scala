@@ -1107,4 +1107,29 @@ class CorpusOpsSpec extends SparkSpec {
     // the training corpus must not be all-unk (the vocab LEARNED something)
     assert(rows.count(!_._2.contains("[UNK]")) > rows.length / 2)
   }
+
+  test("tokenizer_compare: one board row per family over the same corpus (C82)") {
+    val rows = CorpusOps.tokenizerCompare(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Seq("bpe", "unigram", "wordpiece"))
+    // every family tokenized the SAME corpus: identical doc/token masses
+    assert(rows.map(_._2).distinct.size === 1)
+    assert(rows.map(_._3).distinct.size === 1)
+    // fertility is the ratio the row itself carries
+    rows.foreach { case (f, _, nt, np, nu, fert, ur) =>
+      assert(math.abs(fert - np.toDouble / nt) < 1e-12, s"$f fertility")
+      assert(math.abs(ur - nu.toDouble / nt) < 1e-12, s"$f unk_rate")
+    }
+    // the wordpiece row equals the C81 per-doc outputs summed (the board
+    // cannot fork the encoder it reports on)
+    val wp = CorpusOps.wordpieceEncode(spark, sfDir)
+      .agg(sum(col("n_pieces")), sum(col("n_unk"))).head()
+    val board = rows.find(_._1 == "wordpiece").get
+    assert(board._4 === wp.getLong(0) && board._5 === wp.getLong(1))
+    // BPE merges whole tokens: pieces can only shrink; char-level families
+    // split tokens: pieces can only grow
+    assert(rows.find(_._1 == "bpe").get._4 <= board._3)
+    assert(board._4 >= board._3)
+  }
 }
