@@ -335,6 +335,58 @@ object Dedup {
         .write.mode("append").parquet(s"$path/bands")
     }
 
+  /** Count the data files under an index directory (recursive — hive
+    * partition layouts count their leaf files) through the Hadoop FS
+    * abstraction, so the vacuum verbs report on object-store/HDFS roots
+    * too. */
+  private[operators] def parquetFileCount(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Swap a freshly written directory into place through the FS
+    * abstraction — the vacuum verbs' commit step. Not cross-process
+    * atomic (delete + rename): vacuum is a single-writer maintenance op,
+    * the same contract [[graft.sources.IndexScratch.admitOnce]]
+    * documents for admission. */
+  private[operators] def swapDir(spark: org.apache.spark.sql.SparkSession,
+      tmp: String, dest: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dest)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(d, true), s"vacuum: cannot remove $dest")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), d),
+      s"vacuum: swap into $dest failed")
+  }
+
+  /** VACUUM the persisted band index — the maintenance verb after the
+    * lifecycle's other three (ensure → admit → probe → VACUUM): every
+    * [[dedupIndexAdmit]] appends its own file set, so a recurring ingest
+    * fragments `bands/` into O(admits × partitions) small files and every
+    * later probe pays the open-file overhead (the small-files problem D3
+    * compacts for TABLES, applied to the index). Rewrites the rows into
+    * one fresh bucket-spread layout (the SAME `_bkt` partitioning the
+    * build uses — one layout spelling) and swaps it in. Content-
+    * preserving by construction: same rows, so probe-after-vacuum ≡
+    * probe-before (the C83 driver key shares C76's rebuild oracle —
+    * hash equality IS that guarantee). Returns (files_before,
+    * files_after). */
+  def dedupIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val bands = s"$path/bands"
+    val before = parquetFileCount(spark, bands)
+    val tmp = s"$path/bands.vacuum"
+    spark.read.parquet(bands).repartition(col("_bkt"))
+      .write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, bands)
+    (before, parquetFileCount(spark, bands))
+  }
+
   /** Probe a persisted band index with an arriving batch: the batch is
     * sketched map-side and BROADCAST onto the index scan (batches are
     * small next to history), candidacy is the exact shared-band-tuple
@@ -942,6 +994,28 @@ object Ann {
         .sortWithinPartitions(col("list_id"), col("neighbor_id"))
         .write.partitionBy("list_id").mode("append").parquet(s"$path/lists")
     }
+
+  /** VACUUM the persisted IVF×PQ index's posting lists — [[ivfPqAdmit]]
+    * appends one file set per admitted batch into the `list_id=` dirs,
+    * so a recurring ingest fragments every probed list into O(admits)
+    * small files. Rewrites `lists/` through the SAME partitioned-write
+    * spelling as the build (one file per list, neighbor-sorted) and
+    * swaps it in; centroids, codebooks, and the format marker are
+    * untouched — vacuum never re-encodes, so probe-after-vacuum is
+    * byte-identical ranking (pinned by spec along with occupancy
+    * accounting). Returns (files_before, files_after). */
+  def ivfPqVacuum(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    checkIvfPqFormat(spark, path)
+    val lists = s"$path/lists"
+    val before = Dedup.parquetFileCount(spark, lists)
+    val tmp = s"$path/lists.vacuum"
+    graft.sources.Sinks.writePartitionedParquet(
+      spark.read.parquet(lists), tmp,
+      partitionCols = Seq("list_id"), sortCols = Seq("neighbor_id"))
+    Dedup.swapDir(spark, tmp, lists)
+    (before, Dedup.parquetFileCount(spark, lists))
+  }
 
   /** Query a persisted IVF×PQ index: each query probes its `nProbe`
     * nearest lists; within a probed list the asymmetric distance uses a

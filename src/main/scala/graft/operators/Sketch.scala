@@ -405,6 +405,36 @@ object Sketch {
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY batch_id, hist_id""".stripMargin
 
+  // --- C83: persisted-index VACUUM (build → admit → vacuum → probe) -------
+  /** The lifecycle's maintenance verb exercised end-to-end: the C76 flow
+    * (build on history → admit the C27 batch) leaves `bands/` holding one
+    * file set per write; [[Dedup.dedupIndexVacuum]] compacts it back to
+    * one bucket-spread layout, and the second batch probes the VACUUMED
+    * index. Vacuum is content-preserving by construction, so the probe
+    * must equal C76's probe-after-admit — this key therefore shares the
+    * C76 rebuild oracle VERBATIM: hash equality is simultaneously the
+    * probe-after-admit ≡ rebuild guarantee and the vacuum-changed-nothing
+    * guarantee. File-count reduction is pinned by spec (the part the
+    * oracle cannot see). Dedicated scratch — C76's stays un-vacuumed so
+    * both shapes exist at gate time. */
+  def dedupIndexVacuumProbe(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupvac", dir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    Dedup.dedupIndexAdmit(path, "b1",
+      graft.operators.CorpusOps.incrementalBatch(spark, dir),
+      "doc_id", "text")
+    Dedup.dedupIndexVacuum(spark, path)
+    val batch2 = hist.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 400000000L).as("doc_id"),
+        concat(col("text"), lit(" resubmitted")).as("text"))
+    Dedup.dedupIndexProbe(spark, path, batch2, "doc_id", "text",
+        minEstJaccard = MinEstJaccard)
+      .orderBy(col("batch_id"), col("hist_id"))
+  }
+
   /** Registry for SparkEntry — all sketches are oracle-checked thanks to
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -413,7 +443,8 @@ object Sketch {
     "near_dup_eval" -> (nearDupEval _),
     "dedup_index_probe" -> (dedupIndexProbe _),
     "simhash_index_probe" -> (simhashIndexProbe _),
-    "dedup_index_admit" -> (dedupIndexAdmitProbe _)
+    "dedup_index_admit" -> (dedupIndexAdmitProbe _),
+    "dedup_index_vacuum" -> (dedupIndexVacuumProbe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,6 +453,9 @@ object Sketch {
     "near_dup_eval" -> nearDupEvalSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
     "simhash_index_probe" -> simhashIndexProbeSql,
-    "dedup_index_admit" -> dedupIndexAdmitProbeSql
+    "dedup_index_admit" -> dedupIndexAdmitProbeSql,
+    // vacuum is content-preserving: the post-vacuum probe must equal the
+    // post-admit probe, so the C76 rebuild twin is shared verbatim
+    "dedup_index_vacuum" -> dedupIndexAdmitProbeSql
   )
 }

@@ -154,6 +154,7 @@ class PlanGuardSpec extends SparkSpec {
     "footer_prune" -> 3, // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
     "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
     "dedup_index_admit" -> 3, // band-append is pure write; the probe broadcasts the batch sketch onto the index scan — pair-dedup exchange + est agg + gate sort
+    "dedup_index_vacuum" -> 3, // the vacuum rewrite executes eagerly before the returned probe, whose plan is C76's exactly
     "multimodal_containment" -> 8, // raw history frames feed the broadcast clip join MAP-SIDE; every exchange after it carries matches only (countDistinct partials + τ rollup + gate sort), never history frames
     "phash_index_probe" -> 3, // batch decodes+fingerprints map-side and broadcasts onto the index scan (zero history decode); pair-dedup exchange + gate sort
     "compact_plan" -> 3, // O(files) footer stats into ONE single-partition FFD agg (catalog-bounded array) + gate sort; the training/footer scans are behind the eager checkpoint

@@ -134,5 +134,42 @@ class AdmissionSpec extends SparkSpec {
     // idempotency: replayed tag appends nothing
     assert(!Ann.ivfPqAdmit(spark, p1, "b1", b1, "vec_id", "emb", 64))
     assert(spark.read.parquet(s"$p1/lists").count() === total)
+
+    // --- C83: VACUUM the admitted index (the maintenance verb) ---
+    // two admits fragmented the lists; vacuum must strictly shrink the
+    // file census, leave every row in place, and change NO ranking
+    val (fb, fa) = Ann.ivfPqVacuum(spark, p1)
+    assert(fa < fb, s"vacuum did not compact: $fb -> $fa files")
+    val lv = spark.read.parquet(s"$p1/lists")
+    assert(lv.count() === total)
+    assert(lv.select("neighbor_id").distinct().count() === total)
+    assert(topOf(p1) === r1, "vacuum changed the ranking")
+    // one file per list — the writeKeyBinned-style contract
+    assert(fa === lv.select("list_id").distinct().count())
+  }
+
+  test("minhash index: vacuum compacts the admitted bands, probe unchanged (C83)") {
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 600000000L).as("doc_id"),
+        concat(col("text"), lit(" probing")).as("text"))
+    val p = tmpIdx("vac")
+    Dedup.dedupIndexBuild(hist, "doc_id", "text", p)
+    assert(Dedup.dedupIndexAdmit(p, "t1", batch, "doc_id", "text"))
+    def probeOf = Dedup.dedupIndexProbe(spark, p, probe, "doc_id", "text")
+      .orderBy(col("batch_id"), col("hist_id")).collect().toSeq
+    def bandRows = spark.read.parquet(s"$p/bands")
+      .select(col("_id"), col("_bkt")).collect()
+      .map(_.toString).sorted.toSeq
+    val (before, rows0) = (probeOf, bandRows)
+    val (fb, fa) = Dedup.dedupIndexVacuum(spark, p)
+    assert(fa < fb, s"vacuum did not compact: $fb -> $fa files")
+    // content-preserving: same band rows, same probe result
+    assert(bandRows === rows0)
+    assert(probeOf === before)
+    // admission markers survive vacuum (a replay still cannot double-admit)
+    assert(!Dedup.dedupIndexAdmit(p, "t1", batch, "doc_id", "text"))
   }
 }
