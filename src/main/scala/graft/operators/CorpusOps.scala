@@ -916,6 +916,97 @@ object CorpusOps {
     corpusMixtureOn(Tables(spark, dir).documents, "doc_id", "source", "text",
       MixBudgetNum, MixBudgetDen)
 
+  // --- C84: temperature-scaled mixture sampling ----------------------------
+  /** Temperature exponent α (textual — both engines parse the identical
+    * IEEE double) and the token budget as a fraction of the corpus. */
+  val MixTempAlphaSql = "0.3"
+  val MixTempNum = 1L
+  val MixTempDen = 2L
+
+  /** Temperature-scaled source sampling (Conneau & Lample 2019; the
+    * mT5/XLM-R multilingual recipe): sources draw tokens ∝ p_i^α of
+    * their natural share p_i, so low-resource sources are UPSAMPLED
+    * toward (never past) parity — the knob between "head domains drown
+    * the tail" (α=1, C29's natural-share shape) and "uniform over
+    * sources" (α=0). Inclusion per doc is the C29 md5-threshold gate
+    * under a `:tmix` salt (independent of C29's draw), so the sample is
+    * a pure function of doc ids.
+    *
+    * Parity: the ONLY transcendental is one exp(α·ln p_i) per source,
+    * floor-quantized to a micro-weight integer immediately (~2-ulp error
+    * against a 1e6 grid — the ln-parity window); the normalizer is an
+    * exact INTEGER sum of those micro-weights (order-free, unlike a
+    * float Σ), and each threshold is integer arithmetic from there.
+    * Thresholds cap at 65536 — a source whose temperature share exceeds
+    * its corpus mass samples everything once (epoch repetition is a
+    * separate knob). Long arithmetic holds to ~10⁸-token corpora
+    * (65536·1e6·budget < 2^63); at deploy scale the same chain runs in
+    * DECIMAL. Scale shape: one per-source agg, a driver-bounded weight
+    * table, one broadcast join + filter — 2-exchange budget pinned. */
+  def mixtureTemperatureOn(documents: DataFrame, idCol: String,
+      domainCol: String, textCol: String, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    val docs = documents
+      .select(col(idCol).as("doc_id"), col(domainCol).as("source"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":tmix"))),
+          1, 4), 16, 10).cast("int").as("h16"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .localCheckpoint(eager = true)
+    val totTokens = bySrc.agg(coalesce(sum(col("src_tokens")), lit(0L)))
+      .head().getLong(0)
+    val w = bySrc.select(col("source"), col("src_tokens"),
+      expr(s"CAST(floor(exp($MixTempAlphaSql * " +
+        s"ln(CAST(src_tokens AS DOUBLE) / ${totTokens}L)) * 1e6) AS BIGINT)")
+        .as("wq"))
+      .localCheckpoint(eager = true)
+    val zq = w.agg(coalesce(sum(col("wq")), lit(0L))).head().getLong(0)
+    val budget = totTokens * budgetNum / budgetDen
+    val thr = w.select(col("source"),
+      least(lit(65536L),
+        expr(s"(65536L * wq * ${budget}L) div (${zq}L * src_tokens)"))
+        .as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(col("h16") < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr").cast("int").as("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperatureOn(Tables(spark, dir).documents, "doc_id", "source",
+      "text", MixTempNum, MixTempDen)
+
+  /** Twin: same share → micro-weight quantization, integer normalizer,
+    * integer thresholds, same salted gate. */
+  val mixtureTemperatureSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    ${hex4Sql(s"substr(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 4)")} AS h16
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot FROM s
+       |), w AS (
+       |  SELECT source, src_tokens,
+       |    CAST(floor(exp($MixTempAlphaSql *
+       |      ln(CAST(src_tokens AS DOUBLE) / tot)) * 1e6) AS BIGINT) AS wq
+       |  FROM s CROSS JOIN t
+       |), z AS (
+       |  SELECT CAST(SUM(wq) AS BIGINT) AS zq FROM w
+       |), thr AS (
+       |  SELECT source,
+       |    LEAST(65536, (65536 * wq * ((tot * $MixTempNum) // $MixTempDen))
+       |      // (zq * src_tokens)) AS thr
+       |  FROM w CROSS JOIN z CROSS JOIN t)
+       |SELECT d.doc_id, d.source, CAST(thr AS INT) AS thr
+       |FROM d JOIN thr USING (source)
+       |WHERE h16 < thr
+       |ORDER BY d.doc_id""".stripMargin
+
   /** 4-hex-char positional parse (the md5-prefix → integer idiom). */
   private[operators] def hex4Sql(m: String): String =
     (1 to 4).map(i =>
@@ -3217,6 +3308,7 @@ object CorpusOps {
     "wordpiece_vocab" -> (wordpieceVocab _),
     "wordpiece_encode" -> (wordpieceEncode _),
     "tokenizer_compare" -> (tokenizerCompare _),
+    "mixture_temperature" -> (mixtureTemperature _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -3251,6 +3343,7 @@ object CorpusOps {
     "wordpiece_vocab" -> wordpieceVocabSql,
     "wordpiece_encode" -> wordpieceEncodeSql,
     "tokenizer_compare" -> tokenizerCompareSql,
+    "mixture_temperature" -> mixtureTemperatureSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

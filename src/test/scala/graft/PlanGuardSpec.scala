@@ -165,7 +165,8 @@ class PlanGuardSpec extends SparkSpec {
     "dsir_select" -> 2, // feature explode feeds the BROADCAST bucket-weight join map-side; per-doc partial agg, then TakeOrderedAndProject + k-row rank window — the corpus is never globally sorted (measured 1)
     "wordpiece_vocab" -> 1, // training is driver-side over the bounded histogram; the export is a WpRounds-row literal — only its gate sort exchanges
     "wordpiece_encode" -> 1, // encoding is ONE codegen kernel pass (membership vocab as a reference object, zero joins) + the gate sort
-    "tokenizer_compare" -> 3 // three kernel map passes into three 1-row partial aggs (one single-partition exchange each); the union/sort is 3 rows
+    "tokenizer_compare" -> 3, // three kernel map passes into three 1-row partial aggs (one single-partition exchange each); the union/sort is 3 rows
+    "mixture_temperature" -> 2 // per-source agg is checkpoint-truncated and driver-bounded; the sample is a broadcast join + filter + gate sort (measured 1)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -1132,4 +1132,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.find(_._1 == "bpe").get._4 <= board._3)
     assert(board._4 >= board._3)
   }
+
+  test("mixture_temperature: low-resource sources upsampled toward parity (C84)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val sel = CorpusOps.mixtureTemperature(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(sel.nonEmpty)
+    // deterministic: the sample is a pure function of doc ids
+    val again = CorpusOps.mixtureTemperature(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSeq === sel.toSeq)
+    // the temperature inverts resourcing: a smaller source must get an
+    // inclusion threshold >= any larger source's (p^alpha flattens shares)
+    val mass = docs.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thr = sel.map(r => r._2 -> r._3).toMap
+    assert(thr.size > 1, "degenerate corpus: single source")
+    for (a <- thr.keys; b <- thr.keys if mass(a) < mass(b))
+      assert(thr(a) >= thr(b), s"$a (${mass(a)}) thr ${thr(a)} < $b (${mass(b)}) thr ${thr(b)}")
+    // and the smallest source's SAMPLED share must strictly exceed its
+    // natural share (the whole point of temperature sampling)
+    val small = mass.minBy(_._2)._1
+    val selBySrc = sel.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val natural = mass(small).toDouble / mass.values.sum
+    val sampled = selBySrc(small) / sel.length
+    assert(sampled > natural, s"no upsampling: $sampled <= $natural")
+  }
 }
