@@ -943,14 +943,20 @@ object CorpusOps {
     * (65536·1e6·budget < 2^63); at deploy scale the same chain runs in
     * DECIMAL. Scale shape: one per-source agg, a driver-bounded weight
     * table, one broadcast join + filter — 2-exchange budget pinned. */
-  def mixtureTemperatureOn(documents: DataFrame, idCol: String,
-      domainCol: String, textCol: String, budgetNum: Long,
-      budgetDen: Long): DataFrame = {
-    val docs = documents
+  /** The C84/C85 shared front: docs with the `:tmix` salted gate hash. */
+  private def tmixDocsOf(documents: DataFrame, idCol: String,
+      domainCol: String, textCol: String): DataFrame =
+    documents
       .select(col(idCol).as("doc_id"), col(domainCol).as("source"),
         size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
         conv(substring(md5(concat(col(idCol).cast("string"), lit(":tmix"))),
           1, 4), 16, 10).cast("int").as("h16"))
+
+  /** The C84/C85 shared temperature model: per-source micro-weight table
+    * (driver-bounded, checkpointed) + the exact-integer normalizer + the
+    * corpus token total — one weight spelling for the sampler and the
+    * epoch planner. */
+  private def tmixWeightsOf(docs: DataFrame): (DataFrame, Long, Long) = {
     val bySrc = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .localCheckpoint(eager = true)
@@ -962,6 +968,14 @@ object CorpusOps {
         .as("wq"))
       .localCheckpoint(eager = true)
     val zq = w.agg(coalesce(sum(col("wq")), lit(0L))).head().getLong(0)
+    (w, zq, totTokens)
+  }
+
+  def mixtureTemperatureOn(documents: DataFrame, idCol: String,
+      domainCol: String, textCol: String, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    val docs = tmixDocsOf(documents, idCol, domainCol, textCol)
+    val (w, zq, totTokens) = tmixWeightsOf(docs)
     val budget = totTokens * budgetNum / budgetDen
     val thr = w.select(col("source"),
       least(lit(65536L),
@@ -977,10 +991,10 @@ object CorpusOps {
     mixtureTemperatureOn(Tables(spark, dir).documents, "doc_id", "source",
       "text", MixTempNum, MixTempDen)
 
-  /** Twin: same share → micro-weight quantization, integer normalizer,
-    * integer thresholds, same salted gate. */
-  val mixtureTemperatureSql: String =
-    s"""WITH d AS (
+  /** The C84/C85 shared CTE prefix — one weight spelling for both
+    * twins. */
+  private def tmixCtes: String =
+    s"""d AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
        |    ${hex4Sql(s"substr(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 4)")} AS h16
@@ -997,7 +1011,13 @@ object CorpusOps {
        |  FROM s CROSS JOIN t
        |), z AS (
        |  SELECT CAST(SUM(wq) AS BIGINT) AS zq FROM w
-       |), thr AS (
+       |)""".stripMargin
+
+  /** Twin: same share → micro-weight quantization, integer normalizer,
+    * integer thresholds, same salted gate. */
+  val mixtureTemperatureSql: String =
+    s"""WITH $tmixCtes,
+       |thr AS (
        |  SELECT source,
        |    LEAST(65536, (65536 * wq * ((tot * $MixTempNum) // $MixTempDen))
        |      // (zq * src_tokens)) AS thr
@@ -1006,6 +1026,61 @@ object CorpusOps {
        |FROM d JOIN thr USING (source)
        |WHERE h16 < thr
        |ORDER BY d.doc_id""".stripMargin
+
+  // --- C85: epoch/repetition planner ---------------------------------------
+  /** Repetition ceiling — data-constrained scaling holds returns through
+    * ~4 epochs of repeated data (Muennighoff et al., NeurIPS'23). */
+  val MaxEpochs = 4L
+
+  /** The EPOCH PLAN the temperature mixture implies: C84 samples within
+    * one pass over each source, but a source whose temperature share
+    * EXCEEDS its mass must repeat — this planner turns the same
+    * micro-weight model into per-source (target_tokens, full_epochs,
+    * remainder threshold, capped epochs): full passes + a fractional
+    * last epoch selected by the same md5 gate, with the repetition
+    * ceiling of [[MaxEpochs]]. Everything after the shared micro-weight
+    * quantization is INTEGER arithmetic — the plan is engine-exact by
+    * construction. O(sources) output; 1-exchange budget pinned. */
+  def epochPlanOn(documents: DataFrame, idCol: String, domainCol: String,
+      textCol: String, budgetNum: Long, budgetDen: Long): DataFrame = {
+    val docs = tmixDocsOf(documents, idCol, domainCol, textCol)
+    val (w, zq, totTokens) = tmixWeightsOf(docs)
+    val budget = totTokens * budgetNum / budgetDen
+    w.select(col("source"), col("src_tokens"),
+        expr(s"(wq * ${budget}L) div ${zq}L").as("target_tokens"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        expr("target_tokens div src_tokens").as("full_epochs"),
+        least(lit(65536L), expr(
+          "(65536L * (target_tokens % src_tokens)) div src_tokens"))
+          .cast("int").as("rem_thr"))
+      .select(col("source"), col("src_tokens"), col("target_tokens"),
+        col("full_epochs"),
+        least(col("full_epochs"), lit(MaxEpochs)).as("epochs_capped"),
+        col("rem_thr"))
+      .orderBy(col("source"))
+  }
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlanOn(Tables(spark, dir).documents, "doc_id", "source", "text",
+      // a budget ABOVE the corpus (3×) so upsampled sources genuinely
+      // repeat and the full-epoch + remainder paths are both exercised
+      3L, 1L)
+
+  /** Twin: the shared weight CTEs, then integer plan arithmetic. */
+  val epochPlanSql: String =
+    s"""WITH $tmixCtes,
+       |tgt AS (
+       |  SELECT source, src_tokens,
+       |    (wq * ((tot * 3) // 1)) // zq AS target_tokens
+       |  FROM w CROSS JOIN z CROSS JOIN t)
+       |SELECT source, src_tokens, target_tokens,
+       |  target_tokens // src_tokens AS full_epochs,
+       |  LEAST(CAST(target_tokens // src_tokens AS BIGINT), $MaxEpochs)
+       |    AS epochs_capped,
+       |  CAST(LEAST(65536, (65536 * (target_tokens % src_tokens))
+       |    // src_tokens) AS INT) AS rem_thr
+       |FROM tgt
+       |ORDER BY source""".stripMargin
 
   /** 4-hex-char positional parse (the md5-prefix → integer idiom). */
   private[operators] def hex4Sql(m: String): String =
@@ -3309,6 +3384,7 @@ object CorpusOps {
     "wordpiece_encode" -> (wordpieceEncode _),
     "tokenizer_compare" -> (tokenizerCompare _),
     "mixture_temperature" -> (mixtureTemperature _),
+    "epoch_plan" -> (epochPlan _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
     "kn_logprob" -> (knLogprob _))
@@ -3344,6 +3420,7 @@ object CorpusOps {
     "wordpiece_encode" -> wordpieceEncodeSql,
     "tokenizer_compare" -> tokenizerCompareSql,
     "mixture_temperature" -> mixtureTemperatureSql,
+    "epoch_plan" -> epochPlanSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql)

@@ -1160,4 +1160,32 @@ class CorpusOpsSpec extends SparkSpec {
     val sampled = selBySrc(small) / sel.length
     assert(sampled > natural, s"no upsampling: $sampled <= $natural")
   }
+
+  test("epoch_plan: integer plan conserves the budget; small sources repeat (C85)") {
+    val rows = CorpusOps.epochPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, mass, target, full, capped, rem) =>
+      // the plan's own arithmetic: epochs and remainder derive from target
+      assert(full === target / mass, s"$src full_epochs")
+      assert(capped === math.min(full, CorpusOps.MaxEpochs), s"$src cap")
+      assert(rem === math.min(65536L, 65536L * (target % mass) / mass).toInt,
+        s"$src rem_thr")
+      assert(rem >= 0 && rem <= 65536)
+    }
+    // a 3x-corpus budget must make at least one source genuinely repeat
+    assert(rows.exists(_._4 >= 1), "no source repeats under a 3x budget")
+    // temperature flattening: the smallest source plans MORE epochs-worth
+    // of its own mass than the largest (target/mass anti-monotone in mass)
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._2 < largest._2, "degenerate corpus")
+    assert(smallest._3.toDouble / smallest._2 >
+      largest._3.toDouble / largest._2, "temperature did not flatten")
+    // budget conservation: total target within integer-rounding of 3x
+    val budget = 3L * rows.map(_._2).sum
+    val planned = rows.map(_._3).sum
+    assert(planned <= budget && planned > budget - 1000L * rows.length,
+      s"plan lost the budget: $planned of $budget")
+  }
 }
