@@ -371,6 +371,40 @@ object ScaleProbe {
       Dedup.dedupIndexProbe(spark, dedupIdxPath, batch2, "doc_id", "text")
         .count()
     }
+    time("dedup_index_fragment_x16") {
+      // C83's reason to exist, measured: 16 MORE single-admit appends
+      // fragment bands/ into O(admits × partitions) files...
+      (1 to 16).foreach { i =>
+        val b = docs.filter(col("doc_id") % 97 === i)
+          .select((col("doc_id") + 910000000L + i * 1000000L).as("doc_id"),
+            col("text"))
+        Dedup.dedupIndexAdmit(dedupIdxPath, s"frag$i", b, "doc_id", "text")
+      }
+      Dedup.parquetFileCount(spark, s"$dedupIdxPath/bands")
+    }
+    time("dedup_index_probe_fragmented") {
+      // ...which this probe pays for in open-file overhead...
+      val batch2 = docs.filter(col("doc_id") % 89 === 0)
+        .select((col("doc_id") + 950000000L).as("doc_id"),
+          concat(col("text"), lit(" again")).as("text"))
+      Dedup.dedupIndexProbe(spark, dedupIdxPath, batch2, "doc_id", "text")
+        .count()
+    }
+    time("dedup_index_vacuum") {
+      // ...and vacuum removes: file census back to one spread set
+      val (fb, fa) = Dedup.dedupIndexVacuum(spark, dedupIdxPath)
+      println(f"    vacuum: $fb%d files -> $fa%d")
+      fa
+    }
+    time("dedup_index_probe_vacuumed") {
+      // the same probe after vacuum — the delta vs _fragmented is the
+      // open-file overhead the maintenance verb exists to reclaim
+      val batch2 = docs.filter(col("doc_id") % 89 === 0)
+        .select((col("doc_id") + 950000000L).as("doc_id"),
+          concat(col("text"), lit(" again")).as("text"))
+      Dedup.dedupIndexProbe(spark, dedupIdxPath, batch2, "doc_id", "text")
+        .count()
+    }
     time("ivfpq_admit") {
       // frozen-codebook list append at 24×: route + encode + partitioned
       // append, no history shuffle

@@ -339,7 +339,7 @@ object Dedup {
     * partition layouts count their leaf files) through the Hadoop FS
     * abstraction, so the vacuum verbs report on object-store/HDFS roots
     * too. */
-  private[operators] def parquetFileCount(
+  private[graft] def parquetFileCount(
       spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
