@@ -342,7 +342,10 @@ object TextKernels {
       out: java.util.ArrayList[AnyRef]): Unit = {
     val n = word.length
     if (n == 0) return
-    val tmp = new java.util.ArrayList[AnyRef](4)
+    // high-water mark instead of a per-word staging list: on a positional
+    // miss, truncate this word's pieces and emit [UNK] — no per-token
+    // allocation in the kernel hot path (the uniSegmentAll discipline)
+    val mark = out.size
     var p = 0
     while (p < n) {
       var l = n - p
@@ -353,17 +356,16 @@ object TextKernels {
         if (vocab.contains(cand)) found = l else l -= 1
       }
       if (found < 0) {
-        tmp.clear()
-        tmp.add(UTF8String.fromString("[UNK]"))
+        while (out.size > mark) out.remove(out.size - 1)
+        out.add(UTF8String.fromString("[UNK]"))
         p = n
       } else {
-        tmp.add(UTF8String.fromString(
+        out.add(UTF8String.fromString(
           if (p == 0) word.substring(0, found)
           else "##" + word.substring(p, p + found)))
         p += found
       }
     }
-    out.addAll(tmp)
   }
 
   /** Per-document WordPiece segmentation: every token of the array

@@ -1050,8 +1050,13 @@ object CorpusOps {
         expr(s"(wq * ${budget}L) div ${zq}L").as("target_tokens"))
       .select(col("source"), col("src_tokens"), col("target_tokens"),
         expr("target_tokens div src_tokens").as("full_epochs"),
-        least(lit(65536L), expr(
-          "(65536L * (target_tokens % src_tokens)) div src_tokens"))
+        // the EXECUTED plan stays coherent when the cap binds: a capped
+        // source runs exactly MaxEpochs full passes and NO fractional
+        // pass — a remainder derived from the uncapped target would make
+        // (epochs_capped, rem_thr) execute past the ceiling
+        when(expr("target_tokens div src_tokens") >= MaxEpochs, lit(0L))
+          .otherwise(least(lit(65536L), expr(
+            "(65536L * (target_tokens % src_tokens)) div src_tokens")))
           .cast("int").as("rem_thr"))
       .select(col("source"), col("src_tokens"), col("target_tokens"),
         col("full_epochs"),
@@ -1077,8 +1082,9 @@ object CorpusOps {
        |  target_tokens // src_tokens AS full_epochs,
        |  LEAST(CAST(target_tokens // src_tokens AS BIGINT), $MaxEpochs)
        |    AS epochs_capped,
-       |  CAST(LEAST(65536, (65536 * (target_tokens % src_tokens))
-       |    // src_tokens) AS INT) AS rem_thr
+       |  CAST(CASE WHEN target_tokens // src_tokens >= $MaxEpochs THEN 0
+       |       ELSE LEAST(65536, (65536 * (target_tokens % src_tokens))
+       |         // src_tokens) END AS INT) AS rem_thr
        |FROM tgt
        |ORDER BY source""".stripMargin
 
@@ -2738,9 +2744,10 @@ object CorpusOps {
     * unk-cost fallback (its word may re-segment through it once other
     * pieces' costs shift) — that totality valve is the only growth path.
     * Returns the per-round count snapshots (round 0 = raw candidates). */
-  private[graft] def uniTrain(docs: DataFrame): Seq[Map[String, Long]] = {
+  private[graft] def uniTrain(docs: DataFrame,
+      words0: Option[DataFrame] = None): Seq[Map[String, Long]] = {
     import graft.functions.textsketch.unigram_segment_all
-    val words = uniWordsOf(docs)
+    val words = words0.getOrElse(uniWordsOf(docs))
     var counts = uniCandidatesOf(words)
     val snaps = Seq.newBuilder[Map[String, Long]]
     snaps += counts
@@ -3275,10 +3282,13 @@ object CorpusOps {
       docs.withColumn("n_raw", size(col("toks")).cast("long")))
     val bpe = board("bpe", bpeCur.select(col("n_raw").as("n_tokens"),
       size(col("toks")).as("n_pieces")), lit(0L))
-    val (uniCosts, uniUnk) = uniCostsOf(uniTrain(docs).last)
+    // ONE histogram aggregation feeds both histogram-trained families
+    // (uniTrain would otherwise recompute the identical capped cut)
+    val wordsDf = uniWordsOf(docs)
+    val (uniCosts, uniUnk) = uniCostsOf(uniTrain(docs, Some(wordsDf)).last)
     val uni = board("unigram",
       unigramEncodeWith(uniCosts, uniUnk, documents, idCol, textCol), lit(0L))
-    val words = wpWordsOf(documents, idCol, textCol)
+    val words = wordsDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val wp = board("wordpiece",
       wordpieceEncodeWith(wpVocabOf(words, wpTrain(words)), documents,
         idCol, textCol), col("n_unk"))

@@ -351,17 +351,23 @@ object Dedup {
   }
 
   /** Swap a freshly written directory into place through the FS
-    * abstraction — the vacuum verbs' commit step. Not cross-process
-    * atomic (delete + rename): vacuum is a single-writer maintenance op,
-    * the same contract [[graft.sources.IndexScratch.admitOnce]]
-    * documents for admission. */
+    * abstraction — the vacuum verbs' commit step. Rename-aside order
+    * (dest → dest.old, tmp → dest, drop dest.old): a crash between the
+    * renames leaves dest.old intact for manual recovery, never an empty
+    * index path — the delete-then-rename order would. Not cross-process
+    * atomic: vacuum is a single-writer maintenance op, the same
+    * contract [[graft.sources.IndexScratch.admitOnce]] documents for
+    * admission. */
   private[operators] def swapDir(spark: org.apache.spark.sql.SparkSession,
       tmp: String, dest: String): Unit = {
     val d = new org.apache.hadoop.fs.Path(dest)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.delete(d, true), s"vacuum: cannot remove $dest")
+    val old = new org.apache.hadoop.fs.Path(dest + ".old")
+    fs.delete(old, true) // a leftover .old from a prior crash
+    require(fs.rename(d, old), s"vacuum: cannot set aside $dest")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), d),
-      s"vacuum: swap into $dest failed")
+      s"vacuum: swap into $dest failed — previous layout at $old")
+    fs.delete(old, true)
   }
 
   /** VACUUM the persisted band index — the maintenance verb after the

@@ -1170,8 +1170,12 @@ class CorpusOpsSpec extends SparkSpec {
       // the plan's own arithmetic: epochs and remainder derive from target
       assert(full === target / mass, s"$src full_epochs")
       assert(capped === math.min(full, CorpusOps.MaxEpochs), s"$src cap")
-      assert(rem === math.min(65536L, 65536L * (target % mass) / mass).toInt,
-        s"$src rem_thr")
+      // a capped source runs exactly MaxEpochs full passes and NO
+      // fractional pass — rem_thr must not execute past the ceiling
+      val expectRem =
+        if (full >= CorpusOps.MaxEpochs) 0L
+        else math.min(65536L, 65536L * (target % mass) / mass)
+      assert(rem === expectRem.toInt, s"$src rem_thr")
       assert(rem >= 0 && rem <= 65536)
     }
     // a 3x-corpus budget must make at least one source genuinely repeat
