@@ -3343,7 +3343,7 @@ object CorpusOps {
 
   /** 12-hex-char positional parse → BIGINT (48 bits, exact). Shared with
     * the C79 DSIR oracle (Pipeline) — one md5-prefix→u48 spelling. */
-  private[operators] def hex12Sql(m: String): String =
+  private[graft] def hex12Sql(m: String): String =
     s"""CAST(list_sum(list_transform(range(1, 13),
        |      i -> (strpos('0123456789abcdef', substr($m, i, 1)) - 1)::BIGINT
        |           << (4 * (12 - i)))) AS BIGINT)""".stripMargin

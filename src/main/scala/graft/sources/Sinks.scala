@@ -689,7 +689,54 @@ object Sinks {
        |ORDER BY file_id""".stripMargin
   }
 
+  // --- D4: ORC round-trip ---------------------------------------------------
+  /** The second columnar format a mixed lakehouse actually holds (ORC is
+    * Spark-native — spark-sql ships the reader/writer; no extra jar):
+    * documents are written ONCE as a lang-partitioned ORC table
+    * (memoized scratch), read back through the ORC reader, and rolled up
+    * to a per-source board — count, char mass, and an ORDER-FREE content
+    * fingerprint (Σ of each row's 48-bit md5 prefix over every column,
+    * exact BIGINT arithmetic: 2^48 × corpus ≪ 2^63). The DuckDB twin
+    * computes the SAME rollup from the parquet table it can read — the
+    * board is format-independent by construction, so hash equality IS
+    * the proof that the ORC round-trip preserved every row and column
+    * (a dropped row, mangled string, or lost partition column all move
+    * the sum). Scale shape: one partitioned write (amortized), then one
+    * partial-agg rollup over the ORC scan — 2-exchange budget pinned. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexScratch.path("orcrt", dir)
+    IndexScratch.ensure(path) { p =>
+      Tables(spark, dir).documents
+        .write.partitionBy("lang").orc(p)
+    }
+    val h48 = conv(substring(md5(concat_ws("|",
+      col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    spark.read.orc(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(h48).as("content_h"))
+      .orderBy(col("source"))
+  }
+
+  /** Twin: the identical rollup from the parquet table — the md5 input
+    * is the same '|'-joined row spelling (all columns BIGINT/VARCHAR, so
+    * string casts are engine-exact). */
+  val orcRoundtripSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' || " +
+                "lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 12)")})
+       |    AS BIGINT) AS content_h
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orc_roundtrip" -> (orcRoundtrip _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
@@ -700,6 +747,7 @@ object Sinks {
     "compact_rewrite" -> (compactRewrite _))
 
   val oracles: Map[String, String] = Map(
+    "orc_roundtrip" -> orcRoundtripSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,

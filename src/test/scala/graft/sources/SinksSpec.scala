@@ -268,4 +268,28 @@ class SinksSpec extends SparkSpec {
     assert(got.map(_._3).sum ===
       graft.sources.Tables(spark, sfDir).orders.count())
   }
+
+  test("orc_roundtrip: the ORC copy preserves every row and column (D4)") {
+    import graft.sources.{IndexScratch, Sinks, Tables}
+    val board = Sinks.orcRoundtrip(spark, sfDir).collect().map(_.toString)
+    assert(board.nonEmpty)
+    // the same rollup from the parquet table inside Spark — the board is
+    // format-independent by construction
+    val path = IndexScratch.path("orcrt", sfDir)
+    val docs = Tables(spark, sfDir).documents
+    assert(spark.read.orc(path).count() === docs.count())
+    val h48 = conv(substring(md5(concat_ws("|",
+      col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val fromParquet = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(h48).as("content_h"))
+      .orderBy(col("source")).collect().map(_.toString)
+    assert(board.toSeq === fromParquet.toSeq)
+    // partition-column restoration: every lang survives the partitionBy
+    assert(spark.read.orc(path).select("lang").distinct().count() ===
+      docs.select("lang").distinct().count())
+  }
 }
