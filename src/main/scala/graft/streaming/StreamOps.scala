@@ -783,9 +783,21 @@ object StreamOps {
     * `maxFilesPerTrigger = 1` makes each source file one admission batch.
     * Cross-batch detection is pinned by spec (a two-file replay whose
     * second file near-duplicates the first); a single-batch drain equals
-    * B53's one-shot probe. */
+    * B53's one-shot probe.
+    *
+    * B65: `vacuumEvery = k` runs [[graft.operators.Dedup.dedupIndexVacuum]]
+    * after every k-th batch's admission — the maintenance verb INSIDE the
+    * recurring-ingest loop, where it actually runs at deploy: without it
+    * the loop's own appends fragment the index one file set per batch,
+    * and probe latency degrades monotonically with ingest age. Safe at
+    * this point in the batch: the probe materialized through the sink
+    * write and the admission append completed, and the loop is the
+    * index's single writer (the swapDir contract). Vacuum is
+    * content-preserving, so detection semantics are UNCHANGED — batch
+    * k+1 still surfaces batch k's admitted content across the swap
+    * (pinned by spec). 0 = never (B62's shape). */
   def streamIndexAdmitLoop(rootSpark: SparkSession, srcDir: String,
-      glob: String, indexPath: String): DataFrame = {
+      glob: String, indexPath: String, vacuumEvery: Int = 0): DataFrame = {
     val spark = streamingSession(rootSpark)
     val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(srcDir).schema
@@ -812,6 +824,9 @@ object StreamOps {
               .write.mode("append").parquet(sink.getAbsolutePath)
             graft.operators.Dedup.dedupIndexAdmit(indexPath, s"batch$bid",
               mb, "doc_id", "text")
+            if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
+              graft.operators.Dedup.dedupIndexVacuum(mb.sparkSession,
+                indexPath)
             ()
         }.start()
       q.awaitTermination()

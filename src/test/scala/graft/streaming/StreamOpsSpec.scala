@@ -375,6 +375,52 @@ class StreamOpsSpec extends SparkSpec {
       s"${missing.length} batch-2 docs missed their admitted batch-1 source")
   }
 
+  test("B65 admit loop with in-loop vacuum: detection unchanged across " +
+      "the swap; file census bounded by the spread set") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") % 3 === 1)
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = b1.select((col("doc_id") + 900000000L).as("doc_id"),
+      concat(col("text"), lit(" probed")).as("text"))
+    val idx = new java.io.File(java.nio.file.Files
+      .createTempDirectory("graft_vacloop").toFile, "idx").getPath
+    Dedup.dedupIndexBuild(history, "doc_id", "text", idx)
+    val builtFiles = Dedup.parquetFileCount(spark, s"$idx/bands")
+    val src = java.nio.file.Files.createTempDirectory("graft_vacloop_src")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val stage = new java.io.File(src.toFile, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src.toFile, name).toPath)
+      assert(new java.io.File(src.toFile, name).setLastModified(mtime))
+    }
+    val t0 = 1700000000000L
+    writeFile(b1, "b1.parquet", t0)
+    writeFile(b2, "b2.parquet", t0 + 60000L)
+    // vacuum after EVERY batch: batch 2 probes across a post-batch-1 swap
+    val hits = StreamOps.streamIndexAdmitLoop(spark, src.toString,
+        "b*.parquet", idx, vacuumEvery = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the B62 cross-batch property must SURVIVE the vacuum between the
+    // batches: every b2 doc surfaces its admitted b1 source
+    val hitPairs = hits.toSet
+    val missing = b1.select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(s => hitPairs.contains((s + 900000000L, s)))
+    assert(missing.isEmpty,
+      s"${missing.length} batch-2 docs lost their source across the vacuum")
+    // and the census claim: after the final in-loop vacuum the index is
+    // ONE spread set again, not build + one file set per admitted batch
+    assert(Dedup.parquetFileCount(spark, s"$idx/bands") <= builtFiles,
+      "in-loop vacuum did not bound the file census")
+  }
+
   test("B61 admission chain: drain == composed batch verdicts; every " +
       "class routes to its gate") {
     import org.apache.spark.sql.functions._
