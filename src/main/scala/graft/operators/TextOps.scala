@@ -62,6 +62,59 @@ object TextOps {
        |       MIN(doc_id) AS keeper_id
        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- C86: normalization-aware dedup --------------------------------------
+  /** CCNet/RefinedWeb's normalize-BEFORE-dedup step as its own key: a
+    * case-flipped or punctuation-noised copy is byte-distinct (C1's
+    * sha256 groups miss it) but identical text to a reader; dedup must
+    * run on the NORMALIZED form. Normalization = lowercase → strip
+    * non-alphanumerics to spaces → collapse whitespace → trim (ASCII
+    * spelling — both engines' lower/regexp agree; Unicode folding is a
+    * locale-dependent deploy knob, out of oracle scope). The synthetic
+    * corpus has no case/punct variants, so every doc_id % 11 == 0 doc
+    * re-enters UPPERCASED with trailing punctuation noise (the C13/C1
+    * injection discipline) — byte-distinct, normalization-equal: the
+    * positive path is exercised and oracle-checked at every sf.
+    *
+    * Output per normalized group: md5 of the normal form, total
+    * variants, how many are byte-DISTINCT (>1 = the rows C1 cannot
+    * group), deterministic keeper. One shuffle on the normal-form hash
+    * with map-side partials — C1's scale shape with a codegen'd
+    * normalize in front; the count-distinct adds its two-phase partial
+    * agg (3-exchange budget pinned). */
+  private def normExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  def normCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+  }
+
+  def normDedup(spark: SparkSession, dir: String): DataFrame =
+    normCorpus(spark, dir)
+      .groupBy(md5(normExpr(col("text"))).as("norm_hash"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("text")).as("n_byte_distinct"),
+        min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("norm_hash"))
+
+  val normDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 700000000, upper(text) || ' !!'
+       |  FROM documents WHERE doc_id % 11 = 0
+       |)
+       |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
+       |  COUNT(*) AS n_variants,
+       |  COUNT(DISTINCT text) AS n_byte_distinct,
+       |  MIN(doc_id) AS keeper_id
+       |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- C4: n-gram Jaccard near-dup pairs ----------------------------------
   val JaccardThreshold = 0.4
 
@@ -337,7 +390,8 @@ object TextOps {
     "text_entropy" -> (textEntropy _),
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
-    "substring_dedup" -> (substringDedup _)
+    "substring_dedup" -> (substringDedup _),
+    "norm_dedup" -> (normDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,6 +402,7 @@ object TextOps {
     "text_entropy" -> textEntropySql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
-    "substring_dedup" -> substringDedupSql
+    "substring_dedup" -> substringDedupSql,
+    "norm_dedup" -> normDedupSql
   )
 }

@@ -168,7 +168,8 @@ class PlanGuardSpec extends SparkSpec {
     "tokenizer_compare" -> 3, // three kernel map passes into three 1-row partial aggs (one single-partition exchange each); the union/sort is 3 rows
     "mixture_temperature" -> 2, // per-source agg is checkpoint-truncated and driver-bounded; the sample is a broadcast join + filter + gate sort (measured 1)
     "epoch_plan" -> 1, // the plan is pure integer arithmetic over the checkpointed O(sources) weight table; only its gate sort exchanges
-    "orc_roundtrip" -> 2 // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
+    "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
+    "norm_dedup" -> 3 // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -91,4 +91,33 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
+
+  test("norm_dedup: byte-distinct case/punct variants group; C1 cannot see them (C86)") {
+    val rows = TextOps.normDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every injected variant (uppercased + punct noise) lands in its
+    // source's normalized group: the group keyed by a %11 keeper holds
+    // >= 2 variants of which >= 2 are byte-distinct
+    val injected = rows.filter(r => r._4 % 11 == 0 && r._4 < 700000000L)
+    assert(injected.nonEmpty)
+    injected.foreach { case (h, nv, nbd, keeper) =>
+      assert(nv >= 2, s"group of $keeper did not absorb its variant")
+      assert(nbd >= 2, s"group of $keeper variants not byte-distinct")
+    }
+    // the same corpus under C1's byte-exact grouping CANNOT pair them:
+    // sha256(text) differs, so each injected doc is its own C1 group
+    val c1 = graft.operators.Dedup.exactGroups(
+      TextOps.normCorpus(spark, sfDir), "doc_id", "text")
+      .filter(col("keeper_id") >= 700000000L).count()
+    assert(c1 > 0, "injection produced no byte-distinct rows")
+    // normalization idempotence on the real corpus: norm(norm(x)) == norm(x)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val bad = docs.select(
+        expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '), '\\s+', ' '))").as("n1"))
+      .select(col("n1"),
+        expr("trim(regexp_replace(regexp_replace(lower(n1), '[^a-z0-9\\s]', ' '), '\\s+', ' '))").as("n2"))
+      .filter(col("n1") =!= col("n2")).count()
+    assert(bad === 0L, s"$bad non-idempotent normalizations")
+  }
 }
