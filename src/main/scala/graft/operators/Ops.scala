@@ -381,7 +381,13 @@ object Dedup {
     * preserving by construction: same rows, so probe-after-vacuum ≡
     * probe-before (the C83 driver key shares C76's rebuild oracle —
     * hash equality IS that guarantee). Returns (files_before,
-    * files_after). */
+    * files_after).
+    *
+    * Serves ALL THREE band-index families as-is — MinHash (this file),
+    * SimHash ([[simhashIndexBuild]]), and pHash
+    * ([[graft.operators.Multimodal.phashIndexBuild]]) — because they
+    * share ONE stored layout spelling: `$path/bands`, `_bkt`-spread
+    * (pinned per family by AdmissionSpec's vacuum assertions). */
   def dedupIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Long) = {
     val bands = s"$path/bands"

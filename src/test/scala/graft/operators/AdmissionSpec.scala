@@ -68,6 +68,11 @@ class AdmissionSpec extends SparkSpec {
     assert(r1.exists(_.getLong(1) >= 500000000L))
     assert(r1 === probeOf(p2))
     assert(!Dedup.simhashIndexAdmit(p1, "t1", batch, "doc_id", "text"))
+    // C83 generalizes: the one band layout spelling means ONE vacuum
+    // serves this family too — census shrinks, probe unchanged
+    val (fb, fa) = Dedup.dedupIndexVacuum(spark, p1)
+    assert(fa < fb, s"simhash vacuum did not compact: $fb -> $fa")
+    assert(probeOf(p1) === r1, "simhash vacuum changed the probe")
   }
 
   test("phash index: probe-after-admit == probe-against-full-rebuild") {
@@ -91,6 +96,10 @@ class AdmissionSpec extends SparkSpec {
     assert(r1.exists(_.getLong(1) >= 500000000L))
     assert(r1 === probeOf(p2))
     assert(!Multimodal.phashIndexAdmit(p1, "t1", batch))
+    // C83 generalizes to the media family through the same band layout
+    val (fb, fa) = Dedup.dedupIndexVacuum(spark, p1)
+    assert(fa < fb, s"phash vacuum did not compact: $fb -> $fa")
+    assert(probeOf(p1) === r1, "phash vacuum changed the probe")
   }
 
   test("ivfpq index: frozen-codebook admission — split == one-shot, " +
