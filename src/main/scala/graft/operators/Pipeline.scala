@@ -1098,6 +1098,64 @@ object Pipeline {
        |FROM d JOIN s USING (doc_id) CROSS JOIN k
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C87: ensemble quality verdict ---------------------------------------
+  /** LM-fluency gate for the ensemble: C31's cross-entropy buckets run
+    * 0–9; ≤ 2 splits the gate corpus (139 vs 361 at sf0.01), so both
+    * vote directions are exercised and oracle-checked at every sf. */
+  val EnsembleLmBucketMax = 2
+
+  /** The ENSEMBLE quality verdict production pipelines actually ship
+    * (FineWeb/RefinedWeb combine signals; no single filter survives
+    * contact with a real corpus): three independent per-doc signals —
+    * the C15 heuristic gate, the C78 learned classifier, and C31's
+    * LM-fluency bucket — vote, and majority (≥ 2 of 3) accepts. Each
+    * signal is the existing operator's OWN spelling
+    * ([[qualityExprsOf]] / [[nbTrain]]+[[nbScore]] /
+    * [[graft.operators.CorpusOps.unigramLogprobOn]]); this operator
+    * adds ONLY the vote — the B61 composition discipline applied to
+    * quality scoring.
+    *
+    * Scale shape: the gate is map-side; the NB and LM signals are each
+    * one broadcast-join + per-doc partial agg; the vote joins three
+    * doc-keyed frames (co-partitioned by the join). 4-exchange budget
+    * pinned (measured 3). */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val gate = docs.select(col("doc_id"),
+      qualityExprsOf(col("text")).passes.as("gate_pass"))
+    val frame = nbFrameOf(docs, "doc_id", "text")
+    val nb = nbScore(nbTrain(frame), frame)
+      .select(col("doc_id"), col("pred").as("nb_pred"))
+    val lm = graft.operators.CorpusOps.unigramLogprobOn(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("ppl_bucket") <= EnsembleLmBucketMax).cast("int").as("lm_ok"))
+    gate.join(nb, "doc_id").join(lm, "doc_id")
+      .select(col("doc_id"), col("gate_pass"), col("nb_pred"), col("lm_ok"),
+        (col("gate_pass") + col("nb_pred") + col("lm_ok")).as("score"))
+      .withColumn("verdict", (col("score") >= 2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: each signal's existing twin as a subquery, then the vote. */
+  lazy val qualityEnsembleSql: String =
+    s"""SELECT g.doc_id, g.gate_pass, nb.nb_pred, lm.lm_ok,
+       |  g.gate_pass + nb.nb_pred + lm.lm_ok AS score,
+       |  CAST(CASE WHEN g.gate_pass + nb.nb_pred + lm.lm_ok >= 2
+       |       THEN 1 ELSE 0 END AS INT) AS verdict
+       |FROM (
+       |  SELECT doc_id, passes AS gate_pass
+       |  FROM (${qualityFlagsSqlOver("documents", ordered = false)})) g
+       |JOIN (
+       |  SELECT doc_id, pred AS nb_pred FROM ($qualityClassifierSql)) nb
+       |  USING (doc_id)
+       |JOIN (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN ppl_bucket <= $EnsembleLmBucketMax
+       |         THEN 1 ELSE 0 END AS INT) AS lm_ok
+       |  FROM (${graft.operators.CorpusOps.unigramLogprobSql})) lm
+       |  USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+
   // --- C79: data selection via importance resampling (DSIR) ---------------
   /** Hashed feature space (Xie et al., NeurIPS'23 use 10k buckets; a
     * power of two keeps the modulus cheap). Bounded: every training and
@@ -1286,7 +1344,8 @@ object Pipeline {
     "mine_pairs" -> (minePairs _),
     "prepare_pretrain" -> (preparePretrain _),
     "quality_classifier" -> (qualityClassifier _),
-    "dsir_select" -> (dsirSelect _)
+    "dsir_select" -> (dsirSelect _),
+    "quality_ensemble" -> (qualityEnsemble _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1304,6 +1363,7 @@ object Pipeline {
     "mine_pairs" -> minePairsSql,
     "prepare_pretrain" -> preparePretrainSql,
     "quality_classifier" -> qualityClassifierSql,
-    "dsir_select" -> dsirSelectSql
+    "dsir_select" -> dsirSelectSql,
+    "quality_ensemble" -> qualityEnsembleSql
   )
 }

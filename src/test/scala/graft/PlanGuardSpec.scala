@@ -169,7 +169,8 @@ class PlanGuardSpec extends SparkSpec {
     "mixture_temperature" -> 2, // per-source agg is checkpoint-truncated and driver-bounded; the sample is a broadcast join + filter + gate sort (measured 1)
     "epoch_plan" -> 1, // the plan is pure integer arithmetic over the checkpointed O(sources) weight table; only its gate sort exchanges
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
-    "norm_dedup" -> 3 // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
+    "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
+    "quality_ensemble" -> 4 // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote's three doc-keyed joins co-partition (measured 3) + gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

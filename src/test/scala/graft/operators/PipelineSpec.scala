@@ -404,4 +404,32 @@ class PipelineSpec extends SparkSpec {
     assert(mean(sel.map(_._1).toSeq) > mean(all),
       s"selection did not shift: sel=${mean(sel.map(_._1).toSeq)} corpus=${mean(all)}")
   }
+
+  test("quality_ensemble: three signals vote; each signal matches its own operator (C87)") {
+    val rows = Pipeline.qualityEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    assert(rows.length === docs.count())
+    // vote arithmetic is internally consistent
+    rows.foreach { case (id, g, nb, lm, s, v) =>
+      assert(s === g + nb + lm, s"doc $id score")
+      assert(v === (if (s >= 2) 1 else 0), s"doc $id verdict")
+    }
+    // every signal varies at this sf (a constant column would mean the
+    // ensemble degenerates to a 2-of-2 vote)
+    assert(rows.map(_._2).distinct.length === 2, "gate constant")
+    assert(rows.map(_._3).distinct.length === 2, "nb constant")
+    assert(rows.map(_._4).distinct.length === 2, "lm constant")
+    // and the ensemble genuinely disagrees with each single signal
+    // somewhere — the reason to vote at all
+    assert(rows.exists(r => r._6 != r._2), "verdict == gate everywhere")
+    assert(rows.exists(r => r._6 != r._3), "verdict == nb everywhere")
+    // signal columns match the standalone operators (one spelling)
+    val gate = Pipeline.qualityFlagsOn(docs)
+      .select(col("doc_id"), col("passes")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, g, _, _, _, _) =>
+      assert(g === gate(id), s"doc $id gate forked") }
+  }
 }
