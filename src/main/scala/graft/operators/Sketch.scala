@@ -113,8 +113,8 @@ object Sketch {
     * fingerprints + affine maps mod M61, exact in HUGEINT arithmetic).
     * The affine coefficients are spliced from the SAME Scala constants the
     * expression uses, so the two engines share one definition. */
-  val dedupMinhashLshSql: String =
-    s"""WITH ${minhashCandidateCtes("documents")}
+  def minhashPairsSqlOver(sourceTable: String): String =
+    s"""WITH ${minhashCandidateCtes(sourceTable)}
        |SELECT doc_a, doc_b,
        |  len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) / $NumHashes.0
        |    AS est_jaccard
@@ -124,6 +124,8 @@ object Sketch {
        |WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupMinhashLshSql: String = minhashPairsSqlOver("documents")
 
   /** The simhash fingerprint CTE chain (tokens → md5-prefix signed-64
     * hashes → per-bit sign sums → fingerprint) over `sourceTable(doc_id,
@@ -165,8 +167,8 @@ object Sketch {
     * 64-bit via positional hex parse + 2^64 wrap), same sign-sum bits, same
     * 8×8 banding ((fp>>8b)&255 masks away shift-fill bits, so arithmetic
     * vs logical shift is immaterial), same hamming filter. */
-  val dedupSimhashSql: String =
-    s"""WITH ${simhashFpCtes("documents")}, bd AS (
+  def simhashPairsSqlOver(sourceTable: String): String =
+    s"""WITH ${simhashFpCtes(sourceTable)}, bd AS (
        |  SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS bkt
        |  FROM fps, range(0, $SimhashBands) t(b)
        |), cand AS (
@@ -178,6 +180,8 @@ object Sketch {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhashSql: String = simhashPairsSqlOver("documents")
 
   // --- C41: sketch self-evaluation -----------------------------------------
   /** Precision/recall of the MinHash-LSH detector against EXACT n-gram
@@ -405,6 +409,105 @@ object Sketch {
        |      / $NumHashes.0 >= $MinEstJaccard
        |ORDER BY batch_id, hist_id""".stripMargin
 
+  // --- C88: cross-family dedup comparison board ----------------------------
+  /** The dedup-STRATEGY board (C82's selection-board discipline applied
+    * to the dedup family): one seeded corpus carrying all three
+    * duplication modes — byte-exact copies (%7), case/punct variants
+    * (%11), near-dup suffix variants (%13) — runs through every detector
+    * family, and one row per family reports its removal census under the
+    * keep-min policy (pair families: docs appearing as the larger member
+    * of ≥1 qualifying pair). The board IS the strategy argument: exact
+    * catches only byte copies, norm adds case variants, the sketch
+    * families add near-dups but MISS case variants (uppercasing flips
+    * every token hash) — no single family covers all three modes.
+    *
+    * Every census is the family's own spelling (exactGroups / normExpr /
+    * minhashLshPairs / simhashPairs / ngramJaccardPairs with each key's
+    * canned parameters), and every oracle subquery its existing twin
+    * over the shared corpus CTE — the board cannot fork any detector.
+    * Scale: censuses are bounded scalar aggregates of production plans;
+    * the board itself is a 5-row literal. */
+  def dedupBoardCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 700000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      .unionAll(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 800000000L).as("doc_id"),
+          concat(col("text"), lit(" zz extra")).as("text")))
+  }
+
+  private val dedupBoardCorpusSql: String =
+    """bc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 700000000, upper(text) || ' !!'
+      |  FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 800000000, text || ' zz extra'
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  def dedupCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = dedupBoardCorpus(spark, dir).localCheckpoint(eager = true)
+    val n = c.count()
+    def grouped(groups: DataFrame, cnt: String): Long =
+      groups.filter(col(cnt) > 1)
+        .agg(coalesce(sum(col(cnt) - 1), lit(0L))).head().getLong(0)
+    def pairRemoved(pairs: DataFrame): Long =
+      pairs.select(col("id_b")).distinct().count()
+    val exact = grouped(Dedup.exactGroups(c, "doc_id", "text"), "n_copies")
+    val norm = grouped(
+      c.groupBy(md5(TextOps.normExpr(col("text"))))
+        .agg(count(lit(1)).as("nv")), "nv")
+    val mh = pairRemoved(Dedup.minhashLshPairs(c, "doc_id", "text",
+      shingleN = 3, numHashes = NumHashes, bands = Bands,
+      minEstJaccard = MinEstJaccard))
+    val sh = pairRemoved(Dedup.simhashPairs(c, "doc_id", "text",
+      bandBits = SimhashBandBits, maxHamming = MaxHamming))
+    val jc = pairRemoved(Dedup.ngramJaccardPairs(c, "doc_id", "text",
+      n = 3, threshold = TextOps.JaccardThreshold))
+    Seq(("exact", exact), ("minhash_lsh", mh), ("ngram_jaccard", jc),
+        ("norm", norm), ("simhash", sh))
+      .map { case (f, r) => (f, n, r, r.toDouble / n) }
+      .toDF("family", "n_docs", "n_removed", "removal_rate")
+      .orderBy(col("family"))
+  }
+
+  /** Twin: each family's existing twin as a subquery over the shared
+    * seeded-corpus CTE, reduced to the same censuses. */
+  lazy val dedupCompareSql: String =
+    s"""WITH $dedupBoardCorpusSql,
+       |nn AS (SELECT COUNT(*) AS n_docs FROM bc),
+       |fam AS (
+       |  SELECT 'exact' AS family, CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+       |    AS n_removed
+       |  FROM (SELECT COUNT(*) AS c FROM bc GROUP BY sha256(text))
+       |  WHERE c > 1
+       |  UNION ALL
+       |  SELECT 'norm', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+       |  FROM (SELECT COUNT(*) AS c FROM bc
+       |        GROUP BY md5(${TextOps.normSqlExpr("text")}))
+       |  WHERE c > 1
+       |  UNION ALL
+       |  SELECT 'minhash_lsh', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+       |  FROM (${minhashPairsSqlOver("bc")})
+       |  UNION ALL
+       |  SELECT 'simhash', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+       |  FROM (${simhashPairsSqlOver("bc")})
+       |  UNION ALL
+       |  SELECT 'ngram_jaccard', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+       |  FROM (${TextOps.ngramJaccardSqlOver("bc")}))
+       |SELECT family, n_docs, n_removed,
+       |  CAST(n_removed AS DOUBLE) / n_docs AS removal_rate
+       |FROM fam CROSS JOIN nn
+       |ORDER BY family""".stripMargin
+
   // --- C83: persisted-index VACUUM (build → admit → vacuum → probe) -------
   /** The lifecycle's maintenance verb exercised end-to-end: the C76 flow
     * (build on history → admit the C27 batch) leaves `bands/` holding one
@@ -444,7 +547,8 @@ object Sketch {
     "dedup_index_probe" -> (dedupIndexProbe _),
     "simhash_index_probe" -> (simhashIndexProbe _),
     "dedup_index_admit" -> (dedupIndexAdmitProbe _),
-    "dedup_index_vacuum" -> (dedupIndexVacuumProbe _)
+    "dedup_index_vacuum" -> (dedupIndexVacuumProbe _),
+    "dedup_compare" -> (dedupCompare _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +560,7 @@ object Sketch {
     "dedup_index_admit" -> dedupIndexAdmitProbeSql,
     // vacuum is content-preserving: the post-vacuum probe must equal the
     // post-admit probe, so the C76 rebuild twin is shared verbatim
-    "dedup_index_vacuum" -> dedupIndexAdmitProbeSql
+    "dedup_index_vacuum" -> dedupIndexAdmitProbeSql,
+    "dedup_compare" -> dedupCompareSql
   )
 }

@@ -81,7 +81,7 @@ object TextOps {
     * with map-side partials — C1's scale shape with a codegen'd
     * normalize in front; the count-distinct adds its two-phase partial
     * agg (3-exchange budget pinned). */
-  private def normExpr(text: Column): Column =
+  private[operators] def normExpr(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
@@ -101,6 +101,12 @@ object TextOps {
         min(col("doc_id")).as("keeper_id"))
       .orderBy(col("norm_hash"))
 
+  /** The normalization spelling as SQL — shared by the C86 twin and the
+    * C88 board so the normal form cannot fork. */
+  private[operators] def normSqlExpr(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), " +
+      "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   val normDedupSql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -108,8 +114,7 @@ object TextOps {
        |  SELECT doc_id + 700000000, upper(text) || ' !!'
        |  FROM documents WHERE doc_id % 11 = 0
        |)
-       |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-       |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
+       |SELECT md5(${normSqlExpr("text")}) AS norm_hash,
        |  COUNT(*) AS n_variants,
        |  COUNT(DISTINCT text) AS n_byte_distinct,
        |  MIN(doc_id) AS keeper_id
@@ -140,12 +145,14 @@ object TextOps {
         col("size_b").as("nb"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val dedupNgramJaccardSql: String =
+  /** The C4 pair chain over ANY (doc_id, text) table — shared by the C4
+    * twin and the C88 board (one exact-Jaccard spelling). */
+  def ngramJaccardSqlOver(sourceTable: String): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |        FROM documents)
+       |        FROM $sourceTable)
        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -158,6 +165,8 @@ object TextOps {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupNgramJaccardSql: String = ngramJaccardSqlOver("documents")
 
   // --- C44: exact-substring duplication stats ------------------------------
   /** Window width: long enough that a shared window means shared PASSAGES

@@ -133,4 +133,30 @@ class SketchSpec extends SparkSpec {
     assert(a.map(_.length).forall(_ == Sketch.NumHashes))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("dedup_compare: no single family covers all three duplication modes (C88)") {
+    val rows = Sketch.dedupCompare(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq ===
+      Seq("exact", "minhash_lsh", "ngram_jaccard", "norm", "simhash"))
+    // one corpus: every family saw the same document count
+    val n = Sketch.dedupBoardCorpus(spark, sfDir).count()
+    rows.foreach { case (f, nd, nr, rate) =>
+      assert(nd === n, s"$f corpus size")
+      assert(math.abs(rate - nr.toDouble / n) < 1e-12, s"$f rate")
+      assert(nr > 0, s"$f found nothing — a seeded mode is broken")
+    }
+    val by = rows.map(r => r._1 -> r._3).toMap
+    // byte copies: exact catches at least every seeded %7 copy
+    val seeded = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(by("exact") >= seeded)
+    // the board's strategy argument, as strict orderings:
+    // norm strictly adds the case variants exact cannot see...
+    assert(by("norm") > by("exact"), "norm found no case variants")
+    // ...and the sketch families strictly add near-dups exact cannot see
+    assert(by("minhash_lsh") > by("exact"), "minhash found no near-dups")
+    assert(by("ngram_jaccard") > by("exact"))
+    assert(by("simhash") > by("exact"))
+  }
 }
