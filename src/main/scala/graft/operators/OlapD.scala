@@ -283,15 +283,120 @@ object OlapD {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --- C89: data-quality integrity suite -----------------------------------
+  /** The dbt-test / Great-Expectations check suite a lakehouse runs after
+    * every load: primary-key uniqueness, foreign-key coverage, null
+    * gates, and column-consistency invariants, each reported as one
+    * (table, check, n_rows, n_violations) row. The synthetic lake is
+    * CLEAN, so violations are SEEDED deterministically (the C13
+    * injection discipline) — a duplicate-pk documents row whose bumped
+    * n_chars also breaks the length invariant (%101), an orphan
+    * embedding with a truncated 63-dim vector (%97), an orphan lineitem
+    * (%89) — so every failing check fails by a KNOWN count at every sf,
+    * while the untouched checks prove the clean tables pass.
+    *
+    * Scale shape: each check is one partial-agg count or one broadcast/
+    * shuffle anti-join census — the shapes the underlying operators
+    * already audited; the board is a bounded literal of driver scalars
+    * (the C88 census discipline). */
+  def tableIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val docsChk = docs.unionAll(docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (col("n_chars") + 1).as("n_chars"))
+      .select(docs.columns.map(col): _*))
+    val embs = t.embeddings
+    val embsChk = embs.unionAll(embs.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 500000000L).as("vec_id"),
+        slice(col("embedding"), 1, 63).as("embedding"), col("label"))
+      .select(embs.columns.map(col): _*))
+    val liChk = t.lineitem.select(col("l_orderkey"))
+      .unionAll(t.lineitem.filter(col("l_orderkey") % 89 === 0)
+        .select((col("l_orderkey") + 900000000L).as("l_orderkey")))
+    def scalar(df: DataFrame): Long = df.head().getLong(0)
+    val rows = Seq(
+      ("documents", "pk_unique", docsChk.count(),
+        scalar(docsChk.groupBy(col("doc_id")).count()
+          .filter(col("count") > 1)
+          .agg(coalesce(sum(col("count") - 1), lit(0L))))),
+      ("documents", "n_chars_consistent", docsChk.count(),
+        docsChk.filter(col("n_chars") =!= length(col("text"))).count()),
+      ("documents", "text_not_null", docsChk.count(),
+        docsChk.filter(col("text").isNull).count()),
+      ("embeddings", "dim_64", embsChk.count(),
+        embsChk.filter(size(col("embedding")) =!= 64).count()),
+      ("embeddings", "fk_documents", embsChk.count(),
+        embsChk.join(docs.select(col("doc_id")),
+          col("vec_id") === col("doc_id"), "left_anti").count()),
+      ("lineitem", "fk_orders", liChk.count(),
+        liChk.join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()),
+      ("orders", "fk_customer", t.orders.count(),
+        t.orders.join(t.customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti").count()))
+    rows.toDF("tbl", "chk", "n_rows", "n_violations")
+      .orderBy(col("tbl"), col("chk"))
+  }
+
+  /** Twin: the same seeded unions, the same censuses. */
+  val tableIntegritySql: String =
+    s"""WITH dc AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text, lang, source, n_chars + 1
+       |  FROM documents WHERE doc_id % 101 = 0
+       |), ec AS (
+       |  SELECT * FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 500000000, embedding[1:63], label
+       |  FROM embeddings WHERE vec_id % 97 = 0
+       |), lc AS (
+       |  SELECT l_orderkey FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey + 900000000 FROM lineitem WHERE l_orderkey % 89 = 0
+       |)
+       |SELECT * FROM (
+       |SELECT 'documents' AS tbl, 'pk_unique' AS chk,
+       |  (SELECT COUNT(*) FROM dc) AS n_rows,
+       |  (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+       |   FROM (SELECT COUNT(*) AS c FROM dc GROUP BY doc_id) WHERE c > 1)
+       |  AS n_violations
+       |UNION ALL
+       |SELECT 'documents', 'n_chars_consistent', (SELECT COUNT(*) FROM dc),
+       |  (SELECT COUNT(*) FROM dc WHERE n_chars != length(text))
+       |UNION ALL
+       |SELECT 'documents', 'text_not_null', (SELECT COUNT(*) FROM dc),
+       |  (SELECT COUNT(*) FROM dc WHERE text IS NULL)
+       |UNION ALL
+       |SELECT 'embeddings', 'dim_64', (SELECT COUNT(*) FROM ec),
+       |  (SELECT COUNT(*) FROM ec WHERE len(embedding) != 64)
+       |UNION ALL
+       |SELECT 'embeddings', 'fk_documents', (SELECT COUNT(*) FROM ec),
+       |  (SELECT COUNT(*) FROM ec e LEFT JOIN documents d
+       |   ON e.vec_id = d.doc_id WHERE d.doc_id IS NULL)
+       |UNION ALL
+       |SELECT 'lineitem', 'fk_orders', (SELECT COUNT(*) FROM lc),
+       |  (SELECT COUNT(*) FROM lc l LEFT JOIN orders o
+       |   ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+       |UNION ALL
+       |SELECT 'orders', 'fk_customer', (SELECT COUNT(*) FROM orders),
+       |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+       |   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+       |) ORDER BY tbl, chk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
     "triangle_count" -> (triangleCount _),
     "interval_overlap" -> (intervalOverlapQ _),
-    "unpivot_wide" -> (unpivotWide _))
+    "unpivot_wide" -> (unpivotWide _),
+    "table_integrity" -> (tableIntegrity _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
     "triangle_count" -> triangleCountSql,
     "interval_overlap" -> intervalOverlapSql,
-    "unpivot_wide" -> unpivotWideSql)
+    "unpivot_wide" -> unpivotWideSql,
+    "table_integrity" -> tableIntegritySql)
 }

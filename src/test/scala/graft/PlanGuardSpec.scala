@@ -171,7 +171,8 @@ class PlanGuardSpec extends SparkSpec {
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 4, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote's three doc-keyed joins co-partition (measured 3) + gate sort
-    "dedup_compare" -> 1 // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
+    "dedup_compare" -> 1, // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
+    "table_integrity" -> 1 // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -91,4 +91,31 @@ class OlapDSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length > 1,
       "thresholded trade graph should not be complete/regular")
   }
+
+  test("table_integrity: seeded violations fail by known counts; clean checks pass (C89)") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val rows = OlapD.tableIntegrity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 7)
+    val by = rows.map(r => (r._1, r._2) -> r._4).toMap
+    // seeded counts, exactly: one duplicate-pk row per %101 doc (which
+    // also carries the bumped n_chars), one 63-dim orphan per %97 vec,
+    // one orphan lineitem per %89 orderkey row
+    val dupDocs = t.documents.filter(col("doc_id") % 101 === 0).count()
+    val badVecs = t.embeddings.filter(col("vec_id") % 97 === 0).count()
+    val orphLi = t.lineitem.filter(col("l_orderkey") % 89 === 0).count()
+    assert(dupDocs > 0 && badVecs > 0 && orphLi > 0, "seeding degenerate")
+    assert(by(("documents", "pk_unique")) === dupDocs)
+    assert(by(("documents", "n_chars_consistent")) === dupDocs)
+    assert(by(("embeddings", "dim_64")) === badVecs)
+    assert(by(("embeddings", "fk_documents")) === badVecs)
+    assert(by(("lineitem", "fk_orders")) === orphLi)
+    // the untouched checks prove the clean lake passes
+    assert(by(("documents", "text_not_null")) === 0L)
+    assert(by(("orders", "fk_customer")) === 0L)
+    // n_rows reflects the seeded unions
+    val byN = rows.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byN(("documents", "pk_unique")) === t.documents.count() + dupDocs)
+    assert(byN(("embeddings", "dim_64")) === t.embeddings.count() + badVecs)
+  }
 }
