@@ -303,34 +303,40 @@ object OlapD {
     import spark.implicits._
     val t = Tables(spark, dir)
     val docs = t.documents
+    // the seeded unions are scanned by several censuses each — pin them
+    // once (the dedupCompare checkpoint discipline) and hoist the counts
     val docsChk = docs.unionAll(docs.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         (col("n_chars") + 1).as("n_chars"))
       .select(docs.columns.map(col): _*))
+      .localCheckpoint(eager = true)
     val embs = t.embeddings
     val embsChk = embs.unionAll(embs.filter(col("vec_id") % 97 === 0)
       .select((col("vec_id") + 500000000L).as("vec_id"),
         slice(col("embedding"), 1, 63).as("embedding"), col("label"))
       .select(embs.columns.map(col): _*))
+      .localCheckpoint(eager = true)
     val liChk = t.lineitem.select(col("l_orderkey"))
       .unionAll(t.lineitem.filter(col("l_orderkey") % 89 === 0)
         .select((col("l_orderkey") + 900000000L).as("l_orderkey")))
+      .localCheckpoint(eager = true)
+    val (nDocs, nEmbs, nLi) = (docsChk.count(), embsChk.count(), liChk.count())
     def scalar(df: DataFrame): Long = df.head().getLong(0)
     val rows = Seq(
-      ("documents", "pk_unique", docsChk.count(),
+      ("documents", "pk_unique", nDocs,
         scalar(docsChk.groupBy(col("doc_id")).count()
           .filter(col("count") > 1)
           .agg(coalesce(sum(col("count") - 1), lit(0L))))),
-      ("documents", "n_chars_consistent", docsChk.count(),
+      ("documents", "n_chars_consistent", nDocs,
         docsChk.filter(col("n_chars") =!= length(col("text"))).count()),
-      ("documents", "text_not_null", docsChk.count(),
+      ("documents", "text_not_null", nDocs,
         docsChk.filter(col("text").isNull).count()),
-      ("embeddings", "dim_64", embsChk.count(),
+      ("embeddings", "dim_64", nEmbs,
         embsChk.filter(size(col("embedding")) =!= 64).count()),
-      ("embeddings", "fk_documents", embsChk.count(),
+      ("embeddings", "fk_documents", nEmbs,
         embsChk.join(docs.select(col("doc_id")),
           col("vec_id") === col("doc_id"), "left_anti").count()),
-      ("lineitem", "fk_orders", liChk.count(),
+      ("lineitem", "fk_orders", nLi,
         liChk.join(t.orders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti").count()),
       ("orders", "fk_customer", t.orders.count(),

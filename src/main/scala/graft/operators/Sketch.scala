@@ -429,28 +429,27 @@ object Sketch {
     * the board itself is a 5-row literal. */
   def dedupBoardCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    d.unionAll(d.filter(col("doc_id") % 7 === 0)
+    // base ∪ %11 case variants come from C86's OWN corpus builder — one
+    // injection spelling per mode, never re-spelled here
+    TextOps.normCorpus(spark, dir)
+      .unionAll(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-      .unionAll(d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 700000000L).as("doc_id"),
-          concat(upper(col("text")), lit(" !!")).as("text")))
       .unionAll(d.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 800000000L).as("doc_id"),
           concat(col("text"), lit(" zz extra")).as("text")))
   }
 
   private val dedupBoardCorpusSql: String =
-    """bc AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 700000000, upper(text) || ' !!'
-      |  FROM documents WHERE doc_id % 11 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 800000000, text || ' zz extra'
-      |  FROM documents WHERE doc_id % 13 = 0
-      |)""".stripMargin
+    s"""bc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  ${TextOps.normVariantArmSql}
+       |  UNION ALL
+       |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 800000000, text || ' zz extra'
+       |  FROM documents WHERE doc_id % 13 = 0
+       |)""".stripMargin
 
   def dedupCompare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -107,12 +107,17 @@ object TextOps {
     s"trim(regexp_replace(regexp_replace(lower($c), " +
       "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** The %11 case/punct variant arm — ONE injection spelling shared by
+    * the C86 twin and the C88 board corpus. */
+  private[operators] val normVariantArmSql: String =
+    """SELECT doc_id + 700000000, upper(text) || ' !!'
+      |  FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
   val normDedupSql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 700000000, upper(text) || ' !!'
-       |  FROM documents WHERE doc_id % 11 = 0
+       |  $normVariantArmSql
        |)
        |SELECT md5(${normSqlExpr("text")}) AS norm_hash,
        |  COUNT(*) AS n_variants,

@@ -825,8 +825,11 @@ object StreamOps {
             graft.operators.Dedup.dedupIndexAdmit(indexPath, s"batch$bid",
               mb, "doc_id", "text")
             if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
-              graft.operators.Dedup.dedupIndexVacuum(mb.sparkSession,
-                indexPath)
+              // under the ROOT session: the vacuum rewrite's repartition
+              // must size by the index BUILD's conf, not the streaming
+              // child session's state-partitions knob (mb.sparkSession),
+              // or the "compaction" could fragment past the build layout
+              graft.operators.Dedup.dedupIndexVacuum(rootSpark, indexPath)
             ()
         }.start()
       q.awaitTermination()

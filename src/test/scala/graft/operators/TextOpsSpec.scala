@@ -112,12 +112,18 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("keeper_id") >= 700000000L).count()
     assert(c1 > 0, "injection produced no byte-distinct rows")
     // normalization idempotence on the real corpus: norm(norm(x)) == norm(x)
+    // — built from TextOps.normExpr ITSELF (an expr() re-spelling went
+    // through SQL string-escape processing and tested a mangled regex)
     val docs = graft.sources.Tables(spark, sfDir).documents
-    val bad = docs.select(
-        expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' '), '\\s+', ' '))").as("n1"))
-      .select(col("n1"),
-        expr("trim(regexp_replace(regexp_replace(lower(n1), '[^a-z0-9\\s]', ' '), '\\s+', ' '))").as("n2"))
+    val bad = docs.select(TextOps.normExpr(col("text")).as("n1"))
+      .select(col("n1"), TextOps.normExpr(col("n1")).as("n2"))
       .filter(col("n1") =!= col("n2")).count()
     assert(bad === 0L, s"$bad non-idempotent normalizations")
+    // and the mangling scenario itself: a case/punct-noised sample must
+    // normalize to its clean form (catches an escape-level regex fork)
+    import spark.implicits._
+    val one = Seq("Mass,  Tests!! ").toDF("t")
+      .select(TextOps.normExpr(col("t"))).head().getString(0)
+    assert(one === "mass tests", s"normExpr mangled: '$one'")
   }
 }
