@@ -334,6 +334,18 @@ object ScaleProbe {
       // over 24× docs; the probe measures exactly that map cost
       CorpusOps.unigramEncodeOn(docs, "doc_id", "text").count()
     }
+    time("norm_dedup") {
+      // C86 at 24×: the REAL normalize spelling (codegen map) in front
+      // of C1's content-hash shuffle + the count-distinct two-phase agg
+      docs.groupBy(md5(TextOps.normExpr(col("text"))).as("h"))
+        .agg(count(lit(1)).as("nv"), countDistinct(col("text")).as("nbd"))
+        .filter(col("nv") > 1).count()
+    }
+    time("quality_ensemble") {
+      // C87 at 24×: map-side gate + two broadcast-join scorers, three
+      // doc-keyed joins — the replicated seed retrains both models
+      Pipeline.qualityEnsembleOn(docs, "doc_id", "text").count()
+    }
     time("wordpiece_encode") {
       // C81 at 24×: merge rounds run driver-side on the unchanged
       // histogram; the probe is the greedy longest-match kernel pass

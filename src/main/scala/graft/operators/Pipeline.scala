@@ -1119,8 +1119,10 @@ object Pipeline {
     * one broadcast-join + per-doc partial agg; the vote joins three
     * doc-keyed frames (co-partitioned by the join). 4-exchange budget
     * pinned (measured 3). */
-  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def qualityEnsembleOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
     val gate = docs.select(col("doc_id"),
       qualityExprsOf(col("text")).passes.as("gate_pass"))
     val frame = nbFrameOf(docs, "doc_id", "text")
@@ -1135,6 +1137,9 @@ object Pipeline {
       .withColumn("verdict", (col("score") >= 2).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
+    qualityEnsembleOn(Tables(spark, dir).documents, "doc_id", "text")
 
   /** Twin: each signal's existing twin as a subquery, then the vote. */
   lazy val qualityEnsembleSql: String =

@@ -81,7 +81,7 @@ object TextOps {
     * with map-side partials — C1's scale shape with a codegen'd
     * normalize in front; the count-distinct adds its two-phase partial
     * agg (3-exchange budget pinned). */
-  private[operators] def normExpr(text: Column): Column =
+  private[graft] def normExpr(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

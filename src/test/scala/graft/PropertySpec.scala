@@ -86,4 +86,51 @@ class PropertySpec extends SparkSpec {
         s"pair ($i,$j): est=$overlap true=$truth")
     }
   }
+
+  test("wpSegmentWord: greedy longest-match reference equality on random words/vocabs") {
+    // independent reference: straightforward recursive greedy matcher
+    def ref(word: String, vocab: Set[String]): Seq[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < word.length) {
+        val ls = (word.length - p) to 1 by -1
+        val hit = ls.map { l =>
+          if (p == 0) word.substring(0, l) else "##" + word.substring(p, p + l)
+        }.find(vocab.contains)
+        hit match {
+          case None => return Seq("[UNK]")
+          case Some(piece) =>
+            out += piece
+            p += (if (piece.startsWith("##")) piece.length - 2 else piece.length)
+        }
+      }
+      out.toSeq
+    }
+    def kernel(word: String, vocab: Set[String]): Seq[String] = {
+      val s = new java.util.HashSet[String](); vocab.foreach(s.add)
+      val out = new java.util.ArrayList[AnyRef]()
+      graft.functions.TextKernels.wpSegmentWord(word, s, out)
+      (0 until out.size).map(i => out.get(i).toString)
+    }
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.listOfN(12, Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      .flatMap(ps => Gen.oneOf(true, false).map(full => (ps, full)))
+    for (((pieces, fullAlpha), i) <- sample(vocabGen, 60).zipWithIndex) {
+      // half the runs guarantee the alphabet (lossless regime), half don't
+      // (the whole-word [UNK] path must agree too)
+      val base = if (fullAlpha) Set("a", "b", "c", "##a", "##b", "##c")
+                 else Set("a", "##b")
+      val vocab = base ++ pieces.flatMap(p => Seq(p, "##" + p))
+      for (word <- sample(wordGen, 20)) {
+        val got = kernel(word, vocab)
+        val want = ref(word, vocab)
+        assert(got === want, s"word=$word vocab=$vocab")
+        // piece-concat losslessness whenever no [UNK]
+        if (!got.contains("[UNK]"))
+          assert(got.map(_.stripPrefix("##")).mkString === word)
+      }
+    }
+  }
 }
