@@ -340,6 +340,53 @@ object Sinks {
     footerPruneOver(spark, IndexScratch.path("hbin", dir),
       tmp => writeKeyBinned(hilbertLayout(spark, dir), "hkey", tmp))
 
+  // --- D5: space-filling-curve layout comparison ---------------------------
+  /** The Morton-vs-Hilbert decision NUMBER, measured from the same
+    * deploy-shaped machinery (real parquet footers over the two written
+    * key-binned tables, the same query box): one row per layout with
+    * file/row masses, how many files the box forces open, and the read
+    * fraction — the number a table-layout choice is actually made on
+    * (Hilbert's better locality shows as a lower read_frac for the same
+    * box). Each side IS the C75/C75b audit verbatim (memoized scratch,
+    * O(files), zero data pages); this key adds ONLY the rollup, and each
+    * oracle subquery embeds the corresponding twin — the board cannot
+    * fork either audit. 4-exchange budget pinned (each audit's box agg
+    * + rollup; the board sort is 2 rows). */
+  def layoutCompare(spark: SparkSession, dir: String): DataFrame = {
+    def roll(tag: String, audit: DataFrame): DataFrame =
+      audit.agg(count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("overlaps").cast("bigint")).as("files_read"),
+          sum(col("n_rows") * col("overlaps")).as("rows_read"))
+        .select(lit(tag).as("layout"), col("n_files"), col("n_rows"),
+          col("files_read"), col("rows_read"),
+          (col("rows_read").cast("double") / col("n_rows").cast("double"))
+            .as("read_frac"))
+    roll("hilbert", footerPruneHilbert(spark, dir))
+      .unionAll(roll("zorder", footerPrune(spark, dir)))
+      .orderBy(col("layout"))
+  }
+
+  /** Twin: the same rollup over each audit's existing twin. */
+  lazy val layoutCompareSql: String = {
+    // the derived table is ALIASED and every column qualified: DuckDB
+    // 1.0's parser rejects `SUM(a * b)` over an unaliased
+    // WITH-RECURSIVE derived table (empirically — `t.a * t.b` parses)
+    def roll(tag: String, sub: String): String =
+      s"""SELECT '$tag' AS layout, COUNT(*) AS n_files,
+         |  CAST(SUM(t.n_rows) AS BIGINT) AS n_rows,
+         |  CAST(SUM(t.overlaps) AS BIGINT) AS files_read,
+         |  CAST(SUM(t.n_rows * t.overlaps) AS BIGINT) AS rows_read,
+         |  CAST(CAST(SUM(t.n_rows * t.overlaps) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(t.n_rows) AS BIGINT) AS DOUBLE) AS read_frac
+         |FROM ($sub) t""".stripMargin
+    s"""SELECT * FROM (
+       |${roll("hilbert", footerPruneHilbertSql)}
+       |UNION ALL
+       |${roll("zorder", footerPruneSql)}
+       |) ORDER BY layout""".stripMargin
+  }
+
   private def footerPruneOver(spark: SparkSession, root: String,
       build: String => Unit): DataFrame = {
     IndexScratch.ensure(root)(build)
@@ -744,7 +791,8 @@ object Sinks {
     "footer_prune" -> (footerPrune _),
     "footer_prune_hilbert" -> (footerPruneHilbert _),
     "compact_plan" -> (compactPlan _),
-    "compact_rewrite" -> (compactRewrite _))
+    "compact_rewrite" -> (compactRewrite _),
+    "layout_compare" -> (layoutCompare _))
 
   val oracles: Map[String, String] = Map(
     "orc_roundtrip" -> orcRoundtripSql,
@@ -755,7 +803,8 @@ object Sinks {
     "footer_prune" -> footerPruneSql,
     "footer_prune_hilbert" -> footerPruneHilbertSql,
     "compact_plan" -> compactPlanSql,
-    "compact_rewrite" -> compactRewriteSql)
+    "compact_rewrite" -> compactRewriteSql,
+    "layout_compare" -> layoutCompareSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -29,6 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
     "zorder_prune", "hilbert_prune", "footer_prune", "footer_prune_hilbert",
+    // both audits' 1-row box frames inside one board
+    "layout_compare",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
@@ -172,7 +174,8 @@ class PlanGuardSpec extends SparkSpec {
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 4, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote's three doc-keyed joins co-partition (measured 3) + gate sort
     "dedup_compare" -> 1, // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
-    "table_integrity" -> 1 // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
+    "table_integrity" -> 1, // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
+    "layout_compare" -> 4 // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

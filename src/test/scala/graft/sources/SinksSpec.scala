@@ -292,4 +292,26 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.orc(path).select("lang").distinct().count() ===
       docs.select("lang").distinct().count())
   }
+
+  test("layout_compare: Hilbert reads no more than Morton for the same box (D5)") {
+    import graft.sources.Sinks
+    val rows = Sinks.layoutCompare(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq("hilbert", "zorder"))
+    // same data, same binning: identical file and row masses per layout
+    assert(rows.map(_._2).distinct.size === 1)
+    assert(rows.map(_._3).distinct.size === 1)
+    rows.foreach { case (l, _, nr, fr, rr, frac) =>
+      assert(fr > 0 && rr > 0, s"$l: the query box pruned everything")
+      assert(fr < rows.head._2, s"$l: the box pruned nothing")
+      assert(math.abs(frac - rr.toDouble / nr) < 1e-12, s"$l frac")
+    }
+    // the comparison number itself: Hilbert's locality means the same
+    // box never forces MORE rows open than Morton's (measured from real
+    // footers; strictly fewer at the gate corpus)
+    val h = rows.find(_._1 == "hilbert").get
+    val z = rows.find(_._1 == "zorder").get
+    assert(h._5 <= z._5, s"hilbert ${h._5} read more rows than morton ${z._5}")
+  }
 }
