@@ -1127,14 +1127,14 @@ object CorpusOps {
 
   /** Bounded LM table: top-K vocabulary (DataFrame, never collected), the
     * total token count N, and the OOV bin count (≥1 so ln stays finite). */
-  private[operators] case class LmVocab(vocab: DataFrame, n: Long, oovCnt: Long)
+  private[graft] case class LmVocab(vocab: DataFrame, n: Long, oovCnt: Long)
 
   /** Trains the bounded unigram table. The full count table is a staging
     * product that lives DISTRIBUTED (checkpointed, never collected); only
     * two scalars (N, kept mass) come back to the driver, and the top-K cut
     * is a total order (count desc, token) so both engines slice
     * identically. */
-  private def lmVocabOf(docs: DataFrame): LmVocab = {
+  private[graft] def lmVocabOf(docs: DataFrame): LmVocab = {
     val counts = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = true)
@@ -1162,7 +1162,19 @@ object CorpusOps {
       textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val lm = lmVocabOf(docs)
+    unigramLogprobWith(lmVocabOf(docs), documents, idCol, textCol)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The scoring pass alone, under a FROZEN bounded LM — no training:
+    * the recurring-caller shape (B66 scores arriving docs under the
+    * corpus-trained vocabulary — the nbScore/unigramEncodeWith
+    * discipline). Keeps the one-shot entry's gate sort (its oracle
+    * orders). */
+  private[graft] def unigramLogprobWith(lm: LmVocab, documents: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
     docs.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(lm.vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
@@ -1176,7 +1188,6 @@ object CorpusOps {
           .as("cross_entropy"))
       .withColumn("ppl_bucket",
         least(lit(LmBucketMax), floor(col("cross_entropy"))).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =

@@ -1119,16 +1119,34 @@ object Pipeline {
     * one broadcast-join + per-doc partial agg; the vote joins three
     * doc-keyed frames (co-partitioned by the join). 4-exchange budget
     * pinned (measured 3). */
-  def qualityEnsembleOn(documents: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  /** The two TRAINED signals, frozen: the NB model and the bounded LM
+    * vocabulary — what a deploy amortizes offline (the heuristic gate
+    * needs no training). */
+  private[graft] case class EnsembleModels(nb: NbModel,
+      lm: graft.operators.CorpusOps.LmVocab)
+
+  private[graft] def ensembleModelsOf(documents: DataFrame, idCol: String,
+      textCol: String): EnsembleModels = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    EnsembleModels(
+      nbTrain(nbFrameOf(docs, "doc_id", "text")),
+      graft.operators.CorpusOps.lmVocabOf(docs.select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))))
+  }
+
+  /** The vote under FROZEN models — the per-batch caller's shape (B66);
+    * the one-shot entry trains and votes in one call. */
+  private[graft] def qualityEnsembleWith(models: EnsembleModels,
+      documents: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = documents.select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     val gate = docs.select(col("doc_id"),
       qualityExprsOf(col("text")).passes.as("gate_pass"))
-    val frame = nbFrameOf(docs, "doc_id", "text")
-    val nb = nbScore(nbTrain(frame), frame)
+    val nb = nbScore(models.nb, nbFrameOf(docs, "doc_id", "text"))
       .select(col("doc_id"), col("pred").as("nb_pred"))
-    val lm = graft.operators.CorpusOps.unigramLogprobOn(docs, "doc_id", "text")
+    val lm = graft.operators.CorpusOps
+      .unigramLogprobWith(models.lm, docs, "doc_id", "text")
       .select(col("doc_id"),
         (col("ppl_bucket") <= EnsembleLmBucketMax).cast("int").as("lm_ok"))
     gate.join(nb, "doc_id").join(lm, "doc_id")
@@ -1137,6 +1155,11 @@ object Pipeline {
       .withColumn("verdict", (col("score") >= 2).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  def qualityEnsembleOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    qualityEnsembleWith(ensembleModelsOf(documents, idCol, textCol),
+      documents, idCol, textCol)
 
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
     qualityEnsembleOn(Tables(spark, dir).documents, "doc_id", "text")

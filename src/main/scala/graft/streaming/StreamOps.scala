@@ -426,6 +426,33 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val EnsembleQueryName = "graft_stream_quality_ensemble"
+
+  /** B66: C87's three-signal ensemble verdict over a LIVE document feed —
+    * the COMPLETE quality decision at the ingest door (B24 streams the
+    * heuristic gate alone, B63 the learned classifier alone; a deploy
+    * ships the vote). The two trained signals amortize OFFLINE — the NB
+    * weight table and the unigram-LM vocabulary both bounded broadcasts —
+    * and the heuristic gate is map-side, so every arriving doc's verdict
+    * is stateless (each doc lands wholly in one batch → per-batch ≡
+    * global restricted to the batch, ZERO streaming state); executors
+    * write straight to the parquet sink. On the training corpus the
+    * drain EQUALS the batch C87 and shares its oracle. The composition
+    * is [[graft.operators.Pipeline.qualityEnsembleOn]] itself — the B61
+    * discipline: the stream adds only the drain. */
+  def streamQualityEnsemble(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    val models = graft.operators.Pipeline
+      .ensembleModelsOf(static, "doc_id", "text")
+    val docs = spark.readStream.schema(static.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    drainViaParquetSink(spark, docs, EnsembleQueryName,
+      xform = mb => graft.operators.Pipeline.qualityEnsembleWith(models, mb,
+        "doc_id", "text"))
+      .orderBy(col("doc_id"))
+  }
+
   val UnigramQueryName = "graft_stream_unigram_encode"
 
   /** B64: C80's unigram-LM tokenizer over a LIVE document feed — the
@@ -896,6 +923,7 @@ object StreamOps {
     "stream_kn_score" -> (streamKnScore _),
     "stream_nb_score" -> (streamNbScore _),
     "stream_unigram_encode" -> (streamUnigramEncode _),
+    "stream_quality_ensemble" -> (streamQualityEnsemble _),
     "stream_quality_drift" -> (streamQualityDrift _),
     "stream_index_probe" -> (streamIndexProbe _),
     "stream_entropy_gate" -> (streamEntropyGate _),
@@ -926,6 +954,9 @@ object StreamOps {
     // drain == batch C80 encode (stateless kernel map under the same
     // offline-trained costs) — shares its oracle verbatim
     "stream_unigram_encode" -> graft.operators.CorpusOps.unigramEncodeSql,
+    // drain == batch C87 (stateless vote under the same frozen models)
+    // — shares its oracle verbatim
+    "stream_quality_ensemble" -> graft.operators.Pipeline.qualityEnsembleSql,
     // the drained drift board must equal the batch C59 query
     "stream_quality_drift" -> graft.operators.Pipeline.qualityDriftSql,
     // the accumulated per-batch probes must equal the one-shot C54 probe

@@ -209,6 +209,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed ensemble verdict equals the batch vote (B66 == C87)") {
+    val s = StreamOps.streamQualityEnsemble(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.Pipeline.qualityEnsemble(spark, sfDir)
+      .collect().map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed quality-drift board equals the batch C59 query") {
     val s = StreamOps.streamQualityDrift(spark, sfDir).collect()
       .map(_.toString)
