@@ -499,6 +499,13 @@ object ScaleProbe {
       // the parquet sink — expect ~stream_kn_score's join-path shape
       graft.streaming.StreamOps.streamNbScore(spark, streamDir).count()
     }
+    time("stream_quality_ensemble") {
+      // B66 at 24×: frozen models broadcast once; stateless vote per
+      // batch through the parquet sink (both models retrain on the
+      // replicated static side as part of the first measurement)
+      graft.streaming.StreamOps.streamQualityEnsemble(spark, streamDir)
+        .count()
+    }
     time("stream_unigram_encode") {
       // B64 at 24×: offline-trained costs, stateless kernel map per
       // batch through the parquet sink — expect ~stream_nb_score's shape
