@@ -1098,6 +1098,46 @@ object Pipeline {
        |FROM d JOIN s USING (doc_id) CROSS JOIN k
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- C90: uncertainty sampling (active learning) --------------------------
+  /** Acquisition size for the canned query. */
+  val UncertaintyK = 50
+
+  /** Active-learning acquisition over the C78 classifier (uncertainty
+    * sampling, Lewis & Gale SIGIR'94): the docs whose log-odds sit
+    * closest to the decision boundary are the ones a human label buys
+    * the most model improvement on — the label-efficiency loop every
+    * classifier-gated pipeline runs to grow its seed. Scores are C78's
+    * own (`nbTrain`/`nbScore` — one spelling); this key adds ONLY the
+    * |log-odds| ranking. Parity: log_odds is one IEEE division of the
+    * same integer micro-nat sum in both engines, so |·| ordering is
+    * engine-identical; (|log_odds|, doc_id) is a total order.
+    *
+    * Scale shape: scoring is C78's broadcast-join map + per-doc rollup;
+    * selection plans as TakeOrderedAndProject (bounded heaps) + a k-row
+    * rank window. 2-exchange budget pinned (measured 2). */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame = {
+    val frame = nbFrameOf(Tables(spark, dir).documents, "doc_id", "text")
+    nbScore(nbTrain(frame), frame)
+      .select(col("doc_id"), col("n_tokens"), col("log_odds"), col("pred"),
+        col("seed_label"))
+      .orderBy(abs(col("log_odds")), col("doc_id"))
+      .limit(UncertaintyK)
+      .select(col("doc_id"), col("n_tokens"), col("log_odds"), col("pred"),
+        col("seed_label"),
+        row_number().over(Window.orderBy(abs(col("log_odds")), col("doc_id")))
+          .cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Twin: C78's full twin as the scorer, then the same ranking. */
+  lazy val uncertaintySampleSql: String =
+    s"""SELECT doc_id, n_tokens, log_odds, pred, seed_label,
+       |  CAST(row_number() OVER (ORDER BY abs(log_odds), doc_id) AS INT)
+       |    AS rank
+       |FROM ($qualityClassifierSql)
+       |QUALIFY rank <= $UncertaintyK
+       |ORDER BY rank""".stripMargin
+
   // --- C87: ensemble quality verdict ---------------------------------------
   /** LM-fluency gate for the ensemble: C31's cross-entropy buckets run
     * 0–9; ≤ 2 splits the gate corpus (139 vs 361 at sf0.01), so both
@@ -1373,7 +1413,8 @@ object Pipeline {
     "prepare_pretrain" -> (preparePretrain _),
     "quality_classifier" -> (qualityClassifier _),
     "dsir_select" -> (dsirSelect _),
-    "quality_ensemble" -> (qualityEnsemble _)
+    "quality_ensemble" -> (qualityEnsemble _),
+    "uncertainty_sample" -> (uncertaintySample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1392,6 +1433,7 @@ object Pipeline {
     "prepare_pretrain" -> preparePretrainSql,
     "quality_classifier" -> qualityClassifierSql,
     "dsir_select" -> dsirSelectSql,
-    "quality_ensemble" -> qualityEnsembleSql
+    "quality_ensemble" -> qualityEnsembleSql,
+    "uncertainty_sample" -> uncertaintySampleSql
   )
 }

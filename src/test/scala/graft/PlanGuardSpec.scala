@@ -175,7 +175,8 @@ class PlanGuardSpec extends SparkSpec {
     "quality_ensemble" -> 4, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote's three doc-keyed joins co-partition (measured 3) + gate sort
     "dedup_compare" -> 1, // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
     "table_integrity" -> 1, // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
-    "layout_compare" -> 4 // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
+    "layout_compare" -> 4, // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
+    "uncertainty_sample" -> 2 // C78's broadcast-join score + per-doc rollup; TakeOrderedAndProject + k-row rank window (measured 1)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

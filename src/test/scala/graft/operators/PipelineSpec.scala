@@ -432,4 +432,26 @@ class PipelineSpec extends SparkSpec {
     rows.foreach { case (id, g, _, _, _, _) =>
       assert(g === gate(id), s"doc $id gate forked") }
   }
+
+  test("uncertainty_sample: the k docs nearest the decision boundary (C90)") {
+    val sel = Pipeline.uncertaintySample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(5)))
+    assert(sel.length === Pipeline.UncertaintyK)
+    assert(sel.map(_._3).toSeq === (1 to Pipeline.UncertaintyK))
+    // ranks are ordered by |log_odds| with doc_id tiebreak
+    sel.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._2) < math.abs(b._2) ||
+        (math.abs(a._2) == math.abs(b._2) && a._1 < b._1),
+        s"order broken at ${b._1}")
+    }
+    // acquisition property: every selected doc is nearer the boundary
+    // than every unselected doc (recompute all scores via C78 itself)
+    val all = Pipeline.qualityClassifier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> math.abs(r.getDouble(2))).toMap
+    val selIds = sel.map(_._1).toSet
+    val maxSel = sel.map(r => math.abs(r._2)).max
+    val minUnsel = all.filterNot(kv => selIds.contains(kv._1)).values.min
+    assert(maxSel <= minUnsel,
+      s"a selected doc ($maxSel) is farther from the boundary than an unselected one ($minUnsel)")
+  }
 }
