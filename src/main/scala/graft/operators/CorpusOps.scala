@@ -3260,6 +3260,99 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- C91: vocabulary growth curve (Heaps' law) ---------------------------
+  /** Number of growth checkpoints. */
+  val VocabGrowthBins = 10
+
+  /** The type/token growth curve (Heaps 1978): cumulative distinct
+    * vocabulary vs cumulative token mass at ten ingestion checkpoints —
+    * THE empirical input to vocabulary sizing (how big must the
+    * tokenizer vocab be at 10× the corpus?) and to dedup-health
+    * monitoring (a flattening curve on a growing feed means incoming
+    * text repeats what the corpus already holds).
+    *
+    * Checkpoints are VALUE-binned over the doc-id span (min + c·span/10
+    * — the zorder normalization pattern: one 1-row stats agg broadcast
+    * back), not equal-count ranks: rank deciles would need a global
+    * sort/window over the corpus, value bins are a pure map. A type's
+    * first appearance is min(first doc id) per token — one
+    * vocab-bounded agg — and both cumulative curves are 10-row window
+    * sums over per-bin partials. Integer-exact end to end.
+    * 4-exchange budget pinned (measured 4 — two bounded aggs + the
+    * 10-row join/window pair). */
+  def vocabGrowthOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = documents.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    val s = documents.agg(min(col(idCol)), max(col(idCol))).head()
+    val (lo, hi) = (s.getLong(0), s.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    // bin c ∈ [1, 10]: docs with doc_id < lo + c·span/10 land in bins ≤ c
+    val binOf = least(lit(VocabGrowthBins.toLong),
+      expr(s"((doc_id - ${lo}L) * ${VocabGrowthBins}L) div ${span}L") + 1)
+    val perBinTokens = documents
+      .select(col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val perBinTypes = docs
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .select((least(lit(VocabGrowthBins.toLong),
+        expr(s"((first_doc - ${lo}L) * ${VocabGrowthBins}L) div ${span}L") + 1))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBinTokens.join(perBinTypes, Seq("bin"), "left")
+      .select(col("bin").cast("int").as("decile"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(col("n_tokens")).over(w).as("n_tokens_cum"),
+        sum(coalesce(col("n_new_types"), lit(0L))).over(w).as("n_types_cum"))
+      .orderBy(col("decile"))
+  }
+
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Twin: same value bins, same first-appearance aggregation, same
+    * 10-row cumulative windows. */
+  val vocabGrowthSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), st AS (
+       |  SELECT MIN(doc_id) AS lo,
+       |         GREATEST(1, MAX(doc_id) - MIN(doc_id) + 1) AS span
+       |  FROM documents
+       |), bt AS (
+       |  SELECT LEAST($VocabGrowthBins,
+       |           ((doc_id - lo) * $VocabGrowthBins) // span + 1) AS bin,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM d CROSS JOIN st
+       |), pbtok AS (
+       |  SELECT bin, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM bt GROUP BY 1
+       |), fd AS (
+       |  SELECT tok, MIN(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1
+       |), pbtyp AS (
+       |  SELECT LEAST($VocabGrowthBins,
+       |           ((first_doc - lo) * $VocabGrowthBins) // span + 1) AS bin,
+       |         COUNT(*) AS n_new_types
+       |  FROM fd CROSS JOIN st GROUP BY 1
+       |)
+       |SELECT CAST(p.bin AS INT) AS decile,
+       |  CAST(SUM(p.n_docs) OVER wc AS BIGINT) AS n_docs_cum,
+       |  CAST(SUM(p.n_tokens) OVER wc AS BIGINT) AS n_tokens_cum,
+       |  CAST(SUM(COALESCE(t.n_new_types, 0)) OVER wc AS BIGINT)
+       |    AS n_types_cum
+       |FROM pbtok p LEFT JOIN pbtyp t ON p.bin = t.bin
+       |WINDOW wc AS (ORDER BY p.bin
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY decile""".stripMargin
+
   // --- C82: cross-family tokenizer comparison board ------------------------
   /** The tokenizer-selection board a pipeline runs BEFORE committing to a
     * vocabulary: all three trained families (BPE merge chain C52/C60,
@@ -3376,6 +3469,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_logprob" -> (unigramLogprob _),
+    "vocab_growth" -> (vocabGrowth _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
@@ -3412,6 +3506,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
+    "vocab_growth" -> vocabGrowthSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_fuzzy" -> decontaminateFuzzySql,

@@ -176,7 +176,8 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_compare" -> 1, // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
     "table_integrity" -> 1, // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
     "layout_compare" -> 4, // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
-    "uncertainty_sample" -> 2 // C78's broadcast-join score + per-doc rollup; TakeOrderedAndProject + k-row rank window (measured 1)
+    "uncertainty_sample" -> 2, // C78's broadcast-join score + per-doc rollup; TakeOrderedAndProject + k-row rank window (measured 1)
+    "vocab_growth" -> 4 // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window — no global sort anywhere (measured 4)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -1192,4 +1192,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(planned <= budget && planned > budget - 1000L * rows.length,
       s"plan lost the budget: $planned of $budget")
   }
+
+  test("vocab_growth: monotone curves, exact totals, concave type growth (C91)") {
+    val rows = CorpusOps.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1 to CorpusOps.VocabGrowthBins))
+    // strictly monotone doc/token masses; non-decreasing types
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 > a._3, s"mass not growing at ${b._1}")
+      assert(b._4 >= a._4, s"types shrank at ${b._1}")
+    }
+    // the final checkpoint is EXACTLY the corpus totals
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val last = rows.last
+    assert(last._2 === docs.count())
+    val totTok = docs.select(size(split(trim(col("text")), "\\s+"))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(last._3 === totTok)
+    val totTypes = docs.select(explode(split(trim(col("text")), "\\s+"))
+      .as("t")).distinct().count()
+    assert(last._4 === totTypes)
+    // Heaps-law shape: the first half of the corpus discovers at least
+    // as many new types as the second (sublinear vocabulary growth)
+    val mid = rows(rows.length / 2 - 1)
+    assert(mid._4 >= last._4 - mid._4, "type growth not concave")
+  }
 }
