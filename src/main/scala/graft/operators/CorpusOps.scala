@@ -1032,6 +1032,15 @@ object CorpusOps {
     * ~4 epochs of repeated data (Muennighoff et al., NeurIPS'23). */
   val MaxEpochs = 4L
 
+  /** Canned token budget for the C85 entry point, as a fraction of the
+    * corpus: 3×/1 — ABOVE the corpus so upsampled sources genuinely
+    * repeat and both the full-epoch and remainder paths are exercised.
+    * Spliced into BOTH the Scala entry and the SQL twin (the C84
+    * MixTempNum/Den pattern) so a budget change cannot desync the
+    * oracle pair. */
+  val EpochBudgetNum = 3L
+  val EpochBudgetDen = 1L
+
   /** The EPOCH PLAN the temperature mixture implies: C84 samples within
     * one pass over each source, but a source whose temperature share
     * EXCEEDS its mass must repeat — this planner turns the same
@@ -1067,16 +1076,14 @@ object CorpusOps {
 
   def epochPlan(spark: SparkSession, dir: String): DataFrame =
     epochPlanOn(Tables(spark, dir).documents, "doc_id", "source", "text",
-      // a budget ABOVE the corpus (3×) so upsampled sources genuinely
-      // repeat and the full-epoch + remainder paths are both exercised
-      3L, 1L)
+      EpochBudgetNum, EpochBudgetDen)
 
   /** Twin: the shared weight CTEs, then integer plan arithmetic. */
   val epochPlanSql: String =
     s"""WITH $tmixCtes,
        |tgt AS (
        |  SELECT source, src_tokens,
-       |    (wq * ((tot * 3) // 1)) // zq AS target_tokens
+       |    (wq * ((tot * $EpochBudgetNum) // $EpochBudgetDen)) // zq AS target_tokens
        |  FROM w CROSS JOIN z CROSS JOIN t)
        |SELECT source, src_tokens, target_tokens,
        |  target_tokens // src_tokens AS full_epochs,
@@ -2045,7 +2052,9 @@ object CorpusOps {
       .limit(k)
     topk
       .select(col("doc_id"), col("n_tokens"), col("key_pico"),
-        row_number().over(Window.orderBy(col("key_pico").desc, col("doc_id")))
+        row_number().over(Window
+            .partitionBy(BoundedBoard.pinnedZero(col("doc_id")))
+            .orderBy(col("key_pico").desc, col("doc_id")))
           .cast("int").as("rank"))
       .orderBy(col("rank"))
   }
@@ -3302,7 +3311,8 @@ object CorpusOps {
         expr(s"((first_doc - ${lo}L) * ${VocabGrowthBins}L) div ${span}L") + 1))
         .as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_new_types"))
-    val w = Window.orderBy(col("bin"))
+    val w = Window.partitionBy(BoundedBoard.pinnedZero(col("bin")))
+      .orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBinTokens.join(perBinTypes, Seq("bin"), "left")
       .select(col("bin").cast("int").as("decile"),

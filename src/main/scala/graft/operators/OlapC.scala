@@ -921,10 +921,11 @@ object OlapC {
     import spark.implicits._
     // "ever" = union of the stored sketches (counts add; no raw rescan)
     val merged = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-    // running total AND grand total ride ONE WindowExec (same single-
-    // partition O(buckets) exchange, different frames) — a separate
+    // running total AND grand total ride ONE WindowExec (same pinned
+    // one-bucket O(buckets)-row exchange, different frames) — a separate
     // totals aggregation would cost its own exchange + broadcast back
-    val w = Window.orderBy(col("bucket"))
+    val w = Window.partitionBy(BoundedBoard.pinnedZero(col("bucket")))
+      .orderBy(col("bucket"))
     val cum = merged
       .withColumn("cum", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

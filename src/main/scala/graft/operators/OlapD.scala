@@ -346,15 +346,18 @@ object OlapD {
       .orderBy(col("tbl"), col("chk"))
   }
 
-  /** Twin: the same seeded unions, the same censuses. */
+  /** Twin: the same seeded unions, the same censuses. Both union arms
+    * name their columns explicitly — the pairing is pinned to NAMES, not
+    * the parquet files' physical column order, matching the Scala side's
+    * defensive `.select(docs.columns...)` reorder. */
   val tableIntegritySql: String =
     s"""WITH dc AS (
-       |  SELECT * FROM documents
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
        |  UNION ALL
        |  SELECT doc_id, text, lang, source, n_chars + 1
        |  FROM documents WHERE doc_id % 101 = 0
        |), ec AS (
-       |  SELECT * FROM embeddings
+       |  SELECT vec_id, embedding, label FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 500000000, embedding[1:63], label
        |  FROM embeddings WHERE vec_id % 97 = 0

@@ -738,7 +738,11 @@ object Pipeline {
     * corpus). The signal a curation team alerts on: a falling pass_rate
     * means the upstream feed's quality mix is drifting. */
   def qualityDriftOf(counts: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    // the same one-partition O(days) window, with a DEFINED partition
+    // spec (see BoundedBoard.pinnedZero) so only genuinely unbounded
+    // frames trip the WindowExec warning census
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(BoundedBoard.pinnedZero(col("day"))).orderBy(col("day"))
     counts
       .withColumn("pass_rate",
         col("n_pass").cast("double") / col("n_docs").cast("double"))
@@ -1124,7 +1128,9 @@ object Pipeline {
       .limit(UncertaintyK)
       .select(col("doc_id"), col("n_tokens"), col("log_odds"), col("pred"),
         col("seed_label"),
-        row_number().over(Window.orderBy(abs(col("log_odds")), col("doc_id")))
+        row_number().over(Window
+            .partitionBy(BoundedBoard.pinnedZero(col("doc_id")))
+            .orderBy(abs(col("log_odds")), col("doc_id")))
           .cast("int").as("rank"))
       .orderBy(col("rank"))
   }
@@ -1156,9 +1162,10 @@ object Pipeline {
     * quality scoring.
     *
     * Scale shape: the gate is map-side; the NB and LM signals are each
-    * one broadcast-join + per-doc partial agg; the vote joins three
-    * doc-keyed frames (co-partitioned by the join). 4-exchange budget
-    * pinned (measured 3). */
+    * one broadcast-join + per-doc partial agg; the vote LEFT-joins three
+    * doc-keyed frames (co-partitioned by the join) so every input doc
+    * receives a verdict row even when a learned signal has no rows for
+    * it. 5-exchange budget pinned. */
   /** The two TRAINED signals, frozen: the NB model and the bounded LM
     * vocabulary — what a deploy amortizes offline (the heuristic gate
     * needs no training). */
@@ -1189,9 +1196,15 @@ object Pipeline {
       .unigramLogprobWith(models.lm, docs, "doc_id", "text")
       .select(col("doc_id"),
         (col("ppl_bucket") <= EnsembleLmBucketMax).cast("int").as("lm_ok"))
-    gate.join(nb, "doc_id").join(lm, "doc_id")
-      .select(col("doc_id"), col("gate_pass"), col("nb_pred"), col("lm_ok"),
-        (col("gate_pass") + col("nb_pred") + col("lm_ok")).as("score"))
+    // LEFT joins from the gate frame: a doc whose tokenization yields no
+    // exploded rows (empty/NULL text) must still receive a verdict row at
+    // the streamed ingest door — the missing learned signals vote reject
+    // (coalesce to 0), they don't silently drop the doc.
+    gate.join(nb, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gate_pass"),
+        coalesce(col("nb_pred"), lit(0)).as("nb_pred"),
+        coalesce(col("lm_ok"), lit(0)).as("lm_ok"))
+      .withColumn("score", col("gate_pass") + col("nb_pred") + col("lm_ok"))
       .withColumn("verdict", (col("score") >= 2).cast("int"))
       .orderBy(col("doc_id"))
   }
@@ -1204,19 +1217,25 @@ object Pipeline {
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame =
     qualityEnsembleOn(Tables(spark, dir).documents, "doc_id", "text")
 
-  /** Twin: each signal's existing twin as a subquery, then the vote. */
+  /** Twin: each signal's existing twin as a subquery, then the vote —
+    * the same LEFT joins + coalesce-to-reject as the Scala side, so a
+    * tokenless doc gets a verdict row in both engines. */
   lazy val qualityEnsembleSql: String =
-    s"""SELECT g.doc_id, g.gate_pass, nb.nb_pred, lm.lm_ok,
-       |  g.gate_pass + nb.nb_pred + lm.lm_ok AS score,
-       |  CAST(CASE WHEN g.gate_pass + nb.nb_pred + lm.lm_ok >= 2
+    s"""SELECT g.doc_id, g.gate_pass,
+       |  coalesce(nb.nb_pred, 0) AS nb_pred,
+       |  coalesce(lm.lm_ok, 0) AS lm_ok,
+       |  g.gate_pass + coalesce(nb.nb_pred, 0) + coalesce(lm.lm_ok, 0)
+       |    AS score,
+       |  CAST(CASE WHEN g.gate_pass + coalesce(nb.nb_pred, 0)
+       |                 + coalesce(lm.lm_ok, 0) >= 2
        |       THEN 1 ELSE 0 END AS INT) AS verdict
        |FROM (
        |  SELECT doc_id, passes AS gate_pass
        |  FROM (${qualityFlagsSqlOver("documents", ordered = false)})) g
-       |JOIN (
+       |LEFT JOIN (
        |  SELECT doc_id, pred AS nb_pred FROM ($qualityClassifierSql)) nb
        |  USING (doc_id)
-       |JOIN (
+       |LEFT JOIN (
        |  SELECT doc_id,
        |    CAST(CASE WHEN ppl_bucket <= $EnsembleLmBucketMax
        |         THEN 1 ELSE 0 END AS INT) AS lm_ok
@@ -1334,7 +1353,9 @@ object Pipeline {
     topk.select(col("doc_id"), col("nf").cast("int").as("n_feats"),
         (col("sq").cast("double") / expr(NbQuantumSql)).as("log_ratio"),
         col("key_q"),
-        row_number().over(Window.orderBy(col("key_q").desc, col("doc_id")))
+        row_number().over(Window
+            .partitionBy(BoundedBoard.pinnedZero(col("doc_id")))
+            .orderBy(col("key_q").desc, col("doc_id")))
           .cast("int").as("rank"))
       .orderBy(col("rank"))
   }

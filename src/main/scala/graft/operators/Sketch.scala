@@ -425,8 +425,10 @@ object Sketch {
     * minhashLshPairs / simhashPairs / ngramJaccardPairs with each key's
     * canned parameters), and every oracle subquery its existing twin
     * over the shared corpus CTE — the board cannot fork any detector.
-    * Scale: censuses are bounded scalar aggregates of production plans;
-    * the board itself is a 5-row literal. */
+    * Scale: each census is a 1-row aggregate of its family's production
+    * plan, and the five union into ONE distributed action (plus the
+    * 1-row corpus count broadcast on) — no driver scalars, no sequential
+    * job launches. */
   def dedupBoardCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     // base ∪ %11 case variants come from C86's OWN corpus builder — one
@@ -452,29 +454,35 @@ object Sketch {
        |)""".stripMargin
 
   def dedupCompare(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val c = dedupBoardCorpus(spark, dir).localCheckpoint(eager = true)
-    val n = c.count()
-    def grouped(groups: DataFrame, cnt: String): Long =
+    // every census is a 1-ROW aggregate of its family's production plan;
+    // the five unioned into ONE plan (+ the 1-row corpus count joined on)
+    // means the board is ONE distributed action, not five sequential job
+    // launches — same per-family spellings, same oracle, ~5× less
+    // job-scheduling latency for a diagnostic run at any scale
+    def grouped(groups: DataFrame, cnt: String, family: String): DataFrame =
       groups.filter(col(cnt) > 1)
-        .agg(coalesce(sum(col(cnt) - 1), lit(0L))).head().getLong(0)
-    def pairRemoved(pairs: DataFrame): Long =
-      pairs.select(col("id_b")).distinct().count()
-    val exact = grouped(Dedup.exactGroups(c, "doc_id", "text"), "n_copies")
-    val norm = grouped(
-      c.groupBy(md5(TextOps.normExpr(col("text"))))
-        .agg(count(lit(1)).as("nv")), "nv")
-    val mh = pairRemoved(Dedup.minhashLshPairs(c, "doc_id", "text",
-      shingleN = 3, numHashes = NumHashes, bands = Bands,
-      minEstJaccard = MinEstJaccard))
-    val sh = pairRemoved(Dedup.simhashPairs(c, "doc_id", "text",
-      bandBits = SimhashBandBits, maxHamming = MaxHamming))
-    val jc = pairRemoved(Dedup.ngramJaccardPairs(c, "doc_id", "text",
-      n = 3, threshold = TextOps.JaccardThreshold))
-    Seq(("exact", exact), ("minhash_lsh", mh), ("ngram_jaccard", jc),
-        ("norm", norm), ("simhash", sh))
-      .map { case (f, r) => (f, n, r, r.toDouble / n) }
-      .toDF("family", "n_docs", "n_removed", "removal_rate")
+        .agg(coalesce(sum(col(cnt) - 1), lit(0L)).as("n_removed"))
+        .select(lit(family).as("family"), col("n_removed"))
+    def pairRemoved(pairs: DataFrame, family: String): DataFrame =
+      pairs.agg(count_distinct(col("id_b")).as("n_removed"))
+        .select(lit(family).as("family"), col("n_removed"))
+    val fam = grouped(Dedup.exactGroups(c, "doc_id", "text"), "n_copies",
+        "exact")
+      .unionAll(grouped(
+        c.groupBy(md5(TextOps.normExpr(col("text"))))
+          .agg(count(lit(1)).as("nv")), "nv", "norm"))
+      .unionAll(pairRemoved(Dedup.minhashLshPairs(c, "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bands = Bands,
+        minEstJaccard = MinEstJaccard), "minhash_lsh"))
+      .unionAll(pairRemoved(Dedup.simhashPairs(c, "doc_id", "text",
+        bandBits = SimhashBandBits, maxHamming = MaxHamming), "simhash"))
+      .unionAll(pairRemoved(Dedup.ngramJaccardPairs(c, "doc_id", "text",
+        n = 3, threshold = TextOps.JaccardThreshold), "ngram_jaccard"))
+    val nn = c.agg(count(lit(1)).as("n_docs"))
+    fam.crossJoin(broadcast(nn)) // 5 rows × 1 row
+      .select(col("family"), col("n_docs"), col("n_removed"),
+        (col("n_removed").cast("double") / col("n_docs")).as("removal_rate"))
       .orderBy(col("family"))
   }
 

@@ -742,8 +742,13 @@ object Sinks {
     * documents are written ONCE as a lang-partitioned ORC table
     * (memoized scratch), read back through the ORC reader, and rolled up
     * to a per-source board — count, char mass, and an ORDER-FREE content
-    * fingerprint (Σ of each row's 48-bit md5 prefix over every column,
-    * exact BIGINT arithmetic: 2^48 × corpus ≪ 2^63). The DuckDB twin
+    * fingerprint (Σ of each row's 48-bit md5 prefix, exact BIGINT
+    * arithmetic: 2^48 × corpus ≪ 2^63). The row spelling is INJECTIVE:
+    * each column is NULL-coalesced to a sentinel and hashed individually
+    * (md5 is fixed-width hex, so concatenating the per-column digests
+    * cannot alias across column boundaries the way a raw '|' join can,
+    * and a NULL column perturbs the digest instead of nullifying the
+    * whole row out of the SUM). The DuckDB twin
     * computes the SAME rollup from the parquet table it can read — the
     * board is format-independent by construction, so hash equality IS
     * the proof that the ORC round-trip preserved every row and column
@@ -756,9 +761,10 @@ object Sinks {
       Tables(spark, dir).documents
         .write.partitionBy("lang").orc(p)
     }
-    val h48 = conv(substring(md5(concat_ws("|",
-      col("doc_id").cast("string"), col("text"), col("lang"),
-      col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+    val perCol = Seq(col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))
+      .map(c => md5(coalesce(c, lit("<NULL>"))))
+    val h48 = conv(substring(md5(concat(perCol: _*)), 1, 12), 16, 10)
       .cast("long")
     spark.read.orc(path)
       .groupBy(col("source"))
@@ -768,19 +774,23 @@ object Sinks {
       .orderBy(col("source"))
   }
 
-  /** Twin: the identical rollup from the parquet table — the md5 input
-    * is the same '|'-joined row spelling (all columns BIGINT/VARCHAR, so
-    * string casts are engine-exact). */
-  val orcRoundtripSql: String =
+  /** Twin: the identical rollup from the parquet table — the SAME
+    * per-column coalesce+md5 spelling (all columns BIGINT/VARCHAR, so
+    * string casts are engine-exact; fixed-width digests make the concat
+    * injective with identical NULL semantics in both engines). */
+  val orcRoundtripSql: String = {
+    val perCol = Seq("CAST(doc_id AS VARCHAR)", "text", "lang", "source",
+      "CAST(n_chars AS VARCHAR)")
+      .map(c => s"md5(coalesce($c, '<NULL>'))").mkString(" || ")
     s"""SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  CAST(SUM(${graft.operators.CorpusOps.hex12Sql(
-              "substr(md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' || " +
-                "lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 12)")})
+              s"substr(md5($perCol), 1, 12)")})
        |    AS BIGINT) AS content_h
        |FROM documents
        |GROUP BY source
        |ORDER BY source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orc_roundtrip" -> (orcRoundtrip _),

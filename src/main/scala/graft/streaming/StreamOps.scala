@@ -239,8 +239,12 @@ object StreamOps {
     * count grows with the corpus (O(docs)/O(distinct) outputs): executors
     * write each batch straight to a tmpdir sink, the driver never holds
     * output rows, and the drained frame is pinned before the tmpdir is
-    * deleted. The bounded-board drains (O(windows)/O(reasons) aggregates)
-    * stay on [[drainComplete]]'s memory sink, which is fine at any scale.
+    * deleted. Only genuinely bounded-board drains (O(windows)/O(reasons)/
+    * O(steps) aggregates whose row count does NOT grow with the corpus)
+    * stay on [[drainComplete]]'s memory sink. Anything keyed per document/
+    * order/user — including key-per-row CDC compactions like B41, whose
+    * output is one row per key and therefore corpus-sized — belongs here
+    * with `complete = true`.
     *
     *  - `xform` runs INSIDE foreachBatch on each micro-batch (e.g. a
     *    batch-side join against static tables) before the sink write.
@@ -306,7 +310,9 @@ object StreamOps {
     val ev = eventsStream(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
     val agg = graft.operators.OlapC.funnelOn(ev, "user_id", "ts_us",
       "event_type", Seq("view", "click", "purchase"))
-    drainComplete(spark, agg, FunnelQueryName).orderBy(col("user_id"))
+    // One row per user = O(corpus): parquet-sink drain, not the memory sink.
+    drainViaParquetSink(spark, agg, FunnelQueryName, complete = true)
+      .orderBy(col("user_id"))
   }
 
   val MvQueryName = "graft_stream_mv"
@@ -341,8 +347,9 @@ object StreamOps {
     val counts = eventsStream(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id").as("k"))
       .groupBy(col("day"), col("k")).agg(count(lit(1)).as("n"))
+    // (day, key) counts grow with distinct keys = O(corpus): parquet sink.
     graft.operators.OlapB.windowTopkOf(
-      drainComplete(spark, counts, TopkQueryName))
+      drainViaParquetSink(spark, counts, TopkQueryName, complete = true))
   }
 
   val KnScoreQueryName = "graft_stream_kn_score"
@@ -692,7 +699,10 @@ object StreamOps {
         (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
     val compacted = graft.operators.OlapC
       .upsertLatestOn(o, changes, "o_orderkey", "version")
-    drainComplete(spark, compacted, UpsertQueryName).orderBy(col("o_orderkey"))
+    // One row PER KEY = O(corpus), not a bounded board: complete-mode
+    // overwrite through the parquet sink, never the driver's memory sink.
+    drainViaParquetSink(spark, compacted, UpsertQueryName, complete = true)
+      .orderBy(col("o_orderkey"))
   }
 
   val PhashProbeQueryName = "graft_stream_phash_probe"

@@ -13,6 +13,21 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   */
 class PlanGuardSpec extends SparkSpec {
 
+  /** Budgets are calibrated against the COLD shared-cache state: an
+    * un-executed CachedView prints `isFinalPlan=false` nested plans,
+    * while a MATERIALIZED one prints the AQE-finalized cached plan with
+    * one extra Exchange line — so `testOnly SinksSpec PlanGuardSpec`
+    * (which warms the etl views) used to breach the three etl_receipts*
+    * budgets by one (the round-9 documented wart). Pin the calibrated
+    * state deterministically by invalidating the shared views HERE,
+    * instead of inheriting whatever earlier suites left behind — the
+    * guard is now order-independent. */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.etl.InvoiceView.invalidate(spark)
+    graft.etl.Receipts.invalidate(spark)
+  }
+
   // stream_* execute their query on construction; the batch plans are what
   // this guard is about
   private def batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("stream"))
@@ -38,7 +53,9 @@ class PlanGuardSpec extends SparkSpec {
     // C6's broadcast-anchor scoring cross join feeding the RRF fusion
     "hybrid_search",
     // 4-row targets frame broadcast onto the O(buckets) board
-    "quantile_sketch")
+    "quantile_sketch",
+    // 1-row corpus-count frame broadcast onto the 5-row family board
+    "dedup_compare")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -151,7 +168,7 @@ class PlanGuardSpec extends SparkSpec {
     "vocab_fertility" -> 2, // raw + encoded counts ride one fused map pass (merge vocabs are driver literals); one O(languages) partial agg + the gate sort (range vs hash partitioning — not reusable)
     "hybrid_search" -> 6, // BM25 ranks checkpoint eagerly (O(q×k) rows); sem heap agg + full-outer fusion join (both sides O(q×k)) + rank window + gate sort — every exchange past the rankers carries ranks, never the corpus
     "pack_bestfit" -> 2, // ONE shard-key exchange feeds the per-shard FFD kernel + gate sort — the C26 budget with the cumsum window swapped for the greedy kernel
-    "quantile_sketch" -> 5, // (day,bucket) partial agg + O(buckets) merge agg + ONE cum+total window exchange + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
+    "quantile_sketch" -> 6, // (day,bucket) partial agg + O(buckets) merge agg + the cum+total window's pinned-key exchange (O(buckets) rows — the price of a DEFINED partition spec) + q_label agg + gate sort — the raw stream is touched exactly once; everything after `daily` is O(buckets)
     "multimodal_dedup" -> 3, // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
     "footer_prune" -> 3, // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
     "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
@@ -172,12 +189,12 @@ class PlanGuardSpec extends SparkSpec {
     "epoch_plan" -> 1, // the plan is pure integer arithmetic over the checkpointed O(sources) weight table; only its gate sort exchanges
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
-    "quality_ensemble" -> 4, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote's three doc-keyed joins co-partition (measured 3) + gate sort
-    "dedup_compare" -> 1, // the five family censuses execute eagerly as bounded scalar aggregates of each family's own production plan; the returned board is a 5-row literal + its gate sort
+    "quality_ensemble" -> 5, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote LEFT-joins three doc-keyed frames (every doc gets a verdict — the co-partition exchange per side is the price of not dropping tokenless docs) + gate sort
+    "dedup_compare" -> 18, // ONE action: the five families' own production plans (each a 1-row census aggregate — exact/norm group-aggs, three band joins + pair distincts) union over the checkpointed corpus + gate sort; every exchange is a family's own audited shape, none carries more than its family already did (measured 16)
     "table_integrity" -> 1, // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
     "layout_compare" -> 4, // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
     "uncertainty_sample" -> 2, // C78's broadcast-join score + per-doc rollup; TakeOrderedAndProject + k-row rank window (measured 1)
-    "vocab_growth" -> 4 // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window — no global sort anywhere (measured 4)
+    "vocab_growth" -> 5 // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window incl. its pinned-key exchange (10 rows) — no global sort anywhere (measured 5)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -278,9 +278,12 @@ class SinksSpec extends SparkSpec {
     val path = IndexScratch.path("orcrt", sfDir)
     val docs = Tables(spark, sfDir).documents
     assert(spark.read.orc(path).count() === docs.count())
-    val h48 = conv(substring(md5(concat_ws("|",
-      col("doc_id").cast("string"), col("text"), col("lang"),
-      col("source"), col("n_chars").cast("string"))), 1, 12), 16, 10)
+    // the injective per-column coalesce+md5 spelling (fixed-width digest
+    // concat — NULL-safe, no separator aliasing), same as orcRoundtrip
+    val perCol = Seq(col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))
+      .map(c => md5(coalesce(c, lit("<NULL>"))))
+    val h48 = conv(substring(md5(concat(perCol: _*)), 1, 12), 16, 10)
       .cast("long")
     val fromParquet = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
