@@ -247,7 +247,9 @@ object StreamOps {
     * with `complete = true`.
     *
     *  - `xform` runs INSIDE foreachBatch on each micro-batch (e.g. a
-    *    batch-side join against static tables) before the sink write.
+    *    batch-side join against static tables) before the sink write;
+    *    it also receives the micro-batch id, so multi-batch replay
+    *    specs can tag each row's batch membership.
     *  - `complete = true` delivers the full result table every batch
     *    (streaming aggregations) and overwrites the sink, so the final
     *    batch's table is what's read back; append mode accumulates.
@@ -265,7 +267,7 @@ object StreamOps {
   private[graft] def drainViaParquetSink(spark: SparkSession, df: DataFrame,
       name: String, complete: Boolean = false,
       assertSingleBatch: Boolean = false,
-      xform: DataFrame => DataFrame = identity): DataFrame = {
+      xform: (DataFrame, Long) => DataFrame = (mb, _) => mb): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val sink = java.nio.file.Files
       .createTempDirectory(s"${name}_sink").toFile
@@ -277,9 +279,9 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .foreachBatch {
           (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
+           bid: Long) =>
             nBatches.incrementAndGet()
-            xform(mb.toDF()).write
+            xform(mb.toDF(), bid).write
               .mode(if (complete) "overwrite" else "append")
               .parquet(sink.getAbsolutePath)
             ()
@@ -400,7 +402,7 @@ object StreamOps {
       // STRAIGHT to the parquet sink: driver memory stays O(1) regardless
       // of drain length — executors write, nothing collects.
       drainViaParquetSink(spark, docs, KnScoreQueryName,
-        xform = mb => graft.operators.CorpusOps
+        xform = (mb, _) => graft.operators.CorpusOps
           .knScoreJoinWith(t, mb, "doc_id", "text"))
         .orderBy(col("doc_id"))
     }
@@ -428,7 +430,7 @@ object StreamOps {
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     drainViaParquetSink(spark, docs, NbScoreQueryName,
-      xform = mb => graft.operators.Pipeline.nbScore(model,
+      xform = (mb, _) => graft.operators.Pipeline.nbScore(model,
         graft.operators.Pipeline.nbFrameOf(mb, "doc_id", "text")))
       .orderBy(col("doc_id"))
   }
@@ -455,7 +457,7 @@ object StreamOps {
     val docs = spark.readStream.schema(static.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     drainViaParquetSink(spark, docs, EnsembleQueryName,
-      xform = mb => graft.operators.Pipeline.qualityEnsembleWith(models, mb,
+      xform = (mb, _) => graft.operators.Pipeline.qualityEnsembleWith(models, mb,
         "doc_id", "text"))
       .orderBy(col("doc_id"))
   }
@@ -488,7 +490,7 @@ object StreamOps {
     val docs = spark.readStream.schema(static.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     drainViaParquetSink(spark, docs, UnigramQueryName,
-      xform = mb => CorpusOps.unigramEncodeWith(costs, unk, mb,
+      xform = (mb, _) => CorpusOps.unigramEncodeWith(costs, unk, mb,
         "doc_id", "text"))
       .orderBy(col("doc_id"))
   }
@@ -553,7 +555,7 @@ object StreamOps {
     // per-batch probes drain through the parquet sink (driver O(1)) — the
     // same discipline as every other corpus-sized drain in this file
     drainViaParquetSink(spark, arriving, IndexProbeQueryName,
-      xform = mb => graft.operators.Dedup.dedupIndexProbe(
+      xform = (mb, _) => graft.operators.Dedup.dedupIndexProbe(
         mb.sparkSession, path, mb, "doc_id", "text",
         minEstJaccard = graft.operators.Sketch.MinEstJaccard))
       .orderBy(col("batch_id"), col("hist_id"))
@@ -588,7 +590,7 @@ object StreamOps {
     // the SHARED seeded-leak derivation, applied map-side to the stream
     val train = CorpusOps.containmentLeakTrainOn(d)
     drainViaParquetSink(spark, train, DecontaminateQueryName,
-      xform = mb => CorpusOps.containmentOf(
+      xform = (mb, _) => CorpusOps.containmentOf(
         CorpusOps.containmentPairsOn(mb, bsh, "doc_id", "text", 3),
         bsh, CorpusOps.ContainmentThreshold))
       .orderBy(col("train_id"), col("bench_id"))
@@ -724,7 +726,7 @@ object StreamOps {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val arriving = Multimodal.leakedMediaOf(d)
     drainViaParquetSink(spark, arriving, PhashProbeQueryName,
-      xform = mb => Multimodal.phashIndexProbe(mb.sparkSession, path, mb))
+      xform = (mb, _) => Multimodal.phashIndexProbe(mb.sparkSession, path, mb))
       .orderBy(col("batch_id"), col("hist_id"))
   }
 
@@ -800,7 +802,11 @@ object StreamOps {
       .toDF()
     // O(docs) placements drain through the parquet sink (driver O(1));
     // assertSingleBatch guards the drain==C71 oracle equivalence, which
-    // holds only when the whole corpus lands in one AvailableNow batch.
+    // holds only when the whole corpus lands in one AvailableNow batch —
+    // the ORACLE-ONLY path. The multi-batch admission semantics themselves
+    // (sealed bins never reopen; placement == a sequential first-fit
+    // replay) are pinned by a genuine 3-micro-batch replay spec
+    // (StreamOpsSpec "B60 multi-batch admission"), not by this guard.
     drainViaParquetSink(spark, placed, PackQueryName,
       assertSingleBatch = true).orderBy(col("doc_id"))
   }
@@ -909,7 +915,7 @@ object StreamOps {
       .select(col("doc_id"), col("text"))
     val arriving = Pipeline.admissionBatchOn(d)
     drainViaParquetSink(spark, arriving, AdmissionQueryName,
-      xform = mb => Pipeline.admissionVerdictsOn(mb.sparkSession, mb,
+      xform = (mb, _) => Pipeline.admissionVerdictsOn(mb.sparkSession, mb,
         hist, bloom, path, bsh))
       .orderBy(col("doc_id"))
   }

@@ -468,4 +468,141 @@ class StreamOpsSpec extends SparkSpec {
       assert(s != "accepted" && s != "exact_dup", s"$id -> $s") }
     assert(byClass(5L).exists(_._2 == "contaminated"))
   }
+
+  /** One parquet file per arrival wave with a pinned mtime — the file
+    * source orders batches by modification time, so with
+    * maxFilesPerTrigger=1 each wave is one micro-batch. */
+  private def writeWave(srcDir: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(srcDir.toFile, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+  }
+
+  test("B60 multi-batch admission: sealed bins never reopen and every " +
+      "placement equals a sequential first-fit replay over 3 micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("graft_pack_mb")
+    val t0 = 1700000000000L
+    for (w <- 0 to 2)
+      writeWave(src, docs.filter(col("doc_id") % 3 === w),
+        s"w$w.parquet", t0 + w * 60000L)
+    val ss = StreamOps.streamingSession(spark)
+    import ss.implicits._
+    val schema = ss.read.option("pathGlobFilter", "w*.parquet")
+      .parquet(src.toString).schema
+    val d = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "w*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    // the CANNED key's own (doc_id, n_tokens, shard) derivation + the
+    // same admitShard state function — only the trigger shape differs
+    val keyed = d.select(col("doc_id").cast("long").as("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+      .as[StreamOps.PackDoc]
+    val placed = keyed.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(StreamOps.admitShard)
+      .toDF()
+    val out = StreamOps.drainViaParquetSink(ss, placed, "graft_pack_mb_q",
+        xform = (mb, bid) => mb.withColumn("src_batch", lit(bid)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    val batches = out.map(_._6).distinct.sorted.toSeq
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    batches.foreach(b => assert(out.exists(_._6 == b)))
+    // every doc admitted exactly once, no bin over budget
+    assert(out.map(_._1).distinct.length === out.length)
+    val budget = graft.operators.CorpusOps.PackBudget
+    out.groupBy(r => (r._2, r._4)).foreach { case ((sh, bin), rs) =>
+      assert(rs.map(_._3).sum <= budget, s"shard $sh bin $bin over budget") }
+    // the strong pin: the distributed multi-batch placement IS a
+    // sequential first-fit admission — per shard, replay the waves in
+    // batch order (FFD order inside each wave) through the SAME
+    // ffdPlace kernel and demand identical (bin, offset) for every doc;
+    // carried loads only ever grow, so sealed bins can never reopen
+    for ((shard, rows) <- out.groupBy(_._2)) {
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (b <- batches) {
+        val wave = rows.filter(_._6 == b).sortBy(r => (-r._3, r._1))
+        for (r <- wave) {
+          val before = loads.toList
+          val (bin, off) = graft.functions.TextKernels.ffdPlace(loads,
+            r._3, budget)
+          assert((bin, off) === ((r._4, r._5)),
+            s"doc ${r._1} shard $shard batch $b: stream placed " +
+              s"(${r._4}, ${r._5}), sequential replay says ($bin, $off)")
+          before.zipWithIndex.foreach { case (l, i) =>
+            assert(loads(i) >= l, s"shard $shard bin ${i + 1} load shrank") }
+        }
+      }
+    }
+    graft.sources.IndexScratch.deleteRec(src.toFile)
+  }
+
+  test("B61 multi-batch: verdicts are batching-invariant and per-stage " +
+      "counters sum across 3 micro-batches to the one-shot counters") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CorpusOps, Dedup, Pipeline}
+    val hist = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    val path = graft.sources.IndexScratch.path("dedupidx", sfDir)
+    graft.sources.IndexScratch.ensure(path)(p =>
+      Dedup.dedupIndexBuild(hist, "doc_id", "text", p))
+    val bloom = CorpusOps.historyBloomOf(hist, "text")
+    val bsh = CorpusOps.containmentBenchShingles(
+      hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0),
+      "doc_id", "text", 3)
+    val src = java.nio.file.Files.createTempDirectory("graft_adm_mb")
+    val t0 = 1700000000000L
+    for (w <- 0 to 2)
+      writeWave(src, hist.filter(col("doc_id") % 3 === w),
+        s"w$w.parquet", t0 + w * 60000L)
+    val ss = StreamOps.streamingSession(spark)
+    val schema = ss.read.option("pathGlobFilter", "w*.parquet")
+      .parquet(src.toString).schema
+    val d = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "w*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      .select(col("doc_id"), col("text"))
+    val streamed = StreamOps.drainViaParquetSink(ss,
+        Pipeline.admissionBatchOn(d), "graft_adm_mb_q",
+        xform = (mb, bid) => Pipeline.admissionVerdictsOn(mb.sparkSession,
+          mb, hist, bloom, path, bsh).withColumn("src_batch", lit(bid)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batches = streamed.map(_._3).distinct.sorted.toSeq
+    assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
+    // every synthesized arrival verdicted exactly once across the waves
+    assert(streamed.map(_._1).distinct.length === streamed.length)
+    // batching invariance: the union of per-batch verdicts equals the
+    // one-shot composed verdicts over the same population — a doc's
+    // verdict depends only on itself vs the FROZEN static sides, never
+    // on which micro-batch carried it
+    val oneShot = Pipeline
+      .admissionVerdictsOn(spark, Pipeline.admissionBatchOn(hist),
+        hist, bloom, path, bsh)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(streamed.map(t => t._1 -> t._2).sortBy(_._1).toSeq ===
+      oneShot.toSeq)
+    // the monitoring-feed invariant: per-stage counters summed across
+    // batches equal the one-shot per-stage counters (what a curation
+    // dashboard accumulates batch by batch)
+    val perBatchSummed = streamed.groupBy(t => (t._3, t._2)).toSeq
+      .map { case ((_, stage), rs) => stage -> rs.size.toLong }
+      .groupBy(_._1).map { case (stage, m) => stage -> m.map(_._2).sum }
+    val global = oneShot.groupBy(_._2)
+      .map { case (stage, rs) => stage -> rs.size.toLong }
+    assert(perBatchSummed === global)
+    graft.sources.IndexScratch.deleteRec(src.toFile)
+  }
 }
