@@ -71,10 +71,105 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** 3-D Hilbert-curve index via Skilling's transpose construction
+  * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 — the
+  * public-textbook d-dimensional generalization of the 2-D walk): the
+  * inverse-undo pass de-rotates each level's sub-cube, the Gray-encode
+  * pass converts to curve order, and the transposed coordinates
+  * interleave MSB-first into one integer key. Every step is integer
+  * XOR/AND/shift, so the DuckDB oracle replays the identical trajectory
+  * as one CTE per level. Real 100 TB fact tables cluster 3–4 dimensions
+  * (date × customer × amount here); the same loops carry verbatim to
+  * d = 4+ — only the dimension count in the codegen template changes.
+  * Coordinates must already be normalized to `[0, 2^bits)`. */
+case class HilbertIndex3(first: Expression, second: Expression,
+    third: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(bits >= 1 && 3 * bits <= 62, s"bits=$bits: 3·bits must fit a long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index3"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    var x0 = a.asInstanceOf[Long]
+    var x1 = b.asInstanceOf[Long]
+    var x2 = c.asInstanceOf[Long]
+    // inverse undo: Q from 2^(bits-1) down to 2
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      // i = 0: the exchange branch is a no-op against itself
+      if ((x0 & q) != 0) x0 ^= p
+      if ((x1 & q) != 0) x0 ^= p
+      else { val t = (x0 ^ x1) & p; x0 ^= t; x1 ^= t }
+      if ((x2 & q) != 0) x0 ^= p
+      else { val t = (x0 ^ x2) & p; x0 ^= t; x2 ^= t }
+      q >>= 1
+    }
+    // Gray encode
+    x1 ^= x0
+    x2 ^= x1
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x2 & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    x0 ^= t; x1 ^= t; x2 ^= t
+    // transpose → index: MSB-first round-robin interleave
+    var h = 0L
+    var bit = bits - 1
+    while (bit >= 0) {
+      h = (h << 1) | ((x0 >> bit) & 1L)
+      h = (h << 1) | ((x1 >> bit) & 1L)
+      h = (h << 1) | ((x2 >> bit) & 1L)
+      bit -= 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val x0 = ctx.freshName("h3x0"); val x1 = ctx.freshName("h3x1")
+      val x2 = ctx.freshName("h3x2"); val q = ctx.freshName("h3q")
+      val p = ctx.freshName("h3p"); val t = ctx.freshName("h3t")
+      val h = ctx.freshName("h3h"); val bit = ctx.freshName("h3b")
+      s"""
+         |long $x0 = $a; long $x1 = $b; long $x2 = $c;
+         |for (long $q = 1L << ${bits - 1}; $q > 1; $q >>= 1) {
+         |  long $p = $q - 1;
+         |  if (($x0 & $q) != 0) $x0 ^= $p;
+         |  if (($x1 & $q) != 0) $x0 ^= $p;
+         |  else { long $t = ($x0 ^ $x1) & $p; $x0 ^= $t; $x1 ^= $t; }
+         |  if (($x2 & $q) != 0) $x0 ^= $p;
+         |  else { long $t = ($x0 ^ $x2) & $p; $x0 ^= $t; $x2 ^= $t; }
+         |}
+         |$x1 ^= $x0; $x2 ^= $x1;
+         |long $t = 0L;
+         |for (long $q = 1L << ${bits - 1}; $q > 1; $q >>= 1)
+         |  if (($x2 & $q) != 0) $t ^= $q - 1;
+         |$x0 ^= $t; $x1 ^= $t; $x2 ^= $t;
+         |long $h = 0L;
+         |for (int $bit = ${bits - 1}; $bit >= 0; $bit--) {
+         |  $h = ($h << 1) | (($x0 >> $bit) & 1L);
+         |  $h = ($h << 1) | (($x1 >> $bit) & 1L);
+         |  $h = ($h << 1) | (($x2 >> $bit) & 1L);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** Column-API entry points for the spatial expressions. */
 object spatial {
   import GraftSqlBridge.{column, expression}
 
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     column(HilbertIndex(expression(x), expression(y), bits))
+
+  def hilbert_index3(x: Column, y: Column, z: Column, bits: Int): Column =
+    column(HilbertIndex3(expression(x), expression(y), expression(z), bits))
 }

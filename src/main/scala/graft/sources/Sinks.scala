@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 private[sources] final case class FooterStat(file_id: Long, n_rows: Long,
     x_min: Long, x_max: Long, d_min: Long, d_max: Long)
 
+/** Three-dimensional sibling of [[FooterStat]] for the D8 audits — top
+  * level for the same encoder-codegen reason. */
+private[sources] final case class FooterStat3(file_id: Long, n_rows: Long,
+    x_min: Long, x_max: Long, d_min: Long, d_max: Long,
+    v_min: Long, v_max: Long)
+
 /** Write-side scale discipline (SURVEY §2 D). Reading 100 TB well starts
   * with writing it well: bounded file counts, partition-dir layout that
   * matches downstream pruning keys, and sorted runs inside every file so
@@ -195,6 +201,347 @@ object Sinks {
        |$steps
        |SELECT o_orderkey, x, d, CAST(hd AS BIGINT) AS hkey
        |FROM h$ZOrderBits ORDER BY o_orderkey""".stripMargin
+  }
+
+  // --- D6/D7: three-dimensional curve keys ---------------------------------
+  /** Bits per dimension for the 3-D keys (3·8 = 24-bit keys): real fact
+    * tables cluster 3–4 dimensions (here date × customer × amount), and
+    * 256 bins per dimension is far finer than any file-level skip audit
+    * resolves, while keeping the per-level CTE unrolling of the oracle
+    * compact. */
+  val ZOrder3Bits = 8
+
+  /** 3-D Morton key: bit i of x → 3i+2, y → 3i+1, z → 3i (matching the
+    * Hilbert interleave's dimension significance). The same pure Column
+    * algebra as [[zorderKey]], one more dimension. */
+  def zorderKey3(x: Column, y: Column, z: Column,
+      bits: Int = ZOrder3Bits): Column = {
+    require(bits >= 1 && 3 * bits <= 62, s"bits=$bits must fit a long")
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 2))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 1))) +
+        (shiftright(z, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i)))
+    }.reduce(_ + _)
+  }
+
+  /** The (x, d, v) = (customer, order-day, whole-dollar amount) dims the
+    * 3-D keys cluster, with the same broadcast 1-row min/max stats as the
+    * 2-D layouts. floor(double) is IEEE-identical in both engines, so the
+    * third dim stays oracle-exact. */
+  private def dims3Of(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("x"),
+        day.cast("long").as("d"),
+        floor(col("o_totalprice")).cast("long").as("v"))
+  }
+
+  private def dims3Stats(o: DataFrame): DataFrame =
+    o.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+  private def norm3(c: String, lo: String, hi: String): Column = {
+    val m = (1L << ZOrder3Bits) - 1
+    expr(s"(($c - $lo) * ${m}L) div greatest(1L, $hi - $lo)")
+  }
+
+  /** D6: the Morton key over three dimensions. */
+  def zorder3Layout(spark: SparkSession, dir: String): DataFrame = {
+    val o = dims3Of(spark, dir)
+    o.crossJoin(broadcast(dims3Stats(o)))
+      .withColumn("zkey", zorderKey3(norm3("x", "xmin", "xmax"),
+        norm3("d", "dmin", "dmax"), norm3("v", "vmin", "vmax")))
+      .select(col("o_orderkey"), col("x"), col("d"), col("v"), col("zkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val dims3CtesSql: String = {
+    val m = (1L << ZOrder3Bits) - 1
+    s"""o AS (
+       |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |), s AS (
+       |  SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax,
+       |    MIN(v) AS vmin, MAX(v) AS vmax
+       |  FROM o
+       |), n3 AS (
+       |  SELECT o_orderkey, x, d, v,
+       |    ((x - xmin) * $m) // GREATEST(1, xmax - xmin) AS nx,
+       |    ((d - dmin) * $m) // GREATEST(1, dmax - dmin) AS nd,
+       |    ((v - vmin) * $m) // GREATEST(1, vmax - vmin) AS nv
+       |  FROM o CROSS JOIN s)""".stripMargin
+  }
+
+  private val zkey3TermsSql: String =
+    (0 until ZOrder3Bits).map { i =>
+      s"((nx >> $i) & 1) * ${1L << (3 * i + 2)} + " +
+        s"((nd >> $i) & 1) * ${1L << (3 * i + 1)} + " +
+        s"((nv >> $i) & 1) * ${1L << (3 * i)}"
+    }.mkString(" + ")
+
+  val zorder3LayoutSql: String =
+    s"""WITH $dims3CtesSql
+       |SELECT o_orderkey, x, d, v, CAST($zkey3TermsSql AS BIGINT) AS zkey
+       |FROM n3 ORDER BY o_orderkey""".stripMargin
+
+  /** D7: the 3-D Hilbert key — [[graft.functions.HilbertIndex3]]'s
+    * Skilling walk over the same normalized dims. */
+  def hilbert3Layout(spark: SparkSession, dir: String): DataFrame = {
+    val o = dims3Of(spark, dir)
+    o.crossJoin(broadcast(dims3Stats(o)))
+      .withColumn("hkey", graft.functions.spatial.hilbert_index3(
+        norm3("x", "xmin", "xmax"), norm3("d", "dmin", "dmax"),
+        norm3("v", "vmin", "vmax"), ZOrder3Bits))
+      .select(col("o_orderkey"), col("x"), col("d"), col("v"), col("hkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB twin of the Skilling transform: one CTE per inverse-undo
+    * level (the three per-dimension steps nested inside), then the Gray
+    * encode, the t-correction, and the MSB-first interleave — iterative
+    * integer state carried through the chain exactly like the 2-D walk's
+    * per-bit CTEs, so both engines follow the identical trajectory. The
+    * chain ends in `h3(o_orderkey, x, d, v, hkey)`, shared by the layout
+    * twin and the 3-D footer-audit twins. */
+  private lazy val hilbert3ChainCtes: String = {
+    val bits = ZOrder3Bits
+    val levels = (1 until bits).map(k => 1L << (bits - k)) // 2^(b-1) … 2
+    val undo = levels.zipWithIndex.map { case (qv, idx) =>
+      val p = qv - 1
+      s"""u${idx + 1} AS (
+         |  SELECT o_orderkey, x, d, v,
+         |    CASE WHEN (s1.x2 & $qv) > 0 THEN xor(s1.x0, $p)
+         |         ELSE xor(s1.x0, xor(s1.x0, s1.x2) & $p) END AS x0,
+         |    s1.x1 AS x1,
+         |    CASE WHEN (s1.x2 & $qv) > 0 THEN s1.x2
+         |         ELSE xor(s1.x2, xor(s1.x0, s1.x2) & $p) END AS x2
+         |  FROM (
+         |    SELECT o_orderkey, x, d, v,
+         |      CASE WHEN (s0.x1 & $qv) > 0 THEN xor(s0.x0, $p)
+         |           ELSE xor(s0.x0, xor(s0.x0, s0.x1) & $p) END AS x0,
+         |      CASE WHEN (s0.x1 & $qv) > 0 THEN s0.x1
+         |           ELSE xor(s0.x1, xor(s0.x0, s0.x1) & $p) END AS x1,
+         |      s0.x2 AS x2
+         |    FROM (
+         |      SELECT o_orderkey, x, d, v,
+         |        CASE WHEN (x0 & $qv) > 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+         |        x1, x2
+         |      FROM u$idx) s0) s1)""".stripMargin
+    }.mkString(",\n")
+    val tExpr = levels.map(qv =>
+        s"CASE WHEN (x2 & $qv) > 0 THEN ${qv - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    val hTerms = (0 until bits).map { b =>
+      s"((x0 >> $b) & 1) * ${1L << (3 * b + 2)} + " +
+        s"((x1 >> $b) & 1) * ${1L << (3 * b + 1)} + " +
+        s"((x2 >> $b) & 1) * ${1L << (3 * b)}"
+    }.mkString(" + ")
+    s"""$dims3CtesSql,
+       |u0 AS (
+       |  SELECT o_orderkey, x, d, v, nx AS x0, nd AS x1, nv AS x2 FROM n3),
+       |$undo,
+       |gr3 AS (
+       |  SELECT o_orderkey, x, d, v,
+       |    x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2
+       |  FROM u${bits - 1}),
+       |tr3 AS (
+       |  SELECT o_orderkey, x, d, v,
+       |    xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2
+       |  FROM (SELECT gr3.*, $tExpr AS t FROM gr3)),
+       |h3 AS (
+       |  SELECT o_orderkey, x, d, v, CAST($hTerms AS BIGINT) AS hkey
+       |  FROM tr3)""".stripMargin
+  }
+
+  lazy val hilbert3LayoutSql: String =
+    s"""WITH $hilbert3ChainCtes
+       |SELECT o_orderkey, x, d, v, hkey FROM h3
+       |ORDER BY o_orderkey""".stripMargin
+
+  // --- D8: 3-D real-footer prune audits ------------------------------------
+  /** [[writeKeyBinned]] for the 24-bit 3-D keys: one parquet file per
+    * top-bit value-range bin of the curve key, sorted inside. */
+  private def writeKeyBinned3(layout: DataFrame, keyCol: String,
+      path: String): Unit = {
+    val shift = 3 * ZOrder3Bits - FooterFilesLog
+    layout
+      .withColumn("_fid", shiftright(col(keyCol), shift))
+      .repartition(col("_fid"))
+      .sortWithinPartitions(col("_fid"), col(keyCol), col("o_orderkey"))
+      .write.partitionBy("_fid").mode("overwrite").parquet(path)
+  }
+
+  /** [[footerStatsOf]] with the third dimension: executors read each
+    * file's parquet footer min/max for x, d AND v — still no data page
+    * ever read, same broadcast-conf discipline. */
+  private def footerStats3Of(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_fid="))
+      .flatMap { d =>
+        val fid = d.getPath.getName.stripPrefix("_fid=").toLong
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (fid, f.getPath.toString))
+      }.toSeq.sorted
+    val confBc = spark.sparkContext.broadcast {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.toArray
+    }
+    spark.createDataset(files).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confBc.value.foreach { case (k, v) => conf.set(k, v) }
+      it.map { case (fid, p) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var n = 0L
+          val lo = Array.fill(3)(Long.MaxValue)
+          val hi = Array.fill(3)(Long.MinValue)
+          r.getFooter.getBlocks.forEach { b =>
+            n += b.getRowCount
+            b.getColumns.forEach { c =>
+              def mn = c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue
+              def mx = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue
+              val i = c.getPath.toDotString match {
+                case "x" => 0
+                case "d" => 1
+                case "v" => 2
+                case _ => -1
+              }
+              if (i >= 0) {
+                lo(i) = math.min(lo(i), mn); hi(i) = math.max(hi(i), mx)
+              }
+            }
+          }
+          FooterStat3(fid, n, lo(0), hi(0), lo(1), hi(1), lo(2), hi(2))
+        } finally r.close()
+      }
+    }.toDF()
+  }
+
+  /** The C75 audit over three dimensions: the deterministic box is the
+    * middle quarter of EACH dimension's range — in 3-D a file must
+    * straddle all three to be opened, which is where curve locality
+    * earns its keep (a 2-D-clustered layout leaves the third dimension's
+    * per-file range global). */
+  private def footerPrune3Over(spark: SparkSession, root: String,
+      build: String => Unit): DataFrame = {
+    IndexScratch.ensure(root)(build)
+    val stats = footerStats3Of(spark, root)
+    val box = stats.agg(
+      min(col("x_min")).as("xmin"), max(col("x_max")).as("xmax"),
+      min(col("d_min")).as("dmin"), max(col("d_max")).as("dmax"),
+      min(col("v_min")).as("vmin"), max(col("v_max")).as("vmax"))
+    stats.crossJoin(broadcast(box))
+      .select(col("file_id"), col("n_rows"),
+        col("x_min"), col("x_max"), col("d_min"), col("d_max"),
+        col("v_min"), col("v_max"),
+        expr("""CAST(x_max >= xmin + (xmax - xmin) div 4
+               |  AND x_min <= xmin + (xmax - xmin) div 2
+               |  AND d_max >= dmin + (dmax - dmin) div 4
+               |  AND d_min <= dmin + (dmax - dmin) div 2
+               |  AND v_max >= vmin + (vmax - vmin) div 4
+               |  AND v_min <= vmin + (vmax - vmin) div 2
+               |  AS INT)""".stripMargin.replaceAll("\n", " "))
+          .as("overlaps"))
+      .orderBy(col("file_id"))
+  }
+
+  def footerPrune3(spark: SparkSession, dir: String): DataFrame =
+    footerPrune3Over(spark, IndexScratch.path("zbin3", dir),
+      tmp => writeKeyBinned3(zorder3Layout(spark, dir), "zkey", tmp))
+
+  def footerPrune3Hilbert(spark: SparkSession, dir: String): DataFrame =
+    footerPrune3Over(spark, IndexScratch.path("hbin3", dir),
+      tmp => writeKeyBinned3(hilbert3Layout(spark, dir), "hkey", tmp))
+
+  /** The per-file bins of the 3-D Morton layout, re-derived from first
+    * principles (footers NOT trusted). */
+  private lazy val zbin3FileCtes: String = {
+    val shift = 3 * ZOrder3Bits - FooterFilesLog
+    s"""$dims3CtesSql,
+       |f3 AS (
+       |  SELECT ($zkey3TermsSql) >> $shift AS file_id, COUNT(*) AS n_rows,
+       |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max,
+       |    MIN(v) AS v_min, MAX(v) AS v_max
+       |  FROM n3 GROUP BY 1
+       |)""".stripMargin
+  }
+
+  private lazy val hbin3FileCtes: String = {
+    val shift = 3 * ZOrder3Bits - FooterFilesLog
+    s"""$hilbert3ChainCtes,
+       |f3 AS (
+       |  SELECT hkey >> $shift AS file_id, COUNT(*) AS n_rows,
+       |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max,
+       |    MIN(v) AS v_min, MAX(v) AS v_max
+       |  FROM h3 GROUP BY 1
+       |)""".stripMargin
+  }
+
+  private def footerPrune3SqlOver(fileCtes: String): String =
+    s"""WITH $fileCtes, g3 AS (
+       |  SELECT MIN(x_min) AS xmin, MAX(x_max) AS xmax,
+       |         MIN(d_min) AS dmin, MAX(d_max) AS dmax,
+       |         MIN(v_min) AS vmin, MAX(v_max) AS vmax
+       |  FROM f3)
+       |SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+       |  CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+       |  CAST(d_min AS BIGINT) AS d_min, CAST(d_max AS BIGINT) AS d_max,
+       |  CAST(v_min AS BIGINT) AS v_min, CAST(v_max AS BIGINT) AS v_max,
+       |  CAST(CASE WHEN x_max >= xmin + (xmax - xmin) // 4
+       |             AND x_min <= xmin + (xmax - xmin) // 2
+       |             AND d_max >= dmin + (dmax - dmin) // 4
+       |             AND d_min <= dmin + (dmax - dmin) // 2
+       |             AND v_max >= vmin + (vmax - vmin) // 4
+       |             AND v_min <= vmin + (vmax - vmin) // 2
+       |       THEN 1 ELSE 0 END AS INT) AS overlaps
+       |FROM f3 CROSS JOIN g3
+       |ORDER BY file_id""".stripMargin
+
+  lazy val footerPrune3Sql: String = footerPrune3SqlOver(zbin3FileCtes)
+  lazy val footerPrune3HilbertSql: String = footerPrune3SqlOver(hbin3FileCtes)
+
+  /** D9: the D5 decision board at d = 3 — same rollup, one row per 3-D
+    * layout, over the real-footer audits. */
+  def layoutCompare3(spark: SparkSession, dir: String): DataFrame = {
+    def roll(tag: String, audit: DataFrame): DataFrame =
+      audit.agg(count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("overlaps").cast("bigint")).as("files_read"),
+          sum(col("n_rows") * col("overlaps")).as("rows_read"))
+        .select(lit(tag).as("layout"), col("n_files"), col("n_rows"),
+          col("files_read"), col("rows_read"),
+          (col("rows_read").cast("double") / col("n_rows").cast("double"))
+            .as("read_frac"))
+    roll("hilbert3", footerPrune3Hilbert(spark, dir))
+      .unionAll(roll("zorder3", footerPrune3(spark, dir)))
+      .orderBy(col("layout"))
+  }
+
+  lazy val layoutCompare3Sql: String = {
+    def roll(tag: String, sub: String): String =
+      s"""SELECT '$tag' AS layout, COUNT(*) AS n_files,
+         |  CAST(SUM(t.n_rows) AS BIGINT) AS n_rows,
+         |  CAST(SUM(t.overlaps) AS BIGINT) AS files_read,
+         |  CAST(SUM(t.n_rows * t.overlaps) AS BIGINT) AS rows_read,
+         |  CAST(CAST(SUM(t.n_rows * t.overlaps) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(t.n_rows) AS BIGINT) AS DOUBLE) AS read_frac
+         |FROM ($sub) t""".stripMargin
+    s"""SELECT * FROM (
+       |${roll("hilbert3", footerPrune3HilbertSql)}
+       |UNION ALL
+       |${roll("zorder3", footerPrune3Sql)}
+       |) ORDER BY layout""".stripMargin
   }
 
   // --- C67: data-skipping effectiveness of the clustered layout ------------
@@ -802,7 +1149,12 @@ object Sinks {
     "footer_prune_hilbert" -> (footerPruneHilbert _),
     "compact_plan" -> (compactPlan _),
     "compact_rewrite" -> (compactRewrite _),
-    "layout_compare" -> (layoutCompare _))
+    "layout_compare" -> (layoutCompare _),
+    "zorder3_layout" -> (zorder3Layout _),
+    "hilbert3_layout" -> (hilbert3Layout _),
+    "footer_prune3" -> (footerPrune3 _),
+    "footer_prune3_hilbert" -> (footerPrune3Hilbert _),
+    "layout_compare3" -> (layoutCompare3 _))
 
   val oracles: Map[String, String] = Map(
     "orc_roundtrip" -> orcRoundtripSql,
@@ -814,7 +1166,12 @@ object Sinks {
     "footer_prune_hilbert" -> footerPruneHilbertSql,
     "compact_plan" -> compactPlanSql,
     "compact_rewrite" -> compactRewriteSql,
-    "layout_compare" -> layoutCompareSql)
+    "layout_compare" -> layoutCompareSql,
+    "zorder3_layout" -> zorder3LayoutSql,
+    "hilbert3_layout" -> hilbert3LayoutSql,
+    "footer_prune3" -> footerPrune3Sql,
+    "footer_prune3_hilbert" -> footerPrune3HilbertSql,
+    "layout_compare3" -> layoutCompare3Sql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -44,8 +44,11 @@ class PlanGuardSpec extends SparkSpec {
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
     "zorder_prune", "hilbert_prune", "footer_prune", "footer_prune_hilbert",
+    "footer_prune3", "footer_prune3_hilbert",
     // both audits' 1-row box frames inside one board
-    "layout_compare",
+    "layout_compare", "layout_compare3",
+    // 1-row min/max stats frame broadcast onto the scan (3-D keys)
+    "zorder3_layout", "hilbert3_layout",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
@@ -172,6 +175,11 @@ class PlanGuardSpec extends SparkSpec {
     "multimodal_dedup" -> 3, // pHash inside the decode map stage; banded self-join (second side reuses the exchange) + pair-dedup exchange + gate sort — candidates O(colliding buckets), never all-pairs
     "footer_prune" -> 3, // O(files) footer reads distributed over the file list; 1-row box agg (broadcast back) + gate sort — no row of the table is ever read, nothing sorts the corpus
     "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
+    "zorder3_layout" -> 3, // the 2-D budget exactly: 1-row 6-scalar stats agg (broadcast back) + gate sort; the 3-way interleave is map-side
+    "hilbert3_layout" -> 3, // same shape; the Skilling walk is one codegen'd expression
+    "footer_prune3" -> 3, // the C75 audit core over the zbin3 table — O(files) footer rows, 1-row box agg, gate sort
+    "footer_prune3_hilbert" -> 3, // same, over the hbin3 table
+    "layout_compare3" -> 4, // D5's budget exactly: two O(files) audits into two 1-row rollups + the 2-row sort
     "dedup_index_admit" -> 3, // band-append is pure write; the probe broadcasts the batch sketch onto the index scan — pair-dedup exchange + est agg + gate sort
     "dedup_index_vacuum" -> 3, // the vacuum rewrite executes eagerly before the returned probe, whose plan is C76's exactly
     "multimodal_containment" -> 8, // raw history frames feed the broadcast clip join MAP-SIDE; every exchange after it carries matches only (countDistinct partials + τ rollup + gate sort), never history frames

@@ -317,4 +317,70 @@ class SinksSpec extends SparkSpec {
     val z = rows.find(_._1 == "zorder").get
     assert(h._5 <= z._5, s"hilbert ${h._5} read more rows than morton ${z._5}")
   }
+
+  test("hilbert3: Skilling walk is a true 3-D Hilbert curve — bijection " +
+      "and unit-step adjacency on the FULL cube (D7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exhaustive at every feasible resolution: bijective onto
+    // [0, 2^(3·bits)) and consecutive curve positions always grid-adjacent
+    // (the defining Hilbert property — a Morton key fails this at every
+    // "seam"); bits=4 already checks 4096 cells
+    for (bits <- 1 to 4) {
+      val n = 1 << bits
+      val pts = for (x <- 0 until n; y <- 0 until n; z <- 0 until n)
+        yield (x.toLong, y.toLong, z.toLong)
+      val keyed = pts.toDF("x", "y", "z")
+        .withColumn("h", graft.functions.spatial.hilbert_index3(
+          col("x"), col("y"), col("z"), bits))
+        .collect()
+        .map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+      assert(keyed.map(_._1).distinct.length === n * n * n,
+        s"bits=$bits: not a bijection")
+      assert(keyed.map(_._1).min === 0L &&
+        keyed.map(_._1).max === (n * n * n - 1).toLong)
+      keyed.sortBy(_._1).map(_._2).toSeq.sliding(2).foreach { w =>
+        val (x1, y1, z1) = w(0); val (x2, y2, z2) = w(1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1L,
+          s"bits=$bits: curve jump between ($x1,$y1,$z1) and ($x2,$y2,$z2)")
+      }
+    }
+  }
+
+  test("3-D layouts: keys bijective on normalized cells; real-footer " +
+      "audits skip most files under the 3-D box (D6/D8/D9)") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions._
+    // one key per occupied (nx, nd, nv) cell — layout keys are cell ids
+    val h3 = Sinks.queries("hilbert3_layout")(spark, sfDir)
+    val z3 = Sinks.queries("zorder3_layout")(spark, sfDir)
+    val cells = h3.join(z3.withColumnRenamed("zkey", "zkey"),
+        Seq("o_orderkey", "x", "d", "v"))
+      .select(col("hkey"), col("zkey")).distinct().count()
+    assert(h3.select(col("hkey")).distinct().count() ===
+      z3.select(col("zkey")).distinct().count())
+    assert(cells === h3.select(col("hkey")).distinct().count(),
+      "hkey and zkey disagree on cell identity")
+    // the audits: a 3-D-clustered layout must let the middle-quarter box
+    // skip MOST files (a 2-D layout leaves the third dim's range global)
+    for (name <- Seq("footer_prune3", "footer_prune3_hilbert")) {
+      val audit = Sinks.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(1), r.getInt(8)))
+      val reads = audit.count(_._2 == 1)
+      assert(reads > 0, s"$name: the box pruned everything")
+      assert(reads * 2 < audit.length,
+        s"$name: box opened $reads of ${audit.length} files — no skip power")
+    }
+    // the decision board: consistent masses, sane fractions
+    val rows = Sinks.layoutCompare3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq("hilbert3", "zorder3"))
+    assert(rows.map(_._3).distinct.size === 1)
+    rows.foreach { case (l, nf, nr, fr, rr, frac) =>
+      assert(fr > 0 && fr * 2 < nf, s"$l files_read $fr of $nf")
+      assert(frac > 0.0 && frac < 0.5, s"$l read_frac $frac")
+      assert(math.abs(frac - rr.toDouble / nr) < 1e-12, s"$l frac")
+    }
+  }
 }
