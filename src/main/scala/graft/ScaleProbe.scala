@@ -585,6 +585,79 @@ object ScaleProbe {
       q.awaitTermination()
       spark.read.parquet(out).count()
     }
+
+    // --- dir-shaped keys at 24×: a full replicated STAR (r9 VERDICT #2) ---
+    // The ten r9 keys (+ the 3-D layout block) take (spark, dir) and read
+    // whole tables, so the probe stages a replicated sf dir with FK-
+    // consistent id shifts (customer/orders/lineitem and documents/
+    // embeddings shift together) — the seeded-violation and layout
+    // semantics then scale exactly as the gate corpus does. One-off
+    // scratch builds (orc write, key-binned layouts, compaction rewrite)
+    // bill to their own first measurement, as at the gate.
+    val repDir = java.nio.file.Files
+      .createTempDirectory("graft_repdir").toString
+    def writeRep(name: String, shiftCols: Seq[String]): Unit = {
+      val t = spark.read.parquet(s"$sfDir/$name.parquet")
+      (0 until reps).map { r =>
+        shiftCols.foldLeft(t)((df, c) =>
+          df.withColumn(c, col(c) + lit(r * 10000000L)))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$repDir/$name.parquet")
+    }
+    val repTables = Seq(
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey"))
+    val dirProbes = Set("table_integrity", "dedup_compare", "orc_roundtrip",
+      "uncertainty_sample", "vocab_growth", "mixture_temperature",
+      "epoch_plan", "layout_compare", "compact_plan", "compact_rewrite",
+      "zorder3_layout", "hilbert3_layout", "footer_prune3",
+      "footer_prune3_hilbert", "layout_compare3", "line_dedup",
+      "stream_line_dedup")
+    if (which.isEmpty || which.exists(dirProbes))
+      repTables.foreach { case (n, cs) => writeRep(n, cs) }
+    def dirKey(name: String): Unit = time(name) {
+      SparkEntry.queries(name)(spark, repDir).count()
+    }
+    // O(sources)/O(files) boards — expect near-flat in corpus size
+    dirKey("mixture_temperature")
+    dirKey("epoch_plan")
+    dirKey("layout_compare")
+    dirKey("compact_plan")
+    dirKey("compact_rewrite")
+    dirKey("zorder3_layout")
+    dirKey("hilbert3_layout")
+    dirKey("footer_prune3")
+    dirKey("footer_prune3_hilbert")
+    dirKey("layout_compare3")
+    // corpus-scanning censuses — expect ~linear in corpus size
+    dirKey("orc_roundtrip")
+    dirKey("vocab_growth")
+    dirKey("uncertainty_sample")
+    dirKey("table_integrity")
+    // C92 at 24×: the chrome lines' df grows with the corpus but the
+    // boilerplate table stays 2 rows — expect the explode + df census
+    // to dominate, linear in lines
+    dirKey("line_dedup")
+    dirKey("stream_line_dedup")
+    // dedup_compare seeds variants at +1e8, which ALIASES with
+    // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
+    // doc_ids then break the Jaccard census (the B61 chainDir trap).
+    // Re-densify ids (base·reps + r stays ≪ 1e8) into its own feed dir.
+    if (which.isEmpty || which("dedup_compare")) {
+      val denseDir = java.nio.file.Files
+        .createTempDirectory("graft_repdense").toString
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until reps).map(r => base.withColumn("doc_id",
+          col("doc_id") * reps + lit(r.toLong)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$denseDir/documents.parquet")
+      time("dedup_compare") {
+        SparkEntry.queries("dedup_compare")(spark, denseDir).count()
+      }
+    }
     spark.stop()
   }
 }

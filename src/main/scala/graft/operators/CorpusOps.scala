@@ -3455,6 +3455,113 @@ object CorpusOps {
        |) ORDER BY family""".stripMargin
   }
 
+  // --- C92: line-level boilerplate dedup -----------------------------------
+  /** A line appearing VERBATIM in at least this many distinct documents
+    * is boilerplate (navigation chrome, cookie banners, copyright
+    * footers — the RefinedWeb/Falcon line-dedup discipline, Penedo et
+    * al. NeurIPS'23: exact duplicate lines repeated across documents are
+    * removed from every carrier, which document-level dedup cannot see
+    * because each CARRIER document is unique). */
+  val LineDupMinDf = 3
+
+  private val NewsletterLine = "Subscribe to our newsletter today"
+  private val RightsLine = "All rights reserved by the publisher"
+
+  /** The synthetic lake has no boilerplate, so the canned corpus SEEDS it
+    * (the C13 injection discipline): a newsletter line on every 3rd doc,
+    * a rights line on every 5th, and a doc-unique footnote on every 97th
+    * (which must survive — unique lines are content, not chrome). */
+  private[graft] def lineCorpusOn(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit("\n" + NewsletterLine))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("\n" + RightsLine))
+        .otherwise(lit("")),
+      when(col("doc_id") % 97 === 0,
+          concat(lit("\nfootnote "), col("doc_id").cast("string")))
+        .otherwise(lit(""))).as("text"))
+
+  def lineCorpus(spark: SparkSession, dir: String): DataFrame =
+    lineCorpusOn(graft.sources.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")))
+
+  /** Per-document line-dedup census: n_lines, how many lines the
+    * boilerplate filter removes, and an ORDER-FREE exact fingerprint of
+    * the retained lines (Σ 48-bit md5 prefixes — the D4 discipline), so
+    * the oracle proves WHICH lines survive, not just how many.
+    *
+    * Scale shape: one explode map; the line-df aggregation shrinks to
+    * O(distinct lines) and the filter to O(boilerplate lines) — the
+    * small side of the join at any scale (chrome repeats, content
+    * doesn't), so a deploy broadcasts it; misses are retained via the
+    * LEFT join. One doc-key rollup + gate sort. 6-exchange budget
+    * pinned. */
+  private def linesOf(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "\n")).as("line"))
+
+  /** The frozen boilerplate table — what a deploy trains offline on
+    * history and broadcasts onto the live feed (the B51 discipline). */
+  private[graft] def boilerLinesOf(documents: DataFrame, idCol: String,
+      textCol: String, minDf: Int = LineDupMinDf): DataFrame =
+    linesOf(documents, idCol, textCol).groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"), lit(1).as("_dup"))
+
+  /** The census under a FROZEN boilerplate table — the per-batch
+    * caller's shape (B67); the one-shot entry trains and applies in one
+    * call. */
+  private[graft] def lineDedupWith(boiler: DataFrame, documents: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val h48 = conv(substring(md5(col("line")), 1, 12), 16, 10).cast("long")
+    linesOf(documents, idCol, textCol).join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_dup") === 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_dup").isNull, h48).otherwise(0L)).as("retained_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  def lineDedupOn(documents: DataFrame, idCol: String, textCol: String,
+      minDf: Int = LineDupMinDf): DataFrame =
+    lineDedupWith(boilerLinesOf(documents, idCol, textCol, minDf),
+      documents, idCol, textCol)
+
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(lineCorpus(spark, dir), "doc_id", "text")
+
+  /** Twin: the same seeded corpus, the same df census and LEFT-join
+    * retention, the same order-free retained-line fingerprint. */
+  lazy val lineDedupSql: String =
+    s"""WITH lc AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$NewsletterLine'
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$RightsLine'
+       |       ELSE '' END
+       |    || CASE WHEN doc_id % 97 = 0
+       |       THEN chr(10) || 'footnote ' || CAST(doc_id AS VARCHAR)
+       |       ELSE '' END AS text
+       |  FROM documents
+       |), l AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM lc
+       |), b AS (
+       |  SELECT line FROM (
+       |    SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM l GROUP BY 1)
+       |  WHERE line_df >= $LineDupMinDf
+       |)
+       |SELECT l.doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(SUM(CASE WHEN b.line IS NULL
+       |       THEN ${hex12Sql("substr(md5(l.line), 1, 12)")} ELSE 0 END)
+       |    AS BIGINT) AS retained_h
+       |FROM l LEFT JOIN b ON l.line = b.line
+       |GROUP BY l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   /** 12-hex-char positional parse → BIGINT (48 bits, exact). Shared with
     * the C79 DSIR oracle (Pipeline) — one md5-prefix→u48 spelling. */
   private[graft] def hex12Sql(m: String): String =
@@ -3480,6 +3587,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_logprob" -> (unigramLogprob _),
     "vocab_growth" -> (vocabGrowth _),
+    "line_dedup" -> (lineDedup _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
@@ -3517,6 +3625,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
     "vocab_growth" -> vocabGrowthSql,
+    "line_dedup" -> lineDedupSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_fuzzy" -> decontaminateFuzzySql,

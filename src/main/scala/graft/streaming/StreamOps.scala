@@ -707,6 +707,35 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  val LineDedupQueryName = "graft_stream_line_dedup"
+
+  /** C92's line-level boilerplate filter over a LIVE document feed (B67):
+    * the boilerplate line table trains OFFLINE on history (one df census,
+    * checkpointed — the frozen-model discipline of B51/B63) and every
+    * arriving micro-batch LEFT-joins its exploded lines against it,
+    * stateless, through the parquet sink. Each doc lands wholly in one
+    * batch and the boilerplate side is frozen, so the per-batch census
+    * equals the global one restricted to that batch: drain == batch C92
+    * — same DuckDB oracle. At deploy this is the ingest-door chrome
+    * stripper: boilerplate learned from the crawl so far scrubs every
+    * newly arriving page before it reaches a training snapshot. */
+  def streamLineDedup(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val spark = streamingSession(rootSpark)
+    val boiler = CorpusOps
+      .boilerLinesOf(CorpusOps.lineCorpus(spark, dir), "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val arriving = CorpusOps.lineCorpusOn(d)
+    drainViaParquetSink(spark, arriving, LineDedupQueryName,
+      xform = (mb, _) => CorpusOps.lineDedupWith(boiler, mb,
+        "doc_id", "text"))
+      .orderBy(col("doc_id"))
+  }
+
   val PhashProbeQueryName = "graft_stream_phash_probe"
 
   /** C72's persisted pHash index probed BY the live media feed (B59) — the
@@ -944,6 +973,7 @@ object StreamOps {
     "stream_index_probe" -> (streamIndexProbe _),
     "stream_entropy_gate" -> (streamEntropyGate _),
     "stream_decontaminate" -> (streamDecontaminate _),
+    "stream_line_dedup" -> (streamLineDedup _),
     "stream_embed_pca" -> (streamEmbedPca _)
   )
 
@@ -981,6 +1011,7 @@ object StreamOps {
     "stream_entropy_gate" -> streamEntropyGateSql,
     // the drained pair counters re-enter the same τ-gate → equal C62
     "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql,
+    "stream_line_dedup" -> graft.operators.CorpusOps.lineDedupSql,
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board

@@ -96,6 +96,7 @@ class PlanGuardSpec extends SparkSpec {
     "range_join" -> 3, // bucket equi-join + session agg + gate sort
     "window_rank" -> 2,
     "ngram_topk" -> 1, // partial-agg exchange; top-k is a bounded heap
+    "line_dedup" -> 6, // line explode map-side; df census (two-phase distinct agg) shrinks to O(boilerplate lines) before the LEFT join back (co-partitioned on line); doc rollup + gate sort (measured 6)
     "token_freq" -> 1, // single MG-buffer merge exchange
     "sample_split" -> 1, // map-only + gate sort
     "text_pii_scrub" -> 1, // map-only + gate sort

@@ -1218,4 +1218,33 @@ class CorpusOpsSpec extends SparkSpec {
     val mid = rows(rows.length / 2 - 1)
     assert(mid._4 >= last._4 - mid._4, "type growth not concave")
   }
+
+  test("line_dedup: seeded boilerplate removed from every carrier; " +
+      "unique footnotes and base content retained (C92)") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.lineDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val base = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.keySet === base.toSet)
+    for (id <- base) {
+      val (nLines, nRemoved, retainedH) = rows(id)
+      // seeded geometry: 1 base line + the injected chrome/footnote lines
+      val injected = (if (id % 3 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0) +
+        (if (id % 97 == 0) 1 else 0)
+      assert(nLines === 1L + injected, s"doc $id line count")
+      // EVERY injected chrome line is removed (df = n/3 and n/5 >> minDf);
+      // the footnote and the base line are unique -> retained. Natural
+      // base-text duplicates would show as extra removals; the corpus has
+      // none at the gate sf (asserted here, so a testdata change is loud).
+      assert(nRemoved === ((if (id % 3 == 0) 1L else 0L) +
+        (if (id % 5 == 0) 1L else 0L)), s"doc $id removed count")
+      assert(retainedH !== 0L, s"doc $id retained fingerprint empty")
+    }
+    // the boilerplate table itself is the SMALL side: exactly 2 lines
+    val boiler = CorpusOps.boilerLinesOf(
+      CorpusOps.lineCorpus(spark, sfDir), "doc_id", "text").collect()
+    assert(boiler.length === 2)
+  }
 }

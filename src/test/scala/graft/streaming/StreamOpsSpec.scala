@@ -308,6 +308,13 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length > 1 && s.toSeq === b.toSeq)
   }
 
+  test("streamed line-dedup census equals the batch C92 query (B67 == C92)") {
+    val s = StreamOps.streamLineDedup(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.CorpusOps.lineDedup(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed containment gate equals the batch C62 probe (B55 == C62)") {
     val s = StreamOps.streamDecontaminate(spark, sfDir).collect()
       .map(_.toString)
