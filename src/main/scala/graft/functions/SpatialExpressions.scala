@@ -163,6 +163,86 @@ case class HilbertIndex3(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** The Skilling walk at d = 4 — the "same loops, one more dimension"
+  * claim of [[HilbertIndex3]] made concrete: only the dimension count in
+  * the inverse-undo/Gray/interleave templates changes. Real 4-D fact
+  * keys exist (part × supplier × quantity × price on a lineitem table).
+  * Coordinates normalized to `[0, 2^bits)`; 4·bits ≤ 62. */
+case class HilbertIndex4(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  require(bits >= 1 && 4 * bits <= 62, s"bits=$bits: 4·bits must fit a long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index4"
+
+  private def walk(a: Long, b: Long, c: Long, d0: Long): Long = {
+    val x = Array(a, b, c, d0)
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 4) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < 4) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(3) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < 4) { x(i) ^= t; i += 1 }
+    var h = 0L
+    var bit = bits - 1
+    while (bit >= 0) {
+      i = 0
+      while (i < 4) { h = (h << 1) | ((x(i) >> bit) & 1L); i += 1 }
+      bit -= 1
+    }
+    h
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    walk(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val x = ctx.freshName("h4x"); val q = ctx.freshName("h4q")
+      val p = ctx.freshName("h4p"); val t = ctx.freshName("h4t")
+      val h = ctx.freshName("h4h"); val bit = ctx.freshName("h4b")
+      val i = ctx.freshName("h4i")
+      s"""
+         |long[] $x = new long[]{$a, $b, $c, $d};
+         |for (long $q = 1L << ${bits - 1}; $q > 1; $q >>= 1) {
+         |  long $p = $q - 1;
+         |  for (int $i = 0; $i < 4; $i++) {
+         |    if (($x[$i] & $q) != 0) $x[0] ^= $p;
+         |    else { long $t = ($x[0] ^ $x[$i]) & $p; $x[0] ^= $t; $x[$i] ^= $t; }
+         |  }
+         |}
+         |for (int $i = 1; $i < 4; $i++) $x[$i] ^= $x[$i - 1];
+         |long $t = 0L;
+         |for (long $q = 1L << ${bits - 1}; $q > 1; $q >>= 1)
+         |  if (($x[3] & $q) != 0) $t ^= $q - 1;
+         |for (int $i = 0; $i < 4; $i++) $x[$i] ^= $t;
+         |long $h = 0L;
+         |for (int $bit = ${bits - 1}; $bit >= 0; $bit--)
+         |  for (int $i = 0; $i < 4; $i++)
+         |    $h = ($h << 1) | (($x[$i] >> $bit) & 1L);
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Column-API entry points for the spatial expressions. */
 object spatial {
   import GraftSqlBridge.{column, expression}
@@ -172,4 +252,9 @@ object spatial {
 
   def hilbert_index3(x: Column, y: Column, z: Column, bits: Int): Column =
     column(HilbertIndex3(expression(x), expression(y), expression(z), bits))
+
+  def hilbert_index4(x: Column, y: Column, z: Column, w: Column,
+      bits: Int): Column =
+    column(HilbertIndex4(expression(x), expression(y), expression(z),
+      expression(w), bits))
 }

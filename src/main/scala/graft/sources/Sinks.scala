@@ -361,6 +361,116 @@ object Sinks {
        |SELECT o_orderkey, x, d, v, hkey FROM h3
        |ORDER BY o_orderkey""".stripMargin
 
+  // --- D10: the 4-D key — "same loops, one more dimension" made real ------
+  /** The Skilling inverse-undo level for arbitrary dimension count, as
+    * nested per-dimension sub-selects (the hand-written 3-D chain's
+    * shape, generated): each step i conditions on (x_i & Q) and either
+    * inverts x_0 or exchanges the P-masked bits of (x_0, x_i). */
+  private def skillingLevelSql(name: String, prev: String,
+      carry: Seq[String], n: Int, qv: Long): String = {
+    val p = qv - 1
+    def step(i: Int, from: String): String = {
+      val xs = (0 until n).map(j => s"x$j")
+      val sel =
+        if (i == 0)
+          carry ++ (s"CASE WHEN (x0 & $qv) > 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+            +: xs.drop(1))
+        else
+          carry ++ xs.zipWithIndex.map { case (xj, j) =>
+            if (j == 0)
+              s"CASE WHEN (x$i & $qv) > 0 THEN xor(x0, $p) " +
+                s"ELSE xor(x0, xor(x0, x$i) & $p) END AS x0"
+            else if (j == i)
+              s"CASE WHEN (x$i & $qv) > 0 THEN x$i " +
+                s"ELSE xor(x$i, xor(x0, x$i) & $p) END AS x$i"
+            else xj
+          }
+      s"SELECT ${sel.mkString(", ")} FROM $from"
+    }
+    val body = (0 until n).foldLeft(prev)((from, i) =>
+      if (i == n - 1) step(i, from) else s"(${step(i, from)}) st$i")
+    s"$name AS (\n  $body)"
+  }
+
+  /** D10: the 4-D Hilbert key over lineitem's four NATURAL dims —
+    * part × supplier × quantity × price. Same Skilling walk, n = 4
+    * ([[graft.functions.HilbertIndex4]]); lid = orderkey·10 +
+    * linenumber is the unique line id (linenumber ≤ 7). */
+  def hilbert4Layout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"),
+      floor(col("l_quantity")).cast("long").as("qt"),
+      floor(col("l_extendedprice")).cast("long").as("ep"))
+    val stats = li.agg(
+      min(col("pk")).as("pkmin"), max(col("pk")).as("pkmax"),
+      min(col("sk")).as("skmin"), max(col("sk")).as("skmax"),
+      min(col("qt")).as("qtmin"), max(col("qt")).as("qtmax"),
+      min(col("ep")).as("epmin"), max(col("ep")).as("epmax"))
+    li.crossJoin(broadcast(stats))
+      .withColumn("hkey", graft.functions.spatial.hilbert_index4(
+        norm3("pk", "pkmin", "pkmax"), norm3("sk", "skmin", "skmax"),
+        norm3("qt", "qtmin", "qtmax"), norm3("ep", "epmin", "epmax"),
+        ZOrder3Bits))
+      .select(col("lid"), col("pk"), col("sk"), col("qt"), col("ep"),
+        col("hkey"))
+      .orderBy(col("lid"))
+  }
+
+  /** Twin: the generated per-level CTE chain at n = 4 — same
+    * trajectory, one more dimension in every template. */
+  lazy val hilbert4LayoutSql: String = {
+    val bits = ZOrder3Bits
+    val m = (1L << bits) - 1
+    val carry = Seq("lid", "pk", "sk", "qt", "ep")
+    val levels = (1 until bits).map(k => 1L << (bits - k))
+    val undo = levels.zipWithIndex.map { case (qv, idx) =>
+      skillingLevelSql(s"w${idx + 1}", s"w$idx", carry, 4, qv)
+    }.mkString(",\n")
+    val tExpr = levels.map(qv =>
+        s"CASE WHEN (x3 & $qv) > 0 THEN ${qv - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    val hTerms = (0 until bits).map { b =>
+      (0 until 4).map(i =>
+        s"((x$i >> $b) & 1) * ${1L << (4 * b + (3 - i))}").mkString(" + ")
+    }.mkString(" + ")
+    def nm(c: String, lo: String, hi: String) =
+      s"(($c - $lo) * $m) // GREATEST(1, $hi - $lo)"
+    s"""WITH li AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS lid,
+       |    CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+       |    CAST(floor(l_quantity) AS BIGINT) AS qt,
+       |    CAST(floor(l_extendedprice) AS BIGINT) AS ep
+       |  FROM lineitem
+       |), s4 AS (
+       |  SELECT MIN(pk) AS pkmin, MAX(pk) AS pkmax,
+       |    MIN(sk) AS skmin, MAX(sk) AS skmax,
+       |    MIN(qt) AS qtmin, MAX(qt) AS qtmax,
+       |    MIN(ep) AS epmin, MAX(ep) AS epmax
+       |  FROM li
+       |), w0 AS (
+       |  SELECT lid, pk, sk, qt, ep,
+       |    ${nm("pk", "pkmin", "pkmax")} AS x0,
+       |    ${nm("sk", "skmin", "skmax")} AS x1,
+       |    ${nm("qt", "qtmin", "qtmax")} AS x2,
+       |    ${nm("ep", "epmin", "epmax")} AS x3
+       |  FROM li CROSS JOIN s4),
+       |$undo,
+       |g4 AS (
+       |  SELECT lid, pk, sk, qt, ep,
+       |    x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2,
+       |    xor(x3, xor(x2, xor(x1, x0))) AS x3
+       |  FROM w${bits - 1}),
+       |f4 AS (
+       |  SELECT lid, pk, sk, qt, ep,
+       |    xor(x0, t) AS x0, xor(x1, t) AS x1,
+       |    xor(x2, t) AS x2, xor(x3, t) AS x3
+       |  FROM (SELECT g4.*, $tExpr AS t FROM g4))
+       |SELECT lid, pk, sk, qt, ep, CAST($hTerms AS BIGINT) AS hkey
+       |FROM f4 ORDER BY lid""".stripMargin
+  }
+
   // --- D8: 3-D real-footer prune audits ------------------------------------
   /** [[writeKeyBinned]] for the 24-bit 3-D keys: one parquet file per
     * top-bit value-range bin of the curve key, sorted inside. */
@@ -1154,7 +1264,8 @@ object Sinks {
     "hilbert3_layout" -> (hilbert3Layout _),
     "footer_prune3" -> (footerPrune3 _),
     "footer_prune3_hilbert" -> (footerPrune3Hilbert _),
-    "layout_compare3" -> (layoutCompare3 _))
+    "layout_compare3" -> (layoutCompare3 _),
+    "hilbert4_layout" -> (hilbert4Layout _))
 
   val oracles: Map[String, String] = Map(
     "orc_roundtrip" -> orcRoundtripSql,
@@ -1171,7 +1282,8 @@ object Sinks {
     "hilbert3_layout" -> hilbert3LayoutSql,
     "footer_prune3" -> footerPrune3Sql,
     "footer_prune3_hilbert" -> footerPrune3HilbertSql,
-    "layout_compare3" -> layoutCompare3Sql)
+    "layout_compare3" -> layoutCompare3Sql,
+    "hilbert4_layout" -> hilbert4LayoutSql)
 
   /** Bucketed managed table: pre-shuffles ONCE at write time so every
     * subsequent join/aggregation on `bucketCol` between co-bucketed tables

@@ -47,8 +47,8 @@ class PlanGuardSpec extends SparkSpec {
     "footer_prune3", "footer_prune3_hilbert",
     // both audits' 1-row box frames inside one board
     "layout_compare", "layout_compare3",
-    // 1-row min/max stats frame broadcast onto the scan (3-D keys)
-    "zorder3_layout", "hilbert3_layout",
+    // 1-row min/max stats frame broadcast onto the scan (3-D/4-D keys)
+    "zorder3_layout", "hilbert3_layout", "hilbert4_layout",
     // 1-row totals frame broadcast onto the O(lists) occupancy rollup
     "ann_ivf_stats",
     // 1-row mean-weight stats frame broadcast onto the edge list
@@ -178,6 +178,7 @@ class PlanGuardSpec extends SparkSpec {
     "footer_prune_hilbert" -> 3, // the same layout-agnostic audit core as footer_prune, over the hkey-binned table
     "zorder3_layout" -> 3, // the 2-D budget exactly: 1-row 6-scalar stats agg (broadcast back) + gate sort; the 3-way interleave is map-side
     "hilbert3_layout" -> 3, // same shape; the Skilling walk is one codegen'd expression
+    "hilbert4_layout" -> 3, // same shape at d=4 over lineitem (1-row 8-scalar stats agg + gate sort)
     "footer_prune3" -> 3, // the C75 audit core over the zbin3 table — O(files) footer rows, 1-row box agg, gate sort
     "footer_prune3_hilbert" -> 3, // same, over the hbin3 table
     "layout_compare3" -> 4, // D5's budget exactly: two O(files) audits into two 1-row rollups + the 2-row sort

@@ -347,6 +347,33 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("hilbert4: the d=4 walk is a true Hilbert curve — bijection and " +
+      "unit-step adjacency on the full 4-cube (D10)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (bits <- 1 to 3) {
+      val n = 1 << bits
+      val pts = for (x <- 0 until n; y <- 0 until n; z <- 0 until n;
+        w <- 0 until n) yield (x.toLong, y.toLong, z.toLong, w.toLong)
+      val keyed = pts.toDF("x", "y", "z", "w")
+        .withColumn("h", graft.functions.spatial.hilbert_index4(
+          col("x"), col("y"), col("z"), col("w"), bits))
+        .collect()
+        .map(r => (r.getLong(4),
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      val total = n.toLong * n * n * n
+      assert(keyed.map(_._1).distinct.length === total,
+        s"bits=$bits: not a bijection")
+      assert(keyed.map(_._1).min === 0L && keyed.map(_._1).max === total - 1)
+      keyed.sortBy(_._1).map(_._2).toSeq.sliding(2).foreach { p2 =>
+        val (x1, y1, z1, w1) = p2(0); val (x2, y2, z2, w2) = p2(1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) +
+          math.abs(z1 - z2) + math.abs(w1 - w2) === 1L,
+          s"bits=$bits: curve jump at ($x1,$y1,$z1,$w1)->($x2,$y2,$z2,$w2)")
+      }
+    }
+  }
+
   test("3-D layouts: keys bijective on normalized cells; real-footer " +
       "audits skip most files under the 3-D box (D6/D8/D9)") {
     import graft.sources.Sinks
