@@ -521,6 +521,15 @@ object ScaleProbe {
     time("stream_decontaminate") {
       graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
     }
+    time("stream_line_dedup") {
+      // B67 at 24×: frozen 2-row boilerplate table; the per-batch cost is
+      // the explode + LEFT join, linear in lines
+      graft.streaming.StreamOps.streamLineDedup(spark, streamDir).count()
+    }
+    time("stream_weighted_sample") {
+      // B68 at 24×: ONE k-bounded heap of state however many docs arrive
+      graft.streaming.StreamOps.streamWeightedSample(spark, streamDir).count()
+    }
     time("stream_pack_bestfit") {
       // B60 at 24×: state must report O(shards × bins) rows (one PackState
       // per shard — the listener line below is the measured claim), and
@@ -615,7 +624,7 @@ object ScaleProbe {
       "epoch_plan", "layout_compare", "compact_plan", "compact_rewrite",
       "zorder3_layout", "hilbert3_layout", "footer_prune3",
       "footer_prune3_hilbert", "layout_compare3", "line_dedup",
-      "stream_line_dedup")
+      "hilbert4_layout")
     if (which.isEmpty || which.exists(dirProbes))
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
     def dirKey(name: String): Unit = time(name) {
@@ -641,7 +650,7 @@ object ScaleProbe {
     // boilerplate table stays 2 rows — expect the explode + df census
     // to dominate, linear in lines
     dirKey("line_dedup")
-    dirKey("stream_line_dedup")
+    dirKey("hilbert4_layout")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

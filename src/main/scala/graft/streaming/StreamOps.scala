@@ -707,6 +707,57 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  val WsQueryName = "graft_stream_weighted_sample"
+
+  /** C40's deterministic weighted sample maintained BY the stream (B68)
+    * — the streaming face of the Efraimidis–Spirakis insight: the
+    * hash-derived priority key makes the weighted sample a plain TOP-K
+    * BY KEY, and top-k is a mergeable bounded aggregate. Every arriving
+    * doc computes its key_pico map-side (the C40 spelling verbatim); the
+    * streaming state is ONE k-bounded heap ([[graft.functions.TopKByScore]]
+    * — ~16 bytes × k, nothing grows with the stream), i.e. a true
+    * streaming reservoir whose contents are REPLAY-INVARIANT: any
+    * arrival order yields the same k winners, so drain == batch C40 and
+    * the key shares its oracle. The winners' attributes re-attach from
+    * storage post-drain (a k-row broadcast join — ranks live in stream
+    * state, attributes in the lake). */
+  def streamWeightedSample(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val scored = d
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("h48", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":ws"))), 1, 12), 16, 10)
+        .cast("long"))
+      .withColumn("u",
+        (col("h48") + 1).cast("double") / lit(281474976710656.0))
+      .withColumn("key_pico",
+        expr("CAST(floor(ln(u) / n_tokens * 1e12) AS BIGINT)"))
+    // key_pico < 2^53 in magnitude, so the double round-trip is exact
+    val agg = scored.agg(graft.functions.topk.top_k_by_score(
+      col("key_pico").cast("double"), col("doc_id"), CorpusOps.WsK)
+      .as("top"))
+    val winners = drainComplete(spark, agg, WsQueryName)
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("key_pico"))
+    val attrs = graft.sources.Tables(rootSpark, dir).documents
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+    winners.join(attrs, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("key_pico"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   val LineDedupQueryName = "graft_stream_line_dedup"
 
   /** C92's line-level boilerplate filter over a LIVE document feed (B67):
@@ -974,6 +1025,7 @@ object StreamOps {
     "stream_entropy_gate" -> (streamEntropyGate _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_line_dedup" -> (streamLineDedup _),
+    "stream_weighted_sample" -> (streamWeightedSample _),
     "stream_embed_pca" -> (streamEmbedPca _)
   )
 
@@ -1012,6 +1064,7 @@ object StreamOps {
     // the drained pair counters re-enter the same τ-gate → equal C62
     "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql,
     "stream_line_dedup" -> graft.operators.CorpusOps.lineDedupSql,
+    "stream_weighted_sample" -> graft.operators.CorpusOps.weightedSampleSql,
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board

@@ -308,6 +308,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length > 1 && s.toSeq === b.toSeq)
   }
 
+  test("streamed weighted reservoir equals the batch sample (B68 == C40)") {
+    val s = StreamOps.streamWeightedSample(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.weightedSample(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed line-dedup census equals the batch C92 query (B67 == C92)") {
     val s = StreamOps.streamLineDedup(spark, sfDir).collect().map(_.toString)
     val b = graft.operators.CorpusOps.lineDedup(spark, sfDir).collect()
