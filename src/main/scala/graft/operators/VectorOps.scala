@@ -516,6 +516,79 @@ object VectorOps {
        |SELECT vec_id, cid AS cluster_id, dist AS dist_q
        |FROM a${KmeansRounds + 1} ORDER BY vec_id""".stripMargin
 
+  // --- C93: cluster-balanced (diversity) sampling --------------------------
+  /** Sampled token budget as a fraction of the embedded corpus: 1/4,
+    * split EQUALLY across clusters — the diversity objective (a dominant
+    * topic cluster is down-sampled toward parity, a rare one kept
+    * near-whole), the cluster-level analogue of C84's
+    * uniform-over-sources α = 0 endpoint. */
+  val ClusterSampleNum = 1L
+  val ClusterSampleDen = 4L
+
+  /** Cluster-balanced data selection (the practical recipe behind
+    * diversity-aware corpus curation: cluster the embedding space, then
+    * sample an EQUAL token share from every cluster rather than ∝ its
+    * mass): C28's deterministic k-means assigns clusters; C30's
+    * md5-threshold integer gate (under an independent `:cs` salt)
+    * selects within each — both composed VERBATIM, this operator adds
+    * only the group-by-cluster budgeting.
+    *
+    * Scale shape: assignment is map-side vs centroid literals; the
+    * cluster-mass agg is O(k) (broadcast back); selection is a pure
+    * filter. 4-exchange budget pinned. */
+  def clusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val assign = kmeansOn(emb(spark, dir), "vec_id", "emb",
+        KmeansK, KmeansRounds)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+        .as("n_tokens"))
+    val d = assign.join(docs, "doc_id")
+      .withColumn("h16", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":cs"))), 1, 4), 16, 10)
+        .cast("long"))
+    val s = d.groupBy(col("cluster_id"))
+      .agg(sum(col("n_tokens")).as("cl_tokens"))
+    val t = s.agg(sum(col("cl_tokens")).as("tot"), count(lit(1)).as("n"))
+    val thr = s.crossJoin(broadcast(t))
+      .select(col("cluster_id"), least(lit(65536L), expr(
+        s"($ClusterSampleNum * 65536 * tot) div " +
+          s"($ClusterSampleDen * n * greatest(1L, cl_tokens))")).as("thr"))
+    d.join(broadcast(thr), "cluster_id")
+      .filter(col("h16") < col("thr"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: the Lloyd replay CTEs + the C30 threshold arithmetic with
+    * cluster as the group. */
+  lazy val clusterSampleSql: String =
+    s"""WITH $embSql,
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |${kmeansSqlCtes(KmeansK, KmeansRounds)},
+       |d AS (
+       |  SELECT a.vec_id AS doc_id, a.cid AS cluster_id,
+       |    CAST(len(regexp_split_to_array(trim(doc.text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ${graft.operators.CorpusOps.hex4Sql(
+              "substr(md5(CAST(a.vec_id AS VARCHAR) || ':cs'), 1, 4)")} AS h16
+       |  FROM a${KmeansRounds + 1} a JOIN documents doc
+       |    ON a.vec_id = doc.doc_id
+       |), s AS (
+       |  SELECT cluster_id, CAST(SUM(n_tokens) AS BIGINT) AS cl_tokens
+       |  FROM d GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(cl_tokens) AS BIGINT) AS tot, COUNT(*) AS n FROM s
+       |), thr AS (
+       |  SELECT cluster_id,
+       |    LEAST(65536, ($ClusterSampleNum * 65536 * tot)
+       |      // ($ClusterSampleDen * n * GREATEST(1, cl_tokens))) AS thr
+       |  FROM s CROSS JOIN t)
+       |SELECT d.doc_id, d.cluster_id, d.n_tokens
+       |FROM d JOIN thr USING (cluster_id)
+       |WHERE h16 < thr
+       |ORDER BY d.doc_id""".stripMargin
+
   // --- C36: int8 vector quantization ---------------------------------------
   /** Per-vector min-max int8 quantization — the 4× memory/IO cut that keeps
     * a billion-vector ANN corpus in executor memory. Codes, the weighted
@@ -1050,6 +1123,7 @@ object VectorOps {
     "embed_stats" -> (embedStats _),
     "embed_pca" -> (embedPca _),
     "kmeans_clusters" -> (kmeansClusters _),
+    "cluster_sample" -> (clusterSample _),
     "embedding_quantize" -> (embeddingQuantize _),
     "semantic_dedup" -> (semanticDedup _),
     "ann_pq_topk" -> (annPqTopk _),
@@ -1068,6 +1142,7 @@ object VectorOps {
     "embed_stats" -> embedStatsSql,
     "embed_pca" -> embedPcaSql,
     "kmeans_clusters" -> kmeansClustersSql,
+    "cluster_sample" -> clusterSampleSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "semantic_dedup" -> semanticDedupSql,
     "diverse_topk" -> diverseTopkSql,

@@ -57,6 +57,8 @@ class PlanGuardSpec extends SparkSpec {
     "hybrid_search",
     // 4-row targets frame broadcast onto the O(buckets) board
     "quantile_sketch",
+    // 1-row corpus-total frame broadcast onto the O(k) cluster masses
+    "cluster_sample",
     // 1-row corpus-count frame broadcast onto the 5-row family board
     "dedup_compare")
 
@@ -113,6 +115,7 @@ class PlanGuardSpec extends SparkSpec {
     "funnel" -> 2, // ONE user-key agg + gate sort
     "retention" -> 3, // user agg, cohort-cell agg, gate sort
     "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
+    "cluster_sample" -> 4, // assignment map-side; doc-key join, O(k) mass agg (broadcast back), selection filter + gate sort
     "unigram_logprob" -> 2, // bounded vocab broadcast onto the token stream; per-doc rollup + gate sort (corpus never shuffles pre-rollup)
     "decontaminate_fuzzy" -> 4, // bench-side bcast exchange, pair dedup, two verify joins + gate sort share AQE reuse
     "decontaminate_simhash" -> 3, // bench-side bcast exchange + pair dedup + gate sort (train side sketched map-side)

@@ -494,4 +494,34 @@ class VectorSpec extends SparkSpec {
     val b = embDouble.select(lsh_sign_buckets(col("emb"), 4, 8, 64).as("b")).collect()
     assert(a.map(_.getSeq[Long](0)).toSeq === b.map(_.getSeq[Long](0)).toSeq)
   }
+
+  test("cluster_sample: deterministic, assignment-consistent, and the " +
+      "smallest cluster keeps a larger share than the largest (C93)") {
+    import graft.operators.VectorOps
+    val a = VectorOps.clusterSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = VectorOps.clusterSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    // every sampled doc carries its k-means cluster, not a forked one
+    val assign = VectorOps.kmeansClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, cl, _) => assert(assign(id) === cl, s"doc $id") }
+    // the diversity property: equal token share per cluster means the
+    // SMALLEST cluster's sampled token fraction is at least the
+    // LARGEST's (parity capped at 1 via the 65536 threshold clamp)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mass = assign.toSeq.filter(kv => docs.contains(kv._1))
+      .groupBy(_._2).map { case (cl, xs) => cl -> xs.map(x => docs(x._1)).sum }
+    val sampled = a.groupBy(_._2).map { case (cl, xs) => cl -> xs.map(_._3).sum }
+    val big = mass.maxBy(_._2)._1
+    val small = mass.minBy(_._2)._1
+    def frac(cl: Long) = sampled.getOrElse(cl, 0L).toDouble / mass(cl)
+    assert(frac(small) >= frac(big),
+      s"small-cluster share ${frac(small)} < large-cluster share ${frac(big)}")
+  }
 }
