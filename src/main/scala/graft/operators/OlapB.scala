@@ -176,6 +176,32 @@ object OlapB {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  // --- B49b: the full CUBE (every subtotal combination) --------------------
+  /** B7's ROLLUP covers the hierarchy prefixes; CUBE is the other classic
+    * warehouse subtotal shape — ALL 2^d grouping combinations of
+    * (day, event_type) in one pass (Catalyst's Expand, one aggregation
+    * exchange — the same plan shape however many combinations). The
+    * grand total, both one-dim margins, and the full cells land in one
+    * result the dashboard slices without re-querying. */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value"))
+      .cube(col("day"), col("event_type"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("value"), 2).as("value_sum"))
+      .orderBy(col("gid"), col("day"), col("event_type"))
+
+  val eventsCubeSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY CUBE(CAST(ts AS DATE), event_type)
+      |ORDER BY gid, day, event_type""".stripMargin
+
   // --- B8: pivot long→wide (explicit values — no driver-side collect) -----
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
@@ -456,6 +482,7 @@ object OlapB {
     "window_running" -> (windowRunning _),
     "distinct_agg" -> (distinctAgg _),
     "grouping_sets" -> (groupingSets _),
+    "events_cube" -> (eventsCube _),
     "pivot_events" -> (pivotEvents _),
     "semi_anti_join" -> (semiAntiJoin _),
     "asof_join" -> (asofJoin _),
@@ -475,6 +502,7 @@ object OlapB {
     "window_running" -> windowRunningSql,
     "distinct_agg" -> distinctAggSql,
     "grouping_sets" -> groupingSetsSql,
+    "events_cube" -> eventsCubeSql,
     "pivot_events" -> pivotEventsSql,
     "semi_anti_join" -> semiAntiJoinSql,
     "asof_join" -> asofJoinSql,

@@ -432,12 +432,25 @@ object VectorOps {
   def kmeansOn(corpusIn: DataFrame, idCol: String, embCol: String,
       k: Int, rounds: Int, dim: Int = Dim): DataFrame = {
     val corpus = corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-    val cents = lloydCentroids(corpus, k, rounds, dim)
-    corpus.select(col("vec_id"), nearestCentroid(cents).as("_b"))
-      .select(col("vec_id"), col("_b.cid").as("cluster_id"),
-        col("_b.dist").as("dist_q"))
+    kmeansAssignWith(lloydCentroids(corpus, k, rounds, dim),
+      corpus, "vec_id", "emb")
       .orderBy(col("vec_id"))
   }
+
+  /** The FROZEN-model face of [[kmeansOn]] — what a deploy amortizes:
+    * centroids trained offline ([[kmeansModelOf]]) ride any frame (a
+    * live micro-batch, B70) as literals; assignment is one map stage. */
+  private[graft] def kmeansAssignWith(cents: Seq[(Long, Array[Long])],
+      corpusIn: DataFrame, idCol: String, embCol: String): DataFrame =
+    corpusIn.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .select(col("vec_id"), nearestCentroid(cents).as("_b"))
+      .select(col("vec_id"), col("_b.cid").as("cluster_id"),
+        col("_b.dist").as("dist_q"))
+
+  /** The canned-corpus Lloyd run, exported for frozen-model callers. */
+  private[graft] def kmeansModelOf(spark: SparkSession,
+      dir: String): Seq[(Long, Array[Long])] =
+    lloydCentroids(emb(spark, dir), KmeansK, KmeansRounds, Dim)
 
   /** The deterministic Lloyd run of [[kmeansOn]], factored so compositions
     * (semantic dedup C43) can reuse the FINAL centroid set for a map-side

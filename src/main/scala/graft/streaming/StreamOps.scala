@@ -707,6 +707,32 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  val ClusterAssignQueryName = "graft_stream_cluster_assign"
+
+  /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
+    * embedding-space routing: centroids train OFFLINE on the stored
+    * corpus (`kmeansModelOf`, the frozen-model discipline of B51/B63)
+    * and every arriving vector assigns map-side against the centroid
+    * LITERALS — zero joins, zero streaming state, O(corpus) assignments
+    * through the parquet sink. Drain == batch C28 → shares
+    * `kmeans_clusters`' oracle. At deploy this is the router in front
+    * of cluster-sharded downstream consumers (per-topic curation
+    * queues, C93's balanced sampler, C43's semantic dedup cells). */
+  def streamClusterAssign(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val spark = streamingSession(rootSpark)
+    val cents = VectorOps.kmeansModelOf(spark, dir)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val v = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    drainViaParquetSink(spark,
+      VectorOps.kmeansAssignWith(cents, v, "vec_id", "emb"),
+      ClusterAssignQueryName)
+      .orderBy(col("vec_id"))
+  }
+
   val WsQueryName = "graft_stream_weighted_sample"
 
   /** C40's deterministic weighted sample maintained BY the stream (B68)
@@ -1026,6 +1052,7 @@ object StreamOps {
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_line_dedup" -> (streamLineDedup _),
     "stream_weighted_sample" -> (streamWeightedSample _),
+    "stream_cluster_assign" -> (streamClusterAssign _),
     "stream_embed_pca" -> (streamEmbedPca _)
   )
 
@@ -1065,6 +1092,7 @@ object StreamOps {
     "stream_decontaminate" -> graft.operators.CorpusOps.decontaminateContainmentSql,
     "stream_line_dedup" -> graft.operators.CorpusOps.lineDedupSql,
     "stream_weighted_sample" -> graft.operators.CorpusOps.weightedSampleSql,
+    "stream_cluster_assign" -> graft.operators.VectorOps.kmeansClustersSql,
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board

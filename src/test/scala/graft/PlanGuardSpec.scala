@@ -99,6 +99,7 @@ class PlanGuardSpec extends SparkSpec {
     "window_rank" -> 2,
     "ngram_topk" -> 1, // partial-agg exchange; top-k is a bounded heap
     "line_dedup" -> 6, // line explode map-side; df census (two-phase distinct agg) shrinks to O(boilerplate lines) before the LEFT join back (co-partitioned on line); doc rollup + gate sort (measured 6)
+    "events_cube" -> 2, // ONE aggregation exchange over the Expand (all 2^d combinations in the same plan shape) + gate sort
     "token_freq" -> 1, // single MG-buffer merge exchange
     "sample_split" -> 1, // map-only + gate sort
     "text_pii_scrub" -> 1, // map-only + gate sort

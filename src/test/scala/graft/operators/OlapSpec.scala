@@ -112,6 +112,27 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("events_cube: subtotal lattice is self-consistent (B49b)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.OlapB.eventsCube(spark, sfDir).collect()
+      .map(r => (Option(r.getDate(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // one grand total (gid=3), and it equals the sum of the full cells
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length === 1)
+    val cells = rows.filter(_._3 == 0L)
+    assert(grand.head._4 === cells.map(_._4).sum)
+    assert(math.abs(grand.head._5 - cells.map(_._5).sum) < 1e-6)
+    // both one-dim margins also sum to the grand total
+    for (gid <- Seq(1L, 2L)) {
+      val margin = rows.filter(_._3 == gid)
+      assert(margin.nonEmpty && margin.map(_._4).sum === grand.head._4, s"gid=$gid")
+    }
+    // lattice size: cells + day-margin + type-margin + grand
+    assert(rows.length === cells.length +
+      rows.count(_._3 == 1L) + rows.count(_._3 == 2L) + 1)
+  }
+
   test("q1 scan prunes columns and pushes the shipdate filter") {
     val formatted = Olap.q1Agg(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

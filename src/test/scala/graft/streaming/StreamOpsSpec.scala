@@ -308,6 +308,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length > 1 && s.toSeq === b.toSeq)
   }
 
+  test("streamed cluster assignment equals the batch k-means (B70 == C28)") {
+    val s = StreamOps.streamClusterAssign(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.VectorOps.kmeansClusters(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed weighted reservoir equals the batch sample (B68 == C40)") {
     val s = StreamOps.streamWeightedSample(spark, sfDir).collect()
       .map(_.toString)
