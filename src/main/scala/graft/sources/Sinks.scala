@@ -1249,7 +1249,56 @@ object Sinks {
        |ORDER BY source""".stripMargin
   }
 
+  // --- D11: schema-evolution read ------------------------------------------
+  /** A long-lived lake table's schema EVOLVES: early shards carry v1
+    * (doc_id, text, lang), later shards add (source, n_chars). This key
+    * proves the engine reads the mixed directory correctly —
+    * `mergeSchema` unifies the footers and v1 rows surface the late
+    * columns as NULL — via a per-era census the oracle recomputes from
+    * the base table by REPLAYING the era split and v1's column absence
+    * (the orc_roundtrip format-independence discipline: hash equality
+    * proves the merged read restored every row, column, and NULL).
+    * Scale shape: one two-era write (memoized), then one partial-agg
+    * rollup over the merged scan; 2-exchange budget pinned. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexScratch.path("schevo", dir)
+    IndexScratch.ensure(path) { p =>
+      val d = Tables(spark, dir).documents
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(p)
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("append").parquet(p)
+    }
+    val h48 = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy((col("doc_id") % 2).as("era"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        sum(h48).as("text_h"))
+      .orderBy(col("era"))
+  }
+
+  /** Twin: the same census from the base table, replaying the era split
+    * and v1's missing columns (era-1 rows have NULL source/n_chars). */
+  val schemaEvolutionSql: String =
+    s"""SELECT doc_id % 2 AS era, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1
+       |                WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null_source,
+       |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE n_chars END)
+       |    AS BIGINT) AS sum_chars,
+       |  CAST(SUM(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)")}) AS BIGINT) AS text_h
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY era""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_evolution" -> (schemaEvolution _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
@@ -1268,6 +1317,7 @@ object Sinks {
     "hilbert4_layout" -> (hilbert4Layout _))
 
   val oracles: Map[String, String] = Map(
+    "schema_evolution" -> schemaEvolutionSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,

@@ -347,6 +347,31 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("schema_evolution: the merged read restores every era's rows and " +
+      "surfaces v1's missing columns as NULL (D11)") {
+    import graft.sources.{IndexScratch, Sinks, Tables}
+    val board = Sinks.schemaEvolution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sfDir).documents
+    val n = docs.count()
+    assert(board.map(_._2).sum === n, "merged read lost rows")
+    // era 1 (v1 schema): EVERY row's late columns are null; zero char mass
+    val era1 = board.find(_._1 == 1L).get
+    assert(era1._3 === era1._2 && era1._4 === 0L)
+    // era 0 (v2): no synthetic nulls beyond the base table's own
+    val era0 = board.find(_._1 == 0L).get
+    assert(era0._3 === docs.filter(col("doc_id") % 2 === 0 &&
+      col("source").isNull).count())
+    // and the capability is LOAD-BEARING: without mergeSchema the reader
+    // pins one footer's schema — the late columns can vanish entirely
+    val path = IndexScratch.path("schevo", sfDir)
+    val plain = spark.read.parquet(path).schema.fieldNames.toSet
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fieldNames.toSet
+    assert(merged === Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(plain.subsetOf(merged))
+  }
+
   test("hilbert4: the d=4 walk is a true Hilbert curve — bijection and " +
       "unit-step adjacency on the full 4-cube (D10)") {
     import org.apache.spark.sql.functions._
