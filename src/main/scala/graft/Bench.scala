@@ -118,7 +118,10 @@ object Bench {
     val healed =
       if (!loadDirty) results
       else results.map { case (n, t) =>
-        n -> (if (t > 1.0) math.min(t, drain(n)) else t)
+        // a FAILED re-drain (-1.0 sentinel) must not clobber the valid
+        // billed measurement — keep the original time on error
+        n -> (if (t > 1.0) { val d = drain(n); if (d >= 0) math.min(t, d) else t }
+          else t)
       }
     val nRequeried =
       if (!loadDirty) 0 else results.count { case (_, t) => t > 1.0 }

@@ -521,11 +521,6 @@ object ScaleProbe {
     time("stream_decontaminate") {
       graft.streaming.StreamOps.streamDecontaminate(spark, streamDir).count()
     }
-    time("stream_line_dedup") {
-      // B67 at 24×: frozen 2-row boilerplate table; the per-batch cost is
-      // the explode + LEFT join, linear in lines
-      graft.streaming.StreamOps.streamLineDedup(spark, streamDir).count()
-    }
     time("stream_weighted_sample") {
       // B68 at 24×: ONE k-bounded heap of state however many docs arrive
       graft.streaming.StreamOps.streamWeightedSample(spark, streamDir).count()
@@ -569,6 +564,35 @@ object ScaleProbe {
       col("emb").cast("array<float>").as("embedding")), "embeddings.parquet")
     time("stream_embed_pca") {
       graft.streaming.StreamOps.streamEmbedPca(spark, streamDir).count()
+    }
+    time("stream_cluster_assign") {
+      // B70 at 24×: frozen centroid literals, pure map per batch (the
+      // offline Lloyd train over the 24× corpus bills to this first
+      // measurement, as at the gate); MUST run after the embeddings feed
+      // staging above
+      graft.streaming.StreamOps.streamClusterAssign(spark, streamDir).count()
+    }
+    // C92/B67 need a DE-ALIASED feed: replicate() copies each text
+    // verbatim, so every base line would carry df = reps ≥ minDf and the
+    // whole corpus would read as boilerplate — a degenerate workload that
+    // measures nothing (the dedup_compare id-aliasing trap, content
+    // edition). Perturb each replica's text with a replica tag (base
+    // lines unique again; the INJECTED chrome stays shared) and densify
+    // ids below the injection spreads.
+    val lineDir = java.nio.file.Files
+      .createTempDirectory("graft_sfeed_line").toString
+    writeSingleTo(lineDir, (0 until reps).map(r =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select((col("doc_id") * reps + lit(r.toLong)).as("doc_id"),
+            concat(col("text"), lit(s" r$r")).as("text")))
+      .reduce(_ unionAll _), "documents.parquet")
+    time("line_dedup") {
+      SparkEntry.queries("line_dedup")(spark, lineDir).count()
+    }
+    time("stream_line_dedup") {
+      // B67 at 24×: frozen 2-row boilerplate table; the per-batch cost is
+      // the explode + LEFT join, linear in lines
+      graft.streaming.StreamOps.streamLineDedup(spark, lineDir).count()
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
       println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")
@@ -618,13 +642,15 @@ object ScaleProbe {
       "embeddings" -> Seq("vec_id"),
       "customer" -> Seq("c_custkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
-      "lineitem" -> Seq("l_orderkey"))
+      "lineitem" -> Seq("l_orderkey"),
+      "events" -> Seq("user_id", "event_id"))
     val dirProbes = Set("table_integrity", "dedup_compare", "orc_roundtrip",
       "uncertainty_sample", "vocab_growth", "mixture_temperature",
       "epoch_plan", "layout_compare", "compact_plan", "compact_rewrite",
       "zorder3_layout", "hilbert3_layout", "footer_prune3",
-      "footer_prune3_hilbert", "layout_compare3", "line_dedup",
-      "hilbert4_layout")
+      "footer_prune3_hilbert", "layout_compare3",
+      "hilbert4_layout", "cluster_sample", "events_cube",
+      "schema_evolution")
     if (which.isEmpty || which.exists(dirProbes))
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
     def dirKey(name: String): Unit = time(name) {
@@ -646,11 +672,10 @@ object ScaleProbe {
     dirKey("vocab_growth")
     dirKey("uncertainty_sample")
     dirKey("table_integrity")
-    // C92 at 24×: the chrome lines' df grows with the corpus but the
-    // boilerplate table stays 2 rows — expect the explode + df census
-    // to dominate, linear in lines
-    dirKey("line_dedup")
     dirKey("hilbert4_layout")
+    dirKey("cluster_sample")
+    dirKey("events_cube")
+    dirKey("schema_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

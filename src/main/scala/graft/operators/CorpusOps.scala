@@ -2033,21 +2033,31 @@ object CorpusOps {
     * TakeOrderedAndProject (bounded per-partition heaps) — nothing is
     * globally sorted; the final rank window runs over the k survivors
     * only. */
-  def weightedSampleOn(documents: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
+  /** The A-ES priority derivation — ONE spelling for the batch sample
+    * and the B68 streaming reservoir (the frozen-model factoring
+    * discipline): (doc_id, n_tokens, key_pico), zero-weight docs
+    * dropped (never sampled under A-ES semantics; also keeps the
+    * priority division well-defined). Any change to the salt, quantum,
+    * or filter lands in BOTH consumers or the shared-oracle hash gate
+    * fails loudly. */
+  private[graft] def weightedScoredOn(documents: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val h48 = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":ws"))), 1, 12), 16, 10).cast("long")
-    val topk = documents
+    documents
       .select(col(idCol).as("doc_id"),
         size(TextOps.tokens(col(textCol))).cast("bigint").as("n_tokens"),
         h48.as("h48"))
-      // zero-weight docs are never sampled (A-ES semantics; also keeps the
-      // priority division well-defined)
       .filter(col("n_tokens") > 0)
       .withColumn("u", (col("h48") + 1).cast("double") / lit(281474976710656.0))
       .withColumn("key_pico",
         expr("CAST(floor(ln(u) / n_tokens * 1e12) AS BIGINT)"))
+  }
+
+  def weightedSampleOn(documents: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val topk = weightedScoredOn(documents, idCol, textCol)
       .orderBy(col("key_pico").desc, col("doc_id"))
       .limit(k)
     topk

@@ -754,18 +754,9 @@ object StreamOps {
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(col("doc_id"), col("text"))
-    val scored = d
-      .select(col("doc_id"),
-        size(graft.operators.TextOps.tokens(col("text"))).cast("bigint")
-          .as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-      .withColumn("h48", conv(substring(md5(concat(
-        col("doc_id").cast("string"), lit(":ws"))), 1, 12), 16, 10)
-        .cast("long"))
-      .withColumn("u",
-        (col("h48") + 1).cast("double") / lit(281474976710656.0))
-      .withColumn("key_pico",
-        expr("CAST(floor(ln(u) / n_tokens * 1e12) AS BIGINT)"))
+    // C40's OWN priority derivation (shared helper — the spelling cannot
+    // fork from the batch sample the oracle compares against)
+    val scored = CorpusOps.weightedScoredOn(d, "doc_id", "text")
     // key_pico < 2^53 in magnitude, so the double round-trip is exact
     val agg = scored.agg(graft.functions.topk.top_k_by_score(
       col("key_pico").cast("double"), col("doc_id"), CorpusOps.WsK)

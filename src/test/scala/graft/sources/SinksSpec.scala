@@ -406,8 +406,7 @@ class SinksSpec extends SparkSpec {
     // one key per occupied (nx, nd, nv) cell — layout keys are cell ids
     val h3 = Sinks.queries("hilbert3_layout")(spark, sfDir)
     val z3 = Sinks.queries("zorder3_layout")(spark, sfDir)
-    val cells = h3.join(z3.withColumnRenamed("zkey", "zkey"),
-        Seq("o_orderkey", "x", "d", "v"))
+    val cells = h3.join(z3, Seq("o_orderkey", "x", "d", "v"))
       .select(col("hkey"), col("zkey")).distinct().count()
     assert(h3.select(col("hkey")).distinct().count() ===
       z3.select(col("zkey")).distinct().count())
