@@ -514,6 +514,63 @@ object OlapC {
        |                           ORDER BY version DESC) = 1
        |ORDER BY o_orderkey""".stripMargin
 
+  // --- B71: CDC compaction WITH DELETES ------------------------------------
+  /** Every [[CdcDeleteMod]]-th key receives a DELETE at version 3 —
+    * above the [[UpsertMod]] updates' version 2, so keys hit by BOTH
+    * resolve delete-wins (the latest-op-rules contract a real change
+    * feed demands). */
+  val CdcDeleteMod = 9
+
+  /** B29's latest-wins compaction extended to the FULL CDC op alphabet
+    * (I/U/D): the change feed carries an op column, the same max-struct
+    * aggregation picks each key's latest record (one shuffle, partial
+    * combine — `upsertLatestOn` VERBATIM with op riding as payload), and
+    * keys whose latest op is D are dropped from the compacted table —
+    * the MERGE-with-deletes every CDC sink (Debezium→lakehouse) runs.
+    * Tombstones cost one post-agg filter, never a second shuffle. */
+  def cdcCompactOn(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, opCol: String): DataFrame =
+    upsertLatestOn(base, changes, keyCol, versionCol)
+      .filter(col(opCol) =!= "D")
+
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), lit("I").as("op"), col("o_orderstatus"),
+        col("o_totalprice"), lit(1L).as("version"))
+    val updates = o.filter(col("o_orderkey") % UpsertMod === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
+    val deletes = o.filter(col("o_orderkey") % CdcDeleteMod === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit("D").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+        lit(3L).as("version"))
+    cdcCompactOn(o, updates.unionByName(deletes), "o_orderkey", "version",
+      "op").orderBy(col("o_orderkey"))
+  }
+
+  /** Twin: the same three-arm feed, latest-by-version, tombstones
+    * filtered after the pick. */
+  val cdcCompactSql: String =
+    s"""WITH all_recs AS (
+       |  SELECT o_orderkey, 'I' AS op, o_orderstatus, o_totalprice,
+       |    1 AS version
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', 'U', o_totalprice * 2, 2
+       |  FROM orders WHERE o_orderkey % $UpsertMod = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 'D', 'D', 0.0, 3
+       |  FROM orders WHERE o_orderkey % $CdcDeleteMod = 0)
+       |SELECT * FROM (
+       |  SELECT o_orderkey, op, o_orderstatus, o_totalprice,
+       |         CAST(version AS BIGINT) AS version
+       |  FROM all_recs
+       |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+       |                             ORDER BY version DESC) = 1)
+       |WHERE op != 'D'
+       |ORDER BY o_orderkey""".stripMargin
+
   // --- B39: snapshot diff / table reconciliation ----------------------------
   /** Deterministic "current" snapshot of `orders`: every [[DiffDelMod]]th
     * key deleted, every [[DiffChgMod]]th repriced (×2 — IEEE-exact), every
@@ -984,6 +1041,7 @@ object OlapC {
     "rolling_features" -> (rollingFeatures _),
     "value_histogram" -> (valueHistogram _),
     "upsert_latest" -> (upsertLatest _),
+    "cdc_compact" -> (cdcCompact _),
     "table_profile" -> (tableProfile _),
     "salted_join" -> (saltedJoin _),
     "event_transitions" -> (eventTransitions _),
@@ -1003,6 +1061,7 @@ object OlapC {
     "rolling_features" -> rollingFeaturesSql,
     "value_histogram" -> valueHistogramSql,
     "upsert_latest" -> upsertLatestSql,
+    "cdc_compact" -> cdcCompactSql,
     "table_profile" -> tableProfileSql,
     "salted_join" -> saltedJoinSql,
     "event_transitions" -> eventTransitionsSql,

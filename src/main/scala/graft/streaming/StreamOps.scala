@@ -804,6 +804,36 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val CdcQueryName = "graft_stream_cdc_compact"
+
+  /** B71's CDC compaction WITH DELETES maintained BY the stream: the
+    * same max-struct streaming aggregation as B41, with the op column
+    * riding as payload — the state store holds each key's latest record
+    * INCLUDING tombstones (a delete must survive in state to suppress
+    * late lower-version records), and the drain filters them, exactly
+    * like the batch compaction. Complete-mode parquet-sink drain ==
+    * batch B71 — same oracle. */
+  def streamCdcCompact(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+    val o = raw.select(col("o_orderkey"), lit("I").as("op"),
+      col("o_orderstatus"), col("o_totalprice"), lit(1L).as("version"))
+    val updates = o.filter(col("o_orderkey") % graft.operators.OlapC.UpsertMod === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
+    val deletes = o.filter(col("o_orderkey") % graft.operators.OlapC.CdcDeleteMod === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit("D").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+        lit(3L).as("version"))
+    val compacted = graft.operators.OlapC.cdcCompactOn(o,
+      updates.unionByName(deletes), "o_orderkey", "version", "op")
+    drainViaParquetSink(spark, compacted, CdcQueryName, complete = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   val PhashProbeQueryName = "graft_stream_phash_probe"
 
   /** C72's persisted pHash index probed BY the live media feed (B59) — the
@@ -1044,6 +1074,7 @@ object StreamOps {
     "stream_line_dedup" -> (streamLineDedup _),
     "stream_weighted_sample" -> (streamWeightedSample _),
     "stream_cluster_assign" -> (streamClusterAssign _),
+    "stream_cdc_compact" -> (streamCdcCompact _),
     "stream_embed_pca" -> (streamEmbedPca _)
   )
 
@@ -1084,6 +1115,7 @@ object StreamOps {
     "stream_line_dedup" -> graft.operators.CorpusOps.lineDedupSql,
     "stream_weighted_sample" -> graft.operators.CorpusOps.weightedSampleSql,
     "stream_cluster_assign" -> graft.operators.VectorOps.kmeansClustersSql,
+    "stream_cdc_compact" -> graft.operators.OlapC.cdcCompactSql,
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board

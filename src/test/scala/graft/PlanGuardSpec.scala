@@ -132,6 +132,7 @@ class PlanGuardSpec extends SparkSpec {
     "rolling_features" -> 2, // ONE user-key range-frame window + gate sort
     "value_histogram" -> 4, // 1-row stats agg (broadcast back) + bucket agg + gate sort
     "upsert_latest" -> 2, // ONE key shuffle (max-struct agg, partial combine) + gate sort
+    "cdc_compact" -> 2, // B29's budget exactly: the op filter rides the post-agg projection, never a second shuffle
     "multimodal_frames" -> 1, // fmt filter below decode, frame loop inside the map stage + gate sort
     "mine_pairs" -> 6, // corpus spread, band join, pair dedup, two verify joins + gate sort — all O(candidates)
     "embedding_quantize" -> 1, // pure map-side array algebra + gate sort

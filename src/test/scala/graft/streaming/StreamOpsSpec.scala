@@ -90,6 +90,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed CDC-with-deletes compaction equals the batch compaction " +
+      "(tombstones survive in state, filtered at the drain)") {
+    import org.apache.spark.sql.functions._
+    val s = StreamOps.streamCdcCompact(spark, sfDir).collect()
+      .map(_.toString).sorted
+    val b = graft.operators.OlapC.cdcCompact(spark, sfDir).collect()
+      .map(_.toString).sorted
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+    // deletes genuinely delete: no surviving key is on the delete arm,
+    // and update-only keys carry the v2 record
+    val keys = StreamOps.streamCdcCompact(spark, sfDir).collect()
+      .map(r => r.getLong(r.fieldIndex("o_orderkey")) ->
+        r.getString(r.fieldIndex("op"))).toMap
+    assert(keys.keys.forall(_ % graft.operators.OlapC.CdcDeleteMod != 0))
+    assert(keys.exists { case (k, op) =>
+      k % graft.operators.OlapC.UpsertMod == 0 && op == "U" })
+  }
+
   test("streamed attribution equals the batch window operator") {
     val s = StatefulAttribution.streamAttribution(spark, sfDir).collect()
       .map(_.toString).sorted
@@ -505,6 +523,54 @@ class StreamOpsSpec extends SparkSpec {
     val dest = new java.io.File(srcDir.toFile, name)
     java.nio.file.Files.move(part.toPath, dest.toPath)
     assert(dest.setLastModified(mtime))
+  }
+
+  test("B21 multi-batch: dedup state merges across 3 micro-batches to " +
+      "the batch aggregation (keeper = global min, counts sum)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+    // seeded cross-WAVE duplicates: wave w carries doc x AND wave (w+1)%3
+    // carries a copy of x under a shifted id for every 7th doc — so the
+    // state-merge path is exercised BETWEEN batches, not only within one
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_mb")
+    val t0 = 1700000000000L
+    for (w <- 0 to 2) {
+      val own = docs.filter(col("doc_id") % 3 === w)
+      val dupOfPrev = docs.filter(col("doc_id") % 3 === ((w + 2) % 3) &&
+          col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      writeWave(src, own.unionByName(dupOfPrev), s"w$w.parquet",
+        t0 + w * 60000L)
+    }
+    val ss = StreamOps.streamingSession(spark)
+    val schema = ss.read.option("pathGlobFilter", "w*.parquet")
+      .parquet(src.toString).schema
+    val d = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "w*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      .select(col("doc_id"), col("text"))
+    val agg = d.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    val streamed = StreamOps.drainViaParquetSink(ss, agg,
+        "graft_dedup_mb_q", complete = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // batch truth over the SAME union
+    val union = (0 to 2).map(w => spark.read.parquet(s"$src/w$w.parquet"))
+      .reduce(_ unionByName _)
+    val batch = union.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+    // the cross-batch merge genuinely fired: seeded duplicate pairs span
+    // different waves, and each resolves to the ORIGINAL (smaller) id
+    val dups = streamed.filter(_._2 > 1)
+    assert(dups.nonEmpty)
+    dups.foreach { case (h, _, keeper) =>
+      assert(keeper < 100000000L, s"hash $h kept the shifted copy") }
+    graft.sources.IndexScratch.deleteRec(src.toFile)
   }
 
   test("B60 multi-batch admission: sealed bins never reopen and every " +
