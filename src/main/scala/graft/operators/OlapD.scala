@@ -67,6 +67,82 @@ object OlapD {
       "user_id", "ts_us", "event_id", "event_type", "value",
       touchType = "click", convType = "purchase", AttrWindowUs)
 
+  // --- B72: LINEAR multi-touch attribution ---------------------------------
+  /** The other canonical attribution model next to B42's last-touch:
+    * every click inside a purchase's lookback window shares the
+    * purchase's value EQUALLY — per-click credit boards are how
+    * marketing mix decisions are actually made (last-touch
+    * systematically starves upper-funnel touches).
+    *
+    * Exactness: credit is INTEGER micro-units — floor(value·1e6) is one
+    * IEEE op on the same double in both engines, the per-touch split is
+    * integer floor division, and the per-click SUM is exact (order-free)
+    * — no float accumulation anywhere. Scale shape: the (click ∈
+    * purchase-window) pairs come from [[RangeJoin.pointInInterval]]
+    * (bucket equi-join on (user, bucket) — never a nested loop, per-pair
+    * rows bounded by touches-in-window); the touch count is one window
+    * over the purchase key; the board is one click-key rollup.
+    * 5-exchange budget pinned. */
+  def attributionLinearOn(events: DataFrame, userCol: String,
+      tsUsCol: String, seqCol: String, typeCol: String, valueCol: String,
+      touchType: String, convType: String, windowUs: Long): DataFrame = {
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("ts_us"), col(seqCol).as("event_id"),
+      col(typeCol).as("event_type"), col(valueCol).as("value"))
+    val clicks = base.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("ts_us").as("c_ts"))
+    val purchases = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("p_ts"),
+        (col("ts_us") - windowUs).as("w_start"),
+        floor(col("value") * 1e6).cast("long").as("v_micro"))
+    val pairs = graft.operators.RangeJoin.pointInInterval(
+      clicks, purchases, "user_id", "c_ts", "w_start", "p_ts", windowUs)
+    val wTouch = Window.partitionBy(col("user_id"),
+      col("purchase_event_id"))
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wTouch))
+      .withColumn("credit_micro", expr("v_micro div n_touch"))
+      .groupBy(col("user_id"), col("click_event_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("user_id"), col("click_event_id"))
+  }
+
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame =
+    attributionLinearOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type", "value",
+      touchType = "click", convType = "purchase", AttrWindowUs)
+
+  /** Twin: the same closed-window pairing, touch-count window, and
+    * integer micro-unit split. */
+  val attributionLinearSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+       |    event_type, value
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, event_id AS click_event_id, ts_us AS c_ts
+       |  FROM e WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_event_id, ts_us AS p_ts,
+       |    CAST(floor(value * 1e6) AS BIGINT) AS v_micro
+       |  FROM e WHERE event_type = 'purchase'
+       |), pair AS (
+       |  SELECT c.user_id, c.click_event_id, p.purchase_event_id,
+       |    p.v_micro,
+       |    COUNT(*) OVER (PARTITION BY p.user_id, p.purchase_event_id)
+       |      AS n_touch
+       |  FROM c JOIN p ON c.user_id = p.user_id
+       |    AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - $AttrWindowUs)
+       |SELECT user_id, click_event_id, COUNT(*) AS n_purchases,
+       |  CAST(SUM(v_micro // n_touch) AS BIGINT) AS credit_micro
+       |FROM pair
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val attributionSql: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
@@ -397,6 +473,7 @@ object OlapD {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
+    "attribution_linear" -> (attributionLinear _),
     "triangle_count" -> (triangleCount _),
     "interval_overlap" -> (intervalOverlapQ _),
     "unpivot_wide" -> (unpivotWide _),
@@ -404,6 +481,7 @@ object OlapD {
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
+    "attribution_linear" -> attributionLinearSql,
     "triangle_count" -> triangleCountSql,
     "interval_overlap" -> intervalOverlapSql,
     "unpivot_wide" -> unpivotWideSql,

@@ -118,4 +118,40 @@ class OlapDSpec extends SparkSpec {
     assert(byN(("documents", "pk_unique")) === t.documents.count() + dupDocs)
     assert(byN(("embeddings", "dim_64")) === t.embeddings.count() + badVecs)
   }
+
+  test("attribution_linear: credit conserves per purchase and agrees " +
+      "with last-touch eligibility (B72)") {
+    import org.apache.spark.sql.functions._
+    val linear = OlapD.attributionLinear(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(linear.nonEmpty)
+    // conservation: total distributed credit never exceeds the credited
+    // purchases' value mass, and misses it only by the integer-floor
+    // remainder (< n_touch micro-units per purchase)
+    val lt = OlapD.attribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(5)))
+    // linear's credited purchase set ⊇ last-touch's (a strictly-before
+    // in-window click satisfies the closed window too; same-instant
+    // clicks can ONLY add linear credit): so distributed credit is
+    // bounded above by the TOTAL purchase mass and below by the
+    // last-touch credited mass minus the integer-floor remainders
+    // (< n_touch micro-units per purchase, Σ < total pairs)
+    val allPurchValueMicro = lt.map(p => math.floor(p._4 * 1e6).toLong).sum
+    val ltCreditedMicro = lt.filter(_._3.isDefined)
+      .map(p => math.floor(p._4 * 1e6).toLong).sum
+    val distributed = linear.values.map(_._2).sum
+    val totalPairs = linear.values.map(_._1).sum
+    assert(distributed <= allPurchValueMicro)
+    assert(distributed >= ltCreditedMicro - totalPairs)
+    // every purchase with a last-touch click gets SOME linear credit
+    // receiver (the last-touch click is inside the same window), and
+    // that click is among the receivers
+    val receivers = linear.keySet.map(_._2)
+    lt.foreach { case (_, user, click, _) =>
+      click.foreach(c => assert(receivers.contains(c),
+        s"last-touch click $c of user $user received no linear credit")) }
+  }
 }
