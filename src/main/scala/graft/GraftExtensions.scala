@@ -79,6 +79,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hilbert_index(x, y, bits) - Hilbert-curve position of a normalized 2-D point"),
       (es: Seq[Expression]) => HilbertIndex(es(0), es(1), intArg(es(2), "bits"))))
 
+    ext.injectFunction((FunctionIdentifier("hilbert_index3"),
+      info("hilbert_index3",
+        "hilbert_index3(x, y, z, bits) - Hilbert-curve position of a normalized 3-D point (Skilling walk)"),
+      (es: Seq[Expression]) =>
+        HilbertIndex3(es(0), es(1), es(2), intArg(es(3), "bits"))))
+
+    ext.injectFunction((FunctionIdentifier("hilbert_index4"),
+      info("hilbert_index4",
+        "hilbert_index4(x, y, z, w, bits) - Hilbert-curve position of a normalized 4-D point (Skilling walk)"),
+      (es: Seq[Expression]) =>
+        HilbertIndex4(es(0), es(1), es(2), es(3), intArg(es(4), "bits"))))
+
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters",
         "heavy_hitters(item, k) - Misra-Gries top items with k counters"),

@@ -650,7 +650,7 @@ object ScaleProbe {
       "zorder3_layout", "hilbert3_layout", "footer_prune3",
       "footer_prune3_hilbert", "layout_compare3",
       "hilbert4_layout", "cluster_sample", "events_cube",
-      "schema_evolution")
+      "schema_evolution", "cdc_compact", "attribution_linear")
     if (which.isEmpty || which.exists(dirProbes))
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
     def dirKey(name: String): Unit = time(name) {
@@ -676,6 +676,8 @@ object ScaleProbe {
     dirKey("cluster_sample")
     dirKey("events_cube")
     dirKey("schema_evolution")
+    dirKey("cdc_compact")
+    dirKey("attribution_linear")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

@@ -27,6 +27,23 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT lsh_sign_buckets(array(1.0d, -1.0d), 4, 8, 2) AS b")
       .collect()(0).getSeq[Long](0)
     assert(buckets.length === 4)
+
+    // the 2-D/3-D/4-D curve family from SQL — each agrees with its
+    // Column-API expression at a spot point
+    val h2 = spark.sql("SELECT hilbert_index(3L, 5L, 4) AS h")
+      .collect()(0).getLong(0)
+    val h3 = spark.sql("SELECT hilbert_index3(3L, 5L, 6L, 4) AS h")
+      .collect()(0).getLong(0)
+    val h4 = spark.sql("SELECT hilbert_index4(3L, 5L, 6L, 7L, 4) AS h")
+      .collect()(0).getLong(0)
+    import org.apache.spark.sql.functions._
+    val api = spark.range(1)
+      .select(graft.functions.spatial.hilbert_index(lit(3L), lit(5L), 4),
+        graft.functions.spatial.hilbert_index3(lit(3L), lit(5L), lit(6L), 4),
+        graft.functions.spatial
+          .hilbert_index4(lit(3L), lit(5L), lit(6L), lit(7L), 4))
+      .collect()(0)
+    assert((h2, h3, h4) === ((api.getLong(0), api.getLong(1), api.getLong(2))))
   }
 
   test("custom aggregates are callable from SQL") {
