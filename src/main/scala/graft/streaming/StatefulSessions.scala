@@ -282,8 +282,54 @@ object StatefulSessions {
       .orderBy(col("user_id"), col("version"))
   }
 
+  val NativeQueryName = "graft_stream_sessions_native"
+
+  /** B73: B15's sessionization through Spark's NATIVE `session_window`
+    * streaming aggregation — the Spark-first counterpart of the custom
+    * `flatMapGroupsWithState` machine: the state store manages gap-merge
+    * sessions itself (no hand-written state class, timeouts, or close
+    * logic), and the same far-future sentinel advances the watermark so
+    * the AvailableNow drain finalizes every session. Both
+    * implementations share `events_sessionize`'s oracle — the engine
+    * proves its custom state machine and the built-in operator agree
+    * with the batch semantics bit-for-bit. Gap boundary parity: both
+    * open a new session strictly PAST the gap (session_window merges at
+    * distance ≤ gap; the batch rule flags `> gap`). O(sessions) output
+    * drains through the parquet sink. */
+  def streamSessionsNative(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = StreamOps.streamingSession(rootSpark)
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val ev = rawEvents(spark, dir, "events.parquet").unionByName(
+      rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet"))
+    val agg = ev
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${GapUs / 1000000} seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        graft.operators.Olap.dsum(col("value"), 2).as("session_value"))
+      .drop("session_window")
+    // NO single-batch assert here: append-mode session_window emits its
+    // finalized sessions in the post-watermark batch, so the drain is
+    // two micro-batches BY DESIGN (data, then finalization). An unsafe
+    // replay split (events arriving after their session's watermark
+    // passed would be dropped) cannot pass silently — the shared batch
+    // oracle hash-mismatches on the missing sessions.
+    val drained = StreamOps.drainViaParquetSink(spark, agg, NativeQueryName)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    drained
+      .select(col("user_id"),
+        row_number().over(w).cast("bigint").as("session_id"),
+        col("n_events"), col("start_us"), col("end_us"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessions" -> (streamSessions _),
+    "stream_sessions_native" -> (streamSessionsNative _),
     "stream_scd2" -> (streamScd2 _)
   )
 
@@ -291,6 +337,7 @@ object StatefulSessions {
     * are the SAME SQL as `events_sessionize` / `scd2_track`. */
   val oracles: Map[String, String] = Map(
     "stream_sessions" -> graft.operators.OlapB.eventsSessionizeSql,
+    "stream_sessions_native" -> graft.operators.OlapB.eventsSessionizeSql,
     "stream_scd2" -> graft.operators.OlapC.scd2TrackSql
   )
 }

@@ -149,4 +149,16 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(updateUser(7L, Iterator(ev), s2).toSeq.isEmpty)
     assert(s2.get.n === 1L && s2.get.start_us === 10000000000L)
   }
+
+  test("native session_window drain equals the custom state machine AND " +
+      "the batch sessionizer (B73 == B15 == B11)") {
+    val native = StatefulSessions.streamSessionsNative(spark, sfDir)
+      .collect().map(_.toString)
+    val custom = StatefulSessions.streamSessions(spark, sfDir)
+      .collect().map(_.toString)
+    val batch = graft.operators.OlapB.eventsSessionize(spark, sfDir)
+      .collect().map(_.toString)
+    assert(native.nonEmpty && native.toSeq === batch.toSeq)
+    assert(custom.toSeq === batch.toSeq)
+  }
 }
