@@ -1260,7 +1260,10 @@ object Sinks {
     * proves the merged read restored every row, column, and NULL).
     * Scale shape: one two-era write (memoized), then one partial-agg
     * rollup over the merged scan; 2-exchange budget pinned. */
-  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+  /** Build (memoized) the two-era mixed directory and return its path —
+    * shared by the batch read and the streaming ingest twin (B74). */
+  private[graft] def schemaEvolutionScratch(spark: SparkSession,
+      dir: String): String = {
     val path = IndexScratch.path("schevo", dir)
     IndexScratch.ensure(path) { p =>
       val d = Tables(spark, dir).documents
@@ -1272,14 +1275,26 @@ object Sinks {
           col("n_chars"))
         .write.mode("append").parquet(p)
     }
+    path
+  }
+
+  /** The per-era census over any frame carrying the MERGED schema —
+    * one spelling for the batch read and the streaming drain. */
+  private[graft] def schemaEvolutionCensusOn(merged: DataFrame): DataFrame = {
     val h48 = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
-    spark.read.option("mergeSchema", "true").parquet(path)
+    merged
       .groupBy((col("doc_id") % 2).as("era"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
         sum(h48).as("text_h"))
       .orderBy(col("era"))
+  }
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = schemaEvolutionScratch(spark, dir)
+    schemaEvolutionCensusOn(
+      spark.read.option("mergeSchema", "true").parquet(path))
   }
 
   /** Twin: the same census from the base table, replaying the era split

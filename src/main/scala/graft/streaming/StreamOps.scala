@@ -804,6 +804,28 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val SchevoQueryName = "graft_stream_schema_evolution"
+
+  /** D11's evolving table INGESTED AS A STREAM (B74): a long-lived feed
+    * directory accumulates shards across schema versions, and the
+    * streaming reader takes the MERGED schema up front — v1 shards
+    * surface the late columns as NULL, exactly like the batch
+    * mergeSchema read (the parquet reader resolves columns by name).
+    * The per-era census is a bounded streaming aggregation (2 rows of
+    * state) whose drain equals the batch D11 board — same oracle. At
+    * deploy this is the property that lets an ingest pipeline keep
+    * running across a producer's schema migration instead of stopping
+    * the world. */
+  def streamSchemaEvolution(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sinks
+    val spark = streamingSession(rootSpark)
+    val path = Sinks.schemaEvolutionScratch(spark, dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path).schema
+    val d = spark.readStream.schema(merged).parquet(path)
+    drainComplete(spark, Sinks.schemaEvolutionCensusOn(d), SchevoQueryName)
+      .orderBy(col("era"))
+  }
+
   val CdcQueryName = "graft_stream_cdc_compact"
 
   /** B71's CDC compaction WITH DELETES maintained BY the stream: the
@@ -1075,6 +1097,7 @@ object StreamOps {
     "stream_weighted_sample" -> (streamWeightedSample _),
     "stream_cluster_assign" -> (streamClusterAssign _),
     "stream_cdc_compact" -> (streamCdcCompact _),
+    "stream_schema_evolution" -> (streamSchemaEvolution _),
     "stream_embed_pca" -> (streamEmbedPca _)
   )
 
@@ -1116,6 +1139,7 @@ object StreamOps {
     "stream_weighted_sample" -> graft.operators.CorpusOps.weightedSampleSql,
     "stream_cluster_assign" -> graft.operators.VectorOps.kmeansClustersSql,
     "stream_cdc_compact" -> graft.operators.OlapC.cdcCompactSql,
+    "stream_schema_evolution" -> graft.sources.Sinks.schemaEvolutionSql,
     // the drained histogram must equal the batch C64 rollup
     "stream_embed_pca" -> streamEmbedPcaSql,
     // the drained daily sketches roll up to the batch quantile board

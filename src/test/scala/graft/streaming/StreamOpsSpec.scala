@@ -326,6 +326,15 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.length > 1 && s.toSeq === b.toSeq)
   }
 
+  test("streamed ingest over the evolving table equals the batch merged " +
+      "read (B74 == D11)") {
+    val s = StreamOps.streamSchemaEvolution(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.sources.Sinks.schemaEvolution(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed cluster assignment equals the batch k-means (B70 == C28)") {
     val s = StreamOps.streamClusterAssign(spark, sfDir).collect()
       .map(_.toString)
