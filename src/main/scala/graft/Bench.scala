@@ -91,9 +91,12 @@ object Bench {
     val probePre = probe2()
     val cpu0 = procCpuSec
     val wall0 = System.nanoTime()
+    // same -1.0-sentinel guard as the healing pass: a failed steady-state
+    // rerun must not clobber the valid first measurement
     val results = names.map { n =>
       val t1 = drain(n)
-      n -> (if (t1 > 1.0) math.min(t1, drain(n)) else t1)
+      n -> (if (t1 > 1.0) { val d = drain(n); if (d >= 0) math.min(t1, d) else t1 }
+        else t1)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuSec = if (cpu0 < 0) -1.0 else procCpuSec - cpu0

@@ -579,20 +579,22 @@ object ScaleProbe {
     // edition). Perturb each replica's text with a replica tag (base
     // lines unique again; the INJECTED chrome stays shared) and densify
     // ids below the injection spreads.
-    val lineDir = java.nio.file.Files
-      .createTempDirectory("graft_sfeed_line").toString
-    writeSingleTo(lineDir, (0 until reps).map(r =>
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select((col("doc_id") * reps + lit(r.toLong)).as("doc_id"),
-            concat(col("text"), lit(s" r$r")).as("text")))
-      .reduce(_ unionAll _), "documents.parquet")
-    time("line_dedup") {
-      SparkEntry.queries("line_dedup")(spark, lineDir).count()
-    }
-    time("stream_line_dedup") {
-      // B67 at 24×: frozen 2-row boilerplate table; the per-batch cost is
-      // the explode + LEFT join, linear in lines
-      graft.streaming.StreamOps.streamLineDedup(spark, lineDir).count()
+    if (which.isEmpty || which("line_dedup") || which("stream_line_dedup")) {
+      val lineDir = java.nio.file.Files
+        .createTempDirectory("graft_sfeed_line").toString
+      writeSingleTo(lineDir, (0 until reps).map(r =>
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select((col("doc_id") * reps + lit(r.toLong)).as("doc_id"),
+              concat(col("text"), lit(s" r$r")).as("text")))
+        .reduce(_ unionAll _), "documents.parquet")
+      time("line_dedup") {
+        SparkEntry.queries("line_dedup")(spark, lineDir).count()
+      }
+      time("stream_line_dedup") {
+        // B67 at 24×: frozen 2-row boilerplate table; the per-batch cost
+        // is the explode + LEFT join, linear in lines
+        graft.streaming.StreamOps.streamLineDedup(spark, lineDir).count()
+      }
     }
     states.toSeq.sortBy(_._1).foreach { case (n, (r, m)) =>
       println(f"  state $n%-34s $r%9d rows ${m / 1048576.0}%8.2f MiB")

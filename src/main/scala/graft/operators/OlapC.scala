@@ -533,8 +533,12 @@ object OlapC {
     upsertLatestOn(base, changes, keyCol, versionCol)
       .filter(col(opCol) =!= "D")
 
-  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir).orders
+  /** The canned three-arm I/U/D feed derived from an orders frame —
+    * ONE spelling for the batch entry and the B71 streaming twin (the
+    * shared-helper discipline): returns (base, changes). Works on a
+    * batch or streaming frame alike (row-local maps and filters). */
+  private[graft] def cdcFeedOn(orders: DataFrame): (DataFrame, DataFrame) = {
+    val o = orders
       .select(col("o_orderkey"), lit("I").as("op"), col("o_orderstatus"),
         col("o_totalprice"), lit(1L).as("version"))
     val updates = o.filter(col("o_orderkey") % UpsertMod === 0)
@@ -545,8 +549,13 @@ object OlapC {
       .select(col("o_orderkey"), lit("D").as("op"),
         lit("D").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
         lit(3L).as("version"))
-    cdcCompactOn(o, updates.unionByName(deletes), "o_orderkey", "version",
-      "op").orderBy(col("o_orderkey"))
+    (o, updates.unionByName(deletes))
+  }
+
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val (base, changes) = cdcFeedOn(Tables(spark, dir).orders)
+    cdcCompactOn(base, changes, "o_orderkey", "version", "op")
+      .orderBy(col("o_orderkey"))
   }
 
   /** Twin: the same three-arm feed, latest-by-version, tombstones

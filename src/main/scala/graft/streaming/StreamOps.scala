@@ -840,18 +840,11 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/orders.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "orders.parquet").parquet(dir)
-    val o = raw.select(col("o_orderkey"), lit("I").as("op"),
-      col("o_orderstatus"), col("o_totalprice"), lit(1L).as("version"))
-    val updates = o.filter(col("o_orderkey") % graft.operators.OlapC.UpsertMod === 0)
-      .select(col("o_orderkey"), lit("U").as("op"),
-        lit("U").as("o_orderstatus"),
-        (col("o_totalprice") * 2).as("o_totalprice"), lit(2L).as("version"))
-    val deletes = o.filter(col("o_orderkey") % graft.operators.OlapC.CdcDeleteMod === 0)
-      .select(col("o_orderkey"), lit("D").as("op"),
-        lit("D").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
-        lit(3L).as("version"))
-    val compacted = graft.operators.OlapC.cdcCompactOn(o,
-      updates.unionByName(deletes), "o_orderkey", "version", "op")
+    // the SAME three-arm feed spelling as the batch entry (shared helper
+    // — the spellings cannot fork), derived from the one streamed source
+    val (base, changes) = graft.operators.OlapC.cdcFeedOn(raw)
+    val compacted = graft.operators.OlapC.cdcCompactOn(base, changes,
+      "o_orderkey", "version", "op")
     drainViaParquetSink(spark, compacted, CdcQueryName, complete = true)
       .orderBy(col("o_orderkey"))
   }

@@ -92,15 +92,14 @@ class StreamOpsSpec extends SparkSpec {
 
   test("streamed CDC-with-deletes compaction equals the batch compaction " +
       "(tombstones survive in state, filtered at the drain)") {
-    import org.apache.spark.sql.functions._
-    val s = StreamOps.streamCdcCompact(spark, sfDir).collect()
-      .map(_.toString).sorted
+    val rows = StreamOps.streamCdcCompact(spark, sfDir).collect()
+    val s = rows.map(_.toString).sorted
     val b = graft.operators.OlapC.cdcCompact(spark, sfDir).collect()
       .map(_.toString).sorted
     assert(s.nonEmpty && s.toSeq === b.toSeq)
     // deletes genuinely delete: no surviving key is on the delete arm,
     // and update-only keys carry the v2 record
-    val keys = StreamOps.streamCdcCompact(spark, sfDir).collect()
+    val keys = rows
       .map(r => r.getLong(r.fieldIndex("o_orderkey")) ->
         r.getString(r.fieldIndex("op"))).toMap
     assert(keys.keys.forall(_ % graft.operators.OlapC.CdcDeleteMod != 0))
