@@ -317,6 +317,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** C94: C17 through the HUB-PROOF large-star/small-star contraction
+    * (Kiveris et al., SoCC'14) instead of min-label propagation — the
+    * variant that survives celebrity components (a hub of degree n/2
+    * makes min-label fan out O(n) messages per round; star contraction
+    * keeps every round's frames ∝ |E|). Same edges, same output, and —
+    * because both algorithms compute the SAME partition with the same
+    * min-id labels — the SAME oracle as `dedup_clusters`: hash equality
+    * IS the algorithm-equivalence proof, at gate scale, end-to-end
+    * (the topology spec pins it on adversarial graphs). */
+  def dedupClustersStars(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val edges = TextOps.jaccardPairs(spark, dir)
+    Cluster.connectedComponentsStars(docs.select(col("doc_id")), "doc_id",
+        edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle CTE block: 3-gram Jaccard edges → min-label CC. Reused
     * by the C17 and C61 twins so both replay the ONE cluster definition. */
   private def ccClusterCtes: String =
@@ -1428,6 +1447,7 @@ object Pipeline {
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_stars" -> (dedupClustersStars _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "curate_pipeline" -> (curatePipeline _),
     "mine_pairs" -> (minePairs _),
@@ -1448,6 +1468,7 @@ object Pipeline {
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_stars" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "curate_pipeline" -> curatePipelineSql,
     "mine_pairs" -> minePairsSql,
