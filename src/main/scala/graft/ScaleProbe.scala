@@ -576,16 +576,17 @@ object ScaleProbe {
     // verbatim, so every base line would carry df = reps ≥ minDf and the
     // whole corpus would read as boilerplate — a degenerate workload that
     // measures nothing (the dedup_compare id-aliasing trap, content
-    // edition). Perturb each replica's text with a replica tag (base
-    // lines unique again; the INJECTED chrome stays shared) and densify
-    // ids below the injection spreads.
+    // edition). Perturb EVERY LINE of each replica with a replica tag
+    // ((?m)$ anchors at each line end, so multi-line docs de-alias
+    // line-by-line — a whole-text suffix would only perturb the LAST
+    // line, r10 ADVICE) and densify ids below the injection spreads.
     if (which.isEmpty || which("line_dedup") || which("stream_line_dedup")) {
       val lineDir = java.nio.file.Files
         .createTempDirectory("graft_sfeed_line").toString
       writeSingleTo(lineDir, (0 until reps).map(r =>
           spark.read.parquet(s"$sfDir/documents.parquet")
             .select((col("doc_id") * reps + lit(r.toLong)).as("doc_id"),
-              concat(col("text"), lit(s" r$r")).as("text")))
+              regexp_replace(col("text"), "(?m)$", s" r$r").as("text")))
         .reduce(_ unionAll _), "documents.parquet")
       time("line_dedup") {
         SparkEntry.queries("line_dedup")(spark, lineDir).count()
@@ -605,6 +606,9 @@ object ScaleProbe {
       // durable parquet sink (the deployment shape, not the memory sink)
       val evDir = java.nio.file.Files.createTempDirectory("graft_sev").toString
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // same replica-shift aliasing guard as writeRep (r10 ADVICE)
+      require(ev.agg(max(col("user_id")).cast("long")).head().getLong(0)
+          < 10000000L, "user_id key space outgrew the 1e7 replica stride")
       (0 until reps).map(r => ev.withColumn("user_id",
           col("user_id") + lit(r * 10000000L)))
         .reduce(_ unionAll _)
@@ -633,6 +637,18 @@ object ScaleProbe {
       .createTempDirectory("graft_repdir").toString
     def writeRep(name: String, shiftCols: Seq[String]): Unit = {
       val t = spark.read.parquet(s"$sfDir/$name.parquet")
+      // replica-shift guard (r10 ADVICE): ids at or above the stride would
+      // alias across replicas — silently corrupting the FK-consistent star
+      // and every dir-shaped probe built on it — if SPARK_GRAFT_SF_DIR
+      // points at a larger sf whose key space outgrew the stride. Fail
+      // loudly instead.
+      val maxes = t.select(shiftCols.map(c => max(col(c)).cast("long")): _*)
+        .head()
+      shiftCols.zipWithIndex.foreach { case (c, i) =>
+        require(maxes.getLong(i) < 10000000L,
+          s"$name.$c max id ${maxes.getLong(i)} >= replica stride 1e7 — " +
+            "replica key ranges would alias; raise the stride for this sf")
+      }
       (0 until reps).map { r =>
         shiftCols.foldLeft(t)((df, c) =>
           df.withColumn(c, col(c) + lit(r * 10000000L)))
@@ -684,7 +700,8 @@ object ScaleProbe {
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).
     // Re-densify ids (base·reps + r stays ≪ 1e8) into its own feed dir.
-    if (which.isEmpty || which("dedup_compare")) {
+    if (which.isEmpty || which("dedup_compare") ||
+        which("dedup_compare_sampled")) {
       val denseDir = java.nio.file.Files
         .createTempDirectory("graft_repdense").toString
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -692,8 +709,17 @@ object ScaleProbe {
           col("doc_id") * reps + lit(r.toLong)))
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$denseDir/documents.parquet")
-      time("dedup_compare") {
-        SparkEntry.queries("dedup_compare")(spark, denseDir).count()
+      // The 24× board runs the DEPLOY path: the exact C4 census's shingle
+      // self-join is quadratic in shingle df and was measured super-linear
+      // here (350.7 s at 24×, r10 — the honest number the sampled path
+      // replaces). Sampling denom tracks the replication factor (the
+      // deploy discipline: slice size stays ≈ one gate corpus), so the
+      // census cost scales LIKE THE LINEAR FAMILIES while the gate keys
+      // keep the exact spelling (dedup_compare) and the sampled oracle
+      // (dedup_compare_sampled, denom 4) hash-checked at gate scale.
+      time("dedup_compare_sampled") {
+        graft.operators.Sketch
+          .dedupCompareOn(spark, denseDir, Some(reps.toLong)).count()
       }
     }
     spark.stop()

@@ -174,7 +174,8 @@ object OlapB {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin // NULLS FIRST: same Spark-parity note as eventsCubeSql
 
   // --- B49b: the full CUBE (every subtotal combination) --------------------
   /** B7's ROLLUP covers the hierarchy prefixes; CUBE is the other classic
@@ -200,7 +201,10 @@ object OlapB {
       |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS value_sum
       |FROM events
       |GROUP BY CUBE(CAST(ts AS DATE), event_type)
-      |ORDER BY gid, day, event_type""".stripMargin
+      |ORDER BY gid, day NULLS FIRST, event_type NULLS FIRST""".stripMargin
+  // NULLS FIRST matches Spark's ascending default inside gid=0, so the
+  // ordered parity doesn't depend on the synthetic data staying NULL-free
+  // (subtotal rows are unaffected — their NULLs are grouped by gid first).
 
   // --- B8: pivot long→wide (explicit values — no driver-side collect) -----
   val EventTypes = Seq("click", "error", "purchase", "signup", "view")

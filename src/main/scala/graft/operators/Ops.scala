@@ -147,9 +147,20 @@ object Dedup {
     * dominate cost while contributing almost nothing to high-Jaccard pairs.
     * Capping document frequency bounds the join quadratically; the result
     * becomes a (tight) under-count, so keep it None when exactness is
-    * required and the corpus allows it. */
+    * required and the corpus allows it.
+    *
+    * `sampleDenomB` is the other scale guard, for CENSUS consumers (the
+    * C88 board): restrict the LARGER pair member (`id_b`, the side a
+    * keep-min policy removes) to the deterministic `id % denom == 0`
+    * slice. Each slice doc still pairs against the FULL corpus, so the
+    * slice's removal rate is the exact removal rate of those docs — an
+    * unbiased estimate of the corpus rate whose join cost is 1/denom of
+    * the full self-join (linear in corpus size when denom tracks the
+    * corpus growth, vs quadratic). Pairs themselves are a 1/denom subset,
+    * so keep it None when the PAIR LIST (not the rate) is the product. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None,
+      sampleDenomB: Option[Long] = None): DataFrame = {
     val d = df.select(col(idCol).as("_id"), word_shingles(col(textCol), n).as("_sh"))
     val exAll = d.select(col("_id"), explode(col("_sh")).as("_s"))
     val ex = maxShingleDf match {
@@ -161,8 +172,9 @@ object Dedup {
           .select(col("_s"))
         exAll.join(broadcast(hot), Seq("_s"), "left_anti")
     }
+    val exB = sampleDenomB.fold(ex)(den => ex.filter(col("_id") % den === 0))
     val sizes = d.select(col("_id"), size(col("_sh")).as("_n"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    val pairs = ex.as("a").join(exB.as("b"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count(lit(1)).as("intersection"))

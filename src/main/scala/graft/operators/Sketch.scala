@@ -453,7 +453,22 @@ object Sketch {
        |  FROM documents WHERE doc_id % 13 = 0
        |)""".stripMargin
 
-  def dedupCompare(spark: SparkSession, dir: String): DataFrame = {
+  /** The board, parameterized by the C4 census's deploy-scale guard.
+    *
+    * `ngramSampleDenom = None` (the `dedup_compare` gate key) runs the
+    * exact shingle self-join — quadratic in shingle document frequency,
+    * fine at gate scale, measured super-linear at 24× (350.7 s, r10).
+    * `Some(denom)` (the `dedup_compare_sampled` key and the 24× probe) is
+    * the deploy path: the C4 census's removal rate is measured on the
+    * deterministic `doc_id % denom == 0` slice, each slice doc still
+    * paired against the FULL corpus (see Dedup.ngramJaccardPairs's
+    * sampleDenomB), so the rate is the exact rate OF THE SLICE — an
+    * unbiased corpus-rate estimate at 1/denom of the join cost. The
+    * board reports the slice's own n_docs for that family, so the
+    * removal_rate column stays an honest ratio; the four linear
+    * families stay full-corpus. */
+  def dedupCompareOn(spark: SparkSession, dir: String,
+      ngramSampleDenom: Option[Long]): DataFrame = {
     val c = dedupBoardCorpus(spark, dir).localCheckpoint(eager = true)
     // every census is a 1-ROW aggregate of its family's production plan;
     // the five unioned into ONE plan (+ the 1-row corpus count joined on)
@@ -467,7 +482,12 @@ object Sketch {
     def pairRemoved(pairs: DataFrame, family: String): DataFrame =
       pairs.agg(count_distinct(col("id_b")).as("n_removed"))
         .select(lit(family).as("family"), col("n_removed"))
-    val fam = grouped(Dedup.exactGroups(c, "doc_id", "text"), "n_copies",
+    def withN(fam: DataFrame, nn: DataFrame): DataFrame =
+      fam.crossJoin(broadcast(nn)) // k rows × 1 row
+        .select(col("family"), col("n_docs"), col("n_removed"),
+          (col("n_removed").cast("double") / col("n_docs"))
+            .as("removal_rate"))
+    val fam4 = grouped(Dedup.exactGroups(c, "doc_id", "text"), "n_copies",
         "exact")
       .unionAll(grouped(
         c.groupBy(md5(TextOps.normExpr(col("text"))))
@@ -477,18 +497,36 @@ object Sketch {
         minEstJaccard = MinEstJaccard), "minhash_lsh"))
       .unionAll(pairRemoved(Dedup.simhashPairs(c, "doc_id", "text",
         bandBits = SimhashBandBits, maxHamming = MaxHamming), "simhash"))
-      .unionAll(pairRemoved(Dedup.ngramJaccardPairs(c, "doc_id", "text",
-        n = 3, threshold = TextOps.JaccardThreshold), "ngram_jaccard"))
     val nn = c.agg(count(lit(1)).as("n_docs"))
-    fam.crossJoin(broadcast(nn)) // 5 rows × 1 row
-      .select(col("family"), col("n_docs"), col("n_removed"),
-        (col("n_removed").cast("double") / col("n_docs")).as("removal_rate"))
+    val ngram = pairRemoved(Dedup.ngramJaccardPairs(c, "doc_id", "text",
+      n = 3, threshold = TextOps.JaccardThreshold,
+      sampleDenomB = ngramSampleDenom), "ngram_jaccard")
+    val ngramN = ngramSampleDenom.fold(nn)(den =>
+      c.filter(col("doc_id") % den === 0).agg(count(lit(1)).as("n_docs")))
+    withN(fam4, nn).unionAll(withN(ngram, ngramN))
       .orderBy(col("family"))
   }
 
+  def dedupCompare(spark: SparkSession, dir: String): DataFrame =
+    dedupCompareOn(spark, dir, ngramSampleDenom = None)
+
+  /** The slice denominator of the `dedup_compare_sampled` gate key —
+    * small enough that the sf0.01 slice still sees the seeded duplicate
+    * modes, large enough that the sampled path is a genuinely different
+    * plan. At deploy scale denom tracks corpus growth (the 24× probe
+    * runs denom = 24), keeping the census cost linear. */
+  val NgramSampleDenom = 4L
+
+  def dedupCompareSampled(spark: SparkSession, dir: String): DataFrame =
+    dedupCompareOn(spark, dir, ngramSampleDenom = Some(NgramSampleDenom))
+
   /** Twin: each family's existing twin as a subquery over the shared
-    * seeded-corpus CTE, reduced to the same censuses. */
-  lazy val dedupCompareSql: String =
+    * seeded-corpus CTE, reduced to the same censuses; the C4 subquery and
+    * its denominator mirror the board's `ngramSampleDenom`. */
+  private def dedupCompareSqlOver(ngramSampleDenom: Option[Long]): String = {
+    val bFilter = ngramSampleDenom.fold("")(d => s" AND b.doc_id % $d = 0")
+    val ngramN = ngramSampleDenom.fold("nn")(d =>
+      s"(SELECT COUNT(*) AS n_docs FROM bc WHERE doc_id % $d = 0) sn")
     s"""WITH $dedupBoardCorpusSql,
        |nn AS (SELECT COUNT(*) AS n_docs FROM bc),
        |fam AS (
@@ -506,14 +544,22 @@ object Sketch {
        |  FROM (${minhashPairsSqlOver("bc")})
        |  UNION ALL
        |  SELECT 'simhash', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
-       |  FROM (${simhashPairsSqlOver("bc")})
-       |  UNION ALL
-       |  SELECT 'ngram_jaccard', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
-       |  FROM (${TextOps.ngramJaccardSqlOver("bc")}))
+       |  FROM (${simhashPairsSqlOver("bc")}))
        |SELECT family, n_docs, n_removed,
        |  CAST(n_removed AS DOUBLE) / n_docs AS removal_rate
        |FROM fam CROSS JOIN nn
+       |UNION ALL
+       |SELECT 'ngram_jaccard', n_docs, n_removed,
+       |  CAST(n_removed AS DOUBLE) / n_docs
+       |FROM (SELECT CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_removed
+       |      FROM (${TextOps.ngramJaccardSqlOver("bc", bFilter)})) ng
+       |CROSS JOIN $ngramN
        |ORDER BY family""".stripMargin
+  }
+
+  lazy val dedupCompareSql: String = dedupCompareSqlOver(None)
+  lazy val dedupCompareSampledSql: String =
+    dedupCompareSqlOver(Some(NgramSampleDenom))
 
   // --- C83: persisted-index VACUUM (build → admit → vacuum → probe) -------
   /** The lifecycle's maintenance verb exercised end-to-end: the C76 flow
@@ -555,7 +601,8 @@ object Sketch {
     "simhash_index_probe" -> (simhashIndexProbe _),
     "dedup_index_admit" -> (dedupIndexAdmitProbe _),
     "dedup_index_vacuum" -> (dedupIndexVacuumProbe _),
-    "dedup_compare" -> (dedupCompare _)
+    "dedup_compare" -> (dedupCompare _),
+    "dedup_compare_sampled" -> (dedupCompareSampled _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,6 +615,7 @@ object Sketch {
     // vacuum is content-preserving: the post-vacuum probe must equal the
     // post-admit probe, so the C76 rebuild twin is shared verbatim
     "dedup_index_vacuum" -> dedupIndexAdmitProbeSql,
-    "dedup_compare" -> dedupCompareSql
+    "dedup_compare" -> dedupCompareSql,
+    "dedup_compare_sampled" -> dedupCompareSampledSql
   )
 }

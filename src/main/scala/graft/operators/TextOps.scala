@@ -152,7 +152,10 @@ object TextOps {
 
   /** The C4 pair chain over ANY (doc_id, text) table — shared by the C4
     * twin and the C88 board (one exact-Jaccard spelling). */
-  def ngramJaccardSqlOver(sourceTable: String): String =
+  /** `bFilter` mirrors Dedup.ngramJaccardPairs's sampleDenomB: an extra
+    * predicate on the larger pair member (e.g. " AND b.doc_id % 4 = 0")
+    * for the sampled C88b census twin. */
+  def ngramJaccardSqlOver(sourceTable: String, bFilter: String = ""): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),
        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
@@ -161,7 +164,7 @@ object TextOps {
        |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id$bFilter
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, CAST(sa.n AS INT) AS na, CAST(sb.n AS INT) AS nb,
        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard

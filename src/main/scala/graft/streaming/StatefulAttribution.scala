@@ -55,11 +55,12 @@ object StatefulAttribution {
   val QueryName = "graft_stream_attribution"
 
   def attributionStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): Dataset[AttrOut] = {
+      glob: String = "events.parquet",
+      sourceOptions: Map[String, String] = Map.empty): Dataset[AttrOut] = {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+      .option("pathGlobFilter", glob).options(sourceOptions).parquet(dir)
     val withTs =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -77,12 +78,16 @@ object StatefulAttribution {
 
   def streamAttribution(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = StreamOps.streamingSession(rootSpark)
-    spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = attributionStream(spark, dir).toDF()
-      .writeStream.format("memory").queryName(QueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(QueryName)
+    // O(purchases) output grows with the corpus: parquet-sink drain. The
+    // single-batch drain assumption documented above is ASSERTED (one data
+    // micro-batch of exactly the event count), so a replay split fails
+    // loudly instead of silently reordering a user's slice; the multi-batch
+    // replay spec proves the cross-batch state carry separately via
+    // time-ordered waves on [[attributionStream]].
+    val (_, realCount) = StreamOps.eventStats(spark, dir)
+    StreamOps.drainViaParquetSink(spark, attributionStream(spark, dir).toDF(),
+        QueryName, afterDrain =
+          StreamOps.requireSingleDataBatch(QueryName, Some(realCount)))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("click_event_id"), col("click_ts_us"), col("value"))
       .orderBy(col("event_id"))

@@ -77,11 +77,15 @@ object StatefulSessions {
 
   val QueryName = "graft_stream_sessions"
 
-  /** One source's events, normalized to (user_id, event_id, value, ts). */
-  private def rawEvents(spark: SparkSession, dir: String, glob: String): DataFrame = {
+  /** One source's events, normalized to (user_id, event_id, value, ts).
+    * `sourceOptions` feeds the file source (the multi-batch replay specs
+    * pass maxFilesPerTrigger=1 to split time-ordered waves into one
+    * micro-batch each). */
+  private[graft] def rawEvents(spark: SparkSession, dir: String, glob: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+      .option("pathGlobFilter", glob).options(sourceOptions).parquet(dir)
     val withTs =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -90,14 +94,16 @@ object StatefulSessions {
   }
 
   /** The sessionizer DAG over a streaming event source — shared by the
-    * driver query (memory sink) and durable deployments (file/Kafka sink +
-    * checkpoint; see StatefulSessionsSpec's recovery test). `extra` unions
-    * a second streaming source (the driver query's watermark sentinel). */
+    * driver query (parquet-sink drain) and durable deployments (file/Kafka
+    * sink + checkpoint; see StatefulSessionsSpec's recovery test). `extra`
+    * unions a second streaming source (the driver query's watermark
+    * sentinel). */
   def sessionsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      extra: Option[DataFrame] = None): Dataset[SessionOut] = {
+      extra: Option[DataFrame] = None,
+      sourceOptions: Map[String, String] = Map.empty): Dataset[SessionOut] = {
     import spark.implicits._
-    val base = rawEvents(spark, dir, glob)
+    val base = rawEvents(spark, dir, glob, sourceOptions)
     val all = extra.fold(base)(base.unionByName(_))
     // the watermark column must survive into the typed Dataset for
     // EventTimeTimeout bookkeeping
@@ -114,78 +120,33 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout())(updateUser)
   }
 
-  // sentinel parquet keyed by (source dir, max event time): the stats agg
-  // runs on EVERY call, so data appended under dir after a first run gets a
-  // fresh sentinel beyond the NEW max — a stale far-future timestamp can
-  // never leave sessions open. Keys hold no SparkSession (cycled sessions
-  // stay collectable); temp dirs are removed by a shutdown hook.
-  private val sentinelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
-
-  locally {
-    sys.addShutdownHook {
-      sentinelCache.values.forEach { d =>
-        import java.nio.file.{Files, Paths}
-        import scala.jdk.CollectionConverters._
-        val p = Paths.get(d)
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => Files.deleteIfExists(f))
-      }
-    }
-  }
-
-  /** (max event-time micros, row count) of the real event source — one tiny
-    * agg over the parquet footprint, recomputed per call by design. */
-  private def eventStats(spark: SparkSession, dir: String): (Long, Long) = {
-    val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val r = // epoch micros regardless of the source's ts physical type
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        ev.agg(max(expr("ts div 1000")), count(lit(1))).head()
-      else ev.agg(max(unix_micros(col("ts"))), count(lit(1))).head()
-    (r.getLong(0), r.getLong(1))
-  }
-
-  /** Synthetic far-future event (user_id = −1) written to a temp dir: its
-    * event time pushes the global watermark beyond every real session's
-    * timeout, so the AvailableNow drain closes them all. */
+  /** Far-future sentinel for the session/SCD2 machines — the SHARED
+    * [[StreamOps.sentinelDir]] machinery at 3 gaps past the corpus max,
+    * which clears every session's timeout (end + gap) with margin. */
   private def sentinelDir(spark: SparkSession, dir: String, maxTsUs: Long): String =
-    sentinelCache.computeIfAbsent((dir, maxTsUs), _ => writeSentinel(spark, maxTsUs))
+    StreamOps.sentinelDir(spark, dir, maxTsUs, 3 * GapUs)
 
-  private def writeSentinel(spark: SparkSession, maxTsUs: Long): String = {
-    import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
-    Seq((-1L, -1L, 0.0, new java.sql.Timestamp(0L)))
-      .toDF("user_id", "event_id", "value", "ts")
-      .withColumn("ts", timestamp_micros(lit(maxTsUs + 3 * GapUs)))
-      .coalesce(1).write.mode("overwrite").parquet(out)
-    out
-  }
+  private def eventStats(spark: SparkSession, dir: String): (Long, Long) =
+    StreamOps.eventStats(spark, dir)
 
   def streamSessions(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = StreamOps.streamingSession(rootSpark) // isolated conf
     val (maxTsUs, realCount) = eventStats(spark, dir)
     val sessions = sessionsStream(spark, dir,
       extra = Some(rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet")))
-    spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = sessions.toDF().writeStream.format("memory").queryName(QueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // Sentinel-flush correctness needs the sentinel consumed in the same
-    // (or a later) micro-batch as every real event; with default file-source
-    // options AvailableNow drains everything in ONE batch. Assert it, so a
+    // O(sessions) output grows with the corpus: parquet-sink drain, the
+    // driver never holds session rows. Sentinel-flush correctness needs the
+    // sentinel consumed in the same micro-batch as every real event; with
+    // default file-source options AvailableNow drains everything in ONE
+    // data batch (the flush batch has zero input). Assert it, so a
     // maxFilesPerTrigger/many-file layout fails loudly instead of silently
     // dropping events the advanced watermark would mark late.
-    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
-    require(dataBatches.length == 1 &&
-        dataBatches.head.numInputRows == realCount + 1,
-      s"sentinel flush requires a single-batch drain, got batches of " +
-        s"${dataBatches.map(_.numInputRows).mkString("/")} rows (expected " +
-        s"${realCount + 1} in one batch) — unset maxFilesPerTrigger or feed " +
-        "the sentinel after the event source is exhausted")
+    val drained = StreamOps.drainViaParquetSink(spark, sessions.toDF(),
+      QueryName, afterDrain =
+        StreamOps.requireSingleDataBatch(QueryName, Some(realCount + 1)))
     // presentation numbering = the batch operator's 1-based per-user order
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-    spark.table(QueryName)
+    drained
       .filter(col("user_id") >= 0) // drop the sentinel's own session
       .select(col("user_id"), row_number().over(w).cast("bigint").as("session_id"),
         col("n_events"), col("start_us"), col("end_us"), col("session_value"))
@@ -193,6 +154,17 @@ object StatefulSessions {
   }
 
   // --- B38: streaming SCD2 (incremental history compaction) ----------------
+
+  /** Idle horizon after which a user's OPEN run emits as current
+    * (`valid_to` null) and their state — including the version counter —
+    * is dropped: 30 days of event time, past the corpus span, so under a
+    * multi-batch replay the timeout only ever fires in the final
+    * sentinel-flush batch (a mid-stream fire would emit a premature
+    * "current" row append mode cannot retract AND reset the version
+    * numbering — the state-retention knob must sit beyond any real user's
+    * idle gap, which the multi-batch replay spec pins). */
+  val Scd2IdleUs = 2592000000000L
+
   final case class EvT(user_id: Long, event_id: Long, ts_us: Long,
       event_type: String, ts: java.sql.Timestamp)
   final case class Scd2State(version: Int, attr: String, valid_from_us: Long,
@@ -230,52 +202,59 @@ object StatefulSessions {
       }
     }
     state.update(st)
-    state.setTimeoutTimestamp(lastTs / 1000 + 1000)
+    state.setTimeoutTimestamp(lastTs / 1000 + Scd2IdleUs / 1000)
     out.iterator
   }
 
   val Scd2QueryName = "graft_stream_scd2"
 
-  /** Streaming twin of the batch `scd2_track` (OlapC.scd2On): the same
-    * sentinel-flush drain discipline as [[streamSessions]] makes the
-    * AvailableNow replay equal the batch compaction exactly — so this
-    * shares `scd2_track`'s DuckDB oracle. */
-  def streamScd2(rootSpark: SparkSession, dir: String): DataFrame = {
-    val spark = StreamOps.streamingSession(rootSpark)
+  /** The SCD2 DAG over a streaming (user_id, event_id, event_type, ts)
+    * source — shared by the driver query and the multi-batch replay spec
+    * (which feeds time-ordered waves via `sourceOptions`). `extra` unions
+    * the watermark sentinel. */
+  def scd2Stream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      extra: Option[DataFrame] = None,
+      sourceOptions: Map[String, String] = Map.empty): Dataset[Scd2Out] = {
     import spark.implicits._
-    val (maxTsUs, realCount) = eventStats(spark, dir)
-    def typed(df: DataFrame): Dataset[EvT] = df
-      .withWatermark("ts", "1 second")
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("ts"))
-      .as[EvT]
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", glob).options(sourceOptions).parquet(dir)
     val base =
       (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-    val sentinel = rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet")
+    extra.fold(base)(base.unionByName(_))
+      .withWatermark("ts", "1 second")
       .select(col("user_id"), col("event_id"),
-        lit("_sentinel").as("event_type"), col("ts"))
-    val runs = typed(base.unionByName(sentinel))
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("ts"))
+      .as[EvT]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(updateScd2)
+  }
 
-    spark.streams.active.filter(_.name == Scd2QueryName).foreach(_.stop())
-    val q = runs.toDF().writeStream.format("memory").queryName(Scd2QueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
-    require(dataBatches.length == 1 &&
-        dataBatches.head.numInputRows == realCount + 1,
-      s"sentinel flush requires a single-batch drain, got " +
-        s"${dataBatches.map(_.numInputRows).mkString("/")} rows")
-    spark.table(Scd2QueryName)
+  /** Streaming twin of the batch `scd2_track` (OlapC.scd2On): the same
+    * sentinel-flush drain discipline as [[streamSessions]] makes the
+    * AvailableNow replay equal the batch compaction exactly — so this
+    * shares `scd2_track`'s DuckDB oracle. The sentinel sits past the
+    * 30-day idle horizon so the flush batch times out every open run. */
+  def streamScd2(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = StreamOps.streamingSession(rootSpark)
+    val (maxTsUs, realCount) = eventStats(spark, dir)
+    val sentinel = rawEvents(spark,
+        StreamOps.sentinelDir(spark, dir, maxTsUs, Scd2IdleUs + 3 * GapUs),
+        "*.parquet")
+      .select(col("user_id"), col("event_id"),
+        lit("_sentinel").as("event_type"), col("ts"))
+    val runs = scd2Stream(spark, dir, extra = Some(sentinel))
+
+    // O(attribute runs) output grows with the corpus: parquet-sink drain
+    // with the same single-data-batch sentinel-flush guard as B15.
+    StreamOps.drainViaParquetSink(spark, runs.toDF(), Scd2QueryName,
+        afterDrain =
+          StreamOps.requireSingleDataBatch(Scd2QueryName, Some(realCount + 1)))
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from_us"), col("valid_to_us"), col("n_events"))

@@ -57,11 +57,12 @@ object StatefulTransitions {
   val QueryName = "graft_stream_transitions"
 
   def transitionsStream(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): Dataset[Edge] = {
+      glob: String = "events.parquet",
+      sourceOptions: Map[String, String] = Map.empty): Dataset[Edge] = {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+      .option("pathGlobFilter", glob).options(sourceOptions).parquet(dir)
     val withTs =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -82,12 +83,18 @@ object StatefulTransitions {
     * result matches B34's oracle column-for-column. */
   def streamTransitions(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = StreamOps.streamingSession(rootSpark)
-    spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = transitionsStream(spark, dir).toDF()
-      .writeStream.format("memory").queryName(QueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(QueryName)
+    // The edge feed is ONE ROW PER EVENT — the most corpus-sized drain in
+    // the streaming surface (10 M rows at 100× gate scale), so it goes
+    // through the parquet sink: executors write each micro-batch's edges
+    // straight to the sink and the O(types²) matrix rollup below is a
+    // distributed aggregation over the drained feed — the driver never
+    // holds an edge row. The single-batch drain assumption documented
+    // above is ASSERTED; the multi-batch replay spec proves cross-batch
+    // state carry separately via time-ordered waves.
+    val (_, realCount) = StreamOps.eventStats(spark, dir)
+    StreamOps.drainViaParquetSink(spark, transitionsStream(spark, dir).toDF(),
+        QueryName, afterDrain =
+          StreamOps.requireSingleDataBatch(QueryName, Some(realCount)))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("from_type"), col("to_type"))

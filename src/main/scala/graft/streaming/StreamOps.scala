@@ -11,10 +11,11 @@ import graft.operators.Olap.dsum
   *
   * The operator is the streaming DAG itself — readStream → event-time
   * conversion → withWatermark → window agg. For the driver contract the
-  * file source replays the events table as a stream and the memory sink
-  * collects the final state; at deploy scale the same DAG runs on a Kafka
-  * source and a foreachBatch webhook sink with checkpointed exactly-once
-  * progress (document ids are content-derived, see Rules.documentId).
+  * file source replays the events table as a stream and append mode emits
+  * each watermark-finalized window exactly once through the parquet-sink
+  * drain; at deploy scale the same DAG runs on a Kafka source and a
+  * foreachBatch webhook sink with checkpointed exactly-once progress
+  * (document ids are content-derived, see Rules.documentId).
   *
   * Because counts and decimal-exact sums are replay-invariant, the streamed
   * result equals the batch result — so this IS oracle-checked against the
@@ -54,6 +55,12 @@ object StreamOps {
 
   val QueryName = "graft_stream_events"
 
+  /** Far-future offset for [[streamEvents]]'s sentinel: window finalization
+    * in append mode needs watermark ≥ window end, i.e. sentinel ts − 1 h
+    * delay ≥ maxTs rounded up to the next hour — 3 h clears both with
+    * margin. */
+  private val EventsSentinelOffsetUs = 3L * 3600 * 1000000
+
   def streamEvents(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark) // isolated state-partition conf
     // schema from a batch peek (ts arrives as LONG nanos, see GraftSession)
@@ -62,22 +69,35 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val ev =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    val agg = ev
+      else raw)
+        .select(col("ts"), col("event_type"), col("value"))
+    // APPEND mode, not complete: complete-mode re-delivers the ENTIRE
+    // window history every micro-batch, and the result table is O(windows
+    // × types) — it grows with the corpus's time span, so on a year-long
+    // 100 TB stream every batch pays the whole year again. Append emits
+    // each window exactly once, when the watermark finalizes it; the
+    // far-future sentinel (the B15 flush discipline) advances the
+    // watermark past the last real window so the AvailableNow drain
+    // finalizes ALL of them and still equals the batch aggregation.
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, EventsSentinelOffsetUs)
+    val sentinel = spark.readStream
+      .schema(spark.read.parquet(sdir).schema).parquet(sdir)
+      .select(col("ts"), lit("_sentinel").as("event_type"), col("value"))
+    val agg = ev.unionByName(sentinel)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("value_sum"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("value_sum"))
-
-    // drain: complete-mode memory sink, AvailableNow terminates at EOF
-    spark.streams.active.filter(_.name == QueryName).foreach(_.stop())
-    val q = agg.writeStream.format("memory").queryName(QueryName)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(QueryName).orderBy(col("window_start_us"), col("event_type"))
+    // O(windows × types) output: parquet-sink drain, the driver never
+    // holds the history. The sentinel's own window never finalizes (its
+    // end is past the final watermark), so only real windows land.
+    drainViaParquetSink(spark, agg, QueryName)
+      .filter(col("event_type") =!= "_sentinel")
+      .orderBy(col("window_start_us"), col("event_type"))
   }
 
   val streamEventsSql: String =
@@ -123,11 +143,10 @@ object StreamOps {
         col("v_event").as("view_event_id"), col("p_event").as("purchase_event_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
 
-    spark.streams.active.filter(_.name == JoinQueryName).foreach(_.stop())
-    val q = joined.writeStream.format("memory").queryName(JoinQueryName)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(JoinQueryName)
+    // O(view→purchase matches) output — corpus-sized, not board-sized:
+    // executors write each micro-batch straight to the parquet sink, the
+    // driver never holds match rows (the drain contract above).
+    drainViaParquetSink(spark, joined, JoinQueryName)
       .orderBy(col("user_id"), col("view_event_id"), col("purchase_event_id"))
   }
 
@@ -258,6 +277,12 @@ object StreamOps {
     *    stateful ops like B60): if a future conf change (maxFilesPerTrigger,
     *    a multi-file source) splits the replay, this fails loudly instead
     *    of hash-mismatching with no hint why.
+    *  - `afterDrain` runs on the terminated query BEFORE the sink is read
+    *    back — the hook for drains that assert on the query's progress
+    *    (e.g. [[requireSingleDataBatch]] for sentinel-flushed replays,
+    *    whose input-batch shape the output-batch counter above can't see:
+    *    a stateful query emits timeout rows in a zero-input batch, so
+    *    "one DATA batch" and "one foreachBatch invocation" differ).
     *
     * NOTE (local-mode assumption): localCheckpoint pins the drained rows in
     * UNREPLICATED executor blocks before the finally-block deletes the
@@ -267,7 +292,9 @@ object StreamOps {
   private[graft] def drainViaParquetSink(spark: SparkSession, df: DataFrame,
       name: String, complete: Boolean = false,
       assertSingleBatch: Boolean = false,
-      xform: (DataFrame, Long) => DataFrame = (mb, _) => mb): DataFrame = {
+      xform: (DataFrame, Long) => DataFrame = (mb, _) => mb,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     val sink = java.nio.file.Files
       .createTempDirectory(s"${name}_sink").toFile
@@ -293,8 +320,83 @@ object StreamOps {
           "oracle is only valid for a single AvailableNow batch (earlier " +
           "arrivals seal bins the batch twin would repack) — a trigger-size " +
           "conf or multi-file source changed the replay shape")
+      afterDrain(q)
       spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
     } finally graft.sources.IndexScratch.deleteRec(sink)
+  }
+
+  /** [[drainViaParquetSink]] `afterDrain` hook for order-sensitive stateful
+    * replays (B15/B38/B45/B47): their batch-equality proof needs every real
+    * event of a key processed in ONE sorted slice, i.e. a single DATA
+    * micro-batch (zero-input batches — the watermark-advance flush — are
+    * fine and expected). `expectedRows` additionally pins that BOTH sources
+    * (events + sentinel) landed together. The multi-batch replay specs
+    * drive the same machines through time-ordered waves instead, where
+    * cross-batch state carry IS the property under test. */
+  private[graft] def requireSingleDataBatch(name: String,
+      expectedRows: Option[Long] = None)(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    require(dataBatches.length == 1 &&
+        expectedRows.forall(_ == dataBatches.head.numInputRows),
+      s"$name: order-sensitive drain requires a single data micro-batch, " +
+        s"got batches of ${dataBatches.map(_.numInputRows).mkString("/")} " +
+        s"rows${expectedRows.fold("")(e => s" (expected $e in one batch)")}" +
+        " — unset maxFilesPerTrigger or feed waves in event-time order " +
+        "via the machines' *Stream entry points")
+  }
+
+  // --- shared far-future sentinel (B14/B15/B38 watermark flush) -------------
+  // sentinel parquet keyed by (source dir, max event time, offset): the
+  // stats agg runs on EVERY call, so data appended under dir after a first
+  // run gets a fresh sentinel beyond the NEW max — a stale far-future
+  // timestamp can never leave windows/sessions open. Keys hold no
+  // SparkSession (cycled sessions stay collectable); temp dirs are removed
+  // by a shutdown hook.
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
+  locally {
+    sys.addShutdownHook {
+      sentinelCache.values.forEach { d =>
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(d)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
+  /** (max event-time micros, row count) of the real event source — one tiny
+    * agg over the parquet footprint, recomputed per call by design. */
+  private[graft] def eventStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val ev = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val r = // epoch micros regardless of the source's ts physical type
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        ev.agg(max(expr("ts div 1000")), count(lit(1))).head()
+      else ev.agg(max(unix_micros(col("ts"))), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Synthetic far-future event (user_id = −1) written to a temp dir: its
+    * event time (`maxTsUs + offsetUs`) pushes the global watermark beyond
+    * every real window's or session's close, so the AvailableNow drain
+    * finalizes them all. */
+  private[graft] def sentinelDir(spark: SparkSession, dir: String,
+      maxTsUs: Long, offsetUs: Long): String =
+    sentinelCache.computeIfAbsent((dir, maxTsUs, offsetUs),
+      _ => writeSentinel(spark, maxTsUs + offsetUs))
+
+  private def writeSentinel(spark: SparkSession, tsUs: Long): String = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
+    Seq((-1L, -1L, 0.0, new java.sql.Timestamp(0L)))
+      .toDF("user_id", "event_id", "value", "ts")
+      .withColumn("ts", timestamp_micros(lit(tsUs)))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
   }
 
   val FunnelQueryName = "graft_stream_funnel"

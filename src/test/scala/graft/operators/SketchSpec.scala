@@ -159,4 +159,40 @@ class SketchSpec extends SparkSpec {
     assert(by("ngram_jaccard") > by("exact"))
     assert(by("simhash") > by("exact"))
   }
+
+  test("C88b sampled board: the sampled C4 census IS the full census " +
+      "restricted to the slice (sampling = predicate, not approximation)") {
+    val c = Sketch.dedupBoardCorpus(spark, sfDir)
+    val den = Sketch.NgramSampleDenom
+    // the sampleDenomB plan must equal filtering the FULL pair list on the
+    // larger member — same pairs, exactly (the slice doc still sees every
+    // partner, so its removal verdict is exact, not estimated)
+    val sampled = Dedup.ngramJaccardPairs(c, "doc_id", "text", n = 3,
+        threshold = TextOps.JaccardThreshold, sampleDenomB = Some(den))
+      .select(col("id_a"), col("id_b")).collect().map(_.toString).toSet
+    val filtered = Dedup.ngramJaccardPairs(c, "doc_id", "text", n = 3,
+        threshold = TextOps.JaccardThreshold)
+      .filter(col("id_b") % den === 0)
+      .select(col("id_a"), col("id_b")).collect().map(_.toString).toSet
+    assert(sampled.nonEmpty && sampled === filtered)
+    // board shape: the four linear families report the full corpus, the
+    // sampled C4 row reports the slice's own denominator
+    val rows = Sketch.dedupCompareSampled(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = c.count()
+    val nSlice = c.filter(col("doc_id") % den === 0).count()
+    rows.foreach { case (f, nd, nr, rate) =>
+      assert(nd === (if (f == "ngram_jaccard") nSlice else n), s"$f n_docs")
+      assert(math.abs(rate - nr.toDouble / nd) < 1e-12, s"$f rate")
+    }
+    // the sampled census still sees seeded near-dups (the slice is not
+    // degenerate) and its rate lands NEAR the exact rate — loose 3× band:
+    // the point is unbiasedness of the mechanism, pinned exactly above
+    val exactRate = Sketch.dedupCompare(spark, sfDir).collect()
+      .find(_.getString(0) == "ngram_jaccard").get.getDouble(3)
+    val sampledRate = rows.find(_._1 == "ngram_jaccard").get._4
+    assert(sampledRate > 0)
+    assert(sampledRate < 3 * exactRate && exactRate < 3 * sampledRate,
+      s"sampled $sampledRate vs exact $exactRate")
+  }
 }
