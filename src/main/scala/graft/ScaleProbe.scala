@@ -465,6 +465,12 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(r * 100000000L)))
       .reduce(_ unionAll _), "events.parquet")
     writeSingle(docs, "documents.parquet")
+    // the CDC-shaped streams (B41 upsert / B71 compact) read orders
+    val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+    writeSingle((0 until reps).map(r => ordRaw
+        .withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L)))
+      .reduce(_ unionAll _), "orders.parquet")
     val states =
       new scala.collection.concurrent.TrieMap[String, (Long, Long)]
     val listener =
@@ -624,6 +630,39 @@ object ScaleProbe {
       q.awaitTermination()
       spark.read.parquet(out).count()
     }
+    // r11 coverage-audit additions: the corpus-sized drains moved onto the
+    // parquet sink this round (plus their CDC/windowed/native siblings),
+    // each through the SAME (rootSpark, dir) gate entry point — the 24×
+    // numbers that back the "no driver-sized collect" claim post-move
+    time("stream_events") {
+      graft.streaming.StreamOps.streamEvents(spark, streamDir).count()
+    }
+    time("stream_join") {
+      graft.streaming.StreamOps.streamJoin(spark, streamDir).count()
+    }
+    time("stream_scd2") {
+      graft.streaming.StatefulSessions.streamScd2(spark, streamDir).count()
+    }
+    time("stream_attribution") {
+      graft.streaming.StatefulAttribution
+        .streamAttribution(spark, streamDir).count()
+    }
+    time("stream_sessions_native") {
+      graft.streaming.StatefulSessions
+        .streamSessionsNative(spark, streamDir).count()
+    }
+    time("stream_dedup") {
+      graft.streaming.StreamOps.streamDedup(spark, streamDir).count()
+    }
+    time("stream_funnel") {
+      graft.streaming.StreamOps.streamFunnel(spark, streamDir).count()
+    }
+    time("stream_upsert") {
+      graft.streaming.StreamOps.streamUpsert(spark, streamDir).count()
+    }
+    time("stream_cdc_compact") {
+      graft.streaming.StreamOps.streamCdcCompact(spark, streamDir).count()
+    }
 
     // --- dir-shaped keys at 24×: a full replicated STAR (r9 VERDICT #2) ---
     // The ten r9 keys (+ the 3-D layout block) take (spark, dir) and read
@@ -668,9 +707,22 @@ object ScaleProbe {
       "zorder3_layout", "hilbert3_layout", "footer_prune3",
       "footer_prune3_hilbert", "layout_compare3",
       "hilbert4_layout", "cluster_sample", "events_cube",
-      "schema_evolution", "cdc_compact", "attribution_linear")
-    if (which.isEmpty || which.exists(dirProbes))
+      "schema_evolution", "cdc_compact", "attribution_linear",
+      "etl_receipts", "etl_webhook_json", "q5_multijoin", "range_join",
+      "salted_join", "triangle_count", "resample_ffill",
+      "multimodal_frames", "cdc_compact_rewrite")
+    if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
+      // dimensions stay FIXED while facts replicate — the real 100 TB
+      // shape (a lakehouse's part/supplier/geo dims don't grow 24× with
+      // the fact volume), and it keeps the un-shifted FK columns
+      // (l_partkey/l_suppkey/c_nationkey/s_nationkey) pointing at valid
+      // dim rows in every replica
+      Seq("region", "nation", "part", "supplier").foreach { n =>
+        spark.read.parquet(s"$sfDir/$n.parquet")
+          .write.mode("overwrite").parquet(s"$repDir/$n.parquet")
+      }
+    }
     def dirKey(name: String): Unit = time(name) {
       SparkEntry.queries(name)(spark, repDir).count()
     }
@@ -696,6 +748,20 @@ object ScaleProbe {
     dirKey("schema_evolution")
     dirKey("cdc_compact")
     dirKey("attribution_linear")
+    // r11 coverage-audit additions (r10 VERDICT #7): keys whose 24× plan
+    // no earlier probe dominated — the whole ETL family's staging + agg +
+    // JSON render, the fact-fact star join, the bucketized range join,
+    // the salted skew join, the spine-join resample, the graph joins,
+    // and the frame-decode loop
+    dirKey("etl_receipts")
+    dirKey("etl_webhook_json")
+    dirKey("q5_multijoin")
+    dirKey("range_join")
+    dirKey("salted_join")
+    dirKey("triangle_count")
+    dirKey("resample_ffill")
+    dirKey("multimodal_frames")
+    dirKey("cdc_compact_rewrite")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

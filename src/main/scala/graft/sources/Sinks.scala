@@ -1061,6 +1061,78 @@ object Sinks {
        |FROM r WHERE file_id IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- D12: CDC-AWARE compaction — OPTIMIZE on a table that takes deletes --
+  /** D3b's rewrite job composed with B71's delete-wins MERGE: the
+    * OPTIMIZE a real lakehouse runs on a merge-on-read table — while the
+    * small files coalesce into their planned groups, the pending change
+    * feed's tombstones are PURGED (the read-side debt paid down at
+    * rewrite time). The latest pending change per key comes from B71's
+    * own canned feed via the same max-struct pick (ONE spelling, so
+    * delete-wins — a key hit by BOTH an update and a delete resolves to
+    * the delete — cannot be re-derived differently here).
+    *
+    * Scale shape: the fid→grp map is O(files) and broadcasts; the MERGE
+    * side is ONE key equi-join of the file scan against the O(changes)
+    * latest-change map (broadcast when the batch is small, shuffle
+    * co-partitioned otherwise) — tombstone purge is a post-join filter,
+    * never a second pass. The audit is D3b's: real footers prove one
+    * file per group and the surviving row counts, and an order-free
+    * exact key fingerprint (Σ surviving keys per group, the D4
+    * discipline) proves WHICH rows survived — a rewrite that resurrects
+    * a tombstoned key, drops a live one, or splits a group fails the
+    * hash. */
+  def cdcCompactRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val plan = compactPlan(spark, dir) // also ensures the zbin scratch
+    val root = IndexScratch.path("zbin", dir)
+    val out = IndexScratch.path("zcdcc", dir)
+    val (_, changes) = graft.operators.OlapC
+      .cdcFeedOn(Tables(spark, dir).orders)
+    // latest pending change per key: D (version 3) outranks U (version 2)
+    // in the same struct-max B71 compacts with
+    val latest = changes
+      .select(col("o_orderkey"),
+        struct(col("version"), col("op")).as("_rec"))
+      .groupBy(col("o_orderkey")).agg(max(col("_rec")).as("_rec"))
+      .select(col("o_orderkey").as("_ck"), col("_rec.op").as("_op"))
+    IndexScratch.ensure(out) { tmp =>
+      val grpMap = plan.select(col("file_id"), col("grp"))
+      spark.read.parquet(root)
+        .join(broadcast(grpMap), col("_fid") === col("file_id"))
+        .join(latest, col("o_orderkey") === col("_ck"), "left")
+        .filter(col("_op").isNull || col("_op") =!= "D")
+        .withColumn("_gid", col("grp"))
+        .repartition(col("_gid"))
+        .sortWithinPartitions(col("_gid"), col("zkey"), col("o_orderkey"))
+        .drop("file_id", "grp", "_fid", "_ck", "_op")
+        .write.partitionBy("_gid").mode("overwrite").parquet(tmp)
+    }
+    val foot = footerStatsOf(spark, out, prefix = "_gid=")
+      .groupBy(col("file_id").cast("int").as("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+    val sums = spark.read.parquet(out)
+      .groupBy(col("_gid").cast("int").as("grp"))
+      .agg(sum(col("o_orderkey")).as("key_sum"))
+    foot.join(sums, Seq("grp"))
+      .select(col("grp"), col("n_files"), col("n_rows"), col("key_sum"))
+      .orderBy(col("grp"))
+  }
+
+  /** Twin: per-ROW file assignment from first principles (the shared
+    * `rf` CTE), the plan's fid→grp from the shared recursion, survivors
+    * = keys whose latest pending op is not D — which, with B71's canned
+    * feed, is exactly the non-tombstoned keys (deletes carry the top
+    * version). One file per group, surviving count + key fingerprint. */
+  lazy val cdcCompactRewriteSql: String =
+    s"""WITH RECURSIVE $compactPlanCtes
+       |SELECT CAST(p.grp AS INT) AS grp, CAST(1 AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(rf.o_orderkey) AS BIGINT) AS key_sum
+       |FROM rf
+       |JOIN (SELECT file_id, grp FROM r WHERE file_id IS NOT NULL) p
+       |  USING (file_id)
+       |WHERE rf.o_orderkey % ${graft.operators.OlapC.CdcDeleteMod} != 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared oracle prefix (C75 + D3): the zkey chain binned to file ids
     * with per-file stats — what the zbin writer MUST have put in each
     * footer if the writer and the statistics are honest. ONE spelling, so
@@ -1084,10 +1156,12 @@ object Sinks {
        |    ((x - xmin) * $m) // GREATEST(1, xmax - xmin) AS zx,
        |    ((d - dmin) * $m) // GREATEST(1, dmax - dmin) AS zd
        |  FROM o CROSS JOIN s
+       |), rf AS (
+       |  SELECT o_orderkey, x, d, ($terms) >> $shift AS file_id FROM n
        |), f AS (
-       |  SELECT ($terms) >> $shift AS file_id, COUNT(*) AS n_rows,
+       |  SELECT file_id, COUNT(*) AS n_rows,
        |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(d) AS d_min, MAX(d) AS d_max
-       |  FROM n GROUP BY 1
+       |  FROM rf GROUP BY 1
        |)""".stripMargin
   }
 
@@ -1323,6 +1397,7 @@ object Sinks {
     "footer_prune_hilbert" -> (footerPruneHilbert _),
     "compact_plan" -> (compactPlan _),
     "compact_rewrite" -> (compactRewrite _),
+    "cdc_compact_rewrite" -> (cdcCompactRewrite _),
     "layout_compare" -> (layoutCompare _),
     "zorder3_layout" -> (zorder3Layout _),
     "hilbert3_layout" -> (hilbert3Layout _),
@@ -1342,6 +1417,7 @@ object Sinks {
     "footer_prune_hilbert" -> footerPruneHilbertSql,
     "compact_plan" -> compactPlanSql,
     "compact_rewrite" -> compactRewriteSql,
+    "cdc_compact_rewrite" -> cdcCompactRewriteSql,
     "layout_compare" -> layoutCompareSql,
     "zorder3_layout" -> zorder3LayoutSql,
     "hilbert3_layout" -> hilbert3LayoutSql,

@@ -289,6 +289,12 @@ object StreamOps {
     * sink — correct in the single-JVM harness, where block loss means the
     * app died. A multi-executor deploy keeps the sink directory (or a
     * reliable checkpoint) until downstream consumption completes. */
+  /** Per-drain batch-side exchange counts (max over micro-batches), keyed
+    * by drain name — populated by every [[drainViaParquetSink]] run, read
+    * by StreamPlanGuardSpec's streaming shuffle budgets. */
+  private[graft] val batchExchangeCounts =
+    new scala.collection.concurrent.TrieMap[String, Int]()
+
   private[graft] def drainViaParquetSink(spark: SparkSession, df: DataFrame,
       name: String, complete: Boolean = false,
       assertSingleBatch: Boolean = false,
@@ -308,7 +314,19 @@ object StreamOps {
           (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            bid: Long) =>
             nBatches.incrementAndGet()
-            xform(mb.toDF(), bid).write
+            val out = xform(mb.toDF(), bid)
+            // batch-side plan guard feed: the micro-batch Dataset is
+            // backed by the engine's already-computed rows, so this plan
+            // holds exactly the XFORM's exchanges — the stateless probe/
+            // scoring joins StreamPlanGuardSpec pins (PlanGuardSpec
+            // deliberately skips stream_*; this is their budget hook).
+            // Max across batches: a ceiling, like the batch budgets.
+            val nEx = out.queryExecution.executedPlan.toString
+              .linesIterator.count(
+                _.replaceAll("^[^A-Za-z]*", "").startsWith("Exchange"))
+            batchExchangeCounts.updateWith(name)(p =>
+              Some(math.max(p.getOrElse(0), nEx)))
+            out.write
               .mode(if (complete) "overwrite" else "append")
               .parquet(sink.getAbsolutePath)
             ()

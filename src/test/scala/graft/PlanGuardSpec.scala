@@ -60,7 +60,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row corpus-total frame broadcast onto the O(k) cluster masses
     "cluster_sample",
     // 1-row corpus-count frame broadcast onto the 5-row family board
-    "dedup_compare")
+    "dedup_compare",
+    // same board, plus the 1-row SLICE-count frame on the sampled C4 row
+    "dedup_compare_sampled")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted

@@ -269,6 +269,33 @@ class SinksSpec extends SparkSpec {
       graft.sources.Tables(spark, sfDir).orders.count())
   }
 
+  test("cdc_compact_rewrite: tombstones purged during the rewrite, " +
+      "delete-wins, one real file per group (D12)") {
+    import graft.operators.OlapC
+    val orders = graft.sources.Tables(spark, sfDir).orders
+    val got = Sinks.cdcCompactRewrite(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // one real file per group, observed in REAL footers
+    got.foreach { case (grp, nFiles, _, _) =>
+      assert(nFiles === 1L, s"group $grp split across files") }
+    // survivors = exactly the non-tombstoned keys (delete-wins: %UpsertMod
+    // keys carry an update too, but the delete's version 3 outranks it)
+    val nDeleted = orders
+      .filter(col("o_orderkey") % OlapC.CdcDeleteMod === 0).count()
+    assert(got.map(_._3).sum === orders.count() - nDeleted)
+    // the key fingerprint proves WHICH rows survived, not just how many
+    val keySums = orders.agg(
+      sum(col("o_orderkey")).as("all"),
+      sum(when(col("o_orderkey") % OlapC.CdcDeleteMod === 0,
+        col("o_orderkey"))).as("del")).head()
+    assert(got.map(_._4).sum === keySums.getLong(0) - keySums.getLong(1))
+    // the purge genuinely removed rows vs the plain D3b rewrite
+    val plain = Sinks.compactRewrite(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(got.map(_._3).sum < plain)
+  }
+
   test("orc_roundtrip: the ORC copy preserves every row and column (D4)") {
     import graft.sources.{IndexScratch, Sinks, Tables}
     val board = Sinks.orcRoundtrip(spark, sfDir).collect().map(_.toString)

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Shuffle budgets for the STREAMING surface (r10 VERDICT #6).
+  *
+  * PlanGuardSpec deliberately skips `stream_*` — those queries execute on
+  * construction and their plans live inside the streaming engine. The
+  * per-batch BATCH side is observable though: every parquet-sink drain
+  * records its micro-batches' exchange counts (max across batches) in
+  * [[StreamOps.batchExchangeCounts]], and the micro-batch Dataset handed
+  * to foreachBatch is backed by the engine's already-computed rows, so
+  * the recorded count is exactly the drain's `xform` cost — the stateless
+  * probe/scoring joins this guard pins.
+  *
+  * Two invariants:
+  *  - every budgeted drain stays at or under its ceiling (a new shuffle
+  *    in a probe/scoring join fails HERE, not in a bench three rounds
+  *    later);
+  *  - every drain that RAN is budgeted (a new drainViaParquetSink
+  *    consumer must declare its batch-side budget — unbudgeted shuffles
+  *    cannot slip in unlisted).
+  *
+  * Budgets calibrated at sf0.001 on a cold session; pass-through drains
+  * (identity xform) pin at ZERO — the engine's own exchanges never leak
+  * into the batch side, so any nonzero count there is a regression.
+  */
+class StreamPlanGuardSpec extends SparkSpec {
+
+  /** max batch-side shuffle exchanges per drain (ceilings, like
+    * PlanGuardSpec's): nonzero entries are the xform joins' documented
+    * shapes, zero entries are identity/pass-through drains. */
+  private val batchShuffleBudget = Map(
+    // identity xforms: the sink write only — zero batch-side shuffles
+    "graft_stream_attribution" -> 0,
+    "graft_stream_cdc_compact" -> 0,
+    "graft_stream_cluster_assign" -> 0, // frozen centroid literals, pure map
+    "graft_stream_dedup" -> 0,
+    "graft_stream_events" -> 0,
+    "graft_stream_funnel" -> 0,
+    "graft_stream_join" -> 0,
+    "graft_stream_kn_score" -> 0, // LM tables broadcast-joined, no shuffle
+    "graft_stream_pack_bestfit" -> 0,
+    "graft_stream_scd2" -> 0,
+    "graft_stream_sessions" -> 0,
+    "graft_stream_sessions_native" -> 0,
+    "graft_stream_topk" -> 0,
+    "graft_stream_transitions" -> 0,
+    "graft_stream_unigram_encode" -> 0, // vocab costs are driver literals
+    "graft_stream_upsert" -> 0,
+    // scoring/probe joins (each the batch operator's own audited shape)
+    "graft_stream_nb_score" -> 1, // per-doc token rollup; model broadcast
+    "graft_stream_index_probe" -> 1, // band equi-join vs the persisted index
+    "graft_stream_phash_probe" -> 1, // band equi-join vs the persisted index
+    "graft_stream_line_dedup" -> 2, // line df census + LEFT join back
+    "graft_stream_decontaminate" -> 3, // bench bcast + pair dedup + verify join
+    "graft_stream_quality_ensemble" -> 5, // B66's own 3-signal vote joins
+    "graft_stream_admission_chain" -> 5 // B61's staged gate joins
+  )
+
+  test("streaming batch-side shuffle budgets hold, and every drained " +
+      "query is budgeted") {
+    StreamOps.batchExchangeCounts.clear()
+    val names = graft.SparkEntry.queries.keys
+      .filter(_.startsWith("stream")).toSeq.sorted
+    names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
+    val got = StreamOps.batchExchangeCounts.readOnlySnapshot().toMap
+    assert(got.nonEmpty)
+    val over = got.toSeq.sortBy(_._1).flatMap { case (name, n) =>
+      batchShuffleBudget.get(name) match {
+        case None => Some(s"$name: UNBUDGETED drain ($n exchanges) — " +
+          "add it to batchShuffleBudget")
+        case Some(b) if n > b => Some(s"$name: $n exchanges (budget $b)")
+        case _ => None
+      }
+    }
+    assert(over.isEmpty, over.mkString("; "))
+    // the budget list carries no dead entries (a renamed drain would
+    // silently stop being guarded otherwise)
+    val stale = batchShuffleBudget.keys.filterNot(got.contains).toSeq.sorted
+    assert(stale.isEmpty, s"budgeted drains that never ran: $stale")
+  }
+}
