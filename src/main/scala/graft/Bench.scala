@@ -135,9 +135,12 @@ object Bench {
       if (!loadDirty) results
       else results.map { case (n, t) =>
         // a FAILED re-drain (-1.0 sentinel) must not clobber the valid
-        // billed measurement — keep the original time on error
+        // billed measurement — keep the original time on error; and a
+        // SUCCESSFUL re-drain of a query whose billed run failed must
+        // replace the -1.0, not min() under it
         val d = drain(n)
-        if (d >= 0) { nRequeried += 1; n -> math.min(t, d) }
+        if (d >= 0) { nRequeried += 1
+          n -> (if (t < 0) d else math.min(t, d)) }
         else { nRequeryFailed += 1; n -> t }
       }
     // Millisecond precision keeps the JSON compact; the total is computed

@@ -459,7 +459,17 @@ object ScaleProbe {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$streamDir/$name"))
     }
+    // replica-shift aliasing guards on every shifted feed column (r10
+    // ADVICE #1): a larger sf whose key space outgrew the stride must
+    // fail loudly, not silently alias replicas
+    def requireBelowStride(df: DataFrame, c: String, stride: Long): Unit = {
+      val mx = df.agg(max(col(c)).cast("long")).head().getLong(0)
+      require(mx < stride,
+        s"$c max id $mx >= replica stride $stride — replicas would alias")
+    }
     val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    requireBelowStride(evRaw, "user_id", 10000000L)
+    requireBelowStride(evRaw, "event_id", 100000000L)
     writeSingle((0 until reps).map(r => evRaw
         .withColumn("user_id", col("user_id") + lit(r * 10000000L))
         .withColumn("event_id", col("event_id") + lit(r * 100000000L)))
@@ -467,6 +477,8 @@ object ScaleProbe {
     writeSingle(docs, "documents.parquet")
     // the CDC-shaped streams (B41 upsert / B71 compact) read orders
     val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+    requireBelowStride(ordRaw, "o_orderkey", 10000000L)
+    requireBelowStride(ordRaw, "o_custkey", 10000000L)
     writeSingle((0 until reps).map(r => ordRaw
         .withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L)))
@@ -592,7 +604,13 @@ object ScaleProbe {
       writeSingleTo(lineDir, (0 until reps).map(r =>
           spark.read.parquet(s"$sfDir/documents.parquet")
             .select((col("doc_id") * reps + lit(r.toLong)).as("doc_id"),
-              regexp_replace(col("text"), "(?m)$", s" r$r").as("text")))
+              // (?<=\S) keeps the anchor off empty lines AND off the
+              // phantom end-of-input match after a trailing newline —
+              // either would inject a shared " rN" line per replica,
+              // re-creating a dose of the boilerplate degeneracy the
+              // per-line tag exists to remove
+              regexp_replace(col("text"), "(?m)(?<=\\S)$", s" r$r")
+                .as("text")))
         .reduce(_ unionAll _), "documents.parquet")
       time("line_dedup") {
         SparkEntry.queries("line_dedup")(spark, lineDir).count()
@@ -613,8 +631,7 @@ object ScaleProbe {
       val evDir = java.nio.file.Files.createTempDirectory("graft_sev").toString
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
       // same replica-shift aliasing guard as writeRep (r10 ADVICE)
-      require(ev.agg(max(col("user_id")).cast("long")).head().getLong(0)
-          < 10000000L, "user_id key space outgrew the 1e7 replica stride")
+      requireBelowStride(ev, "user_id", 10000000L)
       (0 until reps).map(r => ev.withColumn("user_id",
           col("user_id") + lit(r * 10000000L)))
         .reduce(_ unionAll _)

@@ -151,10 +151,10 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The C4 pair chain over ANY (doc_id, text) table — shared by the C4
-    * twin and the C88 board (one exact-Jaccard spelling). */
-  /** `bFilter` mirrors Dedup.ngramJaccardPairs's sampleDenomB: an extra
-    * predicate on the larger pair member (e.g. " AND b.doc_id % 4 = 0")
-    * for the sampled C88b census twin. */
+    * twin and the C88 board (one exact-Jaccard spelling). `bFilter`
+    * mirrors Dedup.ngramJaccardPairs's sampleDenomB: an extra predicate
+    * on the larger pair member (e.g. " AND b.doc_id % 4 = 0") for the
+    * sampled C88b census twin. */
   def ngramJaccardSqlOver(sourceTable: String, bFilter: String = ""): String =
     s"""WITH sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-1),

@@ -1031,25 +1031,43 @@ object Sinks {
     * so a rewrite that splits a group, drops a row, or never ran fails
     * the hash, exactly like C75's footers-vs-first-principles audit.
     * The compacted table is memoized like every persisted scratch. */
-  def compactRewrite(spark: SparkSession, dir: String): DataFrame = {
+  /** The D3b group rewrite + real-footer audit, shared by the plain
+    * OPTIMIZE (D3b) and the CDC-aware OPTIMIZE (D12, `purge` = the
+    * latest-change map whose 'D' rows drop during the rewrite) — ONE
+    * spelling of the write discipline (grp broadcast, repartition,
+    * in-group sort, partitioned write, footer rollup), so the
+    * delete-aware variant cannot diverge from it. Returns the audit
+    * frame and the rewritten table's path. */
+  private def rewriteGroupsAudited(spark: SparkSession, dir: String,
+      scratchName: String,
+      purge: Option[DataFrame]): (DataFrame, String) = {
     val plan = compactPlan(spark, dir) // also ensures the zbin scratch
     val root = IndexScratch.path("zbin", dir)
-    val out = IndexScratch.path("zcompact", dir)
+    val out = IndexScratch.path(scratchName, dir)
     IndexScratch.ensure(out) { tmp =>
       val grpMap = plan.select(col("file_id"), col("grp"))
-      spark.read.parquet(root)
+      val scan = spark.read.parquet(root)
         .join(broadcast(grpMap), col("_fid") === col("file_id"))
+      val merged = purge.fold(scan)(latest =>
+        scan.join(latest, col("o_orderkey") === col("_ck"), "left")
+          .filter(col("_op").isNull || col("_op") =!= "D")
+          .drop("_ck", "_op"))
+      merged
         .withColumn("_gid", col("grp"))
         .repartition(col("_gid"))
         .sortWithinPartitions(col("_gid"), col("zkey"), col("o_orderkey"))
         .drop("file_id", "grp", "_fid")
         .write.partitionBy("_gid").mode("overwrite").parquet(tmp)
     }
-    footerStatsOf(spark, out, prefix = "_gid=")
+    val audit = footerStatsOf(spark, out, prefix = "_gid=")
       .groupBy(col("file_id").cast("int").as("grp"))
       .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
-      .orderBy(col("grp"))
+    (audit, out)
   }
+
+  def compactRewrite(spark: SparkSession, dir: String): DataFrame =
+    rewriteGroupsAudited(spark, dir, "zcompact", purge = None)
+      ._1.orderBy(col("grp"))
 
   /** Twin: the plan's own groups — one file each, the planned row sum.
     * First-principles: if the executed rewrite differs in ANY way the
@@ -1082,9 +1100,6 @@ object Sinks {
     * a tombstoned key, drops a live one, or splits a group fails the
     * hash. */
   def cdcCompactRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val plan = compactPlan(spark, dir) // also ensures the zbin scratch
-    val root = IndexScratch.path("zbin", dir)
-    val out = IndexScratch.path("zcdcc", dir)
     val (_, changes) = graft.operators.OlapC
       .cdcFeedOn(Tables(spark, dir).orders)
     // latest pending change per key: D (version 3) outranks U (version 2)
@@ -1094,21 +1109,8 @@ object Sinks {
         struct(col("version"), col("op")).as("_rec"))
       .groupBy(col("o_orderkey")).agg(max(col("_rec")).as("_rec"))
       .select(col("o_orderkey").as("_ck"), col("_rec.op").as("_op"))
-    IndexScratch.ensure(out) { tmp =>
-      val grpMap = plan.select(col("file_id"), col("grp"))
-      spark.read.parquet(root)
-        .join(broadcast(grpMap), col("_fid") === col("file_id"))
-        .join(latest, col("o_orderkey") === col("_ck"), "left")
-        .filter(col("_op").isNull || col("_op") =!= "D")
-        .withColumn("_gid", col("grp"))
-        .repartition(col("_gid"))
-        .sortWithinPartitions(col("_gid"), col("zkey"), col("o_orderkey"))
-        .drop("file_id", "grp", "_fid", "_ck", "_op")
-        .write.partitionBy("_gid").mode("overwrite").parquet(tmp)
-    }
-    val foot = footerStatsOf(spark, out, prefix = "_gid=")
-      .groupBy(col("file_id").cast("int").as("grp"))
-      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+    val (foot, out) =
+      rewriteGroupsAudited(spark, dir, "zcdcc", purge = Some(latest))
     val sums = spark.read.parquet(out)
       .groupBy(col("_gid").cast("int").as("grp"))
       .agg(sum(col("o_orderkey")).as("key_sum"))

@@ -81,7 +81,7 @@ object StreamOps {
     // far-future sentinel (the B15 flush discipline) advances the
     // watermark past the last real window so the AvailableNow drain
     // finalizes ALL of them and still equals the batch aggregation.
-    val (maxTsUs, _) = eventStats(spark, dir)
+    val (maxTsUs, realCount) = eventStats(spark, dir)
     val sdir = sentinelDir(spark, dir, maxTsUs, EventsSentinelOffsetUs)
     val sentinel = spark.readStream
       .schema(spark.read.parquet(sdir).schema).parquet(sdir)
@@ -95,7 +95,12 @@ object StreamOps {
     // O(windows × types) output: parquet-sink drain, the driver never
     // holds the history. The sentinel's own window never finalizes (its
     // end is past the final watermark), so only real windows land.
-    drainViaParquetSink(spark, agg, QueryName)
+    // Same sentinel-flush guard as B15/B38: if a split replay consumed
+    // the sentinel before the events, the jumped watermark would DROP
+    // the later events as late and the board would be silently wrong —
+    // require all real events + the sentinel in one data batch.
+    drainViaParquetSink(spark, agg, QueryName,
+        afterDrain = requireSingleDataBatch(QueryName, Some(realCount + 1)))
       .filter(col("event_type") =!= "_sentinel")
       .orderBy(col("window_start_us"), col("event_type"))
   }
