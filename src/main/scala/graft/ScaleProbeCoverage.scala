@@ -180,6 +180,9 @@ object ScaleProbeCoverage {
         "runs approx_percentile t-digest aggregation at 24x"),
       "quantile_sketch" -> (Seq("scd2_anomaly_mv"),
         "same bounded-state sketch aggregation"),
+      "ppl_band_select" -> (Seq("kn_logprob"), "the scorer IS the probed " +
+        "KN plan; thresholds are one bounded 2-value percentile agg " +
+        "(t-digest on the deploy path) and banding is a pure map"),
       "upsert_latest" -> (Seq("cdc_compact", "stream_upsert"),
         "the probed compaction IS the same one-key max-struct agg; the " +
         "streaming twin probed too"),

@@ -1679,6 +1679,67 @@ object CorpusOps {
   def knLogprob(spark: SparkSession, dir: String): DataFrame =
     knLogprobOn(Tables(spark, dir).documents, "doc_id", "text")
 
+  // --- C95: perplexity-band selection (CCNet) ------------------------------
+  /** CCNet's perplexity-band curation (Wenzek et al., "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data", LREC 2020):
+    * score every document by LM cross-entropy, split the corpus at the
+    * tercile thresholds into head / middle / tail, and keep head+middle —
+    * the canonical "filter web text by LM perplexity" step of every
+    * large pretraining pipeline (tail = gibberish, but head-only biases
+    * toward short formal text, hence the band structure).
+    *
+    * Composes C57's Kneser-Ney scorer VERBATIM (`knLogprobOn` — one
+    * spelling; its integer micro-nat quantization already makes
+    * cross_entropy engine-identical, proven by kn_logprob's hash-green
+    * oracle). Thresholds are ONE bounded two-value percentile aggregate
+    * broadcast back onto the scored stream; banding is a pure map
+    * filter — no shuffle beyond the scorer's own audited plan.
+    *
+    * `exact = true` (the gate key) uses interpolated `percentile`, which
+    * matches DuckDB `quantile_cont` bit-for-bit (the B16 discipline);
+    * at 100 TB exact percentile state is O(distinct values) per
+    * partition, so the deploy path is `exact = false`: t-digest
+    * `approx_percentile` with bounded state — same plan shape, spec-
+    * pinned against the exact thresholds. */
+  def pplBandSelectOn(documents: DataFrame, idCol: String, textCol: String,
+      exact: Boolean = true): DataFrame = {
+    val scored = knLogprobOn(documents, idCol, textCol)
+      .select(col("doc_id"), col("n_pairs"), col("cross_entropy"))
+    def pct(p: Double) =
+      if (exact) percentile(col("cross_entropy"), lit(p))
+      else approx_percentile(col("cross_entropy"), lit(p), lit(10000))
+    val t = scored.agg(pct(1.0 / 3).as("t1"), pct(2.0 / 3).as("t2"))
+    scored.crossJoin(broadcast(t)) // 1-row thresholds frame
+      .select(col("doc_id"), col("n_pairs"), col("cross_entropy"),
+        when(col("cross_entropy") <= col("t1"), "head")
+          .when(col("cross_entropy") <= col("t2"), "middle")
+          .otherwise("tail").as("band"),
+        when(col("cross_entropy") <= col("t2"), 1).otherwise(0)
+          .cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pplBandSelect(spark: SparkSession, dir: String): DataFrame =
+    pplBandSelectOn(Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Twin: the kn_logprob twin as a subquery + `quantile_cont` terciles
+    * (the B16 exact-percentile parity) + the same CASE banding. */
+  lazy val pplBandSelectSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_pairs, cross_entropy FROM ($knLogprobSql)
+       |), t AS (
+       |  SELECT quantile_cont(cross_entropy, 1.0/3) AS t1,
+       |         quantile_cont(cross_entropy, 2.0/3) AS t2
+       |  FROM scored)
+       |SELECT doc_id, n_pairs, cross_entropy,
+       |  CASE WHEN cross_entropy <= t1 THEN 'head'
+       |       WHEN cross_entropy <= t2 THEN 'middle'
+       |       ELSE 'tail' END AS band,
+       |  CAST(CASE WHEN cross_entropy <= t2 THEN 1 ELSE 0 END AS INT)
+       |    AS kept
+       |FROM scored CROSS JOIN t
+       |ORDER BY doc_id""".stripMargin
+
   /** Projected bigram stream: adjacent token pairs with BOTH sides mapped
     * into the shared vocabulary (OOV → `<unk>`) before any counting — the
     * step that bounds every KN table to the ≤(K+1)² domain. Shared by the
@@ -3630,7 +3691,8 @@ object CorpusOps {
     "epoch_plan" -> (epochPlan _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "vocab_fertility" -> (vocabFertility _),
-    "kn_logprob" -> (knLogprob _))
+    "kn_logprob" -> (knLogprob _),
+    "ppl_band_select" -> (pplBandSelect _))
 
   val oracles: Map[String, String] = Map(
     "unigram_logprob" -> unigramLogprobSql,
@@ -3668,5 +3730,6 @@ object CorpusOps {
     "epoch_plan" -> epochPlanSql,
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
-    "kn_logprob" -> knLogprobSql)
+    "kn_logprob" -> knLogprobSql,
+    "ppl_band_select" -> pplBandSelectSql)
 }

@@ -62,7 +62,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row corpus-count frame broadcast onto the 5-row family board
     "dedup_compare",
     // same board, plus the 1-row SLICE-count frame on the sampled C4 row
-    "dedup_compare_sampled")
+    "dedup_compare_sampled",
+    // 1-row tercile-thresholds frame broadcast onto the scored stream
+    "ppl_band_select")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted

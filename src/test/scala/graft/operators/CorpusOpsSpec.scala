@@ -1247,4 +1247,36 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.lineCorpus(spark, sfDir), "doc_id", "text").collect()
     assert(boiler.length === 2)
   }
+
+  test("C95 ppl_band_select: tercile bands partition the corpus, banding " +
+      "is monotone in cross-entropy, and the t-digest deploy path agrees") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+    val rows = CorpusOps.pplBandSelectOn(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // every scored doc is banded, and kept == (band != tail) — the CCNet
+    // head+middle retention rule
+    rows.foreach { case (id, _, band, kept) =>
+      assert(Set("head", "middle", "tail")(band), s"$id band $band")
+      assert(kept === (if (band == "tail") 0 else 1), s"$id kept")
+    }
+    // bands are monotone: max(head) <= min(middle), max(middle) <= min(tail)
+    def ceOf(b: String) = rows.filter(_._3 == b).map(_._2)
+    assert(ceOf("head").max <= ceOf("middle").min)
+    assert(ceOf("middle").max <= ceOf("tail").min)
+    // interpolated terciles split ~n/3 each (exact thirds up to ties and
+    // the interpolation boundary)
+    val n = rows.length
+    Seq("head", "middle", "tail").foreach { b =>
+      val m = ceOf(b).length
+      assert(math.abs(m - n / 3.0) <= math.max(2, n / 10.0), s"$b mass $m/$n")
+    }
+    // deploy path: t-digest thresholds band nearly every doc identically
+    // (the approx error only moves docs hugging a threshold)
+    val approx = CorpusOps.pplBandSelectOn(docs, "doc_id", "text",
+        exact = false).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val moved = rows.count { case (id, _, band, _) => approx(id) != band }
+    assert(moved <= math.max(1, n / 20), s"$moved of $n docs changed band")
+  }
 }
