@@ -183,6 +183,10 @@ object ScaleProbeCoverage {
       "ppl_band_select" -> (Seq("kn_logprob"), "the scorer IS the probed " +
         "KN plan; thresholds are one bounded 2-value percentile agg " +
         "(t-digest on the deploy path) and banding is a pure map"),
+      "substring_scrub" -> (Seq("substring_dedup"), "the same window-df " +
+        "census + 1:df join as the probed C44 (linear, no pair join); " +
+        "the scrub adds a doc-keyed start-collect agg and pure array " +
+        "algebra per row"),
       "upsert_latest" -> (Seq("cdc_compact", "stream_upsert"),
         "the probed compaction IS the same one-key max-struct agg; the " +
         "streaming twin probed too"),

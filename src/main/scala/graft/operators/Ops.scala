@@ -236,6 +236,55 @@ object Dedup {
         (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
   }
 
+  /** The REMOVAL companion to [[duplicatedWindowStats]] (Lee et al.,
+    * arXiv:2107.06499, ExactSubstr): every token covered by a w-token
+    * window that also occurs in ANOTHER document is scrubbed — from
+    * EVERY carrier, the memorization-prevention reading (a span the
+    * corpus repeats is masked wherever it appears; the keep-one-copy
+    * variant composes a keeper policy like C17's min-id on top of the
+    * same df census). Within-doc-only repeats survive, matching C44's
+    * cross-document signal.
+    *
+    * Scale shape — LINEAR like C44, never a pair join: one positional
+    * window explode (map), the SAME distinct-per-doc window df census,
+    * one window-keyed 1:df equi-join back to flag dup starts, one
+    * doc-keyed aggregation collecting the (bounded by doc length) start
+    * list, and the scrub itself is pure array algebra per row. The
+    * per-token coverage test is exists() over the start list — O(len ×
+    * starts) per doc, fine at document scale; an interval-merge fold
+    * drops it to O(len) if ever needed. */
+  def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      split(trim(col(textCol)), "\\s+").as("_t"))
+    val ex = toks
+      .select(col("_id"), explode(expr(
+        s"IF(size(_t) >= $w, transform(sequence(1, size(_t) - ${w - 1}), " +
+          s"i -> struct(i AS i, array_join(slice(_t, i, $w), ' ') AS s)), " +
+          "array())")).as("_w"))
+      .select(col("_id"), col("_w.i").as("_i"), col("_w.s").as("_s"))
+    // cross-document df over per-doc DISTINCT windows (C44's spelling)
+    val dfreq = ex.select(col("_id"), col("_s")).distinct()
+      .groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val dupStarts = ex.join(dfreq, Seq("_s")).filter(col("_df") > 1)
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_i"))).as("_starts"))
+    toks.join(dupStarts, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"), col("_t"),
+        coalesce(col("_starts"), expr("CAST(array() AS array<int>)"))
+          .as("_ss"))
+      .select(col("doc_id"), size(col("_t")).cast("bigint").as("n_tokens"),
+        expr(s"filter(transform(sequence(1, size(_t)), p -> " +
+          s"struct(p AS p, element_at(_t, p) AS t)), x -> " +
+          s"NOT exists(_ss, s -> s <= x.p AND x.p <= s + ${w - 1}))")
+          .as("_kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast("bigint")
+          .as("n_removed"),
+        expr("array_join(transform(_kept, x -> x.t), ' ')")
+          .as("scrubbed_text"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
     * Shuffle budget: band-bucket self-join only — all sketching is
     * map-side. Tune (numHashes, bands) for the recall/cost point. */

@@ -207,6 +207,48 @@ object TextOps {
        |  CAST(dup_windows AS DOUBLE) / n_windows AS dup_frac
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  // --- C96: exact-substring SCRUB (the C44 removal companion) --------------
+  /** Lee et al.'s ExactSubstr applied: every token covered by a
+    * cross-document duplicated [[SubstrW]]-window is REMOVED from every
+    * carrier over the same seeded-dup corpus as C44 (exact copies make
+    * both members fully scrubbed — the deterministic positive path).
+    * Output per doc: token counts and the scrubbed text itself, so the
+    * oracle proves WHICH tokens survive, not just how many. */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubDuplicatedWindows(dedupCorpus(spark, dir), "doc_id", "text",
+        SubstrW)
+      .orderBy(col("doc_id"))
+
+  val substringScrubSql: String =
+    s"""WITH $dedupCorpusSql,
+       |tk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM corpus
+       |), pw AS (
+       |  SELECT doc_id, i, array_to_string(toks[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM tk, unnest(range(1, len(toks) - ${SubstrW - 2})) t(i)
+       |  WHERE len(toks) >= $SubstrW
+       |), dfreq AS (
+       |  SELECT s, COUNT(*) AS c
+       |  FROM (SELECT DISTINCT doc_id, s FROM pw) GROUP BY 1
+       |), starts AS (
+       |  SELECT doc_id, list_sort(list(i)) AS ss
+       |  FROM pw JOIN dfreq USING (s) WHERE c > 1 GROUP BY 1
+       |), scrubbed AS (
+       |  SELECT tk.doc_id, toks,
+       |    list_transform(
+       |      list_filter(range(1, len(toks) + 1),
+       |        p -> len(list_filter(COALESCE(ss, []),
+       |               s -> s <= p AND p <= s + ${SubstrW - 1})) = 0),
+       |      p -> toks[p]) AS kept
+       |  FROM tk LEFT JOIN starts USING (doc_id))
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  -- duckdb array_to_string([]) is NULL where Spark array_join
+       |  -- gives '' — a fully-scrubbed doc must compare as empty text
+       |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+
   // --- C8: token counting --------------------------------------------------
   /** Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
     * runs, punctuation runs). Pure map stage, codegen'd regex. */
@@ -408,6 +450,7 @@ object TextOps {
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
     "substring_dedup" -> (substringDedup _),
+    "substring_scrub" -> (substringScrub _),
     "norm_dedup" -> (normDedup _)
   )
 
@@ -420,6 +463,7 @@ object TextOps {
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
     "substring_dedup" -> substringDedupSql,
+    "substring_scrub" -> substringScrubSql,
     "norm_dedup" -> normDedupSql
   )
 }

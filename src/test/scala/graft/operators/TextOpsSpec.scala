@@ -47,6 +47,42 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("substring_scrub: dup spans removed from every carrier, clean " +
+      "docs untouched, and the scrub reconciles with the C44 stats (C96)") {
+    val scrub = TextOps.substringScrub(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val stats = TextOps.substringDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub.nonEmpty)
+    // seeded exact copies: EVERY window is cross-document dup, so both
+    // the copy and its original scrub to nothing (the symmetric
+    // mask-all-carriers policy, documented on the operator)
+    val copies = scrub.keys.filter(_ >= 100000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      Seq(c, c - 100000000L).foreach { id =>
+        val (n, removed, text) = scrub(id)
+        if (n >= TextOps.SubstrW)
+          assert(removed === n && text === "", s"$id not fully scrubbed")
+      }
+    }
+    scrub.foreach { case (id, (n, removed, text)) =>
+      assert(removed >= 0 && removed <= n)
+      // reconciliation with C44: dup windows ⇔ removed tokens, and one
+      // dup window masks at least its own W tokens
+      val dupWindows = stats.getOrElse(id, 0L)
+      if (dupWindows == 0)
+        assert(removed === 0, s"$id removed $removed with no dup windows")
+      else assert(removed >= TextOps.SubstrW, s"$id removed only $removed")
+      // untouched docs keep their tokens verbatim (whitespace-normalized)
+      if (removed == 0) {
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        assert(toks.length === n, s"$id token count changed")
+      }
+    }
+  }
+
   test("text_entropy: JVM replay agrees; bounds and codegen hold") {
     val rows = TextOps.textEntropy(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
