@@ -187,6 +187,9 @@ object ScaleProbeCoverage {
         "census + 1:df join as the probed C44 (linear, no pair join); " +
         "the scrub adds a doc-keyed start-collect agg and pure array " +
         "algebra per row"),
+      "stream_ppl_band" -> (Seq("stream_kn_score", "kn_logprob"),
+        "the probed streaming KN scorer plus a literal-threshold banding " +
+        "map; the frozen thresholds are two offline scalars"),
       "upsert_latest" -> (Seq("cdc_compact", "stream_upsert"),
         "the probed compaction IS the same one-key max-struct agg; the " +
         "streaming twin probed too"),

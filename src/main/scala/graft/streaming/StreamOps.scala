@@ -533,6 +533,45 @@ object StreamOps {
     }
   }
 
+  val PplBandQueryName = "graft_stream_ppl_band"
+
+  /** B75: C95's CCNet perplexity-band gate over a LIVE document feed —
+    * the frozen-model discipline (B70's centroids, B51's LM tables)
+    * applied to the curation step itself: the KN tables AND the tercile
+    * thresholds train OFFLINE on the corpus snapshot (the thresholds are
+    * two scalars — the smallest frozen model in the repo), and every
+    * arriving document scores + bands statelessly in append mode through
+    * the parquet sink (O(docs) output, zero streaming state). On the
+    * training corpus the drain EQUALS the batch key bit-for-bit (same
+    * literal thresholds, same codegen scorer), so this shares C95's
+    * DuckDB oracle. At deploy scale the thresholds refresh on the
+    * retrain cadence like any frozen model; banding drift between
+    * refreshes is the documented CCNet behavior, not an error. */
+  def streamPplBand(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    // offline training: model tables + the two tercile thresholds
+    val t = graft.operators.CorpusOps.knTrainTablesOn(static, "doc_id", "text")
+    val m = graft.operators.CorpusOps.knCollect(t)
+    val thr = graft.operators.CorpusOps.knLogprobOn(static, "doc_id", "text")
+      .agg(percentile(col("cross_entropy"), lit(1.0 / 3)).as("t1"),
+        percentile(col("cross_entropy"), lit(2.0 / 3)).as("t2")).head()
+    val (t1, t2) = (thr.getDouble(0), thr.getDouble(1))
+    val schema = static.schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val banded = graft.operators.CorpusOps
+      .knScoreWith(m, docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_pairs"), col("cross_entropy"),
+        when(col("cross_entropy") <= lit(t1), "head")
+          .when(col("cross_entropy") <= lit(t2), "middle")
+          .otherwise("tail").as("band"),
+        when(col("cross_entropy") <= lit(t2), 1).otherwise(0)
+          .cast("int").as("kept"))
+    drainViaParquetSink(spark, banded, PplBandQueryName)
+      .orderBy(col("doc_id"))
+  }
+
   val NbScoreQueryName = "graft_stream_nb_score"
 
   /** B63: C78's NB quality classifier over a LIVE document feed — the
@@ -1204,6 +1243,7 @@ object StreamOps {
     "stream_topk" -> (streamTopk _),
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
+    "stream_ppl_band" -> (streamPplBand _),
     "stream_nb_score" -> (streamNbScore _),
     "stream_unigram_encode" -> (streamUnigramEncode _),
     "stream_quality_ensemble" -> (streamQualityEnsemble _),
@@ -1236,6 +1276,8 @@ object StreamOps {
     "stream_hh_topk" -> graft.operators.OlapB.windowTopkSql,
     // the map-side scored stream must equal the batch KN query
     "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql,
+    // frozen thresholds == the batch percentiles, so the drain equals C95
+    "stream_ppl_band" -> graft.operators.CorpusOps.pplBandSelectSql,
     // drain == batch C78 (stateless per-doc scoring under the same
     // offline-trained model) — shares its oracle verbatim
     "stream_nb_score" -> graft.operators.Pipeline.qualityClassifierSql,

@@ -201,6 +201,14 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed perplexity-band gate equals the batch CCNet bands " +
+      "(B75 == C95, frozen thresholds)") {
+    val s = StreamOps.streamPplBand(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.CorpusOps.pplBandSelect(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed KN scorer on the broadcast-join path equals the batch query") {
     // literalMax = 0 forces the production-K spelling (stream-static
     // broadcast joins + per-doc rollup) on the gate corpus

@@ -40,6 +40,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_funnel" -> 0,
     "graft_stream_join" -> 0,
     "graft_stream_kn_score" -> 0, // LM tables broadcast-joined, no shuffle
+    "graft_stream_ppl_band" -> 0, // frozen scalars; scoring+banding is a map
     "graft_stream_pack_bestfit" -> 0,
     "graft_stream_scd2" -> 0,
     "graft_stream_sessions" -> 0,
