@@ -462,11 +462,14 @@ object ScaleProbe {
     // replica-shift aliasing guards on every shifted feed column (r10
     // ADVICE #1): a larger sf whose key space outgrew the stride must
     // fail loudly, not silently alias replicas
-    def requireBelowStride(df: DataFrame, c: String, stride: Long): Unit = {
-      val mx = df.agg(max(col(c)).cast("long")).head().getLong(0)
-      require(mx < stride,
-        s"$c max id $mx >= replica stride $stride — replicas would alias")
-    }
+    def requireBelowStride(df: DataFrame, c: String, stride: Long): Unit =
+      if (reps > 1) { // one replica cannot alias
+        val r = df.agg(max(col(c)).cast("long")).head()
+        require(!r.isNullAt(0), s"$c stride guard: feed table is empty")
+        require(r.getLong(0) < stride,
+          s"$c max id ${r.getLong(0)} >= replica stride $stride — " +
+            "replicas would alias")
+      }
     val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
     requireBelowStride(evRaw, "user_id", 10000000L)
     requireBelowStride(evRaw, "event_id", 100000000L)
@@ -701,8 +704,10 @@ object ScaleProbe {
       val maxes = t.select(shiftCols.map(c => max(col(c)).cast("long")): _*)
         .head()
       shiftCols.zipWithIndex.foreach { case (c, i) =>
-        require(maxes.getLong(i) < 10000000L,
-          s"$name.$c max id ${maxes.getLong(i)} >= replica stride 1e7 — " +
+        require(reps <= 1 ||
+            (!maxes.isNullAt(i) && maxes.getLong(i) < 10000000L),
+          s"$name.$c max id ${if (maxes.isNullAt(i)) "NULL (empty table)"
+            else maxes.getLong(i)} >= replica stride 1e7 — " +
             "replica key ranges would alias; raise the stride for this sf")
       }
       (0 until reps).map { r =>

@@ -1703,8 +1703,13 @@ object CorpusOps {
     * pinned against the exact thresholds. */
   def pplBandSelectOn(documents: DataFrame, idCol: String, textCol: String,
       exact: Boolean = true): DataFrame = {
+    // pin the scored frame: it feeds BOTH the threshold aggregate and the
+    // banded output — without the checkpoint the whole KN subtree would
+    // execute twice per action (the knLogprobOn bg discipline, one level
+    // up)
     val scored = knLogprobOn(documents, idCol, textCol)
       .select(col("doc_id"), col("n_pairs"), col("cross_entropy"))
+      .localCheckpoint(eager = true)
     def pct(p: Double) =
       if (exact) percentile(col("cross_entropy"), lit(p))
       else approx_percentile(col("cross_entropy"), lit(p), lit(10000))

@@ -255,8 +255,13 @@ object Dedup {
     * drops it to O(len) if ever needed. */
   def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    // tokenization parity with the word_shingles kernel (Java
+    // trim/split): SQL trim strips only ' ' and SQL split keeps edge
+    // empties, so text edged with '\n'/'\t' would tokenize differently
+    // from C44's census — filtering empties after a raw \s+ split is
+    // equivalent to Java's trim-then-split for every whitespace edge
     val toks = df.select(col(idCol).as("_id"),
-      split(trim(col(textCol)), "\\s+").as("_t"))
+      expr(s"filter(split(`$textCol`, '\\\\s+'), x -> x != '')").as("_t"))
     val ex = toks
       .select(col("_id"), explode(expr(
         s"IF(size(_t) >= $w, transform(sequence(1, size(_t) - ${w - 1}), " +

@@ -222,7 +222,10 @@ object TextOps {
   val substringScrubSql: String =
     s"""WITH $dedupCorpusSql,
        |tk AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  -- empties filtered after a raw split == Java trim-then-split
+       |  -- for every whitespace edge (the Spark side's spelling)
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |           x -> x <> '') AS toks
        |  FROM corpus
        |), pw AS (
        |  SELECT doc_id, i, array_to_string(toks[i:i+${SubstrW - 1}], ' ') AS s

@@ -547,29 +547,57 @@ object StreamOps {
     * DuckDB oracle. At deploy scale the thresholds refresh on the
     * retrain cadence like any frozen model; banding drift between
     * refreshes is the documented CCNet behavior, not an error. */
-  def streamPplBand(rootSpark: SparkSession, dir: String): DataFrame = {
+  def streamPplBand(rootSpark: SparkSession, dir: String): DataFrame =
+    streamPplBandImpl(rootSpark, dir,
+      graft.operators.CorpusOps.KnLiteralMax)
+
+  /** `literalMax` is injectable so the spec can force the production-K
+    * broadcast-join spelling on the gate corpus and pin literal ≡ join
+    * (the streamKnScoreImpl discipline). */
+  private[graft] def streamPplBandImpl(rootSpark: SparkSession, dir: String,
+      literalMax: Long): DataFrame = {
+    import graft.operators.CorpusOps
     val spark = streamingSession(rootSpark)
     val static = spark.read.parquet(s"$dir/documents.parquet")
-    // offline training: model tables + the two tercile thresholds
-    val t = graft.operators.CorpusOps.knTrainTablesOn(static, "doc_id", "text")
-    val m = graft.operators.CorpusOps.knCollect(t)
-    val thr = graft.operators.CorpusOps.knLogprobOn(static, "doc_id", "text")
-      .agg(percentile(col("cross_entropy"), lit(1.0 / 3)).as("t1"),
-        percentile(col("cross_entropy"), lit(2.0 / 3)).as("t2")).head()
-    val (t1, t2) = (thr.getDouble(0), thr.getDouble(1))
-    val schema = static.schema
-    val docs = spark.readStream.schema(schema)
+    // offline training: the model tables are built ONCE and score the
+    // static corpus for the thresholds too — knScoreWith/knScoreJoinWith
+    // are bit-identical to knLogprobOn (the B51 parity), so the frozen
+    // thresholds equal the batch key's by construction
+    val t = CorpusOps.knTrainTablesOn(static, "doc_id", "text")
+    val docs = spark.readStream.schema(static.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val banded = graft.operators.CorpusOps
-      .knScoreWith(m, docs, "doc_id", "text")
-      .select(col("doc_id"), col("n_pairs"), col("cross_entropy"),
+    def thresholds(scoredStatic: DataFrame): (Double, Double) = {
+      val r = scoredStatic
+        .agg(percentile(col("cross_entropy"), lit(1.0 / 3)).as("t1"),
+          percentile(col("cross_entropy"), lit(2.0 / 3)).as("t2")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    def band(scored: DataFrame, t1: Double, t2: Double): DataFrame =
+      scored.select(col("doc_id"), col("n_pairs"), col("cross_entropy"),
         when(col("cross_entropy") <= lit(t1), "head")
           .when(col("cross_entropy") <= lit(t2), "middle")
           .otherwise("tail").as("band"),
         when(col("cross_entropy") <= lit(t2), 1).otherwise(0)
           .cast("int").as("kept"))
-    drainViaParquetSink(spark, banded, PplBandQueryName)
-      .orderBy(col("doc_id"))
+    if (t.dTypes <= literalMax) {
+      val m = CorpusOps.knCollect(t)
+      val (t1, t2) = thresholds(
+        CorpusOps.knScoreWith(m, static, "doc_id", "text"))
+      drainViaParquetSink(spark,
+        band(CorpusOps.knScoreWith(m, docs, "doc_id", "text"), t1, t2),
+        PplBandQueryName).orderBy(col("doc_id"))
+    } else {
+      // production-K spelling: thresholds from the join-path scoring of
+      // the snapshot, then per-batch score+band via foreachBatch (the
+      // streamKnScoreImpl discipline — each doc lands wholly in one
+      // batch, zero streaming state)
+      val (t1, t2) = thresholds(
+        CorpusOps.knScoreJoinWith(t, static, "doc_id", "text"))
+      drainViaParquetSink(spark, docs, PplBandQueryName,
+        xform = (mb, _) => band(
+          CorpusOps.knScoreJoinWith(t, mb, "doc_id", "text"), t1, t2))
+        .orderBy(col("doc_id"))
+    }
   }
 
   val NbScoreQueryName = "graft_stream_nb_score"

@@ -209,6 +209,15 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed perplexity-band gate on the broadcast-join path equals " +
+      "the batch bands (production-K spelling)") {
+    val s = StreamOps.streamPplBandImpl(spark, sfDir, 0L).collect()
+      .map(_.toString)
+    val b = graft.operators.CorpusOps.pplBandSelect(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed KN scorer on the broadcast-join path equals the batch query") {
     // literalMax = 0 forces the production-K spelling (stream-static
     // broadcast joins + per-doc rollup) on the gate corpus
