@@ -471,13 +471,96 @@ object OlapD {
        |   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
        |) ORDER BY tbl, chk""".stripMargin
 
+  // --- B76: bloom-pruned semi-join (runtime join filter) --------------------
+  /** GATE sizing for the dim-key runtime filter: 2²⁰ bits = 128 KiB of
+    * bloom, ~8 bits/key up to the 2¹⁷ estimated-items ceiling (<3% fp
+    * there, far lower at gate cardinalities). The bloom ships to every
+    * probe task as ONE literal — at deploy both knobs track dim
+    * cardinality the way C27's ingestion bloom does (a 100 M-key dim is
+    * a ~100 MiB bloom, still a broadcast-class payload where the raw
+    * key set is tens of GiB). */
+  val BloomJoinEstItems: Long = 1L << 17
+  val BloomJoinNumBits: Long = 1L << 20
+
+  /** Bloom bytes over `dim(keyCol)` — one partial-aggregating pass on
+    * the dim side (the same Catalyst aggregate C27 uses for ingestion
+    * gating, CorpusOps.historyBloomOf). Returns null for an empty dim,
+    * Spark's aggregate convention. */
+  def keyBloomOf(dim: DataFrame, keyCol: String,
+      estItems: Long = BloomJoinEstItems,
+      numBits: Long = BloomJoinNumBits): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    dim.select(column(new BloomFilterAggregate(
+      expression(xxhash64(col(keyCol))),
+      Literal(estItems), Literal(numBits), 0, 0)
+      .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** The sideways-information-passing join filter (the runtime bloom
+    * filter every warehouse plants under a selective dim join, cf.
+    * Spark's own `runtime.bloomFilter` rewrite — here EXPLICIT so the
+    * plan shape is pinned, not threshold-dependent): probe rows test the
+    * dim-key bloom IN THE SCAN STAGE, so at 100 TB the ~1-selectivity
+    * complement never enters the probe-side exchange; the semi-join
+    * afterwards discards the bloom's false positives, making the filter
+    * semantically invisible (the oracle is the plain semi-join).
+    *
+    * Scale shape: dim aggregates to ONE 1 MiB literal (no broadcast
+    * exchange, no driver-side key set); the probe filter is a codegen'd
+    * scalar in the same stage as the parquet scan; the verify join is
+    * the only place probe survivors shuffle. A null bloom (empty dim)
+    * skips the pre-filter — the semi-join is then vacuously empty. */
+  def bloomSemiJoinOn(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bloom = keyBloomOf(dim, dimKey)
+    val pruned =
+      if (bloom == null) fact
+      else fact.filter(column(BloomFilterMightContain(
+        expression(lit(bloom)), expression(xxhash64(col(factKey))))))
+    pruned.join(dim.select(col(dimKey)),
+      col(factKey) === col(dimKey), "left_semi")
+  }
+
+  /** B76 gate query: lineitem pruned by the urgent-orders bloom, then
+    * exactly verified — revenue rollup of the survivors. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+    bloomSemiJoinOn(t.lineitem, "l_orderkey", dim, "o_orderkey")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Olap.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Twin: the bloom is a pure pre-filter, so the oracle is the plain
+    * semi-join — any false positive surviving to the output would
+    * hash-mismatch here. */
+  val bloomSemiJoinSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
     "attribution_linear" -> (attributionLinear _),
     "triangle_count" -> (triangleCount _),
     "interval_overlap" -> (intervalOverlapQ _),
     "unpivot_wide" -> (unpivotWide _),
-    "table_integrity" -> (tableIntegrity _))
+    "table_integrity" -> (tableIntegrity _),
+    "bloom_semi_join" -> (bloomSemiJoin _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
@@ -485,5 +568,6 @@ object OlapD {
     "triangle_count" -> triangleCountSql,
     "interval_overlap" -> intervalOverlapSql,
     "unpivot_wide" -> unpivotWideSql,
-    "table_integrity" -> tableIntegritySql)
+    "table_integrity" -> tableIntegritySql,
+    "bloom_semi_join" -> bloomSemiJoinSql)
 }

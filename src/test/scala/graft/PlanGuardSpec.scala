@@ -144,6 +144,7 @@ class PlanGuardSpec extends SparkSpec {
     "prepare_pretrain" -> 6, // gate joins, content-hash dedup, survivor join, shard windows + gate sort
     "token_pmi" -> 6, // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
     "salted_join" -> 3, // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
+    "bloom_semi_join" -> 2, // rollup agg + gate sort; the bloom probe is map-side IN the scan stage (the bloom itself aggregates eagerly at build) and the verify semi-join broadcasts the dim at gate scale
     "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
     "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
     "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window

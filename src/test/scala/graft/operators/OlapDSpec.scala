@@ -154,4 +154,64 @@ class OlapDSpec extends SparkSpec {
       click.foreach(c => assert(receivers.contains(c),
         s"last-touch click $c of user $user received no linear credit")) }
   }
+
+  test("bloom_semi_join: bloom pre-filter is semantically invisible, " +
+      "sound (no false negatives), deterministic, and scan-fused (B76)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables(spark, sfDir)
+    val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+
+    // invisible: pruned+verified result == plain semi-join rollup
+    val got = OlapD.bloomSemiJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val plain = t.lineitem
+      .join(dim.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        Olap.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq === plain.toSeq)
+
+    // sound + selective: every true-matching fact row passes the bloom
+    // (superset), and the bloom actually prunes the complement
+    val bloom = OlapD.keyBloomOf(dim, "o_orderkey")
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val probe = column(BloomFilterMightContain(
+      expression(lit(bloom)), expression(xxhash64(col("l_orderkey")))))
+    val nFact = t.lineitem.count()
+    val nPass = t.lineitem.filter(probe).count()
+    val nTrue = t.lineitem.join(dim.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(nTrue <= nPass, "bloom dropped a true match (false negative)")
+    assert(nPass < nFact, "bloom pruned nothing")
+
+    // deterministic: the aggregate is order-independent bit-for-bit
+    assert(java.util.Arrays.equals(bloom, OlapD.keyBloomOf(dim, "o_orderkey")))
+
+    // scan-fused: every bloom probe Filter sits DIRECTLY over a file
+    // scan — the pruned complement never reaches an exchange
+    val plan = OlapD.bloomSemiJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val probes = lines.zipWithIndex.filter(_._1.contains("might_contain("))
+    assert(probes.nonEmpty, "bloom probe missing from the executed plan")
+    probes.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("FileScan"),
+        s"bloom probe at plan line $i is not fused over the scan") }
+
+    // empty dim: null bloom short-circuits to the (vacuously empty)
+    // semi-join; null fact keys never match, mirroring SQL equality
+    import spark.implicits._
+    val fact = Seq(Some(1L), Some(2L), None).toDF("k")
+    val emptyDim = Seq.empty[Long].toDF("d")
+    assert(OlapD.bloomSemiJoinOn(fact, "k", emptyDim, "d").count() === 0L)
+    val nullDim = Seq(1L, 3L).toDF("d")
+    val kept = OlapD.bloomSemiJoinOn(fact, "k", nullDim, "d")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
 }
