@@ -49,6 +49,75 @@ object Sketch {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // --- C97: edit-distance near-dup (banded Levenshtein verify) ------------
+  /** Max edit distance for a C97 near-dup pair — also the Ukkonen band
+    * width of the verify DP. */
+  val MaxEditDist = 16
+
+  /** Edit-distance near-duplicate pairs: C2's MinHash-LSH band join
+    * proposes candidates (bucketed, never all-pairs) and each candidate
+    * verifies under Spark's BANDED Levenshtein (`levenshtein(l, r, k)`:
+    * the O(k·n) banded DP that answers -1 past the band, so a far pair
+    * costs O(k·n), never O(n·m)). The |len_a − len_b| ≤ k guard runs
+    * inside a `when`, which is both the Levenshtein length lower bound
+    * and the switch that keeps the DP entirely off those pairs.
+    *
+    * Scale shape: candidacy is C2's audited band join (O(colliding
+    * buckets)); the text join-back is two id-key equi-joins carrying
+    * O(candidates) rows; the verify is a per-row codegen'd scalar. At
+    * 100 TB the DP never sees a non-candidate pair — the quadratic
+    * string kernel rides the linear sketch index. */
+  /** The candidate→verify composition over any `docs(idCol, textCol)` —
+    * split out so specs can drive seeded corpora through the EXACT
+    * production path. */
+  def editDistancePairsOn(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = MaxEditDist): DataFrame = {
+    val txt = docs.select(col(idCol), col(textCol))
+    Dedup.minhashLshPairs(docs, idCol, textCol,
+        shingleN = 3, numHashes = NumHashes, bands = Bands,
+        minEstJaccard = MinEstJaccard)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(txt.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
+      .join(txt.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
+      .withColumn("edit_dist",
+        when(abs(length(col("ta")) - length(col("tb"))) <= maxDist,
+          levenshtein(col("ta"), col("tb"), maxDist)).otherwise(lit(-1)))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("edit_dist").cast("long").as("edit_dist"))
+  }
+
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    // C2's input spread: one small parquet file = one split at gate scale
+    editDistancePairsOn(
+      Tables(spark, dir).documents.repartition(col("doc_id")),
+      "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Twin: the SAME candidate CTE chain as C2 (one definition of
+    * candidacy), then DuckDB's full-DP `levenshtein` under the same
+    * length guard — Spark's banded DP reports the EXACT distance for
+    * every pair within the band, so the spellings agree wherever a pair
+    * survives the ≤ k filter. */
+  val dedupEditDistanceSql: String =
+    s"""WITH ${minhashCandidateCtes("documents")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN sg sa ON doc_a = sa.doc_id
+       |  JOIN sg sb ON doc_b = sb.doc_id
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+       |        / $NumHashes.0 >= $MinEstJaccard
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM pairs
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |WHERE abs(len(da.text) - len(db.text)) <= $MaxEditDist
+       |  AND levenshtein(da.text, db.text) <= $MaxEditDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- C3: SimHash 64-bit fingerprints ------------------------------------
   // 8 bands × 8 bits: any pair within hamming distance 7 leaves at least
   // one band untouched (pigeonhole), so recall at MaxHamming=6 is GUARANTEED,
@@ -595,6 +664,7 @@ object Sketch {
     * the engine-portable hash definitions in SketchHash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),
     "near_dup_eval" -> (nearDupEval _),
     "dedup_index_probe" -> (dedupIndexProbe _),
@@ -607,6 +677,7 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_edit_distance" -> dedupEditDistanceSql,
     "dedup_simhash" -> dedupSimhashSql,
     "near_dup_eval" -> nearDupEvalSql,
     "dedup_index_probe" -> dedupIndexProbeSql,

@@ -145,6 +145,7 @@ class PlanGuardSpec extends SparkSpec {
     "token_pmi" -> 6, // vocab agg (driver-bounded), df agg, O(K²) pair agg, two bcast joins + gate sort
     "salted_join" -> 3, // dim distinct agg + (key, salt) join + final agg/gate (hot key spread over buckets)
     "bloom_semi_join" -> 2, // rollup agg + gate sort; the bloom probe is map-side IN the scan stage (the bloom itself aggregates eagerly at build) and the verify semi-join broadcasts the dim at gate scale
+    "dedup_edit_distance" -> 5, // C2's spread ×3 branches (corpus + both text join-backs) + gate sort; band join and the O(candidates) verify joins broadcast (measured 5) — the DP itself is a per-row scalar, never an exchange
     "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
     "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
     "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window

@@ -195,4 +195,66 @@ class SketchSpec extends SparkSpec {
     assert(sampledRate < 3 * exactRate && exactRate < 3 * sampledRate,
       s"sampled $sampledRate vs exact $exactRate")
   }
+
+  /** Classic full-DP Levenshtein — the spec's independent reference for
+    * the banded production kernel. */
+  private def refLevenshtein(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("dedup_edit_distance: banded verify is exact within the band, " +
+      "rejects past it, and respects the length guard (C97)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // near pair: 1 substitution inside one token (distance 1)
+    val near = base.replace("tok30", "tok3x")
+    // candidate-but-far: every 3rd token perturbed — shingle overlap
+    // stays band-detectable, edit distance blows past the band
+    val far = (1 to 60).map(i =>
+      if (i % 3 == 0) s"tokX$i" else s"tok$i").mkString(" ")
+    // candidate with a 40-char suffix: length guard must reject before
+    // the DP ever runs
+    val long = base + " " + ("z" * 38)
+    val docs = Seq(1L -> base, 2L -> near, 3L -> far, 4L -> long)
+      .toDF("doc_id", "text")
+    val got = Sketch.editDistancePairsOn(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)), "missed the seeded near pair")
+    assert(got((1L, 2L)) === refLevenshtein(base, near).toLong)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "a past-band pair survived the banded verify")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "a pair past the length guard survived")
+    // canonical orientation
+    got.keySet.foreach { case (a, b) => assert(a < b) }
+    // sanity: the far docs ARE proposed by the bands (the REJECTION is
+    // the verify's doing, not a recall accident)
+    val cands = graft.operators.Dedup.minhashLshPairs(docs, "doc_id",
+      "text", shingleN = 3, numHashes = Sketch.NumHashes,
+      bands = Sketch.Bands, minEstJaccard = Sketch.MinEstJaccard)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L)) || cands.contains((1L, 4L)),
+      "seeded far/long docs never became candidates — test is vacuous")
+
+    // real corpus: every emitted distance equals the reference DP
+    val real = Sketch.dedupEditDistance(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val txt = graft.sources.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    real.foreach { r =>
+      val d = refLevenshtein(txt(r.getLong(0)), txt(r.getLong(1)))
+      assert(r.getLong(2) === d.toLong && d <= Sketch.MaxEditDist)
+    }
+  }
 }
