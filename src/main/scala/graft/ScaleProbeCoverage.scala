@@ -22,7 +22,7 @@ object ScaleProbeCoverage {
     * spec re-derives this set from the source and diffs it. */
   val probeKeys: Set[String] = Set(
     "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
-    "attribution_linear", "bloom_semi_join",
+    "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
     "chunk_documents",
@@ -67,7 +67,7 @@ object ScaleProbeCoverage {
   /** Keys whose probe label IS the key. */
   private val sameName: Seq[String] = Seq(
     "ann_ivf_stats", "ann_pq_topk", "attribution_linear",
-    "bloom_semi_join", "bm25_search",
+    "bloom_semi_join", "bucketed_join", "bm25_search",
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",
     "chunk_documents",
     "cluster_sample", "compact_plan", "compact_rewrite", "corpus_mixture",

@@ -194,7 +194,7 @@ class SinksSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("co-bucketed tables join with zero shuffle exchanges") {
+  test("co-bucketed tables join with zero shuffle exchanges (D13)") {
     val t = Tables(spark, sfDir)
     Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"),
       "bkt_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
@@ -212,6 +212,41 @@ class SinksSpec extends SparkSpec {
     // etl_receipts budget grew an exchange when this suite ran first)
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+    // the D13 driver key: the PRODUCTION rollup plan over its own
+    // registered tables is also exchange-free before the aggregation,
+    // and the eager board equals the raw-parquet join
+    val sfx = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+    val (lt, ot) = (s"graft_d13_lineitem_$sfx", s"graft_d13_orders_$sfx")
+    Sinks.writeBucketed(t.lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      lt, "l_orderkey", Sinks.BucketJoinBuckets, sortCols = Seq("l_orderkey"))
+    Sinks.writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+      ot, "o_orderkey", Sinks.BucketJoinBuckets, sortCols = Seq("o_orderkey"))
+    val prodPlan = Sinks.bucketedJoinFrame(spark, lt, ot)
+      .queryExecution.executedPlan.toString
+    // the ONLY exchange is the rollup's own aggregation exchange: no
+    // hashpartitioning on the join key anywhere
+    assert(!prodPlan.contains("hashpartitioning(l_orderkey") &&
+      !prodPlan.contains("hashpartitioning(o_orderkey"),
+      s"D13 join shuffled on the bucket key:\n$prodPlan")
+    spark.sql(s"DROP TABLE IF EXISTS $lt")
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
+
+    val board = Sinks.bucketedJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val raw = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Olap.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(board.nonEmpty && board.toSeq === raw.toSeq)
+    // and the key leaves no catalog residue behind
+    assert(!spark.catalog.tableExists(lt) && !spark.catalog.tableExists(ot))
   }
 
   test("json lines sink writes parseable records") {
