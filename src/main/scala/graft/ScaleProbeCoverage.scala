@@ -29,7 +29,7 @@ object ScaleProbeCoverage {
     "cluster_sample", "compact_plan", "compact_rewrite", "corpus_mixture",
     "decontaminate", "decontaminate_containment", "decontaminate_fuzzy",
     "decontaminate_simhash", "dedup_clusters", "dedup_compare_sampled",
-    "dedup_edit_distance",
+    "dedup_edit_distance", "dpp_prune",
     "dedup_exact", "dedup_incremental", "dedup_index_admit",
     "dedup_index_build", "dedup_index_fragment_x16", "dedup_index_probe",
     "dedup_index_probe_fragmented", "dedup_index_probe_postadmit",
@@ -73,7 +73,7 @@ object ScaleProbeCoverage {
     "cluster_sample", "compact_plan", "compact_rewrite", "corpus_mixture",
     "decontaminate", "decontaminate_containment", "decontaminate_fuzzy",
     "decontaminate_simhash", "dedup_clusters", "dedup_compare_sampled",
-    "dedup_edit_distance",
+    "dedup_edit_distance", "dpp_prune",
     "dedup_exact", "dedup_incremental", "dedup_index_admit",
     "dedup_index_probe", "dedup_index_vacuum", "dedup_keep_best",
     "dedup_minhash_lsh", "dedup_simhash", "diverse_topk_multi",

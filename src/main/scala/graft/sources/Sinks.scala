@@ -1452,8 +1452,80 @@ object Sinks {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --- D14: dynamic partition pruning ---------------------------------------
+  /** How many top days the D14 dim keeps — prunes 10 of the corpus's 30
+    * event-day partitions into the join. */
+  val DppTopDays = 10
+
+  /** Build (memoized) the date-partitioned events table and return its
+    * path — one `partitionBy(event_date)` write, the deploy layout for
+    * any time-keyed fact. */
+  def dppEventsPath(spark: SparkSession, dir: String): String = {
+    val path = IndexScratch.path("dpp_events", dir)
+    IndexScratch.ensure(path) { p =>
+      Tables(spark, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").parquet(p)
+    }
+    path
+  }
+
+  /** Dynamic partition pruning — the OTHER half of the runtime-filter
+    * story (B76 prunes rows with a bloom; D14 prunes whole PARTITIONS
+    * with the dim's key set): the fact is stored date-partitioned, the
+    * dim is a derived top-[[DppTopDays]] day calendar, and Spark plants
+    * a DynamicPruningSubquery into the fact scan's partition filters —
+    * at 100 TB the 20 unselected day-partitions are never opened, not
+    * even their footers. The dim stays a LIVE filtered plan (its
+    * `rn <= k` filter is what marks it selective to the PartitionPruning
+    * rule) and is broadcast-hinted so the pruning subquery REUSES the
+    * join's own broadcast — DPP at its default `reuseBroadcastOnly`
+    * setting, no second dim job.
+    *
+    * SinksSpec pins `dynamicpruning` in the fact scan's partition
+    * filters; the oracle re-derives the whole board from the RAW events
+    * parquet, so a pruning bug that drops or resurrects a partition
+    * breaks the hash. */
+  def dppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(dppEventsPath(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_value_dec").desc, col("event_date"))
+    val topDays = fact.groupBy(col("event_date"))
+      .agg(sum(col("value").cast("decimal(25,6)")).as("day_value_dec"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= DppTopDays)
+      .select(col("event_date").as("d"))
+    fact.join(broadcast(topDays), col("event_date") === col("d"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Olap.dsum(col("value")).as("day_value"))
+      .orderBy(col("event_date"))
+  }
+
+  /** Twin: the same top-day calendar + rollup from the raw parquet —
+    * the partition layout (and its runtime pruning) is physical, so the
+    * board must be layout-independent. The decimal day mass makes the
+    * top-k ordering exact in both engines; ties break on the date. */
+  val dppPruneSql: String =
+    s"""WITH f AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, value FROM events
+       |), d AS (
+       |  SELECT event_date FROM (
+       |    SELECT event_date, ROW_NUMBER() OVER (
+       |        ORDER BY SUM(CAST(value AS DECIMAL(25,6))) DESC,
+       |                 event_date) AS rn
+       |    FROM f GROUP BY event_date)
+       |  WHERE rn <= $DppTopDays
+       |)
+       |SELECT f.event_date, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value
+       |FROM f JOIN d USING (event_date)
+       |GROUP BY f.event_date
+       |ORDER BY f.event_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
+    "dpp_prune" -> (dppPrune _),
     "schema_evolution" -> (schemaEvolution _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "zorder_layout" -> (zorderLayout _),
@@ -1475,6 +1547,7 @@ object Sinks {
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
+    "dpp_prune" -> dppPruneSql,
     "schema_evolution" -> schemaEvolutionSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "zorder_layout" -> zorderLayoutSql,

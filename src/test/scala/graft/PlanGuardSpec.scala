@@ -147,6 +147,7 @@ class PlanGuardSpec extends SparkSpec {
     "bloom_semi_join" -> 2, // rollup agg + gate sort; the bloom probe is map-side IN the scan stage (the bloom itself aggregates eagerly at build) and the verify semi-join broadcasts the dim at gate scale
     "dedup_edit_distance" -> 5, // C2's spread ×3 branches (corpus + both text join-backs) + gate sort; band join and the O(candidates) verify joins broadcast (measured 5) — the DP itself is a per-row scalar, never an exchange
     "bucketed_join" -> 1, // the join executes eagerly over the co-bucketed tables with ZERO join-key exchanges (SinksSpec pins that plan); the returned O(priorities) board only sorts
+    "dpp_prune" -> 5, // dim calendar: day agg (2-phase) + its O(days) rank window's single-partition exchange; rollup agg + gate sort — the fact join itself broadcasts the dim and the pruning subquery REUSES that broadcast (measured 5)
     "event_transitions" -> 3, // ONE user-key window + O(types²) agg + gate sort
     "vocab_oov" -> 1, // vocab is a driver-bounded literal; scoring map-side + gate sort
     "weighted_sample" -> 2, // TakeOrderedAndProject (bounded heaps) + k-row rank window

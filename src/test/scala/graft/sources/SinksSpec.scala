@@ -249,6 +249,41 @@ class SinksSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(lt) && !spark.catalog.tableExists(ot))
   }
 
+  test("dpp_prune: the fact scan carries a dynamic pruning subquery and " +
+      "the board is layout-independent (D14)") {
+    val df = Sinks.dppPrune(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the pruning subquery rides the PARTITION filters of the fact scan —
+    // unselected day-partitions are never opened
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("dynamicpruning")),
+      s"no dynamic pruning in the fact scan:\n${plan.take(4000)}")
+    val rows = df.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length === Sinks.DppTopDays)
+    // layout-independent: equals the same computation from the RAW table
+    val raw = graft.sources.Tables(spark, sfDir).events
+      .withColumn("event_date", to_date(col("ts")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dv").desc, col("event_date"))
+    val top = raw.groupBy(col("event_date"))
+      .agg(sum(col("value").cast("decimal(25,6)")).as("dv"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= Sinks.DppTopDays).select(col("event_date").as("d"))
+    val expect = raw.join(top, col("event_date") === col("d"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Olap.dsum(col("value")).as("day_value"))
+      .orderBy(col("event_date")).collect().map(r =>
+        (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === expect.toSeq)
+    // pruning has something to prune: the artifact holds MORE
+    // day-partitions than the dim keeps
+    val dirs = new java.io.File(Sinks.dppEventsPath(spark, sfDir))
+      .listFiles.count(_.getName.startsWith("event_date="))
+    assert(dirs > Sinks.DppTopDays, s"only $dirs partitions on disk")
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(
