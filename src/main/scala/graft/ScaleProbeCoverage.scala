@@ -180,6 +180,10 @@ object ScaleProbeCoverage {
       "attribution" -> (Seq("attribution_linear"), "last-touch is one " +
         "user-key carry window; the probed linear model adds the pair " +
         "join ON TOP — strictly dominates"),
+      "attribution_time_decay" -> (Seq("attribution_linear"),
+        "B72's probed plan exactly (same RangeJoin pairs, same " +
+        "purchase-key window, same rollup) — the weight is one more " +
+        "per-pair scalar"),
       "quantiles" -> (Seq("scd2_anomaly_mv"), "the probed anomaly board " +
         "runs approx_percentile t-digest aggregation at 24x"),
       "quantile_sketch" -> (Seq("scd2_anomaly_mv"),

@@ -116,6 +116,99 @@ object OlapD {
       "user_id", "ts_us", "event_id", "event_type", "value",
       touchType = "click", convType = "purchase", AttrWindowUs)
 
+  // --- B77: TIME-DECAY multi-touch attribution ------------------------------
+  /** Decay half-life: one day — a click's weight halves per day of age
+    * at the purchase. */
+  val DecayHalfLifeUs: Long = 24L * 3600 * 1000000L
+
+  /** The third canonical attribution model (B42 last-touch, B72 linear):
+    * every click in the lookback window shares the purchase's value in
+    * proportion to 2^(−age_days) — recency-weighted credit, the
+    * standard "time decay" column of a marketing mix board.
+    *
+    * Exactness: weights are INTEGER powers of two (w = 1 << (maxAge −
+    * age_buckets), age clamped into the window's bucket range), the
+    * per-pair credit is v_micro·w // Σw in 64-bit integer arithmetic
+    * (v_micro ≤ 1e9 micro-units × w ≤ 64 ≪ 2^63), and the click rollup
+    * sums integers — bit-identical across engines, like B72. Scale
+    * shape is B72's exactly: RangeJoin pairs (bucket equi-join, never a
+    * nested loop), ONE purchase-key window for Σw, one click-key
+    * rollup. */
+  def attributionTimeDecayOn(events: DataFrame, userCol: String,
+      tsUsCol: String, seqCol: String, typeCol: String, valueCol: String,
+      touchType: String, convType: String, windowUs: Long,
+      halfLifeUs: Long): DataFrame = {
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("ts_us"), col(seqCol).as("event_id"),
+      col(typeCol).as("event_type"), col(valueCol).as("value"))
+    val clicks = base.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("ts_us").as("c_ts"))
+    val purchases = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_us").as("p_ts"),
+        (col("ts_us") - windowUs).as("w_start"),
+        floor(col("value") * 1e6).cast("long").as("v_micro"))
+    val pairs = graft.operators.RangeJoin.pointInInterval(
+      clicks, purchases, "user_id", "c_ts", "w_start", "p_ts", windowUs)
+    // a click exactly windowUs old lands one bucket past maxAge — clamp
+    // (the closed window's single boundary instant keeps weight 1)
+    val maxAge = ((windowUs - 1) / halfLifeUs).toInt
+    val wTouch = Window.partitionBy(col("user_id"),
+      col("purchase_event_id"))
+    pairs
+      .withColumn("w", expr(s"shiftleft(cast(1 as bigint), " +
+        s"cast($maxAge - least((p_ts - c_ts) div $halfLifeUs, " +
+        s"cast($maxAge as bigint)) as int))"))
+      .withColumn("w_sum", sum(col("w")).over(wTouch))
+      .withColumn("credit_micro", expr("(v_micro * w) div w_sum"))
+      .groupBy(col("user_id"), col("click_event_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("user_id"), col("click_event_id"))
+  }
+
+  def attributionTimeDecay(spark: SparkSession, dir: String): DataFrame =
+    attributionTimeDecayOn(Tables(spark, dir).events
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type", "value",
+      touchType = "click", convType = "purchase", AttrWindowUs,
+      DecayHalfLifeUs)
+
+  /** Twin: the same pairing, the same integer power-of-two weights, the
+    * same floor-division split. */
+  val attributionTimeDecaySql: String = {
+    val maxAge = ((AttrWindowUs - 1) / DecayHalfLifeUs).toInt
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+       |    event_type, value
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, event_id AS click_event_id, ts_us AS c_ts
+       |  FROM e WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_event_id, ts_us AS p_ts,
+       |    CAST(floor(value * 1e6) AS BIGINT) AS v_micro
+       |  FROM e WHERE event_type = 'purchase'
+       |), pair AS (
+       |  SELECT c.user_id, c.click_event_id, p.purchase_event_id,
+       |    p.v_micro,
+       |    CAST(1 AS BIGINT) << CAST($maxAge - LEAST(
+       |      (p.p_ts - c.c_ts) // $DecayHalfLifeUs, $maxAge) AS INTEGER)
+       |      AS w
+       |  FROM c JOIN p ON c.user_id = p.user_id
+       |    AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - $AttrWindowUs
+       |), pw AS (
+       |  SELECT *, SUM(w) OVER (PARTITION BY user_id, purchase_event_id)
+       |    AS w_sum
+       |  FROM pair)
+       |SELECT user_id, click_event_id, COUNT(*) AS n_purchases,
+       |  CAST(SUM((v_micro * w) // w_sum) AS BIGINT) AS credit_micro
+       |FROM pw
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Twin: the same closed-window pairing, touch-count window, and
     * integer micro-unit split. */
   val attributionLinearSql: String =
@@ -556,6 +649,7 @@ object OlapD {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution" -> (attribution _),
     "attribution_linear" -> (attributionLinear _),
+    "attribution_time_decay" -> (attributionTimeDecay _),
     "triangle_count" -> (triangleCount _),
     "interval_overlap" -> (intervalOverlapQ _),
     "unpivot_wide" -> (unpivotWide _),
@@ -565,6 +659,7 @@ object OlapD {
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
     "attribution_linear" -> attributionLinearSql,
+    "attribution_time_decay" -> attributionTimeDecaySql,
     "triangle_count" -> triangleCountSql,
     "interval_overlap" -> intervalOverlapSql,
     "unpivot_wide" -> unpivotWideSql,

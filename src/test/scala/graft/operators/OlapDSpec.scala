@@ -155,6 +155,58 @@ class OlapDSpec extends SparkSpec {
         s"last-touch click $c of user $user received no linear credit")) }
   }
 
+  test("attribution_time_decay: power-of-two recency weights, integer " +
+      "split, window-edge clamp, conservation (B77)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600L * 1000000L
+    val p = 1000L * hourUs // purchase instant
+    // clicks at ages 0h / 25h / 73h → day buckets 0/1/3 → weights 64/32/8;
+    // plus one at EXACTLY the window edge (7 days) → clamped to weight 1
+    val evs = Seq(
+      (1L, p, 10L, "purchase", 100.0),
+      (1L, p, 1L, "click", 0.0),
+      (1L, p - 25 * hourUs, 2L, "click", 0.0),
+      (1L, p - 73 * hourUs, 3L, "click", 0.0),
+      (1L, p - OlapD.AttrWindowUs, 4L, "click", 0.0),
+      // outside the window by 1 us: no credit
+      (1L, p - OlapD.AttrWindowUs - 1, 5L, "click", 0.0),
+      // an unrelated user's click: never paired
+      (2L, p, 6L, "click", 0.0))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val got = OlapD.attributionTimeDecayOn(evs, "user_id", "ts_us",
+        "event_id", "event_type", "value", "click", "purchase",
+        OlapD.AttrWindowUs, OlapD.DecayHalfLifeUs).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toMap
+    val vMicro = 100000000L
+    val wSum = 64L + 32 + 8 + 1
+    assert(got === Map(
+      1L -> vMicro * 64 / wSum, 2L -> vMicro * 32 / wSum,
+      3L -> vMicro * 8 / wSum, 4L -> vMicro * 1 / wSum))
+    // recency strictly dominates within the purchase
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+    // conservation: full value minus only the floor remainders
+    val dist = got.values.sum
+    assert(dist <= vMicro && dist >= vMicro - 4)
+
+    // real corpus: same credited-pair structure as B72 (same window,
+    // same RangeJoin pairs) — identical click set and purchase counts,
+    // total credit bounded by linear's conservation envelope
+    val decay = OlapD.attributionTimeDecay(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val linear = OlapD.attributionLinear(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(decay.nonEmpty && decay.keySet === linear.keySet)
+    assert(decay.forall { case (k, (np, _)) => linear(k)._1 == np })
+    val dTot = decay.values.map(_._2).sum
+    val lTot = linear.values.map(_._2).sum
+    val pairsTot = linear.values.map(_._1).sum
+    // both models distribute the same mass up to floor remainders
+    assert(math.abs(dTot - lTot) <= pairsTot)
+  }
+
   test("bloom_semi_join: bloom pre-filter is semantically invisible, " +
       "sound (no false negatives), deterministic, and scan-fused (B76)") {
     import org.apache.spark.sql.functions._
