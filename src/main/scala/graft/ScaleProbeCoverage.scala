@@ -191,6 +191,12 @@ object ScaleProbeCoverage {
       "ppl_band_select" -> (Seq("kn_logprob"), "the scorer IS the probed " +
         "KN plan; thresholds are one bounded 2-value percentile agg " +
         "(t-digest on the deploy path) and banding is a pure map"),
+      "stream_substring_scrub" -> (Seq("substring_dedup",
+        "stream_line_dedup"), "the frozen census trains offline; the " +
+        "per-batch scrub is the probed C44 window census join (linear, " +
+        "no pair join) riding the B67-probed parquet-sink drain — its " +
+        "own 24x dirKey would trip the +1e8 seeding vs replica-shift " +
+        "id-aliasing trap the ledger documents for dedup_compare"),
       "substring_scrub" -> (Seq("substring_dedup"), "the same window-df " +
         "census + 1:df join as the probed C44 (linear, no pair join); " +
         "the scrub adds a doc-keyed start-collect agg and pure array " +

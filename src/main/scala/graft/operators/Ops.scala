@@ -253,25 +253,52 @@ object Dedup {
     * per-token coverage test is exists() over the start list — O(len ×
     * starts) per doc, fine at document scale; an interval-merge fold
     * drops it to O(len) if ever needed. */
-  def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
-    // tokenization parity with the word_shingles kernel (Java
-    // trim/split): SQL trim strips only ' ' and SQL split keeps edge
-    // empties, so text edged with '\n'/'\t' would tokenize differently
-    // from C44's census — filtering empties after a raw \s+ split is
-    // equivalent to Java's trim-then-split for every whitespace edge
-    val toks = df.select(col(idCol).as("_id"),
+  /** Tokenization parity with the word_shingles kernel (Java
+    * trim/split): SQL trim strips only ' ' and SQL split keeps edge
+    * empties, so text edged with '\n'/'\t' would tokenize differently
+    * from C44's census — filtering empties after a raw \s+ split is
+    * equivalent to Java's trim-then-split for every whitespace edge. */
+  private def scrubToks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
       expr(s"filter(split(`$textCol`, '\\\\s+'), x -> x != '')").as("_t"))
-    val ex = toks
+
+  /** Positional w-windows of each doc: (_id, _i start position, _s text). */
+  private def scrubWindows(toks: DataFrame, w: Int): DataFrame =
+    toks
       .select(col("_id"), explode(expr(
         s"IF(size(_t) >= $w, transform(sequence(1, size(_t) - ${w - 1}), " +
           s"i -> struct(i AS i, array_join(slice(_t, i, $w), ' ') AS s)), " +
           "array())")).as("_w"))
       .select(col("_id"), col("_w.i").as("_i"), col("_w.s").as("_s"))
-    // cross-document df over per-doc DISTINCT windows (C44's spelling)
-    val dfreq = ex.select(col("_id"), col("_s")).distinct()
+
+  /** The cross-document duplicated-window census behind
+    * [[scrubDuplicatedWindows]] — one `_s` column, every w-window
+    * carried by ≥ 2 documents (per-doc distinct, C44's spelling). Split
+    * out so a streaming twin can FREEZE it on the corpus snapshot and
+    * scrub arrivals against it (the B51/B75 frozen-model discipline). */
+  def dupWindowsOf(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val ex = scrubWindows(scrubToks(df, idCol, textCol), w)
+    ex.select(col("_id"), col("_s")).distinct()
       .groupBy(col("_s")).agg(count(lit(1)).as("_df"))
-    val dupStarts = ex.join(dfreq, Seq("_s")).filter(col("_df") > 1)
+      .filter(col("_df") > 1).select(col("_s"))
+  }
+
+  def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    scrubWithDupWindows(dupWindowsOf(df, idCol, textCol, w),
+      df, idCol, textCol, w)
+
+  /** The scrub half against a PRECOMPUTED dup-window set (O(dup
+    * windows), broadcast-class at any corpus the census fits): flag dup
+    * starts with one window-keyed equi-join, collect per doc, scrub as
+    * pure array algebra. */
+  def scrubWithDupWindows(dupWindows: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = scrubToks(df, idCol, textCol)
+    val ex = scrubWindows(toks, w)
+    val dupStarts = ex.join(dupWindows, Seq("_s"))
       .groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_i"))).as("_starts"))
     toks.join(dupStarts, Seq("_id"), "left")

@@ -600,6 +600,41 @@ object StreamOps {
     }
   }
 
+  val SubstrScrubQueryName = "graft_stream_substring_scrub"
+
+  /** B78: C96's exact-substring scrub over a LIVE document feed — the
+    * frozen-model discipline applied to the REMOVAL policy: the
+    * cross-document duplicated-window census trains OFFLINE on the
+    * corpus snapshot ([[graft.operators.Dedup.dupWindowsOf]], eagerly
+    * checkpointed — O(dup windows), a broadcast-class table like B51's
+    * LM tables), and every arriving document scrubs against it
+    * statelessly per micro-batch (each doc lands wholly in one batch;
+    * the C96 seeding is a per-row map + self-union, so batch-local
+    * seeding ≡ global seeding). On the training corpus the drain EQUALS
+    * batch C96 bit-for-bit and shares its oracle. At deploy the census
+    * refreshes on the retrain cadence; a dup span born between
+    * refreshes is caught at the next one — the documented frozen-model
+    * behavior, not an error. */
+  def streamSubstringScrub(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val spark = streamingSession(rootSpark)
+    val frozenDups = Dedup.dupWindowsOf(
+      TextOps.dedupCorpus(spark, dir), "doc_id", "text", TextOps.SubstrW)
+      .localCheckpoint(eager = true)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def seed(mb: DataFrame): DataFrame = {
+      val d = mb.select(col("doc_id"), col("text"))
+      d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+    drainViaParquetSink(spark, docs, SubstrScrubQueryName,
+      xform = (mb, _) => Dedup.scrubWithDupWindows(frozenDups, seed(mb),
+        "doc_id", "text", TextOps.SubstrW))
+      .orderBy(col("doc_id"))
+  }
+
   val NbScoreQueryName = "graft_stream_nb_score"
 
   /** B63: C78's NB quality classifier over a LIVE document feed — the
@@ -1272,6 +1307,7 @@ object StreamOps {
     "stream_hh_topk" -> (streamHhTopk _),
     "stream_kn_score" -> (streamKnScore _),
     "stream_ppl_band" -> (streamPplBand _),
+    "stream_substring_scrub" -> (streamSubstringScrub _),
     "stream_nb_score" -> (streamNbScore _),
     "stream_unigram_encode" -> (streamUnigramEncode _),
     "stream_quality_ensemble" -> (streamQualityEnsemble _),
@@ -1306,6 +1342,9 @@ object StreamOps {
     "stream_kn_score" -> graft.operators.CorpusOps.knLogprobSql,
     // frozen thresholds == the batch percentiles, so the drain equals C95
     "stream_ppl_band" -> graft.operators.CorpusOps.pplBandSelectSql,
+    // frozen census == the batch census on the training corpus, so the
+    // drain equals C96 — shares its oracle verbatim
+    "stream_substring_scrub" -> graft.operators.TextOps.substringScrubSql,
     // drain == batch C78 (stateless per-doc scoring under the same
     // offline-trained model) — shares its oracle verbatim
     "stream_nb_score" -> graft.operators.Pipeline.qualityClassifierSql,

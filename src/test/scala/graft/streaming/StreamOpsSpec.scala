@@ -218,6 +218,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed substring scrub equals the batch scrub " +
+      "(B78 == C96, frozen dup-window census)") {
+    val s = StreamOps.streamSubstringScrub(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.TextOps.substringScrub(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+    // the drain actually scrubbed something: the seeded exact copies
+    // guarantee a nonzero removal mass
+    val removed = StreamOps.streamSubstringScrub(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+    assert(removed > 0)
+  }
+
   test("streamed KN scorer on the broadcast-join path equals the batch query") {
     // literalMax = 0 forces the production-K spelling (stream-static
     // broadcast joins + per-doc rollup) on the gate corpus

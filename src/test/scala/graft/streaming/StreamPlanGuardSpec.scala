@@ -56,6 +56,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_line_dedup" -> 2, // line df census + LEFT join back
     "graft_stream_decontaminate" -> 3, // bench bcast + pair dedup + verify join
     "graft_stream_quality_ensemble" -> 5, // B66's own 3-signal vote joins
+    "graft_stream_substring_scrub" -> 2, // dup-start collect agg + the doc-key join back; the frozen census joins broadcast
     "graft_stream_admission_chain" -> 5 // B61's staged gate joins
   )
 
