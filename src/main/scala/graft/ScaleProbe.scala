@@ -788,6 +788,7 @@ object ScaleProbe {
     dirKey("dedup_edit_distance")
     dirKey("bucketed_join")
     dirKey("dpp_prune")
+    dirKey("activity_streaks")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

@@ -564,6 +564,59 @@ object OlapD {
        |   ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
        |) ORDER BY tbl, chk""".stripMargin
 
+  // --- B79: gaps-and-islands activity streaks -------------------------------
+  /** Per-user consecutive-active-day streaks — the canonical
+    * gaps-and-islands query (retention/engagement boards ask "longest
+    * streak" constantly; Spark has no native island operator): distinct
+    * active days → the row_number−date anchor trick groups each maximal
+    * run of consecutive days under one constant key → island lengths →
+    * per-user rollup.
+    *
+    * Scale shape: ONE user-key exchange total. The stream repartitions
+    * on user FIRST, so the (user, day) distinct, the day window, the
+    * (user, anchor) island aggregation, and the user rollup all reuse
+    * that single partitioning (hash(user) co-locates every finer key) —
+    * the classic island chain costs the same as one groupBy. */
+  def activityStreaksOn(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("d")).agg(lit(1))
+      .select(col("user_id"), col("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaksOn(Tables(spark, dir).events, "user_id", "ts")
+
+  /** Twin: the same anchor trick — date minus row_number is exact date
+    * arithmetic in both engines. */
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |), n AS (
+      |  SELECT user_id, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+      |        AS INTEGER) AS anchor
+      |  FROM days
+      |), isl AS (
+      |  SELECT user_id, anchor, COUNT(*) AS len FROM n GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+      |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+      |FROM isl GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // --- B76: bloom-pruned semi-join (runtime join filter) --------------------
   /** GATE sizing for the dim-key runtime filter: 2²⁰ bits = 128 KiB of
     * bloom, ~8 bits/key up to the 2¹⁷ estimated-items ceiling (<3% fp
@@ -654,7 +707,8 @@ object OlapD {
     "interval_overlap" -> (intervalOverlapQ _),
     "unpivot_wide" -> (unpivotWide _),
     "table_integrity" -> (tableIntegrity _),
-    "bloom_semi_join" -> (bloomSemiJoin _))
+    "bloom_semi_join" -> (bloomSemiJoin _),
+    "activity_streaks" -> (activityStreaks _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
@@ -664,5 +718,6 @@ object OlapD {
     "interval_overlap" -> intervalOverlapSql,
     "unpivot_wide" -> unpivotWideSql,
     "table_integrity" -> tableIntegritySql,
-    "bloom_semi_join" -> bloomSemiJoinSql)
+    "bloom_semi_join" -> bloomSemiJoinSql,
+    "activity_streaks" -> activityStreaksSql)
 }

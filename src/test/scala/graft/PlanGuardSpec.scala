@@ -165,6 +165,7 @@ class PlanGuardSpec extends SparkSpec {
     "attribution" -> 2, // ONE user-key carry window + gate sort
     "attribution_linear" -> 5, // bucket equi-join pairs, purchase-key touch window, click-key rollup, gate sort — every exchange carries pairs/touches, never the raw stream twice
     "attribution_time_decay" -> 5, // B72's budget exactly: the weight is a per-pair scalar and Σw rides the same purchase-key window the touch count did
+    "activity_streaks" -> 2, // ONE user-key exchange (repartition first; the day distinct, day window, island agg, and user rollup all reuse hash(user)) + gate sort
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
     "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand

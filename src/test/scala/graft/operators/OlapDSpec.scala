@@ -155,6 +155,41 @@ class OlapDSpec extends SparkSpec {
         s"last-touch click $c of user $user received no linear credit")) }
   }
 
+  test("activity_streaks: islands on seeded days, brute-force parity on " +
+      "the real corpus, one user-key exchange (B79)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: days 1,2,3 | 5 | 10,11 (with a same-day duplicate);
+    // user 2: one day
+    val evs = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"),
+      (1L, "2024-01-03"), (1L, "2024-01-05"),
+      (1L, "2024-01-10"), (1L, "2024-01-11"),
+      (2L, "2024-02-01"))
+      .toDF("user_id", "day")
+      .select(col("user_id"), (col("day").cast("date")).cast("timestamp")
+        .as("ts"))
+    val got = OlapD.activityStreaksOn(evs, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 6L, 3L, 3L), (2L, 1L, 1L, 1L)))
+
+    // real corpus: brute-force reimplementation over collected days
+    val days = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = days.toSeq.map { case (u, ds) =>
+      val streaks = ds.foldLeft(List.empty[Long]) { (acc, d) => acc match {
+        case h :: t if ds.contains(d.minusDays(1)) => (h + 1) :: t
+        case _ => 1L :: acc
+      }}
+      (u, ds.size.toLong, streaks.size.toLong, streaks.max)
+    }.sortBy(_._1)
+    val real = OlapD.activityStreaks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty && real.toSeq === expected)
+  }
+
   test("attribution_time_decay: power-of-two recency weights, integer " +
       "split, window-edge clamp, conservation (B77)") {
     import spark.implicits._
