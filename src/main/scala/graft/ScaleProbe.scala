@@ -732,7 +732,9 @@ object ScaleProbe {
       "schema_evolution", "cdc_compact", "attribution_linear",
       "etl_receipts", "etl_webhook_json", "q5_multijoin", "range_join",
       "salted_join", "triangle_count", "resample_ffill",
-      "multimodal_frames", "cdc_compact_rewrite")
+      "multimodal_frames", "cdc_compact_rewrite",
+      "bloom_semi_join", "dedup_edit_distance", "bucketed_join",
+      "dpp_prune", "activity_streaks", "rfm_segments")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -789,6 +791,7 @@ object ScaleProbe {
     dirKey("bucketed_join")
     dirKey("dpp_prune")
     dirKey("activity_streaks")
+    dirKey("rfm_segments")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

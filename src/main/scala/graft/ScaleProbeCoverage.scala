@@ -48,7 +48,8 @@ object ScaleProbeCoverage {
     "multimodal_frames", "norm_dedup", "orc_roundtrip", "pack_sequences",
     "pack_sequences_bpe", "prepare_pretrain", "q5_multijoin",
     "quality_classifier", "quality_drift", "quality_ensemble",
-    "range_join", "resample_ffill", "salted_join", "scd2_anomaly_mv",
+    "range_join", "resample_ffill", "rfm_segments",
+    "salted_join", "scd2_anomaly_mv",
     "schema_evolution", "semantic_dedup", "simhash_index_build",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
@@ -89,6 +90,7 @@ object ScaleProbeCoverage {
     "norm_dedup", "orc_roundtrip", "pack_sequences", "pack_sequences_bpe",
     "prepare_pretrain", "q5_multijoin", "quality_classifier",
     "quality_drift", "quality_ensemble", "range_join", "resample_ffill",
+    "rfm_segments",
     "salted_join", "schema_evolution", "semantic_dedup",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",

@@ -617,6 +617,85 @@ object OlapD {
       |FROM isl GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // --- B80: RFM customer segmentation ---------------------------------------
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * CRM mart rollup: per user, days since last purchase (anchored at
+    * the corpus's max event time — "as of the load"), purchase count,
+    * and value mass, each scored into quartiles; the familiar
+    * "champion / loyal / at-risk / dormant" read is the (r,f,m) tuple.
+    *
+    * Exactness: quartiles are exact `ntile(4)` with a total order
+    * (metric, then user id) so both engines bucket identically; the
+    * monetary metric ORDERS as DECIMAL (exact) and reports as double.
+    * Scale shape: events shrink to O(users) in ONE user-key partial
+    * agg before any window; the three ntile windows then sort O(users)
+    * rows in a single partition each — the defined-partition price the
+    * exact oracle needs (the B23/B16 discipline: at deploy the
+    * quartile thresholds come from `approx_percentile` t-digests,
+    * bounded state, and banding is a map — exact ntile is the gate
+    * path). The 1-row max-ts anchor broadcasts onto the user rollup. */
+  def rfmSegmentsOn(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String): DataFrame = {
+    val purchases = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(valueCol).as("value"))
+    val anchor = events.select(max(to_date(col(tsCol))).as("anchor_d"))
+    val perUser = purchases
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(25,6)")).as("monetary_dec"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("anchor_d"), col("last_d")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_dec"))
+    val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
+    val fW = Window.orderBy(col("frequency").asc, col("user_id"))
+    val mW = Window.orderBy(col("monetary_dec").asc, col("user_id"))
+    perUser
+      .withColumn("r_q", ntile(4).over(rW))
+      .withColumn("f_q", ntile(4).over(fW))
+      .withColumn("m_q", ntile(4).over(mW))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_dec").cast("double").as("monetary"),
+        col("r_q").cast("long").as("r_q"),
+        col("f_q").cast("long").as("f_q"),
+        col("m_q").cast("long").as("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOn(Tables(spark, dir).events, "user_id", "ts",
+      "event_type", "value", "purchase")
+
+  /** Twin: the same anchored rollup and the same totally-ordered
+    * ntile(4)s (ANSI bucket distribution in both engines). */
+  val rfmSegmentsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |), u AS (
+      |  SELECT user_id,
+      |    (SELECT MAX(CAST(ts AS DATE)) FROM events)
+      |      - MAX(CAST(ts AS DATE)) AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    SUM(CAST(value AS DECIMAL(25,6))) AS monetary_dec
+      |  FROM p GROUP BY user_id
+      |), q AS (
+      |  SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+      |    frequency, monetary_dec,
+      |    NTILE(4) OVER (ORDER BY recency_days DESC, user_id) AS r_q,
+      |    NTILE(4) OVER (ORDER BY frequency ASC, user_id) AS f_q,
+      |    NTILE(4) OVER (ORDER BY monetary_dec ASC, user_id) AS m_q
+      |  FROM u)
+      |SELECT user_id, recency_days, frequency,
+      |  CAST(monetary_dec AS DOUBLE) AS monetary, r_q, f_q, m_q,
+      |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+      |    || CAST(m_q AS VARCHAR) AS segment
+      |FROM q
+      |ORDER BY user_id""".stripMargin
+
   // --- B76: bloom-pruned semi-join (runtime join filter) --------------------
   /** GATE sizing for the dim-key runtime filter: 2²⁰ bits = 128 KiB of
     * bloom, ~8 bits/key up to the 2¹⁷ estimated-items ceiling (<3% fp
@@ -708,7 +787,8 @@ object OlapD {
     "unpivot_wide" -> (unpivotWide _),
     "table_integrity" -> (tableIntegrity _),
     "bloom_semi_join" -> (bloomSemiJoin _),
-    "activity_streaks" -> (activityStreaks _))
+    "activity_streaks" -> (activityStreaks _),
+    "rfm_segments" -> (rfmSegments _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
@@ -719,5 +799,6 @@ object OlapD {
     "unpivot_wide" -> unpivotWideSql,
     "table_integrity" -> tableIntegritySql,
     "bloom_semi_join" -> bloomSemiJoinSql,
-    "activity_streaks" -> activityStreaksSql)
+    "activity_streaks" -> activityStreaksSql,
+    "rfm_segments" -> rfmSegmentsSql)
 }

@@ -64,7 +64,9 @@ class PlanGuardSpec extends SparkSpec {
     // same board, plus the 1-row SLICE-count frame on the sampled C4 row
     "dedup_compare_sampled",
     // 1-row tercile-thresholds frame broadcast onto the scored stream
-    "ppl_band_select")
+    "ppl_band_select",
+    // 1-row max-ts anchor frame broadcast onto the O(users) rollup
+    "rfm_segments")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -166,6 +168,7 @@ class PlanGuardSpec extends SparkSpec {
     "attribution_linear" -> 5, // bucket equi-join pairs, purchase-key touch window, click-key rollup, gate sort — every exchange carries pairs/touches, never the raw stream twice
     "attribution_time_decay" -> 5, // B72's budget exactly: the weight is a per-pair scalar and Σw rides the same purchase-key window the touch count did
     "activity_streaks" -> 2, // ONE user-key exchange (repartition first; the day distinct, day window, island agg, and user rollup all reuse hash(user)) + gate sort
+    "rfm_segments" -> 3, // user-key rollup + ONE single-partition exchange feeding all three ntile sorts (the 2nd/3rd re-sort in place) + gate sort; the 1-row anchor broadcasts (measured 3)
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
     "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand

@@ -155,6 +155,50 @@ class OlapDSpec extends SparkSpec {
         s"last-touch click $c of user $user received no linear credit")) }
   }
 
+  test("rfm_segments: hand-checked quartiles on seeded users, ordered " +
+      "monotonicity and balance on the real corpus (B80)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // anchor day comes from ALL events (the trailing click), not just
+    // purchases
+    val evs = Seq(
+      (1L, "2024-01-01", "purchase", 10.0),
+      (1L, "2024-01-05", "purchase", 30.0),
+      (2L, "2024-01-08", "purchase", 5.0),
+      (3L, "2024-01-02", "purchase", 100.0),
+      (4L, "2024-01-09", "purchase", 1.0),
+      (9L, "2024-01-11", "click", 0.0))
+      .toDF("user_id", "day", "event_type", "value")
+      .select(col("user_id"), col("day").cast("date").cast("timestamp")
+        .as("ts"), col("event_type"), col("value"))
+    val got = OlapD.rfmSegmentsOn(evs, "user_id", "ts", "event_type",
+        "value", "purchase").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got === Map(
+      1L -> ((6L, 2L, 40.0, 2L, 4L, 3L, "243")),
+      2L -> ((3L, 1L, 5.0, 3L, 1L, 2L, "312")),
+      3L -> ((9L, 1L, 100.0, 1L, 2L, 4L, "124")),
+      4L -> ((2L, 1L, 1.0, 4L, 3L, 1L, "431"))))
+
+    // real corpus: ntile assignment respects each metric's total order
+    // and buckets stay balanced within one user
+    val real = OlapD.rfmSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(real.nonEmpty)
+    def monotone(sorted: Seq[Long]): Boolean =
+      sorted.zip(sorted.tail).forall { case (a, b) => a <= b }
+    assert(monotone(real.sortBy(u => (-u._2, u._1)).map(_._5).toSeq)) // r_q
+    assert(monotone(real.sortBy(u => (u._3, u._1)).map(_._6).toSeq)) // f_q
+    assert(monotone(real.sortBy(u => (u._4, u._1)).map(_._7).toSeq)) // m_q
+    Seq(real.map(_._5), real.map(_._6), real.map(_._7)).foreach { qs =>
+      val sizes = qs.groupBy(identity).view.mapValues(_.size).values
+      assert(qs.toSet === Set(1L, 2L, 3L, 4L) &&
+        sizes.max - sizes.min <= 1)
+    }
+  }
+
   test("activity_streaks: islands on seeded days, brute-force parity on " +
       "the real corpus, one user-key exchange (B79)") {
     import spark.implicits._
