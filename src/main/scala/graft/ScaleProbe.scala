@@ -734,7 +734,7 @@ object ScaleProbe {
       "salted_join", "triangle_count", "resample_ffill",
       "multimodal_frames", "cdc_compact_rewrite",
       "bloom_semi_join", "dedup_edit_distance", "bucketed_join",
-      "dpp_prune", "activity_streaks", "rfm_segments")
+      "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -792,6 +792,7 @@ object ScaleProbe {
     dirKey("dpp_prune")
     dirKey("activity_streaks")
     dirKey("rfm_segments")
+    dirKey("tfidf_topterms")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

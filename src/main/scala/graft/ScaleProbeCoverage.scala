@@ -61,7 +61,8 @@ object ScaleProbeCoverage {
     "stream_sessions_native", "stream_topk", "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "table_integrity", "text_entropy",
-    "text_repetition", "triangle_count", "trigram_logprob",
+    "text_repetition", "tfidf_topterms", "triangle_count",
+    "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",
     "vocab_fertility", "vocab_growth", "wordpiece_encode",
     "zorder3_layout", "zorder_prune", "zorder_write")
@@ -102,7 +103,8 @@ object ScaleProbeCoverage {
     "stream_sessions_native", "stream_topk", "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "table_integrity", "text_entropy",
-    "text_repetition", "triangle_count", "trigram_logprob",
+    "text_repetition", "tfidf_topterms", "triangle_count",
+    "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",
     "vocab_fertility", "vocab_growth", "wordpiece_encode",
     "zorder3_layout", "zorder_prune")

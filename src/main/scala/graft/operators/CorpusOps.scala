@@ -2032,6 +2032,73 @@ object CorpusOps {
        |CROSS JOIN n
        |ORDER BY token_a, token_b""".stripMargin
 
+  // --- C98: per-document top-k TF-IDF terms ---------------------------------
+  /** How many top terms C98 keeps per document. */
+  val TfidfTopK = 5
+
+  /** Per-document top-k TF-IDF keyterms — the other classic use of the
+    * BM25 statistics (C41 ranks DOCUMENTS for a query; C98 ranks TERMS
+    * for a document): keyword extraction / doc labeling, the first
+    * feature a corpus-exploration UI asks for.
+    *
+    * Parity: the per-term idf is floor-quantized to integer piconats
+    * ONCE (`floor(ln(N/df)·1e12)`, the C31/C49 discipline) and the
+    * score is tf × idf_pico in exact integer arithmetic; ranking orders
+    * (score desc, term) — a total order, so both engines pick identical
+    * rows. Scale shape: ONE doc-key exchange total — the token stream
+    * repartitions on doc first, so the (doc, term) tf agg and the
+    * per-doc rank window reuse hash(doc); the df table aggregates once
+    * (bounded by vocabulary) and broadcasts back onto the tf rows. */
+  def tfidfTopTermsOn(documents: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = documents.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val nDocs = documents.count()
+    val tf = toks.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_pico").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score_pico", expr(
+        s"tf * CAST(floor(ln(CAST($nDocs AS DOUBLE) / df) * 1e12) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("score_pico"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOn(Tables(spark, dir).documents, "doc_id", "text",
+      TfidfTopK)
+
+  /** Twin: the same quantized idf, integer score, and total-order rank. */
+  val tfidfTopTermsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), n AS (SELECT COUNT(*) AS n FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY 1, 2
+       |), dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    tf.tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1e12) AS BIGINT)
+       |      AS score_pico
+       |  FROM tf JOIN dfc USING (term) CROSS JOIN n
+       |), r AS (
+       |  SELECT doc_id, term, tf, score_pico,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_pico DESC, term) AS rnk
+       |  FROM s)
+       |SELECT doc_id, rnk, term, tf, score_pico
+       |FROM r WHERE rnk <= $TfidfTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+
   // --- C39: vocabulary OOV audit -------------------------------------------
   /** Tokenizer-audit vocabulary size — deliberately below the synthetic
     * corpus' full vocabulary so the OOV tail is non-empty at every sf. */
@@ -3677,6 +3744,7 @@ object CorpusOps {
     "corpus_mixture" -> (corpusMixture _),
     "export_shards" -> (exportShards _),
     "token_pmi" -> (tokenPmi _),
+    "tfidf_topterms" -> (tfidfTopTerms _),
     "vocab_oov" -> (vocabOov _),
     "weighted_sample" -> (weightedSample _),
     "phrase_merge" -> (phraseMerge _),
@@ -3716,6 +3784,7 @@ object CorpusOps {
     "corpus_mixture" -> corpusMixtureSql,
     "export_shards" -> exportShardsSql,
     "token_pmi" -> tokenPmiSql,
+    "tfidf_topterms" -> tfidfTopTermsSql,
     "vocab_oov" -> vocabOovSql,
     "weighted_sample" -> weightedSampleSql,
     "phrase_merge" -> phraseMergeSql,

@@ -169,6 +169,7 @@ class PlanGuardSpec extends SparkSpec {
     "attribution_time_decay" -> 5, // B72's budget exactly: the weight is a per-pair scalar and Σw rides the same purchase-key window the touch count did
     "activity_streaks" -> 2, // ONE user-key exchange (repartition first; the day distinct, day window, island agg, and user rollup all reuse hash(user)) + gate sort
     "rfm_segments" -> 3, // user-key rollup + ONE single-partition exchange feeding all three ntile sorts (the 2nd/3rd re-sort in place) + gate sort; the 1-row anchor broadcasts (measured 3)
+    "tfidf_topterms" -> 4, // doc-key spread (tf agg + rank window reuse it), df-table partial agg (bounded by vocab, broadcast back) + gate sort (measured 4)
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
     "unpivot_wide" -> 4, // the pivot's partial/final agg exchanges + gate sort; the melt itself is a map-side Expand

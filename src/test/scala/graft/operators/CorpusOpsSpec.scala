@@ -1279,4 +1279,46 @@ class CorpusOpsSpec extends SparkSpec {
     val moved = rows.count { case (id, _, band, _) => approx(id) != band }
     assert(moved <= math.max(1, n / 20), s"$moved of $n docs changed band")
   }
+
+  test("tfidf_topterms: hand-checked board on a seeded corpus, exact " +
+      "brute-force parity over the real corpus (C98)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common")).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopTermsOn(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    def idf(n: Long, df: Long): Long =
+      math.floor(math.log(n.toDouble / df) * 1e12).toLong
+    assert(got.toSeq === Seq(
+      (1L, 1L, "apple", 2L, 2 * idf(3, 1)),
+      (1L, 2L, "banana", 1L, idf(3, 2)),
+      (1L, 3L, "common", 1L, 0L),
+      (2L, 1L, "cherry", 1L, idf(3, 1)),
+      (2L, 2L, "banana", 1L, idf(3, 2)),
+      (2L, 3L, "common", 1L, 0L),
+      (3L, 1L, "common", 2L, 0L)))
+
+    // real corpus: exact brute-force recomputation in plain Scala
+    val texts = graft.sources.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = texts.length.toLong
+    val dfm = texts.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = texts.flatMap { case (id, ts) =>
+      ts.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .map { case (t, tf) => (t, tf, tf * idf(n, dfm(t))) }
+        .sortBy { case (t, _, s) => (-s, t) }
+        .take(CorpusOps.TfidfTopK).zipWithIndex
+        .map { case ((t, tf, s), i) => (id, i + 1L, t, tf, s) }
+    }.sortBy(r => (r._1, r._2))
+    val real = CorpusOps.tfidfTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(real.nonEmpty && real.toSeq === expected)
+  }
 }
