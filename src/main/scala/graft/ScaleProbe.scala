@@ -734,7 +734,8 @@ object ScaleProbe {
       "salted_join", "triangle_count", "resample_ffill",
       "multimodal_frames", "cdc_compact_rewrite",
       "bloom_semi_join", "dedup_edit_distance", "bucketed_join",
-      "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms")
+      "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms",
+      "csv_roundtrip")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -763,6 +764,7 @@ object ScaleProbe {
     dirKey("layout_compare3")
     // corpus-scanning censuses — expect ~linear in corpus size
     dirKey("orc_roundtrip")
+    dirKey("csv_roundtrip")
     dirKey("vocab_growth")
     dirKey("uncertainty_sample")
     dirKey("table_integrity")

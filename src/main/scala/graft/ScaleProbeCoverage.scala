@@ -28,6 +28,7 @@ object ScaleProbeCoverage {
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
     "chunk_documents",
     "cluster_sample", "compact_plan", "compact_rewrite", "corpus_mixture",
+    "csv_roundtrip",
     "decontaminate", "decontaminate_containment", "decontaminate_fuzzy",
     "decontaminate_simhash", "dedup_clusters", "dedup_compare_sampled",
     "dedup_edit_distance", "dpp_prune",
@@ -75,6 +76,7 @@ object ScaleProbeCoverage {
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",
     "chunk_documents",
     "cluster_sample", "compact_plan", "compact_rewrite", "corpus_mixture",
+    "csv_roundtrip",
     "decontaminate", "decontaminate_containment", "decontaminate_fuzzy",
     "decontaminate_simhash", "dedup_clusters", "dedup_compare_sampled",
     "dedup_edit_distance", "dpp_prune",

@@ -1325,6 +1325,48 @@ object Sinks {
        |ORDER BY source""".stripMargin
   }
 
+  // --- D15: CSV round-trip ---------------------------------------------------
+  /** The third format in the lakehouse board next to parquet (gate
+    * tables) and ORC (D4) — the TEXT format every intake still speaks
+    * (and the reference ingests exclusively, intake/handlers.py): the
+    * documents table is written ONCE as quoted/escaped CSV with an
+    * explicit read schema (CSV carries no types), read back through the
+    * CSV reader, and rolled up to D4's format-independent per-source
+    * fingerprint board — the oracle computes the SAME board from
+    * parquet, so hash equality proves the CSV writer/reader round-trips
+    * every row and column through the quoting/escaping edge cases
+    * (multiValue text, delimiters, quotes) losslessly. Avro's datasource
+    * jar is absent from this Spark distribution (core avro only) —
+    * documented, ORC+CSV carry the format-independence proof.
+    * Scale shape: one write (memoized), one partial-agg rollup over the
+    * CSV scan — D4's 2-exchange budget. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexScratch.path("csvrt", dir)
+    IndexScratch.ensure(path) { p =>
+      Tables(spark, dir).documents
+        .write.option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").csv(p)
+    }
+    val perCol = Seq(col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))
+      .map(c => md5(coalesce(c, lit("<NULL>"))))
+    val h48 = conv(substring(md5(concat(perCol: _*)), 1, 12), 16, 10)
+      .cast("long")
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(h48).as("content_h"))
+      .orderBy(col("source"))
+  }
+
+  /** Twin: D4's board verbatim — format-independent by construction. */
+  val csvRoundtripSql: String = orcRoundtripSql
+
   // --- D11: schema-evolution read ------------------------------------------
   /** A long-lived lake table's schema EVOLVES: early shards carry v1
     * (doc_id, text, lang), later shards add (source, n_chars). This key
@@ -1528,6 +1570,7 @@ object Sinks {
     "dpp_prune" -> (dppPrune _),
     "schema_evolution" -> (schemaEvolution _),
     "orc_roundtrip" -> (orcRoundtrip _),
+    "csv_roundtrip" -> (csvRoundtrip _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
@@ -1550,6 +1593,7 @@ object Sinks {
     "dpp_prune" -> dppPruneSql,
     "schema_evolution" -> schemaEvolutionSql,
     "orc_roundtrip" -> orcRoundtripSql,
+    "csv_roundtrip" -> csvRoundtripSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,

@@ -218,6 +218,7 @@ class PlanGuardSpec extends SparkSpec {
     "mixture_temperature" -> 2, // per-source agg is checkpoint-truncated and driver-bounded; the sample is a broadcast join + filter + gate sort (measured 1)
     "epoch_plan" -> 1, // the plan is pure integer arithmetic over the checkpointed O(sources) weight table; only its gate sort exchanges
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
+    "csv_roundtrip" -> 2, // D4's budget exactly: memoized CSV write, one partial-agg rollup over the CSV scan + gate sort
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 5, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote LEFT-joins three doc-keyed frames (every doc gets a verdict — the co-partition exchange per side is the price of not dropping tokenless docs) + gate sort

@@ -284,6 +284,43 @@ class SinksSpec extends SparkSpec {
     assert(dirs > Sinks.DppTopDays, s"only $dirs partitions on disk")
   }
 
+  test("csv_roundtrip: board equals the ORC board, and hostile text " +
+      "survives the quoting edge cases (D15)") {
+    // same corpus, two formats, one format-independent fingerprint:
+    // cross-format equality in-engine (each is separately oracle-checked
+    // against parquet)
+    val csv = Sinks.csvRoundtrip(spark, sfDir).collect().map(_.toString)
+    val orc = Sinks.orcRoundtrip(spark, sfDir).collect().map(_.toString)
+    assert(csv.nonEmpty && csv.toSeq === orc.toSeq)
+    // the scratch really is CSV
+    val files = new java.io.File(graft.sources.IndexScratch.path("csvrt", sfDir))
+      .listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+
+    // hostile payloads: delimiters, quotes, newlines, nulls
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain", "en", "s1", 5L),
+      (2L, "comma, inside", "en", "s1", 13L),
+      (3L, "a \"quoted\" word", "en", "s2", 15L),
+      (4L, "line\nbreak", "en", "s2", 10L),
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String], "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = java.nio.file.Files.createTempDirectory("graft_csvrt").toString
+    nasty.write.option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").mode("overwrite").csv(p)
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(p)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back === Map(1L -> "plain", 2L -> "comma, inside",
+      3L -> "a \"quoted\" word", 4L -> "line\nbreak", 5L -> null))
+    graft.sources.IndexScratch.deleteRec(new java.io.File(p))
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(
