@@ -9,8 +9,11 @@ object PlanAudit {
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString.linesIterator
-        .take(40).mkString("\n"))
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = plan.linesIterator.count(
+        _.replaceAll("^[^A-Za-z]*", "").startsWith("Exchange"))
+      println(s"[exchanges] $name = $nEx")
+      println(plan.linesIterator.take(40).mkString("\n"))
     }
     spark.stop()
   }

@@ -735,7 +735,9 @@ object ScaleProbe {
       "multimodal_frames", "cdc_compact_rewrite",
       "bloom_semi_join", "dedup_edit_distance", "bucketed_join",
       "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms",
-      "csv_roundtrip")
+      "csv_roundtrip", "json_roundtrip",
+      "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
+      "zipf_slope", "stream_linreg_trend", "stream_skyline")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -765,6 +767,7 @@ object ScaleProbe {
     // corpus-scanning censuses — expect ~linear in corpus size
     dirKey("orc_roundtrip")
     dirKey("csv_roundtrip")
+    dirKey("json_roundtrip")
     dirKey("vocab_growth")
     dirKey("uncertainty_sample")
     dirKey("table_integrity")
@@ -795,6 +798,15 @@ object ScaleProbe {
     dirKey("activity_streaks")
     dirKey("rfm_segments")
     dirKey("tfidf_topterms")
+    // r11 growth block 2: frontier sweep (pre-pruned), sufficient-stats
+    // OLS, FD census scans, the prefix-doubling chain, the JSONL board
+    dirKey("skyline_2d")
+    dirKey("linreg_trend")
+    dirKey("fd_profile")
+    dirKey("suffix_array")
+    dirKey("zipf_slope")
+    dirKey("stream_linreg_trend")
+    dirKey("stream_skyline")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

@@ -44,14 +44,18 @@ object ScaleProbeCoverage {
     "hilbert4_layout", "hybrid_ivfpq_build", "hybrid_search_brute",
     "hybrid_search_probe", "ivf_build", "ivf_query40", "ivfpq_admit",
     "ivfpq_build", "ivfpq_query40", "ivfpq_refine_query40",
+    "json_roundtrip",
     "kmeans_clusters", "kn_logprob", "layout_compare", "layout_compare3",
-    "line_dedup", "mixture_temperature", "multimodal_containment",
+    "line_dedup", "linreg_trend", "mixture_temperature",
+    "multimodal_containment",
     "multimodal_frames", "norm_dedup", "orc_roundtrip", "pack_sequences",
     "pack_sequences_bpe", "prepare_pretrain", "q5_multijoin",
     "quality_classifier", "quality_drift", "quality_ensemble",
     "range_join", "resample_ffill", "rfm_segments",
     "salted_join", "scd2_anomaly_mv",
     "schema_evolution", "semantic_dedup", "simhash_index_build",
+    "skyline_2d", "suffix_array", "fd_profile", "zipf_slope",
+    "stream_linreg_trend", "stream_skyline",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
     "stream_dedup", "stream_embed_pca", "stream_entropy_gate",
@@ -87,7 +91,8 @@ object ScaleProbeCoverage {
     "epoch_plan", "etl_receipts", "etl_webhook_json", "events_cube",
     "export_shards", "footer_prune3", "footer_prune3_hilbert",
     "fourgram_logprob", "hilbert3_layout", "hilbert4_layout",
-    "hybrid_search_probe", "kmeans_clusters", "kn_logprob",
+    "hybrid_search_probe", "json_roundtrip", "kmeans_clusters",
+    "kn_logprob",
     "layout_compare", "layout_compare3", "line_dedup",
     "mixture_temperature", "multimodal_containment", "multimodal_frames",
     "norm_dedup", "orc_roundtrip", "pack_sequences", "pack_sequences_bpe",
@@ -95,7 +100,9 @@ object ScaleProbeCoverage {
     "quality_drift", "quality_ensemble", "range_join", "resample_ffill",
     "rfm_segments",
     "salted_join", "schema_evolution", "semantic_dedup",
-    "simhash_index_probe", "stream_admission_chain", "stream_attribution",
+    "simhash_index_probe", "skyline_2d", "suffix_array", "fd_profile",
+    "linreg_trend", "zipf_slope", "stream_linreg_trend", "stream_skyline",
+    "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
     "stream_dedup", "stream_embed_pca", "stream_entropy_gate",
     "stream_events", "stream_funnel", "stream_hh_topk", "stream_join",

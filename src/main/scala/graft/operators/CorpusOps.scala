@@ -3727,7 +3727,186 @@ object CorpusOps {
        |  bit_xor(content_h48) AS content_xor
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- C100: Zipf-law fit over the token frequency spectrum ------------------
+  /** How many top ranks the Zipf fit uses per source (the head of the
+    * spectrum, where the power law holds and the rank set is bounded). */
+  val ZipfTopRanks = 500
+
+  /** Per-source Zipf slope — fit ln(freq) ~ slope · ln(rank) over the
+    * top-R token ranks (Zipf's law: slope ≈ −1 for natural language;
+    * a synthetic or templated source drifts toward 0 — the corpus
+    * diagnostician's one-number fingerprint of lexical naturalness).
+    * Composes two existing disciplines: the C31/C49 ln quantization
+    * (here MILLI-nats, floor(ln·1e3) — coarse enough that the B82
+    * integer rational stays comfortably inside BIGINT: x ≤ ln(500)·1e3,
+    * y ≤ ln(freq)·1e3, so n·Σxy ≤ ~1e14) and B82's sufficient-stats
+    * OLS with the exact (num, den) emission + IEEE double quotient.
+    *
+    * Scale shape: one (source, term) partial-agg exchange over the
+    * token stream, a per-source rank window over the BOUNDED top-R head
+    * (TakeOrdered-sized — the window input is pre-filtered by a
+    * per-source count floor? no: rank ≤ R filter after the window, but
+    * the window sorts only O(vocab per source), already agg-shrunk),
+    * then an O(sources × R) stats rollup. */
+  def zipfSlopeOn(documents: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val tf = documents
+      .select(col(srcCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val head = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ZipfTopRanks)
+      .select(col("source"),
+        expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e3) AS DECIMAL(10,0))")
+          .as("x"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e3) AS DECIMAL(12,0))")
+          .as("y"))
+    head.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("n"),
+        sum(col("x")).cast("decimal(14,0)").as("sx"),
+        sum(col("y")).cast("decimal(16,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(20,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_ranks"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("long")
+          .as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("long")
+          .as("slope_den"))
+      .withColumn("zipf_slope",
+        when(col("slope_den") === 0, lit(null))
+          .otherwise(col("slope_num").cast("double")
+            / col("slope_den").cast("double")))
+      .orderBy(col("source"))
+  }
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeOn(Tables(spark, dir).documents, "source", "text")
+
+  /** Twin: the same quantized spectrum, rank tiebreak, and rational. */
+  val zipfSlopeSql: String =
+    s"""WITH tf AS (
+       |  SELECT source, term, COUNT(*) AS freq
+       |  FROM (SELECT source,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), head AS (
+       |  SELECT source,
+       |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e3) AS DECIMAL(10,0)) AS x,
+       |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e3) AS DECIMAL(12,0)) AS y
+       |  FROM (
+       |    SELECT source, freq, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY freq DESC, term) AS rnk
+       |    FROM tf)
+       |  WHERE rnk <= $ZipfTopRanks
+       |), s AS (
+       |  SELECT source, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+       |    CAST(SUM(x) AS DECIMAL(14,0)) AS sx,
+       |    CAST(SUM(y) AS DECIMAL(16,0)) AS sy,
+       |    CAST(SUM(x * y) AS DECIMAL(20,0)) AS sxy,
+       |    CAST(SUM(x * x) AS DECIMAL(18,0)) AS sxx
+       |  FROM head GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+       |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+       |            / CAST(n * sxx - sx * sx AS DOUBLE)
+       |  END AS zipf_slope
+       |FROM s
+       |ORDER BY source""".stripMargin
+
+  // --- C99: distributed suffix array (prefix doubling) -----------------------
+  /** Gate slice: every SaDocMod-th document, first [[SaWindow]] sanitized
+    * chars — the oracle materializes each suffix STRING, so its window
+    * must stay bounded; the Spark path never materializes a suffix. */
+  val SaDocMod: Int = 10
+  val SaWindow: Int = 64
+
+  /** Distributed suffix array by PREFIX DOUBLING (Manber & Myers, SIAM
+    * J. Comput. 1993) — the index structure under exact-substring dedup
+    * at scale (Lee et al. ACL 2022 build one per corpus shard; C44/C96
+    * here use a window census instead, this key carries the real
+    * machinery). Rank of every suffix by its first char (plain ascii —
+    * the charset is sanitized to lowercase alnum+space, where byte order
+    * IS lexicographic order); then log₂(window) doubling rounds: the
+    * sort key for prefix length 2k is the PAIR (rank of first k, rank of
+    * the suffix k positions later, −1 past the end — a proper prefix
+    * sorts before every extension), re-densified per document. No round
+    * ever compares a string — after init it is integer pairs only, so
+    * engine collation cannot diverge.
+    *
+    * Scale shape: positions explode once (O(chars) rows); every round is
+    * two windows over the SAME hash(doc_id) partitioning — a `lead`
+    * (positions are dense, so the +k rank is a frame shift, NOT a
+    * self-join) and a per-doc `dense_rank` — so the whole log-round
+    * chain rides ONE corpus exchange plus per-round sorts. At 100 TB the
+    * same chain runs with doc_id → (shard, block) keys; the per-round
+    * cost is a sort of O(chars/shard), exactly the Manber-Myers bound.
+    * The oracle (bounded window) sorts the materialized suffix strings;
+    * suffixes of one string are pairwise distinct, so its ROW_NUMBER ==
+    * the doubling chain's final dense_rank. */
+  def suffixArrayOn(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.filter(col(idCol) % SaDocMod === 0)
+      .select(col(idCol).as("doc_id"),
+        substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),
+          1, SaWindow).as("w"))
+      .filter(length(col("w")) > 0)
+    var cur = base
+      .select(col("doc_id"), posexplode(split(col("w"), ""))
+        .as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "")
+      .withColumn("rank", ascii(col("ch")).cast("long"))
+      .drop("ch")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var k = 1
+    while (k < SaWindow) {
+      val byRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("rank"), col("rank2"))
+      cur = cur
+        .withColumn("rank2",
+          coalesce(lead(col("rank"), k).over(byPos), lit(-1L)))
+        .withColumn("rank", dense_rank().over(byRank).cast("long"))
+        .drop("rank2")
+      k *= 2
+    }
+    cur.select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("rank").as("sa_rank"))
+      .orderBy(col("doc_id"), col("sa_rank"))
+  }
+
+  def suffixArray(spark: SparkSession, dir: String): DataFrame =
+    suffixArrayOn(graft.sources.Tables(spark, dir).documents,
+      "doc_id", "text")
+
+  /** Twin: materialize every (bounded) suffix and sort the strings —
+    * DuckDB's default collation is memcmp, which on the sanitized
+    * charset equals the doubling chain's integer order. */
+  val suffixArraySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),
+       |           1, $SaWindow) AS w
+       |  FROM documents WHERE doc_id % $SaDocMod = 0
+       |), idx AS (
+       |  SELECT CAST(UNNEST(range(1, ${SaWindow + 1})) AS BIGINT) AS i
+       |), p AS (
+       |  SELECT doc_id, i - 1 AS pos, substr(w, i) AS suf
+       |  FROM d JOIN idx ON i <= length(w)
+       |)
+       |SELECT doc_id, pos,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf)
+       |    AS BIGINT) AS sa_rank
+       |FROM p ORDER BY doc_id, sa_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "suffix_array" -> (suffixArray _),
+    "zipf_slope" -> (zipfSlope _),
     "unigram_logprob" -> (unigramLogprob _),
     "vocab_growth" -> (vocabGrowth _),
     "line_dedup" -> (lineDedup _),
@@ -3805,5 +3984,7 @@ object CorpusOps {
     "pack_sequences_bpe" -> packSequencesBpeSql,
     "vocab_fertility" -> vocabFertilitySql,
     "kn_logprob" -> knLogprobSql,
-    "ppl_band_select" -> pplBandSelectSql)
+    "ppl_band_select" -> pplBandSelectSql,
+    "suffix_array" -> suffixArraySql,
+    "zipf_slope" -> zipfSlopeSql)
 }

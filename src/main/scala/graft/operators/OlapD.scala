@@ -696,6 +696,254 @@ object OlapD {
       |FROM q
       |ORDER BY user_id""".stripMargin
 
+  // --- B81: 2-D skyline (Pareto frontier) ------------------------------------
+  /** Coarse price-bucket width for the skyline's pre-prune stage. */
+  val SkylineBucket: Int = 1000
+
+  /** The 2-D skyline ("Pareto frontier") of offers: the (price, qty)
+    * points no other point dominates — dominated meaning ≤ price AND
+    * ≥ qty with at least one strict (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001). The classic formulation needs an all-pairs
+    * dominance test; in 2-D it collapses to ONE sorted sweep: dedupe to
+    * the per-price max qty (equal-price points are dominated by their
+    * own max), then keep a point iff its qty strictly exceeds every
+    * strictly-cheaper point's qty — a running-max window over the price
+    * order.
+    *
+    * Scale shape: the corpus shrinks to O(distinct prices) in one
+    * partial-agg exchange before any window. The exact sweep is then a
+    * single-partition window — fine at gate, the bottleneck at 100 TB —
+    * so a DISTRIBUTED pre-prune runs first: per price-BUCKET max qty
+    * (O(buckets) rows, partial agg), running max over the bucket order
+    * (a tiny single-partition window over O(buckets) rows), broadcast
+    * back; a point whose qty does not exceed the running max of all
+    * strictly-cheaper BUCKETS is provably dominated (some cheaper point
+    * holds that max) and is dropped before the exact sweep, which now
+    * sorts only the near-frontier survivors. Pruning never removes a
+    * skyline point, so the oracle is the plain one-window spelling. */
+  def skyline2dOn(items: DataFrame, priceCol: String,
+      qtyCol: String): DataFrame = {
+    val pts = items.select(
+        col(priceCol).cast("decimal(25,6)").as("price"),
+        col(qtyCol).cast("decimal(25,6)").as("qty"))
+      .groupBy(col("price")).agg(max(col("qty")).as("qty"))
+    skylineSweepOn(pts)
+  }
+
+  /** The prune + sweep tail over a deduped (price, qty) point set —
+    * shared by the batch key and the streaming twin (B85), whose
+    * micro-batch delivers the same per-price max out of streaming
+    * state. */
+  private[graft] def skylineSweepOn(pts: DataFrame): DataFrame = {
+    // distributed pre-prune: per-bucket max, running max over buckets
+    val bucketed = pts.withColumn("b",
+      floor(col("price") / SkylineBucket).cast("long"))
+    val bmax = bucketed.groupBy(col("b")).agg(max(col("qty")).as("bq"))
+      .withColumn("prevmax", max(col("bq")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b").as("pb"), col("prevmax"))
+    val survivors = bucketed.join(broadcast(bmax), col("b") === col("pb"))
+      .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
+    // exact sweep over the (small) near-frontier survivor set
+    val sweep = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("runmax", max(col("qty")).over(sweep))
+      .filter(col("runmax").isNull || col("qty") > col("runmax"))
+      .select(col("price").cast("double").as("price"),
+        col("qty").cast("double").as("qty"))
+      .orderBy(col("price"))
+  }
+
+  def skyline2d(spark: SparkSession, dir: String): DataFrame =
+    skyline2dOn(Tables(spark, dir).lineitem, "l_extendedprice", "l_quantity")
+
+  /** Twin: the plain one-window 2-D sweep — the pre-prune is an
+    * optimization, provably frontier-preserving, so the simple spelling
+    * IS the semantics. */
+  val skyline2dSql: String =
+    """WITH pts AS (
+      |  SELECT CAST(l_extendedprice AS DECIMAL(25,6)) AS price,
+      |    MAX(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+      |  FROM lineitem GROUP BY 1
+      |), sw AS (
+      |  SELECT price, qty, MAX(qty) OVER (ORDER BY price
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      |  FROM pts)
+      |SELECT CAST(price AS DOUBLE) AS price, CAST(qty AS DOUBLE) AS qty
+      |FROM sw WHERE runmax IS NULL OR qty > runmax
+      |ORDER BY price""".stripMargin
+
+  // --- B82: per-group OLS trend from sufficient statistics -------------------
+  /** Exact per-group linear-regression slope over daily revenue — the
+    * "is this segment growing?" mart query, computed the distributed
+    * way: OLS collapses to five SUFFICIENT STATISTICS (n, Σx, Σy, Σxy,
+    * Σx²) that partial-aggregate in one pass; the slope
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is then a per-group scalar.
+    * Float Σ's would make the answer depend on aggregation order — so
+    * every statistic is EXACT: x is the day offset from the group's own
+    * min day (small integers — also the classic centering trick that
+    * keeps the products bounded), y is the day's revenue FLOORED to
+    * whole currency units (exact integer quantization, identical in
+    * both engines; the statistics are unit-linear, so a deployment at
+    * larger mass rescales the unit to keep n·Σxy inside 63 bits —
+    * micro-units overflowed BIGINT at gate scale already), and every
+    * sum is exact DECIMAL.
+    *
+    * Scale shape: two partial-agg exchanges (events → group×day,
+    * group×day → group) and zero windows/joins; the min-day centering
+    * rides the same group-day rollup. */
+  def linregTrendOn(items: DataFrame, groupCol: String, dateCol: String,
+      revenueCol: String): DataFrame = {
+    // the O(groups × days) rollup is consumed twice (min-day + centered
+    // sums) — truncate the corpus-scan subtree so it runs once
+    val daily = items
+      .groupBy(col(groupCol).as("grp"), to_date(col(dateCol)).as("d"))
+      .agg(sum(col(revenueCol).cast("decimal(25,6)")).as("rev"))
+      .select(col("grp"), col("d"),
+        floor(col("rev")).cast("decimal(20,0)").as("y"))
+      .localCheckpoint(eager = true)
+    linregStatsOn(daily)
+  }
+
+  /** The stats tail over a (grp, d, y) daily rollup — shared by the
+    * batch key and the streaming twin (B84), whose micro-batch delivers
+    * the SAME rollup out of streaming state. */
+  private[graft] def linregStatsOn(daily: DataFrame): DataFrame = {
+    // center via a broadcast per-group min-day: one extra aggregate over
+    // the tiny O(groups × days) rollup instead of a window on it
+    val d0 = daily.groupBy(col("grp")).agg(min(col("d")).as("d0"))
+    val centered = daily.join(broadcast(d0), "grp")
+      .select(col("grp"),
+        datediff(col("d"), col("d0")).cast("decimal(10,0)").as("x"),
+        col("y"))
+    // slope = num/den emitted as the EXACT integer rational (decimal
+    // division rounds at engine-specific scales — a BIGINT pair doesn't)
+    // plus the IEEE-754 double quotient (binary64 division of two exact
+    // integers is bit-deterministic in both engines)
+    centered
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("n"),
+        sum(col("x")).cast("decimal(14,0)").as("sx"),
+        sum(col("y")).cast("decimal(22,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(26,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"))
+      .select(col("grp"), col("n").cast("long").as("n_days"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("long")
+          .as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("long")
+          .as("slope_den"))
+      .withColumn("slope_per_day",
+        when(col("slope_den") === 0, lit(null))
+          .otherwise(col("slope_num").cast("double")
+            / col("slope_den").cast("double")))
+      .orderBy(col("grp"))
+  }
+
+  def linregTrend(spark: SparkSession, dir: String): DataFrame =
+    linregTrendOn(Tables(spark, dir).lineitem
+        .withColumn("rev1", expr("l_extendedprice * (1.0 - l_discount)")),
+      "l_returnflag", "l_shipdate", "rev1")
+
+  /** Twin: the same sufficient statistics in exact DECIMAL, the same
+    * per-group min-day centering, the same integer rational + IEEE
+    * double quotient. */
+  val linregTrendSql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
+      |    CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(25,6)))) AS DECIMAL(20,0)) AS y
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT grp,
+      |    CAST(d - MIN(d) OVER (PARTITION BY grp) AS DECIMAL(10,0)) AS x,
+      |    y
+      |  FROM daily
+      |), s AS (
+      |  SELECT grp, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |    CAST(SUM(x) AS DECIMAL(14,0)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(22,0)) AS sy,
+      |    CAST(SUM(x * y) AS DECIMAL(26,0)) AS sxy,
+      |    CAST(SUM(x * x) AS DECIMAL(18,0)) AS sxx
+      |  FROM c GROUP BY grp)
+      |SELECT grp, CAST(n AS BIGINT) AS n_days,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE)
+      |  END AS slope_per_day
+      |FROM s
+      |ORDER BY grp""".stripMargin
+
+  // --- B83: functional-dependency profiling -----------------------------------
+  /** The candidate determinant → dependent pairs the FD board checks —
+    * a mix of key-implied FDs that MUST hold and plausible-but-false
+    * ones the board must report honestly. */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("events", "user_id", "event_type"))
+
+  /** Functional-dependency discovery board (the data-profiling primitive
+    * behind schema inference and key detection — cf. Papenbrock et al.,
+    * "Functional Dependency Discovery: An Experimental Evaluation",
+    * VLDB 2015): for each candidate A → B, whether every A-group carries
+    * exactly one B value, with the violation census (groups with >1
+    * distinct B, and the worst group's distinct count) rather than a
+    * bare boolean — the board a profiler actually acts on.
+    *
+    * Scale shape: each candidate is one (A, B) distinct + one A-keyed
+    * partial agg + a 1-row rollup — linear scans, zero joins; the board
+    * is O(candidates) rows unioned. NULL discipline: B-NULLs count as a
+    * value (SQL COUNT(DISTINCT) drops NULLs, so the census counts
+    * null-presence separately — an FD with both a value and NULL in one
+    * group IS a violation). */
+  def fdCheckOn(df: DataFrame, det: String, dep: String,
+      label: String): DataFrame = {
+    val perGroup = df.select(col(det).as("a"), col(dep).as("b"))
+      .groupBy(col("a"))
+      .agg((countDistinct(col("b")) +
+        max(when(col("b").isNull, 1).otherwise(0))).as("nb"))
+    perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("nb")).as("max_distinct"))
+      .select(lit(label).as("fd"), col("n_groups"),
+        col("n_violating").cast("long").as("n_violating"),
+        col("max_distinct").cast("long").as("max_distinct"),
+        (col("n_violating") === 0).cast("int").as("holds"))
+  }
+
+  def fdProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byName = Map("customer" -> t.customer, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events)
+    FdCandidates.map { case (tbl, det, dep) =>
+      fdCheckOn(byName(tbl), det, dep, s"$tbl.$det->$dep")
+    }.reduce(_ unionAll _).orderBy(col("fd"))
+  }
+
+  /** Twin: the same per-candidate census, one UNION ALL branch each. */
+  val fdProfileSql: String =
+    FdCandidates.map { case (tbl, det, dep) =>
+      s"""SELECT '$tbl.$det->$dep' AS fd,
+         |  COUNT(*) AS n_groups,
+         |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(MAX(nb) AS BIGINT) AS max_distinct,
+         |  CAST(CASE WHEN SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
+         |       THEN 1 ELSE 0 END AS INT) AS holds
+         |FROM (
+         |  SELECT $det,
+         |    COUNT(DISTINCT $dep)
+         |      + MAX(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS nb
+         |  FROM $tbl GROUP BY $det)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fd")
+
   // --- B76: bloom-pruned semi-join (runtime join filter) --------------------
   /** GATE sizing for the dim-key runtime filter: 2²⁰ bits = 128 KiB of
     * bloom, ~8 bits/key up to the 2¹⁷ estimated-items ceiling (<3% fp
@@ -788,7 +1036,10 @@ object OlapD {
     "table_integrity" -> (tableIntegrity _),
     "bloom_semi_join" -> (bloomSemiJoin _),
     "activity_streaks" -> (activityStreaks _),
-    "rfm_segments" -> (rfmSegments _))
+    "rfm_segments" -> (rfmSegments _),
+    "skyline_2d" -> (skyline2d _),
+    "linreg_trend" -> (linregTrend _),
+    "fd_profile" -> (fdProfile _))
 
   val oracles: Map[String, String] = Map(
     "attribution" -> attributionSql,
@@ -800,5 +1051,8 @@ object OlapD {
     "table_integrity" -> tableIntegritySql,
     "bloom_semi_join" -> bloomSemiJoinSql,
     "activity_streaks" -> activityStreaksSql,
-    "rfm_segments" -> rfmSegmentsSql)
+    "rfm_segments" -> rfmSegmentsSql,
+    "skyline_2d" -> skyline2dSql,
+    "linreg_trend" -> linregTrendSql,
+    "fd_profile" -> fdProfileSql)
 }

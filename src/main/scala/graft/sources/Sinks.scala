@@ -1367,6 +1367,45 @@ object Sinks {
   /** Twin: D4's board verbatim — format-independent by construction. */
   val csvRoundtripSql: String = orcRoundtripSql
 
+  // --- D16: JSON-lines round-trip -------------------------------------------
+  /** The fourth format on the lakehouse board: JSONL — the interchange
+    * format every webhook/event feed actually emits (the reference's own
+    * output is webhook JSON, stream/util.py:67, and A10/`writeJsonLines`
+    * already produce it). Documents are written ONCE as JSON lines, read
+    * back through the JSON reader UNDER AN EXPLICIT SCHEMA (JSONL carries
+    * no column order and Spark's writer OMITS null fields entirely — the
+    * schema-on-read restores them as NULL, the exact mechanism D11
+    * exercises for parquet footers), and rolled up to D4's
+    * format-independent per-source fingerprint board. Hash equality
+    * against the parquet twin proves the JSON writer/reader round-trips
+    * every row and column through the string-escaping edge cases
+    * (backslash, quote, unicode, newline-in-text — JSONL's hostile set,
+    * disjoint from CSV's) losslessly. Scale shape: one write (memoized),
+    * one partial-agg rollup over the JSON scan — D4's 2-exchange budget. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = IndexScratch.path("jsonrt", dir)
+    IndexScratch.ensure(path) { p =>
+      Tables(spark, dir).documents.write.json(p)
+    }
+    val perCol = Seq(col("doc_id").cast("string"), col("text"), col("lang"),
+      col("source"), col("n_chars").cast("string"))
+      .map(c => md5(coalesce(c, lit("<NULL>"))))
+    val h48 = conv(substring(md5(concat(perCol: _*)), 1, 12), 16, 10)
+      .cast("long")
+    spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .json(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(h48).as("content_h"))
+      .orderBy(col("source"))
+  }
+
+  /** Twin: D4's board verbatim — format-independent by construction. */
+  val jsonRoundtripSql: String = orcRoundtripSql
+
   // --- D11: schema-evolution read ------------------------------------------
   /** A long-lived lake table's schema EVOLVES: early shards carry v1
     * (doc_id, text, lang), later shards add (source, n_chars). This key
@@ -1571,6 +1610,7 @@ object Sinks {
     "schema_evolution" -> (schemaEvolution _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
+    "json_roundtrip" -> (jsonRoundtrip _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
@@ -1594,6 +1634,7 @@ object Sinks {
     "schema_evolution" -> schemaEvolutionSql,
     "orc_roundtrip" -> orcRoundtripSql,
     "csv_roundtrip" -> csvRoundtripSql,
+    "json_roundtrip" -> jsonRoundtripSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,

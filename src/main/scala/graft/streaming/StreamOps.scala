@@ -934,6 +934,63 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  val LinregQueryName = "graft_stream_linreg"
+
+  /** B82's OLS trend maintained BY the stream — the textbook case for
+    * sufficient statistics as a streaming aggregate: the (group, day)
+    * revenue rollup IS the streaming state (O(groups × days) rows, a
+    * mergeable monoid — every micro-batch's rows fold in via the SUM's
+    * own partial-merge, no rescan), and the stats tail (min-day
+    * centering, the five Σ's, the exact integer rational) runs
+    * batch-side in the drain xform over the delivered rollup — the SAME
+    * [[graft.operators.OlapD.linregStatsOn]] code path as batch B82,
+    * so drain == batch and the key shares `linreg_trend`'s oracle.
+    * At deploy the xform output is the live "is this segment growing?"
+    * board, refreshed per micro-batch from bounded state. */
+  def streamLinregTrend(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val daily = raw
+      .groupBy(col("l_returnflag").as("grp"),
+        to_date(col("l_shipdate")).as("d"))
+      .agg(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) " +
+        "AS DECIMAL(25,6))")).as("rev"))
+    drainViaParquetSink(spark, daily.toDF(), LinregQueryName,
+      complete = true,
+      xform = (mb, _) => graft.operators.OlapD.linregStatsOn(
+        mb.select(col("grp"), col("d"),
+          floor(col("rev")).cast("decimal(20,0)").as("y"))))
+      .orderBy(col("grp"))
+  }
+
+  val SkylineQueryName = "graft_stream_skyline"
+
+  /** B81's Pareto frontier maintained BY the stream: the per-price max
+    * qty IS the streaming state (O(distinct prices) rows — bounded by
+    * the price domain, not the corpus; a MAX is the simplest mergeable
+    * monoid), and the frontier sweep (bucket pre-prune + exact sweep,
+    * the SAME [[graft.operators.OlapD.skylineSweepOn]] tail as batch
+    * B81) runs batch-side per micro-batch. A new arrival can only RAISE
+    * a price's max, which can only shrink the frontier elsewhere — the
+    * complete-mode re-sweep is what makes that retraction-free. Drain
+    * == batch → shares `skyline_2d`'s oracle. */
+  def streamSkyline(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val pts = raw
+      .select(col("l_extendedprice").cast("decimal(25,6)").as("price"),
+        col("l_quantity").cast("decimal(25,6)").as("qty"))
+      .groupBy(col("price")).agg(max(col("qty")).as("qty"))
+    drainViaParquetSink(spark, pts.toDF(), SkylineQueryName,
+      complete = true,
+      xform = (mb, _) => graft.operators.OlapD.skylineSweepOn(mb))
+      .orderBy(col("price"))
+  }
+
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
   /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
@@ -1320,7 +1377,9 @@ object StreamOps {
     "stream_cluster_assign" -> (streamClusterAssign _),
     "stream_cdc_compact" -> (streamCdcCompact _),
     "stream_schema_evolution" -> (streamSchemaEvolution _),
-    "stream_embed_pca" -> (streamEmbedPca _)
+    "stream_embed_pca" -> (streamEmbedPca _),
+    "stream_linreg_trend" -> (streamLinregTrend _),
+    "stream_skyline" -> (streamSkyline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1333,6 +1392,10 @@ object StreamOps {
     "stream_funnel" -> graft.operators.OlapC.funnelSql,
     "stream_mv" -> graft.operators.OlapC.mvIncrementalSql,
     "stream_upsert" -> graft.operators.OlapC.upsertLatestSql,
+    // the streamed sufficient-stats rollup must equal the batch OLS
+    "stream_linreg_trend" -> graft.operators.OlapD.linregTrendSql,
+    // the streamed per-price-max state re-swept must equal the batch frontier
+    "stream_skyline" -> graft.operators.OlapD.skyline2dSql,
     // the order-sensitive stateful drain must equal the batch window op
     "stream_attribution" -> graft.operators.OlapD.attributionSql,
     "stream_transitions" -> graft.operators.OlapC.eventTransitionsSql,

@@ -1321,4 +1321,70 @@ class CorpusOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(real.nonEmpty && real.toSeq === expected)
   }
+
+  test("zipf_slope: driver-side brute-force parity on the real corpus, " +
+      "and the slope is negative (frequencies decay in rank) (C100)") {
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      // exact TextOps.tokens semantics: split(trim(x), "\s+"), no
+      // empty-filter (an all-whitespace doc would yield one "" token in
+      // BOTH engines — parity over prettiness)
+      val freq = ds.flatMap(_._2.trim.split("\\s+"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val head = freq.sortBy { case (t, f) => (-f, t) }
+        .take(CorpusOps.ZipfTopRanks).zipWithIndex
+        .map { case ((_, f), i) =>
+          (math.floor(math.log((i + 1).toDouble) * 1e3).toLong,
+            math.floor(math.log(f.toDouble) * 1e3).toLong) }
+      val n = head.size.toLong
+      val sx = head.map(_._1).sum; val sy = head.map(_._2).sum
+      val sxy = head.map(t => t._1 * t._2).sum
+      val sxx = head.map(t => t._1 * t._1).sum
+      src -> (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }
+    val real = CorpusOps.zipfSlope(spark, sfDir).collect()
+    assert(real.nonEmpty && real.length === expected.size)
+    real.foreach { r =>
+      val (n, num, den) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, num, den)),
+        s"source ${r.getString(0)}")
+      assert(r.getDouble(4) < 0.0, // Zipf: frequency decays in rank
+        s"source ${r.getString(0)} slope ${r.getDouble(4)}")
+    }
+  }
+
+  test("suffix_array: banana is the textbook fixture; ranks are a " +
+      "1..len permutation and match a driver-side suffix sort (C99)") {
+    import spark.implicits._
+    // the classic: suffixes of "banana" in order are
+    // a(5) < ana(3) < anana(1) < banana(0) < na(4) < nana(2)
+    val one = Seq((0L, "banana")).toDF("doc_id", "text")
+    val got = CorpusOps.suffixArrayOn(one, "doc_id", "text").collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    assert(got.toSeq === Seq(5L, 3L, 1L, 0L, 4L, 2L))
+
+    // real corpus slice: the doubling chain equals a materialized
+    // suffix sort, per doc, for every doc in the gate slice
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % CorpusOps.SaDocMod === 0)
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^a-z0-9 ]", "")),
+          1, CorpusOps.SaWindow).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    val expected = docs.flatMap { case (id, w) =>
+      w.indices.sortBy(w.substring(_)).zipWithIndex
+        .map { case (pos, i) => (id, pos.toLong, i + 1L) }
+    }.sortBy(t => (t._1, t._3))
+    val real = CorpusOps.suffixArray(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(real.toSeq === expected.toSeq)
+    // ranks are a permutation 1..len per doc
+    real.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"doc $id")
+    }
+  }
 }

@@ -345,4 +345,123 @@ class OlapDSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(1L))
   }
+
+  test("skyline_2d: hand-checked frontier, and the skyline property " +
+      "(no survivor dominated, every point covered) on the real corpus") {
+    import spark.implicits._
+    // min price / max qty; (3,4) is dominated by (2,5); (2,2) by (2,5)
+    // (equal price, higher qty); (4,1) by everything cheaper-and-bigger
+    val pts = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 4.0), (2.0, 2.0),
+      (4.0, 6.0), (4.0, 1.0)).toDF("p", "q")
+    val got = OlapD.skyline2dOn(pts, "p", "q").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1.0, 3.0), (2.0, 5.0), (4.0, 6.0)))
+
+    // real corpus: the skyline PROPERTY, checked distributedly —
+    // (a) soundness: no survivor is dominated by any corpus point;
+    // (b) completeness: every corpus point is covered (dominated-or-
+    //     equal) by some survivor
+    val items = graft.sources.Tables(spark, sfDir).lineitem
+      .select(col("l_extendedprice").cast("decimal(25,6)").as("cp"),
+        col("l_quantity").cast("decimal(25,6)").as("cq"))
+    val sky = OlapD.skyline2d(spark, sfDir)
+      .select(col("price").cast("decimal(25,6)").as("sp"),
+        col("qty").cast("decimal(25,6)").as("sq"))
+    assert(sky.count() > 0)
+    val dominators = items.join(broadcast(sky),
+      col("cp") <= col("sp") && col("cq") >= col("sq") &&
+        (col("cp") < col("sp") || col("cq") > col("sq")))
+    assert(dominators.count() === 0L, "a survivor is dominated")
+    val uncovered = items.join(broadcast(sky),
+        col("sp") <= col("cp") && col("sq") >= col("cq"), "left_anti")
+    assert(uncovered.count() === 0L, "a corpus point is not covered")
+  }
+
+  test("skyline_2d: the bucket pre-prune is semantically invisible " +
+      "(equals the plain one-window sweep)") {
+    val items = graft.sources.Tables(spark, sfDir).lineitem
+    val pts = items.select(
+        col("l_extendedprice").cast("decimal(25,6)").as("price"),
+        col("l_quantity").cast("decimal(25,6)").as("qty"))
+      .groupBy(col("price")).agg(max(col("qty")).as("qty"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val naive = pts.withColumn("runmax", max(col("qty")).over(sweep))
+      .filter(col("runmax").isNull || col("qty") > col("runmax"))
+      .select(col("price").cast("double"), col("qty").cast("double"))
+      .orderBy(col("price"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val pruned = OlapD.skyline2d(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(pruned.toSeq === naive.toSeq)
+  }
+
+  test("linreg_trend: exact rational on a seeded series, NULL slope on " +
+      "a single-day group, double parity on the real corpus") {
+    import spark.implicits._
+    // group a: y = 2x + 1 over three days → slope exactly 2/day;
+    // group b: one day → den 0 → NULL slope
+    val rows = Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 3.0),
+      ("a", "2024-01-03", 5.0),
+      ("b", "2024-06-01", 7.0))
+      .toDF("g", "ds", "rev")
+      .select(col("g"), to_date(col("ds")).as("d"), col("rev"))
+    val got = OlapD.linregTrendOn(rows, "g", "d", "rev").collect()
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.getLong(1) === 3L)  // n_days
+    assert(a.getLong(2) === 12L) // num = n·Σxy − Σx·Σy = 39 − 27
+    assert(a.getLong(3) === 6L)  // den = n·Σx² − (Σx)² = 15 − 9
+    assert(a.getDouble(4) === 2.0)
+    val b = got.find(_.getString(0) == "b").get
+    assert(b.getLong(3) === 0L && b.isNullAt(4))
+
+    // real corpus: the integer rational agrees with a driver-side
+    // double OLS on the collected daily rollup
+    val daily = graft.sources.Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag").as("g"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) " +
+        "AS DECIMAL(25,6))")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        math.floor(r.getDecimal(2).doubleValue())))
+    val expect = daily.groupBy(_._1).map { case (g, xs) =>
+      val d0 = xs.map(_._2).min
+      val pts = xs.map(t => (t._2.toEpochDay - d0.toEpochDay).toDouble -> t._3)
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(t => t._1 * t._2).sum
+      val sxx = pts.map(t => t._1 * t._1).sum
+      g -> (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    OlapD.linregTrend(spark, sfDir).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert(math.abs(r.getDouble(4) - e) <= math.abs(e) * 1e-6 + 1e-6,
+        s"${r.getString(0)}: ${r.getDouble(4)} vs $e")
+    }
+  }
+
+  test("fd_profile: seeded FDs — a held key, a violated pair, and the " +
+      "NULL-as-value discipline; key-implied FDs hold on the corpus") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "x", "m"), (1L, "x", "n"),   // a=1: b stable, c violates
+      (2L, "y", "m"), (2L, "y", "m"),
+      (3L, null.asInstanceOf[String], "m"),          // a=3: b is {NULL}
+      (4L, "z", "m"), (4L, null.asInstanceOf[String], "m")) // b={z,NULL}
+      .toDF("a", "b", "c")
+    val ab = OlapD.fdCheckOn(t, "a", "b", "t.a->b").collect().head
+    // groups: 1→{x} ok, 2→{y} ok, 3→{NULL} nb=1 ok, 4→{z,NULL} nb=2
+    assert((ab.getLong(1), ab.getLong(2), ab.getLong(3), ab.getInt(4)) ===
+      ((4L, 1L, 2L, 0)))
+    val ac = OlapD.fdCheckOn(t, "a", "c", "t.a->c").collect().head
+    assert((ac.getLong(1), ac.getLong(2), ac.getInt(4)) === ((4L, 1L, 0)))
+
+    val board = OlapD.fdProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getInt(4)).toMap
+    assert(board("customer.c_custkey->c_mktsegment") === 1) // key-implied
+    assert(board("orders.o_orderkey->o_orderpriority") === 1)
+    assert(board.size === OlapD.FdCandidates.size)
+  }
 }

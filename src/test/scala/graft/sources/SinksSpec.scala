@@ -321,6 +321,43 @@ class SinksSpec extends SparkSpec {
     graft.sources.IndexScratch.deleteRec(new java.io.File(p))
   }
 
+  test("json_roundtrip: board equals the ORC board, and hostile text " +
+      "survives the JSON escaping edge cases (D16)") {
+    // same corpus, another format, one format-independent fingerprint
+    val jsn = Sinks.jsonRoundtrip(spark, sfDir).collect().map(_.toString)
+    val orc = Sinks.orcRoundtrip(spark, sfDir).collect().map(_.toString)
+    assert(jsn.nonEmpty && jsn.toSeq === orc.toSeq)
+    // the scratch really is JSON lines
+    val files = new java.io.File(
+        graft.sources.IndexScratch.path("jsonrt", sfDir))
+      .listFiles.filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+
+    // hostile payloads: JSON's own escape set — backslash, quote,
+    // control chars, unicode, newline — plus NULLs (the writer OMITS
+    // null fields; the explicit read schema must restore them)
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain", "en", "s1", 5L),
+      (2L, "back\\slash and \"quote\"", "en", "s1", 22L),
+      (3L, "tab\there, newline\nthere", "en", "s2", 23L),
+      (4L, "unicode é中😀 mix", "fr", "s2", 14L),
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String], "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = java.nio.file.Files.createTempDirectory("graft_jsonrt").toString
+    nasty.write.mode("overwrite").json(p)
+    val back = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .json(p)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back === Map(1L -> "plain", 2L -> "back\\slash and \"quote\"",
+      3L -> "tab\there, newline\nthere",
+      4L -> "unicode é中😀 mix", 5L -> null))
+    graft.sources.IndexScratch.deleteRec(new java.io.File(p))
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(

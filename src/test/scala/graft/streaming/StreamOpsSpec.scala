@@ -90,6 +90,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.nonEmpty && s.toSeq === b.toSeq)
   }
 
+  test("streamed OLS trend equals the batch sufficient-stats regression " +
+      "(B84 == B82: the rollup is a mergeable monoid)") {
+    val s = StreamOps.streamLinregTrend(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.OlapD.linregTrend(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("streamed skyline equals the batch frontier (B85 == B81: " +
+      "per-price max state re-swept per batch)") {
+    val s = StreamOps.streamSkyline(spark, sfDir).collect()
+      .map(_.toString)
+    val b = graft.operators.OlapD.skyline2d(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed CDC-with-deletes compaction equals the batch compaction " +
       "(tombstones survive in state, filtered at the drain)") {
     val rows = StreamOps.streamCdcCompact(spark, sfDir).collect()
