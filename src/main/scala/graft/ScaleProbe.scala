@@ -486,6 +486,12 @@ object ScaleProbe {
         .withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L)))
       .reduce(_ unionAll _), "orders.parquet")
+    // the monoid-state streams (B84 OLS / B85 skyline) read lineitem
+    val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    requireBelowStride(liRaw, "l_orderkey", 10000000L)
+    writeSingle((0 until reps).map(r => liRaw
+        .withColumn("l_orderkey", col("l_orderkey") + lit(r * 10000000L)))
+      .reduce(_ unionAll _), "lineitem.parquet")
     val states =
       new scala.collection.concurrent.TrieMap[String, (Long, Long)]
     val listener =
@@ -545,6 +551,15 @@ object ScaleProbe {
     time("stream_weighted_sample") {
       // B68 at 24×: ONE k-bounded heap of state however many docs arrive
       graft.streaming.StreamOps.streamWeightedSample(spark, streamDir).count()
+    }
+    time("stream_linreg_trend") {
+      // sufficient-stats state: O(groups x days) rows regardless of reps
+      graft.streaming.StreamOps.streamLinregTrend(spark, streamDir).count()
+    }
+    time("stream_skyline") {
+      // per-price max state: O(distinct prices), flat in reps (replicas
+      // reuse the same price domain)
+      graft.streaming.StreamOps.streamSkyline(spark, streamDir).count()
     }
     time("stream_pack_bestfit") {
       // B60 at 24×: state must report O(shards × bins) rows (one PackState
@@ -737,7 +752,7 @@ object ScaleProbe {
       "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms",
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
-      "zipf_slope", "stream_linreg_trend", "stream_skyline")
+      "zipf_slope", "partition_evolution")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -805,8 +820,7 @@ object ScaleProbe {
     dirKey("fd_profile")
     dirKey("suffix_array")
     dirKey("zipf_slope")
-    dirKey("stream_linreg_trend")
-    dirKey("stream_skyline")
+    dirKey("partition_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with
     // replicate()'s +r·1e7 shifts (ids reach ~2.4e8 at 24×) — duplicate
     // doc_ids then break the Jaccard census (the B61 chainDir trap).

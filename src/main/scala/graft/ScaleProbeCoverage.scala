@@ -48,7 +48,8 @@ object ScaleProbeCoverage {
     "kmeans_clusters", "kn_logprob", "layout_compare", "layout_compare3",
     "line_dedup", "linreg_trend", "mixture_temperature",
     "multimodal_containment",
-    "multimodal_frames", "norm_dedup", "orc_roundtrip", "pack_sequences",
+    "multimodal_frames", "norm_dedup", "orc_roundtrip",
+    "partition_evolution", "pack_sequences",
     "pack_sequences_bpe", "prepare_pretrain", "q5_multijoin",
     "quality_classifier", "quality_drift", "quality_ensemble",
     "range_join", "resample_ffill", "rfm_segments",
@@ -95,7 +96,8 @@ object ScaleProbeCoverage {
     "kn_logprob",
     "layout_compare", "layout_compare3", "line_dedup",
     "mixture_temperature", "multimodal_containment", "multimodal_frames",
-    "norm_dedup", "orc_roundtrip", "pack_sequences", "pack_sequences_bpe",
+    "norm_dedup", "orc_roundtrip", "partition_evolution",
+    "pack_sequences", "pack_sequences_bpe",
     "prepare_pretrain", "q5_multijoin", "quality_classifier",
     "quality_drift", "quality_ensemble", "range_join", "resample_ffill",
     "rfm_segments",

@@ -722,21 +722,26 @@ object OlapD {
     * sorts only the near-frontier survivors. Pruning never removes a
     * skyline point, so the oracle is the plain one-window spelling. */
   def skyline2dOn(items: DataFrame, priceCol: String,
-      qtyCol: String): DataFrame = {
-    val pts = items.select(
-        col(priceCol).cast("decimal(25,6)").as("price"),
-        col(qtyCol).cast("decimal(25,6)").as("qty"))
-      .groupBy(col("price")).agg(max(col("qty")).as("qty"))
-    skylineSweepOn(pts)
-  }
+      qtyCol: String): DataFrame =
+    skylineSweepOn(items.select(
+      col(priceCol).cast("decimal(25,6)").as("price"),
+      col(qtyCol).cast("decimal(25,6)").as("qty")))
 
-  /** The prune + sweep tail over a deduped (price, qty) point set —
-    * shared by the batch key and the streaming twin (B85), whose
-    * micro-batch delivers the same per-price max out of streaming
-    * state. */
-  private[graft] def skylineSweepOn(pts: DataFrame): DataFrame = {
-    // distributed pre-prune: per-bucket max, running max over buckets
-    val bucketed = pts.withColumn("b",
+  /** The prune + sweep tail over a (price, qty) point set (duplicates
+    * welcome) — shared by the batch key and the streaming twin (B85),
+    * whose micro-batch delivers the per-price max out of streaming
+    * state. Order of operations is the scale story: the bucket pre-prune
+    * runs on the RAW rows (a per-bucket MAX partial-aggregates map-side
+    * to O(buckets) rows — no full-cardinality shuffle), so the per-price
+    * dedup and the exact sweep only ever see the near-frontier
+    * survivors. The first spelling deduped per price FIRST and paid a
+    * ~#distinct-prices shuffle over the whole corpus before pruning —
+    * 41 s at 24×; pruning first collapses that to the O(buckets) agg. */
+  private[graft] def skylineSweepOn(raw: DataFrame): DataFrame = {
+    // distributed pre-prune: per-bucket max over RAW rows, running max
+    // over the O(buckets) board, broadcast back — a row whose qty does
+    // not beat every strictly-cheaper bucket's max is provably dominated
+    val bucketed = raw.withColumn("b",
       floor(col("price") / SkylineBucket).cast("long"))
     val bmax = bucketed.groupBy(col("b")).agg(max(col("qty")).as("bq"))
       .withColumn("prevmax", max(col("bq")).over(
@@ -744,10 +749,11 @@ object OlapD {
       .select(col("b").as("pb"), col("prevmax"))
     val survivors = bucketed.join(broadcast(bmax), col("b") === col("pb"))
       .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
-    // exact sweep over the (small) near-frontier survivor set
+    // per-price dedup + exact sweep over the (small) near-frontier set
+    val pts = survivors.groupBy(col("price")).agg(max(col("qty")).as("qty"))
     val sweep = Window.orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    survivors
+    pts
       .withColumn("runmax", max(col("qty")).over(sweep))
       .filter(col("runmax").isNull || col("qty") > col("runmax"))
       .select(col("price").cast("double").as("price"),

@@ -1469,6 +1469,57 @@ object Sinks {
        |GROUP BY 1
        |ORDER BY era""".stripMargin
 
+  // --- D17: partition-layout evolution ---------------------------------------
+  /** A long-lived lake table's PHYSICAL partitioning evolves too (D11
+    * covers the schema axis): early shards were written FLAT (lang is a
+    * data column inside the files), later shards lang-PARTITIONED
+    * (`partitionBy` strips lang from the files — it lives only in the
+    * directory names). Vanilla partition discovery REFUSES the mixed
+    * directory ("conflicting directory structures"), so the engine must
+    * read each era under its own layout — the partitioned era
+    * reconstructing lang from the directory tree — and union by NAME
+    * (partition columns come back in a different position). The
+    * per-(era, lang) census proves both layouts restored every row AND
+    * the directory-derived lang values; the oracle replays the era
+    * split from the base table, where lang was always data. Scale
+    * shape: one two-layout write (memoized), two scans into one
+    * partial-agg rollup; budget pinned. */
+  private[graft] def partitionEvolutionScratch(spark: SparkSession,
+      dir: String): String = {
+    val path = IndexScratch.path("partevo", dir)
+    IndexScratch.ensure(path) { p =>
+      val d = Tables(spark, dir).documents
+      d.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$p/era1")
+      d.filter(col("doc_id") % 2 === 0)
+        .write.partitionBy("lang").mode("overwrite").parquet(s"$p/era2")
+    }
+    path
+  }
+
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = partitionEvolutionScratch(spark, dir)
+    val era1 = spark.read.parquet(s"$path/era1")
+    val era2 = spark.read.parquet(s"$path/era2") // lang from the dir tree
+    val h48 = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    era1.unionByName(era2)
+      .groupBy((col("doc_id") % 2).as("era"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(h48).as("text_h"))
+      .orderBy(col("era"), col("lang"))
+  }
+
+  /** Twin: the same census from the base table (lang was always data). */
+  val partitionEvolutionSql: String =
+    s"""SELECT doc_id % 2 AS era, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)")}) AS BIGINT) AS text_h
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY era, lang""".stripMargin
+
   // --- D13: co-bucketed fact-fact join ------------------------------------
   /** Bucket count for the D13 tables — at deploy this is sized so one
     * bucket of the LARGER fact fits an executor (e.g. 100 TB / 4096
@@ -1611,6 +1662,7 @@ object Sinks {
     "orc_roundtrip" -> (orcRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
     "json_roundtrip" -> (jsonRoundtrip _),
+    "partition_evolution" -> (partitionEvolution _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
@@ -1635,6 +1687,7 @@ object Sinks {
     "orc_roundtrip" -> orcRoundtripSql,
     "csv_roundtrip" -> csvRoundtripSql,
     "json_roundtrip" -> jsonRoundtripSql,
+    "partition_evolution" -> partitionEvolutionSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,

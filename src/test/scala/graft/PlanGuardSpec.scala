@@ -220,9 +220,10 @@ class PlanGuardSpec extends SparkSpec {
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
     "csv_roundtrip" -> 2, // D4's budget exactly: memoized CSV write, one partial-agg rollup over the CSV scan + gate sort
     "json_roundtrip" -> 2, // D4's budget exactly: memoized JSONL write, one partial-agg rollup over the JSON scan + gate sort
-    "skyline_2d" -> 5, // per-price max agg, per-bucket max agg, the O(buckets) running-max window, the near-frontier exact sweep, gate sort — the two single-partition windows carry only pruned survivors (measured 5)
+    "skyline_2d" -> 4, // per-bucket max agg over RAW rows (map-side to O(buckets)), its running-max window, the near-frontier per-price dedup + exact sweep, gate sort — pruning runs BEFORE any full-cardinality shuffle (measured 4)
     "linreg_trend" -> 3, // the group×day rollup is checkpoint-truncated (runs once); min-day agg + the sufficient-stats agg + gate sort (measured 3)
     "fd_profile" -> 18, // 6 candidates × (determinant partial agg with an exact COUNT(DISTINCT) two-phase + 1-row rollup) unioned; every exchange carries O(groups) of ONE candidate, the board is 6 rows (measured 18)
+    "partition_evolution" -> 2, // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)
     "suffix_array" -> 2, // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort

@@ -358,6 +358,39 @@ class SinksSpec extends SparkSpec {
     graft.sources.IndexScratch.deleteRec(new java.io.File(p))
   }
 
+  test("partition_evolution: the partitioned era's files physically LACK " +
+      "lang (restored from the directory tree), and the census is " +
+      "layout-independent (D17)") {
+    val board = Sinks.partitionEvolution(spark, sfDir).collect()
+    assert(board.nonEmpty)
+    // both eras present, each with >1 lang (the partition column came back)
+    val langsByEra = board.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(langsByEra.keySet === Set(0L, 1L))
+    assert(langsByEra.values.forall(_.size > 1))
+
+    // the capability is load-bearing: a leaf file of the partitioned era
+    // read DIRECTLY (no partition discovery) has NO lang column
+    val root = graft.sources.IndexScratch.path("partevo", sfDir)
+    val leaf = new java.io.File(s"$root/era2").listFiles()
+      .filter(_.getName.startsWith("lang=")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val direct = spark.read.parquet(leaf.getAbsolutePath)
+    assert(!direct.columns.contains("lang"),
+      s"era2 leaf carries lang in-file: ${direct.columns.mkString(",")}")
+    // while the flat era's files DO carry it as data
+    val flatLeaf = new java.io.File(s"$root/era1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(spark.read.parquet(flatLeaf.getAbsolutePath)
+      .columns.contains("lang"))
+
+    // vanilla mixed-directory discovery REFUSES this layout — the
+    // two-read union is necessary, not a style choice
+    intercept[Exception] {
+      spark.read.parquet(root).collect()
+    }
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(
