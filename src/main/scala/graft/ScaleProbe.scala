@@ -552,6 +552,11 @@ object ScaleProbe {
       // B68 at 24×: ONE k-bounded heap of state however many docs arrive
       graft.streaming.StreamOps.streamWeightedSample(spark, streamDir).count()
     }
+    time("stream_dedup_ttl") {
+      // TTL-bounded dedup state: co-windowed feed, state O(distinct) but
+      // EVICTABLE — the probe exercises the same volume as stream_dedup
+      graft.streaming.StreamOps.streamDedupTtl(spark, streamDir).count()
+    }
     time("stream_linreg_trend") {
       // sufficient-stats state: O(groups x days) rows regardless of reps
       graft.streaming.StreamOps.streamLinregTrend(spark, streamDir).count()

@@ -59,7 +59,8 @@ object ScaleProbeCoverage {
     "stream_linreg_trend", "stream_skyline",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
-    "stream_dedup", "stream_embed_pca", "stream_entropy_gate",
+    "stream_dedup", "stream_dedup_ttl", "stream_embed_pca",
+    "stream_entropy_gate",
     "stream_events", "stream_funnel", "stream_hh_topk", "stream_join",
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",
@@ -106,7 +107,8 @@ object ScaleProbeCoverage {
     "linreg_trend", "zipf_slope", "stream_linreg_trend", "stream_skyline",
     "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
-    "stream_dedup", "stream_embed_pca", "stream_entropy_gate",
+    "stream_dedup", "stream_dedup_ttl", "stream_embed_pca",
+    "stream_entropy_gate",
     "stream_events", "stream_funnel", "stream_hh_topk", "stream_join",
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",

@@ -934,6 +934,51 @@ object StreamOps {
       .orderBy(col("o_orderkey"))
   }
 
+  val DedupTtlQueryName = "graft_stream_dedup_ttl"
+
+  /** B21's streaming dedup with TTL-BOUNDED state — the production
+    * answer to B21's own scale note ("on an unbounded stream, age state
+    * with a watermark"), made a first-class key via Spark's native
+    * `dropDuplicatesWithinWatermark`: the state store keeps a content
+    * hash only until the event-time watermark passes its arrival, so
+    * state is sized by the duplicate-arrival WINDOW, not the corpus
+    * lifetime. The gate feed (C1's doubled corpus) stamps every copy
+    * with one event time, so all duplicates are co-windowed and the
+    * kept set is exactly the distinct-content set — oracle = C1's
+    * distinct hashes. Which copy survives is arrival order (non-
+    * deterministic in a parallel read), so the key emits the CONTENT
+    * identity only, which is duplicate-invariant. The TTL is proven
+    * load-bearing in the spec: a copy arriving in a later micro-batch,
+    * past the watermark delay, finds its key EVICTED and survives as a
+    * fresh row — bounded state is a semantics change you can observe,
+    * not a tuning flag. (Engine detail the spec pins: state cleanup
+    * runs at END of batch with the watermark computed after the
+    * PREVIOUS batch, so eviction lands one micro-batch after the
+    * watermark passes the key's TTL.) */
+  def streamDedupTtl(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), col("text"))
+    val stream = src.unionByName(
+      src.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    val kept = stream
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("arrival", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"))
+    drainViaParquetSink(spark, kept, DedupTtlQueryName)
+      .orderBy(col("content_hash"))
+  }
+
+  /** Oracle: the doubled feed adds no new content, so the kept set is
+    * the base corpus' distinct content hashes. */
+  val streamDedupTtlSql: String =
+    "SELECT DISTINCT sha256(text) AS content_hash FROM documents ORDER BY 1"
+
   val LinregQueryName = "graft_stream_linreg"
 
   /** B82's OLS trend maintained BY the stream — the textbook case for
@@ -1379,7 +1424,8 @@ object StreamOps {
     "stream_schema_evolution" -> (streamSchemaEvolution _),
     "stream_embed_pca" -> (streamEmbedPca _),
     "stream_linreg_trend" -> (streamLinregTrend _),
-    "stream_skyline" -> (streamSkyline _)
+    "stream_skyline" -> (streamSkyline _),
+    "stream_dedup_ttl" -> (streamDedupTtl _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1392,6 +1438,9 @@ object StreamOps {
     "stream_funnel" -> graft.operators.OlapC.funnelSql,
     "stream_mv" -> graft.operators.OlapC.mvIncrementalSql,
     "stream_upsert" -> graft.operators.OlapC.upsertLatestSql,
+    // the TTL-deduped kept set must equal the distinct-content set
+    // (all gate duplicates are co-windowed by construction)
+    "stream_dedup_ttl" -> streamDedupTtlSql,
     // the streamed sufficient-stats rollup must equal the batch OLS
     "stream_linreg_trend" -> graft.operators.OlapD.linregTrendSql,
     // the streamed per-price-max state re-swept must equal the batch frontier

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.operators.OlapB
+import org.apache.spark.sql.functions.{col, sha2}
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -88,6 +89,66 @@ class StreamOpsSpec extends SparkSpec {
     val b = graft.operators.OlapC.upsertLatest(spark, sfDir).collect()
       .map(_.toString).sorted
     assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("stream_dedup_ttl: kept set equals the distinct-content set on " +
+      "the co-windowed gate feed (B86)") {
+    val s = StreamOps.streamDedupTtl(spark, sfDir).collect()
+      .map(_.getString(0))
+    val b = graft.sources.Tables(spark, sfDir).documents
+      .select(sha2(col("text"), 256)).distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
+  test("stream_dedup_ttl: the TTL is load-bearing — a duplicate arriving " +
+      "past the watermark delay finds its key EVICTED and survives (B86)") {
+    import spark.implicits._
+    val ss = StreamOps.streamingSession(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ttl_mb")
+    def writeWave(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles().find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(srcDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    // wave 0: X twice within the delay (second copy dropped) + W at
+    // t0+3h, which advances the post-batch watermark to t0+2h — past
+    // X's (arrival t0) + 1h TTL
+    writeWave(Seq(("X", ts(0)), ("X", ts(1)), ("W", ts(180)))
+      .toDF("content", "arrival"), "w0.parquet", 1700000000000L)
+    // wave 1: state CLEANUP runs at end-of-batch with the watermark
+    // computed after wave 0 (t0+2h) — this batch is what evicts X
+    writeWave(Seq(("Y", ts(181))).toDF("content", "arrival"),
+      "w1.parquet", 1700000060000L)
+    // wave 2: X again at t0+2.5h — above the watermark (not late data),
+    // but its dedup key is gone: the "duplicate" SURVIVES
+    writeWave(Seq(("X", ts(150))).toDF("content", "arrival"),
+      "w2.parquet", 1700000120000L)
+    val feed = ss.readStream
+      .schema("content STRING, arrival TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicatesWithinWatermark("content")
+    val name = "graft_ttl_replay"
+    val sink = java.nio.file.Files.createTempDirectory("graft_ttl_sink")
+    val q = feed.writeStream.queryName(name)
+      .format("parquet").option("path", sink.toString)
+      .option("checkpointLocation", s"$sink-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = ss.read.parquet(sink.toString).collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    // X kept in wave 0 (in-window copy dropped), kept AGAIN in wave 2
+    assert(got === Map("X" -> 2, "W" -> 1, "Y" -> 1), s"got $got")
+    graft.sources.IndexScratch.deleteRec(srcDir.toFile)
+    graft.sources.IndexScratch.deleteRec(sink.toFile)
   }
 
   test("streamed OLS trend equals the batch sufficient-stats regression " +

@@ -36,6 +36,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_cdc_compact" -> 0,
     "graft_stream_cluster_assign" -> 0, // frozen centroid literals, pure map
     "graft_stream_dedup" -> 0,
+    "graft_stream_dedup_ttl" -> 0,
     "graft_stream_events" -> 0,
     "graft_stream_funnel" -> 0,
     "graft_stream_join" -> 0,
