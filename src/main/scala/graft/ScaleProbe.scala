@@ -552,6 +552,12 @@ object ScaleProbe {
       // B68 at 24×: ONE k-bounded heap of state however many docs arrive
       graft.streaming.StreamOps.streamWeightedSample(spark, streamDir).count()
     }
+    time("stream_sessions_tws") {
+      // the state-v2 processor on RocksDB: same feed and state shape as
+      // stream_sessions, provider swapped
+      graft.streaming.StatefulSessions
+        .streamSessionsTws(spark, streamDir).count()
+    }
     time("stream_dedup_ttl") {
       // TTL-bounded dedup state: co-windowed feed, state O(distinct) but
       // EVICTABLE — the probe exercises the same volume as stream_dedup

@@ -65,7 +65,8 @@ object ScaleProbeCoverage {
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",
     "stream_quality_ensemble", "stream_scd2", "stream_sessions",
-    "stream_sessions_native", "stream_topk", "stream_transitions",
+    "stream_sessions_native", "stream_sessions_tws", "stream_topk",
+    "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
@@ -113,7 +114,8 @@ object ScaleProbeCoverage {
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",
     "stream_quality_ensemble", "stream_scd2", "stream_sessions",
-    "stream_sessions_native", "stream_topk", "stream_transitions",
+    "stream_sessions_native", "stream_sessions_tws", "stream_topk",
+    "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",

@@ -306,9 +306,116 @@ object StatefulSessions {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // --- B87: sessions via transformWithState (the Spark 4 state-v2 API) -----
+  val TwsQueryName = "graft_stream_sessions_tws"
+
+  /** The B15 sessionizer re-expressed on `transformWithState` — Spark 4's
+    * arbitrary-stateful successor to flatMapGroupsWithState, and the API a
+    * new deployment should target: named state variables (`ValueState`
+    * with optional TTL) instead of one opaque state object, EXPLICIT
+    * event-time timers (register/delete per key — B15's single implicit
+    * timeout is the degenerate case), and a mandatory RocksDB state store
+    * (changelog-checkpointable, the production store for large state).
+    * The session logic is the SAME gap rule, so the key shares B15/B73's
+    * `events_sessionize` oracle — three implementations (custom FMGWS
+    * machine, native session_window, state-v2 processor) pinned to ONE
+    * batch twin. Timer discipline: exactly one live timer per key (the
+    * previous is deleted before re-registering at new end + gap) — stale
+    * timers would close sessions early under multi-batch replays. */
+  private class SessionProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues,
+      ExpiredTimerInfo, ValueState}
+    @transient private var open: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, events: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionOut] = {
+      var st = if (open.exists()) open.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+      for (e <- sorted) {
+        if (st == null) st = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
+        else if (e.ts_us - st.end_us > GapUs) {
+          out += StatefulSessions.close(userId, st) // object's, not the
+          // processor's nullary lifecycle close() hook
+          st = SessionState(e.ts_us, e.ts_us, 1L, e.cents)
+        } else st = SessionState(st.start_us, e.ts_us, st.n + 1,
+          st.cents + e.cents)
+      }
+      if (st != null) {
+        open.update(st)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.end_us / 1000 + GapUs / 1000)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (open.exists()) {
+        val s = open.get(); open.clear()
+        Iterator(StatefulSessions.close(userId, s))
+      } else Iterator.empty
+  }
+
+  /** transformWithState REQUIRES the RocksDB state store — a dedicated
+    * child session carries that provider so the HDFS-backed default on
+    * every other streaming query is untouched. */
+  private val rocksSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def rocksSession(root: SparkSession): SparkSession =
+    rocksSessions.synchronized {
+      var s = rocksSessions.get(root)
+      if (s == null) {
+        s = root.newSession()
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        rocksSessions.put(root, s)
+      }
+      s.conf.set("spark.sql.shuffle.partitions",
+        root.conf.getOption("graft.streaming.statePartitions").getOrElse("8"))
+      s
+    }
+
+  def streamSessionsTws(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = rocksSession(rootSpark)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val (maxTsUs, realCount) = eventStats(spark, dir)
+    val base = rawEvents(spark, dir, "events.parquet").unionByName(
+      rawEvents(spark, sentinelDir(spark, dir, maxTsUs), "*.parquet"))
+    val evs: Dataset[Ev] = base
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(25,2)") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[Ev]
+    val sessions = evs.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    val drained = StreamOps.drainViaParquetSink(spark, sessions.toDF(),
+      TwsQueryName, afterDrain =
+        StreamOps.requireSingleDataBatch(TwsQueryName, Some(realCount + 1)))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    drained
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"),
+        row_number().over(w).cast("bigint").as("session_id"),
+        col("n_events"), col("start_us"), col("end_us"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_native" -> (streamSessionsNative _),
+    "stream_sessions_tws" -> (streamSessionsTws _),
     "stream_scd2" -> (streamScd2 _)
   )
 
@@ -317,6 +424,7 @@ object StatefulSessions {
   val oracles: Map[String, String] = Map(
     "stream_sessions" -> graft.operators.OlapB.eventsSessionizeSql,
     "stream_sessions_native" -> graft.operators.OlapB.eventsSessionizeSql,
+    "stream_sessions_tws" -> graft.operators.OlapB.eventsSessionizeSql,
     "stream_scd2" -> graft.operators.OlapC.scd2TrackSql
   )
 }

@@ -161,4 +161,14 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(native.nonEmpty && native.toSeq === batch.toSeq)
     assert(custom.toSeq === batch.toSeq)
   }
+
+  test("transformWithState drain equals the batch sessionizer — the " +
+      "state-v2 processor is the THIRD implementation pinned to one " +
+      "oracle (B87 == B15 == B73 == B11)") {
+    val tws = StatefulSessions.streamSessionsTws(spark, sfDir)
+      .collect().map(_.toString)
+    val batch = graft.operators.OlapB.eventsSessionize(spark, sfDir)
+      .collect().map(_.toString)
+    assert(tws.nonEmpty && tws.toSeq === batch.toSeq)
+  }
 }

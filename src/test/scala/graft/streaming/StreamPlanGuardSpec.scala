@@ -46,6 +46,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_scd2" -> 0,
     "graft_stream_sessions" -> 0,
     "graft_stream_sessions_native" -> 0,
+    "graft_stream_sessions_tws" -> 0,
     "graft_stream_topk" -> 0,
     "graft_stream_transitions" -> 0,
     "graft_stream_unigram_encode" -> 0, // vocab costs are driver literals
