@@ -558,6 +558,10 @@ object ScaleProbe {
       graft.streaming.StatefulSessions
         .streamSessionsTws(spark, streamDir).count()
     }
+    time("stream_rfm") {
+      // per-user monoid state: O(users), the ntile tail batch-side
+      graft.streaming.StreamOps.streamRfm(spark, streamDir).count()
+    }
     time("stream_dedup_ttl") {
       // TTL-bounded dedup state: co-windowed feed, state O(distinct) but
       // EVICTABLE — the probe exercises the same volume as stream_dedup

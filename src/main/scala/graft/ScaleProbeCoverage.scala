@@ -64,7 +64,8 @@ object ScaleProbeCoverage {
     "stream_events", "stream_funnel", "stream_hh_topk", "stream_join",
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",
-    "stream_quality_ensemble", "stream_scd2", "stream_sessions",
+    "stream_quality_ensemble", "stream_rfm", "stream_scd2",
+    "stream_sessions",
     "stream_sessions_native", "stream_sessions_tws", "stream_topk",
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
@@ -113,7 +114,8 @@ object ScaleProbeCoverage {
     "stream_events", "stream_funnel", "stream_hh_topk", "stream_join",
     "stream_kn_score", "stream_line_dedup", "stream_nb_score",
     "stream_pack_bestfit", "stream_quality_drift",
-    "stream_quality_ensemble", "stream_scd2", "stream_sessions",
+    "stream_quality_ensemble", "stream_rfm", "stream_scd2",
+    "stream_sessions",
     "stream_sessions_native", "stream_sessions_tws", "stream_topk",
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",

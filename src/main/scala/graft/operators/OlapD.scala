@@ -645,6 +645,16 @@ object OlapD {
       .agg(max(to_date(col("ts"))).as("last_d"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(25,6)")).as("monetary_dec"))
+    rfmTailOn(perUser, anchor)
+  }
+
+  /** The anchor + ntile tail over a per-user (last_d, frequency,
+    * monetary_dec) rollup — shared by the batch key and the streaming
+    * twin (B88), whose micro-batch delivers the same rollup out of
+    * streaming state. */
+  private[graft] def rfmTailOn(perUser: DataFrame,
+      anchor: DataFrame): DataFrame = {
+    val scored = perUser
       .crossJoin(broadcast(anchor))
       .select(col("user_id"),
         datediff(col("anchor_d"), col("last_d")).cast("long")
@@ -653,7 +663,7 @@ object OlapD {
     val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
     val fW = Window.orderBy(col("frequency").asc, col("user_id"))
     val mW = Window.orderBy(col("monetary_dec").asc, col("user_id"))
-    perUser
+    scored
       .withColumn("r_q", ntile(4).over(rW))
       .withColumn("f_q", ntile(4).over(fW))
       .withColumn("m_q", ntile(4).over(mW))

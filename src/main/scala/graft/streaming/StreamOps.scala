@@ -1036,6 +1036,45 @@ object StreamOps {
       .orderBy(col("price"))
   }
 
+  val RfmQueryName = "graft_stream_rfm"
+
+  /** B80's RFM segmentation maintained BY the stream — the third
+    * mergeable-monoid board (B84 SUM, B85 MAX, here a per-user triple of
+    * MAX(date) / conditional COUNT / conditional DECIMAL SUM): one
+    * streaming aggregate keyed by user over ALL events holds the state,
+    * with the purchase-only metrics as conditional aggregates and the
+    * any-event last-seen date carried so the drain can derive the GLOBAL
+    * anchor (a second streaming aggregate is illegal in one query —
+    * deriving it from the delivered per-user rows costs one O(users)
+    * batch-side agg instead). Purchase-free users live in state (they
+    * anchor the clock) and are filtered at the drain; the ntile tail is
+    * the SAME [[graft.operators.OlapD.rfmTailOn]] code path as batch, so
+    * drain == batch and the key shares `rfm_segments`' oracle. */
+  def streamRfm(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val ev = eventsStream(spark, dir)
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("seen_d"),
+        max(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("last_d"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(25,6)"))).as("monetary_dec"))
+    drainViaParquetSink(spark, perUser.toDF(), RfmQueryName,
+      complete = true,
+      xform = (mb, _) => {
+        val anchor = mb.agg(max(col("seen_d")).as("anchor_d"))
+        graft.operators.OlapD.rfmTailOn(
+          mb.filter(col("frequency") > 0)
+            .select(col("user_id"), col("last_d"), col("frequency"),
+              col("monetary_dec")),
+          anchor)
+      })
+      .orderBy(col("user_id"))
+  }
+
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
   /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
@@ -1425,7 +1464,8 @@ object StreamOps {
     "stream_embed_pca" -> (streamEmbedPca _),
     "stream_linreg_trend" -> (streamLinregTrend _),
     "stream_skyline" -> (streamSkyline _),
-    "stream_dedup_ttl" -> (streamDedupTtl _)
+    "stream_dedup_ttl" -> (streamDedupTtl _),
+    "stream_rfm" -> (streamRfm _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1443,6 +1483,8 @@ object StreamOps {
     "stream_dedup_ttl" -> streamDedupTtlSql,
     // the streamed sufficient-stats rollup must equal the batch OLS
     "stream_linreg_trend" -> graft.operators.OlapD.linregTrendSql,
+    // the streamed per-user monoid re-scored must equal the batch RFM
+    "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     // the streamed per-price-max state re-swept must equal the batch frontier
     "stream_skyline" -> graft.operators.OlapD.skyline2dSql,
     // the order-sensitive stateful drain must equal the batch window op

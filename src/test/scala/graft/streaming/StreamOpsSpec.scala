@@ -151,6 +151,14 @@ class StreamOpsSpec extends SparkSpec {
     graft.sources.IndexScratch.deleteRec(sink.toFile)
   }
 
+  test("streamed RFM equals the batch segmentation (B88 == B80: the " +
+      "per-user triple is a mergeable monoid; anchor derived at drain)") {
+    val s = StreamOps.streamRfm(spark, sfDir).collect().map(_.toString)
+    val b = graft.operators.OlapD.rfmSegments(spark, sfDir).collect()
+      .map(_.toString)
+    assert(s.nonEmpty && s.toSeq === b.toSeq)
+  }
+
   test("streamed OLS trend equals the batch sufficient-stats regression " +
       "(B84 == B82: the rollup is a mergeable monoid)") {
     val s = StreamOps.streamLinregTrend(spark, sfDir).collect()
