@@ -767,7 +767,7 @@ object ScaleProbe {
       "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms",
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
-      "zipf_slope", "partition_evolution")
+      "suffix_lcp", "zipf_slope", "partition_evolution")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -834,6 +834,7 @@ object ScaleProbe {
     dirKey("linreg_trend")
     dirKey("fd_profile")
     dirKey("suffix_array")
+    dirKey("suffix_lcp")
     dirKey("zipf_slope")
     dirKey("partition_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with

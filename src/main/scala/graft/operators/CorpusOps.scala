@@ -3850,13 +3850,18 @@ object CorpusOps {
     * The oracle (bounded window) sorts the materialized suffix strings;
     * suffixes of one string are pairwise distinct, so its ROW_NUMBER ==
     * the doubling chain's final dense_rank. */
-  def suffixArrayOn(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val base = docs.filter(col(idCol) % SaDocMod === 0)
+  /** The sanitized bounded-window gate slice — shared by C99 and C101. */
+  private def saWindowsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(idCol) % SaDocMod === 0)
       .select(col(idCol).as("doc_id"),
         substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),
           1, SaWindow).as("w"))
       .filter(length(col("w")) > 0)
+
+  def suffixArrayOn(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = saWindowsOf(docs, idCol, textCol)
     var cur = base
       .select(col("doc_id"), posexplode(split(col("w"), ""))
         .as(Seq("pos", "ch")))
@@ -3904,8 +3909,77 @@ object CorpusOps {
        |    AS BIGINT) AS sa_rank
        |FROM p ORDER BY doc_id, sa_rank""".stripMargin
 
+  // --- C101: LCP array over the suffix array ---------------------------------
+  /** The LCP array next to C99's suffix array — the pair that makes the
+    * index USEFUL: repeated substrings are exactly the runs where
+    * adjacent-rank suffixes share a prefix (lcp ≥ threshold), which is
+    * how Lee et al. (ACL 2022) find duplicated training spans. Each
+    * rank-adjacent pair (a `lag` over the per-doc rank order — no
+    * self-join) evaluates [[graft.functions.CommonPrefixLengthAt]], a
+    * codegen'd zero-allocation byte loop over the document's bounded
+    * window; the window frame is O(slice docs) rows of ≤ 64 chars and
+    * BROADCASTS back onto the positions. Rank 1 has no predecessor —
+    * lcp 0 by convention, as in Kasai et al.
+    *
+    * Scale shape: the C99 chain's ONE hash(doc) exchange + the rank-order
+    * lag (same partitioning, a re-sort) + the broadcast window join; at
+    * deploy (windows too big to carry as a column) the rank-table
+    * doubling comparison replaces the byte loop — documented, the gate
+    * path IS bounded by the oracle's own materialization limit. */
+  def suffixLcpOn(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sa = suffixArrayOn(docs, idCol, textCol)
+    val wins = saWindowsOf(docs, idCol, textCol)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("sa_rank"))
+    sa.withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
+      .join(broadcast(wins), "doc_id")
+      .withColumn("lcp",
+        when(col("prev_pos").isNull, lit(0L))
+          .otherwise(graft.functions.suffix.common_prefix_length_at(
+            col("w"), col("prev_pos"), col("pos"))))
+      .select(col("doc_id"), col("sa_rank"), col("pos"), col("lcp"))
+      .orderBy(col("doc_id"), col("sa_rank"))
+  }
+
+  def suffixLcp(spark: SparkSession, dir: String): DataFrame =
+    suffixLcpOn(graft.sources.Tables(spark, dir).documents, "doc_id", "text")
+
+  /** Twin: materialize the suffixes, lag over the rank order, and derive
+    * the common-prefix length as max{ i : prefixes of length i equal }
+    * (prefix equality is downward-closed, so MAX is exact). */
+  val suffixLcpSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),
+       |           1, $SaWindow) AS w
+       |  FROM documents WHERE doc_id % $SaDocMod = 0
+       |), idx AS (
+       |  SELECT CAST(UNNEST(range(1, ${SaWindow + 1})) AS BIGINT) AS i
+       |), p AS (
+       |  SELECT doc_id, i - 1 AS pos, substr(w, i) AS suf
+       |  FROM d JOIN idx ON i <= length(w)
+       |), a AS (
+       |  SELECT doc_id, pos, suf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf)
+       |      AS BIGINT) AS sa_rank,
+       |    LAG(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS prev
+       |  FROM p
+       |), l AS (
+       |  SELECT a.doc_id, a.sa_rank, MAX(i) AS lcp
+       |  FROM a JOIN idx
+       |    ON i <= least(length(suf), length(prev))
+       |   AND substr(suf, 1, CAST(i AS INT)) = substr(prev, 1, CAST(i AS INT))
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.doc_id, a.sa_rank, a.pos,
+       |  COALESCE(l.lcp, 0) AS lcp
+       |FROM a LEFT JOIN l ON a.doc_id = l.doc_id AND a.sa_rank = l.sa_rank
+       |ORDER BY a.doc_id, a.sa_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "suffix_array" -> (suffixArray _),
+    "suffix_lcp" -> (suffixLcp _),
     "zipf_slope" -> (zipfSlope _),
     "unigram_logprob" -> (unigramLogprob _),
     "vocab_growth" -> (vocabGrowth _),
@@ -3986,5 +4060,6 @@ object CorpusOps {
     "kn_logprob" -> knLogprobSql,
     "ppl_band_select" -> pplBandSelectSql,
     "suffix_array" -> suffixArraySql,
+    "suffix_lcp" -> suffixLcpSql,
     "zipf_slope" -> zipfSlopeSql)
 }

@@ -224,7 +224,9 @@ class PlanGuardSpec extends SparkSpec {
     "linreg_trend" -> 3, // the group×day rollup is checkpoint-truncated (runs once); min-day agg + the sufficient-stats agg + gate sort (measured 3)
     "fd_profile" -> 18, // 6 candidates × (determinant partial agg with an exact COUNT(DISTINCT) two-phase + 1-row rollup) unioned; every exchange carries O(groups) of ONE candidate, the board is 6 rows (measured 18)
     "partition_evolution" -> 2, // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)
-    "suffix_array" -> 2, // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
+    "suffix_array" -> 2,
+    "suffix_lcp" -> 4, // the C99 chain's exchange + the rank-order lag re-sort (one more range exchange for the lag's rank order) + the broadcast window join side + gate sort (measured 4); the LCP kernel itself is a codegen byte loop, zero exchanges
+ // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 5, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote LEFT-joins three doc-keyed frames (every doc gets a verdict — the co-partition exchange per side is the price of not dropping tokenless docs) + gate sort

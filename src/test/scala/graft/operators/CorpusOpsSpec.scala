@@ -1355,6 +1355,64 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("suffix_lcp: banana's LCP array is the textbook fixture; " +
+      "driver-side parity on the gate slice; the codegen kernel matches " +
+      "a Scala reference on random strings (C101)") {
+    import spark.implicits._
+    // SA order of banana: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    // LCP:                 0    1      3        0         0     2
+    val one = Seq((0L, "banana")).toDF("doc_id", "text")
+    val got = CorpusOps.suffixLcpOn(one, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 5L, 0L), (2L, 3L, 1L), (3L, 1L, 3L),
+      (4L, 0L, 0L), (5L, 4L, 0L), (6L, 2L, 2L)))
+
+    // gate slice: lcp equals a driver-side common-prefix computation
+    // over the materialized suffixes
+    val real = CorpusOps.suffixLcp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty)
+    val wins = graft.sources.Tables(spark, sfDir).documents
+      .filter(col("doc_id") % CorpusOps.SaDocMod === 0)
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^a-z0-9 ]", "")),
+          1, CorpusOps.SaWindow).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lcpOf(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    real.groupBy(_._1).foreach { case (id, rows) =>
+      val w = wins(id)
+      val byRank = rows.sortBy(_._2)
+      byRank.sliding(2).foreach {
+        case Array(p, c) =>
+          val expect = lcpOf(w.substring(p._3.toInt), w.substring(c._3.toInt))
+          assert(c._4 === expect, s"doc $id rank ${c._2}")
+        case _ => ()
+      }
+      assert(byRank.head._4 === 0L) // rank 1: no predecessor
+    }
+
+    // the kernel itself: interpreted eval vs a Scala reference on
+    // random sanitized strings and positions (codegen parity is what
+    // the distributed runs above execute)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val w = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => "ab0 "(rnd.nextInt(4))).mkString
+      val pa = rnd.nextInt(w.length).toLong
+      val pb = rnd.nextInt(w.length).toLong
+      val expr = graft.functions.CommonPrefixLengthAt(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(pa),
+        org.apache.spark.sql.catalyst.expressions.Literal(pb))
+      val got = expr.eval(null).asInstanceOf[Long]
+      val expect = lcpOf(w.substring(pa.toInt), w.substring(pb.toInt))
+      assert(got === expect, s"w=$w pa=$pa pb=$pb")
+    }
+  }
+
   test("suffix_array: banana is the textbook fixture; ranks are a " +
       "1..len permutation and match a driver-side suffix sort (C99)") {
     import spark.implicits._
