@@ -91,6 +91,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) =>
         HilbertIndex4(es(0), es(1), es(2), es(3), intArg(es(4), "bits"))))
 
+    ext.injectFunction((FunctionIdentifier("common_prefix_length_at"),
+      info("common_prefix_length_at",
+        "common_prefix_length_at(w, pa, pb) - common-prefix length of the " +
+          "suffixes of w at 0-based positions pa and pb (byte compare)"),
+      (es: Seq[Expression]) => CommonPrefixLengthAt(es(0), es(1), es(2))))
+
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters",
         "heavy_hitters(item, k) - Misra-Gries top items with k counters"),

@@ -46,6 +46,9 @@ case class CommonPrefixLengthAt(first: Expression, second: Expression,
     val n = s.numBytes.toLong
     val pa = a.asInstanceOf[Long]
     val pb = b.asInstanceOf[Long]
+    // out-of-domain positions (negative — e.g. from a SQL caller) name no
+    // suffix: empty common prefix, NOT an unsafe byte read
+    if (pa < 0 || pb < 0) return 0L
     var i = 0L
     while (pa + i < n && pb + i < n &&
         s.getByte((pa + i).toInt) == s.getByte((pb + i).toInt)) i += 1
@@ -59,9 +62,11 @@ case class CommonPrefixLengthAt(first: Expression, second: Expression,
       s"""
          |long $n = (long) $w.numBytes();
          |long $i = 0L;
-         |while ($a + $i < $n && $b + $i < $n &&
-         |    $w.getByte((int) ($a + $i)) == $w.getByte((int) ($b + $i))) {
-         |  $i++;
+         |if ($a >= 0 && $b >= 0) {
+         |  while ($a + $i < $n && $b + $i < $n &&
+         |      $w.getByte((int) ($a + $i)) == $w.getByte((int) ($b + $i))) {
+         |    $i++;
+         |  }
          |}
          |${ev.value} = $i;
        """.stripMargin

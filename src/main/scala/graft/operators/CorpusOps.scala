@@ -3743,11 +3743,10 @@ object CorpusOps {
     * OLS with the exact (num, den) emission + IEEE double quotient.
     *
     * Scale shape: one (source, term) partial-agg exchange over the
-    * token stream, a per-source rank window over the BOUNDED top-R head
-    * (TakeOrdered-sized — the window input is pre-filtered by a
-    * per-source count floor? no: rank ≤ R filter after the window, but
-    * the window sorts only O(vocab per source), already agg-shrunk),
-    * then an O(sources × R) stats rollup. */
+    * token stream; the per-source rank window sorts O(vocab per source)
+    * rows — already agg-shrunk from the corpus, and further boundable at
+    * deploy with a per-source count floor before the window — then the
+    * rank ≤ R filter leaves an O(sources × R) stats rollup. */
   def zipfSlopeOn(documents: DataFrame, srcCol: String,
       textCol: String): DataFrame = {
     val tf = documents

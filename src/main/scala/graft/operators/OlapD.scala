@@ -746,7 +746,11 @@ object OlapD {
     * dedup and the exact sweep only ever see the near-frontier
     * survivors. The first spelling deduped per price FIRST and paid a
     * ~#distinct-prices shuffle over the whole corpus before pruning —
-    * 41 s at 24×; pruning first collapses that to the O(buckets) agg. */
+    * 41 s at 24×; pruning first collapses that to the O(buckets) agg.
+    * (Worst case is output-sensitive and inherent: on anti-correlated
+    * data the FRONTIER itself is O(distinct prices) and no prune helps —
+    * the single-partition sweep is then sized by the answer, like any
+    * top-k.) */
   private[graft] def skylineSweepOn(raw: DataFrame): DataFrame = {
     // distributed pre-prune: per-bucket max over RAW rows, running max
     // over the O(buckets) board, broadcast back — a row whose qty does

@@ -44,6 +44,13 @@ class GraftExtensionsSpec extends SparkSpec {
           .hilbert_index4(lit(3L), lit(5L), lit(6L), lit(7L), 4))
       .collect()(0)
     assert((h2, h3, h4) === ((api.getLong(0), api.getLong(1), api.getLong(2))))
+
+    // the C101 suffix kernel from SQL — banana: suffixes at 1 ("anana")
+    // and 3 ("ana") share "ana"
+    val lcp = spark.sql(
+      "SELECT common_prefix_length_at('banana', 1L, 3L) AS l")
+      .collect()(0).getLong(0)
+    assert(lcp === 3L)
   }
 
   test("custom aggregates are callable from SQL") {
