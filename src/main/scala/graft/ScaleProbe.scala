@@ -767,7 +767,8 @@ object ScaleProbe {
       "dpp_prune", "activity_streaks", "rfm_segments", "tfidf_topterms",
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
-      "suffix_lcp", "zipf_slope", "partition_evolution")
+      "suffix_lcp", "zipf_slope", "partition_evolution",
+      "asof_join_nearest")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -835,6 +836,7 @@ object ScaleProbe {
     dirKey("fd_profile")
     dirKey("suffix_array")
     dirKey("suffix_lcp")
+    dirKey("asof_join_nearest")
     dirKey("zipf_slope")
     dirKey("partition_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with

@@ -278,6 +278,70 @@ object OlapB {
        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
        |ORDER BY p_event_id""".stripMargin
 
+  // --- B89: nearest as-of join ----------------------------------------------
+  /** B10's as-of join generalized to NEAREST-in-either-direction: each
+    * purchase matches the user's closest signup — before OR after —
+    * with Δ ties (and exact time matches) breaking backward. The late
+    * fraud-check / attribution shape: "which signup is this purchase
+    * ABOUT" when the signup may post after the purchase. Still ONE
+    * co-partitioned window exchange ([[AsofJoin.asofNearest]]): both
+    * direction carries ride the same union sort. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"), col("event_id"),
+        col("event_id").as("p_event_id"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), tsUs(col("ts")).as("ts_us"), col("event_id"),
+        col("event_id").as("matched_signup"),
+        tsUs(col("ts")).as("matched_signup_ts"))
+    AsofJoin.asofNearest(purchases, signups, keyCol = "user_id",
+        timeCol = "ts_us", tieCol = "event_id",
+        valueCols = Seq("matched_signup", "matched_signup_ts"),
+        rTimeCol = "matched_signup_ts")
+      .select(col("p_event_id"), col("user_id"), col("ts_us").as("p_ts_us"),
+        col("matched_signup"), col("matched_signup_ts"),
+        col("matched_direction"), col("delta_us"))
+      .orderBy(col("p_event_id"))
+  }
+
+  /** Twin: two ASOF joins (backward `>=`, forward `<`) + the same
+    * backward-wins-ties pick. */
+  val asofJoinNearestSql: String =
+    s"""WITH p AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS p_event_id
+       |           FROM events WHERE event_type = 'purchase'),
+       |     s AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS s_event_id
+       |           FROM events WHERE event_type = 'signup'),
+       |     b AS (SELECT p.p_event_id, s.s_event_id AS b_id, s.ts_us AS b_ts
+       |           FROM p ASOF LEFT JOIN s
+       |             ON p.user_id = s.user_id AND p.ts_us >= s.ts_us),
+       |     f AS (SELECT p.p_event_id, s.s_event_id AS f_id, s.ts_us AS f_ts
+       |           FROM p ASOF LEFT JOIN s
+       |             ON p.user_id = s.user_id AND p.ts_us < s.ts_us)
+       |SELECT p.p_event_id, p.user_id, p.ts_us AS p_ts_us,
+       |  CASE WHEN b_id IS NULL THEN f_id
+       |       WHEN f_id IS NULL THEN b_id
+       |       WHEN p.ts_us - b_ts <= f_ts - p.ts_us THEN b_id
+       |       ELSE f_id END AS matched_signup,
+       |  CASE WHEN b_id IS NULL THEN f_ts
+       |       WHEN f_id IS NULL THEN b_ts
+       |       WHEN p.ts_us - b_ts <= f_ts - p.ts_us THEN b_ts
+       |       ELSE f_ts END AS matched_signup_ts,
+       |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+       |       WHEN b_id IS NULL THEN 'f'
+       |       WHEN f_id IS NULL THEN 'b'
+       |       WHEN p.ts_us - b_ts <= f_ts - p.ts_us THEN 'b'
+       |       ELSE 'f' END AS matched_direction,
+       |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+       |       WHEN b_id IS NULL THEN f_ts - p.ts_us
+       |       WHEN f_id IS NULL THEN p.ts_us - b_ts
+       |       WHEN p.ts_us - b_ts <= f_ts - p.ts_us THEN p.ts_us - b_ts
+       |       ELSE f_ts - p.ts_us END AS delta_us
+       |FROM p
+       |LEFT JOIN b ON p.p_event_id = b.p_event_id
+       |LEFT JOIN f ON p.p_event_id = f.p_event_id
+       |ORDER BY p.p_event_id""".stripMargin
+
   // --- B11: gap-based sessionization --------------------------------------
   val SessionGapUs: Long = 1800L * 1000000 // 30 min
 
@@ -490,6 +554,7 @@ object OlapB {
     "pivot_events" -> (pivotEvents _),
     "semi_anti_join" -> (semiAntiJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "events_sessionize" -> (eventsSessionize _),
     "range_join" -> (rangeJoin _),
     "events_windowed" -> (eventsWindowed _),
@@ -510,6 +575,7 @@ object OlapB {
     "pivot_events" -> pivotEventsSql,
     "semi_anti_join" -> semiAntiJoinSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_nearest" -> asofJoinNearestSql,
     "events_sessionize" -> eventsSessionizeSql,
     "range_join" -> rangeJoinSql,
     "events_windowed" -> eventsWindowedSql,

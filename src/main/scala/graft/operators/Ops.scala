@@ -57,6 +57,71 @@ object AsofJoin {
     }
     unpacked.filter(col("_side") === 1).drop("_side", "_carry")
   }
+
+  /** Nearest-neighbor as-of: attach the right row whose time is CLOSEST to
+    * the left row's, in either direction (backward `<=` or forward `>`),
+    * within the same key. Δ ties break backward (and an exact time match
+    * IS a backward match at Δ = 0 — same `>=` convention as [[asof]]).
+    * `rTimeCol` names the carried right-time value column the Δ compare
+    * reads; it must be one of `valueCols`.
+    *
+    * Shuffle budget: still ONE exchange — both carries (backward `last`
+    * over unbounded-preceding, forward `first` over unbounded-following)
+    * ride the SAME union sort; the nearest pick is a pure row-local
+    * expression. This is the shape a naive "min(abs(Δ))" join can't reach
+    * without a per-left-row aggregation over all right rows. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, valueCols: Seq[String],
+      rTimeCol: String): DataFrame = {
+    require(valueCols.contains(rTimeCol),
+      s"rTimeCol $rTimeCol must be carried in valueCols")
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val lCols = left.columns.toSet
+    val rOnly = valueCols.filterNot(lCols.contains)
+    val lAligned = rOnly.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val rAligned = left.columns.filterNot(right.columns.contains)
+      .foldLeft(r)((df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAligned.select(
+      (left.columns ++ rOnly :+ "_side").map(col).toIndexedSeq: _*)
+      .unionByName(rAligned.select(
+        (left.columns ++ rOnly :+ "_side").map(col).toIndexedSeq: _*))
+    val order = Seq(col(timeCol), col("_side"), col(tieCol))
+    val wB = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rStruct = when(col("_side") === 0, struct(valueCols.map(col): _*))
+    // same-time right rows sort BEFORE the left row (side 0 < 1): they
+    // land in the backward frame (Δ = 0) and are excluded from the
+    // forward frame — ASOF ">=" semantics fall out of the sort order
+    val carried = unioned
+      .withColumn("_b", last(rStruct, ignoreNulls = true).over(wB))
+      .withColumn("_f", first(rStruct, ignoreNulls = true).over(wF))
+    val dB = col(timeCol) - col("_b").getField(rTimeCol)
+    val dF = col("_f").getField(rTimeCol) - col(timeCol)
+    val picked = carried
+      .withColumn("_pick",
+        when(col("_b").isNull, col("_f"))
+          .when(col("_f").isNull, col("_b"))
+          .when(dB <= dF, col("_b")).otherwise(col("_f")))
+      .withColumn("matched_direction",
+        when(col("_b").isNull && col("_f").isNull, lit(null).cast("string"))
+          .when(col("_b").isNull, lit("f"))
+          .when(col("_f").isNull, lit("b"))
+          .when(dB <= dF, lit("b")).otherwise(lit("f")))
+    val unpacked = valueCols.foldLeft(picked) { (df, c) =>
+      df.withColumn(c, col("_pick").getField(c))
+    }
+    unpacked
+      .withColumn("delta_us",
+        when(col("_pick").isNull, lit(null).cast("long"))
+          .otherwise(abs(col(timeCol) - col(rTimeCol)).cast("long")))
+      .filter(col("_side") === 1)
+      .drop("_side", "_b", "_f", "_pick")
+  }
 }
 
 /** Range (point-in-interval) join — Spark's other missing join. A naive

@@ -111,6 +111,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_pii_scrub" -> 1, // map-only + gate sort
     "quality_filter_chain" -> 1, // map-only + gate sort
     "asof_join" -> 2, // union co-partition window + gate sort
+    "asof_join_nearest" -> 2, // STILL one union co-partition exchange — both direction carries (backward last / forward first) ride the same window sort; the nearest pick is row-local + gate sort (measured 2)
     "multimodal_meta" -> 1, // decode is a pure map stage + gate sort
     "text_repetition" -> 1, // one-pass kernel, map-only + gate sort
     "decontaminate" -> 3, // bench distinct + per-doc agg + gate sort (bench side broadcast)

@@ -62,6 +62,58 @@ class OlapSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("asof_join_nearest: hand-checked directions on a seeded frame; " +
+      "the chosen match is the true per-row minimum on the corpus (B89)") {
+    import spark.implicits._
+    // user 1: purchase at 100 — signups at 90 (Δ10 back) and 105 (Δ5 fwd)
+    //   → forward wins
+    // user 2: purchase at 100 — signups at 95 and 105 (equidistant)
+    //   → backward wins ties
+    // user 3: purchase at 100 — signup at 100 (exact) → backward, Δ0
+    // user 4: purchase at 100 — only a later signup at 200 → forward
+    // user 5: purchase with no signup at all → null match
+    val left = Seq((1L, 100L, 11L), (2L, 100L, 21L), (3L, 100L, 31L),
+      (4L, 100L, 41L), (5L, 100L, 51L))
+      .toDF("user_id", "ts_us", "event_id")
+    val right = Seq((1L, 90L, 12L), (1L, 105L, 13L),
+      (2L, 95L, 22L), (2L, 105L, 23L), (3L, 100L, 32L), (4L, 200L, 42L))
+      .toDF("user_id", "ts_us", "event_id")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_id").as("m_id"), col("ts_us").as("m_ts"))
+    val got = AsofJoin.asofNearest(left, right, "user_id", "ts_us",
+        "event_id", Seq("m_id", "m_ts"), "m_ts")
+      .select(col("user_id"), col("m_id"), col("matched_direction"),
+        col("delta_us"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          if (r.isNullAt(2)) "-" else r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === Map(
+      1L -> ((13L, "f", 5L)), 2L -> ((22L, "b", 5L)),
+      3L -> ((32L, "b", 0L)), 4L -> ((42L, "f", 100L)),
+      5L -> ((-1L, "-", -1L))))
+
+    // corpus: every chosen |Δ| equals the brute-force per-purchase min
+    val e = graft.sources.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id")).collect()
+    val signups = e.filter(_.getString(2) == "signup")
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    val real = OlapB.asofJoinNearest(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val u = r.getLong(1); val pts = r.getLong(2)
+      signups.get(u) match {
+        case None => assert(r.isNullAt(3), s"purchase ${r.getLong(0)}")
+        case Some(ss) =>
+          val best = ss.map(t => math.abs(t - pts)).min
+          assert(r.getLong(6) === best,
+            s"purchase ${r.getLong(0)}: Δ ${r.getLong(6)} vs best $best")
+      }
+    }
+  }
+
   test("events_sessionize: session bounds respect the gap") {
     import org.apache.spark.sql.expressions.Window
     val s = OlapB.eventsSessionize(spark, sfDir)
