@@ -55,8 +55,8 @@ object ScaleProbeCoverage {
     "range_join", "resample_ffill", "rfm_segments",
     "salted_join", "scd2_anomaly_mv",
     "schema_evolution", "semantic_dedup", "simhash_index_build",
-    "skyline_2d", "suffix_array", "suffix_lcp", "fd_profile",
-    "zipf_slope",
+    "skyline_2d", "snapshot_read", "suffix_array", "suffix_lcp",
+    "fd_profile", "zipf_slope",
     "stream_linreg_trend", "stream_skyline",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
@@ -106,8 +106,8 @@ object ScaleProbeCoverage {
     "quality_drift", "quality_ensemble", "range_join", "resample_ffill",
     "rfm_segments",
     "salted_join", "schema_evolution", "semantic_dedup",
-    "simhash_index_probe", "skyline_2d", "suffix_array", "suffix_lcp",
-    "fd_profile",
+    "simhash_index_probe", "skyline_2d", "snapshot_read",
+    "suffix_array", "suffix_lcp", "fd_profile",
     "linreg_trend", "zipf_slope", "stream_linreg_trend", "stream_skyline",
     "stream_admission_chain", "stream_attribution",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",

@@ -1520,6 +1520,88 @@ object Sinks {
        |GROUP BY 1, 2
        |ORDER BY era, lang""".stripMargin
 
+  // --- D18: snapshot time travel ---------------------------------------------
+  /** Time travel over a versioned change log — the lakehouse read path
+    * (Iceberg/Delta "AS OF") reduced to its semantics: a snapshot at
+    * version v IS the B71 CDC compaction under the predicate
+    * `version <= v` (latest-wins pick, delete-wins filter). The key
+    * reads the SAME three-version I/U/D log as B71 (`cdcFeedOn` — one
+    * feed spelling across B29/B71/D12/D18) at each of v = 1, 2, 3 and
+    * emits a per-version census: live-row count, exact value mass, and
+    * an order-free per-row content fingerprint proving WHICH records
+    * each historical snapshot contains (v1 = pristine base, v2 =
+    * updates applied, v3 = deletes applied — the board shows history
+    * moving, not just counts).
+    *
+    * Scale shape: the log materializes once (checkpoint — three reads);
+    * each snapshot is upsertLatestOn's one key shuffle + a 1-row
+    * rollup; the board is 3 rows. At deploy the version predicate
+    * pushes into the log's version-partitioned layout, so a snapshot
+    * read scans only the files its version range touches. */
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.OlapC
+    val (base, changes) = OlapC.cdcFeedOn(Tables(spark, dir).orders)
+    val log = base.unionByName(changes).localCheckpoint(eager = true)
+    val noChanges = log.filter(lit(false))
+    val h48 = conv(substring(md5(concat_ws(":",
+      col("o_orderkey"), col("op"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(25,2)"), col("version"))), 1, 12),
+      16, 10).cast("long")
+    val boards = Seq(1L, 2L, 3L).map { v =>
+      OlapC.upsertLatestOn(log.filter(col("version") <= v), noChanges,
+          "o_orderkey", "version")
+        .filter(col("op") =!= "D")
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("o_totalprice").cast("decimal(25,2)")).cast("double")
+            .as("total_value"),
+          sum(h48).as("content_h"))
+        .select(lit(v).as("as_of_version"), col("n_live"),
+          col("total_value"), col("content_h"))
+    }
+    boards.reduce(_ unionAll _).orderBy(col("as_of_version"))
+  }
+
+  /** Twin: the same three-arm log (B71's spelling), latest-by-version
+    * under each version predicate, tombstones dropped, same census. */
+  val snapshotReadSql: String = {
+    import graft.operators.OlapC.{UpsertMod, CdcDeleteMod}
+    def arm(v: Long) =
+      s"""SELECT CAST($v AS BIGINT) AS as_of_version, COUNT(*) AS n_live,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+         |    AS total_value,
+         |  CAST(SUM(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || op || ':' " +
+                "|| o_orderstatus || ':' || " +
+                "CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR) " +
+                "|| ':' || CAST(version AS VARCHAR)), 1, 12)")})
+         |    AS BIGINT) AS content_h
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT o_orderkey, op, o_orderstatus, o_totalprice,
+         |           CAST(version AS BIGINT) AS version
+         |    FROM all_recs WHERE version <= $v
+         |    QUALIFY row_number() OVER (PARTITION BY o_orderkey
+         |                               ORDER BY version DESC) = 1)
+         |  WHERE op != 'D')""".stripMargin
+    s"""WITH all_recs AS (
+       |  SELECT o_orderkey, 'I' AS op, o_orderstatus, o_totalprice,
+       |    1 AS version
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', 'U', o_totalprice * 2, 2
+       |  FROM orders WHERE o_orderkey % $UpsertMod = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 'D', 'D', 0.0, 3
+       |  FROM orders WHERE o_orderkey % $CdcDeleteMod = 0)
+       |SELECT * FROM (
+       |${arm(1)}
+       |UNION ALL
+       |${arm(2)}
+       |UNION ALL
+       |${arm(3)}
+       |) ORDER BY as_of_version""".stripMargin
+  }
+
   // --- D13: co-bucketed fact-fact join ------------------------------------
   /** Bucket count for the D13 tables — at deploy this is sized so one
     * bucket of the LARGER fact fits an executor (e.g. 100 TB / 4096
@@ -1663,6 +1745,7 @@ object Sinks {
     "csv_roundtrip" -> (csvRoundtrip _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "partition_evolution" -> (partitionEvolution _),
+    "snapshot_read" -> (snapshotRead _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
     "zorder_prune" -> (zorderPrune _),
@@ -1688,6 +1771,7 @@ object Sinks {
     "csv_roundtrip" -> csvRoundtripSql,
     "json_roundtrip" -> jsonRoundtripSql,
     "partition_evolution" -> partitionEvolutionSql,
+    "snapshot_read" -> snapshotReadSql,
     "zorder_layout" -> zorderLayoutSql,
     "hilbert_layout" -> hilbertLayoutSql,
     "zorder_prune" -> zorderPruneSql,

@@ -391,6 +391,37 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_read: history moves version by version, and the v3 " +
+      "snapshot equals the B71 compaction census (D18)") {
+    val board = Sinks.snapshotRead(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(board.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val n = graft.sources.Tables(spark, sfDir).orders.count()
+    val nDeleted = graft.sources.Tables(spark, sfDir).orders
+      .filter(col("o_orderkey") % graft.operators.OlapC.CdcDeleteMod === 0)
+      .count()
+    // v1/v2 keep every key (updates replace, not remove); v3 loses the
+    // tombstoned keys
+    assert(board(0)._2 === n && board(1)._2 === n)
+    assert(board(2)._2 === n - nDeleted)
+    // the updates actually changed content between v1 and v2
+    assert(board(0)._4 !== board(1)._4)
+    assert(board(0)._3 < board(1)._3) // doubled prices raise the mass
+
+    // time travel is CDC compaction under a predicate: the v3 census
+    // equals the same census over cdc_compact's own result
+    val cdc = graft.operators.OlapC.cdcCompact(spark, sfDir)
+    val h48 = conv(substring(md5(concat_ws(":",
+      col("o_orderkey"), col("op"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(25,2)"), col("version"))), 1, 12),
+      16, 10).cast("long")
+    val v3 = cdc.agg(count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(25,2)")).cast("double"),
+        sum(h48)).head()
+    assert((board(2)._2, board(2)._3, board(2)._4) ===
+      ((v3.getLong(0), v3.getDouble(1), v3.getLong(2))))
+  }
+
   test("json lines sink writes parseable records") {
     val path = s"$out-json"
     Sinks.writeJsonLines(
