@@ -768,7 +768,7 @@ object ScaleProbe {
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
       "suffix_lcp", "zipf_slope", "partition_evolution",
-      "asof_join_nearest", "snapshot_read")
+      "asof_join_nearest", "snapshot_read", "lrs_per_doc")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -838,6 +838,7 @@ object ScaleProbe {
     dirKey("suffix_lcp")
     dirKey("asof_join_nearest")
     dirKey("snapshot_read")
+    dirKey("lrs_per_doc")
     dirKey("zipf_slope")
     dirKey("partition_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with

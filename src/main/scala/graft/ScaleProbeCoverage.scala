@@ -46,7 +46,7 @@ object ScaleProbeCoverage {
     "ivfpq_build", "ivfpq_query40", "ivfpq_refine_query40",
     "json_roundtrip",
     "kmeans_clusters", "kn_logprob", "layout_compare", "layout_compare3",
-    "line_dedup", "linreg_trend", "mixture_temperature",
+    "line_dedup", "linreg_trend", "lrs_per_doc", "mixture_temperature",
     "multimodal_containment",
     "multimodal_frames", "norm_dedup", "orc_roundtrip",
     "partition_evolution", "pack_sequences",
@@ -98,7 +98,7 @@ object ScaleProbeCoverage {
     "fourgram_logprob", "hilbert3_layout", "hilbert4_layout",
     "hybrid_search_probe", "json_roundtrip", "kmeans_clusters",
     "kn_logprob",
-    "layout_compare", "layout_compare3", "line_dedup",
+    "layout_compare", "layout_compare3", "line_dedup", "lrs_per_doc",
     "mixture_temperature", "multimodal_containment", "multimodal_frames",
     "norm_dedup", "orc_roundtrip", "partition_evolution",
     "pack_sequences", "pack_sequences_bpe",

@@ -3976,9 +3976,40 @@ object CorpusOps {
        |FROM a LEFT JOIN l ON a.doc_id = l.doc_id AND a.sa_rank = l.sa_rank
        |ORDER BY a.doc_id, a.sa_rank""".stripMargin
 
+  // --- C102: longest repeated substring per document --------------------------
+  /** Self-repetition length for the LCP threshold census. */
+  val LrsMinSpan = 8
+
+  /** The classic SA+LCP payoff, one rollup away: a document's LONGEST
+    * REPEATED SUBSTRING length is exactly max(lcp) over its suffix
+    * array (two positions share a prefix of length L iff some adjacent
+    * rank pair does — suffix order clusters shared prefixes), and the
+    * count of positions with lcp ≥ K is the document's self-repetition
+    * mass at span K. This is the WITHIN-document complement of C44's
+    * cross-document window census (Gopher's repetition signals measure
+    * the same pathology with fixed n-grams; the suffix index answers it
+    * for EVERY span length at once). Scale shape: C101's plan + one
+    * doc-key partial agg riding the same hash(doc) partitioning. */
+  def lrsPerDoc(spark: SparkSession, dir: String): DataFrame =
+    suffixLcp(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("lcp")).as("lrs_len"),
+        sum(when(col("lcp") >= LrsMinSpan, 1L).otherwise(0L))
+          .as(s"n_spans_ge_$LrsMinSpan"))
+      .orderBy(col("doc_id"))
+
+  /** Twin: the same rollup over the C101 oracle. */
+  val lrsPerDocSql: String =
+    s"""SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS lrs_len,
+       |  CAST(SUM(CASE WHEN lcp >= $LrsMinSpan THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_spans_ge_$LrsMinSpan
+       |FROM ($suffixLcpSql)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "suffix_array" -> (suffixArray _),
     "suffix_lcp" -> (suffixLcp _),
+    "lrs_per_doc" -> (lrsPerDoc _),
     "zipf_slope" -> (zipfSlope _),
     "unigram_logprob" -> (unigramLogprob _),
     "vocab_growth" -> (vocabGrowth _),
@@ -4060,5 +4091,6 @@ object CorpusOps {
     "ppl_band_select" -> pplBandSelectSql,
     "suffix_array" -> suffixArraySql,
     "suffix_lcp" -> suffixLcpSql,
+    "lrs_per_doc" -> lrsPerDocSql,
     "zipf_slope" -> zipfSlopeSql)
 }

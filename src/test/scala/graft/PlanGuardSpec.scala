@@ -228,7 +228,9 @@ class PlanGuardSpec extends SparkSpec {
     "snapshot_read" -> 6, // the log is checkpoint-truncated (one build); 3 snapshots x (upsertLatestOn's one key shuffle + a 1-row rollup's single-partition exchange); the 3-row union needs no sort exchange beyond the gate (measured 6)
  // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)
     "suffix_array" -> 2,
-    "suffix_lcp" -> 4, // the C99 chain's exchange + the rank-order lag re-sort (one more range exchange for the lag's rank order) + the broadcast window join side + gate sort (measured 4); the LCP kernel itself is a codegen byte loop, zero exchanges
+    "suffix_lcp" -> 4,
+    "lrs_per_doc" -> 4, // C101's plan + the doc-key rollup rides the same hash(doc) partitioning (no new exchange; measured 4)
+ // the C99 chain's exchange + the rank-order lag re-sort (one more range exchange for the lag's rank order) + the broadcast window join side + gate sort (measured 4); the LCP kernel itself is a codegen byte loop, zero exchanges
  // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort

@@ -1413,6 +1413,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("lrs_per_doc: banana's longest repeated substring is 'ana' (3); " +
+      "the board is exactly the suffix_lcp rollup (C102)") {
+    import spark.implicits._
+    val one = Seq((0L, "banana")).toDF("doc_id", "text")
+    val lcp = CorpusOps.suffixLcpOn(one, "doc_id", "text")
+    // max lcp over banana's array [0,1,3,0,0,2] = 3 = |"ana"|
+    assert(lcp.agg(max(col("lcp"))).head().getLong(0) === 3L)
+
+    val board = CorpusOps.lrsPerDoc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(board.nonEmpty)
+    val expect = CorpusOps.suffixLcp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+      .groupBy(_._1).map { case (id, xs) =>
+        (id, xs.map(_._2).max,
+          xs.count(_._2 >= CorpusOps.LrsMinSpan).toLong)
+      }.toSeq.sortBy(_._1)
+    assert(board.toSeq === expect)
+  }
+
   test("suffix_array: banana is the textbook fixture; ranks are a " +
       "1..len permutation and match a driver-side suffix sort (C99)") {
     import spark.implicits._
