@@ -102,5 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "heavy_hitters(item, k) - Misra-Gries top items with k counters"),
       (es: Seq[Expression]) => HeavyHitters(es(0), intArg(es(1), "k"))
         .toAggregateExpression()))
+
+    // optimizer rule: band the unbanded Levenshtein filter (the O(k·n)
+    // kernel + the free length lower bound, C97's hand discipline as a
+    // plan rewrite — see graft.plans.BandedLevenshteinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRewrite)
   }
 }

@@ -53,6 +53,54 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(lcp === 3L)
   }
 
+  test("BandedLevenshteinRewrite: the unbanded filter plans as the " +
+      "banded kernel + length guard, with unchanged semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a parquet-backed view: a LocalRelation would be constant-folded by
+    // the optimizer and leave no Filter to rewrite (or inspect)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    Seq(
+      ("kitten", "sitting"),   // d = 3: kept at k = 3, dropped at k = 2
+      ("abc", "abc"),          // d = 0
+      ("abc", "abxc"),         // d = 1
+      ("short", "muchlongertext"), // length gap 9 > k: guard kills it
+      (null.asInstanceOf[String], "x")) // NULL: dropped in both spellings
+      .toDF("a", "b").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("lev_pairs")
+
+    val q = "SELECT a, b FROM lev_pairs WHERE levenshtein(a, b) <= 3"
+    val df = spark.sql(q)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the rewrite fired: banded kernel (threshold arg) + the length guard
+    assert(opt.contains("levenshtein(a#") &&
+        opt.contains("Some(3)) >= 0"),
+      s"banded kernel missing from:\n$opt")
+    assert(opt.contains("abs((length(a#") || opt.contains("abs((length("),
+      s"length guard missing from:\n$opt")
+    // semantics: equals the brute-force unbanded reference
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("kitten", "sitting"), ("abc", "abc"),
+      ("abc", "abxc")))
+    // boundary: d == k kept above; d > k dropped
+    val k2 = spark.sql(
+      "SELECT a FROM lev_pairs WHERE levenshtein(a, b) <= 2").collect()
+    assert(k2.map(_.getString(0)).toSet === Set("abc", "abc"))
+    // mirrored spelling rewrites too
+    val mir = spark.sql(
+      "SELECT a FROM lev_pairs WHERE 3 >= levenshtein(a, b)")
+    assert(mir.queryExecution.optimizedPlan.toString
+      .contains("Some(3)) >= 0"))
+    assert(mir.collect().length === 3)
+    // idempotence: the banded form no longer matches the pattern — the
+    // already-banded user spelling is left alone (no double guard)
+    val banded = spark.sql(
+      "SELECT a FROM lev_pairs WHERE levenshtein(a, b, 3) >= 0")
+    val bp = banded.queryExecution.optimizedPlan.toString
+    assert(!bp.contains("abs((length"), s"double rewrite in:\n$bp")
+    assert(banded.collect().length === 3)
+  }
+
   test("custom aggregates are callable from SQL") {
     val tk = spark.sql(
       """SELECT top_k_by_score(s, id, 2) AS t FROM
