@@ -768,7 +768,7 @@ object ScaleProbe {
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
       "suffix_lcp", "zipf_slope", "partition_evolution",
-      "asof_join_nearest", "snapshot_read", "lrs_per_doc")
+      "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -839,6 +839,7 @@ object ScaleProbe {
     dirKey("asof_join_nearest")
     dirKey("snapshot_read")
     dirKey("lrs_per_doc")
+    dirKey("user_ltv")
     dirKey("zipf_slope")
     dirKey("partition_evolution")
     // dedup_compare seeds variants at +1e8, which ALIASES with

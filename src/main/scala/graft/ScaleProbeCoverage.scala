@@ -74,6 +74,7 @@ object ScaleProbeCoverage {
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",
+    "user_ltv",
     "vocab_fertility", "vocab_growth", "wordpiece_encode",
     "zorder3_layout", "zorder_prune", "zorder_write")
 
@@ -125,6 +126,7 @@ object ScaleProbeCoverage {
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",
+    "user_ltv",
     "vocab_fertility", "vocab_growth", "wordpiece_encode",
     "zorder3_layout", "zorder_prune")
 

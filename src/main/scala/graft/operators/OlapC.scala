@@ -110,6 +110,63 @@ object OlapC {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- B90: cohort LTV triangle ----------------------------------------------
+  /** The value-weighted sibling of B20's retention: per (cohort week,
+    * week offset), the purchase COUNT, distinct BUYER count, and exact
+    * VALUE mass — "how much is each acquisition cohort worth, week by
+    * week", the LTV triangle under every payback-period decision.
+    * Cohort = the user's FIRST event week (any type — acquisition);
+    * value from purchase events only, so a cohort's week-0 row can be
+    * missing (acquired, never bought that week) where retention's never
+    * is — the two triangles answer different questions on purpose.
+    *
+    * Scale shape: one user-key agg derives the cohort map (co-located
+    * with B20's — same hash(user)), purchases join back on the user key
+    * (one co-partitioned exchange; the cohort map is O(users) and
+    * broadcastable when dims allow), then one (cohort, offset) partial
+    * agg. Value mass accumulates in DECIMAL (order-independent). */
+  def userLtvOn(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, convType: String): DataFrame = {
+    val weekly = events.select(col(userCol).as("user_id"),
+      to_date(date_trunc("week", col(tsCol))).as("wk"),
+      col(typeCol).as("event_type"), col(valueCol).as("value"))
+    val cohort = weekly.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    weekly.filter(col("event_type") === convType)
+      .join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").cast("int")
+          .as("week_offset"),
+        col("user_id"), col("value"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        Olap.dsum(col("value"), 2).as("ltv"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def userLtv(spark: SparkSession, dir: String): DataFrame =
+    userLtvOn(Tables(spark, dir).events, "user_id", "ts",
+      "event_type", "value", "purchase")
+
+  /** Twin: B20's cohort derivation + the purchase-only value rollup. */
+  val userLtvSql: String =
+    """WITH w AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |    event_type, value
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1
+      |)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+      |  COUNT(*) AS n_purchases,
+      |  COUNT(DISTINCT w.user_id) AS n_buyers,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS ltv
+      |FROM w JOIN f USING (user_id)
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- B22: SCD2 history compaction (gaps-and-islands) ---------------------
   /** Run-length compaction of a per-key attribute stream into SCD2-style
     * validity intervals: for each user, consecutive events with the same
@@ -1043,6 +1100,7 @@ object OlapC {
     "funnel" -> (funnel _),
     "quantile_sketch" -> (quantileSketch _),
     "retention" -> (retention _),
+    "user_ltv" -> (userLtv _),
     "scd2_track" -> (scd2Track _),
     "anomaly_robust" -> (anomalyRobust _),
     "mv_incremental" -> (mvIncremental _),
@@ -1063,6 +1121,7 @@ object OlapC {
     "funnel" -> funnelSql,
     "quantile_sketch" -> quantileSketchSql,
     "retention" -> retentionSql,
+    "user_ltv" -> userLtvSql,
     "scd2_track" -> scd2TrackSql,
     "anomaly_robust" -> anomalyRobustSql,
     "mv_incremental" -> mvIncrementalSql,

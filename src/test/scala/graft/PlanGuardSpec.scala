@@ -122,6 +122,7 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_mixture" -> 2, // per-source mass agg (thr broadcast back) + gate sort
     "funnel" -> 2, // ONE user-key agg + gate sort
     "retention" -> 3, // user agg, cohort-cell agg, gate sort
+    "user_ltv" -> 4, // B20's cohort user-agg + the purchase join back (co-partitioned on user) + the (cohort, offset) exact-distinct agg + gate sort (measured 4)
     "kmeans_clusters" -> 1, // final assignment is map-side vs centroid literals + gate sort
     "cluster_sample" -> 4, // assignment map-side; doc-key join, O(k) mass agg (broadcast back), selection filter + gate sort
     "unigram_logprob" -> 2, // bounded vocab broadcast onto the token stream; per-doc rollup + gate sort (corpus never shuffles pre-rollup)

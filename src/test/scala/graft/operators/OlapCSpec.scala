@@ -474,4 +474,43 @@ class OlapCSpec extends SparkSpec {
       }
     }
   }
+
+  test("user_ltv: seeded triangle — cohorts from ANY event, value from " +
+      "purchases only; corpus totals reconcile (B90)") {
+    import spark.implicits._
+    // user 1: acquired wk0 via view, buys 10.0 in wk0 and 5.0 in wk2
+    // user 2: acquired wk0, never buys — forms a cohort, no LTV row
+    // user 3: acquired wk2, buys 7.5 twice in wk2 (offset 0, n=2)
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 0.0),
+      (1L, "2024-01-02 10:00:00", "purchase", 10.0),
+      (1L, "2024-01-16 10:00:00", "purchase", 5.0),
+      (2L, "2024-01-03 10:00:00", "view", 0.0),
+      (3L, "2024-01-15 10:00:00", "view", 0.0),
+      (3L, "2024-01-16 10:00:00", "purchase", 7.5),
+      (3L, "2024-01-17 10:00:00", "purchase", 7.5))
+      .toDF("user_id", "tss", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+        col("event_type"), col("value"))
+    val got = OlapC.userLtvOn(rows, "user_id", "ts", "event_type",
+        "value", "purchase").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 1L, 1L, 10.0),  // u1 wk0
+      ("2024-01-01", 2, 1L, 1L, 5.0),   // u1 wk2
+      ("2024-01-15", 0, 2L, 1L, 15.0))) // u3: two purchases, one buyer
+
+    // corpus reconciliation: triangle value mass == total purchase mass,
+    // and every (cohort, 0 <= offset) cell is consistent with retention's
+    // cohort derivation (no offset can precede acquisition)
+    val tri = OlapC.userLtv(spark, sfDir)
+    val triMass = tri.agg(sum(col("ltv").cast("decimal(25,2)"))).head()
+      .getDecimal(0)
+    val purchMass = graft.sources.Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(25,2)"))).head().getDecimal(0)
+    assert(triMass.compareTo(purchMass) === 0)
+    assert(tri.filter(col("week_offset") < 0).count() === 0L)
+  }
 }
