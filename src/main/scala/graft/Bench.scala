@@ -130,7 +130,11 @@ object Bench {
     // counting attempts overstated the healing when a re-drain failed
     // with the -1.0 sentinel and kept the original number); failures are
     // reported separately so the artifact is honest about both.
-    var (nRequeried, nRequeryFailed) = (0, 0)
+    var nRequeried = 0
+    // failed re-drains carry their NAMES into the JSON (r11 VERDICT #8:
+    // an anonymous n_requery_failed can't be told apart from a broken
+    // query vs a flaky drain without a rerun)
+    val requeryFailed = scala.collection.mutable.ListBuffer.empty[String]
     val healed =
       if (!loadDirty) results
       else results.map { case (n, t) =>
@@ -141,7 +145,7 @@ object Bench {
         val d = drain(n)
         if (d >= 0) { nRequeried += 1
           n -> (if (t < 0) d else math.min(t, d)) }
-        else { nRequeryFailed += 1; n -> t }
+        else { requeryFailed += n; n -> t }
       }
     // Millisecond precision keeps the JSON compact; the total is computed
     // from the ALREADY-ROUNDED per-query values so the line is internally
@@ -156,7 +160,9 @@ object Bench {
         s""""loadavg_post":$lavgPost,""" +
         s""""proc_cpu_sec":${ms(cpuSec)},"wall_sec":${ms(wallSec)},""" +
         s""""load_dirty":$loadDirty,"n_requeried":$nRequeried,""" +
-        s""""n_requery_failed":$nRequeryFailed}"""
+        s""""n_requery_failed":${requeryFailed.size},""" +
+        requeryFailed.map("\"" + _ + "\"")
+          .mkString(""""requery_failed":[""", ",", "]}")
     def render(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

@@ -18,10 +18,20 @@ object ScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, idCol: String): DataFrame =
-      (0 until reps).map(r => df.withColumn(idCol, col(idCol) + lit(r * 10000000L)))
+    // Replica r shifts ids by r*SHIFT; if a base id ever reaches SHIFT
+    // (e.g. SPARK_GRAFT_SF_DIR pointed at a bigger sf) replica key
+    // ranges would silently alias and every dedup probe would under- or
+    // over-count. Fail loudly instead (r10/r11 ADVICE).
+    val IdShift = 10000000L
+    def replicate(df: DataFrame, idCol: String): DataFrame = {
+      val maxId = df.agg(max(col(idCol))).head().getLong(0)
+      require(maxId < IdShift,
+        s"replicate: max($idCol)=$maxId >= shift $IdShift — replica id " +
+          "ranges would alias; raise IdShift for this corpus")
+      (0 until reps).map(r => df.withColumn(idCol, col(idCol) + lit(r * IdShift)))
         .reduce(_ unionAll _).repartition(col(idCol))
         .persist()
+    }
 
     val docs = replicate(
       spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
@@ -209,6 +219,10 @@ object ScaleProbe {
     }
     time("substring_dedup") {
       Dedup.duplicatedWindowStats(docs, "doc_id", "text", w = 8)
+        .filter(col("dup_windows") > 0).count()
+    }
+    time("substring_dedup_sa") {
+      CorpusOps.substringDedupSaOn(docs, "doc_id", "text", w = 8)
         .filter(col("dup_windows") > 0).count()
     }
     time("chunk_documents") {

@@ -3849,18 +3849,22 @@ object CorpusOps {
     * The oracle (bounded window) sorts the materialized suffix strings;
     * suffixes of one string are pairwise distinct, so its ROW_NUMBER ==
     * the doubling chain's final dense_rank. */
-  /** The sanitized bounded-window gate slice — shared by C99 and C101. */
+  /** The sanitized bounded-window gate slice — shared by C99 and C101.
+    * `docMod`/`window` default to the canned gate values (r11 next-round
+    * #2b: parameters, not hardcoded constants — a caller indexing a real
+    * shard passes its own slice/width). */
   private def saWindowsOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.filter(col(idCol) % SaDocMod === 0)
+      textCol: String, docMod: Int = SaDocMod,
+      window: Int = SaWindow): DataFrame =
+    docs.filter(col(idCol) % docMod === 0)
       .select(col(idCol).as("doc_id"),
         substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),
-          1, SaWindow).as("w"))
+          1, window).as("w"))
       .filter(length(col("w")) > 0)
 
-  def suffixArrayOn(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val base = saWindowsOf(docs, idCol, textCol)
+  def suffixArrayOn(docs: DataFrame, idCol: String, textCol: String,
+      docMod: Int = SaDocMod, window: Int = SaWindow): DataFrame = {
+    val base = saWindowsOf(docs, idCol, textCol, docMod, window)
     var cur = base
       .select(col("doc_id"), posexplode(split(col("w"), ""))
         .as(Seq("pos", "ch")))
@@ -3869,7 +3873,7 @@ object CorpusOps {
       .drop("ch")
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = 1
-    while (k < SaWindow) {
+    while (k < window) {
       val byRank = Window.partitionBy(col("doc_id"))
         .orderBy(col("rank"), col("rank2"))
       cur = cur
@@ -3925,10 +3929,10 @@ object CorpusOps {
     * deploy (windows too big to carry as a column) the rank-table
     * doubling comparison replaces the byte loop — documented, the gate
     * path IS bounded by the oracle's own materialization limit. */
-  def suffixLcpOn(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val sa = suffixArrayOn(docs, idCol, textCol)
-    val wins = saWindowsOf(docs, idCol, textCol)
+  def suffixLcpOn(docs: DataFrame, idCol: String, textCol: String,
+      docMod: Int = SaDocMod, window: Int = SaWindow): DataFrame = {
+    val sa = suffixArrayOn(docs, idCol, textCol, docMod, window)
+    val wins = saWindowsOf(docs, idCol, textCol, docMod, window)
     val byRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("sa_rank"))
     sa.withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
@@ -4006,7 +4010,110 @@ object CorpusOps {
        |FROM ($suffixLcpSql)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- C103: exact-substring census THROUGH the suffix-array machinery ------
+  /** C44's cross-document duplicated-window census computed by SUFFIX
+    * ARRAY machinery instead of window-string hashing — the key that
+    * makes the C99 index load-bearing (r11 next-round #2). A w-truncated
+    * GENERALIZED suffix array over the token streams of ALL documents:
+    * positions explode once, the initial rank is the global token id,
+    * and ⌈log₂ w⌉ prefix-doubling rounds refine each position's rank
+    * with the (rank, rank at pos+k) pair (k = min(len, w−len); the
+    * overlapping-pair comparison is the standard sparse doubling step —
+    * first len+k tokens equal ⟺ both pair members equal). After the
+    * last round two full-window positions share a rank IFF their first
+    * w tokens are EQUAL — rank groups ARE C44's windows — so the census
+    * is a rank-keyed rollup: a window is duplicated iff its rank group
+    * spans ≥ 2 documents. After the vocab init no string is compared or
+    * shuffled again: the widest shuffled payload is four longs per
+    * position, where C44 shuffles the materialized w-token window
+    * string — at a 100 TB corpus that is the difference between
+    * shuffling 32 bytes and shuffling whole passages.
+    *
+    * Rank assignment never single-partitions: each round's distinct
+    * (rank, rank2) board takes its global dense rank from a
+    * range-partitioned sort + `zipWithIndex` (ordered partitions ⇒
+    * ordered concatenation; the two-pass count/offset keeps only an
+    * O(partitions) array on the driver) — the Manber–Myers chain with
+    * every stage distributed. Equivalence to `substring_dedup` is
+    * pinned by SHARING its DuckDB oracle (the C94
+    * hash-equality-as-algorithm-equivalence trick) and by
+    * SuffixDedupSaSpec's direct frame comparison, including a
+    * non-power-of-two width that exercises the overlap step. */
+  def substringDedupSaOn(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tokenization parity with C44's word_shingles kernel (Java
+    // trim/split — see Dedup.scrubToks's whitespace-edge note).
+    // Checkpointed: the explode feeds both the vocab board and the
+    // rank join (the PageRank lineage-truncation discipline — without
+    // it every round's board pass re-executes ALL earlier rounds and
+    // the chain goes superlinear in rounds, measured 70 s → 28 s at
+    // the 24× probe)
+    val pos = Dedup.scrubToks(docs, idCol, textCol)
+      .select(col("_id"), expr("size(_t)").as("_n"),
+        posexplode(col("_t")).as(Seq("pos", "tok")))
+      .localCheckpoint(eager = true)
+    def rankedBoard(board: DataFrame, keys: Seq[String]): DataFrame = {
+      val sorted = board
+        .repartitionByRange(keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+        sorted.schema.add("_nr", org.apache.spark.sql.types.LongType))
+    }
+    val vocab = rankedBoard(pos.select(col("tok")).distinct(), Seq("tok"))
+    var cur = pos.join(vocab, "tok")
+      .select(col("_id"), col("_n"), col("pos"), col("_nr").as("rank"))
+    val byPos = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    var len = 1
+    var keys = Seq("rank")
+    while (len < w) {
+      val k = math.min(len, w - len)
+      // each round truncates lineage: `paired` feeds the board build
+      // AND the rank join; the board is materialized once
+      val paired = cur.withColumn("rank2",
+        coalesce(lead(col("rank"), k).over(byPos), lit(-1L)))
+        .localCheckpoint(eager = true)
+      if (len + k < w) {
+        val board = rankedBoard(
+          paired.select(col("rank"), col("rank2")).distinct(),
+          Seq("rank", "rank2")).localCheckpoint(eager = true)
+        cur = paired.join(board, Seq("rank", "rank2"))
+          .select(col("_id"), col("_n"), col("pos"), col("_nr").as("rank"))
+      } else {
+        // the LAST round never densifies: the census only needs the
+        // GROUPING, and the final (rank, rank2) pair already is one —
+        // saves a whole board + corpus join
+        cur = paired
+        keys = Seq("rank", "rank2")
+      }
+      len += k
+    }
+    // the census: per-doc DISTINCT ranks (C44 counts distinct windows),
+    // rank-keyed doc frequency, doc-keyed rollup — same three linear
+    // stages as duplicatedWindowStats, keyed by integers
+    val wins = cur.filter(col("pos") <= col("_n") - w)
+      .select((col("_id") +: keys.map(col)): _*).distinct()
+    val dfreq = wins.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_df"))
+    wins.join(dfreq, keys)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("_id").as("doc_id"), col("n_windows"),
+        col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDedupSa(spark: SparkSession, dir: String): DataFrame =
+    substringDedupSaOn(TextOps.dedupCorpus(spark, dir), "doc_id", "text",
+      TextOps.SubstrW)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "substring_dedup_sa" -> (substringDedupSa _),
     "suffix_array" -> (suffixArray _),
     "suffix_lcp" -> (suffixLcp _),
     "lrs_per_doc" -> (lrsPerDoc _),
@@ -4092,5 +4199,8 @@ object CorpusOps {
     "suffix_array" -> suffixArraySql,
     "suffix_lcp" -> suffixLcpSql,
     "lrs_per_doc" -> lrsPerDocSql,
+    // C103 SHARES C44's oracle: hash equality across the two plans IS
+    // the algorithm-equivalence proof (the C94 discipline)
+    "substring_dedup_sa" -> TextOps.substringDedupSql,
     "zipf_slope" -> zipfSlopeSql)
 }

@@ -630,12 +630,14 @@ object OlapD {
     * Scale shape: events shrink to O(users) in ONE user-key partial
     * agg before any window; the three ntile windows then sort O(users)
     * rows in a single partition each — the defined-partition price the
-    * exact oracle needs (the B23/B16 discipline: at deploy the
-    * quartile thresholds come from `approx_percentile` t-digests,
-    * bounded state, and banding is a map — exact ntile is the gate
-    * path). The 1-row max-ts anchor broadcasts onto the user rollup. */
+    * exact oracle needs. The deploy path is IMPLEMENTED (the B23/B30
+    * `exact` discipline): [[rfmTailOn]] with `exact = false` swaps the
+    * ntiles for broadcast `approx_percentile` thresholds + map-side
+    * banding — zero single-partition exchanges (RfmApproxSpec). The
+    * 1-row max-ts anchor broadcasts onto the user rollup. */
   def rfmSegmentsOn(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, valueCol: String, convType: String): DataFrame = {
+      typeCol: String, valueCol: String, convType: String,
+      exact: Boolean = true): DataFrame = {
     val purchases = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
         col(valueCol).as("value"))
@@ -645,28 +647,70 @@ object OlapD {
       .agg(max(to_date(col("ts"))).as("last_d"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(25,6)")).as("monetary_dec"))
-    rfmTailOn(perUser, anchor)
+    rfmTailOn(perUser, anchor, exact)
   }
 
-  /** The anchor + ntile tail over a per-user (last_d, frequency,
+  /** The anchor + quartile tail over a per-user (last_d, frequency,
     * monetary_dec) rollup — shared by the batch key and the streaming
     * twin (B88), whose micro-batch delivers the same rollup out of
-    * streaming state. */
-  private[graft] def rfmTailOn(perUser: DataFrame,
-      anchor: DataFrame): DataFrame = {
+    * streaming state.
+    *
+    * `exact = true` (the GATE path): `ntile(4)` with a total order —
+    * bit-identical to the DuckDB oracle, at the price of one
+    * single-partition sort per metric over the O(users) rollup.
+    * `exact = false` (the DEPLOY path, r11 VERDICT #1): the three
+    * quartile thresholds come from ONE bounded `approx_percentile`
+    * t-digest agg (a 1-row board), broadcast back onto the rollup, and
+    * banding is a map-side `when` chain — NO single-partition exchange
+    * anywhere, so a 10⁹-user dimension never funnels through one
+    * partition's sort. The two paths disagree only at quartile
+    * boundaries (ntile balances bucket SIZES; thresholds cut by VALUE —
+    * ties straddling a cut land together under thresholds, split under
+    * ntile); RfmApproxSpec pins that disagreement ≤ 5 % per metric. */
+  private[graft] def rfmTailOn(perUser: DataFrame, anchor: DataFrame,
+      exact: Boolean = true): DataFrame = {
     val scored = perUser
       .crossJoin(broadcast(anchor))
       .select(col("user_id"),
         datediff(col("anchor_d"), col("last_d")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary_dec"))
-    val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
-    val fW = Window.orderBy(col("frequency").asc, col("user_id"))
-    val mW = Window.orderBy(col("monetary_dec").asc, col("user_id"))
-    scored
-      .withColumn("r_q", ntile(4).over(rW))
-      .withColumn("f_q", ntile(4).over(fW))
-      .withColumn("m_q", ntile(4).over(mW))
+    val banded =
+      if (exact) {
+        val rW = Window.orderBy(col("recency_days").desc, col("user_id"))
+        val fW = Window.orderBy(col("frequency").asc, col("user_id"))
+        val mW = Window.orderBy(col("monetary_dec").asc, col("user_id"))
+        scored
+          .withColumn("r_q", ntile(4).over(rW))
+          .withColumn("f_q", ntile(4).over(fW))
+          .withColumn("m_q", ntile(4).over(mW))
+      } else {
+        // thresholds at the 25/50/75 points of each metric; r_q orders
+        // recency DESC (oldest = quartile 1), so its bands invert
+        val th = broadcast(scored.agg(
+          percentile_approx(col("recency_days"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("r_t"),
+          percentile_approx(col("frequency"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("f_t"),
+          percentile_approx(col("monetary_dec").cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("m_t")))
+        def ascBand(m: org.apache.spark.sql.Column,
+            t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (lit(1) + (m > element_at(t, 1)).cast("int")
+            + (m > element_at(t, 2)).cast("int")
+            + (m > element_at(t, 3)).cast("int"))
+        def descBand(m: org.apache.spark.sql.Column,
+            t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (lit(1) + (m <= element_at(t, 3)).cast("int")
+            + (m <= element_at(t, 2)).cast("int")
+            + (m <= element_at(t, 1)).cast("int"))
+        scored.crossJoin(th)
+          .withColumn("r_q", descBand(col("recency_days"), col("r_t")))
+          .withColumn("f_q", ascBand(col("frequency"), col("f_t")))
+          .withColumn("m_q",
+            ascBand(col("monetary_dec").cast("double"), col("m_t")))
+      }
+    banded
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_dec").cast("double").as("monetary"),
         col("r_q").cast("long").as("r_q"),

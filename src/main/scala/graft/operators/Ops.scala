@@ -323,7 +323,7 @@ object Dedup {
     * empties, so text edged with '\n'/'\t' would tokenize differently
     * from C44's census — filtering empties after a raw \s+ split is
     * equivalent to Java's trim-then-split for every whitespace edge. */
-  private def scrubToks(df: DataFrame, idCol: String,
+  private[operators] def scrubToks(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
       expr(s"filter(split(`$textCol`, '\\\\s+'), x -> x != '')").as("_t"))

@@ -1049,7 +1049,9 @@ object StreamOps {
     * batch-side agg instead). Purchase-free users live in state (they
     * anchor the clock) and are filtered at the drain; the ntile tail is
     * the SAME [[graft.operators.OlapD.rfmTailOn]] code path as batch, so
-    * drain == batch and the key shares `rfm_segments`' oracle. */
+    * drain == batch and the key shares `rfm_segments`' oracle — and the
+    * tail's `exact = false` deploy path (broadcast approx thresholds,
+    * no single-partition sort) is inherited here for free. */
   def streamRfm(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
     val ev = eventsStream(spark, dir)

@@ -225,14 +225,12 @@ class PlanGuardSpec extends SparkSpec {
     "skyline_2d" -> 4, // per-bucket max agg over RAW rows (map-side to O(buckets)), its running-max window, the near-frontier per-price dedup + exact sweep, gate sort — pruning runs BEFORE any full-cardinality shuffle (measured 4)
     "linreg_trend" -> 3, // the group×day rollup is checkpoint-truncated (runs once); min-day agg + the sufficient-stats agg + gate sort (measured 3)
     "fd_profile" -> 18, // 6 candidates × (determinant partial agg with an exact COUNT(DISTINCT) two-phase + 1-row rollup) unioned; every exchange carries O(groups) of ONE candidate, the board is 6 rows (measured 18)
-    "partition_evolution" -> 2,
+    "partition_evolution" -> 2, // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)
     "snapshot_read" -> 6, // the log is checkpoint-truncated (one build); 3 snapshots x (upsertLatestOn's one key shuffle + a 1-row rollup's single-partition exchange); the 3-row union needs no sort exchange beyond the gate (measured 6)
- // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)
-    "suffix_array" -> 2,
-    "suffix_lcp" -> 4,
+    "suffix_array" -> 2, // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
+    "suffix_lcp" -> 4, // the C99 chain's exchange + the rank-order lag re-sort (one more range exchange for the lag's rank order) + the broadcast window join side + gate sort (measured 4); the LCP kernel itself is a codegen byte loop, zero exchanges
     "lrs_per_doc" -> 4, // C101's plan + the doc-key rollup rides the same hash(doc) partitioning (no new exchange; measured 4)
- // the C99 chain's exchange + the rank-order lag re-sort (one more range exchange for the lag's rank order) + the broadcast window join side + gate sort (measured 4); the LCP kernel itself is a codegen byte loop, zero exchanges
- // the Manber-Myers claim, pinned: ONE hash(doc) corpus exchange carries all six doubling rounds (lead + dense_rank re-sort in place, positions dense so the +k rank is a frame shift not a join) + gate sort (measured 2)
+    "substring_dedup_sa" -> 6, // the C103 generalized-SA census: the doubling rounds are checkpoint-truncated (each round's window re-sort + board exchanges run ONCE, eagerly, at construction — the PageRank discipline); the residual plan is the census itself: per-doc distinct on the final (rank,rank2) key, its df agg, the join back, doc rollup + gate sort — every exchange carries <= 4 longs per position where C44 shuffles window STRINGS (measured 6; the zipWithIndex board ranking never single-partitions)
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 5, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote LEFT-joins three doc-keyed frames (every doc gets a verdict — the co-partition exchange per side is the price of not dropping tokenless docs) + gate sort
