@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,19 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * sanitized domain must handle that.
   */
 case class CommonPrefixLengthAt(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression {
+    third: Expression) extends TernaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "common_prefix_length_at"
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = first.dataType == StringType &&
-      second.dataType == LongType && third.dataType == LongType
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (string, bigint, bigint), got " +
-        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
-  }
+  // ImplicitCastInputTypes so a SQL caller's plain INT literals coerce
+  // (common_prefix_length_at(w, 1, 3) used to fail analysis demanding
+  // BIGINT — r11 ADVICE); in-repo call sites already pass LongType
+  override def inputTypes: Seq[GraftSqlBridge.GraftAbstractDataType] =
+    Seq(StringType, LongType, LongType)
 
   override def nullSafeEval(w: Any, a: Any, b: Any): Any = {
     val s = w.asInstanceOf[UTF8String]

@@ -419,6 +419,24 @@ object TextKernels {
     while (!d.finished()) out += d.deflate(buf)
     out.toDouble / raw.length
   }
+
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** NFKD decompose → strip combining marks → ROOT lowercase (see
+    * [[graft.functions.NfkcFold]]). ASCII fast path: NFKD is identity
+    * on ASCII and most corpus text is, so skip the Normalizer walk. */
+  def nfkcFold(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return UTF8String.fromString(
+      str.toLowerCase(java.util.Locale.ROOT))
+    val d = java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFKD)
+    UTF8String.fromString(CombiningMarks.matcher(d).replaceAll("")
+      .toLowerCase(java.util.Locale.ROOT))
+  }
 }
 
 /** Deflate compression ratio of a text column (see TextKernels). */
@@ -432,6 +450,29 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.compressRatio($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode fold for normalization-aware dedup (C86's deploy knob, r11
+  * next-round #5): NFKD compatibility decomposition (width variants and
+  * ligatures collapse: Ａ→A, ﬁ→fi), strip combining marks (diacritics:
+  * é→e), lowercase in the ROOT locale (no Turkish-i surprises). JDK-only
+  * (`java.text.Normalizer`). The ASCII normal form stays the ORACLE
+  * spelling — DuckDB's lower/regexp have no NFKD, so this fold is
+  * spec-gated, composed in FRONT of the shared ASCII pipeline by
+  * `TextOps.normFormOf(unicode = true)`.
+  */
+case class NfkcFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfkcFold(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.nfkcFold($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -856,6 +897,9 @@ object textsketch {
 
   def compress_ratio(text: Column): Column =
     column(CompressRatio(expression(text)))
+
+  def nfkc_fold(text: Column): Column =
+    column(NfkcFold(expression(text)))
 
   def greedy_phrase_merge(toks: Column, phrases: Seq[String]): Column =
     column(GreedyPhraseMerge(expression(toks), phrases))

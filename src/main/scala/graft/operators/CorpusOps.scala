@@ -3729,7 +3729,16 @@ object CorpusOps {
 
   // --- C100: Zipf-law fit over the token frequency spectrum ------------------
   /** How many top ranks the Zipf fit uses per source (the head of the
-    * spectrum, where the power law holds and the rank set is bounded). */
+    * spectrum, where the power law holds and the rank set is bounded).
+    *
+    * Charset assumption (r11 ADVICE): the shared `TextOps.tokens`
+    * spelling splits on Java-regex `\s+` while the DuckDB twin uses
+    * RE2's — the classes differ on U+000B (vertical tab: whitespace in
+    * Java, not in RE2). The synthetic corpus carries none, and the gate
+    * pins that; a corpus with \x0B in documents would need the
+    * whitespace class pinned explicitly in BOTH engines (e.g.
+    * `[ \t\n\r\f\x0B]+`) before trusting rank-sensitive head selection
+    * here. */
   val ZipfTopRanks = 500
 
   /** Per-source Zipf slope — fit ln(freq) ~ slope · ln(rank) over the

@@ -306,17 +306,30 @@ object OlapB {
   }
 
   /** Twin: two ASOF joins (backward `>=`, forward `<`) + the same
-    * backward-wins-ties pick. */
+    * backward-wins-ties pick. The right side pre-dedupes per
+    * (user_id, ts_us) to the Scala tie convention (backward carry keeps
+    * the HIGHEST event_id at a timestamp, forward the LOWEST) — ASOF
+    * JOIN itself cannot express a same-timestamp tiebreak, so without
+    * the QUALIFY the matched_signup id would be engine-nondeterministic
+    * when two signups collide on ts_us (r11 ADVICE #1, a latent
+    * hash-gate flake); the dropped rows can never win under the Scala
+    * convention, so the result is unchanged where no collision exists. */
   val asofJoinNearestSql: String =
     s"""WITH p AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS p_event_id
        |           FROM events WHERE event_type = 'purchase'),
-       |     s AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS s_event_id
-       |           FROM events WHERE event_type = 'signup'),
+       |     s_b AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS s_event_id
+       |           FROM events WHERE event_type = 'signup'
+       |           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, $tsUsSql
+       |             ORDER BY event_id DESC) = 1),
+       |     s_f AS (SELECT user_id, $tsUsSql AS ts_us, event_id AS s_event_id
+       |           FROM events WHERE event_type = 'signup'
+       |           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, $tsUsSql
+       |             ORDER BY event_id ASC) = 1),
        |     b AS (SELECT p.p_event_id, s.s_event_id AS b_id, s.ts_us AS b_ts
-       |           FROM p ASOF LEFT JOIN s
+       |           FROM p ASOF LEFT JOIN s_b s
        |             ON p.user_id = s.user_id AND p.ts_us >= s.ts_us),
        |     f AS (SELECT p.p_event_id, s.s_event_id AS f_id, s.ts_us AS f_ts
-       |           FROM p ASOF LEFT JOIN s
+       |           FROM p ASOF LEFT JOIN s_f s
        |             ON p.user_id = s.user_id AND p.ts_us < s.ts_us)
        |SELECT p.p_event_id, p.user_id, p.ts_us AS p_ts_us,
        |  CASE WHEN b_id IS NULL THEN f_id

@@ -85,6 +85,23 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** The normal form with the Unicode deploy knob IMPLEMENTED (r11
+    * next-round #5): `unicode = true` runs the JDK NFKD fold
+    * ([[graft.functions.NfkcFold]] — width/ligature decomposition,
+    * combining-mark strip, ROOT lowercase) and then a UNICODE-aware
+    * tail (`\p{L}\p{N}` instead of `a-z0-9`, so CJK/Cyrillic text keeps
+    * its letters rather than normalizing to empty-string — which would
+    * alias every non-Latin doc into one "duplicate" group). `Ｃafé!`
+    * and `cafe` normalize equal. Spec-gated (DuckDB has no NFKD — the
+    * oracle key stays on the ASCII form); NormFoldSpec pins the
+    * variants the ASCII form misses. */
+  def normFormOf(text: Column, unicode: Boolean = false): Column =
+    if (unicode)
+      trim(regexp_replace(regexp_replace(
+        graft.functions.textsketch.nfkc_fold(text),
+        "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+    else normExpr(text)
+
   def normCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     d.unionAll(

@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`, but `ImplicitCastInputTypes`
+    * (public) demands `inputTypes: Seq[AbstractDataType]` — this alias
+    * lets graft expressions declare coercible input types. */
+  type GraftAbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -51,6 +51,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT common_prefix_length_at('banana', 1L, 3L) AS l")
       .collect()(0).getLong(0)
     assert(lcp === 3L)
+    // plain INT literals coerce via ImplicitCastInputTypes (r11 ADVICE:
+    // this used to fail analysis demanding BIGINT positions)
+    val lcpInt = spark.sql(
+      "SELECT common_prefix_length_at('banana', 1, 3) AS l")
+      .collect()(0).getLong(0)
+    assert(lcpInt === 3L)
   }
 
   test("BandedLevenshteinRewrite: the unbanded filter plans as the " +
@@ -99,6 +105,53 @@ class GraftExtensionsSpec extends SparkSpec {
     val bp = banded.queryExecution.optimizedPlan.toString
     assert(!bp.contains("abs((length"), s"double rewrite in:\n$bp")
     assert(banded.collect().length === 3)
+  }
+
+  test("BandedLevenshteinRewrite widened spellings: strict </>, =, " +
+      "distance-large, and BETWEEN all band (r11 next-round #6)") {
+    // the lev_pairs view from the previous test is parquet-backed; the
+    // distances there: kitten/sitting=3, abc/abc=0, abc/abxc=1,
+    // short/muchlongertext=12 (gap 9), (null,x)=NULL
+    def optPlan(q: String) = spark.sql(q).queryExecution.optimizedPlan.toString
+    def rows(q: String) = spark.sql(q).collect().length
+
+    // strict <: lev < 3 bands at 2 (boundary d=3 dropped)
+    val lt = "SELECT a FROM lev_pairs WHERE levenshtein(a, b) < 3"
+    assert(optPlan(lt).contains("Some(2)) >= 0"), optPlan(lt))
+    assert(rows(lt) === 2)
+    // mirrored strict >: 3 > lev, same band
+    val gtm = "SELECT a FROM lev_pairs WHERE 3 > levenshtein(a, b)"
+    assert(optPlan(gtm).contains("Some(2)) >= 0"))
+    assert(rows(gtm) === 2)
+    // lev < 0 is constant-false; the k >= 1 scope leaves it alone
+    assert(rows("SELECT a FROM lev_pairs WHERE levenshtein(a, b) < 0") === 0)
+
+    // equality: lev = 3 bands at 3 and demands the exact distance
+    val eq = "SELECT a FROM lev_pairs WHERE levenshtein(a, b) = 3"
+    assert(optPlan(eq).contains("Some(3)) = 3"), optPlan(eq))
+    assert(rows(eq) === 1)
+    assert(rows("SELECT a FROM lev_pairs WHERE 1 = levenshtein(a, b)") === 1)
+    assert(rows("SELECT a FROM lev_pairs WHERE levenshtein(a, b) = 0") === 1)
+
+    // distance-large: lev > 2 probes the band's -1 (far-pair short
+    // circuit on the length gap); NULL row stays dropped
+    val gt = "SELECT a FROM lev_pairs WHERE levenshtein(a, b) > 2"
+    assert(optPlan(gt).contains("Some(2)) < 0"), optPlan(gt))
+    assert(rows(gt) === 2) // kitten/sitting (3) + short/muchlongertext (12)
+    val ge = "SELECT a FROM lev_pairs WHERE levenshtein(a, b) >= 3"
+    assert(optPlan(ge).contains("Some(2)) < 0"))
+    assert(rows(ge) === 2)
+    assert(rows("SELECT a FROM lev_pairs WHERE 2 < levenshtein(a, b)") === 2)
+
+    // BETWEEN desugars to the two conjuncts — BOTH now band
+    val bt = "SELECT a FROM lev_pairs WHERE levenshtein(a, b) BETWEEN 1 AND 3"
+    val btPlan = optPlan(bt)
+    assert(btPlan.contains("Some(3)) >= 0") && btPlan.contains("Some(0)) < 0"),
+      btPlan)
+    // no unbanded (two-arg) levenshtein survives anywhere in the plan
+    assert(!"levenshtein\\([^()]*\\)".r.findAllIn(btPlan)
+      .exists(c => !c.contains("Some")), btPlan)
+    assert(rows(bt) === 2) // d=3 (kitten) and d=1 (abxc); d=0 and gap-9 out
   }
 
   test("custom aggregates are callable from SQL") {

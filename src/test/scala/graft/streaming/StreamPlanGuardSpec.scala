@@ -53,8 +53,8 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_upsert" -> 0,
     // scoring/probe joins (each the batch operator's own audited shape)
     "graft_stream_linreg" -> 3, // B82's stats tail over the delivered O(groups×days) rollup: min-day agg + bcast join + the sufficient-stats agg
-    "graft_stream_skyline" -> 4,
-    "graft_stream_rfm" -> 3, // B80's ntile tail over the delivered O(users) state: anchor agg + the three shared-exchange ntile sorts // B81's sweep tail over the delivered O(prices) state: bucket agg + O(buckets) window + the near-frontier sweep
+    "graft_stream_skyline" -> 4, // B81's sweep tail over the delivered O(prices) state: bucket agg + O(buckets) window + the near-frontier sweep
+    "graft_stream_rfm" -> 3, // B80's ntile tail over the delivered O(users) state: anchor agg + the three shared-exchange ntile sorts
     "graft_stream_nb_score" -> 1, // per-doc token rollup; model broadcast
     "graft_stream_index_probe" -> 1, // band equi-join vs the persisted index
     "graft_stream_phash_probe" -> 1, // band equi-join vs the persisted index
