@@ -635,6 +635,77 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val ScrubRefreshLoopQueryName = "graft_stream_scrub_refresh_loop"
+
+  /** B78b (library API): B78's scrub census on a RETRAIN CADENCE (r11
+    * next-round #7) — B78 freezes the dup-window census at stream start,
+    * so a duplicated span BORN INSIDE the stream (two arriving carriers,
+    * neither in the snapshot) is invisible forever. This loop closes
+    * that gap with the B62/B65 maintenance discipline: every micro-batch
+    * (1) scrubs against the CURRENT census, (2) appends itself to an
+    * ingested log, and (3) after every `refreshEvery`-th batch re-trains
+    * the census over initCorpus ∪ ingested-so-far — safe at that point
+    * in the batch because the scrub materialized through the sink write
+    * and the append completed, and the loop is the log's single writer
+    * (the same contract as the index vacuum's swap). A span whose second
+    * carrier lands in batch b is caught for every carrier arriving after
+    * the first refresh at or past b — pinned by ScrubRefreshSpec, with
+    * `refreshEvery = 0` (never) reproducing B78's frozen behavior as the
+    * contrast case. At deploy the cadence is the retrain knob: census
+    * cost is one C44-shaped linear census over the ingested corpus,
+    * amortized across the window between refreshes. */
+  def streamScrubRefreshLoop(rootSpark: SparkSession, srcDir: String,
+      glob: String, initCorpus: DataFrame, w: Int,
+      refreshEvery: Int = 0): DataFrame = {
+    import graft.operators.Dedup
+    val spark = streamingSession(rootSpark)
+    val init = initCorpus.select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = true)
+    @volatile var census = Dedup.dupWindowsOf(init, "doc_id", "text", w)
+      .localCheckpoint(eager = true)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+    spark.streams.active.filter(_.name == ScrubRefreshLoopQueryName)
+      .foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${ScrubRefreshLoopQueryName}_sink").toFile
+    val log = java.nio.file.Files
+      .createTempDirectory(s"${ScrubRefreshLoopQueryName}_log").toFile
+    try {
+      val q = d.writeStream.queryName(ScrubRefreshLoopQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            // scrub vs the census as of BATCH START (materializes here)…
+            Dedup.scrubWithDupWindows(census, mb.toDF(), "doc_id", "text", w)
+              .withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(sink.getAbsolutePath)
+            // …then log the batch…
+            mb.select(col("doc_id"), col("text"))
+              .write.mode("append").parquet(log.getAbsolutePath)
+            // …then, on the cadence, retrain over everything seen
+            if (refreshEvery > 0 && (bid + 1) % refreshEvery == 0)
+              census = Dedup.dupWindowsOf(
+                init.unionAll(
+                  mb.sparkSession.read.parquet(log.getAbsolutePath)),
+                "doc_id", "text", w).localCheckpoint(eager = true)
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+        .orderBy(col("batch_id"), col("doc_id"))
+    } finally {
+      graft.sources.IndexScratch.deleteRec(sink)
+      graft.sources.IndexScratch.deleteRec(log)
+    }
+  }
+
   val NbScoreQueryName = "graft_stream_nb_score"
 
   /** B63: C78's NB quality classifier over a LIVE document feed — the
