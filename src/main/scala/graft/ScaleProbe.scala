@@ -782,7 +782,8 @@ object ScaleProbe {
       "csv_roundtrip", "json_roundtrip",
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
       "suffix_lcp", "zipf_slope", "partition_evolution",
-      "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv")
+      "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
+      "basket_pairs", "bfs_hops")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -830,6 +831,8 @@ object ScaleProbe {
     dirKey("etl_receipts")
     dirKey("etl_webhook_json")
     dirKey("q5_multijoin")
+    dirKey("basket_pairs")
+    dirKey("bfs_hops")
     dirKey("range_join")
     dirKey("salted_join")
     dirKey("triangle_count")

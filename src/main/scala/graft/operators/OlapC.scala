@@ -444,6 +444,103 @@ object OlapC {
        |ORDER BY nodes.node""".stripMargin
   }
 
+  // --- B92: single-source BFS over the customer↔supplier graph --------------
+  /** Hop cap for B92 — a bipartite trade graph is small-world (customer →
+    * supplier → customer chains), so the reachable set saturates within a
+    * few hops; the cap also bounds the oracle's recursive state space. */
+  val BfsMaxHops = 6
+
+  /** Single-source BFS shortest hops — the iterative-graph primitive
+    * next to B25's PageRank (same frontier-join skeleton as Pregel /
+    * GraphX BFS, spelled in DataFrames): per round, the current
+    * frontier joins the edge list, newly reached nodes take hops = i+1,
+    * and the loop checkpoint-truncates like PageRank (one frontier join
+    * + one distinct per round; every exchange is node-keyed). Early
+    * exit when a frontier comes back empty — BFS work is O(edges ×
+    * diameter) worst case, O(edges) total across rounds on the
+    * frontier-once discipline, NOT O(edges × rounds).
+    *
+    * Scale shape: dist and edges co-partition on the node key; a round
+    * is one shuffle join + one node-keyed dedup agg. At 100 TB the same
+    * loop runs with the frontier as the small side (broadcast when it
+    * fits) — textbook iterative BFS on a relational engine.
+    *
+    * Why a bipartite graph and not the 25-node nation graph: the trade
+    * network between nations is near-complete (every hop distribution
+    * collapses to 0/1) — customer↔supplier reachability has real
+    * frontier expansion and an unreached tail. */
+  def bfsHopsOn(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("hops"))
+      .localCheckpoint(eager = true)
+    var i = 0L
+    var frontierNonEmpty = true
+    while (frontierNonEmpty && i < maxHops) {
+      val frontier = dist.filter(col("hops") === i)
+        .select(col("node").as("src"))
+      val reached = frontier.join(edges, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node"), lit(1).as("_seen")), Seq("node"),
+          "left_anti")
+      dist = dist.unionAll(reached.select(col("node"),
+          lit(i + 1).as("hops")))
+        .localCheckpoint(eager = true)
+      i += 1
+      frontierNonEmpty = dist.filter(col("hops") === i).limit(1).count() > 0
+    }
+    dist
+  }
+
+  /** Driver query: hops from customer 1 through the bipartite
+    * customer↔supplier graph (an edge per distinct has-ordered-from
+    * pair, both directions; customers at 2k, suppliers at 2k+1 to
+    * disjointify the id spaces). */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val edges = pairs.select((col("c") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("s") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst")))
+      .localCheckpoint(eager = true)
+    bfsHopsOn(edges, source = 2L, maxHops = BfsMaxHops)
+      .select(col("node"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        (col("node") / 2).cast("long").as("entity_id"),
+        col("hops"))
+      .orderBy(col("node"))
+  }
+
+  /** Twin: WITH RECURSIVE frontier walk, deduped per (node, hops) by
+    * UNION, min-hops per node — the hop cap bounds the recursion's
+    * state space on cyclic graphs. */
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+       |    CAST(l.l_suppkey AS BIGINT) AS s
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), e AS (
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+       |), walk(node, hops) AS (
+       |  SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+       |  UNION
+       |  SELECT e.dst, walk.hops + 1 FROM walk JOIN e ON walk.node = e.src
+       |  WHERE walk.hops < $BfsMaxHops
+       |)
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS entity_id,
+       |  MIN(hops) AS hops
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   // --- B27: time-range rolling features ------------------------------------
   /** Rolling-window span: 1 hour in microseconds. */
   val RollWindowUs = 3600000000L
@@ -1097,6 +1194,7 @@ object OlapC {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bfs_hops" -> (bfsHops _),
     "funnel" -> (funnel _),
     "quantile_sketch" -> (quantileSketch _),
     "retention" -> (retention _),
@@ -1118,6 +1216,7 @@ object OlapC {
     "resample_ffill" -> (resampleFfill _))
 
   val oracles: Map[String, String] = Map(
+    "bfs_hops" -> bfsHopsSql,
     "funnel" -> funnelSql,
     "quantile_sketch" -> quantileSketchSql,
     "retention" -> retentionSql,

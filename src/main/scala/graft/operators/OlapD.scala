@@ -1090,7 +1090,89 @@ object OlapD {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // --- B91: market-basket pair lift -----------------------------------------
+  /** Pairs below this basket co-occurrence count are noise, not signal —
+    * and the cut keeps the pair table O(frequent pairs), the Apriori
+    * support-threshold discipline. */
+  val BasketMinPairCount = 2
+
+  /** Market-basket analysis (Agrawal & Srikant, VLDB 1994's support/
+    * lift reading): for every pair of items co-occurring in ≥
+    * [[BasketMinPairCount]] baskets, the co-occurrence count, each
+    * item's basket count, and LIFT = P(a,b) / (P(a)·P(b)) — the
+    * recommender/affinity primitive ("buyers of a also buy b more than
+    * chance"). Lift emits as the exact integer rational
+    * (pair·n_baskets) / (cnt_a·cnt_b) plus the IEEE double quotient —
+    * the B82 engine-parity discipline (no engine-specific decimal
+    * rounding in the hash gate).
+    *
+    * Scale shape: the per-basket distinct shrink runs FIRST (one
+    * basket-key exchange); the pair explode is a basket-key self-join
+    * whose per-basket cost is |basket|² — bounded by the order line
+    * cap here; at an unbounded-basket deploy the standard caps apply
+    * (per-basket top-|K| items by frequency, AQE skew-split on hot
+    * baskets) BEFORE the join, never after. The pair rollup and the
+    * two item-count joins are all pair/item-keyed partial-agg
+    * exchanges; n_baskets is a 1-row broadcast. */
+  def basketPairsOn(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
+    val b = baskets.select(col(basketCol).as("_b"),
+      col(itemCol).cast("long").as("_i")).distinct()
+    val nB = b.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = b.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= BasketMinPairCount)
+    pairs
+      .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("cnt_a")),
+        "item_a")
+      .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("cnt_b")),
+        "item_b")
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("pair_count"),
+        col("cnt_a"), col("cnt_b"), col("n_baskets"),
+        (col("pair_count") * col("n_baskets")).as("lift_num"),
+        (col("cnt_a") * col("cnt_b")).as("lift_den"))
+      .withColumn("lift",
+        col("lift_num").cast("double") / col("lift_den").cast("double"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /** Driver query: part pairs co-ordered in the same order. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsOn(graft.sources.Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")), "l_orderkey",
+      "l_partkey")
+
+  /** Twin: the same distinct → self-join → rollup → lift rational. */
+  val basketPairsSql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+       |  FROM lineitem
+       |), nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+       |ic AS (SELECT it, COUNT(*) AS c FROM b GROUP BY 1),
+       |p AS (
+       |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS pair_count
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $BasketMinPairCount)
+       |SELECT item_a, item_b, pair_count,
+       |  ca.c AS cnt_a, cb.c AS cnt_b, nb.n_baskets,
+       |  pair_count * nb.n_baskets AS lift_num,
+       |  ca.c * cb.c AS lift_den,
+       |  CAST(pair_count * nb.n_baskets AS DOUBLE)
+       |    / CAST(ca.c * cb.c AS DOUBLE) AS lift
+       |FROM p
+       |JOIN ic ca ON p.item_a = ca.it
+       |JOIN ic cb ON p.item_b = cb.it
+       |CROSS JOIN nb
+       |ORDER BY item_a, item_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> (basketPairs _),
     "attribution" -> (attribution _),
     "attribution_linear" -> (attributionLinear _),
     "attribution_time_decay" -> (attributionTimeDecay _),
@@ -1106,6 +1188,7 @@ object OlapD {
     "fd_profile" -> (fdProfile _))
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" -> basketPairsSql,
     "attribution" -> attributionSql,
     "attribution_linear" -> attributionLinearSql,
     "attribution_time_decay" -> attributionTimeDecaySql,

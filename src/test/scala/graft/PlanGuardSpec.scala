@@ -66,7 +66,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row tercile-thresholds frame broadcast onto the scored stream
     "ppl_band_select",
     // 1-row max-ts anchor frame broadcast onto the O(users) rollup
-    "rfm_segments")
+    "rfm_segments",
+    // 1-row n_baskets frame broadcast onto the O(frequent pairs) table
+    "basket_pairs")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -238,7 +240,9 @@ class PlanGuardSpec extends SparkSpec {
     "table_integrity" -> 1, // each check executes eagerly as one count / anti-join census; the returned board is a 7-row literal + its gate sort
     "layout_compare" -> 4, // two O(files) audits (each: 1-row box agg broadcast back) into two 1-row rollups + the 2-row sort (measured 4)
     "uncertainty_sample" -> 2, // C78's broadcast-join score + per-doc rollup; TakeOrderedAndProject + k-row rank window (measured 1)
-    "vocab_growth" -> 5 // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window incl. its pinned-key exchange (10 rows) — no global sort anywhere (measured 5)
+    "vocab_growth" -> 5, // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window incl. its pinned-key exchange (10 rows) — no global sort anywhere (measured 5)
+    "basket_pairs" -> 10, // per-basket distinct + the basket-key self-join both sides + the pair rollup + two item-count joins (each a partial agg + co-partition pair) + the 1-row n_baskets broadcast side + gate sort; every exchange is pair/item/basket-keyed, none global (measured 10)
+    "bfs_hops" -> 1 // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** B91 `basket_pairs`: hand-checked supports/lifts on seeded baskets,
+  * plus structural invariants on the real corpus. */
+class BasketPairsSpec extends SparkSpec {
+
+  test("hand baskets: pair counts, threshold cut, and the lift rational") {
+    import spark.implicits._
+    // 4 baskets: {1,2,3} {1,2} {1,3} {4} — pair (1,2) and (1,3) occur
+    // twice, (2,3) once (cut by BasketMinPairCount=2); item 4 pairs with
+    // nothing. Duplicate line (1,2,2) exercises the per-basket distinct.
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L), (13L, 4L))
+      .toDF("basket", "item")
+    val got = OlapD.basketPairsOn(b, "basket", "item").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    // lift(1,2) = (2 pairs * 4 baskets) / (3 * 2) = 8/6
+    assert(got === Map(
+      (1L, 2L) -> ((2L, 3L, 2L, 4L, 8L, 6L, 8.0 / 6.0)),
+      (1L, 3L) -> ((2L, 3L, 2L, 4L, 8L, 6L, 8.0 / 6.0))))
+  }
+
+  test("real corpus: pair_count bounded by either item's basket count, " +
+      "canonical a < b ordering, lift == num/den exactly") {
+    val rows = OlapD.basketPairs(spark, sfDir).collect()
+    assert(rows.length > 100, s"degenerate pair table: ${rows.length}")
+    rows.foreach { r =>
+      val (a, bI, pc, ca, cb, nB) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < bI)
+      assert(pc >= OlapD.BasketMinPairCount && pc <= math.min(ca, cb))
+      assert(ca <= nB && cb <= nB)
+      assert(r.getLong(6) === pc * nB && r.getLong(7) === ca * cb)
+      assert(r.getDouble(8) === r.getLong(6).toDouble / r.getLong(7))
+    }
+  }
+}
