@@ -209,6 +209,130 @@ object OlapD {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // --- B93: Shapley-value channel attribution ---------------------------------
+  /** The coalition channels for B93 — the non-conversion event types. */
+  val ShapleyChannels: Seq[String] = Seq("view", "click", "signup")
+
+  /** Data-driven multi-touch attribution by SHAPLEY VALUE (Shapley 1953;
+    * the marketing application is Zhao et al., arXiv:1804.05327) — the
+    * game-theoretic sibling of last-touch B42 / linear B71 / time-decay
+    * B77: each channel's credit is its average marginal contribution
+    * across every coalition order. Coalition value v(S) = number of
+    * CONVERTED users whose pre-conversion touch set ⊆ S (integer-valued
+    * and monotone, so every Shapley term is an exact integer; credits
+    * emit as the rational φ·m! / m! — num, den, double, the B82 parity
+    * discipline). Efficiency axiom Σφ = v(C) − v(∅) = touched
+    * conversions (pinned in spec).
+    *
+    * Scale shape: ONE user-key rollup builds the per-user touch-flag
+    * tuple (events shrink to O(users) in a single co-partitioned
+    * join+agg), then the exact-signature board is a 2^m-row aggregate
+    * (m = 3 channels → ≤ 8 rows) — the Shapley arithmetic itself runs
+    * on that bounded literal, never on the corpus. At 100 TB the same
+    * plan holds: the lattice is fixed by the CHANNEL alphabet, not the
+    * data volume. */
+  def attributionShapleyOn(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, convType: String,
+      channels: Seq[String] = ShapleyChannels): DataFrame = {
+    require(channels.size == 3, "the 3-channel lattice is the shipped shape")
+    val spark = events.sparkSession
+    val fp = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_fpts"))
+    val touches = events.filter(col(typeCol).isin(channels: _*))
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(typeCol).as("_t"))
+    // left join: converted users with NO pre-conversion touch keep
+    // all-zero flags (they are v(∅), the organic floor)
+    val flags = fp.join(touches, Seq("_u"), "left")
+      .groupBy(col("_u"))
+      .agg(max(when(col("_t") === channels(0) && col("_ts") < col("_fpts"),
+          1).otherwise(0)).as("f0"),
+        max(when(col("_t") === channels(1) && col("_ts") < col("_fpts"),
+          1).otherwise(0)).as("f1"),
+        max(when(col("_t") === channels(2) && col("_ts") < col("_fpts"),
+          1).otherwise(0)).as("f2"))
+    // the exact-signature board: <= 2^3 rows, a bounded literal
+    val exact = flags.groupBy(col("f0"), col("f1"), col("f2"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    def v(s: (Int, Int, Int)): Long = exact.collect {
+      case ((a, b, c), n) if a <= s._1 && b <= s._2 && c <= s._3 => n
+    }.sum
+    val fact = Array(1L, 1L, 2L, 6L)
+    def bits(set: Set[Int]): (Int, Int, Int) =
+      (if (set(0)) 1 else 0, if (set(1)) 1 else 0, if (set(2)) 1 else 0)
+    val rows = channels.zipWithIndex.map { case (ch, ci) =>
+      val others = channels.indices.toSet - ci
+      // w(|S|) = |S|!·(m−1−|S|)!·(m!/m!) — already ×m! so φ_num is exact
+      val phiNum = others.subsets().map { s =>
+        fact(s.size) * fact(channels.size - 1 - s.size) *
+          (v(bits(s + ci)) - v(bits(s)))
+      }.sum
+      (ch, phiNum, fact(channels.size), phiNum.toDouble / fact(channels.size))
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "phi_num", "phi_den", "phi")
+      .orderBy(col("channel"))
+  }
+
+  def attributionShapley(spark: SparkSession, dir: String): DataFrame =
+    attributionShapleyOn(Tables(spark, dir).events, "user_id", "ts",
+      "event_type", "purchase")
+
+  /** Twin: the same touch-flag rollup, the 8-subset lattice as VALUES,
+    * and the closed-form 3-channel Shapley weights {2, 1, 1, 2}. */
+  val attributionShapleySql: String = {
+    val Seq(c0, c1, c2) = ShapleyChannels
+    s"""WITH fp AS (
+       |  SELECT user_id, MIN(ts) AS fpts FROM events
+       |  WHERE event_type = 'purchase' GROUP BY 1
+       |), fl AS (
+       |  SELECT fp.user_id,
+       |    MAX(CASE WHEN e.event_type = '$c0' AND e.ts < fp.fpts
+       |      THEN 1 ELSE 0 END) AS f0,
+       |    MAX(CASE WHEN e.event_type = '$c1' AND e.ts < fp.fpts
+       |      THEN 1 ELSE 0 END) AS f1,
+       |    MAX(CASE WHEN e.event_type = '$c2' AND e.ts < fp.fpts
+       |      THEN 1 ELSE 0 END) AS f2
+       |  FROM fp LEFT JOIN events e ON e.user_id = fp.user_id
+       |    AND e.event_type IN ('$c0', '$c1', '$c2')
+       |  GROUP BY fp.user_id
+       |), v AS (
+       |  SELECT s0, s1, s2,
+       |    (SELECT COUNT(*) FROM fl
+       |     WHERE f0 <= s0 AND f1 <= s1 AND f2 <= s2) AS v
+       |  FROM (VALUES (0,0,0),(1,0,0),(0,1,0),(0,0,1),
+       |               (1,1,0),(1,0,1),(0,1,1),(1,1,1)) AS s(s0,s1,s2)
+       |), b AS (
+       |  SELECT
+       |    MAX(CASE WHEN s0=0 AND s1=0 AND s2=0 THEN v END) AS v000,
+       |    MAX(CASE WHEN s0=1 AND s1=0 AND s2=0 THEN v END) AS v100,
+       |    MAX(CASE WHEN s0=0 AND s1=1 AND s2=0 THEN v END) AS v010,
+       |    MAX(CASE WHEN s0=0 AND s1=0 AND s2=1 THEN v END) AS v001,
+       |    MAX(CASE WHEN s0=1 AND s1=1 AND s2=0 THEN v END) AS v110,
+       |    MAX(CASE WHEN s0=1 AND s1=0 AND s2=1 THEN v END) AS v101,
+       |    MAX(CASE WHEN s0=0 AND s1=1 AND s2=1 THEN v END) AS v011,
+       |    MAX(CASE WHEN s0=1 AND s1=1 AND s2=1 THEN v END) AS v111
+       |  FROM v)
+       |SELECT channel, CAST(phi_num AS BIGINT) AS phi_num,
+       |  CAST(6 AS BIGINT) AS phi_den,
+       |  CAST(phi_num AS DOUBLE) / 6.0 AS phi
+       |FROM (
+       |  SELECT '$c0' AS channel,
+       |    2*(v100-v000) + 1*(v110-v010) + 1*(v101-v001) + 2*(v111-v011)
+       |      AS phi_num FROM b
+       |  UNION ALL
+       |  SELECT '$c1',
+       |    2*(v010-v000) + 1*(v110-v100) + 1*(v011-v001) + 2*(v111-v101)
+       |      FROM b
+       |  UNION ALL
+       |  SELECT '$c2',
+       |    2*(v001-v000) + 1*(v101-v100) + 1*(v011-v010) + 2*(v111-v110)
+       |      FROM b)
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Twin: the same closed-window pairing, touch-count window, and
     * integer micro-unit split. */
   val attributionLinearSql: String =
@@ -1173,6 +1297,7 @@ object OlapD {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_pairs" -> (basketPairs _),
+    "attribution_shapley" -> (attributionShapley _),
     "attribution" -> (attribution _),
     "attribution_linear" -> (attributionLinear _),
     "attribution_time_decay" -> (attributionTimeDecay _),
@@ -1189,6 +1314,7 @@ object OlapD {
 
   val oracles: Map[String, String] = Map(
     "basket_pairs" -> basketPairsSql,
+    "attribution_shapley" -> attributionShapleySql,
     "attribution" -> attributionSql,
     "attribution_linear" -> attributionLinearSql,
     "attribution_time_decay" -> attributionTimeDecaySql,
