@@ -585,6 +585,16 @@ object ScaleProbe {
       // sufficient-stats state: O(groups x days) rows regardless of reps
       graft.streaming.StreamOps.streamLinregTrend(spark, streamDir).count()
     }
+    time("stream_basket_pairs") {
+      // set-union state: O(distinct (order, item)) — the open-basket
+      // incidence, 24x with the replicated orders
+      graft.streaming.StreamOps.streamBasketPairs(spark, streamDir).count()
+    }
+    time("stream_attribution_shapley") {
+      // four min-timestamp monoids per user: O(users) x 4
+      graft.streaming.StreamOps.streamAttributionShapley(spark, streamDir)
+        .count()
+    }
     time("stream_skyline") {
       // per-price max state: O(distinct prices), flat in reps (replicas
       // reuse the same price domain)

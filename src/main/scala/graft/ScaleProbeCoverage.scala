@@ -60,6 +60,7 @@ object ScaleProbeCoverage {
     "fd_profile", "zipf_slope",
     "stream_linreg_trend", "stream_skyline",
     "simhash_index_probe", "stream_admission_chain", "stream_attribution",
+    "stream_attribution_shapley", "stream_basket_pairs",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
     "stream_dedup", "stream_dedup_ttl", "stream_embed_pca",
     "stream_entropy_gate",
@@ -113,6 +114,7 @@ object ScaleProbeCoverage {
     "suffix_array", "suffix_lcp", "fd_profile",
     "linreg_trend", "zipf_slope", "stream_linreg_trend", "stream_skyline",
     "stream_admission_chain", "stream_attribution",
+    "stream_attribution_shapley", "stream_basket_pairs",
     "stream_cdc_compact", "stream_cluster_assign", "stream_decontaminate",
     "stream_dedup", "stream_dedup_ttl", "stream_embed_pca",
     "stream_entropy_gate",

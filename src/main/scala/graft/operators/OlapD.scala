@@ -251,6 +251,16 @@ object OlapD {
           1).otherwise(0)).as("f1"),
         max(when(col("_t") === channels(2) && col("_ts") < col("_fpts"),
           1).otherwise(0)).as("f2"))
+    shapleyTailOn(flags, channels)
+  }
+
+  /** The Shapley tail over a per-user (f0, f1, f2) touch-flag frame —
+    * shared by the batch key and the streaming twin (B95), whose
+    * micro-batch derives the same flags from per-user min-timestamp
+    * monoid state. */
+  private[graft] def shapleyTailOn(flags: DataFrame,
+      channels: Seq[String]): DataFrame = {
+    val spark = flags.sparkSession
     // the exact-signature board: <= 2^3 rows, a bounded literal
     val exact = flags.groupBy(col("f0"), col("f1"), col("f2"))
       .agg(count(lit(1)).as("n")).collect()

@@ -1148,6 +1148,88 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  val BasketQueryName = "graft_stream_basket_pairs"
+
+  /** B94: B91's market-basket pair lift maintained BY the stream — the
+    * fourth mergeable-monoid board, and the one where the monoid choice
+    * is load-bearing: pair counts canNOT merge across batches when an
+    * order's lines split over micro-batches (the pairs between the two
+    * halves were never seen by either batch), so the streaming state is
+    * the per-order DISTINCT ITEM SET (collect_set — set union is the
+    * monoid), and the pair explode + lift tail runs batch-side in the
+    * drain over the delivered sets — the SAME
+    * [[graft.operators.OlapD.basketPairsOn]] code path as batch B91, so
+    * drain == batch and the key shares `basket_pairs`' oracle. State is
+    * O(distinct (order, item)) — the open-basket incidence; at deploy
+    * baskets CLOSE (an order stops growing within bounded time), so an
+    * order-date watermark evicts settled baskets into the offline pair
+    * table and state holds only the open tail. */
+  def streamBasketPairs(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    basketPairsStreamOn(spark, spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir))
+  }
+
+  /** The B94 machine over ANY (l_orderkey, l_partkey)-shaped stream —
+    * split out so StreamReplaySpec can feed mtime-ordered waves that
+    * SPLIT an order across micro-batches (the case the set-union monoid
+    * exists for). */
+  private[streaming] def basketPairsStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    val baskets = raw.groupBy(col("l_orderkey").as("bk"))
+      .agg(collect_set(col("l_partkey").cast("long")).as("items"))
+    drainViaParquetSink(spark, baskets.toDF(), BasketQueryName,
+      complete = true,
+      xform = (mb, _) => graft.operators.OlapD.basketPairsOn(
+        mb.select(col("bk"), explode(col("items")).as("it")), "bk", "it"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  val ShapleyQueryName = "graft_stream_attribution_shapley"
+
+  /** B95: B93's Shapley attribution maintained BY the stream — per-user
+    * state is FOUR MIN-timestamp monoids (first purchase + first touch
+    * per channel): "some touch of channel c precedes the first
+    * conversion" ⟺ min(touch ts) < min(purchase ts), so the flags —
+    * and with them the whole coalition lattice — derive exactly from
+    * mergeable mins regardless of arrival order (a touch arriving
+    * AFTER a later purchase was processed still lowers its min and
+    * flips the flag — no retraction needed because min is monotone).
+    * The lattice board + Shapley arithmetic run batch-side in the
+    * drain through the SAME [[graft.operators.OlapD.shapleyTailOn]]
+    * code path as batch B93, so drain == batch and the key shares
+    * `attribution_shapley`'s oracle. State O(users) × 4 timestamps. */
+  def streamAttributionShapley(rootSpark: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    shapleyStreamOn(spark, eventsStream(spark, dir))
+  }
+
+  /** The B95 machine over ANY (user_id, ts, event_type)-shaped stream —
+    * split out so StreamReplaySpec can deliver a channel touch in a
+    * LATER wave than the purchase it precedes (the min-monoid's
+    * no-retraction claim). */
+  private[streaming] def shapleyStreamOn(spark: SparkSession,
+      ev: DataFrame): DataFrame = {
+    val chans = graft.operators.OlapD.ShapleyChannels
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase", col("ts")))
+          .as("_fpts"),
+        chans.zipWithIndex.map { case (c, i) =>
+          min(when(col("event_type") === c, col("ts"))).as(s"_m$i")
+        }: _*)
+    drainViaParquetSink(spark, perUser.toDF(), ShapleyQueryName,
+      complete = true,
+      xform = (mb, _) => graft.operators.OlapD.shapleyTailOn(
+        mb.filter(col("_fpts").isNotNull)
+          .select(chans.indices.map(i =>
+            when(col(s"_m$i").isNotNull && col(s"_m$i") < col("_fpts"), 1)
+              .otherwise(0).as(s"f$i")): _*),
+        chans))
+      .orderBy(col("channel"))
+  }
+
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
   /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
@@ -1538,7 +1620,9 @@ object StreamOps {
     "stream_linreg_trend" -> (streamLinregTrend _),
     "stream_skyline" -> (streamSkyline _),
     "stream_dedup_ttl" -> (streamDedupTtl _),
-    "stream_rfm" -> (streamRfm _)
+    "stream_rfm" -> (streamRfm _),
+    "stream_basket_pairs" -> (streamBasketPairs _),
+    "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1558,6 +1642,9 @@ object StreamOps {
     "stream_linreg_trend" -> graft.operators.OlapD.linregTrendSql,
     // the streamed per-user monoid re-scored must equal the batch RFM
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
+    "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
+    "stream_attribution_shapley" ->
+      graft.operators.OlapD.attributionShapleySql,
     // the streamed per-price-max state re-swept must equal the batch frontier
     "stream_skyline" -> graft.operators.OlapD.skyline2dSql,
     // the order-sensitive stateful drain must equal the batch window op

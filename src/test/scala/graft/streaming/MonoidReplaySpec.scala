@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.OlapD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-batch replays for the B94/B95 monoid boards — each staged so
+  * the wave boundary falls INSIDE the unit the monoid must carry:
+  *
+  *  - B94: an ORDER's lines split across waves — pair (i, j) exists only
+  *    because the set-union state joined both halves; per-batch pair
+  *    counting would never see it.
+  *  - B95: a channel TOUCH arrives in a later wave than the purchase it
+  *    precedes in event time — the min-timestamp monoid must flip the
+  *    flag without retraction.
+  */
+class MonoidReplaySpec extends SparkSpec {
+
+  private def writeWave(srcDir: java.nio.file.Path, df: DataFrame,
+      name: String, mtime: Long): Unit = {
+    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+    val part = stage.listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(srcDir.toFile, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+  }
+
+  private def staged(waves: Seq[DataFrame]): String = {
+    val srcDir = java.nio.file.Files.createTempDirectory("monoid_replay")
+    val t0 = System.currentTimeMillis() - 100000
+    waves.zipWithIndex.foreach { case (w, i) =>
+      writeWave(srcDir, w, s"w$i.parquet", t0 + i * 1000) }
+    srcDir.toString
+  }
+
+  private def streamFrom(src: String, schema: org.apache.spark.sql.types
+      .StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "w*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+  test("B94: an order split across two waves still yields its cross-wave " +
+      "pair — set-union state, not per-batch pair counts") {
+    import spark.implicits._
+    // order 10 = {1, 2} but item 1 lands in wave 0 and item 2 in wave 1;
+    // order 11 = {1, 2} whole in wave 0 (makes the pair pass the >= 2 cut)
+    val w0 = Seq((10L, 1L), (11L, 1L), (11L, 2L)).toDF("l_orderkey", "l_partkey")
+    val w1 = Seq((10L, 2L)).toDF("l_orderkey", "l_partkey")
+    val src = staged(Seq(w0, w1))
+    val got = StreamOps.basketPairsStreamOn(spark,
+        streamFrom(src, w0.schema)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 2L),
+      s"pair (1,2) must count BOTH baskets incl. the split one: $got")
+    // drain == batch on the union of waves
+    val batch = OlapD.basketPairsOn(w0.unionAll(w1), "l_orderkey",
+      "l_partkey").collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
+  test("B95: a touch delivered AFTER its user's purchase was processed " +
+      "still flips the flag — min monoid, no retraction") {
+    import spark.implicits._
+    def evd(rows: Seq[(Long, Int, String)]) =
+      rows.toDF("user_id", "t", "event_type")
+        .select(col("user_id"),
+          timestamp_seconds(lit(1704067200L) + col("t") * 3600).as("ts"),
+          col("event_type"))
+    // wave 0 carries user 1's PURCHASE (t=5); wave 1 delivers the CLICK
+    // that happened earlier (t=2) — event time precedes, arrival follows
+    val w0 = evd(Seq((1L, 5, "purchase"), (2L, 1, "view"),
+      (2L, 3, "purchase")))
+    val w1 = evd(Seq((1L, 2, "click")))
+    val src = staged(Seq(w0, w1))
+    val got = StreamOps.shapleyStreamOn(spark,
+        streamFrom(src, w0.schema)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two converted users: u1 touched {click}, u2 touched {view} ->
+    // v(C)-v(∅) = 2, each channel a symmetric single carrier: φ·6 = 6
+    assert(got === Map("click" -> 6L, "signup" -> 0L, "view" -> 6L),
+      s"late-arriving click must still earn credit: $got")
+    val batch = OlapD.attributionShapleyOn(w0.unionAll(w1), "user_id",
+      "ts", "event_type", "purchase").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+  }
+}
