@@ -1177,6 +1177,10 @@ object StreamOps {
     * exists for). */
   private[streaming] def basketPairsStreamOn(spark: SparkSession,
       raw: DataFrame): DataFrame = {
+    // state = one SET per order, not one row per (order, item): the
+    // alternative pair-keyed spelling quadruples the state ROW count
+    // and OOMs the heap-resident HDFS state store at the 24× probe —
+    // the set buffer amortizes the per-row key overhead
     val baskets = raw.groupBy(col("l_orderkey").as("bk"))
       .agg(collect_set(col("l_partkey").cast("long")).as("items"))
     drainViaParquetSink(spark, baskets.toDF(), BasketQueryName,
