@@ -793,7 +793,8 @@ object ScaleProbe {
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
       "suffix_lcp", "zipf_slope", "partition_evolution",
       "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
-      "basket_pairs", "bfs_hops", "attribution_shapley")
+      "basket_pairs", "bfs_hops", "attribution_shapley",
+      "score_calibrate", "forecast_snaive")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -843,6 +844,8 @@ object ScaleProbe {
     dirKey("q5_multijoin")
     dirKey("basket_pairs")
     dirKey("attribution_shapley")
+    dirKey("score_calibrate")
+    dirKey("forecast_snaive")
     dirKey("bfs_hops")
     dirKey("range_join")
     dirKey("salted_join")

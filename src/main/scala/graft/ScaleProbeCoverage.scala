@@ -22,7 +22,7 @@ object ScaleProbeCoverage {
     * spec re-derives this set from the source and diffs it. */
   val probeKeys: Set[String] = Set(
     "activity_streaks", "asof_join_nearest", "attribution_shapley",
-    "basket_pairs", "bfs_hops",
+    "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
@@ -83,7 +83,7 @@ object ScaleProbeCoverage {
   /** Keys whose probe label IS the key. */
   private val sameName: Seq[String] = Seq(
     "activity_streaks", "asof_join_nearest", "attribution_shapley",
-    "basket_pairs", "bfs_hops",
+    "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "ann_ivf_stats", "ann_pq_topk", "attribution_linear",
     "bloom_semi_join", "bucketed_join", "bm25_search",
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",

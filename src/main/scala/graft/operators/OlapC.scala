@@ -541,6 +541,76 @@ object OlapC {
        |  MIN(hops) AS hops
        |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  // --- B96: seasonal-naive forecast error board -------------------------------
+  /** Season length for B96 — weekly, the retail default. */
+  val SnaiveSeasonDays = 7
+
+  /** Seasonal-naive forecast evaluation — the baseline every real
+    * forecasting deploy must beat (Hyndman & Athanasopoulos, "Forecasting:
+    * Principles and Practice": ŷ(d) = y(d − season)), scored in-sample as
+    * a per-group error board: days scored (a day counts iff the
+    * same-group day one season earlier exists), total absolute error in
+    * exact integer micro-units (decimal arithmetic end to end — no float
+    * accumulation), and MAE as one IEEE division chain over the exact
+    * integers. The board is what a metrics team pages on: a model whose
+    * MAE beats this number earns its keep.
+    *
+    * Scale shape: events shrink to O(groups × days) in ONE partial-agg
+    * exchange; the season lag is a co-partitioned self-join on
+    * (group, day) — NOT a row-offset window (a `lag(7)` over day rows
+    * silently mis-predicts across calendar gaps); the error rollup rides
+    * the same group key. */
+  def forecastSnaiveOn(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, seasonDays: Int = SnaiveSeasonDays): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(25,6)")).as("v"))
+    val pred = daily.select(col("grp"),
+      date_add(col("d"), seasonDays).as("d"), col("v").as("v_pred"))
+    daily.join(pred, Seq("grp", "d"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("v_pred").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(when(col("v_pred").isNotNull,
+          abs(col("v") - col("v_pred")))).as("_err"))
+      .select(col("grp").as("event_type"),
+        col("n_days"), col("n_scored"),
+        coalesce((col("_err") * 1000000).cast("long"), lit(0L))
+          .as("abs_err_micro"))
+      .withColumn("mae",
+        when(col("n_scored") > 0,
+          col("abs_err_micro").cast("double") / col("n_scored") / 1000000.0))
+      .orderBy(col("event_type"))
+  }
+
+  def forecastSnaive(spark: SparkSession, dir: String): DataFrame =
+    forecastSnaiveOn(Tables(spark, dir).events, "event_type", "ts", "value")
+
+  /** Twin: the same daily decimal rollup, calendar-true season join, and
+    * micro-unit error integers. */
+  val forecastSnaiveSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+       |    SUM(CAST(value AS DECIMAL(25,6))) AS v
+       |  FROM events GROUP BY 1, 2
+       |), j AS (
+       |  SELECT a.grp, a.d, a.v, b.v AS v_pred
+       |  FROM daily a LEFT JOIN daily b
+       |    ON a.grp = b.grp AND b.d = a.d - $SnaiveSeasonDays
+       |), agg AS (
+       |  SELECT grp AS event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(CASE WHEN v_pred IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_scored,
+       |    COALESCE(CAST(SUM(CASE WHEN v_pred IS NOT NULL
+       |      THEN ABS(v - v_pred) END) * 1000000 AS BIGINT), 0)
+       |      AS abs_err_micro
+       |  FROM j GROUP BY grp)
+       |SELECT event_type, n_days, n_scored, abs_err_micro,
+       |  CASE WHEN n_scored > 0 THEN
+       |    CAST(abs_err_micro AS DOUBLE) / n_scored / 1000000.0 END AS mae
+       |FROM agg ORDER BY event_type""".stripMargin
+
   // --- B27: time-range rolling features ------------------------------------
   /** Rolling-window span: 1 hour in microseconds. */
   val RollWindowUs = 3600000000L
@@ -1195,6 +1265,7 @@ object OlapC {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_hops" -> (bfsHops _),
+    "forecast_snaive" -> (forecastSnaive _),
     "funnel" -> (funnel _),
     "quantile_sketch" -> (quantileSketch _),
     "retention" -> (retention _),
@@ -1217,6 +1288,7 @@ object OlapC {
 
   val oracles: Map[String, String] = Map(
     "bfs_hops" -> bfsHopsSql,
+    "forecast_snaive" -> forecastSnaiveSql,
     "funnel" -> funnelSql,
     "quantile_sketch" -> quantileSketchSql,
     "retention" -> retentionSql,

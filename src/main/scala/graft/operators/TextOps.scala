@@ -289,6 +289,30 @@ object TextOps {
   // --- C9: quality scoring -------------------------------------------------
   val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** C9's composite quality score over a text column — ONE spelling
+    * shared by `text_quality` and C104's calibration (the normal-form
+    * discipline: the two keys cannot fork the score). */
+  private[operators] def qualityScoreExpr(text: Column): Column = {
+    val t = tokens(text)
+    val nWords = size(t)
+    val stopRatio =
+      TextAnalysis.stopwordCount(t, Stopwords).cast("double") / nWords
+    least(nWords.cast("double") / 100.0, lit(1.0)) *
+      (lit(1.0) - stopRatio * 0.5)
+  }
+
+  /** The same score as SQL over a (doc_id, text, …) table expression —
+    * the twin spelling C104 composes into its calibration CTE. */
+  private[operators] def qualityScoreSqlExpr: String = {
+    val in = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""LEAST(CAST(LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS DOUBLE)
+       | / 100.0, 1.0) * (1.0 -
+       | (CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+       |   w -> w IN ($in))) AS DOUBLE)
+       |  / LEN(regexp_split_to_array(TRIM(text), '\\s+'))) * 0.5)"""
+      .stripMargin.replace("\n", "")
+  }
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val nWords = size(t)
@@ -304,8 +328,7 @@ object TextOps {
       nStop.as("n_stopwords"),
       stopRatio.as("stop_ratio"),
       awl.as("avg_word_len"),
-      (least(nWords.cast("double") / 100.0, lit(1.0)) * (lit(1.0) - stopRatio * 0.5))
-        .as("quality_score"))
+      qualityScoreExpr(col("text")).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -327,6 +350,66 @@ object TextOps {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --- C104: cross-source score calibration ---------------------------------
+  /** Rank-based calibration of quality scores ACROSS sources — the
+    * mixing-time correction CCNet-style pipelines need: raw score
+    * distributions differ per source (a "0.7" from a clean wiki dump and
+    * a "0.7" from common crawl are not the same quality), so selecting a
+    * global top-X% on raw scores silently reweights sources by their
+    * scale. Calibrated score = the doc's rank WITHIN its source mapped
+    * to [0, 1] ((rank−1)/(n−1), ties broken by doc_id for a total
+    * order) — after calibration every source's distribution is uniform,
+    * and a global threshold takes the same fraction from each. Emits the
+    * exact rank rational (cal_num, cal_den) next to the IEEE quotient.
+    *
+    * Scale shape: the score is a codegen map; ONE per-source window
+    * exchange (rank + count over hash(source) partitions — a skewed
+    * mega-source is the one hot spot; the deploy mitigation is
+    * per-source approx-quantile thresholds, the B80 `exact=false`
+    * discipline) + the gate sort. */
+  def scoreCalibrateOn(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val scored = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"),
+      qualityScoreExpr(col(textCol)).as("quality_score"))
+    scored
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("quality_score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        (col("rk") - 1).cast("long").as("cal_num"),
+        (col("n") - 1).cast("long").as("cal_den"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rk") - 1).cast("double") / (col("n") - 1))
+          .as("calibrated"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scoreCalibrate(spark: SparkSession, dir: String): DataFrame =
+    scoreCalibrateOn(Tables(spark, dir).documents, "doc_id", "source",
+      "text")
+
+  /** Twin: the same score spelling (shared SQL builder) + the same
+    * totally-ordered per-source rank map. */
+  val scoreCalibrateSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source, $qualityScoreSqlExpr AS quality_score
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality_score, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM q)
+       |SELECT doc_id, source, quality_score,
+       |  CAST(rk - 1 AS BIGINT) AS cal_num,
+       |  CAST(n - 1 AS BIGINT) AS cal_den,
+       |  CASE WHEN n = 1 THEN 0.0
+       |       ELSE CAST(rk - 1 AS DOUBLE) / (n - 1) END AS calibrated
+       |FROM r ORDER BY doc_id""".stripMargin
 
   // --- C63: character-entropy quality signal -------------------------------
   /** Character-level Shannon entropy per document — the gibberish /
@@ -466,6 +549,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "score_calibrate" -> (scoreCalibrate _),
     "text_entropy" -> (textEntropy _),
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -479,6 +563,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "score_calibrate" -> scoreCalibrateSql,
     "text_entropy" -> textEntropySql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,

@@ -243,6 +243,8 @@ class PlanGuardSpec extends SparkSpec {
     "vocab_growth" -> 5, // per-bin token agg + vocab-bounded first-doc agg + the 10-row join/window incl. its pinned-key exchange (10 rows) — no global sort anywhere (measured 5)
     "basket_pairs" -> 10, // per-basket distinct + the basket-key self-join both sides + the pair rollup + two item-count joins (each a partial agg + co-partition pair) + the 1-row n_baskets broadcast side + gate sort; every exchange is pair/item/basket-keyed, none global (measured 10)
     "attribution_shapley" -> 1, // the user-key flag rollup + the 8-row board run EAGERLY at construction (bounded-literal collect, the vocab/codebook precedent); the residual plan is the 3-row local board + gate sort (measured 1)
+    "score_calibrate" -> 2, // codegen score map + ONE per-source window exchange (rank + count share it) + gate sort (measured 2)
+    "forecast_snaive" -> 4, // the (group, day) partial-agg exchange + the co-partitioned season self-join's two sides + the group error rollup + gate sort (measured 4)
     "bfs_hops" -> 1 // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
   )
 
