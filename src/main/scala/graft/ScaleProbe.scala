@@ -590,6 +590,11 @@ object ScaleProbe {
       // incidence, 24x with the replicated orders
       graft.streaming.StreamOps.streamBasketPairs(spark, streamDir).count()
     }
+    time("stream_forecast_snaive") {
+      // SUM-of-decimals monoid state: O(groups x days), flat in reps
+      graft.streaming.StreamOps.streamForecastSnaive(spark, streamDir)
+        .count()
+    }
     time("stream_attribution_shapley") {
       // four min-timestamp monoids per user: O(users) x 4
       graft.streaming.StreamOps.streamAttributionShapley(spark, streamDir)
@@ -794,7 +799,7 @@ object ScaleProbe {
       "suffix_lcp", "zipf_slope", "partition_evolution",
       "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
       "basket_pairs", "bfs_hops", "attribution_shapley",
-      "score_calibrate", "forecast_snaive")
+      "score_calibrate", "forecast_snaive", "time_in_state")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -846,6 +851,7 @@ object ScaleProbe {
     dirKey("attribution_shapley")
     dirKey("score_calibrate")
     dirKey("forecast_snaive")
+    dirKey("time_in_state")
     dirKey("bfs_hops")
     dirKey("range_join")
     dirKey("salted_join")

@@ -611,6 +611,58 @@ object OlapC {
        |    CAST(abs_err_micro AS DOUBLE) / n_scored / 1000000.0 END AS mae
        |FROM agg ORDER BY event_type""".stripMargin
 
+  // --- B97: duration-weighted state occupancy ---------------------------------
+  /** Time-in-state: how long each user SITS in each state, where the
+    * state is the last event's type until the next event arrives — the
+    * duration-weighted complement of the count-weighted B39 transition
+    * matrix (a state entered often but exited instantly dominates
+    * counts and vanishes in wall time; device/session analytics need
+    * both reads). Per state: interval count, total microseconds (exact
+    * BIGINT sums of timestamp differences — no products, no unit
+    * quantization, overflow-free by construction: Σ durations ≤ span ×
+    * users), and seconds as one IEEE division. Each user's LAST event
+    * has no successor and is excluded — open intervals have no
+    * defensible duration.
+    *
+    * Scale shape: ONE user-key window exchange (the `lead` rides it) +
+    * the state-key partial-agg rollup + gate sort. */
+  def timeInStateOn(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_tie"))
+    events.select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_ts"),
+        col(tieCol).as("_tie"), col(typeCol).as("_st"))
+      .withColumn("_next", lead(col("_ts"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_st").as("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_next") - col("_ts")).as("dur_us_total"))
+      .withColumn("dur_s",
+        col("dur_us_total").cast("double") / 1000000.0)
+      .orderBy(col("state"))
+  }
+
+  def timeInState(spark: SparkSession, dir: String): DataFrame =
+    timeInStateOn(Tables(spark, dir).events, "user_id", "ts", "event_id",
+      "event_type")
+
+  /** Twin: the same per-user lead over the (ts, event_id) total order. */
+  val timeInStateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |    event_type
+      |  FROM events
+      |), iv AS (
+      |  SELECT event_type AS state,
+      |    LEAD(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) - ts_us AS dur
+      |  FROM e)
+      |SELECT state, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dur) AS BIGINT) AS dur_us_total,
+      |  CAST(SUM(dur) AS DOUBLE) / 1000000.0 AS dur_s
+      |FROM iv WHERE dur IS NOT NULL
+      |GROUP BY state ORDER BY state""".stripMargin
+
   // --- B27: time-range rolling features ------------------------------------
   /** Rolling-window span: 1 hour in microseconds. */
   val RollWindowUs = 3600000000L
@@ -1266,6 +1318,7 @@ object OlapC {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bfs_hops" -> (bfsHops _),
     "forecast_snaive" -> (forecastSnaive _),
+    "time_in_state" -> (timeInState _),
     "funnel" -> (funnel _),
     "quantile_sketch" -> (quantileSketch _),
     "retention" -> (retention _),
@@ -1289,6 +1342,7 @@ object OlapC {
   val oracles: Map[String, String] = Map(
     "bfs_hops" -> bfsHopsSql,
     "forecast_snaive" -> forecastSnaiveSql,
+    "time_in_state" -> timeInStateSql,
     "funnel" -> funnelSql,
     "quantile_sketch" -> quantileSketchSql,
     "retention" -> retentionSql,

@@ -1234,6 +1234,34 @@ object StreamOps {
       .orderBy(col("channel"))
   }
 
+  val SnaiveQueryName = "graft_stream_forecast_snaive"
+
+  /** B98: B96's seasonal-naive error board maintained BY the stream —
+    * the (group, day) daily revenue rollup IS the streaming state (a
+    * SUM-of-decimals monoid, O(groups × days) rows, B84's shape), and
+    * the calendar-true season join + micro-unit error rollup run
+    * batch-side in the drain through the SAME
+    * [[graft.operators.OlapC.forecastSnaiveOn]] tail as batch B96
+    * (fed pre-aggregated dailies — the groupBy re-agg over them is
+    * idempotent), so drain == batch and the key shares
+    * `forecast_snaive`'s oracle. At deploy the xform output is the
+    * live "is the forecast baseline drifting?" board. */
+  def streamForecastSnaive(rootSpark: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val ev = eventsStream(spark, dir)
+    val daily = ev.groupBy(col("event_type").as("grp"),
+        to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(25,6)")).as("v"))
+    drainViaParquetSink(spark, daily.toDF(), SnaiveQueryName,
+      complete = true,
+      xform = (mb, _) => graft.operators.OlapC.forecastSnaiveOn(
+        mb.select(col("grp").as("event_type"),
+          col("d").cast("timestamp").as("ts"), col("v").as("value")),
+        "event_type", "ts", "value"))
+      .orderBy(col("event_type"))
+  }
+
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
   /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
@@ -1626,6 +1654,7 @@ object StreamOps {
     "stream_dedup_ttl" -> (streamDedupTtl _),
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
+    "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
 
@@ -1647,6 +1676,7 @@ object StreamOps {
     // the streamed per-user monoid re-scored must equal the batch RFM
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
+    "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_attribution_shapley" ->
       graft.operators.OlapD.attributionShapleySql,
     // the streamed per-price-max state re-swept must equal the batch frontier

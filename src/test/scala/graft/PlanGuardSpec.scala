@@ -245,6 +245,7 @@ class PlanGuardSpec extends SparkSpec {
     "attribution_shapley" -> 1, // the user-key flag rollup + the 8-row board run EAGERLY at construction (bounded-literal collect, the vocab/codebook precedent); the residual plan is the 3-row local board + gate sort (measured 1)
     "score_calibrate" -> 2, // codegen score map + ONE per-source window exchange (rank + count share it) + gate sort (measured 2)
     "forecast_snaive" -> 4, // the (group, day) partial-agg exchange + the co-partitioned season self-join's two sides + the group error rollup + gate sort (measured 4)
+    "time_in_state" -> 3, // ONE user-key window exchange (the lead rides it) + the state-key partial-agg rollup + gate sort (measured 3)
     "bfs_hops" -> 1 // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
   )
 

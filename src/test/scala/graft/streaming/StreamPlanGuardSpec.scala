@@ -57,6 +57,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_rfm" -> 3, // B80's ntile tail over the delivered O(users) state: anchor agg + the three shared-exchange ntile sorts
     "graft_stream_basket_pairs" -> 5, // B91's pair tail over the delivered O(open baskets) sets: explode + per-basket distinct + basket self-join + pair rollup + item-count joins (measured 5)
     "graft_stream_attribution_shapley" -> 1, // B93's lattice board over the delivered O(users) flags (the 8-row bounded collect) + the 3-row local board's gate sort (measured 1)
+    "graft_stream_forecast_snaive" -> 4, // B96's season tail over the delivered O(groups x days) state: idempotent re-agg + the co-partitioned season self-join + error rollup (measured 4)
     "graft_stream_nb_score" -> 1, // per-doc token rollup; model broadcast
     "graft_stream_index_probe" -> 1, // band equi-join vs the persisted index
     "graft_stream_phash_probe" -> 1, // band equi-join vs the persisted index
