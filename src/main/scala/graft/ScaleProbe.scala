@@ -799,7 +799,7 @@ object ScaleProbe {
       "suffix_lcp", "zipf_slope", "partition_evolution",
       "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
       "basket_pairs", "bfs_hops", "attribution_shapley",
-      "score_calibrate", "forecast_snaive", "time_in_state")
+      "score_calibrate", "forecast_snaive", "time_in_state", "dup_spans")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -852,6 +852,7 @@ object ScaleProbe {
     dirKey("score_calibrate")
     dirKey("forecast_snaive")
     dirKey("time_in_state")
+    dirKey("dup_spans")
     dirKey("bfs_hops")
     dirKey("range_join")
     dirKey("salted_join")

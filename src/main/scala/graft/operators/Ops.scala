@@ -382,6 +382,39 @@ object Dedup {
           .as("scrubbed_text"))
   }
 
+  /** The SPAN EXTRACTION over a precomputed dup-window set (r11
+    * next-round #2's last piece): the merged per-document intervals of
+    * duplicated text — exactly the removal plan C96's scrub executes
+    * and the span list Lee et al. (arXiv:2107.06499) publish per
+    * corpus. Each dup start i covers tokens [i, i+w−1]; with a FIXED
+    * width the interval end is monotone in the start, so merging is
+    * one gaps-and-islands pass: a new island opens iff the start gap
+    * exceeds w (the classic trick, no interval-tree needed). Σ span_len
+    * per doc == the scrub's n_removed by construction — pinned in spec
+    * as a frame-level conservation law.
+    *
+    * Scale shape: the same linear census join as the scrub, ONE doc-key
+    * window for the island numbering (dup starts only — already a tiny
+    * fraction of positions), one (doc, island) rollup. */
+  def dupSpansWithDupWindows(dupWindows: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    val ex = scrubWindows(scrubToks(df, idCol, textCol), w)
+    val st = ex.join(dupWindows, Seq("_s")).select(col("_id"), col("_i"))
+    val byI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_i"))
+    st.withColumn("_prev", lag(col("_i"), 1).over(byI))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("_i") - col("_prev") > w, 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(byI))
+      .groupBy(col("_id"), col("_isl"))
+      .agg(min(col("_i")).as("_s0"), max(col("_i")).as("_s1"))
+      .select(col("_id").as("doc_id"),
+        col("_s0").cast("long").as("span_start"),
+        (col("_s1") - col("_s0") + w).cast("long").as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
     * Shuffle budget: band-bucket self-join only — all sketching is
     * map-side. Tune (numHashes, bands) for the recall/cost point. */

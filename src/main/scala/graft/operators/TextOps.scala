@@ -269,6 +269,48 @@ object TextOps {
        |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
        |FROM scrubbed ORDER BY doc_id""".stripMargin
 
+  // --- C105: duplicated-span extraction --------------------------------------
+  /** The merged duplicated-span intervals per document — C96's removal
+    * plan made a first-class product (see
+    * [[Dedup.dupSpansWithDupWindows]]); the per-corpus span list is what
+    * an ExactSubstr deploy ships downstream so consumers can mask
+    * without re-running the census. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dedupCorpus(spark, dir)
+    Dedup.dupSpansWithDupWindows(
+      Dedup.dupWindowsOf(corpus, "doc_id", "text", SubstrW),
+      corpus, "doc_id", "text", SubstrW)
+  }
+
+  /** Twin: the C96 census CTEs + the gaps-and-islands merge. */
+  val dupSpansSql: String =
+    s"""WITH $dedupCorpusSql,
+       |tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |           x -> x <> '') AS toks
+       |  FROM corpus
+       |), pw AS (
+       |  SELECT doc_id, i, array_to_string(toks[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM tk, unnest(range(1, len(toks) - ${SubstrW - 2})) t(i)
+       |  WHERE len(toks) >= $SubstrW
+       |), dfreq AS (
+       |  SELECT s, COUNT(*) AS c
+       |  FROM (SELECT DISTINCT doc_id, s FROM pw) GROUP BY 1
+       |), st AS (
+       |  SELECT pw.doc_id, pw.i FROM pw JOIN dfreq USING (s) WHERE c > 1
+       |), isl AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN prev IS NULL OR i - prev > $SubstrW
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM (SELECT doc_id, i,
+       |          LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |        FROM st))
+       |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+       |  CAST(MAX(i) - MIN(i) + $SubstrW AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // --- C8: token counting --------------------------------------------------
   /** Whitespace tokens + a BPE-ish regex segmentation (letter runs, digit
     * runs, punctuation runs). Pure map stage, codegen'd regex. */
@@ -555,6 +597,7 @@ object TextOps {
     "doc_fingerprint" -> (docFingerprint _),
     "substring_dedup" -> (substringDedup _),
     "substring_scrub" -> (substringScrub _),
+    "dup_spans" -> (dupSpans _),
     "norm_dedup" -> (normDedup _)
   )
 
@@ -569,6 +612,7 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "substring_dedup" -> substringDedupSql,
     "substring_scrub" -> substringScrubSql,
+    "dup_spans" -> dupSpansSql,
     "norm_dedup" -> normDedupSql
   )
 }

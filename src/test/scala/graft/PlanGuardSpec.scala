@@ -246,6 +246,7 @@ class PlanGuardSpec extends SparkSpec {
     "score_calibrate" -> 2, // codegen score map + ONE per-source window exchange (rank + count share it) + gate sort (measured 2)
     "forecast_snaive" -> 4, // the (group, day) partial-agg exchange + the co-partitioned season self-join's two sides + the group error rollup + gate sort (measured 4)
     "time_in_state" -> 3, // ONE user-key window exchange (the lead rides it) + the state-key partial-agg rollup + gate sort (measured 3)
+    "dup_spans" -> 4, // the C44-shaped census join (window df partial agg + the start join) + the doc-key island window + the (doc, island) rollup + gate sort; the window numbers DUP STARTS only (measured 4)
     "bfs_hops" -> 1 // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
   )
 
