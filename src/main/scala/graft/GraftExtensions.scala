@@ -68,11 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "compress_ratio(text) - deflate compressed/raw size (redundancy signal)"),
       (es: Seq[Expression]) => CompressRatio(es(0))))
 
-    ext.injectFunction((FunctionIdentifier("nfkc_fold"),
-      info("nfkc_fold",
-        "nfkc_fold(text) - NFKD decompose, strip combining marks, ROOT " +
+    ext.injectFunction((FunctionIdentifier("nfkd_fold"),
+      info("nfkd_fold",
+        "nfkd_fold(text) - NFKD decompose, strip combining marks, ROOT " +
           "lowercase (Unicode fold for normalization-aware dedup)"),
-      (es: Seq[Expression]) => NfkcFold(es(0))))
+      (es: Seq[Expression]) => NfkdFold(es(0))))
 
     ext.injectFunction((FunctionIdentifier("top_k_by_score"),
       info("top_k_by_score",

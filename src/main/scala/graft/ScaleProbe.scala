@@ -24,10 +24,16 @@ object ScaleProbe {
     // over-count. Fail loudly instead (r10/r11 ADVICE).
     val IdShift = 10000000L
     def replicate(df: DataFrame, idCol: String): DataFrame = {
-      val maxId = df.agg(max(col(idCol))).head().getLong(0)
-      require(maxId < IdShift,
-        s"replicate: max($idCol)=$maxId >= shift $IdShift — replica id " +
-          "ranges would alias; raise IdShift for this corpus")
+      // same three guards as requireBelowStride below: cast (INT32
+      // parquet ids), null (empty table), reps > 1 (one replica cannot
+      // alias) — self-review r12 finding
+      if (reps > 1) {
+        val row = df.agg(max(col(idCol).cast("long"))).head()
+        val maxId = if (row.isNullAt(0)) -1L else row.getLong(0)
+        require(maxId < IdShift,
+          s"replicate: max($idCol)=$maxId >= shift $IdShift — replica id " +
+            "ranges would alias; raise IdShift for this corpus")
+      }
       (0 until reps).map(r => df.withColumn(idCol, col(idCol) + lit(r * IdShift)))
         .reduce(_ unionAll _).repartition(col(idCol))
         .persist()

@@ -423,9 +423,9 @@ object TextKernels {
   private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
 
   /** NFKD decompose → strip combining marks → ROOT lowercase (see
-    * [[graft.functions.NfkcFold]]). ASCII fast path: NFKD is identity
+    * [[graft.functions.NfkdFold]]). ASCII fast path: NFKD is identity
     * on ASCII and most corpus text is, so skip the Normalizer walk. */
-  def nfkcFold(s: UTF8String): UTF8String = {
+  def nfkdFold(s: UTF8String): UTF8String = {
     val str = s.toString
     var ascii = true
     var i = 0
@@ -463,16 +463,16 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
   * spec-gated, composed in FRONT of the shared ASCII pipeline by
   * `TextOps.normFormOf(unicode = true)`.
   */
-case class NfkcFold(child: Expression) extends UnaryExpression {
+case class NfkdFold(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def prettyName: String = "nfkc_fold"
+  override def prettyName: String = "nfkd_fold"
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.nfkcFold(input.asInstanceOf[UTF8String])
+    TextKernels.nfkdFold(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.nfkcFold($x);")
+      s"${ev.value} = graft.functions.TextKernels$$.MODULE$$.nfkdFold($x);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -898,8 +898,8 @@ object textsketch {
   def compress_ratio(text: Column): Column =
     column(CompressRatio(expression(text)))
 
-  def nfkc_fold(text: Column): Column =
-    column(NfkcFold(expression(text)))
+  def nfkd_fold(text: Column): Column =
+    column(NfkdFold(expression(text)))
 
   def greedy_phrase_merge(toks: Column, phrases: Seq[String]): Column =
     column(GreedyPhraseMerge(expression(toks), phrases))

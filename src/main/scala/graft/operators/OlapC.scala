@@ -512,7 +512,9 @@ object OlapC {
       .select(col("node"),
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("kind"),
-        (col("node") / 2).cast("long").as("entity_id"),
+        // integral div like the oracle's node // 2 — the / operator
+        // routes through double and loses precision past 2^53
+        shiftright(col("node"), 1).as("entity_id"),
         col("hops"))
       .orderBy(col("node"))
   }

@@ -235,7 +235,6 @@ object OlapD {
       tsCol: String, typeCol: String, convType: String,
       channels: Seq[String] = ShapleyChannels): DataFrame = {
     require(channels.size == 3, "the 3-channel lattice is the shipped shape")
-    val spark = events.sparkSession
     val fp = events.filter(col(typeCol) === convType)
       .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_fpts"))
     val touches = events.filter(col(typeCol).isin(channels: _*))

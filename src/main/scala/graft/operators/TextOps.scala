@@ -87,7 +87,7 @@ object TextOps {
 
   /** The normal form with the Unicode deploy knob IMPLEMENTED (r11
     * next-round #5): `unicode = true` runs the JDK NFKD fold
-    * ([[graft.functions.NfkcFold]] — width/ligature decomposition,
+    * ([[graft.functions.NfkdFold]] — width/ligature decomposition,
     * combining-mark strip, ROOT lowercase) and then a UNICODE-aware
     * tail (`\p{L}\p{N}` instead of `a-z0-9`, so CJK/Cyrillic text keeps
     * its letters rather than normalizing to empty-string — which would
@@ -98,7 +98,7 @@ object TextOps {
   def normFormOf(text: Column, unicode: Boolean = false): Column =
     if (unicode)
       trim(regexp_replace(regexp_replace(
-        graft.functions.textsketch.nfkc_fold(text),
+        graft.functions.textsketch.nfkd_fold(text),
         "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
     else normExpr(text)
 

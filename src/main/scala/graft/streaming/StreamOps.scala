@@ -651,9 +651,16 @@ object StreamOps {
     * carrier lands in batch b is caught for every carrier arriving after
     * the first refresh at or past b — pinned by ScrubRefreshSpec, with
     * `refreshEvery = 0` (never) reproducing B78's frozen behavior as the
-    * contrast case. At deploy the cadence is the retrain knob: census
-    * cost is one C44-shaped linear census over the ingested corpus,
-    * amortized across the window between refreshes. */
+    * contrast case.
+    *
+    * Retrain cost, honestly (r12 self-review): each refresh re-censuses
+    * initCorpus ∪ the FULL ingested log — linear in stream history, so
+    * refreshEvery=1 over N batches is O(N²) total census work and the
+    * log grows without bound. The deploy answer is the incremental
+    * census (merge the new batch's distinct windows into the persisted
+    * window-df table — one co-partitioned upsert, the C54 index-admit
+    * shape) plus log compaction on the vacuum cadence; THIS loop is the
+    * gate-scale reference semantics those optimizations must match. */
   def streamScrubRefreshLoop(rootSpark: SparkSession, srcDir: String,
       glob: String, initCorpus: DataFrame, w: Int,
       refreshEvery: Int = 0): DataFrame = {

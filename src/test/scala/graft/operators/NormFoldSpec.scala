@@ -59,8 +59,8 @@ class NormFoldSpec extends SparkSpec {
     assert(norms(once, unicode = true) === once)
   }
 
-  test("nfkc_fold is callable from SQL via the extensions") {
-    val r = spark.sql("SELECT nfkc_fold('\uFF23AF\u00c9') AS f")
+  test("nfkd_fold is callable from SQL via the extensions") {
+    val r = spark.sql("SELECT nfkd_fold('\uFF23AF\u00c9') AS f")
       .collect()(0).getString(0)
     assert(r === "cafe")
   }

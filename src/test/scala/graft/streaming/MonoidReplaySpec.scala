@@ -15,19 +15,7 @@ import org.apache.spark.sql.functions._
   *    precedes in event time — the min-timestamp monoid must flip the
   *    flag without retraction.
   */
-class MonoidReplaySpec extends SparkSpec {
-
-  private def writeWave(srcDir: java.nio.file.Path, df: DataFrame,
-      name: String, mtime: Long): Unit = {
-    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-    val part = stage.listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(srcDir.toFile, name)
-    java.nio.file.Files.move(part.toPath, dest.toPath)
-    assert(dest.setLastModified(mtime))
-  }
+class MonoidReplaySpec extends SparkSpec with WaveStaging {
 
   private def staged(waves: Seq[DataFrame]): String = {
     val srcDir = java.nio.file.Files.createTempDirectory("monoid_replay")

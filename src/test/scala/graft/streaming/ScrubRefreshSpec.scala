@@ -10,24 +10,9 @@ import org.apache.spark.sql.functions._
   * stay invisible under `refreshEvery = 0` (B78's frozen behavior, the
   * contrast that proves the refresh is load-bearing).
   */
-class ScrubRefreshSpec extends SparkSpec {
+class ScrubRefreshSpec extends SparkSpec with WaveStaging {
 
   private val span = "zig zag zap zoom whirl twirl swirl curl"  // 8 tokens
-
-  /** One parquet file per arrival wave with a pinned mtime (the file
-    * source orders batches by mtime; maxFilesPerTrigger=1 makes each
-    * file one micro-batch). */
-  private def writeWave(srcDir: java.nio.file.Path, df: DataFrame,
-      name: String, mtime: Long): Unit = {
-    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-    val part = stage.listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(srcDir.toFile, name)
-    java.nio.file.Files.move(part.toPath, dest.toPath)
-    assert(dest.setLastModified(mtime))
-  }
 
   private def stage(): (String, DataFrame) = {
     import spark.implicits._

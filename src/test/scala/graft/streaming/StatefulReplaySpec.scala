@@ -26,22 +26,7 @@ import org.apache.spark.sql.functions._
   * claimed for the sentinel-flush replay; THIS spec is the evidence the
   * machines themselves are not single-batch artifacts.
   */
-class StatefulReplaySpec extends SparkSpec {
-
-  /** One parquet file per arrival wave with a pinned mtime — the file
-    * source orders batches by modification time, so with
-    * maxFilesPerTrigger=1 each wave is one micro-batch. */
-  private def writeWave(srcDir: java.nio.file.Path, df: DataFrame,
-      name: String, mtime: Long): Unit = {
-    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-    val part = stage.listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(srcDir.toFile, name)
-    java.nio.file.Files.move(part.toPath, dest.toPath)
-    assert(dest.setLastModified(mtime))
-  }
+class StatefulReplaySpec extends SparkSpec with WaveStaging {
 
   private val OneBatchPerFile = Map("maxFilesPerTrigger" -> "1")
 

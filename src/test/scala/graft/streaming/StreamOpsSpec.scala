@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.operators.OlapB
 import org.apache.spark.sql.functions.{col, sha2}
 
-class StreamOpsSpec extends SparkSpec {
+class StreamOpsSpec extends SparkSpec with WaveStaging {
 
   test("streaming conf is isolated: caller session's shuffle partitions untouched") {
     val key = "spark.sql.shuffle.partitions"
@@ -106,30 +106,22 @@ class StreamOpsSpec extends SparkSpec {
     import spark.implicits._
     val ss = StreamOps.streamingSession(spark)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_ttl_mb")
-    def writeWave(df: org.apache.spark.sql.DataFrame, name: String,
-        mtime: Long): Unit = {
-      val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-      val part = stage.listFiles().find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(srcDir.toFile, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      assert(dest.setLastModified(mtime))
-    }
+    def wave(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = writeWave(srcDir, df, name, mtime)
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
     // wave 0: X twice within the delay (second copy dropped) + W at
     // t0+3h, which advances the post-batch watermark to t0+2h — past
     // X's (arrival t0) + 1h TTL
-    writeWave(Seq(("X", ts(0)), ("X", ts(1)), ("W", ts(180)))
+    wave(Seq(("X", ts(0)), ("X", ts(1)), ("W", ts(180)))
       .toDF("content", "arrival"), "w0.parquet", 1700000000000L)
     // wave 1: state CLEANUP runs at end-of-batch with the watermark
     // computed after wave 0 (t0+2h) — this batch is what evicts X
-    writeWave(Seq(("Y", ts(181))).toDF("content", "arrival"),
+    wave(Seq(("Y", ts(181))).toDF("content", "arrival"),
       "w1.parquet", 1700000060000L)
     // wave 2: X again at t0+2.5h — above the watermark (not late data),
     // but its dedup key is gone: the "duplicate" SURVIVES
-    writeWave(Seq(("X", ts(150))).toDF("content", "arrival"),
+    wave(Seq(("X", ts(150))).toDF("content", "arrival"),
       "w2.parquet", 1700000120000L)
     val feed = ss.readStream
       .schema("content STRING, arrival TIMESTAMP")
@@ -634,21 +626,6 @@ class StreamOpsSpec extends SparkSpec {
     byClass(5L).foreach { case (id, s) =>
       assert(s != "accepted" && s != "exact_dup", s"$id -> $s") }
     assert(byClass(5L).exists(_._2 == "contaminated"))
-  }
-
-  /** One parquet file per arrival wave with a pinned mtime — the file
-    * source orders batches by modification time, so with
-    * maxFilesPerTrigger=1 each wave is one micro-batch. */
-  private def writeWave(srcDir: java.nio.file.Path,
-      df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-    val stage = new java.io.File(srcDir.toFile, s"_stage_$name")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-    val part = stage.listFiles()
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(srcDir.toFile, name)
-    java.nio.file.Files.move(part.toPath, dest.toPath)
-    assert(dest.setLastModified(mtime))
   }
 
   test("B21 multi-batch: dedup state merges across 3 micro-batches to " +
