@@ -596,6 +596,10 @@ object ScaleProbe {
       // incidence, 24x with the replicated orders
       graft.streaming.StreamOps.streamBasketPairs(spark, streamDir).count()
     }
+    time("stream_dup_spans") {
+      // frozen census broadcast; per-batch island tail, zero state
+      graft.streaming.StreamOps.streamDupSpans(spark, streamDir).count()
+    }
     time("stream_forecast_snaive") {
       // SUM-of-decimals monoid state: O(groups x days), flat in reps
       graft.streaming.StreamOps.streamForecastSnaive(spark, streamDir)

@@ -24,6 +24,7 @@ object ScaleProbeCoverage {
     "activity_streaks", "asof_join_nearest", "attribution_shapley",
     "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "time_in_state", "stream_forecast_snaive", "dup_spans",
+    "stream_dup_spans",
     "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
@@ -86,6 +87,7 @@ object ScaleProbeCoverage {
     "activity_streaks", "asof_join_nearest", "attribution_shapley",
     "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "time_in_state", "stream_forecast_snaive", "dup_spans",
+    "stream_dup_spans",
     "ann_ivf_stats", "ann_pq_topk", "attribution_linear",
     "bloom_semi_join", "bucketed_join", "bm25_search",
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",

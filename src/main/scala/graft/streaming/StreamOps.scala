@@ -635,6 +635,36 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  val DupSpansQueryName = "graft_stream_dup_spans"
+
+  /** B99: C105's duplicated-span intervals over a LIVE document feed —
+    * B78's frozen-census discipline applied to the SPAN product: the
+    * dup-window census trains OFFLINE on the corpus snapshot, every
+    * arriving document emits its merged masked intervals statelessly
+    * per micro-batch (the island merge is per-doc — batch-local ≡
+    * global). At deploy this is the masking feed: downstream consumers
+    * receive (doc, span) rows and never re-run the census. Drain ==
+    * batch C105 on the training corpus → SHARES `dup_spans`' oracle. */
+  def streamDupSpans(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val spark = streamingSession(rootSpark)
+    val frozenDups = Dedup.dupWindowsOf(
+      TextOps.dedupCorpus(spark, dir), "doc_id", "text", TextOps.SubstrW)
+      .localCheckpoint(eager = true)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def seed(mb: DataFrame): DataFrame = {
+      val d = mb.select(col("doc_id"), col("text"))
+      d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+    drainViaParquetSink(spark, docs, DupSpansQueryName,
+      xform = (mb, _) => Dedup.dupSpansWithDupWindows(frozenDups, seed(mb),
+        "doc_id", "text", TextOps.SubstrW))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val ScrubRefreshLoopQueryName = "graft_stream_scrub_refresh_loop"
 
   /** B78b (library API): B78's scrub census on a RETRAIN CADENCE (r11
@@ -1662,6 +1692,7 @@ object StreamOps {
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
+    "stream_dup_spans" -> (streamDupSpans _),
     "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
 
@@ -1684,6 +1715,7 @@ object StreamOps {
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
+    "stream_dup_spans" -> graft.operators.TextOps.dupSpansSql,
     "stream_attribution_shapley" ->
       graft.operators.OlapD.attributionShapleySql,
     // the streamed per-price-max state re-swept must equal the batch frontier
