@@ -417,7 +417,7 @@ class SinksSpec extends SparkSpec {
       16, 10).cast("long")
     val v3 = cdc.agg(count(lit(1)),
         sum(col("o_totalprice").cast("decimal(25,2)")).cast("double"),
-        sum(h48)).head()
+        bit_xor(h48)).head()
     assert((board(2)._2, board(2)._3, board(2)._4) ===
       ((v3.getLong(0), v3.getDouble(1), v3.getLong(2))))
   }
@@ -523,7 +523,7 @@ class SinksSpec extends SparkSpec {
     val fromParquet = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48).as("content_h"))
+        bit_xor(h48).as("content_h"))
       .orderBy(col("source")).collect().map(_.toString)
     assert(board.toSeq === fromParquet.toSeq)
     // partition-column restoration: every lang survives the partitionBy
