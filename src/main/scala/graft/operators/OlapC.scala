@@ -578,7 +578,14 @@ object OlapC {
           abs(col("v") - col("v_pred")))).as("_err"))
       .select(col("grp").as("event_type"),
         col("n_days"), col("n_scored"),
-        coalesce((col("_err") * 1000000).cast("long"), lit(0L))
+        // the 0-coalesce covers ONLY the no-scored-days case (SUM over an
+        // empty set is null); a long-range overflow of the micro cast
+        // (null under non-ANSI Spark) must surface, not read as zero
+        // error while n_scored > 0 — the DuckDB twin errors loudly there
+        when(col("n_scored") === 0, lit(0L))
+          .otherwise(coalesce((col("_err") * 1000000).cast("long"),
+            raise_error(lit("forecast_snaive: abs_err_micro overflowed " +
+              "BIGINT — re-scale the micro unit")).cast("long")))
           .as("abs_err_micro"))
       .withColumn("mae",
         when(col("n_scored") > 0,

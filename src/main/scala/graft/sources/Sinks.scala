@@ -1303,7 +1303,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        bit_xor(h48).as("content_h"))
+        sum(h48.cast("decimal(38,0)")).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1317,9 +1317,9 @@ object Sinks {
       .map(c => s"md5(coalesce($c, '<NULL>'))").mkString(" || ")
     s"""SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       |  CAST(BIT_XOR(${graft.operators.CorpusOps.hex12Sql(
-              s"substr(md5($perCol), 1, 12)")})
-       |    AS BIGINT) AS content_h
+       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
+              s"substr(md5($perCol), 1, 12)")} AS HUGEINT))
+       |    AS DECIMAL(38,0)) AS content_h
        |FROM documents
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -1360,7 +1360,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        bit_xor(h48).as("content_h"))
+        sum(h48.cast("decimal(38,0)")).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1399,7 +1399,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        bit_xor(h48).as("content_h"))
+        sum(h48.cast("decimal(38,0)")).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1444,7 +1444,7 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
-        bit_xor(h48).as("text_h"))
+        sum(h48.cast("decimal(38,0)")).as("text_h"))
       .orderBy(col("era"))
   }
 
@@ -1463,8 +1463,9 @@ object Sinks {
        |    AS n_null_source,
        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE n_chars END)
        |    AS BIGINT) AS sum_chars,
-       |  CAST(BIT_XOR(${graft.operators.CorpusOps.hex12Sql(
-              "substr(md5(text), 1, 12)")}) AS BIGINT) AS text_h
+       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)")} AS HUGEINT))
+       |    AS DECIMAL(38,0)) AS text_h
        |FROM documents
        |GROUP BY 1
        |ORDER BY era""".stripMargin
@@ -1506,7 +1507,7 @@ object Sinks {
       .groupBy((col("doc_id") % 2).as("era"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        bit_xor(h48).as("text_h"))
+        sum(h48.cast("decimal(38,0)")).as("text_h"))
       .orderBy(col("era"), col("lang"))
   }
 
@@ -1514,8 +1515,9 @@ object Sinks {
   val partitionEvolutionSql: String =
     s"""SELECT doc_id % 2 AS era, lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       |  CAST(BIT_XOR(${graft.operators.CorpusOps.hex12Sql(
-              "substr(md5(text), 1, 12)")}) AS BIGINT) AS text_h
+       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)")} AS HUGEINT))
+       |    AS DECIMAL(38,0)) AS text_h
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY era, lang""".stripMargin
@@ -1531,14 +1533,20 @@ object Sinks {
     * an order-free per-row content fingerprint proving WHICH records
     * each historical snapshot contains (v1 = pristine base, v2 =
     * updates applied, v3 = deletes applied — the board shows history
-    * moving, not just counts). The fingerprint is BIT_XOR of the
-    * per-row 48-bit digests, NOT a sum: summed digests overflow int64
-    * past ~32 k rows (caught by the r12 bench at sf0.1 — the first
-    * failure the named `requery_failed` field surfaced; DuckDB's SUM
-    * promotes to 128-bit so the sf0.01 hash gate never saw it), while
-    * xor is closed at any corpus size with identical aggregation
-    * semantics in both engines. All the census-fingerprint boards in
-    * this file use the same spelling.
+    * moving, not just counts). The fingerprint is SUM of the per-row
+    * 48-bit digests accumulated in DECIMAL(38,0) — the one spelling
+    * that is BOTH overflow-free and multiplicity-sensitive: a raw
+    * BIGINT sum overflows int64 past ~32 k rows (caught by the r12
+    * bench at sf0.1; DuckDB's SUM promotes to 128-bit so the sf0.01
+    * hash gate never saw it), and the r12 BIT_XOR replacement fixed
+    * the overflow but cancels EVEN multiplicities — two byte-identical
+    * rows in one group (which the seeded-dup corpora deliberately
+    * contain) xor to the same fingerprint as their absence (r12
+    * ADVICE). decimal128 holds ~10^38 ≈ 2^126: 48-bit digests summed
+    * over 2^77 rows before overflow — closed at any corpus size, with
+    * DuckDB's CAST(SUM(CAST(h AS HUGEINT)) AS DECIMAL(38,0)) the exact
+    * engine twin. All the census-fingerprint boards in this file use
+    * the same spelling.
     *
     * Scale shape: the log materializes once (checkpoint — three reads);
     * each snapshot is upsertLatestOn's one key shuffle + a 1-row
@@ -1561,7 +1569,7 @@ object Sinks {
         .agg(count(lit(1)).as("n_live"),
           sum(col("o_totalprice").cast("decimal(25,2)")).cast("double")
             .as("total_value"),
-          bit_xor(h48).as("content_h"))
+          sum(h48.cast("decimal(38,0)")).as("content_h"))
         .select(lit(v).as("as_of_version"), col("n_live"),
           col("total_value"), col("content_h"))
     }
@@ -1576,12 +1584,12 @@ object Sinks {
       s"""SELECT CAST($v AS BIGINT) AS as_of_version, COUNT(*) AS n_live,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
          |    AS total_value,
-         |  CAST(BIT_XOR(${graft.operators.CorpusOps.hex12Sql(
+         |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
               "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || op || ':' " +
                 "|| o_orderstatus || ':' || " +
                 "CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR) " +
-                "|| ':' || CAST(version AS VARCHAR)), 1, 12)")})
-         |    AS BIGINT) AS content_h
+                "|| ':' || CAST(version AS VARCHAR)), 1, 12)")} AS HUGEINT))
+         |    AS DECIMAL(38,0)) AS content_h
          |FROM (
          |  SELECT * FROM (
          |    SELECT o_orderkey, op, o_orderstatus, o_totalprice,

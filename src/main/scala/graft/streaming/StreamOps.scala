@@ -726,12 +726,19 @@ object StreamOps {
             // …then log the batch…
             mb.select(col("doc_id"), col("text"))
               .write.mode("append").parquet(log.getAbsolutePath)
-            // …then, on the cadence, retrain over everything seen
-            if (refreshEvery > 0 && (bid + 1) % refreshEvery == 0)
+            // …then, on the cadence, retrain over everything seen. The
+            // superseded census's checkpoint blocks must leave executor
+            // storage once the new one materializes — eager checkpoints
+            // accumulate for the life of the stream otherwise (each
+            // refresh would pin another O(census) RDD on the heap).
+            if (refreshEvery > 0 && (bid + 1) % refreshEvery == 0) {
+              val stale = census
               census = Dedup.dupWindowsOf(
                 init.unionAll(
                   mb.sparkSession.read.parquet(log.getAbsolutePath)),
                 "doc_id", "text", w).localCheckpoint(eager = true)
+              unpersistLocalCheckpoint(stale)
+            }
             ()
         }.start()
       q.awaitTermination()
@@ -742,6 +749,20 @@ object StreamOps {
       graft.sources.IndexScratch.deleteRec(log)
     }
   }
+
+  /** Release the executor-storage blocks behind a `localCheckpoint(eager)`
+    * frame once it is superseded. `Dataset.unpersist` cannot do this — it
+    * talks to the CacheManager, and local checkpoints live as plain RDD
+    * cache blocks under the plan's `LogicalRDD` leaf — so the refresh
+    * loops walk the plan and unpersist those RDDs directly. Only call on
+    * a frame with no remaining readers: the blocks ARE the checkpoint, an
+    * unpersisted local checkpoint cannot recompute. */
+  private[graft] def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   val NbScoreQueryName = "graft_stream_nb_score"
 

@@ -523,12 +523,39 @@ class SinksSpec extends SparkSpec {
     val fromParquet = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        bit_xor(h48).as("content_h"))
+        sum(h48.cast("decimal(38,0)")).as("content_h"))
       .orderBy(col("source")).collect().map(_.toString)
     assert(board.toSeq === fromParquet.toSeq)
     // partition-column restoration: every lang survives the partitionBy
     assert(spark.read.orc(path).select("lang").distinct().count() ===
       docs.select("lang").distinct().count())
+  }
+
+  test("census fingerprint is multiplicity-sensitive: a byte-identical " +
+      "duplicate row moves the board (r12 ADVICE — xor cancelled it)") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    // two byte-identical documents in ONE era group — the seeded-dup
+    // corpus shape the r12 BIT_XOR fingerprint was blind to (even
+    // multiplicities of one digest xor to absence)
+    val once = Seq((1L, "alpha", "en", "s1", 5L), (3L, "alpha", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dupd = once.unionAll(
+      Seq((5L, "alpha", "en", "s1", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // schemaEvolutionCensusOn digests TEXT only, so identical texts have
+    // identical digests: the board must still tell 2 copies from 3
+    def h(df: org.apache.spark.sql.DataFrame) =
+      Sinks.schemaEvolutionCensusOn(df).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(4)).toMap
+    val h2 = h(once); val h3 = h(dupd)
+    assert(h2(1L) != h3(1L),
+      "third identical copy left the era-1 fingerprint unchanged")
+    // and the DECIMAL(38,0) accumulator is exactly 3x the per-row digest
+    assert(h3(1L).unscaledValue() ===
+      h2(1L).unscaledValue()
+        .divide(java.math.BigInteger.valueOf(2))
+        .multiply(java.math.BigInteger.valueOf(3)))
   }
 
   test("layout_compare: Hilbert reads no more than Morton for the same box (D5)") {
