@@ -679,7 +679,9 @@ object Sinks {
       min(col("d")).as("dmin"), max(col("d")).as("dmax"))
     def files(df: DataFrame, layout: String, order: Seq[org.apache.spark.sql.Column]) =
       df.withColumn("_rn",
-          row_number().over(Window.orderBy(order: _*)))
+          row_number().over(Window.partitionBy(
+              graft.operators.BoundedBoard.pinnedZero(col("o_orderkey")))
+            .orderBy(order: _*)))
         .groupBy(expr(s"CAST((_rn - 1) div $PruneRowsPerFile AS BIGINT)")
           .as("file_id"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1223,7 +1225,9 @@ object Sinks {
     val stats = base.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
       min(col("d")).as("dmin"), max(col("d")).as("dmax"))
     base.withColumn("_rn",
-        row_number().over(Window.orderBy(col("hkey"), col("o_orderkey"))))
+        row_number().over(Window.partitionBy(
+            graft.operators.BoundedBoard.pinnedZero(col("o_orderkey")))
+          .orderBy(col("hkey"), col("o_orderkey"))))
       .groupBy(expr(s"CAST((_rn - 1) div $PruneRowsPerFile AS BIGINT)")
         .as("file_id"))
       .agg(count(lit(1)).as("n_rows"),
