@@ -231,10 +231,16 @@ object OlapD {
     * on that bounded literal, never on the corpus. At 100 TB the same
     * plan holds: the lattice is fixed by the CHANNEL alphabet, not the
     * data volume. */
+  /** Lattice cap for the Shapley board: 2^m signature rows must stay a
+    * bounded literal the driver can collect (m = 12 → ≤ 4096 rows), and
+    * real channel alphabets are single digits. */
+  val ShapleyMaxChannels = 12
+
   def attributionShapleyOn(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, convType: String,
       channels: Seq[String] = ShapleyChannels): DataFrame = {
-    require(channels.size == 3, "the 3-channel lattice is the shipped shape")
+    require(channels.nonEmpty && channels.size <= ShapleyMaxChannels,
+      s"Shapley lattice is 2^m — m must be in [1, $ShapleyMaxChannels]")
     val fp = events.filter(col(typeCol) === convType)
       .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_fpts"))
     val touches = events.filter(col(typeCol).isin(channels: _*))
@@ -242,43 +248,61 @@ object OlapD {
         col(typeCol).as("_t"))
     // left join: converted users with NO pre-conversion touch keep
     // all-zero flags (they are v(∅), the organic floor)
+    val aggs = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("_t") === c && col("_ts") < col("_fpts"), 1)
+        .otherwise(0)).as(s"f$i")
+    }
     val flags = fp.join(touches, Seq("_u"), "left")
       .groupBy(col("_u"))
-      .agg(max(when(col("_t") === channels(0) && col("_ts") < col("_fpts"),
-          1).otherwise(0)).as("f0"),
-        max(when(col("_t") === channels(1) && col("_ts") < col("_fpts"),
-          1).otherwise(0)).as("f1"),
-        max(when(col("_t") === channels(2) && col("_ts") < col("_fpts"),
-          1).otherwise(0)).as("f2"))
+      .agg(aggs.head, aggs.tail: _*)
     shapleyTailOn(flags, channels)
   }
 
-  /** The Shapley tail over a per-user (f0, f1, f2) touch-flag frame —
+  /** The Shapley tail over a per-user (f0 … f_{m−1}) touch-flag frame —
     * shared by the batch key and the streaming twin (B95), whose
     * micro-batch derives the same flags from per-user min-timestamp
-    * monoid state. */
+    * monoid state. Generalized past the original 3-channel lattice
+    * (r12 VERDICT #2): the signature board is 2^m rows for any
+    * m ≤ [[ShapleyMaxChannels]] — still bounded by the CHANNEL alphabet,
+    * never the corpus — and the per-channel subset sweep is 2^(m−1)
+    * driver-side terms over that collected board. Terms accumulate in
+    * BigInt (|S|!·(m−1−|S|)! reaches 11! and multiplies a corpus-sized
+    * conversion count — m = 12 with ~10^9 conversions overflows int64)
+    * and narrow back to the BIGINT output column only after the exact
+    * rational is formed, erroring loudly if it cannot. */
   private[graft] def shapleyTailOn(flags: DataFrame,
       channels: Seq[String]): DataFrame = {
+    val m = channels.size
+    require(m >= 1 && m <= ShapleyMaxChannels,
+      s"Shapley lattice is 2^m — m must be in [1, $ShapleyMaxChannels]")
     val spark = flags.sparkSession
-    // the exact-signature board: <= 2^3 rows, a bounded literal
-    val exact = flags.groupBy(col("f0"), col("f1"), col("f2"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
-      .toMap
-    def v(s: (Int, Int, Int)): Long = exact.collect {
-      case ((a, b, c), n) if a <= s._1 && b <= s._2 && c <= s._3 => n
+    // the exact-signature board: <= 2^m rows, a bounded literal
+    val exact: Map[Vector[Int], Long] =
+      flags.groupBy(channels.indices.map(i => col(s"f$i")): _*)
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => channels.indices.map(r.getInt).toVector -> r.getLong(m))
+        .toMap
+    // v(S) = #converted users whose touch signature ⊆ S (monotone)
+    def v(s: Vector[Int]): Long = exact.iterator.collect {
+      case (sig, n) if sig.lazyZip(s).forall(_ <= _) => n
     }.sum
-    val fact = Array(1L, 1L, 2L, 6L)
-    def bits(set: Set[Int]): (Int, Int, Int) =
-      (if (set(0)) 1 else 0, if (set(1)) 1 else 0, if (set(2)) 1 else 0)
+    val fact = new Array[BigInt](m + 1)
+    fact(0) = BigInt(1)
+    (1 to m).foreach(i => fact(i) = fact(i - 1) * i)
+    def bits(set: Set[Int]): Vector[Int] =
+      Vector.tabulate(m)(i => if (set(i)) 1 else 0)
+    val den = fact(m)
     val rows = channels.zipWithIndex.map { case (ch, ci) =>
       val others = channels.indices.toSet - ci
       // w(|S|) = |S|!·(m−1−|S|)!·(m!/m!) — already ×m! so φ_num is exact
       val phiNum = others.subsets().map { s =>
-        fact(s.size) * fact(channels.size - 1 - s.size) *
-          (v(bits(s + ci)) - v(bits(s)))
+        fact(s.size) * fact(m - 1 - s.size) *
+          BigInt(v(bits(s + ci)) - v(bits(s)))
       }.sum
-      (ch, phiNum, fact(channels.size), phiNum.toDouble / fact(channels.size))
+      require(phiNum.isValidLong && den.isValidLong,
+        s"shapley: exact rational overflows BIGINT at m=$m — " +
+          "report as decimal instead")
+      (ch, phiNum.toLong, den.toLong, phiNum.toDouble / den.toDouble)
     }
     spark.createDataFrame(rows)
       .toDF("channel", "phi_num", "phi_den", "phi")
