@@ -592,8 +592,10 @@ object ScaleProbe {
       graft.streaming.StreamOps.streamLinregTrend(spark, streamDir).count()
     }
     time("stream_basket_pairs") {
-      // set-union state: O(distinct (order, item)) — the open-basket
-      // incidence, 24x with the replicated orders
+      // r13 eviction machine: state = OPEN baskets only (settled ones
+      // leave for the partial-board rollup); the probe's single-batch
+      // feed settles everything in the sentinel flush, so it exercises
+      // the full per-batch board cost at 24x replicated orders
       graft.streaming.StreamOps.streamBasketPairs(spark, streamDir).count()
     }
     time("stream_dup_spans") {

@@ -837,18 +837,24 @@ object OlapD {
         // pinnedZero: same single-partition semantics (gate-exact ntile
         // needs a global sort; the deploy path is exact=false), but a
         // DEFINED partition spec so the WindowExec warning census stays
-        // a usable scale-smell detector (r12 VERDICT #2)
-        val pin = BoundedBoard.pinnedZero(col("user_id"))
-        val rW = Window.partitionBy(pin)
+        // a usable scale-smell detector (r12 VERDICT #2). The pin is
+        // projected ONCE as a named column: three windows partitioned
+        // by the same attribute share one exchange (an inline pin
+        // expression re-projects per window as distinct _w attributes
+        // and re-shuffles the full user board twice more — measured)
+        val pinned = scored.withColumn("_pin",
+          graft.operators.BoundedBoard.pinnedZero(col("user_id")))
+        val rW = Window.partitionBy(col("_pin"))
           .orderBy(col("recency_days").desc, col("user_id"))
-        val fW = Window.partitionBy(pin)
+        val fW = Window.partitionBy(col("_pin"))
           .orderBy(col("frequency").asc, col("user_id"))
-        val mW = Window.partitionBy(pin)
+        val mW = Window.partitionBy(col("_pin"))
           .orderBy(col("monetary_dec").asc, col("user_id"))
-        scored
+        pinned
           .withColumn("r_q", ntile(4).over(rW))
           .withColumn("f_q", ntile(4).over(fW))
           .withColumn("m_q", ntile(4).over(mW))
+          .drop("_pin")
       } else {
         // thresholds at the 25/50/75 points of each metric; r_q orders
         // recency DESC (oldest = quartile 1), so its bands invert
@@ -1277,15 +1283,33 @@ object OlapD {
     * Scale shape: the per-basket distinct shrink runs FIRST (one
     * basket-key exchange); the pair explode is a basket-key self-join
     * whose per-basket cost is |basket|² — bounded by the order line
-    * cap here; at an unbounded-basket deploy the standard caps apply
-    * (per-basket top-|K| items by frequency, AQE skew-split on hot
-    * baskets) BEFORE the join, never after. The pair rollup and the
-    * two item-count joins are all pair/item-keyed partial-agg
-    * exchanges; n_baskets is a 1-row broadcast. */
+    * cap here. At an unbounded-basket deploy two knobs bound the hot
+    * basket BEFORE the join, never after: `maxItemsPerBasket` keeps
+    * each basket's top-K items by GLOBAL frequency (the affinity
+    * signal lives in the frequent items; rare-item pairs fall under
+    * [[BasketMinPairCount]] anyway), and AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin.*`, on in [[graft.GraftSession]])
+    * re-splits the sort-merge self-join's hot basket partitions at
+    * runtime. The pair rollup and the two item-count joins are all
+    * pair/item-keyed partial-agg exchanges; n_baskets is a 1-row
+    * broadcast. Default cap None = gate-exact. */
   def basketPairsOn(baskets: DataFrame, basketCol: String,
-      itemCol: String): DataFrame = {
-    val b = baskets.select(col(basketCol).as("_b"),
+      itemCol: String, maxItemsPerBasket: Option[Int] = None): DataFrame = {
+    val b0 = baskets.select(col(basketCol).as("_b"),
       col(itemCol).cast("long").as("_i")).distinct()
+    val b = maxItemsPerBasket.fold(b0) { k =>
+      require(k >= 1, s"maxItemsPerBasket must be >= 1, got $k")
+      // top-K by global frequency, ties to the smaller item id — one
+      // item-key exchange for the frequency board, then a basket-key
+      // window (each basket ranks its own items; no global sort)
+      val freq = b0.groupBy(col("_i")).agg(count(lit(1)).as("_f"))
+      val w = Window.partitionBy(col("_b"))
+        .orderBy(col("_f").desc, col("_i"))
+      b0.join(freq, "_i")
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k)
+        .select(col("_b"), col("_i"))
+    }
     val nB = b.select(col("_b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCnt = b.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
@@ -1293,8 +1317,18 @@ object OlapD {
         col("x._b") === col("y._b") && col("x._i") < col("y._i"))
       .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
       .agg(count(lit(1)).as("pair_count"))
+    basketLiftTailOn(pairs, itemCnt, nB)
+  }
+
+  /** The lift tail over merged pair/item/basket-count boards — shared by
+    * the batch self-join path above and the streaming eviction rollup
+    * (B94), whose per-batch partial boards sum-merge into exactly these
+    * three inputs (counts are monoids; the support threshold must cut
+    * AFTER the merge, so `pairCounts` arrives unfiltered). */
+  private[graft] def basketLiftTailOn(pairCounts: DataFrame,
+      itemCnt: DataFrame, nB: DataFrame): DataFrame = {
+    pairCounts
       .filter(col("pair_count") >= BasketMinPairCount)
-    pairs
       .join(itemCnt.select(col("_i").as("item_a"), col("_c").as("cnt_a")),
         "item_a")
       .join(itemCnt.select(col("_i").as("item_b"), col("_c").as("cnt_b")),

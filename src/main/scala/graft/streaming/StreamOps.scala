@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.operators.Olap.dsum
@@ -1212,39 +1212,88 @@ object StreamOps {
     * fourth mergeable-monoid board, and the one where the monoid choice
     * is load-bearing: pair counts canNOT merge across batches when an
     * order's lines split over micro-batches (the pairs between the two
-    * halves were never seen by either batch), so the streaming state is
-    * the per-order DISTINCT ITEM SET (collect_set — set union is the
-    * monoid), and the pair explode + lift tail runs batch-side in the
-    * drain over the delivered sets — the SAME
-    * [[graft.operators.OlapD.basketPairsOn]] code path as batch B91, so
-    * drain == batch and the key shares `basket_pairs`' oracle. State is
-    * O(distinct (order, item)) — the open-basket incidence; at deploy
-    * baskets CLOSE (an order stops growing within bounded time), so an
-    * order-date watermark evicts settled baskets into the offline pair
-    * table and state holds only the open tail. */
+    * halves were never seen by either batch), so the per-order state is
+    * the DISTINCT ITEM SET (set union is the monoid —
+    * [[StatefulBaskets]]). The r12 weak is closed: a ship-date
+    * watermark EVICTS settled baskets ([[StatefulBaskets.GapUs]] idle)
+    * out of the state store and into an append-only rollup of partial
+    * boards, and each micro-batch pays only for the baskets that
+    * settled in it — never a recompute over history. The far-future
+    * sentinel flushes the open tail at AvailableNow end, so the final
+    * merge + [[graft.operators.OlapD.basketLiftTailOn]] equals batch
+    * B91 exactly and the key keeps `basket_pairs`' oracle. */
   def streamBasketPairs(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-    basketPairsStreamOn(spark, spark.readStream.schema(schema)
-      .option("pathGlobFilter", "lineitem.parquet").parquet(dir))
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val maxTsUs = li.agg(max(unix_micros(col("l_shipdate")))).head().getLong(0)
+    val raw = spark.readStream.schema(li.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_shipdate").as("ts"))
+    // events-shaped sentinel dir, renamed to the lineitem shape: its
+    // bk = −1 row advances the watermark 3 gaps past the corpus max so
+    // every basket settles before the drain terminates
+    val sdir = sentinelDir(spark, dir, maxTsUs, 3 * StatefulBaskets.GapUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("user_id").as("l_orderkey"),
+        col("event_id").as("l_partkey"), col("ts"))
+    basketPairsStreamOn(spark, raw.unionByName(sentinel))
   }
 
-  /** The B94 machine over ANY (l_orderkey, l_partkey)-shaped stream —
-    * split out so StreamReplaySpec can feed mtime-ordered waves that
-    * SPLIT an order across micro-batches (the case the set-union monoid
-    * exists for). */
+  /** Within-basket pair expansion over a SORTED distinct item array —
+    * pure map-side (codegen higher-order functions), no join: element i
+    * pairs with every later element, so (item_a < item_b) holds by the
+    * sort. Shared by the per-batch partial boards and their specs. */
+  private[streaming] val basketPairExpansion: Column = expr(
+    """flatten(transform(items, (x, i) ->
+      |  transform(slice(items, i + 2, size(items) - i - 1),
+      |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)
+
+  /** The B94 machine over ANY (l_orderkey, l_partkey, ts)-shaped stream
+    * whose feed ends with a far-future sentinel (bk < 0) — split out so
+    * MonoidReplaySpec can feed mtime-ordered waves that SPLIT an order
+    * across micro-batches (the case the set-union monoid exists for)
+    * and BasketEvictionSpec can pin that wave-1 baskets contribute
+    * pairs from the ROLLUP, not from state. Each batch's settled
+    * baskets become three sum-mergeable partial boards (tagged rows in
+    * one appended frame): within-basket pair counts, item incidence,
+    * basket count; the support threshold cuts after the final merge. */
   private[streaming] def basketPairsStreamOn(spark: SparkSession,
-      raw: DataFrame): DataFrame = {
-    // state = one SET per order, not one row per (order, item): the
-    // alternative pair-keyed spelling quadruples the state ROW count
-    // and OOMs the heap-resident HDFS state store at the 24× probe —
-    // the set buffer amortizes the per-row key overhead
-    val baskets = raw.groupBy(col("l_orderkey").as("bk"))
-      .agg(collect_set(col("l_partkey").cast("long")).as("items"))
-    drainViaParquetSink(spark, baskets.toDF(), BasketQueryName,
-      complete = true,
-      xform = (mb, _) => graft.operators.OlapD.basketPairsOn(
-        mb.select(col("bk"), explode(col("items")).as("it")), "bk", "it"))
+      raw: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val settledStream = StatefulBaskets.settledBaskets(spark, raw)
+    val partials = drainViaParquetSink(spark, settledStream.toDF(),
+      BasketQueryName,
+      xform = (mb, _) => {
+        val settled = mb.filter(col("bk") >= 0)
+          .select(col("bk"), array_sort(col("items")).as("items"))
+        val pairs = settled
+          .select(explode(basketPairExpansion).as("p"))
+          .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("p").as("kind"), col("item_a"), col("item_b"),
+            col("cnt"))
+        val items = settled.select(explode(col("items")).as("it"))
+          .groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+          .select(lit("i").as("kind"), col("it").as("item_a"),
+            lit(null).cast("long").as("item_b"), col("cnt"))
+        val n = settled.agg(count(lit(1)).as("cnt"))
+          .select(lit("n").as("kind"), lit(null).cast("long").as("item_a"),
+            lit(null).cast("long").as("item_b"), col("cnt"))
+        pairs.unionAll(items).unionAll(n)
+      },
+      afterDrain = afterDrain)
+    val pairCounts = partials.filter(col("kind") === "p")
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("cnt")).as("pair_count"))
+    val itemCnt = partials.filter(col("kind") === "i")
+      .groupBy(col("item_a").as("_i")).agg(sum(col("cnt")).as("_c"))
+    val nB = partials.filter(col("kind") === "n")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_baskets"))
+    graft.operators.OlapD.basketLiftTailOn(pairCounts, itemCnt, nB)
       .orderBy(col("item_a"), col("item_b"))
   }
 

@@ -172,7 +172,7 @@ class PlanGuardSpec extends SparkSpec {
     "attribution_linear" -> 5, // bucket equi-join pairs, purchase-key touch window, click-key rollup, gate sort — every exchange carries pairs/touches, never the raw stream twice
     "attribution_time_decay" -> 5, // B72's budget exactly: the weight is a per-pair scalar and Σw rides the same purchase-key window the touch count did
     "activity_streaks" -> 2, // ONE user-key exchange (repartition first; the day distinct, day window, island agg, and user rollup all reuse hash(user)) + gate sort
-    "rfm_segments" -> 3, // user-key rollup + ONE single-partition exchange feeding all three ntile sorts (the 2nd/3rd re-sort in place) + gate sort; the 1-row anchor broadcasts (measured 3)
+    "rfm_segments" -> 4, // user-key rollup + ONE pinned exchange feeding all three ntile sorts (the 2nd/3rd re-sort in place) + gate sort; the 1-row anchor broadcasts. +1 vs r12: the r13 pinnedZero sweep costs one bounded-frame exchange — hashpartitioning(_pin) no longer satisfies the gate sort's distribution the way SinglePartition did (measured 4)
     "tfidf_topterms" -> 4, // doc-key spread (tf agg + rank window reuse it), df-table partial agg (bounded by vocab, broadcast back) + gate sort (measured 4)
     "triangle_count" -> 12, // edge agg, degree agg, orientation joins, wedge + closure joins, corner agg, gate sort — every exchange O(|E|) or better
     "interval_overlap" -> 5, // session window (agg reuses its exchange), 1-row span agg, bucket equi-join vs broadcast promos, gate sort
@@ -224,7 +224,7 @@ class PlanGuardSpec extends SparkSpec {
     "orc_roundtrip" -> 2, // the write is memoized scratch; the board is one partial-agg rollup over the ORC scan + its O(sources) gate sort
     "csv_roundtrip" -> 2, // D4's budget exactly: memoized CSV write, one partial-agg rollup over the CSV scan + gate sort
     "json_roundtrip" -> 2, // D4's budget exactly: memoized JSONL write, one partial-agg rollup over the JSON scan + gate sort
-    "skyline_2d" -> 4, // per-bucket max agg over RAW rows (map-side to O(buckets)), its running-max window, the near-frontier per-price dedup + exact sweep, gate sort — pruning runs BEFORE any full-cardinality shuffle (measured 4)
+    "skyline_2d" -> 5, // per-bucket max agg over RAW rows (map-side to O(buckets)), its running-max window, the near-frontier per-price dedup + exact sweep, gate sort — pruning runs BEFORE any full-cardinality shuffle. +1 vs r12: the r13 pinnedZero sweep costs one O(near-frontier) exchange where SinglePartition satisfied the gate sort for free (measured 5)
     "linreg_trend" -> 3, // the group×day rollup is checkpoint-truncated (runs once); min-day agg + the sufficient-stats agg + gate sort (measured 3)
     "fd_profile" -> 18, // 6 candidates × (determinant partial agg with an exact COUNT(DISTINCT) two-phase + 1-row rollup) unioned; every exchange carries O(groups) of ONE candidate, the board is 6 rows (measured 18)
     "partition_evolution" -> 2, // the two-layout write is memoized scratch; two era scans union into one partial-agg rollup + its O(eras x langs) gate sort (measured 2)

@@ -25,6 +25,36 @@ class BasketPairsSpec extends SparkSpec {
       (1L, 3L) -> ((2L, 3L, 2L, 4L, 8L, 6L, 8.0 / 6.0))))
   }
 
+  test("maxItemsPerBasket: the cap engages on a synthetic hot basket and " +
+      "capped pairs are a subset of uncapped (r12 VERDICT #4)") {
+    import spark.implicits._
+    // baskets 98/99 are HOT (items 1..40 each — every hot pair passes
+    // the >= 2 support cut); baskets 1..30 each hold {1, 2, rare} so
+    // items 1 and 2 are globally frequent and everything else is not
+    val hot = Seq(98L, 99L).flatMap(bk => (1L to 40L).map(i => (bk, i)))
+    val rest = (1L to 30L).flatMap(k => Seq((k, 1L), (k, 2L), (k, k + 100L)))
+    val b = (hot ++ rest).toDF("basket", "item")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uncapped = keyed(OlapD.basketPairsOn(b, "basket", "item"))
+    val capped = keyed(OlapD.basketPairsOn(b, "basket", "item",
+      maxItemsPerBasket = Some(3)))
+    // the hot tail is quadratic uncapped (all 780 hot pairs) …
+    assert(uncapped.size === 780)
+    // … and collapses to the top-3 global-frequency items {1, 2, 3}
+    // (ties below items 1/2 break to the smaller id) once capped
+    assert(capped.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // subset on pair keys, and never a higher count
+    capped.foreach { case (k, c) =>
+      assert(uncapped.contains(k), s"capped invented pair $k")
+      assert(c <= uncapped(k), s"capped count exceeds uncapped at $k")
+    }
+    // the globally frequent pair keeps its FULL support under the cap
+    assert(capped((1L, 2L)) === uncapped((1L, 2L)))
+    // default (None) is byte-identical to the uncapped call
+    assert(keyed(OlapD.basketPairsOn(b, "basket", "item", None)) === uncapped)
+  }
+
   test("real corpus: pair_count bounded by either item's basket count, " +
       "canonical a < b ordering, lift == num/den exactly") {
     val rows = OlapD.basketPairs(spark, sfDir).collect()

@@ -34,11 +34,17 @@ class MonoidReplaySpec extends SparkSpec with WaveStaging {
   test("B94: an order split across two waves still yields its cross-wave " +
       "pair — set-union state, not per-batch pair counts") {
     import spark.implicits._
+    def li(rows: Seq[(Long, Long, Int)]) =
+      rows.toDF("l_orderkey", "l_partkey", "t")
+        .select(col("l_orderkey"), col("l_partkey"),
+          timestamp_seconds(lit(1704067200L) + col("t") * 3600).as("ts"))
     // order 10 = {1, 2} but item 1 lands in wave 0 and item 2 in wave 1;
     // order 11 = {1, 2} whole in wave 0 (makes the pair pass the >= 2 cut)
-    val w0 = Seq((10L, 1L), (11L, 1L), (11L, 2L)).toDF("l_orderkey", "l_partkey")
-    val w1 = Seq((10L, 2L)).toDF("l_orderkey", "l_partkey")
-    val src = staged(Seq(w0, w1))
+    val w0 = li(Seq((10L, 1L, 1), (11L, 1L, 1), (11L, 2L, 2)))
+    val w1 = li(Seq((10L, 2L, 3)))
+    // final wave = the far-future sentinel (bk < 0) that settles the tail
+    val flush = li(Seq((-1L, -1L, 24 * 3650)))
+    val src = staged(Seq(w0, w1, flush))
     val got = StreamOps.basketPairsStreamOn(spark,
         streamFrom(src, w0.schema)).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
