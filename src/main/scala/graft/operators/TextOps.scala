@@ -405,30 +405,59 @@ object TextOps {
     * and a global threshold takes the same fraction from each. Emits the
     * exact rank rational (cal_num, cal_den) next to the IEEE quotient.
     *
-    * Scale shape: the score is a codegen map; ONE per-source window
-    * exchange (rank + count over hash(source) partitions — a skewed
-    * mega-source is the one hot spot; the deploy mitigation is
-    * per-source approx-quantile thresholds, the B80 `exact=false`
-    * discipline) + the gate sort. */
+    * Scale shape (exact gate path): the score is a codegen map; ONE
+    * per-source window exchange (rank + count over hash(source)
+    * partitions) + the gate sort. A skewed mega-source hot-spots that
+    * window partition — `exact = false` is the deploy path (the B80
+    * discipline): per-source approx-quantile thresholds
+    * ([[ScoreCalibrateBands]] − 1 cut points, one partial-agg exchange
+    * to an O(sources) board), broadcast, and a MAP-SIDE band lookup —
+    * no per-source sort anywhere, so one mega-source costs the same per
+    * row as every other source. The approx path emits the band rational
+    * (band / [[ScoreCalibrateBands]]) in the same cal_num/cal_den/
+    * calibrated columns; ScoreCalibrateApproxSpec pins its disagreement
+    * against the exact rank map. */
   def scoreCalibrateOn(docs: DataFrame, idCol: String, srcCol: String,
-      textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
+      textCol: String, exact: Boolean = true): DataFrame = {
     val scored = docs.select(col(idCol).as("doc_id"),
       col(srcCol).as("source"),
       qualityScoreExpr(col(textCol)).as("quality_score"))
-    scored
-      .withColumn("rk", row_number().over(
-        w.orderBy(col("quality_score"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(w))
-      .select(col("doc_id"), col("source"), col("quality_score"),
-        (col("rk") - 1).cast("long").as("cal_num"),
-        (col("n") - 1).cast("long").as("cal_den"),
-        when(col("n") === 1, lit(0.0))
-          .otherwise((col("rk") - 1).cast("double") / (col("n") - 1))
-          .as("calibrated"))
-      .orderBy(col("doc_id"))
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      scored
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("quality_score"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          (col("rk") - 1).cast("long").as("cal_num"),
+          (col("n") - 1).cast("long").as("cal_den"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rk") - 1).cast("double") / (col("n") - 1))
+            .as("calibrated"))
+        .orderBy(col("doc_id"))
+    } else {
+      val k = ScoreCalibrateBands
+      val th = scored.groupBy(col("source"))
+        .agg(percentile_approx(col("quality_score"),
+          array((1 until k).map(i => lit(i.toDouble / k)): _*),
+          lit(10000)).as("_th"))
+      scored.join(broadcast(th), "source")
+        // band = #cut points at or below the score — empirical-CDF
+        // granularity 1/k, computed per row against the broadcast board
+        .withColumn("_b",
+          size(filter(col("_th"), t => t <= col("quality_score")))
+            .cast("long"))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("_b").as("cal_num"), lit(k.toLong).as("cal_den"),
+          (col("_b").cast("double") / k).as("calibrated"))
+        .orderBy(col("doc_id"))
+    }
   }
+
+  /** Bands for the approx calibration path: 1/100 rank granularity,
+    * matching the "global top-X%" selections the calibration feeds. */
+  val ScoreCalibrateBands = 100
 
   def scoreCalibrate(spark: SparkSession, dir: String): DataFrame =
     scoreCalibrateOn(Tables(spark, dir).documents, "doc_id", "source",
