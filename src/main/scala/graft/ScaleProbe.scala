@@ -231,6 +231,10 @@ object ScaleProbe {
       CorpusOps.substringDedupSaOn(docs, "doc_id", "text", w = 8)
         .filter(col("dup_windows") > 0).count()
     }
+    time("dup_spans_sa") {
+      // C103's doubling chain + the C105 island tail over dup starts
+      CorpusOps.dupSpansSaOn(docs, "doc_id", "text", w = 8).count()
+    }
     time("chunk_documents") {
       Pipeline.chunkDocumentsOn(docs, "doc_id", "text", 64, 48).count()
     }

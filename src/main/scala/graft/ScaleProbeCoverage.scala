@@ -74,7 +74,8 @@ object ScaleProbeCoverage {
     "stream_sessions_native", "stream_sessions_tws", "stream_topk",
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
-    "substring_dedup", "substring_dedup_sa", "table_integrity", "text_entropy",
+    "substring_dedup", "substring_dedup_sa", "dup_spans_sa",
+    "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",
@@ -130,7 +131,8 @@ object ScaleProbeCoverage {
     "stream_sessions_native", "stream_sessions_tws", "stream_topk",
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
-    "substring_dedup", "substring_dedup_sa", "table_integrity", "text_entropy",
+    "substring_dedup", "substring_dedup_sa", "dup_spans_sa",
+    "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",
     "uncertainty_sample", "unigram_encode", "unigram_logprob",

@@ -4050,6 +4050,32 @@ object CorpusOps {
     * non-power-of-two width that exercises the overlap step. */
   def substringDedupSaOn(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    val (cur, keys) = saWindowGroupsOn(docs, idCol, textCol, w)
+    // the census: per-doc DISTINCT ranks (C44 counts distinct windows),
+    // rank-keyed doc frequency, doc-keyed rollup — same three linear
+    // stages as duplicatedWindowStats, keyed by integers
+    val wins = cur.filter(col("pos") <= col("_n") - w)
+      .select((col("_id") +: keys.map(col)): _*).distinct()
+    val dfreq = wins.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_df"))
+    wins.join(dfreq, keys)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("_id").as("doc_id"), col("n_windows"),
+        col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The generalized-suffix-array core shared by the C103 census and the
+    * C106 span extraction: per token position (_id, _n doc length, pos
+    * 0-based, rank keys), where after the doubling rounds two positions
+    * carry equal KEYS iff their first w tokens are equal. Returns the
+    * position frame and the key column names (one densified rank, or
+    * the final round's (rank, rank2) pair). */
+  private def saWindowGroupsOn(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): (DataFrame, Seq[String]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // tokenization parity with C44's word_shingles kernel (Java
@@ -4100,29 +4126,54 @@ object CorpusOps {
       }
       len += k
     }
-    // the census: per-doc DISTINCT ranks (C44 counts distinct windows),
-    // rank-keyed doc frequency, doc-keyed rollup — same three linear
-    // stages as duplicatedWindowStats, keyed by integers
-    val wins = cur.filter(col("pos") <= col("_n") - w)
-      .select((col("_id") +: keys.map(col)): _*).distinct()
-    val dfreq = wins.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_df"))
-    wins.join(dfreq, keys)
-      .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("dup_windows"))
-      .select(col("_id").as("doc_id"), col("n_windows"),
-        col("dup_windows"),
-        (col("dup_windows").cast("double") / col("n_windows"))
-          .as("dup_frac"))
-      .orderBy(col("doc_id"))
+    (cur, keys)
   }
 
   def substringDedupSa(spark: SparkSession, dir: String): DataFrame =
     substringDedupSaOn(TextOps.dedupCorpus(spark, dir), "doc_id", "text",
       TextOps.SubstrW)
 
+  // --- C106: duplicated-span extraction THROUGH the suffix array ------------
+  /** C105's merged duplicated-span intervals computed by the SUFFIX-ARRAY
+    * machinery (r12 next-round #6 — the full Lee et al. ExactSubstr
+    * product off the index): a position starts a cross-doc duplicate iff
+    * its w-window's SA rank group spans ≥ 2 documents, and "covered by a
+    * duplicate of length ≥ w" is EXACTLY "covered by some duplicated
+    * w-window" (a length-M ≥ w repeat contains M−w+1 duplicated
+    * w-windows tiling it; each duplicated w-window IS such a repeat), so
+    * the gaps-and-islands merge over SA-derived starts emits the same
+    * maximal spans — including spans far LONGER than w, which the spec
+    * pins on a seeded corpus. Shares `dup_spans`' DuckDB oracle (the C94
+    * hash-equality-as-algorithm-equivalence trick): the window census
+    * recomputed through prefix-doubling rank groups must reproduce the
+    * span list byte-for-byte.
+    *
+    * Scale shape: C103's integer-keyed doubling chain (widest shuffled
+    * payload four longs per position — never a window string), then one
+    * rank-keyed doc-frequency board, the start join-back, and C105's one
+    * doc-key window over dup starts only. */
+  def dupSpansSaOn(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val (cur, keys) = saWindowGroupsOn(docs, idCol, textCol, w)
+    val wins = cur.filter(col("pos") <= col("_n") - w)
+    // doc frequency counts DISTINCT docs per rank group (C44's per-doc
+    // distinct), but every START position of a duplicated window enters
+    // the island merge — a window repeated twice inside one doc covers
+    // both of its sites
+    val dfreq = wins.select((col("_id") +: keys.map(col)): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_df"))
+    val starts = wins.join(dfreq.filter(col("_df") > 1), keys)
+      .select(col("_id"), (col("pos") + 1).cast("int").as("_i"))
+    Dedup.dupSpansFromStarts(starts, w)
+  }
+
+  def dupSpansSa(spark: SparkSession, dir: String): DataFrame =
+    dupSpansSaOn(TextOps.dedupCorpus(spark, dir), "doc_id", "text",
+      TextOps.SubstrW)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "substring_dedup_sa" -> (substringDedupSa _),
+    "dup_spans_sa" -> (dupSpansSa _),
     "suffix_array" -> (suffixArray _),
     "suffix_lcp" -> (suffixLcp _),
     "lrs_per_doc" -> (lrsPerDoc _),
@@ -4211,5 +4262,6 @@ object CorpusOps {
     // C103 SHARES C44's oracle: hash equality across the two plans IS
     // the algorithm-equivalence proof (the C94 discipline)
     "substring_dedup_sa" -> TextOps.substringDedupSql,
+    "dup_spans_sa" -> TextOps.dupSpansSql,
     "zipf_slope" -> zipfSlopeSql)
 }

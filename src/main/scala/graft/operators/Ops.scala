@@ -400,6 +400,16 @@ object Dedup {
       idCol: String, textCol: String, w: Int): DataFrame = {
     val ex = scrubWindows(scrubToks(df, idCol, textCol), w)
     val st = ex.join(dupWindows, Seq("_s")).select(col("_id"), col("_i"))
+    dupSpansFromStarts(st, w)
+  }
+
+  /** The gaps-and-islands merge over ANY (_id, _i) dup-start frame
+    * (1-based token starts of duplicated w-windows) — shared by the
+    * window-census path above (C105) and the suffix-array path
+    * ([[graft.operators.CorpusOps.dupSpansSaOn]], C106), which derive
+    * the SAME start set by different machinery. */
+  private[operators] def dupSpansFromStarts(st: DataFrame,
+      w: Int): DataFrame = {
     val byI = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_i"))
     st.withColumn("_prev", lag(col("_i"), 1).over(byI))
