@@ -109,6 +109,58 @@ case class QuantizedL2Sq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[QuantizedCosine]] against an ALREADY-QUANTIZED right side: the left
+  * input is array<double> (quantized on the fly with the same
+  * `floor(x * 1e6)` rule), the right is array<long> of pre-quantized
+  * 1e-6-grid values (e.g. an integer IVF centroid). Integer dot/norms,
+  * then the identical double division chain — so any engine holding the
+  * same integer centroid reproduces the score bit-for-bit, which is
+  * what lets the IVF coarse assignment be DuckDB-replayable
+  * (ann_ivf_stats' oracle). A double-valued centroid cannot offer this:
+  * floor(cent * 1e6) after a decimal→double round-trip is off-by-one at
+  * grid boundaries. */
+case class QuantizedCosinePreQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_cosine_preq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val xi = math.floor(x.getDouble(i) * 1e6).toLong
+      val yi = y.getLong(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xi = (long) java.lang.Math.floor($x.getDouble($i) * 1.0E6);
+         |  long $yi = $y.getLong($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = (double) $dot / java.lang.Math.sqrt((double) $na)
+         |    / java.lang.Math.sqrt((double) $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Plain double-accumulation cosine over array<double> — the fast
   * production scoring path (single pass, no quantization). Not used in
   * oracle-compared queries because float summation order is engine-specific.
@@ -477,6 +529,9 @@ object vectors {
 
   def quantized_cosine(a: Column, b: Column): Column =
     column(QuantizedCosine(expression(a), expression(b)))
+
+  def quantized_cosine_preq(a: Column, b: Column): Column =
+    column(QuantizedCosinePreQ(expression(a), expression(b)))
 
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))

@@ -808,44 +808,63 @@ object Ann {
     * Lloyd iterations over a bounded hash-ordered sample.
     *
     * Everything stays deterministic with NO RNG: hash order replaces random
-    * sampling, per-dimension means are decimal-exact (order-independent
-    * under any partitioning), and nearest-centroid ties break on centroid
-    * id — so a rebuilt index is always bit-identical. Scale shape: both the
-    * seed and sample selections plan as TakeOrderedAndProject (bounded
-    * per-partition heaps, never a full sort) and each Lloyd round touches
-    * only the O(nLists × factor) sample; the corpus-wide passes remain in
-    * [[ivfTopK]]/[[ivfBuild]]. A seed whose sample cluster empties drops
-    * out (standard k-means collapse), leaving at most nLists lists. */
+    * sampling, and nearest-centroid ties break on centroid id — so a
+    * rebuilt index is always bit-identical. Centroids live on the 1e-6
+    * INTEGER grid (`_cent`: array<long>; updates are floor-means of the
+    * quantized components, exact in int64 and order-independent under any
+    * partitioning), and assignment scores them with
+    * `quantized_cosine_preq` — exact integer dot/norms, one IEEE division
+    * chain — so the whole chain (seeds → rounds → final assignment) is
+    * replayable by ANY engine from the base table: that is what makes
+    * `ann_ivf_stats` DuckDB-oracle-checkable (r12 next-round #8). The
+    * previous spelling kept decimal-mean DOUBLE centroids; re-quantizing
+    * those (`floor(cent·1e6)`) after a decimal→double round-trip is
+    * off-by-one at grid boundaries in another engine, which is exactly
+    * the parity trap the integer grid removes.
+    *
+    * Scale shape: both the seed and sample selections plan as
+    * TakeOrderedAndProject (bounded per-partition heaps, never a full
+    * sort) and each Lloyd round touches only the O(nLists × factor)
+    * sample; the corpus-wide passes remain in [[ivfTopK]]/[[ivfBuild]].
+    * A seed whose sample cluster empties drops out (standard k-means
+    * collapse), leaving at most nLists lists. */
   private def centroids(corpus: DataFrame, idCol: String, embCol: String,
       nLists: Int): DataFrame = {
     val hashed = corpus.select(col(idCol).as("_sid"), col(embCol).as("_semb"),
       md5(col(idCol).cast("string")).as("_h"))
     var cents = hashed.orderBy(col("_h")).limit(nLists)
-      .select(col("_sid").as("_cent_id"), col("_semb").as("_cent"))
+      .select(col("_sid").as("_cent_id"),
+        expr("transform(_semb, x -> CAST(floor(x * 1000000.0) AS BIGINT))")
+          .as("_cent"))
     val sample = hashed.orderBy(col("_h")).limit(nLists * LloydSampleFactor)
       .select(col("_sid"), col("_semb")).localCheckpoint(eager = true)
     for (_ <- 1 to LloydIters) {
       val assigned = nearestLists(cents, sample, "_sid", "_semb", keep = 1)
-      cents = assigned.select(col("_cent_id"), posexplode(col("_semb")))
+      cents = assigned.select(col("_cent_id"), posexplode(
+          expr("transform(_semb, x -> CAST(floor(x * 1000000.0) AS BIGINT))")))
         .groupBy(col("_cent_id"), col("pos"))
-        .agg(avg(col("col").cast("decimal(25,8)")).as("_m"))
+        // floor-mean on the grid: |Σ| <= sample · 1e6 — double-exact
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+          .cast("long").as("_m"))
         .groupBy(col("_cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
         .select(col("_cent_id"),
-          expr("transform(_pm, p -> CAST(p._m AS DOUBLE))").as("_cent"))
+          expr("transform(_pm, p -> p._m)").as("_cent"))
         .localCheckpoint(eager = true)
     }
     cents
   }
 
-  /** For each row, its `keep` nearest centroids (centroid set broadcast). */
+  /** For each row, its `keep` nearest centroids (centroid set broadcast;
+    * `_cent` is the 1e-6 integer grid, scored by the pre-quantized
+    * cosine kernel). */
   private def nearestLists(cents: DataFrame, df: DataFrame, id: String,
       emb: String, keep: Int): DataFrame = {
     val w = Window.partitionBy(col(id))
       .orderBy(col("_sim").desc, col("_cent_id"))
     df.crossJoin(broadcast(cents))
       .select(col(id), col(emb),
-        col("_cent_id"), quantized_cosine(col(emb), col("_cent")).as("_sim"))
+        col("_cent_id"), quantized_cosine_preq(col(emb), col("_cent")).as("_sim"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= keep)
       .drop("_sim", "_rn")
@@ -1101,7 +1120,9 @@ object Ann {
       "neighbor_id", "_e", 1)
       .join(broadcast(cents), "_cent_id")
       .select(col("_cent_id"), col("neighbor_id"), col("_e"),
-        zip_with(col("_e"), col("_cent"), (x, y) => x - y).as("_r"))
+        // reconstruct the integer-grid centroid as double once, per pair
+        zip_with(col("_e"), col("_cent"),
+          (x, y) => x - y.cast("double") / lit(1e6)).as("_r"))
 
   /** Stage-1 residual encode against a FROZEN flat codebook, exposing the
     * stage-2 residual (r − cw₁) the refinement codebook quantizes. */
@@ -1312,7 +1333,7 @@ object Ann {
       col("_q"), col("_cent")).collect()
     val qTables = probeRows.map { r =>
       val q = r.getSeq[Double](2).map(x => math.floor(x * 1e6).toLong).toArray
-      val c = r.getSeq[Double](3).map(x => math.floor(x * 1e6).toLong).toArray
+      val c = r.getSeq[Long](3).toArray // centroid already on the 1e-6 grid
       var qc = 0L
       var j = 0
       while (j < dim) { qc += q(j) * c(j); j += 1 }

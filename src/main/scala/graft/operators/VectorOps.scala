@@ -142,7 +142,7 @@ object VectorOps {
     * so a stale index from an older layout is never adopted. */
   // v3 scratch key: v2 indexes cached in tmpdir predate the format marker,
   // so they must re-derive a fresh path rather than fail the marker check.
-  val IvfPqIndexKind = "ivfpq3"
+  val IvfPqIndexKind = "ivfpq4" // v4: integer-grid coarse centroids (oracle-replayable)
 
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
@@ -244,6 +244,63 @@ object VectorOps {
     * footers' row groups — O(index), never the vector payloads; rows-only
     * like the rest of the ANN family (occupancy depends on index
     * parameters), pinned by the partition/totals spec. */
+  /** DuckDB twin for the occupancy board (r12 next-round #8 — the first
+    * of the ANN rows-only set converted to a hash-checked oracle): the
+    * coarse quantizer is fully deterministic integer arithmetic on the
+    * 1e-6 grid (md5-ordered seeds + sample, [[Ann.LloydIters]] Lloyd
+    * rounds with integer floor-mean updates, pre-quantized integer
+    * cosine with ties to the smaller centroid id), so the oracle replays
+    * seeds → rounds → the full-corpus assignment → per-list counts from
+    * the base table alone. The persisted index's `lists/` layout must
+    * land exactly this assignment or the hash gate fails. */
+  lazy val annIvfStatsSql: String = {
+    val k = IvfLists
+    val sampleN = k * graft.operators.Ann.LloydSampleFactor
+    val rounds = graft.operators.Ann.LloydIters
+    // integer-integer cosine: exact long dot/norms, the kernel's exact
+    // double division chain (dot / sqrt(na) / sqrt(nb))
+    def icos(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
+         |        / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+         |        / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
+    def assign(n: Int, src: String, prev: String, idC: String) =
+      s"""a$n AS (
+         |  SELECT $idC, qv, cid FROM (
+         |    SELECT $idC, qv, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY $idC
+         |        ORDER BY sim DESC, cid) AS rn
+         |    FROM (SELECT s.$idC, s.qv, c.cid,
+         |      ${icos("s.qv", "c.cq")} AS sim
+         |      FROM $src s CROSS JOIN $prev c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(n: Int) =
+      s"""c$n AS (
+         |  SELECT cid, list(m ORDER BY d) AS cq FROM (
+         |    SELECT cid, i AS d,
+         |      CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |        AS m
+         |    FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val lloyd = (1 to rounds).map(i =>
+      assign(i, "s", if (i == 1) "c0" else s"c${i - 1}", "sid") + ",\n" +
+        update(i)).mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |h AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS hh FROM q),
+       |c0 AS (SELECT vec_id AS cid, qv AS cq FROM h ORDER BY hh LIMIT $k),
+       |s AS (SELECT vec_id AS sid, qv FROM h ORDER BY hh LIMIT $sampleN),
+       |$lloyd,
+       |${assign(rounds + 1, "q", s"c$rounds", "vec_id")},
+       |per AS (SELECT cid AS list_id, COUNT(*) AS n_vectors
+       |        FROM a${rounds + 1} GROUP BY 1),
+       |tot AS (SELECT SUM(n_vectors) AS total, COUNT(*) AS n_lists FROM per)
+       |SELECT list_id, n_vectors,
+       |  CAST(n_vectors AS DOUBLE) * n_lists / CAST(total AS DOUBLE)
+       |    AS load_factor
+       |FROM per, tot ORDER BY list_id""".stripMargin
+  }
+
   def annIvfStats(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
     val path = graft.sources.IndexScratch.path(IvfPqIndexKind, dir)
@@ -1160,6 +1217,7 @@ object VectorOps {
     "semantic_dedup" -> semanticDedupSql,
     "diverse_topk" -> diverseTopkSql,
     "diverse_topk_multi" -> diverseTopkMultiSql,
-    "hybrid_search" -> hybridSearchSql
+    "hybrid_search" -> hybridSearchSql,
+    "ann_ivf_stats" -> annIvfStatsSql
   )
 }
