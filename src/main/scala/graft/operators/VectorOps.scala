@@ -253,26 +253,36 @@ object VectorOps {
     * seeds → rounds → the full-corpus assignment → per-list counts from
     * the base table alone. The persisted index's `lists/` layout must
     * land exactly this assignment or the hash gate fails. */
-  lazy val annIvfStatsSql: String = {
+  // integer-integer cosine: exact long dot/norms, the kernel's exact
+  // double division chain (dot / sqrt(na) / sqrt(nb)) — the twin of both
+  // QuantizedCosine (both sides quantized on the fly) and
+  // QuantizedCosinePreQ (right side pre-quantized): all three reduce to
+  // the same integers on the 1e-6 grid
+  private def ivfIcosSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
+       |        / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
+       |        / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
+
+  private def ivfAssignCte(n: Int, src: String, prev: String,
+      idC: String) =
+    s"""a$n AS (
+       |  SELECT $idC, qv, cid FROM (
+       |    SELECT $idC, qv, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY $idC
+       |        ORDER BY sim DESC, cid) AS rn
+       |    FROM (SELECT s.$idC, s.qv, c.cid,
+       |      ${ivfIcosSql("s.qv", "c.cq")} AS sim
+       |      FROM $src s CROSS JOIN $prev c))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Seeds → sample → [[graft.operators.Ann.LloydIters]] Lloyd rounds on
+    * the 1e-6 integer grid — the DuckDB replay of `Ann.centroids`,
+    * shared by the C68 occupancy oracle and the C7b top-k oracle. Ends
+    * with the final centroid CTE `c<rounds>`. */
+  private lazy val ivfLloydCtes: String = {
     val k = IvfLists
     val sampleN = k * graft.operators.Ann.LloydSampleFactor
     val rounds = graft.operators.Ann.LloydIters
-    // integer-integer cosine: exact long dot/norms, the kernel's exact
-    // double division chain (dot / sqrt(na) / sqrt(nb))
-    def icos(a: String, b: String) =
-      s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
-         |        / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
-         |        / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
-    def assign(n: Int, src: String, prev: String, idC: String) =
-      s"""a$n AS (
-         |  SELECT $idC, qv, cid FROM (
-         |    SELECT $idC, qv, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY $idC
-         |        ORDER BY sim DESC, cid) AS rn
-         |    FROM (SELECT s.$idC, s.qv, c.cid,
-         |      ${icos("s.qv", "c.cq")} AS sim
-         |      FROM $src s CROSS JOIN $prev c))
-         |  WHERE rn = 1)""".stripMargin
     def update(n: Int) =
       s"""c$n AS (
          |  SELECT cid, list(m ORDER BY d) AS cq FROM (
@@ -282,16 +292,21 @@ object VectorOps {
          |    FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY 1, 2)
          |  GROUP BY 1)""".stripMargin
     val lloyd = (1 to rounds).map(i =>
-      assign(i, "s", if (i == 1) "c0" else s"c${i - 1}", "sid") + ",\n" +
-        update(i)).mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-       |             FROM embeddings),
-       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+      ivfAssignCte(i, "s", if (i == 1) "c0" else s"c${i - 1}", "sid") +
+        ",\n" + update(i)).mkString(",\n")
+    s"""q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
        |h AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS hh FROM q),
        |c0 AS (SELECT vec_id AS cid, qv AS cq FROM h ORDER BY hh LIMIT $k),
        |s AS (SELECT vec_id AS sid, qv FROM h ORDER BY hh LIMIT $sampleN),
-       |$lloyd,
-       |${assign(rounds + 1, "q", s"c$rounds", "vec_id")},
+       |$lloyd""".stripMargin
+  }
+
+  lazy val annIvfStatsSql: String = {
+    val rounds = graft.operators.Ann.LloydIters
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |$ivfLloydCtes,
+       |${ivfAssignCte(rounds + 1, "q", s"c$rounds", "vec_id")},
        |per AS (SELECT cid AS list_id, COUNT(*) AS n_vectors
        |        FROM a${rounds + 1} GROUP BY 1),
        |tot AS (SELECT SUM(n_vectors) AS total, COUNT(*) AS n_lists FROM per)
@@ -299,6 +314,43 @@ object VectorOps {
        |  CAST(n_vectors AS DOUBLE) * n_lists / CAST(total AS DOUBLE)
        |    AS load_factor
        |FROM per, tot ORDER BY list_id""".stripMargin
+  }
+
+  /** DuckDB twin for the IVF top-k itself (C7b rows-only → oracle, the
+    * second conversion the integer-grid quantizer buys): the probe
+    * ranks all centroids per query (top-nProbe, ties to the smaller
+    * cid), candidates are the probed lists' members under the SAME
+    * full-corpus assignment the stats oracle replays, and the final
+    * score is the exact quantized cosine (identical integers both
+    * sides) — so the approximate index's output is itself a
+    * deterministic function of the base table. */
+  lazy val annIvfTopkSql: String = {
+    val rounds = graft.operators.Ann.LloydIters
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |$ivfLloydCtes,
+       |${ivfAssignCte(rounds + 1, "q", s"c$rounds", "vec_id")},
+       |pr AS (
+       |  SELECT query_id, qqv, cid FROM (
+       |    SELECT query_id, qqv, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, cid) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, q.qv AS qqv, c.cid,
+       |      ${ivfIcosSql("q.qv", "c.cq")} AS sim
+       |      FROM q CROSS JOIN c$rounds c
+       |      WHERE q.vec_id % 50 = 0))
+       |  WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT pr.query_id, fa.vec_id AS neighbor_id,
+       |    ${ivfIcosSql("fa.qv", "pr.qqv")} AS score
+       |  FROM pr JOIN a${rounds + 1} fa USING (cid)
+       |  WHERE fa.vec_id <> pr.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   def annIvfStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1218,6 +1270,7 @@ object VectorOps {
     "diverse_topk" -> diverseTopkSql,
     "diverse_topk_multi" -> diverseTopkMultiSql,
     "hybrid_search" -> hybridSearchSql,
-    "ann_ivf_stats" -> annIvfStatsSql
+    "ann_ivf_stats" -> annIvfStatsSql,
+    "ann_ivf_topk" -> annIvfTopkSql
   )
 }
