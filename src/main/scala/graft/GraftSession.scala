@@ -53,4 +53,20 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release the executor-storage blocks behind a `localCheckpoint(eager)`
+    * frame once it is superseded. `Dataset.unpersist` cannot do this — it
+    * talks to the CacheManager, and local checkpoints live as plain RDD
+    * cache blocks under the plan's `LogicalRDD` leaf — so iterative
+    * chains (prefix doubling, refresh loops) walk the plan and unpersist
+    * those RDDs directly. Only call on a frame with no remaining lazy
+    * readers: the blocks ARE the checkpoint; an unpersisted local
+    * checkpoint cannot recompute. */
+  private[graft] def unpersistLocalCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

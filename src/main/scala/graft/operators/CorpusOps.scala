@@ -4104,6 +4104,12 @@ object CorpusOps {
     val byPos = Window.partitionBy(col("_id")).orderBy(col("pos"))
     var len = 1
     var keys = Seq("rank")
+    // frames the CURRENT round still reads lazily — freed the moment the
+    // next round's eager checkpoint lands (r12 ADVICE's accumulation
+    // class applied to the doubling chain: without this, every round
+    // pins another corpus-sized position frame in executor storage for
+    // the life of the query — ~log₂ w × corpus at production widths)
+    var pinned: Seq[DataFrame] = Seq(pos)
     while (len < w) {
       val k = math.min(len, w - len)
       // each round truncates lineage: `paired` feeds the board build
@@ -4111,16 +4117,21 @@ object CorpusOps {
       val paired = cur.withColumn("rank2",
         coalesce(lead(col("rank"), k).over(byPos), lit(-1L)))
         .localCheckpoint(eager = true)
+      // paired materialized — the previous round's checkpoints have no
+      // remaining readers
+      pinned.foreach(graft.GraftSession.unpersistLocalCheckpoint)
       if (len + k < w) {
         val board = rankedBoard(
           paired.select(col("rank"), col("rank2")).distinct(),
           Seq("rank", "rank2")).localCheckpoint(eager = true)
         cur = paired.join(board, Seq("rank", "rank2"))
           .select(col("_id"), col("_n"), col("pos"), col("_nr").as("rank"))
+        pinned = Seq(paired, board)
       } else {
         // the LAST round never densifies: the census only needs the
         // GROUPING, and the final (rank, rank2) pair already is one —
-        // saves a whole board + corpus join
+        // saves a whole board + corpus join. Its checkpoint is the
+        // RETURNED frame — the caller's census reads it, never freed here.
         cur = paired
         keys = Seq("rank", "rank2")
       }

@@ -750,19 +750,10 @@ object StreamOps {
     }
   }
 
-  /** Release the executor-storage blocks behind a `localCheckpoint(eager)`
-    * frame once it is superseded. `Dataset.unpersist` cannot do this — it
-    * talks to the CacheManager, and local checkpoints live as plain RDD
-    * cache blocks under the plan's `LogicalRDD` leaf — so the refresh
-    * loops walk the plan and unpersist those RDDs directly. Only call on
-    * a frame with no remaining readers: the blocks ARE the checkpoint, an
-    * unpersisted local checkpoint cannot recompute. */
+  /** See [[graft.GraftSession.unpersistLocalCheckpoint]] — shared by the
+    * refresh loops here and the operators' iterative chains. */
   private[graft] def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.GraftSession.unpersistLocalCheckpoint(df)
 
   val NbScoreQueryName = "graft_stream_nb_score"
 
