@@ -612,7 +612,9 @@ object ScaleProbe {
         .count()
     }
     time("stream_attribution_shapley") {
-      // four min-timestamp monoids per user: O(users) x 4
+      // r13 eviction machine: converted users settle into the <=2^m
+      // signature rollup once the watermark passes their purchase;
+      // state = unconverted + unsettled tail (was O(all users) x 4)
       graft.streaming.StreamOps.streamAttributionShapley(spark, streamDir)
         .count()
     }

@@ -273,15 +273,24 @@ object OlapD {
   private[graft] def shapleyTailOn(flags: DataFrame,
       channels: Seq[String]): DataFrame = {
     val m = channels.size
-    require(m >= 1 && m <= ShapleyMaxChannels,
-      s"Shapley lattice is 2^m — m must be in [1, $ShapleyMaxChannels]")
-    val spark = flags.sparkSession
     // the exact-signature board: <= 2^m rows, a bounded literal
     val exact: Map[Vector[Int], Long] =
       flags.groupBy(channels.indices.map(i => col(s"f$i")): _*)
         .agg(count(lit(1)).as("n")).collect()
         .map(r => channels.indices.map(r.getInt).toVector -> r.getLong(m))
         .toMap
+    shapleyBoardTail(flags.sparkSession, exact, channels)
+  }
+
+  /** The Shapley arithmetic over a COLLECTED signature-count board —
+    * split from [[shapleyTailOn]] so the streaming eviction drain (B95),
+    * whose settled users merge into exactly this ≤2^m-row count monoid,
+    * runs the identical lattice code as batch B93. */
+  private[graft] def shapleyBoardTail(spark: SparkSession,
+      exact: Map[Vector[Int], Long], channels: Seq[String]): DataFrame = {
+    val m = channels.size
+    require(m >= 1 && m <= ShapleyMaxChannels,
+      s"Shapley lattice is 2^m — m must be in [1, $ShapleyMaxChannels]")
     // v(S) = #converted users whose touch signature ⊆ S (monotone)
     def v(s: Vector[Int]): Long = exact.iterator.collect {
       case (sig, n) if sig.lazyZip(s).forall(_ <= _) => n

@@ -1293,42 +1293,68 @@ object StreamOps {
   /** B95: B93's Shapley attribution maintained BY the stream — per-user
     * state is FOUR MIN-timestamp monoids (first purchase + first touch
     * per channel): "some touch of channel c precedes the first
-    * conversion" ⟺ min(touch ts) < min(purchase ts), so the flags —
-    * and with them the whole coalition lattice — derive exactly from
-    * mergeable mins regardless of arrival order (a touch arriving
-    * AFTER a later purchase was processed still lowers its min and
-    * flips the flag — no retraction needed because min is monotone).
-    * The lattice board + Shapley arithmetic run batch-side in the
-    * drain through the SAME [[graft.operators.OlapD.shapleyTailOn]]
-    * code path as batch B93, so drain == batch and the key shares
-    * `attribution_shapley`'s oracle. State O(users) × 4 timestamps. */
+    * conversion" ⟺ min(touch ts) < min(purchase ts), so the flags
+    * derive exactly from mergeable mins regardless of arrival order (a
+    * touch arriving AFTER a later purchase was processed still lowers
+    * its min and flips the flag — no retraction needed because min is
+    * monotone). r13 gives it the B94 eviction treatment
+    * ([[StatefulShapley]] — the next instance of the complete-mode
+    * class): a converted user's flags FREEZE once the watermark passes
+    * their first purchase, so they settle into a ≤2^m-row
+    * signature-count rollup and leave the state store; the drain merges
+    * the rollup and runs the SAME
+    * [[graft.operators.OlapD.shapleyBoardTail]] lattice arithmetic as
+    * batch B93, so drain == batch and the key shares
+    * `attribution_shapley`'s oracle. State = unconverted users + the
+    * not-yet-settled tail, never total user history. */
   def streamAttributionShapley(rootSpark: SparkSession,
       dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
-    shapleyStreamOn(spark, eventsStream(spark, dir))
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, EventsSentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("user_id"), lit("_sentinel").as("event_type"), col("ts"))
+    shapleyStreamOn(spark, eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .unionByName(sentinel))
   }
 
-  /** The B95 machine over ANY (user_id, ts, event_type)-shaped stream —
-    * split out so StreamReplaySpec can deliver a channel touch in a
-    * LATER wave than the purchase it precedes (the min-monoid's
-    * no-retraction claim). */
+  /** The B95 machine over ANY (user_id, ts, event_type)-shaped stream
+    * ending in a far-future sentinel (user_id < 0) — split out so
+    * MonoidReplaySpec can deliver a channel touch in a LATER wave than
+    * the purchase it precedes (the min-monoid's no-retraction claim)
+    * and ShapleyEvictionSpec can pin settlement. Each batch's settled
+    * signatures shrink to per-signature counts appended to the rollup;
+    * the support merge is a ≤2^m-row sum. */
   private[streaming] def shapleyStreamOn(spark: SparkSession,
-      ev: DataFrame): DataFrame = {
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     val chans = graft.operators.OlapD.ShapleyChannels
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "purchase", col("ts")))
-          .as("_fpts"),
-        chans.zipWithIndex.map { case (c, i) =>
-          min(when(col("event_type") === c, col("ts"))).as(s"_m$i")
-        }: _*)
-    drainViaParquetSink(spark, perUser.toDF(), ShapleyQueryName,
-      complete = true,
-      xform = (mb, _) => graft.operators.OlapD.shapleyTailOn(
-        mb.filter(col("_fpts").isNotNull)
-          .select(chans.indices.map(i =>
-            when(col(s"_m$i").isNotNull && col(s"_m$i") < col("_fpts"), 1)
-              .otherwise(0).as(s"f$i")): _*),
-        chans))
+    val m = chans.size
+    val kindExpr = when(col("event_type") === "purchase", -1)
+      .otherwise(chans.zipWithIndex.foldLeft(lit(-2)) { case (acc, (c, i)) =>
+        when(col("event_type") === c, i).otherwise(acc)
+      })
+    val raw = ev
+      .select(col("user_id"), kindExpr.as("kind"), col("ts"))
+      // sentinel rows keep kind -2 and pass the uid<0 guard in the
+      // machine; real rows of other event types carry no signal
+      .filter(col("kind") =!= -2 || col("user_id") < 0)
+    val settled = StatefulShapley.settledSignatures(spark, raw, m)
+    val partials = drainViaParquetSink(spark, settled.toDF(),
+      ShapleyQueryName,
+      xform = (mb, _) => mb.filter(col("user_id") >= 0)
+        .groupBy((0 until m).map(i =>
+          element_at(col("sig"), i + 1).as(s"f$i")): _*)
+        .agg(count(lit(1)).as("n")),
+      afterDrain = afterDrain)
+    val board = partials
+      .groupBy((0 until m).map(i => col(s"f$i")): _*)
+      .agg(sum(col("n")).as("n")).collect()
+      .map(r => (0 until m).map(r.getInt).toVector -> r.getLong(m)).toMap
+    graft.operators.OlapD.shapleyBoardTail(spark, board, chans)
       .orderBy(col("channel"))
   }
 

@@ -66,11 +66,15 @@ class MonoidReplaySpec extends SparkSpec with WaveStaging {
           timestamp_seconds(lit(1704067200L) + col("t") * 3600).as("ts"),
           col("event_type"))
     // wave 0 carries user 1's PURCHASE (t=5); wave 1 delivers the CLICK
-    // that happened earlier (t=2) — event time precedes, arrival follows
+    // that happened earlier (t=2) — event time precedes, arrival follows.
+    // The click arrives while the watermark (max wave-0 ts − 1 s) still
+    // trails u1's conversion, so the flag flips BEFORE u1 settles; the
+    // final sentinel wave (user_id < 0) then settles everyone.
     val w0 = evd(Seq((1L, 5, "purchase"), (2L, 1, "view"),
       (2L, 3, "purchase")))
     val w1 = evd(Seq((1L, 2, "click")))
-    val src = staged(Seq(w0, w1))
+    val flush = evd(Seq((-1L, 24 * 3650, "_sentinel")))
+    val src = staged(Seq(w0, w1, flush))
     val got = StreamOps.shapleyStreamOn(spark,
         streamFrom(src, w0.schema)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
