@@ -607,7 +607,8 @@ object ScaleProbe {
       graft.streaming.StreamOps.streamDupSpans(spark, streamDir).count()
     }
     time("stream_forecast_snaive") {
-      // SUM-of-decimals monoid state: O(groups x days), flat in reps
+      // r13 eviction machine: append-mode day windows — state = OPEN
+      // days only (finalized ones drain once); flat in reps
       graft.streaming.StreamOps.streamForecastSnaive(spark, streamDir)
         .count()
     }

@@ -1360,29 +1360,57 @@ object StreamOps {
 
   val SnaiveQueryName = "graft_stream_forecast_snaive"
 
+  /** Sentinel offset for DAY-windowed finalization: the last real day's
+    * window end can sit up to 24 h past the corpus max ts, so the
+    * watermark must jump further than B14's 3 h hourly offset. */
+  private val DaySentinelOffsetUs = 3L * 86400 * 1000000
+
   /** B98: B96's seasonal-naive error board maintained BY the stream —
-    * the (group, day) daily revenue rollup IS the streaming state (a
-    * SUM-of-decimals monoid, O(groups × days) rows, B84's shape), and
-    * the calendar-true season join + micro-unit error rollup run
-    * batch-side in the drain through the SAME
-    * [[graft.operators.OlapC.forecastSnaiveOn]] tail as batch B96
-    * (fed pre-aggregated dailies — the groupBy re-agg over them is
-    * idempotent), so drain == batch and the key shares
-    * `forecast_snaive`'s oracle. At deploy the xform output is the
-    * live "is the forecast baseline drifting?" board. */
+    * r13 gives it the eviction treatment (the third instance of the
+    * complete-mode class, after B94/B95): the (group, day) daily revenue
+    * rollup is a WINDOWED aggregation in APPEND mode, so a day's row
+    * emits exactly once when the event-time watermark finalizes its
+    * window and leaves the state store — state holds only the OPEN days,
+    * and each micro-batch appends only the days that finalized in it,
+    * never recomputing history. The calendar-true season join +
+    * micro-unit error rollup run ONCE at read over the drained dailies
+    * through the SAME [[graft.operators.OlapC.forecastSnaiveOn]] tail as
+    * batch B96 (fed pre-aggregated dailies — the groupBy re-agg over
+    * them is idempotent; each (group, day) appears exactly once by
+    * append-mode semantics), so drain == batch and the key shares
+    * `forecast_snaive`'s oracle. */
   def streamForecastSnaive(rootSpark: SparkSession,
       dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
-    val ev = eventsStream(spark, dir)
-    val daily = ev.groupBy(col("event_type").as("grp"),
-        to_date(col("ts")).as("d"))
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("ts"), lit("_sentinel").as("event_type"), col("value"))
+    forecastSnaiveStreamOn(spark, eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(sentinel))
+  }
+
+  /** The B98 machine over ANY (ts, event_type, value)-shaped stream
+    * ending in a far-future sentinel — split out so SnaiveEvictionSpec
+    * can pin mid-stream day finalization and bounded state. */
+  private[streaming] def forecastSnaiveStreamOn(spark: SparkSession,
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val daily = ev.withWatermark("ts", "1 second")
+      .groupBy(col("event_type").as("grp"),
+        window(col("ts"), "1 day").as("w"))
       .agg(sum(col("value").cast("decimal(25,6)")).as("v"))
-    drainViaParquetSink(spark, daily.toDF(), SnaiveQueryName,
-      complete = true,
-      xform = (mb, _) => graft.operators.OlapC.forecastSnaiveOn(
-        mb.select(col("grp").as("event_type"),
-          col("d").cast("timestamp").as("ts"), col("v").as("value")),
-        "event_type", "ts", "value"))
+      .select(col("grp"), col("w.start").as("d_ts"), col("v"))
+    val dailies = drainViaParquetSink(spark, daily.toDF(), SnaiveQueryName,
+      xform = (mb, _) => mb.filter(col("grp") =!= "_sentinel"),
+      afterDrain = afterDrain)
+    graft.operators.OlapC.forecastSnaiveOn(
+      dailies.select(col("grp").as("event_type"), col("d_ts").as("ts"),
+        col("v").as("value")),
+      "event_type", "ts", "value")
       .orderBy(col("event_type"))
   }
 
