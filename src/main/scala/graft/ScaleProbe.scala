@@ -592,7 +592,8 @@ object ScaleProbe {
       graft.streaming.StreamOps.streamDedupTtl(spark, streamDir).count()
     }
     time("stream_linreg_trend") {
-      // sufficient-stats state: O(groups x days) rows regardless of reps
+      // r13 eviction machine: append-mode day windows — state = OPEN
+      // days only; the stats tail runs once at read over the rollup
       graft.streaming.StreamOps.streamLinregTrend(spark, streamDir).count()
     }
     time("stream_basket_pairs") {

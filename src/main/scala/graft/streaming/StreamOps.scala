@@ -1101,32 +1101,52 @@ object StreamOps {
 
   val LinregQueryName = "graft_stream_linreg"
 
-  /** B82's OLS trend maintained BY the stream — the textbook case for
-    * sufficient statistics as a streaming aggregate: the (group, day)
-    * revenue rollup IS the streaming state (O(groups × days) rows, a
-    * mergeable monoid — every micro-batch's rows fold in via the SUM's
-    * own partial-merge, no rescan), and the stats tail (min-day
-    * centering, the five Σ's, the exact integer rational) runs
-    * batch-side in the drain xform over the delivered rollup — the SAME
+  /** B82's OLS trend maintained BY the stream — sufficient statistics
+    * as a streaming aggregate. r13 gives it the eviction treatment (the
+    * fourth and last instance of the complete-mode class, with
+    * B94/B95/B98): the (group, day) revenue rollup is an APPEND-MODE
+    * day-windowed aggregation, so a day's row emits exactly once when
+    * the ship-date watermark finalizes its window and leaves the state
+    * store — state holds only the open days, and the stats tail
+    * (min-day centering, the five Σ's, the exact integer rational) runs
+    * ONCE at read over the drained dailies through the SAME
     * [[graft.operators.OlapD.linregStatsOn]] code path as batch B82,
-    * so drain == batch and the key shares `linreg_trend`'s oracle.
-    * At deploy the xform output is the live "is this segment growing?"
-    * board, refreshed per micro-batch from bounded state. */
+    * so drain == batch and the key shares `linreg_trend`'s oracle. */
   def streamLinregTrend(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
-    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
-    val raw = spark.readStream.schema(schema)
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val maxTsUs = li.agg(max(unix_micros(col("l_shipdate")))).head().getLong(0)
+    val raw = spark.readStream.schema(li.schema)
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
-    val daily = raw
-      .groupBy(col("l_returnflag").as("grp"),
-        to_date(col("l_shipdate")).as("d"))
-      .agg(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) " +
-        "AS DECIMAL(25,6))")).as("rev"))
-    drainViaParquetSink(spark, daily.toDF(), LinregQueryName,
-      complete = true,
-      xform = (mb, _) => graft.operators.OlapD.linregStatsOn(
-        mb.select(col("grp"), col("d"),
-          floor(col("rev")).cast("decimal(20,0)").as("y"))))
+      .select(col("l_returnflag").as("grp"), col("l_shipdate").as("ts"),
+        expr("CAST(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(25,6))").as("rev"))
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(lit("_sentinel").as("grp"), col("ts"),
+        lit(0.0).cast("decimal(25,6)").as("rev"))
+    linregStreamOn(spark, raw.unionByName(sentinel))
+  }
+
+  /** The B84 machine over ANY (grp, ts, rev)-shaped stream ending in a
+    * far-future sentinel — split out so LinregEvictionSpec can pin
+    * mid-stream day finalization and bounded state. */
+  private[streaming] def linregStreamOn(spark: SparkSession,
+      raw: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val daily = raw.withWatermark("ts", "1 second")
+      .groupBy(col("grp"), window(col("ts"), "1 day").as("w"))
+      .agg(sum(col("rev")).as("rev"))
+      .select(col("grp"), col("w.start").as("d_ts"), col("rev"))
+    val dailies = drainViaParquetSink(spark, daily.toDF(), LinregQueryName,
+      xform = (mb, _) => mb.filter(col("grp") =!= "_sentinel"),
+      afterDrain = afterDrain)
+    graft.operators.OlapD.linregStatsOn(
+      dailies.select(col("grp"), to_date(col("d_ts")).as("d"),
+        floor(col("rev")).cast("decimal(20,0)").as("y")))
       .orderBy(col("grp"))
   }
 

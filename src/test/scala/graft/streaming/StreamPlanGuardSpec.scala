@@ -52,7 +52,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_unigram_encode" -> 0, // vocab costs are driver literals
     "graft_stream_upsert" -> 0,
     // scoring/probe joins (each the batch operator's own audited shape)
-    "graft_stream_linreg" -> 3, // B82's stats tail over the delivered O(groups×days) rollup: min-day agg + bcast join + the sufficient-stats agg
+    "graft_stream_linreg" -> 3, // r13 eviction drain: per batch only the FINALIZED day windows append (a filter); the stats tail runs once at read; ceiling kept at the old measured max
     "graft_stream_skyline" -> 4, // B81's sweep tail over the delivered O(prices) state: bucket agg + O(buckets) window + the near-frontier sweep
     "graft_stream_rfm" -> 3, // B80's ntile tail over the delivered O(users) state: anchor agg + the three shared-exchange ntile sorts
     "graft_stream_basket_pairs" -> 5, // r13 eviction drain: per batch only the SETTLED baskets become partial boards — map-side pair expansion (no join) + pair rollup + item rollup + 1-row basket count; ceiling kept at the measured max
