@@ -213,6 +213,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * This is the scale path for near-dup and ANN candidate generation: the
   * bucket id becomes the shuffle key, so candidate pairing is a hash
   * self-join bounded by bucket size instead of an O(n²) cross join.
+  *
+  * Engine-replayable by construction (r13): plane component (p, i) is the
+  * TOP BIT of md5("lsh:seed:p:i") — any engine with md5 rebuilds the same
+  * ±1 matrix — and the projection is an exact INTEGER dot over the 1e-6
+  * quantized vector (`floor(x·1e6)`, the QuantizedCosine grid), so bucket
+  * ids are bit-identical everywhere. A float dot (the previous spelling)
+  * flips signs at summation-order boundaries in another engine; a JVM
+  * `Random(seed)` plane matrix cannot be rebuilt outside the JVM at all.
+  * This is what converts `ann_lsh_topk` from rows-only to a hash-checked
+  * DuckDB oracle.
   */
 case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
     dim: Int, seed: Long)
@@ -227,10 +237,17 @@ case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_sign_buckets"
 
-  /** ±1 plane matrix, shape [numTables * bits][dim], seeded. */
+  /** ±1 plane matrix, shape [numTables * bits][dim]: component (p, i) =
+    * top bit of md5("lsh:seed:p:i") — the engine-portable derivation. */
   @transient lazy val planes: Array[Array[Byte]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numTables * bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.toByte else -1.toByte))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numTables * bits) { p =>
+      Array.tabulate(dim) { i =>
+        md.reset()
+        val h = md.digest(s"lsh:$seed:$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.toByte else -1.toByte
+      }
+    }
   }
 
   override def nullSafeEval(a: Any): Any = {
@@ -242,8 +259,10 @@ case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
       var bucket = 0L; var b = 0
       while (b < bits) {
         val plane = planes(t * bits + b)
-        var dot = 0.0; var i = 0
-        while (i < n) { dot += plane(i) * x.getDouble(i); i += 1 }
+        var dot = 0L; var i = 0
+        while (i < n) {
+          dot += plane(i) * math.floor(x.getDouble(i) * 1e6).toLong; i += 1
+        }
         if (dot >= 0) bucket |= (1L << b)
         b += 1
       }
@@ -267,8 +286,10 @@ case class LshSignBuckets(child: Expression, numTables: Int, bits: Int,
          |  long $bucket = 0L;
          |  for (int $b = 0; $b < $bits; $b++) {
          |    byte[] $plane = $planesRef[$t * $bits + $b];
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) { $dot += $plane[$i] * $x.getDouble($i); }
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $plane[$i] * (long) java.lang.Math.floor($x.getDouble($i) * 1.0E6);
+         |    }
          |    if ($dot >= 0) $bucket |= (1L << $b);
          |  }
          |  $out[$t] = (((long) $t) << 24) | $bucket;

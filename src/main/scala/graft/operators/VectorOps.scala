@@ -120,6 +120,53 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB twin for the LSH top-k (r13 — the third ANN rows-only →
+    * oracle conversion): the ±1 hyperplanes are md5-derived (top bit of
+    * md5("lsh:seed:p:i")) and the projections are exact integer dots on
+    * the 1e-6 grid, so any engine rebuilds bit-identical bucket ids;
+    * candidates = "shares ≥ 1 bucket", scores = the exact quantized
+    * cosine — the approximate index's output is a deterministic
+    * function of the base table, like C7b's. */
+  lazy val annLshTopkSql: String = {
+    val nPlanes = AnnTables * AnnBits
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |pl AS (
+       |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+       |        substr(md5('lsh:42:' || p || ':' || i), 1, 1)) - 1 >= 8
+       |      THEN 1 ELSE -1 END ORDER BY i) AS s
+       |  FROM range(0, $nPlanes) t(p), range(0, $Dim) u(i)
+       |  GROUP BY p),
+       |proj AS (
+       |  SELECT vec_id, p // $AnnBits AS tbl, p % $AnnBits AS b,
+       |    list_sum(list_transform(list_zip(s, qv), z -> z[1]*z[2])) >= 0
+       |      AS sgn
+       |  FROM q CROSS JOIN pl),
+       |bks AS (
+       |  SELECT vec_id,
+       |    (CAST(tbl AS BIGINT) << 24) |
+       |      CAST(SUM(CASE WHEN sgn THEN (CAST(1 AS BIGINT) << b)
+       |               ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM proj GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM bks cb JOIN bks qb ON cb.bkt = qb.bkt
+       |  WHERE qb.vec_id % 50 = 0 AND cb.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${qcosSql("cq.qv", "qq.qv")} AS score
+       |  FROM cand
+       |  JOIN q cq ON cq.vec_id = cand.neighbor_id
+       |  JOIN q qq ON qq.vec_id = cand.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- C7b: IVF-style top-k (rows-only; recall spec) ----------------------
   val IvfLists = 32
   val IvfProbes = 8
@@ -1271,6 +1318,7 @@ object VectorOps {
     "diverse_topk_multi" -> diverseTopkMultiSql,
     "hybrid_search" -> hybridSearchSql,
     "ann_ivf_stats" -> annIvfStatsSql,
-    "ann_ivf_topk" -> annIvfTopkSql
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql
   )
 }
