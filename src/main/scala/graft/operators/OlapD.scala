@@ -213,6 +213,11 @@ object OlapD {
   /** The coalition channels for B93 — the non-conversion event types. */
   val ShapleyChannels: Seq[String] = Seq("view", "click", "signup")
 
+  /** Lattice cap for the Shapley board: 2^m signature rows must stay a
+    * bounded literal the driver can collect (m = 12 → ≤ 4096 rows), and
+    * real channel alphabets are single digits. */
+  val ShapleyMaxChannels = 12
+
   /** Data-driven multi-touch attribution by SHAPLEY VALUE (Shapley 1953;
     * the marketing application is Zhao et al., arXiv:1804.05327) — the
     * game-theoretic sibling of last-touch B42 / linear B71 / time-decay
@@ -227,15 +232,10 @@ object OlapD {
     * Scale shape: ONE user-key rollup builds the per-user touch-flag
     * tuple (events shrink to O(users) in a single co-partitioned
     * join+agg), then the exact-signature board is a 2^m-row aggregate
-    * (m = 3 channels → ≤ 8 rows) — the Shapley arithmetic itself runs
-    * on that bounded literal, never on the corpus. At 100 TB the same
-    * plan holds: the lattice is fixed by the CHANNEL alphabet, not the
-    * data volume. */
-  /** Lattice cap for the Shapley board: 2^m signature rows must stay a
-    * bounded literal the driver can collect (m = 12 → ≤ 4096 rows), and
-    * real channel alphabets are single digits. */
-  val ShapleyMaxChannels = 12
-
+    * (≤ 2^[[ShapleyMaxChannels]] = 4096 rows; the gate alphabet's m = 3
+    * gives 8) — the Shapley arithmetic itself runs on that bounded
+    * literal, never on the corpus. At 100 TB the same plan holds: the
+    * lattice is fixed by the CHANNEL alphabet, not the data volume. */
   def attributionShapleyOn(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, convType: String,
       channels: Seq[String] = ShapleyChannels): DataFrame = {

@@ -442,7 +442,12 @@ object TextOps {
         .agg(percentile_approx(col("quality_score"),
           array((1 until k).map(i => lit(i.toDouble / k)): _*),
           lit(10000)).as("_th"))
-      scored.join(broadcast(th), "source")
+        .withColumnRenamed("source", "_src")
+      // null-safe join: a NULL source is its own group in the exact
+      // path's window, so the threshold board must serve it too — a
+      // plain equi-join would silently drop every NULL-source doc
+      scored.join(broadcast(th), col("source") <=> col("_src"))
+        .drop("_src")
         // band = #cut points at or below the score — empirical-CDF
         // granularity 1/k, computed per row against the broadcast board
         .withColumn("_b",

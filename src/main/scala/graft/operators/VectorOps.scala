@@ -300,16 +300,6 @@ object VectorOps {
     * seeds → rounds → the full-corpus assignment → per-list counts from
     * the base table alone. The persisted index's `lists/` layout must
     * land exactly this assignment or the hash gate fails. */
-  // integer-integer cosine: exact long dot/norms, the kernel's exact
-  // double division chain (dot / sqrt(na) / sqrt(nb)) — the twin of both
-  // QuantizedCosine (both sides quantized on the fly) and
-  // QuantizedCosinePreQ (right side pre-quantized): all three reduce to
-  // the same integers on the 1e-6 grid
-  private def ivfIcosSql(a: String, b: String) =
-    s"""CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS DOUBLE)
-       |        / sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))
-       |        / sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE))""".stripMargin
-
   private def ivfAssignCte(n: Int, src: String, prev: String,
       idC: String) =
     s"""a$n AS (
@@ -318,7 +308,7 @@ object VectorOps {
        |      ROW_NUMBER() OVER (PARTITION BY $idC
        |        ORDER BY sim DESC, cid) AS rn
        |    FROM (SELECT s.$idC, s.qv, c.cid,
-       |      ${ivfIcosSql("s.qv", "c.cq")} AS sim
+       |      ${qcosSql("s.qv", "c.cq")} AS sim
        |      FROM $src s CROSS JOIN $prev c))
        |  WHERE rn = 1)""".stripMargin
 
@@ -383,13 +373,13 @@ object VectorOps {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, cid) AS rn
        |    FROM (SELECT q.vec_id AS query_id, q.qv AS qqv, c.cid,
-       |      ${ivfIcosSql("q.qv", "c.cq")} AS sim
+       |      ${qcosSql("q.qv", "c.cq")} AS sim
        |      FROM q CROSS JOIN c$rounds c
        |      WHERE q.vec_id % 50 = 0))
        |  WHERE rn <= $IvfProbes),
        |scored AS (
        |  SELECT pr.query_id, fa.vec_id AS neighbor_id,
-       |    ${ivfIcosSql("fa.qv", "pr.qqv")} AS score
+       |    ${qcosSql("fa.qv", "pr.qqv")} AS score
        |  FROM pr JOIN a${rounds + 1} fa USING (cid)
        |  WHERE fa.vec_id <> pr.query_id)
        |SELECT query_id, neighbor_id, score,

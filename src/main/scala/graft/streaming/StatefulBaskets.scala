@@ -46,19 +46,30 @@ object StatefulBaskets {
       return Iterator.single(SettledBasket(bk, s.items))
     }
     if (bk < 0) return Iterator.empty // watermark sentinel, not a basket
-    val arr = lines.toArray
     val prev = state.getOption
+    // the watermark contract: a line older than the watermark merges
+    // only into a basket that is STILL OPEN (state present — safe, the
+    // basket has not been emitted). With no state it must be DROPPED:
+    // its basket either already settled into the rollup — re-opening
+    // would emit the basket a second time and double-count it in every
+    // partial board (review r13 finding) — or was never seen, in which
+    // case every watermark system drops it (the built-in windowed aggs
+    // do exactly this).
+    val wmMs = state.getCurrentWatermarkMs()
+    val arr =
+      if (prev.isDefined) lines.toArray
+      else lines.filter(_.ts.getTime >= wmMs).toArray
+    if (arr.isEmpty && prev.isEmpty) return Iterator.empty
     val items = (prev.map(_.items).getOrElse(Seq.empty) ++
       arr.iterator.map(_.item)).distinct.sorted
     val lastUs = (prev.map(_.last_us).iterator ++
       arr.iterator.map(l => l.ts.getTime * 1000L)).max
     state.update(BasketAcc(items, lastUs))
-    // a late straggler line (event time already behind the watermark) is
-    // still DELIVERED by flatMapGroupsWithState — re-arm strictly above
-    // the current watermark so its basket settles next flush instead of
-    // throwing on an in-the-past timeout
+    // a late-but-mergeable line re-arms strictly above the current
+    // watermark so its basket settles next flush instead of throwing on
+    // an in-the-past timeout
     state.setTimeoutTimestamp(math.max(lastUs / 1000 + GapUs / 1000,
-      state.getCurrentWatermarkMs() + 1))
+      wmMs + 1))
     Iterator.empty
   }
 

@@ -47,13 +47,28 @@ object StatefulShapley {
         s.mins.map(t => if (t < s.fpts) 1 else 0)))
     }
     if (uid < 0) return Iterator.empty // watermark sentinel, not a user
+    val hadState = state.exists
+    // the watermark contract: an event older than the watermark merges
+    // only into a user still OPEN in state. With no state it must be
+    // DROPPED: the user either already settled into the signature
+    // rollup — re-creating state would re-settle them and double-count
+    // their signature (review r13 finding; a late lone purchase would
+    // even emit all-zero flags) — or was never seen, in which case every
+    // watermark system drops the event.
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val live =
+      if (hadState) evs
+      else evs.filter(_.ts_us >= wmUs)
     val prev = state.getOption.getOrElse(ShapAcc(Never, Seq.fill(m)(Never)))
     var fpts = prev.fpts
     val mins = prev.mins.toArray
-    evs.foreach { e =>
+    var any = hadState
+    live.foreach { e =>
+      any = true
       if (e.kind < 0) fpts = math.min(fpts, e.ts_us)
       else mins(e.kind) = math.min(mins(e.kind), e.ts_us)
     }
+    if (!any) return Iterator.empty
     state.update(ShapAcc(fpts, mins.toSeq))
     // only converted users settle: the flags freeze when the watermark
     // passes fpts (min is monotone; pre-fpts events can no longer

@@ -1279,8 +1279,11 @@ object StreamOps {
     val partials = drainViaParquetSink(spark, settledStream.toDF(),
       BasketQueryName,
       xform = (mb, _) => {
+        // items arrive sorted-distinct — the invariant lives in
+        // StatefulBaskets.updateBasket (basketPairExpansion's
+        // item_a < item_b depends on it)
         val settled = mb.filter(col("bk") >= 0)
-          .select(col("bk"), array_sort(col("items")).as("items"))
+          .select(col("bk"), col("items"))
         val pairs = settled
           .select(explode(basketPairExpansion).as("p"))
           .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))

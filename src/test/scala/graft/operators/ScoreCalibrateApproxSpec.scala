@@ -43,6 +43,22 @@ class ScoreCalibrateApproxSpec extends SparkSpec {
     assert(p99 <= 0.10, s"p99 |approx - exact| = $p99 > 0.10")
   }
 
+  test("NULL source is its own group in BOTH paths — the approx join is " +
+      "null-safe, no doc is silently dropped (r13 review finding)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i,
+      if (i % 4 == 0) null else s"s${i % 3}",
+      s"some document text number $i with enough words to score"))
+      .toDF("doc_id", "source", "text")
+    val e = TextOps.scoreCalibrateOn(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getLong(0)).toSet
+    val a = TextOps.scoreCalibrateOn(docs, "doc_id", "source", "text",
+        exact = false)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(e === (1L to 40L).toSet, "exact path lost docs")
+    assert(a === e, s"approx path dropped ${e -- a} (null-source docs?)")
+  }
+
   test("plan guard: the approx plan has no window and no per-source sort " +
       "over the corpus — the mega-source hot spot cannot exist") {
     val (exactDf, approxDf) = both()

@@ -25,7 +25,11 @@ class BasketEvictionSpec extends SparkSpec with WaveStaging {
     val w0 = li(Seq((10L, 1L, 1), (10L, 2L, 2)))        // order 10 {1,2}
     val w1 = li(Seq((11L, 1L, 1500), (11L, 2L, 1501)))  // jump: wm -> ~1500h
     val w2 = li(Seq((12L, 1L, 1600), (12L, 3L, 1601)))  // order 10 settles here
-    val w3 = li(Seq((13L, 2L, 1700), (13L, 3L, 1701)))
+    // w3 also carries a beyond-watermark STRAGGLER for settled order 10
+    // (item 9 at t=3h << the watermark): it must be DROPPED, not re-open
+    // the basket — re-opening would emit order 10 twice and double-count
+    // it in every partial board (r13 review finding)
+    val w3 = li(Seq((13L, 2L, 1700), (13L, 3L, 1701), (10L, 9L, 3)))
     val flush = li(Seq((-1L, -1L, 24 * 3650)))          // far-future sentinel
     val srcDir = java.nio.file.Files.createTempDirectory("basket_evict")
     val t0 = System.currentTimeMillis() - 100000
@@ -64,10 +68,13 @@ class BasketEvictionSpec extends SparkSpec with WaveStaging {
         s"${3 * perBasket} rows); progress: $stateRows")
     assert(stateRows.last._2 === 0L,
       s"flush must drain all state; progress: $stateRows")
-    // drain == batch on the union of waves (eviction changed cost, not
-    // semantics)
+    // drain == batch on the union of waves MINUS the dropped straggler
+    // (the watermark contract: batch parity is promised only for events
+    // the watermark admits)
+    val admitted = Seq(w0, w1, w2, w3).reduce(_ unionAll _)
+      .filter(!(col("l_orderkey") === 10L && col("l_partkey") === 9L))
     val batch = graft.operators.OlapD.basketPairsOn(
-      Seq(w0, w1, w2, w3).reduce(_ unionAll _), "l_orderkey", "l_partkey")
+      admitted, "l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(r => (r._1, r._2, r._3)).toSeq === batch.toSeq)
   }

@@ -28,10 +28,15 @@ class ShapleyEvictionSpec extends SparkSpec with WaveStaging {
     val w0 = evd(Seq((1L, 1, "view"), (1L, 2, "purchase")))
     val w1 = evd(Seq((3L, 1500, "click")))             // wm jump; u3 open
     val w2 = evd(Seq((2L, 1600, "click"), (2L, 1601, "purchase")))
+    // w3: a beyond-watermark STRAGGLER purchase for u1, who settled in
+    // wave 2's batch — it must be DROPPED, not re-create state (a
+    // re-settle would double-count u1's signature; a lone late purchase
+    // would even emit all-zero flags — r13 review finding)
+    val w3 = evd(Seq((1L, 5, "purchase")))
     val flush = evd(Seq((-1L, 24 * 3650, "_sentinel")))
     val srcDir = java.nio.file.Files.createTempDirectory("shap_evict")
     val t0 = System.currentTimeMillis() - 100000
-    Seq(w0, w1, w2, flush).zipWithIndex.foreach { case (w, i) =>
+    Seq(w0, w1, w2, w3, flush).zipWithIndex.foreach { case (w, i) =>
       writeWave(srcDir, w, s"w$i.parquet", t0 + i * 1000) }
     val raw = spark.readStream.schema(w0.schema)
       .option("pathGlobFilter", "w*.parquet")
