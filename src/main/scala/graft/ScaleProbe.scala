@@ -235,6 +235,18 @@ object ScaleProbe {
       // C103's doubling chain + the C105 island tail over dup starts
       CorpusOps.dupSpansSaOn(docs, "doc_id", "text", w = 8).count()
     }
+    time("ann_lsh_stats") {
+      // one codegen bucket map + two keyed rollups over the replicated
+      // embedding corpus — the C68 occupancy-audit shape for LSH
+      embs.select(explode(graft.functions.vectors.lsh_sign_buckets(
+          col("emb"), 16, 4, 64)).as("bkt"))
+        .select(shiftright(col("bkt"), 24).as("tbl"), col("bkt"))
+        .groupBy(col("tbl"), col("bkt")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("tbl"))
+        .agg(count(lit(1)).as("nb"), max(col("sz")).as("mx"),
+          sum(col("sz") * col("sz")).as("sq"))
+        .count()
+    }
     time("chunk_documents") {
       Pipeline.chunkDocumentsOn(docs, "doc_id", "text", 64, 48).count()
     }

@@ -24,7 +24,7 @@ import graft.sources.Tables
 object VectorOps {
 
   /** Corpus as array<double> (exact float→double widening). */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
@@ -118,6 +118,66 @@ object VectorOps {
     Ann.lshTopK(corpus, corpus.filter(col("vec_id") % 50 === 0),
         "vec_id", "emb", Dim, TopK, tables = AnnTables, bits = AnnBits)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --- C107: LSH table health audit -----------------------------------------
+  /** Per-table occupancy of the C7 sign-LSH layout — C68's skew board
+    * for the OTHER candidate-generation index: per table, the number of
+    * occupied buckets, the hottest bucket, and Σ size² (the exact
+    * numerator of a random query's expected candidate count, Σ sz²/n —
+    * probe cost is quadratic in bucket occupancy, so a saturated table
+    * means raise `bits`). With the md5-derived planes and integer-dot
+    * projections the whole board is a deterministic SQL replay —
+    * oracle-checked, unlike most index audits.
+    *
+    * Scale shape: one codegen bucket map over the corpus, one
+    * (table, bucket)-keyed partial-agg exchange to the O(tables × 2^bits)
+    * board, one table-keyed rollup — never a pair join. */
+  def annLshStats(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val b = corpus.select(
+      explode(graft.functions.vectors.lsh_sign_buckets(col("emb"),
+        AnnTables, AnnBits, Dim)).as("bkt"))
+      .select(shiftright(col("bkt"), 24).as("tbl"), col("bkt"))
+    val sizes = b.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("sz"))
+    sizes.groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_vectors"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * col("sz")).as("sum_sq"))
+      .orderBy(col("tbl"))
+  }
+
+  /** Twin: the same bucket replay as [[annLshTopkSql]], rolled up. */
+  lazy val annLshStatsSql: String = {
+    val nPlanes = AnnTables * AnnBits
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |q AS (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |pl AS (
+       |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+       |        substr(md5('lsh:42:' || p || ':' || i), 1, 1)) - 1 >= 8
+       |      THEN 1 ELSE -1 END ORDER BY i) AS s
+       |  FROM range(0, $nPlanes) t(p), range(0, $Dim) u(i)
+       |  GROUP BY p),
+       |proj AS (
+       |  SELECT vec_id, p // $AnnBits AS tbl, p % $AnnBits AS b,
+       |    list_sum(list_transform(list_zip(s, qv), z -> z[1]*z[2])) >= 0
+       |      AS sgn
+       |  FROM q CROSS JOIN pl),
+       |bks AS (
+       |  SELECT vec_id, CAST(tbl AS BIGINT) AS tbl,
+       |    (CAST(tbl AS BIGINT) << 24) |
+       |      CAST(SUM(CASE WHEN sgn THEN (CAST(1 AS BIGINT) << b)
+       |               ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM proj GROUP BY vec_id, tbl),
+       |sizes AS (SELECT tbl, bkt, COUNT(*) AS sz FROM bks GROUP BY 1, 2)
+       |SELECT tbl, COUNT(*) AS n_buckets,
+       |  CAST(SUM(sz) AS BIGINT) AS n_vectors,
+       |  MAX(sz) AS max_bucket,
+       |  CAST(SUM(sz * sz) AS BIGINT) AS sum_sq
+       |FROM sizes GROUP BY tbl ORDER BY tbl""".stripMargin
   }
 
   /** DuckDB twin for the LSH top-k (r13 — the third ANN rows-only →
@@ -1278,6 +1338,7 @@ object VectorOps {
     "ann_brute_topk" -> (annBruteTopk _),
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_lsh_stats" -> (annLshStats _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_stats" -> (embedStats _),
     "embed_pca" -> (embedPca _),
@@ -1309,6 +1370,7 @@ object VectorOps {
     "hybrid_search" -> hybridSearchSql,
     "ann_ivf_stats" -> annIvfStatsSql,
     "ann_ivf_topk" -> annIvfTopkSql,
-    "ann_lsh_topk" -> annLshTopkSql
+    "ann_lsh_topk" -> annLshTopkSql,
+    "ann_lsh_stats" -> annLshStatsSql
   )
 }

@@ -43,6 +43,29 @@ class VectorSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("ann_lsh_stats: per-table occupancy partitions the corpus and the " +
+      "sum_sq probe-cost numerator replays from the raw buckets (C107)") {
+    import graft.functions.vectors._
+    val n = VectorOps.emb(spark, sfDir).count()
+    val rows = VectorOps.annLshStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet === (0L until VectorOps.AnnTables).toSet)
+    rows.foreach { case (t, (nb, nv, mx, sq)) =>
+      assert(nv === n, s"table $t lost vectors: $nv != $n")
+      assert(nb >= 1 && nb <= (1L << VectorOps.AnnBits), s"table $t: $nb")
+      assert(mx <= nv && sq >= nv && sq <= mx * nv, s"table $t bounds")
+    }
+    // independent replay of one table's sizes from the kernel itself
+    val t0sizes = VectorOps.emb(spark, sfDir)
+      .select(explode(lsh_sign_buckets(col("emb"), VectorOps.AnnTables,
+        VectorOps.AnnBits, VectorOps.Dim)).as("b"))
+      .filter(col("b") < (1L << 24)) // table 0's key space
+      .groupBy(col("b")).count().collect().map(_.getLong(1))
+    assert(rows(0L) === ((t0sizes.length.toLong, t0sizes.sum,
+      t0sizes.max, t0sizes.map(s => s * s).sum)))
+  }
+
   test("ann_lsh_topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.annBruteTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
