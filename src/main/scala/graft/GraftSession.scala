@@ -62,11 +62,23 @@ object GraftSession {
     * those RDDs directly. Only call on a frame with no remaining lazy
     * readers: the blocks ARE the checkpoint; an unpersisted local
     * checkpoint cannot recompute. */
+  // Unpersisting a locally-checkpointed RDD logs a WARN announcing the
+  // intended semantics (lineage truncated, cannot recompute) on every
+  // freed round — noise that would bury real warnings in the bench tail
+  // (the r12 WindowExec lesson). A genuine post-free re-read fails with
+  // an exception, not a warning, so nothing detectable is lost.
+  private lazy val quietCheckpointFreeLogger: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   private[graft] def unpersistLocalCheckpoint(
-      df: org.apache.spark.sql.DataFrame): Unit =
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    quietCheckpointFreeLogger
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
 }
