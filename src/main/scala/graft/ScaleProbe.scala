@@ -684,6 +684,11 @@ object ScaleProbe {
       // staging above
       graft.streaming.StreamOps.streamClusterAssign(spark, streamDir).count()
     }
+    time("stream_ann_lsh_stats") {
+      // B100 at 24×: stateless per-batch (table, bucket) count partials
+      // over the staged embeddings feed; table rollup merges at read
+      graft.streaming.StreamOps.streamAnnLshStats(spark, streamDir).count()
+    }
     // C92/B67 need a DE-ALIASED feed: replicate() copies each text
     // verbatim, so every base line would carry df = reps ≥ minDf and the
     // whole corpus would read as boilerplate — a degenerate workload that

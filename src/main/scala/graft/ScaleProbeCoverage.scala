@@ -75,7 +75,7 @@ object ScaleProbeCoverage {
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "substring_dedup_sa", "dup_spans_sa",
-    "ann_lsh_stats",
+    "ann_lsh_stats", "stream_ann_lsh_stats",
     "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",
@@ -133,7 +133,7 @@ object ScaleProbeCoverage {
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "substring_dedup_sa", "dup_spans_sa",
-    "ann_lsh_stats",
+    "ann_lsh_stats", "stream_ann_lsh_stats",
     "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
     "trigram_logprob",

@@ -1463,6 +1463,51 @@ object StreamOps {
       .orderBy(col("vec_id"))
   }
 
+  val LshStatsQueryName = "graft_stream_ann_lsh_stats"
+
+  /** C107's LSH occupancy board maintained BY the stream — the live
+    * index-health monitor in front of the C7 candidate generator: an
+    * ops team watches max_bucket / Σ size² drift as the corpus grows
+    * and raises `bits` BEFORE probe cost saturates. Bucket assignment
+    * is a stateless codegen map (each vector lands wholly in one
+    * batch), so per-batch (table, bucket) counts are sum-monoid
+    * partials appended to the rollup — ZERO streaming state — and the
+    * table rollup runs once at read over the merged sizes. Drain ==
+    * batch C107 → shares `ann_lsh_stats`' oracle. */
+  def streamAnnLshStats(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val v = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    annLshStatsStreamOn(spark, v)
+  }
+
+  /** The C107 machine over ANY (vec_id, emb)-shaped stream — split out
+    * so the replay spec can split the corpus across mtime-ordered waves
+    * and pin that per-batch bucket-count partials sum to the batch
+    * board. */
+  private[streaming] def annLshStatsStreamOn(spark: SparkSession,
+      v: DataFrame): DataFrame = {
+    import graft.operators.VectorOps
+    val partials = drainViaParquetSink(spark, v, LshStatsQueryName,
+      xform = (mb, _) => mb
+        .select(explode(graft.functions.vectors.lsh_sign_buckets(
+          col("emb"), VectorOps.AnnTables, VectorOps.AnnBits,
+          VectorOps.Dim)).as("bkt"))
+        .groupBy(shiftright(col("bkt"), 24).as("tbl"), col("bkt"))
+        .agg(count(lit(1)).as("sz")))
+    val sizes = partials.groupBy(col("tbl"), col("bkt"))
+      .agg(sum(col("sz")).as("sz"))
+    sizes.groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_vectors"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * col("sz")).as("sum_sq"))
+      .orderBy(col("tbl"))
+  }
+
   val WsQueryName = "graft_stream_weighted_sample"
 
   /** C40's deterministic weighted sample maintained BY the stream (B68)
@@ -1821,6 +1866,7 @@ object StreamOps {
     "stream_line_dedup" -> (streamLineDedup _),
     "stream_weighted_sample" -> (streamWeightedSample _),
     "stream_cluster_assign" -> (streamClusterAssign _),
+    "stream_ann_lsh_stats" -> (streamAnnLshStats _),
     "stream_cdc_compact" -> (streamCdcCompact _),
     "stream_schema_evolution" -> (streamSchemaEvolution _),
     "stream_embed_pca" -> (streamEmbedPca _),
@@ -1890,6 +1936,7 @@ object StreamOps {
     "stream_line_dedup" -> graft.operators.CorpusOps.lineDedupSql,
     "stream_weighted_sample" -> graft.operators.CorpusOps.weightedSampleSql,
     "stream_cluster_assign" -> graft.operators.VectorOps.kmeansClustersSql,
+    "stream_ann_lsh_stats" -> graft.operators.VectorOps.annLshStatsSql,
     "stream_cdc_compact" -> graft.operators.OlapC.cdcCompactSql,
     "stream_schema_evolution" -> graft.sources.Sinks.schemaEvolutionSql,
     // the drained histogram must equal the batch C64 rollup

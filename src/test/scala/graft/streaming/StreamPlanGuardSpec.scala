@@ -66,7 +66,8 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_quality_ensemble" -> 5, // B66's own 3-signal vote joins
     "graft_stream_substring_scrub" -> 2, // dup-start collect agg + the doc-key join back; the frozen census joins broadcast
     "graft_stream_dup_spans" -> 2, // C105's island tail per batch: the dup-start join (census broadcast) + the doc-key island window share the doc exchange; (doc, island) rollup rides it (measured 2)
-    "graft_stream_admission_chain" -> 5 // B61's staged gate joins
+    "graft_stream_admission_chain" -> 5, // B61's staged gate joins
+    "graft_stream_ann_lsh_stats" -> 1 // B100: per-batch (table, bucket) count partials — one partial-agg exchange; the table rollup runs at read (measured 1)
   )
 
   test("streaming batch-side shuffle budgets hold, and every drained " +
