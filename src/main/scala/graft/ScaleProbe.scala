@@ -836,7 +836,8 @@ object ScaleProbe {
       "suffix_lcp", "zipf_slope", "partition_evolution",
       "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
       "basket_pairs", "bfs_hops", "attribution_shapley",
-      "score_calibrate", "forecast_snaive", "time_in_state", "dup_spans")
+      "score_calibrate", "forecast_snaive", "time_in_state", "dup_spans",
+      "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts")
     if (which.isEmpty || which.exists(dirProbes)) {
       repTables.foreach { case (n, cs) => writeRep(n, cs) }
       // dimensions stay FIXED while facts replicate — the real 100 TB
@@ -891,6 +892,12 @@ object ScaleProbe {
     dirKey("time_in_state")
     dirKey("dup_spans")
     dirKey("bfs_hops")
+    // r13 session-2 additions: the CUSUM/ACF boards (daily rollup +
+    // board-sized tails), the entry-path prefix board, the peel loop
+    dirKey("changepoint_cusum")
+    dirKey("acf_lags")
+    dirKey("top_paths")
+    dirKey("kcore_parts")
     dirKey("range_join")
     dirKey("salted_join")
     dirKey("triangle_count")

@@ -25,6 +25,7 @@ object ScaleProbeCoverage {
     "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "time_in_state", "stream_forecast_snaive", "dup_spans",
     "stream_dup_spans",
+    "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts",
     "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
@@ -90,6 +91,7 @@ object ScaleProbeCoverage {
     "basket_pairs", "bfs_hops", "score_calibrate", "forecast_snaive",
     "time_in_state", "stream_forecast_snaive", "dup_spans",
     "stream_dup_spans",
+    "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts",
     "ann_ivf_stats", "ann_pq_topk", "attribution_linear",
     "bloom_semi_join", "bucketed_join", "bm25_search",
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",
@@ -296,6 +298,14 @@ object ScaleProbeCoverage {
         "driver-literal vocab; scoring is the probed kernel map"),
       "text_langid" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same replicated text scan"),
+      "text_readability" -> (Seq("text_entropy", "text_repetition"),
+        "pure regexp-count map over the same text scan"),
+      "langid_agreement" -> (Seq("text_entropy", "text_repetition"),
+        "C10's scoring map over the same text scan; everything after is " +
+        "O(langs^2) board rollups"),
+      "stream_changepoint" -> (Seq("stream_forecast_snaive"),
+        "the SAME append-mode day-window eviction machine (shared " +
+        "dailyRevenueDrain); only the O(groups x days) read tail differs"),
       "text_quality" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same text scan"),
       "text_tokens" -> (Seq("text_entropy", "text_repetition"),

@@ -1324,7 +1324,386 @@ object OlapC {
        |FROM hit ORDER BY q_label""".stripMargin
   }
 
+  // --- B101: CUSUM changepoint board -----------------------------------------
+  /** Offline changepoint detection per series — the level-shift locator a
+    * metrics team runs AFTER B23's outlier gate clears point anomalies
+    * (a regime change is not an outlier: every post-shift day is "normal"
+    * for the new level). Statistic: the classic CUSUM split
+    * D_t = n·P_t − t·S (P_t = prefix sum, S = series total) — the
+    * max-|D_t| day is the boundary that best separates the two means
+    * (Page 1954's cumulative-sum test, spelled division-free so the
+    * whole search stays in EXACT integer arithmetic: d_stat is
+    * n·ΣᵗX − t·ΣX in micro-units, decimal(38,0), no float drift can
+    * move the argmax). Ties break to the earliest day; t ranges over
+    * 1..n−1 (a "change after the last day" is no change). mean_before /
+    * mean_after are one IEEE division chain over the exact integers.
+    *
+    * Scale shape: events shrink to O(groups × days) in ONE partial-agg
+    * exchange; the prefix/total/argmax windows all ride a single
+    * group-key exchange (same partitioning, one sort each); the board
+    * is O(groups). At 100 TB the daily rollup is the only corpus-sized
+    * stage. */
+  def changepointCusumOn(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
+      // exact micro-units; an overflow must surface (the B96 discipline),
+      // not silently null out and drop the day from the search
+      .select(col("grp"), col("d"),
+        coalesce((col("_v") * 1000000).cast("long"),
+          raise_error(lit("changepoint_cusum: daily micro total " +
+            "overflowed BIGINT — re-scale the micro unit")).cast("long"))
+          .as("v"))
+    val ord = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val all = Window.partitionBy(col("grp"))
+    val cum = daily
+      .withColumn("p", sum(col("v")).over(ord))
+      .withColumn("t", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s", sum(col("v")).over(all))
+    val dstat = cum.filter(col("t") < col("n"))
+      .withColumn("dval",
+        (col("n").cast("decimal(18,0)") * col("p").cast("decimal(18,0)") -
+          col("t").cast("decimal(18,0)") * col("s").cast("decimal(18,0)"))
+          .cast("decimal(38,0)"))
+    val rk = Window.partitionBy(col("grp"))
+      .orderBy(abs(col("dval")).desc, col("d"))
+    dstat.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("grp").as("event_type"), col("n").as("n_days"),
+        col("d").as("change_day"), col("dval").as("d_stat"),
+        (col("p").cast("double") / col("t").cast("double") / 1000000.0)
+          .as("mean_before"),
+        ((col("s").cast("double") - col("p").cast("double")) /
+          (col("n").cast("double") - col("t").cast("double")) / 1000000.0)
+          .as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame =
+    changepointCusumOn(Tables(spark, dir).events, "event_type", "ts",
+      "value")
+
+  /** Twin: the same daily micro rollup, division-free D statistic, and
+    * earliest-day tie-break. */
+  val changepointCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT grp, d,
+      |    SUM(v) OVER (PARTITION BY grp ORDER BY d) AS p,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS t,
+      |    COUNT(*) OVER (PARTITION BY grp) AS n,
+      |    SUM(v) OVER (PARTITION BY grp) AS s
+      |  FROM daily
+      |), dstat AS (
+      |  SELECT grp, d, t, n, p, s,
+      |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(p AS DECIMAL(18,0))
+      |      - CAST(t AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
+      |      AS DECIMAL(38,0)) AS dval
+      |  FROM cum WHERE t < n
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+      |    ORDER BY ABS(dval) DESC, d) AS rk
+      |  FROM dstat)
+      |SELECT grp AS event_type, CAST(n AS BIGINT) AS n_days,
+      |  d AS change_day, dval AS d_stat,
+      |  CAST(p AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0 AS mean_before,
+      |  (CAST(s AS DOUBLE) - CAST(p AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 1000000.0
+      |    AS mean_after
+      |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // --- B102: autocorrelation board --------------------------------------------
+  /** Max lag for B102 — one week of observation-index lags. */
+  val AcfMaxLag = 7
+
+  /** Autocorrelation function per series at lags 1..[[AcfMaxLag]] — the
+    * seasonality detector that DECIDES B96's season length instead of
+    * assuming it (a peak at lag 7 ⇒ weekly; flat ⇒ snaive has no edge).
+    * Lags are observation-index lags over the day-ordered series
+    * (declared: a calendar gap advances one index step); daily totals
+    * quantize to whole units via floor (B84's discipline). Every
+    * sufficient statistic — Σx_t·x_{t+k}, the head/tail sums, the global
+    * Σx, Σx² — is an EXACT integer (guarded BIGINT casts: overflow
+    * surfaces loudly, never as a silent null); each r_k then evaluates
+    * the textbook estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²,
+    * cleared of divisions by n², as ONE identical IEEE tree over the
+    * int64-exact doubles in both engines (int64→double conversion is
+    * deterministic; wide-decimal→double is not — the reason the stats
+    * pass through BIGINT).
+    *
+    * Scale shape: the corpus-sized stage is the daily rollup; the lag
+    * pairs come from a co-partitioned (group, index) self-join of the
+    * O(groups × days) board (map-side ×[[AcfMaxLag]] explode, not a
+    * window per lag); the per-(group, lag) rollup and the broadcast of
+    * the O(groups) stats board ride small frames. */
+  def acfLagsOn(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, maxLag: Int = AcfMaxLag): DataFrame = {
+    def guarded(c: Column, what: String): Column =
+      coalesce(c.cast("long"),
+        raise_error(lit(s"acf_lags: $what overflowed BIGINT — re-scale"))
+          .cast("long"))
+    val daily = events
+      .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
+      .select(col("grp"), col("d"),
+        coalesce(floor(col("_v")).cast("decimal(18,0)"),
+          raise_error(lit("acf_lags: daily total overflowed " +
+            "decimal(18,0) — re-scale")).cast("decimal(18,0)")).as("v"))
+    val ord = Window.partitionBy(col("grp")).orderBy(col("d"))
+    // the O(groups × days) indexed board is consumed three times (stats,
+    // lag side, base side) — truncate so the corpus rollup runs ONCE
+    // (B84's checkpoint discipline)
+    val idx = daily.withColumn("t", row_number().over(ord))
+      .select(col("grp"), col("t"), col("v"))
+      .localCheckpoint(eager = true)
+    // asymmetric (19,0)×(18,0) products stay inside both engines'
+    // 38-digit exact-decimal multiply before the guarded BIGINT cast
+    val stats = idx.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("_s"),
+        sum(col("v").cast("decimal(19,0)") * col("v")).as("_s2"))
+      .select(col("grp"), col("n"), guarded(col("_s"), "sum(x)").as("s"),
+        guarded(col("_s2"), "sum(x*x)").as("s2"))
+    val lagged = idx
+      .select(col("grp"), explode(sequence(lit(1), lit(maxLag))).as("k"),
+        col("t"), col("v"))
+      .select(col("grp"), col("k"), (col("t") + col("k")).as("t"),
+        col("v").as("x"))
+    val pairs = lagged
+      .join(idx.select(col("grp"), col("t"), col("v").as("y")),
+        Seq("grp", "t"))
+    val agg = pairs.groupBy(col("grp"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(19,0)") * col("y")).as("_sxy"),
+        sum(col("x")).as("_sh"), sum(col("y")).as("_st"))
+      .select(col("grp"), col("k"), col("n_pairs"),
+        guarded(col("_sxy"), "sum(x*y)").as("sxy"),
+        guarded(col("_sh"), "head sum").as("sh"),
+        guarded(col("_st"), "tail sum").as("st"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val den = nD * nD * col("s2").cast("double") - nD * sD * sD
+    agg.join(broadcast(stats), "grp")
+      .select(col("grp").as("event_type"), col("k").cast("int").as("lag"),
+        col("n_pairs"), col("sxy"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(
+            (nD * nD * col("sxy").cast("double")
+              - nD * sD * (col("sh").cast("double") + col("st").cast("double"))
+              + col("n_pairs").cast("double") * sD * sD) / den)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  def acfLags(spark: SparkSession, dir: String): DataFrame =
+    acfLagsOn(Tables(spark, dir).events, "event_type", "ts", "value")
+
+  /** Twin: the same exact-integer sums and the same IEEE estimator tree. */
+  val acfLagsSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+       |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(25,6))))
+       |      AS DECIMAL(18,0)) AS v
+       |  FROM events GROUP BY 1, 2
+       |), idx AS (
+       |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS t, v
+       |  FROM daily
+       |), stats AS (
+       |  SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(v AS DECIMAL(19,0)) * v) AS BIGINT) AS s2
+       |  FROM idx GROUP BY grp
+       |), pairs AS (
+       |  SELECT a.grp, k.k, a.v AS x, b.v AS y
+       |  FROM idx a JOIN range(1, ${AcfMaxLag + 1}) k(k) ON TRUE
+       |  JOIN idx b ON b.grp = a.grp AND b.t = a.t + k.k
+       |), agg AS (
+       |  SELECT grp, k, COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x) AS BIGINT) AS sh, CAST(SUM(y) AS BIGINT) AS st
+       |  FROM pairs GROUP BY grp, k)
+       |SELECT a.grp AS event_type, CAST(a.k AS INTEGER) AS lag,
+       |  CAST(a.n_pairs AS BIGINT) AS n_pairs, a.sxy,
+       |  CASE WHEN CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+       |        * CAST(s.s2 AS DOUBLE)
+       |      - CAST(s.n AS DOUBLE) * CAST(s.s AS DOUBLE)
+       |        * CAST(s.s AS DOUBLE) = 0.0 THEN NULL
+       |    ELSE (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+       |        * CAST(a.sxy AS DOUBLE)
+       |      - CAST(s.n AS DOUBLE) * CAST(s.s AS DOUBLE)
+       |        * (CAST(a.sh AS DOUBLE) + CAST(a.st AS DOUBLE))
+       |      + CAST(a.n_pairs AS DOUBLE) * CAST(s.s AS DOUBLE)
+       |        * CAST(s.s AS DOUBLE))
+       |    / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+       |        * CAST(s.s2 AS DOUBLE)
+       |      - CAST(s.n AS DOUBLE) * CAST(s.s AS DOUBLE)
+       |        * CAST(s.s AS DOUBLE))
+       |  END AS acf
+       |FROM agg a JOIN stats s ON s.grp = a.grp
+       |ORDER BY event_type, lag""".stripMargin
+
+  // --- B103: top entry paths ---------------------------------------------------
+  /** Path prefix length and board size for B103. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** Top-k entry journeys: each user's first [[PathLen]] events (by the
+    * (ts, event_id) total order) concatenated into a path string, counted
+    * across users, top [[PathTopK]] paths by (count desc, path asc) —
+    * the "how do sessions start" board product analytics reads daily,
+    * and the sequence complement of B34's one-step transition matrix.
+    *
+    * Scale shape: ONE user-key window exchange prunes each user to
+    * ≤[[PathLen]] rows BEFORE the per-user path agg rides the same key;
+    * the path count board is O(|event types|^len) — bounded — so its
+    * rank window is a pinned single-partition board by design
+    * ([[BoundedBoard.pinnedZero]]). */
+  def topPathsOn(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_tie"))
+    val first = events.select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"), col(typeCol).as("_et"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+    val paths = first.groupBy(col("_u"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("_et")))),
+        x => x.getField("_et")), ">").as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    counts.withColumn("rank",
+        row_number().over(Window.partitionBy(
+            BoundedBoard.pinnedZero(col("path")))
+          .orderBy(col("n_users").desc, col("path"))))
+      .filter(col("rank") <= PathTopK)
+      .select(col("rank").cast("long").as("rank"), col("path"),
+        col("n_users"))
+      .orderBy(col("rank"))
+  }
+
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    topPathsOn(Tables(spark, dir).events, "user_id", "ts", "event_id",
+      "event_type")
+
+  /** Twin: the same (ts, event_id)-ordered prefix and tie-break. */
+  val topPathsSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), p AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= $PathLen GROUP BY user_id
+       |), c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+       |    AS BIGINT) AS rank, path, n_users
+       |FROM c ORDER BY n_users DESC, path LIMIT $PathTopK""".stripMargin
+
+  // --- B104: k-core of the co-purchase graph -----------------------------------
+  /** B104 knobs: minimum co-purchase support for an edge, the core
+    * degree k, and the pinned peel-round budget (the B26/B92 discipline:
+    * a bounded-iteration contract keeps the key replayable in the
+    * oracle; peeling is monotone, so early exit at the fixpoint equals
+    * running all rounds). */
+  val KcoreSupport = 2
+  val KcoreK = 3
+  val KcorePeelRounds = 12
+
+  /** k-core extraction over the part co-purchase graph — the density
+    * filter community/fraud pipelines run before clustering (a k-core
+    * survives iterated deletion of degree<k nodes, so it kills pendant
+    * chains and stars that fool raw-degree thresholds; Seidman 1983).
+    * Edges: part pairs co-ordered in ≥[[KcoreSupport]] distinct orders
+    * (B91's support discipline keeps the graph sparse). Each peel round
+    * recomputes in-subgraph degrees and drops nodes under [[KcoreK]];
+    * output = surviving parts with their final in-core degree.
+    *
+    * Scale shape: per round ONE edges⋈nodes⋈nodes co-keyed join pair +
+    * a node-keyed degree agg, checkpoint-truncated like B26/B92 (the
+    * frontier loop never grows lineage); rounds are pinned at
+    * [[KcorePeelRounds]] with early exit on the fixpoint — work is
+    * O(edges × rounds-to-converge), and the node set only shrinks. */
+  def kcorePartsOn(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    var survivors = edges.sparkSession.emptyDataFrame
+    var n = nodes.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val nxt = edges
+        .join(nodes.select(col("node").as("src")), "src")
+        .join(nodes.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .select(col("src").as("node"), col("core_deg"))
+        .localCheckpoint(eager = true)
+      val n1 = nxt.count()
+      converged = n1 == n
+      n = n1
+      survivors = nxt
+      nodes = nxt.select(col("node")).localCheckpoint(eager = true)
+      i += 1
+    }
+    survivors
+  }
+
+  /** Driver query: the co-purchase graph from lineitem (distinct
+    * (order, part) first — multiple lines of one part in one order are
+    * one incidence), support-thresholded, peeled at k=[[KcoreK]]. */
+  def kcoreParts(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.join(items.select(col("o"), col("p").as("p2")), "o")
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= KcoreSupport)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    kcorePartsOn(edges, KcoreK, KcorePeelRounds)
+      .select(col("node").as("part_id"), col("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Twin: the peel loop unrolled to [[KcorePeelRounds]] CTEs (the B26
+    * unrolled-iteration trick); monotone peeling makes the unroll equal
+    * Spark's early-exit loop. */
+  val kcorePartsSql: String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // one twice, so CTE inlining would expand the chain 2^rounds times
+    val rounds = (1 to KcorePeelRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT e.src AS node, COUNT(*) AS deg FROM e
+         |  JOIN r${i - 1} a ON e.src = a.node
+         |  JOIN r${i - 1} b ON e.dst = b.node
+         |  GROUP BY e.src HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), pr AS (
+       |  SELECT a.p AS u, b.p AS v, COUNT(*) AS supp
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $KcoreSupport
+       |), e AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pr
+       |  UNION ALL SELECT v, u FROM pr
+       |), r0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$rounds
+       |SELECT node AS part_id, CAST(deg AS BIGINT) AS core_deg
+       |FROM r$KcorePeelRounds ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changepoint_cusum" -> (changepointCusum _),
+    "acf_lags" -> (acfLags _),
+    "top_paths" -> (topPaths _),
+    "kcore_parts" -> (kcoreParts _),
     "bfs_hops" -> (bfsHops _),
     "forecast_snaive" -> (forecastSnaive _),
     "time_in_state" -> (timeInState _),
@@ -1349,6 +1728,10 @@ object OlapC {
     "resample_ffill" -> (resampleFfill _))
 
   val oracles: Map[String, String] = Map(
+    "changepoint_cusum" -> changepointCusumSql,
+    "acf_lags" -> acfLagsSql,
+    "top_paths" -> topPathsSql,
+    "kcore_parts" -> kcorePartsSql,
     "bfs_hops" -> bfsHopsSql,
     "forecast_snaive" -> forecastSnaiveSql,
     "time_in_state" -> timeInStateSql,

@@ -546,7 +546,10 @@ object TextOps {
     "de" -> Seq("join", "merge", "group"),
     "fr" -> Seq("query", "filter", "sort"))
 
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored frame behind C10 — shared with C108's agreement board so
+    * the two keys cannot fork the classifier. */
+  private[graft] def langidScored(spark: SparkSession,
+      dir: String): DataFrame = {
     val t = tokens(col("text"))
     val scores = LangMarkers.map { case (lang, ms) =>
       lang -> size(filter(t, w => w.isin(ms: _*)))
@@ -560,8 +563,10 @@ object TextOps {
       Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
         scores.map { case (l, s) => s.as(s"score_$l") } :+
         pred.as("pred_lang"): _*)
-      .orderBy(col("doc_id"))
   }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidScored(spark, dir).orderBy(col("doc_id"))
 
   val textLangidSql: String = {
     val scoreCols = LangMarkers.map { case (l, ms) =>
@@ -584,6 +589,174 @@ object TextOps {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --- C108: classifier agreement board (Cohen's kappa) ---------------------
+  /** Chance-corrected agreement between C10's predicted language and the
+    * declared label — the classifier-eval board (confusion matrix +
+    * Cohen's kappa) every curation pipeline needs before trusting a
+    * heuristic scorer at 100 TB (raw accuracy lies when one class
+    * dominates; kappa = (p_o − p_e)/(1 − p_e) corrects for the agreement
+    * chance alone would produce; Cohen 1960). All counts and the
+    * Σ row·col marginal product are EXACT guarded integers; accuracy and
+    * kappa are one IEEE chain over them, spelled division-cleared:
+    * kappa = (n·Σdiag − Σr·c)/(n² − Σr·c).
+    *
+    * Scale shape: one label-key partial agg to the O(langs²) confusion
+    * board; marginals and totals are rollups OF the board; the two 1-row
+    * summary frames broadcast back onto it — the corpus is scanned
+    * once. */
+  def agreementBoardOn(pairs: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val conf = pairs
+      .groupBy(col(labelCol).as("labeled_lang"), col(predCol).as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = true) // O(langs²) board, consumed 4×
+    val rowM = conf.groupBy(col("labeled_lang").as("_l"))
+      .agg(sum(col("n_docs")).as("_r"))
+    val colM = conf.groupBy(col("pred_lang").as("_p"))
+      .agg(sum(col("n_docs")).as("_c"))
+    val rc = rowM.join(colM, col("_l") === col("_p"), "full_outer")
+      .select((coalesce(col("_r"), lit(0L)).cast("decimal(18,0)") *
+        coalesce(col("_c"), lit(0L)).cast("decimal(18,0)")).as("_rc"))
+      .agg(coalesce(sum(col("_rc")).cast("long"),
+        raise_error(lit("langid_agreement: sum_rc overflowed BIGINT"))
+          .cast("long")).as("sum_rc"))
+    val tot = conf.agg(sum(col("n_docs")).as("n_total"),
+      sum(when(col("labeled_lang") === col("pred_lang"), col("n_docs"))
+        .otherwise(0L)).as("n_agree"))
+    val ntD = col("n_total").cast("double")
+    val naD = col("n_agree").cast("double")
+    val rcD = col("sum_rc").cast("double")
+    conf.crossJoin(broadcast(tot)).crossJoin(broadcast(rc))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        col("n_total"), col("n_agree"), col("sum_rc"),
+        (naD / ntD).as("accuracy"),
+        when(ntD * ntD - rcD === 0.0, lit(null).cast("double"))
+          .otherwise((ntD * naD - rcD) / (ntD * ntD - rcD)).as("kappa"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
+  def langidAgreement(spark: SparkSession, dir: String): DataFrame =
+    agreementBoardOn(langidScored(spark, dir), "labeled_lang", "pred_lang")
+
+  /** Twin: the same scored subquery as C10, confusion rollup, full-outer
+    * marginal product, and division-cleared kappa tree. */
+  val langidAgreementSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      s"CAST(LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS score_$l"
+    }.mkString(",\n    ")
+    val pred = LangMarkers.tail.foldLeft("'" + LangMarkers.head._1 + "'" -> s"score_${LangMarkers.head._1}") {
+      case ((acc, best), (lang, _)) =>
+        (s"CASE WHEN score_$lang > $best THEN '$lang' ELSE $acc END",
+          s"GREATEST($best, score_$lang)")
+    }._1
+    s"""WITH scored AS (
+       |  SELECT labeled_lang, $pred AS pred_lang
+       |  FROM (
+       |    SELECT doc_id, labeled_lang, $scoreCols
+       |    FROM (SELECT doc_id, lang AS labeled_lang,
+       |            regexp_split_to_array(TRIM(text), '\\s+') AS toks
+       |          FROM documents))
+       |), conf AS (
+       |  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+       |  FROM scored GROUP BY 1, 2
+       |), rm AS (SELECT labeled_lang AS l, SUM(n_docs) AS r
+       |          FROM conf GROUP BY 1),
+       |cm AS (SELECT pred_lang AS p, SUM(n_docs) AS c FROM conf GROUP BY 1),
+       |rc AS (
+       |  SELECT CAST(SUM(CAST(COALESCE(r, 0) AS DECIMAL(18,0))
+       |    * CAST(COALESCE(c, 0) AS DECIMAL(18,0))) AS BIGINT) AS sum_rc
+       |  FROM rm FULL OUTER JOIN cm ON rm.l = cm.p
+       |), tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+       |    CAST(SUM(CASE WHEN labeled_lang = pred_lang THEN n_docs
+       |      ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM conf)
+       |SELECT labeled_lang, pred_lang, n_docs, n_total, n_agree, sum_rc,
+       |  CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS accuracy,
+       |  CASE WHEN CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+       |      - CAST(sum_rc AS DOUBLE) = 0.0 THEN NULL
+       |    ELSE (CAST(n_total AS DOUBLE) * CAST(n_agree AS DOUBLE)
+       |        - CAST(sum_rc AS DOUBLE))
+       |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+       |        - CAST(sum_rc AS DOUBLE))
+       |  END AS kappa
+       |FROM conf CROSS JOIN tot CROSS JOIN rc
+       |ORDER BY labeled_lang, pred_lang""".stripMargin
+  }
+
+  // --- C109: readability scoring ---------------------------------------------
+  /** Flesch reading-ease per document — the readability axis of the
+    * quality stack (C9 measures lexical hygiene, C63 entropy, C21
+    * redundancy; none of them says "is this prose a child or a lawyer
+    * wrote"). Syllables are vowel-group runs ([aeiouy]+) on the lowered
+    * text — the standard cheap heuristic, declared; sentences are
+    * [.!?]+ runs floored at 1. All three counts are exact integers; the
+    * Flesch formula (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words) is one IEEE tree over them, and the band
+    * thresholds compare those identical doubles.
+    *
+    * Scale shape: a pure codegen map stage — zero exchanges before the
+    * gate sort. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")))
+      .withColumn("band",
+        when(col("flesch") >= 60.0, lit("easy"))
+          .when(col("flesch") >= 30.0, lit("standard"))
+          .otherwise(lit("difficult")))
+      .orderBy(col("doc_id"))
+
+  /** Twin: the same counts and the same IEEE Flesch tree. */
+  val textReadabilitySql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)
+      |    AS n_words,
+      |  GREATEST(1, CAST(LEN(regexp_extract_all(text, '[.!?]+'))
+      |    AS BIGINT)) AS n_sentences,
+      |  CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS BIGINT)
+      |    AS n_syllables,
+      |  206.835
+      |    - 1.015 * (CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)
+      |      / CAST(GREATEST(1, CAST(LEN(regexp_extract_all(text, '[.!?]+'))
+      |        AS BIGINT)) AS DOUBLE))
+      |    - 84.6 * (CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+      |        AS DOUBLE)
+      |      / CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)) AS flesch,
+      |  CASE WHEN 206.835
+      |    - 1.015 * (CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)
+      |      / CAST(GREATEST(1, CAST(LEN(regexp_extract_all(text, '[.!?]+'))
+      |        AS BIGINT)) AS DOUBLE))
+      |    - 84.6 * (CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+      |        AS DOUBLE)
+      |      / CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)) >= 60.0 THEN 'easy'
+      |  WHEN 206.835
+      |    - 1.015 * (CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)
+      |      / CAST(GREATEST(1, CAST(LEN(regexp_extract_all(text, '[.!?]+'))
+      |        AS BIGINT)) AS DOUBLE))
+      |    - 84.6 * (CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+      |        AS DOUBLE)
+      |      / CAST(LEN(regexp_split_to_array(TRIM(text), '\s+'))
+      |        AS DOUBLE)) >= 30.0 THEN 'standard'
+      |  ELSE 'difficult' END AS band
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- C11: document fingerprint -------------------------------------------
   /** Normalized-content hash: lowercase, collapse whitespace, md5. The
@@ -628,6 +801,8 @@ object TextOps {
     "score_calibrate" -> (scoreCalibrate _),
     "text_entropy" -> (textEntropy _),
     "text_langid" -> (textLangid _),
+    "langid_agreement" -> (langidAgreement _),
+    "text_readability" -> (textReadability _),
     "doc_fingerprint" -> (docFingerprint _),
     "substring_dedup" -> (substringDedup _),
     "substring_scrub" -> (substringScrub _),
@@ -643,6 +818,8 @@ object TextOps {
     "score_calibrate" -> scoreCalibrateSql,
     "text_entropy" -> textEntropySql,
     "text_langid" -> textLangidSql,
+    "langid_agreement" -> langidAgreementSql,
+    "text_readability" -> textReadabilitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "substring_dedup" -> substringDedupSql,
     "substring_scrub" -> substringScrubSql,

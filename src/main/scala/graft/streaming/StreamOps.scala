@@ -1418,24 +1418,74 @@ object StreamOps {
   /** The B98 machine over ANY (ts, event_type, value)-shaped stream
     * ending in a far-future sentinel — split out so SnaiveEvictionSpec
     * can pin mid-stream day finalization and bounded state. */
-  private[streaming] def forecastSnaiveStreamOn(spark: SparkSession,
-      ev: DataFrame,
-      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
-        _ => ()): DataFrame = {
+  /** The shared B98/B105 eviction machine: the (group, day) daily
+    * revenue rollup as an APPEND-mode windowed aggregation — a day's row
+    * emits exactly once when the watermark finalizes its window and
+    * leaves the state store — drained through the parquet sink as a
+    * (event_type, ts, value) frame ready for any batch daily-board
+    * tail. */
+  private def dailyRevenueDrain(spark: SparkSession, ev: DataFrame,
+      queryName: String,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : DataFrame = {
     val daily = ev.withWatermark("ts", "1 second")
       .groupBy(col("event_type").as("grp"),
         window(col("ts"), "1 day").as("w"))
       .agg(sum(col("value").cast("decimal(25,6)")).as("v"))
       .select(col("grp"), col("w.start").as("d_ts"), col("v"))
-    val dailies = drainViaParquetSink(spark, daily.toDF(), SnaiveQueryName,
+    drainViaParquetSink(spark, daily.toDF(), queryName,
       xform = (mb, _) => mb.filter(col("grp") =!= "_sentinel"),
       afterDrain = afterDrain)
+      .select(col("grp").as("event_type"), col("d_ts").as("ts"),
+        col("v").as("value"))
+  }
+
+  private[streaming] def forecastSnaiveStreamOn(spark: SparkSession,
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
     graft.operators.OlapC.forecastSnaiveOn(
-      dailies.select(col("grp").as("event_type"), col("d_ts").as("ts"),
-        col("v").as("value")),
+      dailyRevenueDrain(spark, ev, SnaiveQueryName, afterDrain),
       "event_type", "ts", "value")
       .orderBy(col("event_type"))
+
+  val ChangepointQueryName = "graft_stream_changepoint"
+
+  /** B105: B101's CUSUM changepoint board maintained BY the stream —
+    * the live regime-shift monitor (a dashboard that pages when a
+    * series' level moves, not when one point spikes). Rides the SAME
+    * append-mode day-window eviction machine as B98: state holds only
+    * the OPEN days, each micro-batch appends only the days the watermark
+    * finalized in it, and B101's division-free D-statistic sweep runs
+    * ONCE at read over the drained dailies through the same
+    * [[graft.operators.OlapC.changepointCusumOn]] tail as batch (fed
+    * pre-aggregated dailies — the daily re-agg is idempotent since each
+    * (group, day) appears exactly once by append semantics), so
+    * drain == batch and the key SHARES `changepoint_cusum`'s oracle. */
+  def streamChangepoint(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("ts"), lit("_sentinel").as("event_type"), col("value"))
+    changepointStreamOn(spark, eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(sentinel))
   }
+
+  /** The B105 machine over ANY (ts, event_type, value)-shaped stream
+    * ending in a far-future sentinel — split out so the eviction spec
+    * can pin mid-stream day finalization, the cross-wave day-sum monoid,
+    * and drain == batch. */
+  private[streaming] def changepointStreamOn(spark: SparkSession,
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    graft.operators.OlapC.changepointCusumOn(
+      dailyRevenueDrain(spark, ev, ChangepointQueryName, afterDrain),
+      "event_type", "ts", "value")
+      .orderBy(col("event_type"))
 
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
@@ -1876,6 +1926,7 @@ object StreamOps {
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
+    "stream_changepoint" -> (streamChangepoint _),
     "stream_dup_spans" -> (streamDupSpans _),
     "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
@@ -1899,6 +1950,7 @@ object StreamOps {
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
+    "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_dup_spans" -> graft.operators.TextOps.dupSpansSql,
     "stream_attribution_shapley" ->
       graft.operators.OlapD.attributionShapleySql,

@@ -68,7 +68,10 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row max-ts anchor frame broadcast onto the O(users) rollup
     "rfm_segments",
     // 1-row n_baskets frame broadcast onto the O(frequent pairs) table
-    "basket_pairs")
+    "basket_pairs",
+    // two 1-row summary frames (totals, marginal product) broadcast onto
+    // the O(langs²) confusion board
+    "langid_agreement")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -249,7 +252,13 @@ class PlanGuardSpec extends SparkSpec {
     "forecast_snaive" -> 4, // the (group, day) partial-agg exchange + the co-partitioned season self-join's two sides + the group error rollup + gate sort (measured 4)
     "time_in_state" -> 3, // ONE user-key window exchange (the lead rides it) + the state-key partial-agg rollup + gate sort (measured 3)
     "dup_spans" -> 4, // the C44-shaped census join (window df partial agg + the start join) + the doc-key island window + the (doc, island) rollup + gate sort; the window numbers DUP STARTS only (measured 4)
-    "bfs_hops" -> 1 // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
+    "bfs_hops" -> 1, // the frontier rounds are checkpoint-truncated (each round's join + dedup runs ONCE, eagerly — the PageRank discipline); the residual plan is the kind/entity projection + gate sort (measured 1)
+    "changepoint_cusum" -> 3, // B101: the (group, day) partial-agg exchange + ONE group-key exchange shared by the prefix/total/argmax windows + gate sort (measured 3)
+    "acf_lags" -> 3, // B102: the daily rollup is checkpoint-truncated (runs once); lag explode joins the board co-keyed on (grp, t), the (grp, lag) rollup, gate sort — the O(groups) stats side broadcasts (measured 3)
+    "top_paths" -> 4, // B103: ONE user-key window exchange + the per-user path agg + the O(|types|^len) path-count agg + gate sort; the rank window rides the bounded board's pinned key (measured 4)
+    "kcore_parts" -> 1, // B104: peel rounds are checkpoint-truncated (each round's two co-keyed joins + degree agg run ONCE, eagerly — the B26/B92 discipline); the residual plan is the projection + gate sort (measured 1)
+    "langid_agreement" -> 5, // C108: the confusion board is checkpoint-truncated (ONE corpus scan); residual = two O(langs) marginal aggs + their full-outer product agg + the 1-row totals agg + gate sort, all over the O(langs²) board (measured 5)
+    "text_readability" -> 1 // C109: pure regexp-count map stage + gate sort (measured 1)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {
