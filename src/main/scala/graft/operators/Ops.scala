@@ -968,6 +968,10 @@ object Ann {
   val PqKs = 64
   val PqSampleFactor = 32
 
+  /** Lloyd rounds for the PQ codebooks — pinned (bounds the oracle's
+    * unrolled replay like LloydIters does for the coarse quantizer). */
+  val PqLloydIters = 3
+
   /** Deterministic per-subspace codebooks. The training set is the bounded
     * hash-ordered sample ([[PqKs]] × [[PqSampleFactor]] rows — a driver
     * literal by construction, like the top-K vocabularies), fetched with
@@ -976,27 +980,36 @@ object Ann {
     * scanning the corpus, never training on a fixed-size sample. Seeds are
     * the first [[PqKs]] sample subvectors (content-hash spread); ties
     * break on the lower code, empty clusters keep their previous codeword
-    * — rebuilds are bit-identical, no RNG anywhere. */
+    * — rebuilds are bit-identical, no RNG anywhere.
+    *
+    * r13: the whole run lives on the 1e-6 INTEGER grid (the IVF-v4
+    * discipline that made C7b oracle-replayable): inputs quantize via
+    * `floor(x·1e6)` — the SAME rule PqEncode applies to the corpus at
+    * encode time — distances are exact integer L2, and centroid updates
+    * truncate `sum / count` toward zero (Long division == DuckDB `//`),
+    * so the trained books, and therefore every code the index stores,
+    * replay bit-identically in SQL. */
   private[operators] def pqTrain(corpus: DataFrame, idCol: String,
-      embCol: String, dim: Int): Map[(Int, Int), Array[Double]] = {
+      embCol: String, dim: Int): Map[(Int, Int), Array[Long]] = {
     require(dim % PqM == 0, s"dim=$dim must split into $PqM subspaces")
     val subDim = dim / PqM
     val sample = corpus
       .select(col(idCol).as("_sid"), col(embCol).as("_semb"),
         md5(col(idCol).cast("string")).as("_h"))
       .orderBy(col("_h"), col("_sid")).limit(PqKs * PqSampleFactor)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect()
+      .map(_.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
     require(sample.nonEmpty, "pqTrain: empty corpus — nothing to sample")
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
     (0 until PqM).flatMap { m =>
       val sub = sample.map(_.slice(m * subDim, (m + 1) * subDim))
       var cents = sub.take(PqKs).map(_.clone())
-      for (_ <- 1 to 3) {
-        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+      for (_ <- 1 to PqLloydIters) {
+        val sums = Array.fill(cents.length)(new Array[Long](subDim))
         val counts = new Array[Int](cents.length)
         sub.foreach { v =>
           var best = 0; var bestD = l2(v, cents(0)); var c = 1
@@ -1011,25 +1024,25 @@ object Ann {
         }
         cents = cents.zipWithIndex.map { case (old, c) =>
           if (counts(c) == 0) old
-          else sums(c).map(_ / counts(c))
+          else sums(c).map(_ / counts(c)) // trunc toward zero == `//`
         }
       }
       cents.zipWithIndex.map { case (cw, c) => (m, c) -> cw }
     }.toMap
   }
 
-  /** The codebook as a flat pre-quantized literal laid out [sub][code][dim]
-    * — the input shape [[graft.functions.PqEncode]] loops over in codegen.
-    * Absent (sub, code) slots (empty-cluster collapse) repeat the previous
-    * codeword, which is harmless: the argmin just sees a duplicate. */
-  private def flatBooks(books: Map[(Int, Int), Array[Double]],
+  /** The codebook as a flat literal laid out [sub][code][dim] — the input
+    * shape [[graft.functions.PqEncode]] loops over in codegen. The books
+    * are already on the 1e-6 integer grid. Absent (sub, code) slots
+    * (empty-cluster collapse) repeat the previous codeword, which is
+    * harmless: the argmin just sees a duplicate. */
+  private def flatBooks(books: Map[(Int, Int), Array[Long]],
       dim: Int): Seq[Long] = {
     val subDim = dim / PqM
     val out = new Array[Long](PqM * PqKs * subDim)
     var lastQ = new Array[Long](subDim)
     for (m <- 0 until PqM; c <- 0 until PqKs) {
-      val q = books.get((m, c))
-        .map(_.map(x => math.floor(x * 1e6).toLong)).getOrElse(lastQ)
+      val q = books.getOrElse((m, c), lastQ)
       lastQ = q
       System.arraycopy(q, 0, out, (m * PqKs + c) * subDim, subDim)
     }

@@ -249,7 +249,8 @@ object VectorOps {
     * so a stale index from an older layout is never adopted. */
   // v3 scratch key: v2 indexes cached in tmpdir predate the format marker,
   // so they must re-derive a fresh path rather than fail the marker check.
-  val IvfPqIndexKind = "ivfpq4" // v4: integer-grid coarse centroids (oracle-replayable)
+  // v4: integer-grid coarse centroids (oracle-replayable)
+  val IvfPqIndexKind = "ivfpq5" // v5: integer-grid PQ codebooks too (r13 — the C46 oracle conversion changes every stored code, so a v4 index must never be adopted)
 
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val corpus = emb(spark, dir)
@@ -448,6 +449,289 @@ object VectorOps {
        |FROM scored
        |QUALIFY rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin for the PQ top-k (C46 rows-only → oracle, the fourth
+    * ANN conversion): with the r13 integer-grid codebooks the ENTIRE
+    * index is a deterministic function of the base table — the
+    * hash-ordered sample, the per-subspace Lloyd runs (exact integer L2,
+    * trunc-toward-zero means == `//`), the corpus encode (ties to the
+    * lower code — PqEncode's rule), the ADC lookup-sums (exact BIGINTs;
+    * Spark ranks their double images, identical order below 2^53), the
+    * (approx desc, id asc) rerank heap, and the exact quantized-cosine
+    * final ranking all replay in SQL. MATERIALIZED is load-bearing on
+    * the round CTEs (each is referenced twice downstream). */
+  /** Integer L2 between two BIGINT lists (the PqEncode distance). */
+  private def l2Sql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
+  /** The PQ per-subspace Lloyd replay: given CTEs `${p}samp` (qv list +
+    * hash-order rn) — seeds, subspace slices, and
+    * [[graft.operators.Ann.PqLloydIters]] assign/update rounds on the
+    * 1e-6 integer grid, ending in the final codebook CTE
+    * `${p}c<iters>` (m, code, cw) and the slice CTE `${p}sub`.
+    * MATERIALIZED is load-bearing: each round is referenced twice. */
+  private def pqLloydCtes(p: String, vecCol: String): String = {
+    import graft.operators.Ann.{PqM, PqKs, PqLloydIters}
+    val sd = Dim / PqM
+    val rounds = (1 to PqLloydIters).map { r =>
+      s"""${p}a$r AS MATERIALIZED (
+         |  SELECT rn, m, sv, code FROM (
+         |    SELECT s.rn, s.m, s.sv, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY s.rn, s.m
+         |        ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS k
+         |    FROM ${p}sub s JOIN ${p}c${r - 1} c ON c.m = s.m)
+         |  WHERE k = 1),
+         |${p}c$r AS MATERIALIZED (
+         |  SELECT p.m, p.code, COALESCE(u.cw, p.cw) AS cw
+         |  FROM ${p}c${r - 1} p LEFT JOIN (
+         |    SELECT m, code, list(s // n ORDER BY i) AS cw FROM (
+         |      SELECT a.m, a.code, d.i, SUM(a.sv[d.i + 1]) AS s,
+         |        COUNT(*) AS n
+         |      FROM ${p}a$r a, range(0, $sd) d(i)
+         |      GROUP BY 1, 2, 3)
+         |    GROUP BY 1, 2) u ON u.m = p.m AND u.code = p.code)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}sub AS MATERIALIZED (
+       |  SELECT rn, t.m, $vecCol[t.m * $sd + 1 : t.m * $sd + $sd] AS sv
+       |  FROM ${p}samp, range(0, $PqM) t(m)),
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT m, rn - 1 AS code, sv AS cw FROM ${p}sub WHERE rn <= $PqKs),
+       |$rounds""".stripMargin
+  }
+
+  /** The argmin encode of a (id, m, sv) slice CTE against a final
+    * codebook CTE — PqEncode's ties-to-lower-code rule. */
+  private def pqEncodeCte(name: String, srcSub: String, books: String,
+      idC: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT $idC, m, code FROM (
+       |    SELECT s.$idC, s.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.$idC, s.m
+       |        ORDER BY ${l2Sql("s.sv", "c.cw")}, c.code) AS k
+       |    FROM $srcSub s JOIN $books c ON c.m = s.m)
+       |  WHERE k = 1)""".stripMargin
+
+  lazy val annPqTopkSql: String = {
+    import graft.operators.Ann.{PqM, PqKs, PqSampleFactor, PqLloydIters}
+    val sd = Dim / PqM
+    val sampleN = PqKs * PqSampleFactor
+    val rerankN = 10 * TopK
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, ${qSql("emb")} AS qv FROM emb),
+       |psamp AS MATERIALIZED (
+       |  SELECT qv, ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM q QUALIFY rn <= $sampleN),
+       |${pqLloydCtes("p", "qv")},
+       |csub AS MATERIALIZED (
+       |  SELECT vec_id, t.m, qv[t.m * $sd + 1 : t.m * $sd + $sd] AS sv
+       |  FROM q, range(0, $PqM) t(m)),
+       |${pqEncodeCte("enc", "csub", s"pc$PqLloydIters", "vec_id")},
+       |tbl AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, s.m, c.code,
+       |    list_sum(list_transform(list_zip(s.sv, c.cw), z -> z[1]*z[2]))
+       |      AS w
+       |  FROM csub s JOIN pc$PqLloydIters c ON c.m = s.m
+       |  WHERE s.vec_id % 50 = 0),
+       |approx AS MATERIALIZED (
+       |  SELECT t.query_id, e.vec_id AS neighbor_id,
+       |    CAST(SUM(t.w) AS BIGINT) AS approx
+       |  FROM enc e JOIN tbl t ON t.m = e.m AND t.code = e.code
+       |  WHERE e.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |surv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, neighbor_id) AS k
+       |    FROM approx)
+       |  WHERE k <= $rerankN),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${qcosSql("eq.qv", "qq.qv")} AS score
+       |  FROM surv s JOIN q eq ON eq.vec_id = s.neighbor_id
+       |  JOIN q qq ON qq.vec_id = s.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin for the composed IVF×PQ top-k (C50 rows-only → oracle,
+    * the fifth ANN conversion): coarse Lloyd + full-corpus assignment
+    * replay as in C7b; residuals are IEEE doubles off the integer-grid
+    * centroids (deterministic: `x − cq/1e6`, then the same
+    * `floor(r·1e6)` quantization PqEncode applies); the residual PQ
+    * books train through the shared [[pqLloydCtes]] replay; scoring
+    * decomposes as `<q,x> ≈ <q,c> + Σ_m <q_m, cw_m>` with the per-
+    * (query, probed-list) constant making scores comparable across
+    * lists — exact BIGINTs ranked in the same (approx desc, id asc)
+    * order as the heap's double images; the exact quantized-cosine tail
+    * decides the final top-k. */
+  private def intDotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2]))"
+
+  /** Exact-cosine tail over a `surv(query_id, neighbor_id)` CTE — shared
+    * by every ANN twin's final ranking. */
+  private def exactRankTail: String =
+    s"""scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${qcosSql("eq.qv", "qq.qv")} AS score
+       |  FROM surv s JOIN q eq ON eq.vec_id = s.neighbor_id
+       |  JOIN q qq ON qq.vec_id = s.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared C50/C58 replay prefix: coarse Lloyd + full-corpus assignment,
+    * residuals (raw IEEE doubles `rd` + the floor-quantized `rv`),
+    * stage-1 residual codebooks + corpus encode, probes, the per-
+    * (query, list) `<q,c>` constants, the stage-1 ADC tables, and the
+    * stage-1 `approx` scores over the probed lists. */
+  private lazy val ivfPqCommonCtes: String = {
+    import graft.operators.Ann.{PqM, PqKs, PqSampleFactor, PqLloydIters}
+    val sd = Dim / PqM
+    val sampleN = PqKs * PqSampleFactor
+    val rounds = graft.operators.Ann.LloydIters
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |$ivfLloydCtes,
+       |${ivfAssignCte(rounds + 1, "q", s"c$rounds", "vec_id")},
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range(1, ${Dim + 1}), i ->
+       |      e.emb[CAST(i AS INT)]
+       |        - CAST(c.cq[CAST(i AS INT)] AS DOUBLE) / 1000000.0) AS rd,
+       |    list_transform(range(1, ${Dim + 1}), i ->
+       |      CAST(floor((e.emb[CAST(i AS INT)]
+       |        - CAST(c.cq[CAST(i AS INT)] AS DOUBLE) / 1000000.0)
+       |        * 1000000.0) AS BIGINT)) AS rv
+       |  FROM a${rounds + 1} a JOIN emb e ON e.vec_id = a.vec_id
+       |  JOIN c$rounds c ON c.cid = a.cid),
+       |psamp AS MATERIALIZED (
+       |  SELECT rv AS qv, ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM res QUALIFY rn <= $sampleN),
+       |${pqLloydCtes("p", "qv")},
+       |rsub AS MATERIALIZED (
+       |  SELECT vec_id, t.m, rv[t.m * $sd + 1 : t.m * $sd + $sd] AS sv
+       |  FROM res, range(0, $PqM) t(m)),
+       |${pqEncodeCte("enc", "rsub", s"pc$PqLloydIters", "vec_id")},
+       |pr AS MATERIALIZED (
+       |  SELECT query_id, qqv, cid FROM (
+       |    SELECT query_id, qqv, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, cid) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, q.qv AS qqv, c.cid,
+       |      ${qcosSql("q.qv", "c.cq")} AS sim
+       |      FROM q CROSS JOIN c$rounds c
+       |      WHERE q.vec_id % 50 = 0))
+       |  WHERE rn <= $IvfProbes),
+       |qc AS MATERIALIZED (
+       |  SELECT p.query_id, p.cid,
+       |    ${intDotSql("p.qqv", "c.cq")} AS qc
+       |  FROM pr p JOIN c$rounds c ON c.cid = p.cid),
+       |tbl AS MATERIALIZED (
+       |  SELECT qq.vec_id AS query_id, c.m, c.code,
+       |    ${intDotSql(s"qq.qv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
+       |      AS w
+       |  FROM q qq CROSS JOIN pc$PqLloydIters c
+       |  WHERE qq.vec_id % 50 = 0),
+       |approx AS MATERIALIZED (
+       |  SELECT p.query_id, r.vec_id AS neighbor_id, p.cid,
+       |    CAST(MIN(q2.qc) + SUM(t.w) AS BIGINT) AS approx
+       |  FROM pr p JOIN res r ON r.cid = p.cid
+       |  JOIN enc e ON e.vec_id = r.vec_id
+       |  JOIN tbl t ON t.query_id = p.query_id AND t.m = e.m
+       |    AND t.code = e.code
+       |  JOIN qc q2 ON q2.query_id = p.query_id AND q2.cid = p.cid
+       |  WHERE r.vec_id <> p.query_id
+       |  GROUP BY p.query_id, r.vec_id, p.cid)""".stripMargin
+  }
+
+  lazy val annIvfPqTopkSql: String = {
+    val rerankN = 10 * TopK
+    s"""WITH $ivfPqCommonCtes,
+       |surv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, neighbor_id) AS k
+       |    FROM approx)
+       |  WHERE k <= $rerankN),
+       |$exactRankTail""".stripMargin
+  }
+
+  /** DuckDB twin for the two-stage ADC+R refine (C58 rows-only → oracle,
+    * the sixth ANN conversion): stage 1 is C50's coarse `approx` with the
+    * same rerank×k margin; the refinement codebooks train on the
+    * residual-of-residual `r₂ = r − cw₁/1e6` (IEEE doubles off the
+    * integer-grid stage-1 codewords, then the same floor quantization);
+    * stage-2 re-scores survivors by `<q,c> + Σ<q,cw₁> + Σ<q,cw₂>` from
+    * the stored codes only, keeps refine×k, and the exact tail ranks. */
+  lazy val annIvfPqRefineSql: String = {
+    import graft.operators.Ann.{PqM, PqKs, PqSampleFactor, PqLloydIters}
+    val sd = Dim / PqM
+    val sampleN = PqKs * PqSampleFactor
+    val rerankN = 10 * TopK
+    val refineN = 3 * TopK
+    s"""WITH $ivfPqCommonCtes,
+       |r2sub AS MATERIALIZED (
+       |  SELECT r.vec_id, e.m,
+       |    list_transform(range(1, ${sd + 1}), j ->
+       |      CAST(floor((r.rd[e.m * $sd + CAST(j AS INT)]
+       |        - CAST(c.cw[CAST(j AS INT)] AS DOUBLE) / 1000000.0)
+       |        * 1000000.0) AS BIGINT)) AS sv
+       |  FROM res r JOIN enc e ON e.vec_id = r.vec_id
+       |  JOIN pc$PqLloydIters c ON c.m = e.m AND c.code = e.code),
+       |p2samp AS MATERIALIZED (
+       |  SELECT qv, ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM (SELECT vec_id, flatten(list(sv ORDER BY m)) AS qv
+       |        FROM r2sub GROUP BY vec_id)
+       |  QUALIFY rn <= $sampleN),
+       |${pqLloydCtes("p2", "qv")},
+       |${pqEncodeCte("enc2", "r2sub", s"p2c$PqLloydIters", "vec_id")},
+       |tbl2 AS MATERIALIZED (
+       |  SELECT qq.vec_id AS query_id, c.m, c.code,
+       |    ${intDotSql(s"qq.qv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
+       |      AS w
+       |  FROM q qq CROSS JOIN p2c$PqLloydIters c
+       |  WHERE qq.vec_id % 50 = 0),
+       |surv1 AS (
+       |  SELECT query_id, neighbor_id, cid FROM (
+       |    SELECT query_id, neighbor_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, neighbor_id) AS k
+       |    FROM approx)
+       |  WHERE k <= $rerankN),
+       |refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(MIN(q2.qc) + SUM(t1.w + t2.w) AS BIGINT) AS refined
+       |  FROM surv1 s
+       |  JOIN enc e1 ON e1.vec_id = s.neighbor_id
+       |  JOIN tbl t1 ON t1.query_id = s.query_id AND t1.m = e1.m
+       |    AND t1.code = e1.code
+       |  JOIN enc2 e2 ON e2.vec_id = s.neighbor_id AND e2.m = e1.m
+       |  JOIN tbl2 t2 ON t2.query_id = s.query_id AND t2.m = e2.m
+       |    AND t2.code = e2.code
+       |  JOIN qc q2 ON q2.query_id = s.query_id AND q2.cid = s.cid
+       |  GROUP BY s.query_id, s.neighbor_id),
+       |surv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY refined DESC, neighbor_id) AS k
+       |    FROM refined)
+       |  WHERE k <= $refineN),
+       |$exactRankTail""".stripMargin
   }
 
   def annIvfStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1371,6 +1655,9 @@ object VectorOps {
     "ann_ivf_stats" -> annIvfStatsSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
-    "ann_lsh_stats" -> annLshStatsSql
+    "ann_lsh_stats" -> annLshStatsSql,
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "ann_ivfpq_refine" -> annIvfPqRefineSql
   )
 }
