@@ -575,27 +575,33 @@ object VectorOps {
   private def intDotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2]))"
 
-  /** Exact-cosine tail over a `surv(query_id, neighbor_id)` CTE — shared
-    * by every ANN twin's final ranking. */
-  private def exactRankTail: String =
-    s"""scored AS (
+  /** Exact-cosine rank CTE over a `surv(query_id, neighbor_id)` CTE —
+    * shared by every IVF×PQ twin's final ranking. The query side scores
+    * against `qsel.qqv` so probe-shaped query sets (C70b's anchors)
+    * reuse it. Ends in `ranked(query_id, neighbor_id, score, rank)`. */
+  private def exactRankCtes(k: Int): String =
+    s"""xscored AS (
        |  SELECT s.query_id, s.neighbor_id,
-       |    ${qcosSql("eq.qv", "qq.qv")} AS score
+       |    ${qcosSql("eq.qv", "qq.qqv")} AS score
        |  FROM surv s JOIN q eq ON eq.vec_id = s.neighbor_id
-       |  JOIN q qq ON qq.vec_id = s.query_id)
-       |SELECT query_id, neighbor_id, score,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |       ORDER BY score DESC, neighbor_id) AS INT) AS rank
-       |FROM scored
-       |QUALIFY rank <= $TopK
-       |ORDER BY query_id, rank""".stripMargin
+       |  JOIN qsel qq ON qq.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM xscored
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  private val exactRankSelect =
+    "SELECT query_id, neighbor_id, score, rank FROM ranked " +
+      "ORDER BY query_id, rank"
 
   /** Shared C50/C58 replay prefix: coarse Lloyd + full-corpus assignment,
     * residuals (raw IEEE doubles `rd` + the floor-quantized `rv`),
     * stage-1 residual codebooks + corpus encode, probes, the per-
     * (query, list) `<q,c>` constants, the stage-1 ADC tables, and the
     * stage-1 `approx` scores over the probed lists. */
-  private lazy val ivfPqCommonCtes: String = {
+  private def ivfPqCommonCtes(qselBody: String): String = {
     import graft.operators.Ann.{PqM, PqKs, PqSampleFactor, PqLloydIters}
     val sd = Dim / PqM
     val sampleN = PqKs * PqSampleFactor
@@ -624,26 +630,25 @@ object VectorOps {
        |  SELECT vec_id, t.m, rv[t.m * $sd + 1 : t.m * $sd + $sd] AS sv
        |  FROM res, range(0, $PqM) t(m)),
        |${pqEncodeCte("enc", "rsub", s"pc$PqLloydIters", "vec_id")},
+       |qsel AS MATERIALIZED ($qselBody),
        |pr AS MATERIALIZED (
-       |  SELECT query_id, qqv, cid FROM (
-       |    SELECT query_id, qqv, cid,
+       |  SELECT query_id, qqv, excl, cid FROM (
+       |    SELECT query_id, qqv, excl, cid,
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, cid) AS rn
-       |    FROM (SELECT q.vec_id AS query_id, q.qv AS qqv, c.cid,
-       |      ${qcosSql("q.qv", "c.cq")} AS sim
-       |      FROM q CROSS JOIN c$rounds c
-       |      WHERE q.vec_id % 50 = 0))
+       |    FROM (SELECT q.query_id, q.qqv, q.excl, c.cid,
+       |      ${qcosSql("q.qqv", "c.cq")} AS sim
+       |      FROM qsel q CROSS JOIN c$rounds c))
        |  WHERE rn <= $IvfProbes),
        |qc AS MATERIALIZED (
        |  SELECT p.query_id, p.cid,
        |    ${intDotSql("p.qqv", "c.cq")} AS qc
        |  FROM pr p JOIN c$rounds c ON c.cid = p.cid),
        |tbl AS MATERIALIZED (
-       |  SELECT qq.vec_id AS query_id, c.m, c.code,
-       |    ${intDotSql(s"qq.qv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
+       |  SELECT qq.query_id, c.m, c.code,
+       |    ${intDotSql(s"qq.qqv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
        |      AS w
-       |  FROM q qq CROSS JOIN pc$PqLloydIters c
-       |  WHERE qq.vec_id % 50 = 0),
+       |  FROM qsel qq CROSS JOIN pc$PqLloydIters c),
        |approx AS MATERIALIZED (
        |  SELECT p.query_id, r.vec_id AS neighbor_id, p.cid,
        |    CAST(MIN(q2.qc) + SUM(t.w) AS BIGINT) AS approx
@@ -652,13 +657,22 @@ object VectorOps {
        |  JOIN tbl t ON t.query_id = p.query_id AND t.m = e.m
        |    AND t.code = e.code
        |  JOIN qc q2 ON q2.query_id = p.query_id AND q2.cid = p.cid
-       |  WHERE r.vec_id <> p.query_id
+       |  WHERE r.vec_id <> COALESCE(p.excl, ${Long.MinValue})
        |  GROUP BY p.query_id, r.vec_id, p.cid)""".stripMargin
   }
 
+  /** The driver keys' query set: every 50th vector, keyed by its own id;
+    * `excl` is the ranker's `neighbor <> query` self-exclusion target —
+    * NULL for probe-shaped query sets whose ids are not vec_ids (C70b's
+    * negative anchor ordinals never match a corpus id, so their replay
+    * excludes nothing here and drops the anchor explicitly later). */
+  private val ivfPqDriverQsel =
+    "SELECT vec_id AS query_id, qv AS qqv, vec_id AS excl FROM q " +
+      "WHERE vec_id % 50 = 0"
+
   lazy val annIvfPqTopkSql: String = {
     val rerankN = 10 * TopK
-    s"""WITH $ivfPqCommonCtes,
+    s"""WITH ${ivfPqCommonCtes(ivfPqDriverQsel)},
        |surv AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -666,7 +680,8 @@ object VectorOps {
        |        ORDER BY approx DESC, neighbor_id) AS k
        |    FROM approx)
        |  WHERE k <= $rerankN),
-       |$exactRankTail""".stripMargin
+       |${exactRankCtes(TopK)}
+       |$exactRankSelect""".stripMargin
   }
 
   /** DuckDB twin for the two-stage ADC+R refine (C58 rows-only → oracle,
@@ -676,14 +691,15 @@ object VectorOps {
     * integer-grid stage-1 codewords, then the same floor quantization);
     * stage-2 re-scores survivors by `<q,c> + Σ<q,cw₁> + Σ<q,cw₂>` from
     * the stored codes only, keeps refine×k, and the exact tail ranks. */
-  lazy val annIvfPqRefineSql: String = {
+  /** The ADC+R stage-2 chain over the common CTEs: refinement books,
+    * stage-1 survivors at `rerankN`, the `<q,c>+Σ<q,cw₁>+Σ<q,cw₂>`
+    * re-score, and the `refineN` cut — ends in
+    * `surv(query_id, neighbor_id)`. */
+  private def ivfPqRefineChain(rerankN: Int, refineN: Int): String = {
     import graft.operators.Ann.{PqM, PqKs, PqSampleFactor, PqLloydIters}
     val sd = Dim / PqM
     val sampleN = PqKs * PqSampleFactor
-    val rerankN = 10 * TopK
-    val refineN = 3 * TopK
-    s"""WITH $ivfPqCommonCtes,
-       |r2sub AS MATERIALIZED (
+    s"""r2sub AS MATERIALIZED (
        |  SELECT r.vec_id, e.m,
        |    list_transform(range(1, ${sd + 1}), j ->
        |      CAST(floor((r.rd[e.m * $sd + CAST(j AS INT)]
@@ -700,11 +716,10 @@ object VectorOps {
        |${pqLloydCtes("p2", "qv")},
        |${pqEncodeCte("enc2", "r2sub", s"p2c$PqLloydIters", "vec_id")},
        |tbl2 AS MATERIALIZED (
-       |  SELECT qq.vec_id AS query_id, c.m, c.code,
-       |    ${intDotSql(s"qq.qv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
+       |  SELECT qq.query_id, c.m, c.code,
+       |    ${intDotSql(s"qq.qqv[c.m * $sd + 1 : c.m * $sd + $sd]", "c.cw")}
        |      AS w
-       |  FROM q qq CROSS JOIN p2c$PqLloydIters c
-       |  WHERE qq.vec_id % 50 = 0),
+       |  FROM qsel qq CROSS JOIN p2c$PqLloydIters c),
        |surv1 AS (
        |  SELECT query_id, neighbor_id, cid FROM (
        |    SELECT query_id, neighbor_id, cid,
@@ -730,8 +745,53 @@ object VectorOps {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY refined DESC, neighbor_id) AS k
        |    FROM refined)
-       |  WHERE k <= $refineN),
-       |$exactRankTail""".stripMargin
+       |  WHERE k <= $refineN)""".stripMargin
+  }
+
+  lazy val annIvfPqRefineSql: String =
+    s"""WITH ${ivfPqCommonCtes(ivfPqDriverQsel)},
+       |${ivfPqRefineChain(10 * TopK, 3 * TopK)},
+       |${exactRankCtes(TopK)}
+       |$exactRankSelect""".stripMargin
+
+  /** DuckDB twin for the index-probed hybrid (C70b rows-only → oracle,
+    * the SEVENTH and final ANN conversion): the lexical side is C70's
+    * BM25 replay, the anchors (each query's top-1 lexical hit) become
+    * the probe query set through the SAME composed-index replay as C58
+    * (k+1 margins — excluding the anchor from its own candidates must
+    * still leave k), and the fused board rides C70's RRF spelling. */
+  lazy val annHybridProbeSql: String = {
+    val k = HybridK
+    val anchorQsel =
+      """SELECT b.query_id, qv.qv AS qqv, CAST(NULL AS BIGINT) AS excl
+        |   FROM bm25ranked b JOIN q qv ON qv.vec_id = b.doc_id
+        |   WHERE b.rank = 1""".stripMargin
+    s"""WITH ${CorpusOps.bm25Ctes},
+       |${ivfPqCommonCtes(anchorQsel)},
+       |${ivfPqRefineChain(10 * (k + 1), 3 * (k + 1))},
+       |${exactRankCtes(k + 1)},
+       |anch AS (SELECT b.query_id, b.doc_id AS anchor_id
+       |         FROM bm25ranked b WHERE b.rank = 1),
+       |semr AS (
+       |  SELECT query_id, neighbor_id AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id) AS INT) AS sem_rank
+       |  FROM ranked JOIN anch USING (query_id)
+       |  WHERE neighbor_id <> anchor_id
+       |  QUALIFY sem_rank <= $k),
+       |lexr AS (SELECT query_id, doc_id, rank AS lex_rank FROM bm25ranked),
+       |fused AS (
+       |  SELECT query_id, doc_id, lex_rank, sem_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($RrfK + sem_rank), CAST(0.0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM lexr FULL JOIN semr USING (query_id, doc_id))
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |FROM fused
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   def annIvfStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1552,9 +1612,15 @@ object VectorOps {
       queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
     val (lex, anchors) = lexAndAnchors(documents, embeddings, queries, k)
     // the probe machinery keys queries by LONG id; the O(queries) ordinal
-    // map rides the plan as a literal both ways
+    // map rides the plan as a literal both ways. Ordinals are NEGATIVE
+    // (−1 − i): the ranker's internal `neighbor_id <> query_id` self-
+    // exclusion compares them against corpus vec_ids, and a non-negative
+    // ordinal colliding with a real vec_id would silently drop that
+    // vector from the query's candidates (found in r13 session 2 while
+    // oracle-converting this key; anchor exclusion is the explicit
+    // `_aid` filter below, never the ordinal)
     val qOrd: Map[String, Long] =
-      queries.map(_._1).zipWithIndex.map { case (q, i) => q -> i.toLong }.toMap
+      queries.map(_._1).zipWithIndex.map { case (q, i) => q -> (-1L - i) }.toMap
     val qInv: Map[Long, String] = qOrd.map(_.swap)
     val anchorsL = anchors
       .withColumn("_qidl", element_at(typedLit(qOrd), col("_qid")))
@@ -1658,6 +1724,7 @@ object VectorOps {
     "ann_lsh_stats" -> annLshStatsSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
-    "ann_ivfpq_refine" -> annIvfPqRefineSql
+    "ann_ivfpq_refine" -> annIvfPqRefineSql,
+    "hybrid_search_probe" -> annHybridProbeSql
   )
 }
