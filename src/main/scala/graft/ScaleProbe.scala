@@ -554,6 +554,9 @@ object ScaleProbe {
       graft.streaming.StatefulTransitions
         .streamTransitions(spark, streamDir).count()
     }
+    time("stream_top_paths") {
+      graft.streaming.StreamOps.streamTopPaths(spark, streamDir).count()
+    }
     time("stream_kn_score") {
       graft.streaming.StreamOps.streamKnScore(spark, streamDir).count()
     }

@@ -26,6 +26,7 @@ object ScaleProbeCoverage {
     "time_in_state", "stream_forecast_snaive", "dup_spans",
     "stream_dup_spans",
     "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts",
+    "stream_top_paths",
     "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
@@ -92,6 +93,7 @@ object ScaleProbeCoverage {
     "time_in_state", "stream_forecast_snaive", "dup_spans",
     "stream_dup_spans",
     "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts",
+    "stream_top_paths",
     "ann_ivf_stats", "ann_pq_topk", "attribution_linear",
     "bloom_semi_join", "bucketed_join", "bm25_search",
     "bpe_encode", "bpe_vocab", "cdc_compact", "cdc_compact_rewrite",
@@ -306,6 +308,12 @@ object ScaleProbeCoverage {
       "stream_changepoint" -> (Seq("stream_forecast_snaive"),
         "the SAME append-mode day-window eviction machine (shared " +
         "dailyRevenueDrain); only the O(groups x days) read tail differs"),
+      "stream_acf" -> (Seq("stream_forecast_snaive"),
+        "the SAME shared dailyRevenueDrain machine; only the O(groups x " +
+        "days) read tail differs"),
+      "benford_audit" -> (Seq("linreg_trend"),
+        "one lineitem map stage + an O(9) partial agg — strictly lighter " +
+        "than the probed daily rollup + stats chain over the same feed"),
       "text_quality" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same text scan"),
       "text_tokens" -> (Seq("text_entropy", "text_repetition"),

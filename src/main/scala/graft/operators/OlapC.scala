@@ -1572,7 +1572,14 @@ object OlapC {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rn"), col("_et")))),
         x => x.getField("_et")), ">").as("path"))
-    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    topPathsBoardOn(
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users")))
+  }
+
+  /** The rank-board tail over a (path, n_users) count frame — shared by
+    * the batch key and the streaming twin (B108), whose drain delivers
+    * the SAME counts out of per-batch settled-path partials. */
+  private[graft] def topPathsBoardOn(counts: DataFrame): DataFrame =
     counts.withColumn("rank",
         row_number().over(Window.partitionBy(
             BoundedBoard.pinnedZero(col("path")))
@@ -1581,7 +1588,6 @@ object OlapC {
       .select(col("rank").cast("long").as("rank"), col("path"),
         col("n_users"))
       .orderBy(col("rank"))
-  }
 
   def topPaths(spark: SparkSession, dir: String): DataFrame =
     topPathsOn(Tables(spark, dir).events, "user_id", "ts", "event_id",

@@ -1382,7 +1382,112 @@ object OlapD {
        |CROSS JOIN nb
        |ORDER BY item_a, item_b""".stripMargin
 
+  // --- B107: Benford first-digit audit -----------------------------------------
+  /** Benford's-law expected first-digit frequencies, log₁₀(1 + 1/d) for
+    * d = 1..9, as shortest-roundtrip double literals — the SAME bits in
+    * the Column tree and the rendered SQL (libm log10 is NOT
+    * cross-engine deterministic; a frozen literal is). */
+  val BenfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit audit — the forensic data-quality screen for
+    * amount columns (Nigrini: fabricated or systematically rounded
+    * figures drift from the log-law Benford distribution real
+    * multiplicative processes follow; B83 profiles FDs, B38 profiles
+    * nulls/cardinality — this profiles the VALUES). Per digit: exact
+    * count, observed frequency, the Benford expectation, and the
+    * 8-degree χ² statistic. First digits extract on the exact integer
+    * micro grid (scaling by 10⁶ never moves the leading digit) via
+    * integer-to-string — no libm log10, whose cross-engine bits differ.
+    * The χ² sum is a FIXED 9-term left-associated IEEE chain over the
+    * pivoted exact counts (a float SUM over rows would be
+    * partial-agg-order-dependent).
+    *
+    * Scale shape: one map stage + one O(9) digit partial agg; the board
+    * math is driver-scale. */
+  def benfordAuditOn(items: DataFrame, valueCol: String): DataFrame = {
+    val digits = items.select(
+        coalesce((col(valueCol).cast("decimal(25,6)") * 1000000)
+          .cast("long"),
+          raise_error(lit("benford_audit: micro value overflowed BIGINT"))
+            .cast("long")).as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val board = items.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .localCheckpoint(eager = true) // O(9) board, consumed twice
+    val one = board.agg(sum(col("n_obs")).as("n"),
+      (1 to 9).map(d => sum(when(col("digit") === d, col("n_obs"))
+        .otherwise(0L)).as(s"c$d")): _*)
+    val nD = col("n").cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val e = nD * lit(BenfordP(d - 1))
+      val o = col(s"c$d").cast("double")
+      (o - e) * (o - e) / e
+    }.reduce(_ + _)
+    val pCase = (2 to 9).foldLeft(when(col("digit") === 1,
+      lit(BenfordP(0)))) { (acc, d) =>
+      acc.when(col("digit") === d, lit(BenfordP(d - 1)))
+    }
+    board.crossJoin(broadcast(one.select(col("n").as("n_total"),
+        chi2.as("chi2"))))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("obs_freq"),
+        pCase.as("benford_p"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOn(Tables(spark, dir).lineitem, "l_extendedprice")
+
+  /** Twin: the same micro-grid digit extraction, 9-digit spine, pivoted
+    * exact counts, and the identical fixed-order χ² chain. */
+  val benfordAuditSql: String = {
+    // string-literal→double parse is the ONE correctly-rounded route in
+    // DuckDB (a bare decimal literal lands in DECIMAL(18,17) whose
+    // int64→double conversion double-rounds — found 1 ulp off on digit 3)
+    def pLit(d: Int) = s"CAST('${BenfordP(d - 1)}' AS DOUBLE)"
+    val pCase = (1 to 9).map(d =>
+      s"WHEN ${d} THEN ${pLit(d)}").mkString(" ")
+    val cSums = (1 to 9).map(d =>
+      s"CAST(SUM(CASE WHEN digit = $d THEN n_obs ELSE 0 END) AS BIGINT) AS c$d")
+      .mkString(",\n    ")
+    val chi2 = (1 to 9).map { d =>
+      val e = s"(CAST(n AS DOUBLE) * ${pLit(d)})"
+      val o = s"CAST(c$d AS DOUBLE)"
+      s"(($o - $e) * ($o - $e) / $e)"
+    }.mkString("\n    + ")
+    s"""WITH mic AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000
+       |    AS BIGINT) AS v
+       |  FROM lineitem
+       |), dg AS (
+       |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM mic WHERE v > 0
+       |), counts AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY 1),
+       |board AS (
+       |  SELECT CAST(s.digit AS INT) AS digit,
+       |    COALESCE(c.n_obs, 0) AS n_obs
+       |  FROM range(1, 10) s(digit) LEFT JOIN counts c ON c.digit = s.digit
+       |), one AS (
+       |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+       |    $cSums
+       |  FROM board)
+       |SELECT b.digit, b.n_obs, one.n AS n_total,
+       |  CAST(b.n_obs AS DOUBLE) / CAST(one.n AS DOUBLE) AS obs_freq,
+       |  CASE b.digit $pCase END AS benford_p,
+       |  $chi2 AS chi2
+       |FROM board b CROSS JOIN one
+       |ORDER BY b.digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benford_audit" -> (benfordAudit _),
     "basket_pairs" -> (basketPairs _),
     "attribution_shapley" -> (attributionShapley _),
     "attribution" -> (attribution _),
@@ -1400,6 +1505,7 @@ object OlapD {
     "fd_profile" -> (fdProfile _))
 
   val oracles: Map[String, String] = Map(
+    "benford_audit" -> benfordAuditSql,
     "basket_pairs" -> basketPairsSql,
     "attribution_shapley" -> attributionShapleySql,
     "attribution" -> attributionSql,

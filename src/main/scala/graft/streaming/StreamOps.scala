@@ -1487,6 +1487,92 @@ object StreamOps {
       "event_type", "ts", "value")
       .orderBy(col("event_type"))
 
+  val AcfQueryName = "graft_stream_acf"
+
+  /** B106: B102's autocorrelation board maintained BY the stream — the
+    * live seasonality monitor completing the day-board trio (B98
+    * forecast error, B105 regime shift, B106 seasonality): same
+    * append-mode day-window eviction machine, B102's exact-integer
+    * estimator runs once at read over the drained dailies, so
+    * drain == batch and the key SHARES `acf_lags`' oracle. */
+  def streamAcf(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("ts"), lit("_sentinel").as("event_type"), col("value"))
+    acfStreamOn(spark, eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(sentinel))
+  }
+
+  /** The B106 machine over ANY (ts, event_type, value)-shaped stream
+    * ending in a far-future sentinel — split out for the eviction spec. */
+  private[streaming] def acfStreamOn(spark: SparkSession,
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    graft.operators.OlapC.acfLagsOn(
+      dailyRevenueDrain(spark, ev, AcfQueryName, afterDrain),
+      "event_type", "ts", "value")
+      .orderBy(col("event_type"), col("lag"))
+
+  val TopPathsQueryName = "graft_stream_top_paths"
+
+  /** Flush bound for B108's short prefixes: 2 days past the corpus max —
+    * strictly ABOVE any mid-stream watermark (≤ max real ts) so a short
+    * user never settles while its prefix can still grow, and strictly
+    * BELOW the sentinel-driven final watermark (max + 3 days) so the
+    * end-of-replay flush fires it. */
+  private val PathsFlushOffsetUs = 2L * 86400 * 1000000
+
+  /** B108: B103's top-k entry-path board maintained BY the stream — the
+    * live "how do sessions start" dashboard. Per-user state is the ≤L
+    * smallest-(ts, event_id) events (a sorted-merge-truncate monoid, so
+    * split waves and late-but-admissible arrivals land on the same
+    * prefix); a FULL prefix settles the moment the watermark strictly
+    * passes its L-th timestamp (no admissible event can sort into it)
+    * and the user shrinks to a tombstone that keeps the unbounded later
+    * suffix inert ([[StatefulPaths]] documents why the tombstone — not
+    * full eviction — is the correct shape for a prefix property). Each
+    * batch's settled paths shrink to (path, n) sum-monoid partials in
+    * the sink; the rank board runs once at read through the SAME
+    * [[graft.operators.OlapC.topPathsBoardOn]] tail as batch, so
+    * drain == batch and the key SHARES `top_paths`' oracle. */
+  def streamTopPaths(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit("_sentinel").as("event_type"))
+    topPathsStreamOn(spark, eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .unionByName(sentinel), maxTsUs + PathsFlushOffsetUs)
+  }
+
+  /** The B108 machine over ANY (user_id, ts, event_id, event_type)
+    * stream ending in a far-future sentinel (user_id < 0) — split out so
+    * the replay spec can pin the cross-wave prefix monoid, the freeze
+    * eviction, the tombstone's suffix inertness, and drain == batch. */
+  private[streaming] def topPathsStreamOn(spark: SparkSession,
+      ev: DataFrame, flushAtUs: Long,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val settled = StatefulPaths.settledPaths(spark, ev,
+      graft.operators.OlapC.PathLen, flushAtUs)
+    val partials = drainViaParquetSink(spark, settled.toDF(),
+      TopPathsQueryName,
+      xform = (mb, _) => mb.groupBy(col("path"))
+        .agg(count(lit(1)).as("n")),
+      afterDrain = afterDrain)
+    graft.operators.OlapC.topPathsBoardOn(
+      partials.groupBy(col("path")).agg(sum(col("n")).as("n_users")))
+  }
+
   val ClusterAssignQueryName = "graft_stream_cluster_assign"
 
   /** C28's k-means over a LIVE vector feed (B70) — the deploy shape of
@@ -1927,6 +2013,8 @@ object StreamOps {
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
+    "stream_acf" -> (streamAcf _),
+    "stream_top_paths" -> (streamTopPaths _),
     "stream_dup_spans" -> (streamDupSpans _),
     "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
@@ -1951,6 +2039,8 @@ object StreamOps {
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
+    "stream_acf" -> graft.operators.OlapC.acfLagsSql,
+    "stream_top_paths" -> graft.operators.OlapC.topPathsSql,
     "stream_dup_spans" -> graft.operators.TextOps.dupSpansSql,
     "stream_attribution_shapley" ->
       graft.operators.OlapD.attributionShapleySql,

@@ -71,7 +71,9 @@ class PlanGuardSpec extends SparkSpec {
     "basket_pairs",
     // two 1-row summary frames (totals, marginal product) broadcast onto
     // the O(langs²) confusion board
-    "langid_agreement")
+    "langid_agreement",
+    // 1-row (n, c1..c9, chi2) frame broadcast onto the 9-row digit board
+    "benford_audit")
 
   test("no unintended nested-loop or cartesian joins anywhere") {
     val offenders = batchQueries.keys.toSeq.sorted
@@ -258,6 +260,7 @@ class PlanGuardSpec extends SparkSpec {
     "top_paths" -> 4, // B103: ONE user-key window exchange + the per-user path agg + the O(|types|^len) path-count agg + gate sort; the rank window rides the bounded board's pinned key (measured 4)
     "kcore_parts" -> 1, // B104: peel rounds are checkpoint-truncated (each round's two co-keyed joins + degree agg run ONCE, eagerly — the B26/B92 discipline); the residual plan is the projection + gate sort (measured 1)
     "langid_agreement" -> 5, // C108: the confusion board is checkpoint-truncated (ONE corpus scan); residual = two O(langs) marginal aggs + their full-outer product agg + the 1-row totals agg + gate sort, all over the O(langs²) board (measured 5)
+    "benford_audit" -> 2, // B107: the digit board is checkpoint-truncated (one lineitem map + O(9) partial agg run eagerly); residual = the 1-row pivot agg's single-partition exchange + gate sort (measured 2)
     "text_readability" -> 1 // C109: pure regexp-count map stage + gate sort (measured 1)
   )
 
