@@ -314,6 +314,12 @@ object ScaleProbeCoverage {
       "benford_audit" -> (Seq("linreg_trend"),
         "one lineitem map stage + an O(9) partial agg — strictly lighter " +
         "than the probed daily rollup + stats chain over the same feed"),
+      "seasonal_detrend" -> (Seq("changepoint_cusum"),
+        "the SAME daily rollup + one group-key window over the O(groups " +
+        "x days) board — the probed CUSUM chain's shape"),
+      "stream_benford" -> (Seq("stream_linreg_trend"),
+        "same lineitem feed; the stateless per-batch digit partial is " +
+        "strictly lighter than the probed day-window machine"),
       "text_quality" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same text scan"),
       "text_tokens" -> (Seq("text_entropy", "text_repetition"),

@@ -1545,6 +1545,83 @@ object OlapC {
        |FROM agg a JOIN stats s ON s.grp = a.grp
        |ORDER BY event_type, lag""".stripMargin
 
+  // --- B110: centered-MA seasonal detrend ---------------------------------------
+  /** Centered moving-average width for B110 (one week, 3 days each side). */
+  val DetrendWindow = 7
+
+  /** Classical-decomposition detrend — the step BETWEEN B102 (which
+    * detects a season) and B96 (which scores a seasonal forecast): per
+    * series, the centered 7-day moving-average trend and the detrended
+    * residual, both in EXACT micro-integers cleared of the /7 division
+    * (trend_x7 = Σ window, detrended_x7 = 7·v − Σ window — no rounding
+    * can drift between engines; the display trend is one IEEE chain over
+    * the guarded BIGINT, never a wide-decimal cast). Edge days without a
+    * full window emit null trend (the classical-decomposition
+    * convention). Windows are observation-index windows over the
+    * day-ordered series (B102's declared convention).
+    *
+    * Scale shape: the corpus-sized stage is the daily rollup; the
+    * centered window rides ONE group-key exchange over the O(groups ×
+    * days) board. */
+  def seasonalDetrendOn(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    def guarded(c: Column, what: String): Column =
+      coalesce(c.cast("long"),
+        raise_error(lit(s"seasonal_detrend: $what overflowed BIGINT"))
+          .cast("long"))
+    val daily = events
+      .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
+      .select(col("grp"), col("d"),
+        coalesce((col("_v") * 1000000).cast("decimal(18,0)"),
+          raise_error(lit("seasonal_detrend: daily micro total " +
+            "overflowed decimal(18,0)")).cast("decimal(18,0)")).as("v"))
+    val half = DetrendWindow / 2
+    val w = Window.partitionBy(col("grp")).orderBy(col("d"))
+      .rowsBetween(-half, half)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("t7", sum(col("v")).over(w))
+      .select(col("grp").as("event_type"), col("d").as("day"),
+        guarded(col("v"), "v_micro").as("v_micro"),
+        when(col("n_win") === DetrendWindow,
+          guarded(col("t7"), "trend_x7")).as("trend_x7_micro"),
+        when(col("n_win") === DetrendWindow,
+          guarded(col("v") * DetrendWindow - col("t7"), "detrended_x7"))
+          .as("detrended_x7_micro"))
+      .withColumn("trend",
+        col("trend_x7_micro").cast("double") / 7.0 / 1000000.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def seasonalDetrend(spark: SparkSession, dir: String): DataFrame =
+    seasonalDetrendOn(Tables(spark, dir).events, "event_type", "ts",
+      "value")
+
+  /** Twin: the same micro board, centered ROWS window, full-window gate,
+    * and division-cleared integers. */
+  val seasonalDetrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000
+       |      AS DECIMAL(18,0)) AS v
+       |  FROM events GROUP BY 1, 2
+       |), win AS (
+       |  SELECT grp, d, v, COUNT(*) OVER w AS n_win, SUM(v) OVER w AS t7
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY grp ORDER BY d
+       |    ROWS BETWEEN ${DetrendWindow / 2} PRECEDING
+       |    AND ${DetrendWindow / 2} FOLLOWING))
+       |SELECT grp AS event_type, d AS day, CAST(v AS BIGINT) AS v_micro,
+       |  CASE WHEN n_win = $DetrendWindow THEN CAST(t7 AS BIGINT) END
+       |    AS trend_x7_micro,
+       |  CASE WHEN n_win = $DetrendWindow
+       |    THEN CAST(v * $DetrendWindow - t7 AS BIGINT) END
+       |    AS detrended_x7_micro,
+       |  CAST(CASE WHEN n_win = $DetrendWindow THEN CAST(t7 AS BIGINT) END
+       |    AS DOUBLE) / 7.0 / 1000000.0 AS trend
+       |FROM win ORDER BY event_type, day""".stripMargin
+
   // --- B103: top entry paths ---------------------------------------------------
   /** Path prefix length and board size for B103. */
   val PathLen = 3
@@ -1708,6 +1785,7 @@ object OlapC {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "changepoint_cusum" -> (changepointCusum _),
     "acf_lags" -> (acfLags _),
+    "seasonal_detrend" -> (seasonalDetrend _),
     "top_paths" -> (topPaths _),
     "kcore_parts" -> (kcoreParts _),
     "bfs_hops" -> (bfsHops _),
@@ -1736,6 +1814,7 @@ object OlapC {
   val oracles: Map[String, String] = Map(
     "changepoint_cusum" -> changepointCusumSql,
     "acf_lags" -> acfLagsSql,
+    "seasonal_detrend" -> seasonalDetrendSql,
     "top_paths" -> topPathsSql,
     "kcore_parts" -> kcorePartsSql,
     "bfs_hops" -> bfsHopsSql,

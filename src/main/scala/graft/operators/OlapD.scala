@@ -1405,8 +1405,11 @@ object OlapD {
     *
     * Scale shape: one map stage + one O(9) digit partial agg; the board
     * math is driver-scale. */
-  def benfordAuditOn(items: DataFrame, valueCol: String): DataFrame = {
-    val digits = items.select(
+  /** The stateless per-row digit extraction — shared by the batch key
+    * and the streaming twin (one spelling, per the B24 discipline). */
+  private[graft] def benfordDigitsOn(items: DataFrame,
+      valueCol: String): DataFrame =
+    items.select(
         coalesce((col(valueCol).cast("decimal(25,6)") * 1000000)
           .cast("long"),
           raise_error(lit("benford_audit: micro value overflowed BIGINT"))
@@ -1414,8 +1417,16 @@ object OlapD {
       .filter(col("v") > 0)
       .select(substring(col("v").cast("string"), 1, 1).cast("int")
         .as("digit"))
-    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val board = items.sparkSession.range(1, 10)
+
+  def benfordAuditOn(items: DataFrame, valueCol: String): DataFrame =
+    benfordBoardOn(benfordDigitsOn(items, valueCol)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs")))
+
+  /** The χ² board tail over a (digit, n_obs) count frame — shared by the
+    * batch key and the streaming twin, whose drain delivers the SAME
+    * counts out of per-batch digit partials. */
+  private[graft] def benfordBoardOn(counts: DataFrame): DataFrame = {
+    val board = counts.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("digit"))
       .join(counts, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))

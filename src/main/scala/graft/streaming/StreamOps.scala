@@ -1644,6 +1644,40 @@ object StreamOps {
       .orderBy(col("tbl"))
   }
 
+  val BenfordQueryName = "graft_stream_benford"
+
+  /** B109: B107's Benford forensic screen maintained BY the stream — the
+    * live value-distribution drift monitor (an amounts feed whose digit
+    * law shifts mid-stream is a fraud or upstream-format incident).
+    * Digit extraction is a stateless codegen map (B107's shared
+    * spelling), so per-batch (digit, n) counts are sum-monoid partials
+    * appended to the rollup — ZERO streaming state (the B100 shape) —
+    * and the χ² board runs once at read through the SAME
+    * [[graft.operators.OlapD.benfordBoardOn]] tail as batch; drain ==
+    * batch → SHARES `benford_audit`'s oracle. */
+  def streamBenford(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir).schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(col("l_extendedprice"))
+    benfordStreamOn(spark, li, "l_extendedprice")
+  }
+
+  /** The B109 machine over ANY stream carrying an amount column — split
+    * out so the replay spec can split the feed mid-digit across waves
+    * and pin the merged board == batch. */
+  private[streaming] def benfordStreamOn(spark: SparkSession,
+      amounts: DataFrame, valueCol: String): DataFrame = {
+    val partials = drainViaParquetSink(spark, amounts, BenfordQueryName,
+      xform = (mb, _) => graft.operators.OlapD
+        .benfordDigitsOn(mb, valueCol)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+    graft.operators.OlapD.benfordBoardOn(
+      partials.groupBy(col("digit")).agg(sum(col("n")).as("n_obs")))
+  }
+
   val WsQueryName = "graft_stream_weighted_sample"
 
   /** C40's deterministic weighted sample maintained BY the stream (B68)
@@ -2015,6 +2049,7 @@ object StreamOps {
     "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
     "stream_top_paths" -> (streamTopPaths _),
+    "stream_benford" -> (streamBenford _),
     "stream_dup_spans" -> (streamDupSpans _),
     "stream_attribution_shapley" -> (streamAttributionShapley _)
   )
@@ -2041,6 +2076,7 @@ object StreamOps {
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_acf" -> graft.operators.OlapC.acfLagsSql,
     "stream_top_paths" -> graft.operators.OlapC.topPathsSql,
+    "stream_benford" -> graft.operators.OlapD.benfordAuditSql,
     "stream_dup_spans" -> graft.operators.TextOps.dupSpansSql,
     "stream_attribution_shapley" ->
       graft.operators.OlapD.attributionShapleySql,

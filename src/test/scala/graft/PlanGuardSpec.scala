@@ -261,6 +261,7 @@ class PlanGuardSpec extends SparkSpec {
     "kcore_parts" -> 1, // B104: peel rounds are checkpoint-truncated (each round's two co-keyed joins + degree agg run ONCE, eagerly — the B26/B92 discipline); the residual plan is the projection + gate sort (measured 1)
     "langid_agreement" -> 5, // C108: the confusion board is checkpoint-truncated (ONE corpus scan); residual = two O(langs) marginal aggs + their full-outer product agg + the 1-row totals agg + gate sort, all over the O(langs²) board (measured 5)
     "benford_audit" -> 2, // B107: the digit board is checkpoint-truncated (one lineitem map + O(9) partial agg run eagerly); residual = the 1-row pivot agg's single-partition exchange + gate sort (measured 2)
+    "seasonal_detrend" -> 3, // B110: the (group, day) partial-agg exchange + ONE group-key exchange for the centered window + gate sort (measured 3)
     "text_readability" -> 1 // C109: pure regexp-count map stage + gate sort (measured 1)
   )
 
