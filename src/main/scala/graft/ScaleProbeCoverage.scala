@@ -320,6 +320,13 @@ object ScaleProbeCoverage {
       "stream_benford" -> (Seq("stream_linreg_trend"),
         "same lineitem feed; the stateless per-batch digit partial is " +
         "strictly lighter than the probed day-window machine"),
+      "skew_audit" -> (Seq("fd_profile"),
+        "the SAME per-candidate census pattern (key partial agg + 1-row " +
+        "rollup, unioned) the probed FD board runs with an exact " +
+        "count-distinct ON TOP"),
+      "rate_wilson" -> (Seq("q5_multijoin"),
+        "one distinct + semi join on the star's own keys + an " +
+        "O(nations) rollup — a strict subset of the probed star"),
       "text_quality" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same text scan"),
       "text_tokens" -> (Seq("text_entropy", "text_repetition"),

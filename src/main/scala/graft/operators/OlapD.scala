@@ -1497,8 +1497,172 @@ object OlapD {
        |ORDER BY b.digit""".stripMargin
   }
 
+  // --- B111: join-key skew audit -----------------------------------------------
+  /** The candidate join/partition keys the skew board audits — FK columns
+    * a planner would shuffle on, plus `events.event_type` (a deliberately
+    * tiny-alphabet key: near-uniform, so skew_ratio ≈ 1, yet it must
+    * flag `low_cardinality` — the parallelism failure mode). */
+  val SkewCandidates: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("orders", "o_custkey"),
+    ("events", "user_id"), ("events", "event_type"))
+
+  /** Salt threshold: a key whose hottest group exceeds this multiple of
+    * the average group is a straggler risk at scale. */
+  val SkewSaltRatio = 16.0
+
+  /** Parallelism floor: a key with fewer distinct values than this
+    * cannot spread a shuffle across a real cluster's partitions, no
+    * matter how balanced its groups are (the OTHER way a join key fails
+    * at scale — `events.event_type`'s 5 near-uniform groups have
+    * skew_ratio ≈ 1 and still cap the stage at 5 tasks). */
+  val SkewMinKeys = 1000L
+
+  /** Join-key skew audit — the operational "will this key straggle"
+    * board behind every salting decision in this repo (B31's salted
+    * join, AQE skew splits): per candidate key, exact row/key counts,
+    * the hottest group, the mean group, and their ratio — a
+    * `skew_ratio` of k means the straggler partition finishes ~k× after
+    * the median at any cluster size, the one number that survives a
+    * 1000× scale-up. `salt_recommended` applies the [[SkewSaltRatio]]
+    * policy. All counts exact; ratios one IEEE chain.
+    *
+    * Scale shape: per candidate ONE key partial agg to O(keys) counts +
+    * a 1-row rollup — the B83 FD-census pattern; the board is
+    * O(candidates). */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val boards = SkewCandidates.map { case (tbl, c) =>
+      val src = tbl match {
+        case "lineitem" => t.lineitem
+        case "orders" => t.orders
+        case "events" => t.events
+      }
+      src.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("_n")).as("max_key_rows"))
+        .select(lit(tbl).as("tbl"), lit(c).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_key_rows"))
+    }
+    val ratio = col("max_key_rows").cast("double") *
+      col("n_keys").cast("double") / col("n_rows").cast("double")
+    boards.reduce(_ unionAll _)
+      .select(col("tbl"), col("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_key_rows"),
+        ratio.as("skew_ratio"),
+        (ratio > SkewSaltRatio).cast("int").as("salt_recommended"),
+        (col("n_keys") < SkewMinKeys).cast("int").as("low_cardinality"))
+      .orderBy(col("tbl"), col("key_col"))
+  }
+
+  /** Twin: the same per-candidate census, unioned. */
+  val skewAuditSql: String = {
+    val parts = SkewCandidates.map { case (tbl, c) =>
+      s"""SELECT '$tbl' AS tbl, '$c' AS key_col,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(n) AS BIGINT) AS max_key_rows
+         |FROM (SELECT COUNT(*) AS n FROM $tbl GROUP BY $c)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |$parts
+       |)
+       |SELECT tbl, key_col, n_rows, n_keys, max_key_rows,
+       |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_key_rows,
+       |  CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE) AS skew_ratio,
+       |  CAST(CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE) > $SkewSaltRatio AS INT)
+       |    AS salt_recommended,
+       |  CAST(n_keys < $SkewMinKeys AS INT) AS low_cardinality
+       |FROM b ORDER BY tbl, key_col""".stripMargin
+  }
+
+  // --- B112: conversion rate with Wilson interval --------------------------------
+  /** z for the 95 % Wilson interval — a frozen shortest-roundtrip double
+    * literal (the B107 discipline: no libm call whose bits could differ
+    * across engines reaches the output; the twin parses the SAME
+    * string). */
+  val WilsonZ: Double = 1.959963984540054
+
+  /** Per-nation customer conversion (customers with ≥1 order / all
+    * customers) with the Wilson 95 % score interval — the
+    * proportion-estimate board with HONEST uncertainty (a raw rate from
+    * 7 customers and one from 70 000 read identically without bounds;
+    * Wilson stays inside [0,1] and behaves at small n where the Wald
+    * interval collapses — Brown, Cai & DasGupta 2001). Counts exact via
+    * one semi-join + rollup; p̂ and both bounds are one IEEE chain over
+    * the exact integers and the frozen z literal.
+    *
+    * Scale shape: customer⋈orders is a key-partitioned semi join
+    * (orders shrinks to distinct custkeys map-side), the nation rollup
+    * is O(nations). */
+  def rateWilson(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val converted = t.customer
+      .join(t.orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_conv"))
+    val base = t.customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val n = col("n_customers").cast("double")
+    val k = coalesce(col("n_conv"), lit(0L)).cast("double")
+    val z = lit(WilsonZ)
+    val p = k / n
+    val center = p + z * z / (lit(2.0) * n)
+    val margin = z * sqrt(p * (lit(1.0) - p) / n +
+      z * z / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z * z / n
+    base.join(converted, Seq("c_nationkey"), "left")
+      .join(Tables(spark, dir).nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_name")), "c_nationkey")
+      .select(col("n_name").as("nation"), col("n_customers"),
+        coalesce(col("n_conv"), lit(0L)).as("n_converted"),
+        p.as("rate"),
+        // clamp: the float image of a mathematically-[0,1] bound can
+        // overshoot by an ulp (observed 1.0000000000000002 at p̂ = 1)
+        greatest(lit(0.0), (center - margin) / denom).as("wilson_lo"),
+        least(lit(1.0), (center + margin) / denom).as("wilson_hi"))
+      .orderBy(col("nation"))
+  }
+
+  /** Twin: the same exact counts and the identical Wilson IEEE tree
+    * (every literal spelled the same, z parsed string→double). */
+  val rateWilsonSql: String = {
+    val z = s"CAST('$WilsonZ' AS DOUBLE)"
+    val n = "CAST(n_customers AS DOUBLE)"
+    val k = "CAST(n_converted AS DOUBLE)"
+    val p = s"($k / $n)"
+    val center = s"($p + $z * $z / (2.0 * $n))"
+    val margin = s"($z * sqrt($p * (1.0 - $p) / $n + " +
+      s"$z * $z / (4.0 * $n * $n)))"
+    val denom = s"(1.0 + $z * $z / $n)"
+    s"""WITH conv AS (
+       |  SELECT c_nationkey, COUNT(*) AS n_conv
+       |  FROM customer
+       |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+       |  GROUP BY 1
+       |), base AS (
+       |  SELECT c_nationkey, COUNT(*) AS n_customers
+       |  FROM customer GROUP BY 1
+       |), j AS (
+       |  SELECT n.n_name AS nation, b.n_customers,
+       |    COALESCE(c.n_conv, 0) AS n_converted
+       |  FROM base b LEFT JOIN conv c ON c.c_nationkey = b.c_nationkey
+       |  JOIN nation n ON n.n_nationkey = b.c_nationkey)
+       |SELECT nation, n_customers, n_converted,
+       |  $p AS rate,
+       |  GREATEST(0.0, ($center - $margin) / $denom) AS wilson_lo,
+       |  LEAST(1.0, ($center + $margin) / $denom) AS wilson_hi
+       |FROM j ORDER BY nation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "benford_audit" -> (benfordAudit _),
+    "skew_audit" -> (skewAudit _),
+    "rate_wilson" -> (rateWilson _),
     "basket_pairs" -> (basketPairs _),
     "attribution_shapley" -> (attributionShapley _),
     "attribution" -> (attribution _),
@@ -1517,6 +1681,8 @@ object OlapD {
 
   val oracles: Map[String, String] = Map(
     "benford_audit" -> benfordAuditSql,
+    "skew_audit" -> skewAuditSql,
+    "rate_wilson" -> rateWilsonSql,
     "basket_pairs" -> basketPairsSql,
     "attribution_shapley" -> attributionShapleySql,
     "attribution" -> attributionSql,

@@ -262,6 +262,8 @@ class PlanGuardSpec extends SparkSpec {
     "langid_agreement" -> 5, // C108: the confusion board is checkpoint-truncated (ONE corpus scan); residual = two O(langs) marginal aggs + their full-outer product agg + the 1-row totals agg + gate sort, all over the O(langs²) board (measured 5)
     "benford_audit" -> 2, // B107: the digit board is checkpoint-truncated (one lineitem map + O(9) partial agg run eagerly); residual = the 1-row pivot agg's single-partition exchange + gate sort (measured 2)
     "seasonal_detrend" -> 3, // B110: the (group, day) partial-agg exchange + ONE group-key exchange for the centered window + gate sort (measured 3)
+    "skew_audit" -> 12, // B111: 6 candidates × (key partial agg + its 1-row rollup's single-partition exchange) unioned — the B83 FD-census pattern; every exchange carries O(keys) of ONE candidate, the board is 6 rows; the union needs no extra sort beyond the gate (measured 12)
+    "rate_wilson" -> 4, // B112: orders distinct agg feeds the semi join (customer side broadcastable at gate; key-partitioned at scale), nation rollup per side + the O(nations) join + gate sort (measured 4)
     "text_readability" -> 1 // C109: pure regexp-count map stage + gate sort (measured 1)
   )
 
