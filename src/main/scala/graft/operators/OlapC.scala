@@ -1345,27 +1345,34 @@ object OlapC {
     * stage. */
   def changepointCusumOn(events: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    def guarded(c: Column, what: String): Column =
+      coalesce(c.cast("long"),
+        raise_error(lit(s"changepoint_cusum: $what overflowed BIGINT — " +
+          "re-scale the micro unit")).cast("long"))
+    // exact micro-units in DECIMAL through the windows: a raw BIGINT
+    // window sum would WRAP silently in non-ANSI Spark while the DuckDB
+    // twin's HUGEINT errors loudly — the engines must fail the same way
+    // (r13 session-2 self-review finding; every overflow below surfaces
+    // through a guarded cast, never as a silent null or wrap)
     val daily = events
       .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
       .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
-      // exact micro-units; an overflow must surface (the B96 discipline),
-      // not silently null out and drop the day from the search
       .select(col("grp"), col("d"),
-        coalesce((col("_v") * 1000000).cast("long"),
+        coalesce((col("_v") * 1000000).cast("decimal(18,0)"),
           raise_error(lit("changepoint_cusum: daily micro total " +
-            "overflowed BIGINT — re-scale the micro unit")).cast("long"))
-          .as("v"))
+            "overflowed decimal(18,0) — re-scale the micro unit"))
+            .cast("decimal(18,0)")).as("v"))
     val ord = Window.partitionBy(col("grp")).orderBy(col("d"))
     val all = Window.partitionBy(col("grp"))
     val cum = daily
-      .withColumn("p", sum(col("v")).over(ord))
+      .withColumn("p", guarded(sum(col("v")).over(ord), "prefix sum"))
       .withColumn("t", row_number().over(ord))
       .withColumn("n", count(lit(1)).over(all))
-      .withColumn("s", sum(col("v")).over(all))
+      .withColumn("s", guarded(sum(col("v")).over(all), "series total"))
     val dstat = cum.filter(col("t") < col("n"))
       .withColumn("dval",
-        (col("n").cast("decimal(18,0)") * col("p").cast("decimal(18,0)") -
-          col("t").cast("decimal(18,0)") * col("s").cast("decimal(18,0)"))
+        (col("n").cast("decimal(10,0)") * col("p").cast("decimal(19,0)") -
+          col("t").cast("decimal(10,0)") * col("s").cast("decimal(19,0)"))
           .cast("decimal(38,0)"))
     val rk = Window.partitionBy(col("grp"))
       .orderBy(abs(col("dval")).desc, col("d"))
@@ -1390,19 +1397,20 @@ object OlapC {
   val changepointCusumSql: String =
     """WITH daily AS (
       |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
-      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS v
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000
+      |      AS DECIMAL(18,0)) AS v
       |  FROM events GROUP BY 1, 2
       |), cum AS (
       |  SELECT grp, d,
-      |    SUM(v) OVER (PARTITION BY grp ORDER BY d) AS p,
+      |    CAST(SUM(v) OVER (PARTITION BY grp ORDER BY d) AS BIGINT) AS p,
       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS t,
       |    COUNT(*) OVER (PARTITION BY grp) AS n,
-      |    SUM(v) OVER (PARTITION BY grp) AS s
+      |    CAST(SUM(v) OVER (PARTITION BY grp) AS BIGINT) AS s
       |  FROM daily
       |), dstat AS (
       |  SELECT grp, d, t, n, p, s,
-      |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(p AS DECIMAL(18,0))
-      |      - CAST(t AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
+      |    CAST(CAST(n AS DECIMAL(10,0)) * CAST(p AS DECIMAL(19,0))
+      |      - CAST(t AS DECIMAL(10,0)) * CAST(s AS DECIMAL(19,0))
       |      AS DECIMAL(38,0)) AS dval
       |  FROM cum WHERE t < n
       |), ranked AS (
@@ -1728,7 +1736,9 @@ object OlapC {
       converged = n1 == n
       n = n1
       survivors = nxt
-      nodes = nxt.select(col("node")).localCheckpoint(eager = true)
+      // nxt is already checkpointed; a second eager checkpoint here
+      // would materialize the survivor set twice per round (self-review)
+      nodes = nxt.select(col("node"))
       i += 1
     }
     survivors

@@ -1616,7 +1616,7 @@ object OlapD {
       z * z / (lit(4.0) * n * n))
     val denom = lit(1.0) + z * z / n
     base.join(converted, Seq("c_nationkey"), "left")
-      .join(Tables(spark, dir).nation.select(
+      .join(t.nation.select(
         col("n_nationkey").as("c_nationkey"), col("n_name")), "c_nationkey")
       .select(col("n_name").as("nation"), col("n_customers"),
         coalesce(col("n_conv"), lit(0L)).as("n_converted"),

@@ -568,17 +568,26 @@ object TextOps {
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     langidScored(spark, dir).orderBy(col("doc_id"))
 
-  val textLangidSql: String = {
-    val scoreCols = LangMarkers.map { case (l, ms) =>
+  /** The classifier's SQL spelling — ONE builder shared by C10's and
+    * C108's twins (the SQL mirror of the langidScored refactor: the two
+    * oracles cannot fork the scoring either; self-review finding). */
+  private lazy val langidScoreColsSql: String =
+    LangMarkers.map { case (l, ms) =>
       s"CAST(LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS score_$l"
     }.mkString(",\n    ")
-    // same fold as the Scala side: later language wins only on strictly
-    // greater score
-    val pred = LangMarkers.tail.foldLeft("'" + LangMarkers.head._1 + "'" -> s"score_${LangMarkers.head._1}") {
+
+  /** Same fold as the Scala side: later language wins only on strictly
+    * greater score. */
+  private lazy val langidPredSql: String =
+    LangMarkers.tail.foldLeft("'" + LangMarkers.head._1 + "'" -> s"score_${LangMarkers.head._1}") {
       case ((acc, best), (lang, _)) =>
         (s"CASE WHEN score_$lang > $best THEN '$lang' ELSE $acc END",
           s"GREATEST($best, score_$lang)")
     }._1
+
+  val textLangidSql: String = {
+    val scoreCols = langidScoreColsSql
+    val pred = langidPredSql
     s"""SELECT doc_id, labeled_lang, ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")},
        |  $pred AS pred_lang
        |FROM (
@@ -642,14 +651,8 @@ object TextOps {
   /** Twin: the same scored subquery as C10, confusion rollup, full-outer
     * marginal product, and division-cleared kappa tree. */
   val langidAgreementSql: String = {
-    val scoreCols = LangMarkers.map { case (l, ms) =>
-      s"CAST(LEN(list_filter(toks, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS score_$l"
-    }.mkString(",\n    ")
-    val pred = LangMarkers.tail.foldLeft("'" + LangMarkers.head._1 + "'" -> s"score_${LangMarkers.head._1}") {
-      case ((acc, best), (lang, _)) =>
-        (s"CASE WHEN score_$lang > $best THEN '$lang' ELSE $acc END",
-          s"GREATEST($best, score_$lang)")
-    }._1
+    val scoreCols = langidScoreColsSql
+    val pred = langidPredSql
     s"""WITH scored AS (
        |  SELECT labeled_lang, $pred AS pred_lang
        |  FROM (
