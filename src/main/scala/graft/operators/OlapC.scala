@@ -1345,23 +1345,18 @@ object OlapC {
     * stage. */
   def changepointCusumOn(events: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame = {
-    def guarded(c: Column, what: String): Column =
-      coalesce(c.cast("long"),
-        raise_error(lit(s"changepoint_cusum: $what overflowed BIGINT — " +
-          "re-scale the micro unit")).cast("long"))
+    val guarded = Exact.guardedLong("changepoint_cusum") _
     // exact micro-units in DECIMAL through the windows: a raw BIGINT
     // window sum would WRAP silently in non-ANSI Spark while the DuckDB
     // twin's HUGEINT errors loudly — the engines must fail the same way
     // (r13 session-2 self-review finding; every overflow below surfaces
-    // through a guarded cast, never as a silent null or wrap)
+    // through Exact's guarded cast, never as a silent null or wrap)
     val daily = events
       .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
       .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
       .select(col("grp"), col("d"),
-        coalesce((col("_v") * 1000000).cast("decimal(18,0)"),
-          raise_error(lit("changepoint_cusum: daily micro total " +
-            "overflowed decimal(18,0) — re-scale the micro unit"))
-            .cast("decimal(18,0)")).as("v"))
+        Exact.guardedMicro("changepoint_cusum")(col("_v") * 1000000,
+          "daily micro total").as("v"))
     val ord = Window.partitionBy(col("grp")).orderBy(col("d"))
     val all = Window.partitionBy(col("grp"))
     val cum = daily
@@ -1379,7 +1374,14 @@ object OlapC {
     dstat.withColumn("rk", row_number().over(rk))
       .filter(col("rk") === 1)
       .select(col("grp").as("event_type"), col("n").as("n_days"),
-        col("d").as("change_day"), col("dval").as("d_stat"),
+        col("d").as("change_day"),
+        // emit the canonical digit string: d_stat is SIGNED (direction of
+        // the shift) so a mod-fold would lose information, and a raw
+        // DECIMAL(38,0) column fails the driver hash (r13 regression);
+        // scale-0 decimals print identically in both engines (no
+        // scientific notation at scale 0, sign prefix identical). The
+        // argmax ordering above stays on the exact internal decimal.
+        col("dval").cast("string").as("d_stat"),
         (col("p").cast("double") / col("t").cast("double") / 1000000.0)
           .as("mean_before"),
         ((col("s").cast("double") - col("p").cast("double")) /
@@ -1418,7 +1420,7 @@ object OlapC {
       |    ORDER BY ABS(dval) DESC, d) AS rk
       |  FROM dstat)
       |SELECT grp AS event_type, CAST(n AS BIGINT) AS n_days,
-      |  d AS change_day, dval AS d_stat,
+      |  d AS change_day, CAST(dval AS VARCHAR) AS d_stat,
       |  CAST(p AS DOUBLE) / CAST(t AS DOUBLE) / 1000000.0 AS mean_before,
       |  (CAST(s AS DOUBLE) - CAST(p AS DOUBLE))
       |    / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 1000000.0
@@ -1451,17 +1453,13 @@ object OlapC {
     * the O(groups) stats board ride small frames. */
   def acfLagsOn(events: DataFrame, typeCol: String, tsCol: String,
       valueCol: String, maxLag: Int = AcfMaxLag): DataFrame = {
-    def guarded(c: Column, what: String): Column =
-      coalesce(c.cast("long"),
-        raise_error(lit(s"acf_lags: $what overflowed BIGINT — re-scale"))
-          .cast("long"))
+    val guarded = Exact.guardedLong("acf_lags") _
     val daily = events
       .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
       .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
       .select(col("grp"), col("d"),
-        coalesce(floor(col("_v")).cast("decimal(18,0)"),
-          raise_error(lit("acf_lags: daily total overflowed " +
-            "decimal(18,0) — re-scale")).cast("decimal(18,0)")).as("v"))
+        Exact.guardedMicro("acf_lags")(floor(col("_v")), "daily total")
+          .as("v"))
     val ord = Window.partitionBy(col("grp")).orderBy(col("d"))
     // the O(groups × days) indexed board is consumed three times (stats,
     // lag side, base side) — truncate so the corpus rollup runs ONCE
@@ -1573,17 +1571,13 @@ object OlapC {
     * days) board. */
   def seasonalDetrendOn(events: DataFrame, typeCol: String, tsCol: String,
       valueCol: String): DataFrame = {
-    def guarded(c: Column, what: String): Column =
-      coalesce(c.cast("long"),
-        raise_error(lit(s"seasonal_detrend: $what overflowed BIGINT"))
-          .cast("long"))
+    val guarded = Exact.guardedLong("seasonal_detrend") _
     val daily = events
       .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
       .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
       .select(col("grp"), col("d"),
-        coalesce((col("_v") * 1000000).cast("decimal(18,0)"),
-          raise_error(lit("seasonal_detrend: daily micro total " +
-            "overflowed decimal(18,0)")).cast("decimal(18,0)")).as("v"))
+        Exact.guardedMicro("seasonal_detrend")(col("_v") * 1000000,
+          "daily micro total").as("v"))
     val half = DetrendWindow / 2
     val w = Window.partitionBy(col("grp")).orderBy(col("d"))
       .rowsBetween(-half, half)
@@ -1718,6 +1712,10 @@ object OlapC {
     * [[KcorePeelRounds]] with early exit on the fixpoint — work is
     * O(edges × rounds-to-converge), and the node set only shrinks. */
   def kcorePartsOn(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    // the survivor seed below is schemaless — zero rounds would hand the
+    // caller an opaque unresolved-column failure instead of a typed
+    // empty frame (r13 ADVICE)
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     var nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
     var survivors = edges.sparkSession.emptyDataFrame
@@ -1744,20 +1742,46 @@ object OlapC {
     survivors
   }
 
-  /** Driver query: the co-purchase graph from lineitem (distinct
-    * (order, part) first — multiple lines of one part in one order are
-    * one incidence), support-thresholded, peeled at k=[[KcoreK]]. */
-  def kcoreParts(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = items.join(items.select(col("o"), col("p").as("p2")), "o")
-      .filter(col("p") < col("p2"))
-      .groupBy(col("p").as("u"), col("p2").as("v"))
+  /** Support-thresholded symmetric co-purchase edges from a (basket,
+    * item) frame — distinct incidences first (multiple lines of one
+    * part in one order are one incidence), then the per-basket pair
+    * self-join. `maxItemsPerBasket` routes through B91's top-K-by-
+    * global-frequency cap ([[OlapD.capBasketItems]] — r13 verdict #4:
+    * the per-basket self-join is |basket|² and must be bounded BEFORE
+    * the join at an unbounded-basket deploy; rare-item pairs fall
+    * under the support cut anyway). Capping only SHRINKS the edge set
+    * (pair supports can only drop), and the k-core is monotone under
+    * subgraphs, so the capped core is always contained in the uncapped
+    * one (KcorePartsSpec pins this on a synthetic hot basket). */
+  private[graft] def kcoreEdgesOn(items: DataFrame, basketCol: String,
+      itemCol: String, support: Int,
+      maxItemsPerBasket: Option[Int] = None): DataFrame = {
+    val b0 = items.select(col(basketCol).as("_b"),
+      col(itemCol).cast("long").as("_i")).distinct()
+    val b = maxItemsPerBasket.fold(b0)(OlapD.capBasketItems(b0, _))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("u"), col("y._i").as("v"))
       .agg(count(lit(1)).as("supp"))
-      .filter(col("supp") >= KcoreSupport)
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .filter(col("supp") >= support)
+    pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** Driver query: the co-purchase graph from lineitem,
+    * support-thresholded, peeled at k=[[KcoreK]]. The gate key runs
+    * UNCAPPED (order line counts are already bounded — gate-exact);
+    * deploys facing unbounded baskets pass [[kcorePartsFrom]] a cap. */
+  def kcoreParts(spark: SparkSession, dir: String): DataFrame =
+    kcorePartsFrom(spark, dir, maxItemsPerBasket = None)
+
+  /** B104 with the deploy-side basket cap exposed (B91's knob). */
+  def kcorePartsFrom(spark: SparkSession, dir: String,
+      maxItemsPerBasket: Option[Int]): DataFrame = {
+    val edges = kcoreEdgesOn(
+        Tables(spark, dir).lineitem.select(col("l_orderkey"),
+          col("l_partkey")),
+        "l_orderkey", "l_partkey", KcoreSupport, maxItemsPerBasket)
       .localCheckpoint(eager = true)
     kcorePartsOn(edges, KcoreK, KcorePeelRounds)
       .select(col("node").as("part_id"), col("core_deg"))

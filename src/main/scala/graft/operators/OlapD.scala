@@ -1302,23 +1302,29 @@ object OlapD {
     * runtime. The pair rollup and the two item-count joins are all
     * pair/item-keyed partial-agg exchanges; n_baskets is a 1-row
     * broadcast. Default cap None = gate-exact. */
+  /** Cap each basket at its top-K items by GLOBAL frequency, ties to
+    * the smaller item id — the bound that keeps every per-basket
+    * self-join |basket|²-safe at an unbounded-basket deploy. One
+    * item-key exchange for the frequency board, then a basket-key
+    * window (each basket ranks its own items; no global sort). Shared
+    * by B91's pair lift and B104's co-purchase edge builder (r13
+    * verdict #4). Input/output columns: (_b, _i). */
+  private[graft] def capBasketItems(b0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"maxItemsPerBasket must be >= 1, got $k")
+    val freq = b0.groupBy(col("_i")).agg(count(lit(1)).as("_f"))
+    val w = Window.partitionBy(col("_b"))
+      .orderBy(col("_f").desc, col("_i"))
+    b0.join(freq, "_i")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("_b"), col("_i"))
+  }
+
   def basketPairsOn(baskets: DataFrame, basketCol: String,
       itemCol: String, maxItemsPerBasket: Option[Int] = None): DataFrame = {
     val b0 = baskets.select(col(basketCol).as("_b"),
       col(itemCol).cast("long").as("_i")).distinct()
-    val b = maxItemsPerBasket.fold(b0) { k =>
-      require(k >= 1, s"maxItemsPerBasket must be >= 1, got $k")
-      // top-K by global frequency, ties to the smaller item id — one
-      // item-key exchange for the frequency board, then a basket-key
-      // window (each basket ranks its own items; no global sort)
-      val freq = b0.groupBy(col("_i")).agg(count(lit(1)).as("_f"))
-      val w = Window.partitionBy(col("_b"))
-        .orderBy(col("_f").desc, col("_i"))
-      b0.join(freq, "_i")
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") <= k)
-        .select(col("_b"), col("_i"))
-    }
+    val b = maxItemsPerBasket.fold(b0)(capBasketItems(b0, _))
     val nB = b.select(col("_b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCnt = b.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
@@ -1410,10 +1416,9 @@ object OlapD {
   private[graft] def benfordDigitsOn(items: DataFrame,
       valueCol: String): DataFrame =
     items.select(
-        coalesce((col(valueCol).cast("decimal(25,6)") * 1000000)
-          .cast("long"),
-          raise_error(lit("benford_audit: micro value overflowed BIGINT"))
-            .cast("long")).as("v"))
+        Exact.guardedLong("benford_audit")(
+          col(valueCol).cast("decimal(25,6)") * 1000000, "micro value")
+          .as("v"))
       .filter(col("v") > 0)
       .select(substring(col("v").cast("string"), 1, 1).cast("int")
         .as("digit"))

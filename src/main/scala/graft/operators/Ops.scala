@@ -1049,6 +1049,27 @@ object Ann {
     out.toSeq
   }
 
+  /** Worst-case |Σ_m tbl(m, code_m)| over any encode: Σ_m max_c |tbl| —
+    * the exact per-query ceiling on an ADC lookup-sum. */
+  private def adcSumBound(tbl: Seq[Long]): BigInt =
+    if (tbl.isEmpty) BigInt(0) // no-refine path carries an empty tbl2
+    else (0 until PqM).map(m => (0 until PqKs).iterator
+      .map(c => BigInt(tbl(m * PqKs + c)).abs).max).sum
+
+  /** int64→double rank-parity guard (r13 ADVICE): Spark ranks the DOUBLE
+    * image of the exact BIGINT ADC score while the SQL twin ranks the
+    * exact integer — identical orders ONLY inside the 53-bit mantissa.
+    * True for unit-scale embeddings at the current dim; an embedding
+    * magnitude or dim growth must fail LOUDLY here, not surface as a
+    * silent oracle hash mismatch. */
+  private def requireAdcDoubleExact(bounds: Iterator[BigInt]): Unit = {
+    val worst = bounds.foldLeft(BigInt(0))(_ max _)
+    require(worst < (BigInt(1) << 53),
+      s"PQ ADC score bound $worst reaches 2^53 — the double image no " +
+        "longer preserves the exact integer ranking; re-scale embeddings " +
+        "or shrink the quantization grid")
+  }
+
   /** PQ asymmetric-distance top-k with exact re-rank: the corpus is
     * scanned as 8-byte codes, each query's 128-entry distance table makes
     * scoring a pure lookup-sum, the approximate top `rerank × k` survive
@@ -1080,6 +1101,8 @@ object Ann {
       }
       (r.getLong(0), tbl.toSeq)
     }
+    requireAdcDoubleExact(qTables.iterator.map { case (_, tbl) =>
+      adcSumBound(tbl) })
     val spark = corpus.sparkSession
     import spark.implicits._
     val qdf = qTables.toSeq.toDF("query_id", "_tbl")
@@ -1364,6 +1387,9 @@ object Ann {
       (r.getLong(0), r.getLong(1), qc, adcTable(flat),
         if (withRefine) adcTable(flat2) else Seq.empty[Long])
     }
+    requireAdcDoubleExact(qTables.iterator.map {
+      case (_, _, qc, tbl, tbl2) =>
+        BigInt(qc).abs + adcSumBound(tbl) + adcSumBound(tbl2) })
     val probedIds = qTables.map(_._2).distinct
     val tdf = qTables.toSeq
       .toDF("query_id", "_cent_id", "_qc", "_tbl", "_tbl2")

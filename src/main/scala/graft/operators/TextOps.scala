@@ -627,9 +627,8 @@ object TextOps {
     val rc = rowM.join(colM, col("_l") === col("_p"), "full_outer")
       .select((coalesce(col("_r"), lit(0L)).cast("decimal(18,0)") *
         coalesce(col("_c"), lit(0L)).cast("decimal(18,0)")).as("_rc"))
-      .agg(coalesce(sum(col("_rc")).cast("long"),
-        raise_error(lit("langid_agreement: sum_rc overflowed BIGINT"))
-          .cast("long")).as("sum_rc"))
+      .agg(graft.operators.Exact.guardedLong("langid_agreement")(
+        sum(col("_rc")), "sum_rc").as("sum_rc"))
     val tot = conf.agg(sum(col("n_docs")).as("n_total"),
       sum(when(col("labeled_lang") === col("pred_lang"), col("n_docs"))
         .otherwise(0L)).as("n_agree"))

@@ -24,6 +24,33 @@ private[sources] final case class FooterStat3(file_id: Long, n_rows: Long,
   */
 object Sinks {
 
+  /** 2⁶¹ − 1: the modulus that folds an exact census-fingerprint sum back
+    * into BIGINT. The accumulation itself stays DECIMAL(38,0)/HUGEINT —
+    * overflow-free and multiplicity-sensitive (the D18 doc, the r12
+    * lesson) — but the EMITTED column must be a driver-hashable type:
+    * r13's gate rejected every DECIMAL(38,0) output column even though
+    * both engines agreed on the values (the hasher canonicalizes wide
+    * decimals differently than BIGINT). 2⁶¹−1 keeps 61 bits of the
+    * 126-bit sum — a collision needs two corpora whose digest sums agree
+    * mod a Mersenne prime, which no single-row drop/mangle/dup can
+    * arrange — and the digests are nonnegative, so `%` agrees across
+    * engines with no sign gymnastics. */
+  private[graft] val FingerprintMod = 2305843009213693951L
+
+  /** The one census-fingerprint aggregate spelling: Σ of per-row 48-bit
+    * digests in exact DECIMAL(38,0), reduced mod 2⁶¹−1, emitted BIGINT.
+    * Every fingerprint board in this file (and the streaming twins that
+    * share them) routes through here — one definition, one driver-hash
+    * contract. */
+  private[graft] def censusFingerprint(h48: Column): Column =
+    pmod(sum(h48.cast("decimal(38,0)")), lit(FingerprintMod)).cast("long")
+
+  /** DuckDB twin of [[censusFingerprint]]: HUGEINT accumulation, same
+    * modulus, BIGINT out. `hexExpr` must already be the decimal image of
+    * the 48-bit digest (CorpusOps.hex12Sql). */
+  private[graft] def censusFingerprintSql(hexExpr: String): String =
+    s"CAST(SUM(CAST($hexExpr AS HUGEINT)) % $FingerprintMod AS BIGINT)"
+
   /** Partitioned parquet writer with a bounded file count per partition
     * directory.
     *
@@ -1307,7 +1334,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("content_h"))
+        censusFingerprint(h48).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1321,9 +1348,8 @@ object Sinks {
       .map(c => s"md5(coalesce($c, '<NULL>'))").mkString(" || ")
     s"""SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
-              s"substr(md5($perCol), 1, 12)")} AS HUGEINT))
-       |    AS DECIMAL(38,0)) AS content_h
+       |  ${censusFingerprintSql(graft.operators.CorpusOps.hex12Sql(
+              s"substr(md5($perCol), 1, 12)"))} AS content_h
        |FROM documents
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -1364,7 +1390,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("content_h"))
+        censusFingerprint(h48).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1403,7 +1429,7 @@ object Sinks {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("content_h"))
+        censusFingerprint(h48).as("content_h"))
       .orderBy(col("source"))
   }
 
@@ -1448,7 +1474,7 @@ object Sinks {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"),
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("text_h"))
+        censusFingerprint(h48).as("text_h"))
       .orderBy(col("era"))
   }
 
@@ -1467,9 +1493,8 @@ object Sinks {
        |    AS n_null_source,
        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE n_chars END)
        |    AS BIGINT) AS sum_chars,
-       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
-              "substr(md5(text), 1, 12)")} AS HUGEINT))
-       |    AS DECIMAL(38,0)) AS text_h
+       |  ${censusFingerprintSql(graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)"))} AS text_h
        |FROM documents
        |GROUP BY 1
        |ORDER BY era""".stripMargin
@@ -1511,7 +1536,7 @@ object Sinks {
       .groupBy((col("doc_id") % 2).as("era"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("text_h"))
+        censusFingerprint(h48).as("text_h"))
       .orderBy(col("era"), col("lang"))
   }
 
@@ -1519,9 +1544,8 @@ object Sinks {
   val partitionEvolutionSql: String =
     s"""SELECT doc_id % 2 AS era, lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
-              "substr(md5(text), 1, 12)")} AS HUGEINT))
-       |    AS DECIMAL(38,0)) AS text_h
+       |  ${censusFingerprintSql(graft.operators.CorpusOps.hex12Sql(
+              "substr(md5(text), 1, 12)"))} AS text_h
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY era, lang""".stripMargin
@@ -1548,9 +1572,11 @@ object Sinks {
     * contain) xor to the same fingerprint as their absence (r12
     * ADVICE). decimal128 holds ~10^38 ≈ 2^126: 48-bit digests summed
     * over 2^77 rows before overflow — closed at any corpus size, with
-    * DuckDB's CAST(SUM(CAST(h AS HUGEINT)) AS DECIMAL(38,0)) the exact
-    * engine twin. All the census-fingerprint boards in this file use
-    * the same spelling.
+    * DuckDB's HUGEINT SUM the exact engine twin. The EMITTED column is
+    * the sum folded mod 2⁶¹−1 into BIGINT ([[censusFingerprint]] — the
+    * r13 lesson: a DECIMAL(38,0) output column fails the driver hash
+    * even when the engines agree on every value). All the
+    * census-fingerprint boards in this file use the same spelling.
     *
     * Scale shape: the log materializes once (checkpoint — three reads);
     * each snapshot is upsertLatestOn's one key shuffle + a 1-row
@@ -1573,7 +1599,7 @@ object Sinks {
         .agg(count(lit(1)).as("n_live"),
           sum(col("o_totalprice").cast("decimal(25,2)")).cast("double")
             .as("total_value"),
-          sum(h48.cast("decimal(38,0)")).as("content_h"))
+          censusFingerprint(h48).as("content_h"))
         .select(lit(v).as("as_of_version"), col("n_live"),
           col("total_value"), col("content_h"))
     }
@@ -1588,12 +1614,11 @@ object Sinks {
       s"""SELECT CAST($v AS BIGINT) AS as_of_version, COUNT(*) AS n_live,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
          |    AS total_value,
-         |  CAST(SUM(CAST(${graft.operators.CorpusOps.hex12Sql(
+         |  ${censusFingerprintSql(graft.operators.CorpusOps.hex12Sql(
               "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || op || ':' " +
                 "|| o_orderstatus || ':' || " +
                 "CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR) " +
-                "|| ':' || CAST(version AS VARCHAR)), 1, 12)")} AS HUGEINT))
-         |    AS DECIMAL(38,0)) AS content_h
+                "|| ':' || CAST(version AS VARCHAR)), 1, 12)"))} AS content_h
          |FROM (
          |  SELECT * FROM (
          |    SELECT o_orderkey, op, o_orderstatus, o_totalprice,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 
 /** Regression guards over the ENTIRE driver surface:
   *
@@ -289,6 +289,15 @@ class PlanGuardSpec extends SparkSpec {
           case f if f.dataType.isInstanceOf[ArrayType] ||
             f.dataType.isInstanceOf[StructType] ||
             f.dataType.isInstanceOf[MapType] => s"$name.${f.name}"
+          // decimals wider than 18 digits are the driver-hash boundary:
+          // the hasher canonicalizes them differently than BIGINT/DOUBLE,
+          // so a DECIMAL(38,0) output column hash-fails even when both
+          // engines agree on every value (the r13 regression — 9 keys).
+          // Fold wide sums mod 2⁶¹−1 (Sinks.censusFingerprint) or emit
+          // the canonical digit string instead (changepoint d_stat).
+          case f if f.dataType.isInstanceOf[DecimalType] &&
+            f.dataType.asInstanceOf[DecimalType].precision > 18 =>
+            s"$name.${f.name} (${f.dataType.simpleString} — wide decimal)"
         }
       }
     assert(offenders.isEmpty, s"non-atomic oracle columns: $offenders")

@@ -21,8 +21,9 @@ class ChangepointSpec extends SparkSpec {
     val row = r.head
     assert(row.getLong(1) === 6L)
     assert(row.getDate(2).toString === "2024-01-03")
-    // D_3 = 6·30 − 3·150 = −270 units = −270e6 micro
-    assert(row.getDecimal(3).longValueExact() === -270000000L)
+    // D_3 = 6·30 − 3·150 = −270 units = −270e6 micro (canonical digit
+    // string — the driver-hashable spelling of the signed exact value)
+    assert(row.getString(3) === "-270000000")
     assert(row.getDouble(4) === 10.0 && row.getDouble(5) === 40.0)
   }
 
@@ -35,7 +36,7 @@ class ChangepointSpec extends SparkSpec {
     val row = OlapC.changepointCusumOn(ev, "event_type", "ts", "value")
       .collect().head
     assert(row.getDate(2).toString === "2024-01-01")
-    assert(row.getDecimal(3).longValueExact() === -20000000L)
+    assert(row.getString(3) === "-20000000")
   }
 
   test("real corpus: one row per series, change_day strictly inside the " +
@@ -61,6 +62,6 @@ class ChangepointSpec extends SparkSpec {
         (daily(i)._1, BigInt(n) * BigInt(p) - BigInt(i + 1) * BigInt(s)) }
     val best = sweep.minBy { case (d, dv) => (-dv.abs, d) }
     assert(rows.head.getDate(2).toString === best._1)
-    assert(BigInt(rows.head.getDecimal(3).toBigInteger) === best._2)
+    assert(BigInt(rows.head.getString(3)) === best._2)
   }
 }

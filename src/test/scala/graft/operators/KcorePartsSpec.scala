@@ -44,6 +44,44 @@ class KcorePartsSpec extends SparkSpec {
     assert(got.length === 4 && got.forall(_.getLong(1) === 3L))
   }
 
+  test("deploy cap: a synthetic hot basket capped through " +
+      "capBasketItems shrinks the edge set and the capped core is " +
+      "contained in the uncapped one") {
+    import spark.implicits._
+    // one hot basket with 10 items (45 pairs uncapped) next to three
+    // normal baskets that co-order items 1..4 twice each (support 2)
+    val hot = (1L to 10L).map(i => (100L, i))
+    val normal = Seq((101L, 1L), (101L, 2L), (101L, 3L), (101L, 4L),
+      (102L, 1L), (102L, 2L), (102L, 3L), (102L, 4L),
+      (103L, 5L), (103L, 6L))
+    val items = (hot ++ normal).toDF("o", "p")
+    val uncapped = OlapC.kcoreEdgesOn(items, "o", "p",
+      support = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = OlapC.kcoreEdgesOn(items, "o", "p",
+      support = 2, maxItemsPerBasket = Some(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // supports can only drop under the cap → the edge set only shrinks,
+    // and the hot basket's rare-item pairs are exactly what vanishes
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size)
+    // the frequent items (1..4 appear in 3 baskets each) keep their
+    // support-2 edges through the hot basket's top-K pick
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    // k-core is monotone under subgraphs: capped survivors ⊆ uncapped
+    def core(e: Set[(Long, Long)]) = OlapC.kcorePartsOn(
+      e.toSeq.toDF("src", "dst"), k = 3, maxRounds = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(core(capped).subsetOf(core(uncapped)))
+  }
+
+  test("maxRounds < 1 fails loudly instead of an unresolved-column error") {
+    val e = edges((1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      OlapC.kcorePartsOn(e, k = 3, maxRounds = 0)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
   test("real corpus: survivors' degrees replay from the induced subgraph " +
       "and every degree clears k") {
     val core = OlapC.kcoreParts(spark, sfDir)

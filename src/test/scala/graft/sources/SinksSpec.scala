@@ -394,7 +394,7 @@ class SinksSpec extends SparkSpec {
   test("snapshot_read: history moves version by version, and the v3 " +
       "snapshot equals the B71 compaction census (D18)") {
     val board = Sinks.snapshotRead(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDecimal(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(board.map(_._1).toSeq === Seq(1L, 2L, 3L))
     val n = graft.sources.Tables(spark, sfDir).orders.count()
     val nDeleted = graft.sources.Tables(spark, sfDir).orders
@@ -417,9 +417,9 @@ class SinksSpec extends SparkSpec {
       16, 10).cast("long")
     val v3 = cdc.agg(count(lit(1)),
         sum(col("o_totalprice").cast("decimal(25,2)")).cast("double"),
-        sum(h48.cast("decimal(38,0)"))).head()
+        Sinks.censusFingerprint(h48)).head()
     assert((board(2)._2, board(2)._3, board(2)._4) ===
-      ((v3.getLong(0), v3.getDouble(1), v3.getDecimal(2))))
+      ((v3.getLong(0), v3.getDouble(1), v3.getLong(2))))
   }
 
   test("json lines sink writes parseable records") {
@@ -523,7 +523,7 @@ class SinksSpec extends SparkSpec {
     val fromParquet = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(h48.cast("decimal(38,0)")).as("content_h"))
+        Sinks.censusFingerprint(h48).as("content_h"))
       .orderBy(col("source")).collect().map(_.toString)
     assert(board.toSeq === fromParquet.toSeq)
     // partition-column restoration: every lang survives the partitionBy
@@ -547,15 +547,13 @@ class SinksSpec extends SparkSpec {
     // identical digests: the board must still tell 2 copies from 3
     def h(df: org.apache.spark.sql.DataFrame) =
       Sinks.schemaEvolutionCensusOn(df).collect()
-        .map(r => r.getLong(0) -> r.getDecimal(4)).toMap
+        .map(r => r.getLong(0) -> r.getLong(4)).toMap
     val h2 = h(once); val h3 = h(dupd)
     assert(h2(1L) != h3(1L),
       "third identical copy left the era-1 fingerprint unchanged")
-    // and the DECIMAL(38,0) accumulator is exactly 3x the per-row digest
-    assert(h3(1L).unscaledValue() ===
-      h2(1L).unscaledValue()
-        .divide(java.math.BigInteger.valueOf(2))
-        .multiply(java.math.BigInteger.valueOf(3)))
+    // and the mod-2⁶¹−1 fold is exactly 3x vs 2x the per-row digest —
+    // 48-bit digests times 3 stay far below the modulus, so no wrap
+    assert(h3(1L) === h2(1L) / 2 * 3)
   }
 
   test("layout_compare: Hilbert reads no more than Morton for the same box (D5)") {
