@@ -3897,9 +3897,12 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("sa_rank"))
   }
 
+  /** Driver key: PROBES the persisted char-SA index ([[SaIndex]] — r13
+    * verdict #3); the doubling chain runs once per corpus state, every
+    * later query is a stored-rank scan. */
   def suffixArray(spark: SparkSession, dir: String): DataFrame =
-    suffixArrayOn(graft.sources.Tables(spark, dir).documents,
-      "doc_id", "text")
+    SaIndex.charSa(spark, SaIndex.ensureCharIndex(spark, dir))
+      .orderBy(col("doc_id"), col("sa_rank"))
 
   /** Twin: materialize every (bounded) suffix and sort the strings —
     * DuckDB's default collation is memcmp, which on the sanitized
@@ -3939,9 +3942,14 @@ object CorpusOps {
     * doubling comparison replaces the byte loop — documented, the gate
     * path IS bounded by the oracle's own materialization limit. */
   def suffixLcpOn(docs: DataFrame, idCol: String, textCol: String,
-      docMod: Int = SaDocMod, window: Int = SaWindow): DataFrame = {
-    val sa = suffixArrayOn(docs, idCol, textCol, docMod, window)
-    val wins = saWindowsOf(docs, idCol, textCol, docMod, window)
+      docMod: Int = SaDocMod, window: Int = SaWindow): DataFrame =
+    lcpFromSa(suffixArrayOn(docs, idCol, textCol, docMod, window),
+      saWindowsOf(docs, idCol, textCol, docMod, window))
+
+  /** The Kasai-style LCP derivation over ANY (doc_id, pos, sa_rank)
+    * frame — split from the chain so the STORED C99 ranks serve C101
+    * without a doubling re-run (r13 verdict #3). */
+  private def lcpFromSa(sa: DataFrame, wins: DataFrame): DataFrame = {
     val byRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("sa_rank"))
     sa.withColumn("prev_pos", lag(col("pos"), 1).over(byRank))
@@ -3954,8 +3962,14 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("sa_rank"))
   }
 
+  /** Driver key: LCP from the PERSISTED C99 ranks (the index pair —
+    * build once, derive the LCP at probe; only the window strings are
+    * re-sliced for the byte loop). */
   def suffixLcp(spark: SparkSession, dir: String): DataFrame =
-    suffixLcpOn(graft.sources.Tables(spark, dir).documents, "doc_id", "text")
+    lcpFromSa(
+      SaIndex.charSa(spark, SaIndex.ensureCharIndex(spark, dir)),
+      saWindowsOf(graft.sources.Tables(spark, dir).documents,
+        "doc_id", "text"))
 
   /** Twin: materialize the suffixes, lag over the rank order, and derive
     * the common-prefix length as max{ i : prefixes of length i equal }
@@ -4074,7 +4088,7 @@ object CorpusOps {
     * carry equal KEYS iff their first w tokens are equal. Returns the
     * position frame and the key column names (one densified rank, or
     * the final round's (rank, rank2) pair). */
-  private def saWindowGroupsOn(docs: DataFrame, idCol: String,
+  private[operators] def saWindowGroupsOn(docs: DataFrame, idCol: String,
       textCol: String, w: Int): (DataFrame, Seq[String]) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -4140,9 +4154,12 @@ object CorpusOps {
     (cur, keys)
   }
 
+  /** Driver key: PROBES the persisted window-group index ([[SaIndex]] —
+    * r13 verdict #3); value-identical to the from-scratch chain
+    * (SaIndexSpec pins the frame equality and the no-rebuild probe). */
   def substringDedupSa(spark: SparkSession, dir: String): DataFrame =
-    substringDedupSaOn(TextOps.dedupCorpus(spark, dir), "doc_id", "text",
-      TextOps.SubstrW)
+    SaIndex.substringCensus(spark,
+      SaIndex.ensureWindowIndex(spark, dir, TextOps.SubstrW))
 
   // --- C106: duplicated-span extraction THROUGH the suffix array ------------
   /** C105's merged duplicated-span intervals computed by the SUFFIX-ARRAY
@@ -4178,8 +4195,10 @@ object CorpusOps {
     Dedup.dupSpansFromStarts(starts, w)
   }
 
+  /** Driver key: the span product off the SAME persisted index. */
   def dupSpansSa(spark: SparkSession, dir: String): DataFrame =
-    dupSpansSaOn(TextOps.dedupCorpus(spark, dir), "doc_id", "text",
+    SaIndex.dupSpans(spark,
+      SaIndex.ensureWindowIndex(spark, dir, TextOps.SubstrW),
       TextOps.SubstrW)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.IndexScratch
+
+/** Persisted suffix-array index lifecycle (r13 verdict #3): the SA was
+  * the last index family WITHOUT the build-once / probe-many discipline
+  * every other index in the repo follows (band indexes, IVF/PQ
+  * codebooks, pHash boards — IndexScratch's ensure → admit → probe) —
+  * C99/C101/C103/C106 re-ran the full prefix-doubling chain on every
+  * query, which made the SA keys the bench's heavy tail.
+  *
+  * Two stored indexes:
+  *
+  *  - **Window-group index** (`sawin<w>`): the C103 generalized SA
+  *    reduced to its queryable product. After the doubling rounds two
+  *    full-window positions share a rank key IFF their first w tokens
+  *    are equal, so what probes need is (a) every full-window position
+  *    keyed by its group and (b) a per-group board. Layout:
+  *      positions/  (_id, pos, k1, k2)   — integers only, corpus-sized
+  *      groups/     (k1, k2, df, win)    — one row per DISTINCT window:
+  *        df  = per-doc-distinct doc frequency (C44's census count),
+  *        win = ONE representative window string in C44's
+  *              `array_join(slice(tokens, i, w), ' ')` spelling — the
+  *              cross-segment merge key AND the scrub census's `_s`.
+  *    The census (C103), the span product (C106), and the frozen scrub
+  *    census (B78/B99) are all O(index) rollups off this layout — the
+  *    doubling chain never re-runs for a probe.
+  *
+  *  - **Char-SA index** (`sachar…`): C99's per-doc bounded-window
+  *    suffix ranks, stored as-is; C101 derives the LCP array from the
+  *    STORED ranks (one lag + the codegen'd prefix-length loop — no
+  *    doubling re-run).
+  *
+  * Admission (the prefix-doubling-merge half): a NEW batch of documents
+  * is indexed by a BATCH-LOCAL doubling chain — segment-sized work; the
+  * base is never re-indexed — and lands as a sibling segment
+  * (`positions_<tag>/`, `groups_<tag>/`, IndexScratch.admitOnce's
+  * marker protocol). Cross-segment group identity resolves at probe
+  * time by joining the GROUPS boards on the window key — the one
+  * string-keyed stage, O(distinct windows) board rows, never positions
+  * — and global doc frequency is the SUM of segment frequencies
+  * (segments hold disjoint documents, and each segment's df is already
+  * per-doc-distinct). Zero admitted segments (the driver-gate path)
+  * skip the merge entirely: positions carry their own (k1, k2) keys
+  * and the stored df IS global.
+  *
+  * Scale shape at 100 TB: build = the documented C103 chain (one
+  * corpus explode + log₂ w integer-keyed rounds), paid once per corpus
+  * state; probe = one scan of the stored integer positions + board
+  * joins; admit = chain over the batch only. Cf. Lee et al. (ACL 2022),
+  * who likewise build one suffix index per corpus shard and query it
+  * many times.
+  */
+object SaIndex {
+
+  /** Build invocations in this JVM — the probe-path spec's no-rebuild
+    * witness. */
+  private[graft] val buildsPerformed =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ---- window-group index (C103/C106/B78/B99) ------------------------------
+
+  def windowIndexPath(dir: String, w: Int): String =
+    IndexScratch.path(s"sawin$w", dir)
+
+  /** Ensure the base window-group index for the dedup corpus of `dir`
+    * exists; returns its path. The chain runs at most once per corpus
+    * state (IndexScratch memo + marker). */
+  def ensureWindowIndex(spark: SparkSession, dir: String, w: Int): String = {
+    val path = windowIndexPath(dir, w)
+    IndexScratch.ensure(path) { tmp =>
+      buildsPerformed.incrementAndGet()
+      writeSegment(TextOps.dedupCorpus(spark, dir), "doc_id", "text", w,
+        tmp, "")
+    }
+    path
+  }
+
+  /** Index one segment's documents into `$root/positions$suffix` +
+    * `$root/groups$suffix` (the doubling chain + the two boards). */
+  private def writeSegment(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, root: String, suffix: String): Unit = {
+    val (cur, keys) = CorpusOps.saWindowGroupsOn(docs, idCol, textCol, w)
+    val k2 = if (keys.size > 1) col(keys(1)) else lit(-1L)
+    val wins = cur.filter(col("pos") <= col("_n") - w)
+      .select(col("_id"), col("pos"),
+        col(keys.head).cast("long").as("k1"), k2.cast("long").as("k2"))
+    wins.write.parquet(s"$root/positions$suffix")
+    val dfreq = wins.select(col("_id"), col("k1"), col("k2")).distinct()
+      .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("df"))
+    // ONE representative position per group carries the window string —
+    // O(distinct windows) rows; the slice rides the doc's token array
+    val rep = wins.groupBy(col("k1"), col("k2"))
+      .agg(min(struct(col("_id"), col("pos"))).as("_r"))
+      .select(col("k1"), col("k2"), col("_r._id").as("_id"),
+        col("_r.pos").as("pos"))
+    rep.join(Dedup.scrubToks(docs, idCol, textCol), Seq("_id"))
+      .select(col("k1"), col("k2"),
+        expr(s"array_join(slice(_t, pos + 1, $w), ' ')").as("win"))
+      .join(dfreq, Seq("k1", "k2"))
+      .write.parquet(s"$root/groups$suffix")
+    graft.GraftSession.unpersistLocalCheckpoint(cur)
+  }
+
+  /** Admit a NEW batch of documents under `tag` (exactly once — the
+    * marker protocol): batch-local doubling, sibling segment. Batch doc
+    * ids must be new — the single-writer append contract every admit in
+    * this repo carries. Returns true iff this call did the append. */
+  def admitWindowBatch(spark: SparkSession, path: String, tag: String,
+      docs: DataFrame, idCol: String, textCol: String, w: Int): Boolean =
+    IndexScratch.admitOnce(path, tag) {
+      writeSegment(docs, idCol, textCol, w, path, s"_$tag")
+    }
+
+  /** Admitted segment tags, recovered from the marker dirs. */
+  private def admittedTags(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("_admitted_"))
+      .map(_.getName.stripPrefix("_admitted_")).sorted
+
+  /** The probe surface: (full-window positions, group board, key column
+    * names). Positions carry (_id, pos, keys…); the board carries
+    * (keys…, df) with df the GLOBAL per-doc-distinct frequency. */
+  private def windowGroups(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Seq[String]) = {
+    val tags = admittedTags(path)
+    if (tags.isEmpty) {
+      (spark.read.parquet(s"$path/positions"),
+        spark.read.parquet(s"$path/groups").select("k1", "k2", "df"),
+        Seq("k1", "k2"))
+    } else {
+      val segs = "" +: tags.map("_" + _)
+      def seg(s: String) = if (s.isEmpty) "base" else s
+      val groups = segs.map(s =>
+        spark.read.parquet(s"$path/groups$s")
+          .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+      val positions = segs.map(s =>
+        spark.read.parquet(s"$path/positions$s")
+          .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+      // the one string-keyed stage runs over the BOARDS only: merged
+      // identity = the lexicographically-least (seg, k1, k2) carrying
+      // each window; positions pick their global key up through a
+      // board-sized integer-keyed mapping — window strings never ride
+      // a corpus-sized row
+      val merged = groups.groupBy(col("win"))
+        .agg(min(struct(col("_seg"), col("k1"), col("k2"))).as("_g"),
+          sum(col("df")).as("df"))
+      val mapping = groups.select(col("_seg"), col("k1"), col("k2"),
+          col("win"))
+        .join(merged.select(col("win"), col("_g")), Seq("win"))
+        .select(col("_seg"), col("k1"), col("k2"),
+          col("_g._seg").as("g_seg"), col("_g.k1").as("g_k1"),
+          col("_g.k2").as("g_k2"))
+      (positions.join(mapping, Seq("_seg", "k1", "k2"))
+         .select(col("_id"), col("pos"), col("g_seg"), col("g_k1"),
+           col("g_k2")),
+        merged.select(col("_g._seg").as("g_seg"), col("_g.k1").as("g_k1"),
+          col("_g.k2").as("g_k2"), col("df")),
+        Seq("g_seg", "g_k1", "g_k2"))
+    }
+  }
+
+  /** C103's per-doc duplicated-window census OFF THE STORED INDEX —
+    * value-identical to [[CorpusOps.substringDedupSaOn]] (spec-pinned):
+    * the stored df IS that operator's rank-group doc frequency. */
+  def substringCensus(spark: SparkSession, path: String): DataFrame = {
+    val (pos, grp, keys) = windowGroups(spark, path)
+    pos.select((col("_id") +: keys.map(col)): _*).distinct()
+      .join(grp, keys)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("_id").as("doc_id"), col("n_windows"),
+        col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C106's merged duplicated-span intervals OFF THE STORED INDEX —
+    * value-identical to [[CorpusOps.dupSpansSaOn]] (spec-pinned). */
+  def dupSpans(spark: SparkSession, path: String, w: Int): DataFrame = {
+    val (pos, grp, keys) = windowGroups(spark, path)
+    val starts = pos.join(grp.filter(col("df") > 1), keys)
+      .select(col("_id"), (col("pos") + 1).cast("int").as("_i"))
+    Dedup.dupSpansFromStarts(starts, w)
+  }
+
+  /** The frozen scrub census OFF THE STORED INDEX: every window carried
+    * by ≥ 2 documents, as the `_s` strings [[Dedup.scrubWithDupWindows]]
+    * joins on — set-identical to [[Dedup.dupWindowsOf]] on the same
+    * corpus (two positions share a rank group iff their windows are
+    * byte-equal; spec-pinned). B78/B99 freeze THIS board instead of
+    * re-running the window census per stream start. */
+  def dupWindows(spark: SparkSession, path: String): DataFrame = {
+    val segs = "" +: admittedTags(path).map("_" + _)
+    segs.map(s => spark.read.parquet(s"$path/groups$s"))
+      .reduce(_ unionByName _)
+      .groupBy(col("win")).agg(sum(col("df")).as("_df"))
+      .filter(col("_df") > 1).select(col("win").as("_s"))
+  }
+
+  // ---- char-SA index (C99/C101) --------------------------------------------
+
+  def charIndexPath(dir: String): String =
+    IndexScratch.path(
+      s"sachar${CorpusOps.SaDocMod}x${CorpusOps.SaWindow}", dir)
+
+  /** Ensure C99's stored suffix ranks exist; returns the path. */
+  def ensureCharIndex(spark: SparkSession, dir: String): String = {
+    val path = charIndexPath(dir)
+    IndexScratch.ensure(path) { tmp =>
+      buildsPerformed.incrementAndGet()
+      CorpusOps.suffixArrayOn(graft.sources.Tables(spark, dir).documents,
+        "doc_id", "text").write.parquet(tmp)
+    }
+    path
+  }
+
+  /** The stored (doc_id, pos, sa_rank) frame. */
+  def charSa(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

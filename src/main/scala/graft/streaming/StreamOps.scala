@@ -616,10 +616,14 @@ object StreamOps {
     * refreshes is caught at the next one — the documented frozen-model
     * behavior, not an error. */
   def streamSubstringScrub(rootSpark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, TextOps}
+    import graft.operators.{Dedup, SaIndex, TextOps}
     val spark = streamingSession(rootSpark)
-    val frozenDups = Dedup.dupWindowsOf(
-      TextOps.dedupCorpus(spark, dir), "doc_id", "text", TextOps.SubstrW)
+    // the frozen census PROBES the persisted window-group index (r13
+    // verdict #3) — set-identical to Dedup.dupWindowsOf on this corpus
+    // (SaIndexSpec pins it); a stream start no longer re-runs the
+    // window census, it reads the stored group board
+    val frozenDups = SaIndex.dupWindows(spark,
+      SaIndex.ensureWindowIndex(spark, dir, TextOps.SubstrW))
       .localCheckpoint(eager = true)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
@@ -646,10 +650,11 @@ object StreamOps {
     * receive (doc, span) rows and never re-run the census. Drain ==
     * batch C105 on the training corpus → SHARES `dup_spans`' oracle. */
   def streamDupSpans(rootSpark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, TextOps}
+    import graft.operators.{Dedup, SaIndex, TextOps}
     val spark = streamingSession(rootSpark)
-    val frozenDups = Dedup.dupWindowsOf(
-      TextOps.dedupCorpus(spark, dir), "doc_id", "text", TextOps.SubstrW)
+    // B78's probe-the-stored-census discipline (see streamSubstringScrub)
+    val frozenDups = SaIndex.dupWindows(spark,
+      SaIndex.ensureWindowIndex(spark, dir, TextOps.SubstrW))
       .localCheckpoint(eager = true)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
