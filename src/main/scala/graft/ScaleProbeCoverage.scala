@@ -320,6 +320,11 @@ object ScaleProbeCoverage {
       "stream_benford" -> (Seq("stream_linreg_trend"),
         "same lineitem feed; the stateless per-batch digit partial is " +
         "strictly lighter than the probed day-window machine"),
+      "stream_kcore" -> (Seq("stream_basket_pairs", "kcore_parts"),
+        "the SAME settled-basket machine and pair partials as the " +
+        "probed B94 drain (minus its item/basket boards); the read " +
+        "tail is the support cut + the probed kcore peel over the " +
+        "O(frequent pairs) board"),
       "skew_audit" -> (Seq("fd_profile"),
         "the SAME per-candidate census pattern (key partial agg + 1-row " +
         "rollup, unioned) the probed FD board runs with an exact " +

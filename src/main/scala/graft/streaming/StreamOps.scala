@@ -1316,6 +1316,65 @@ object StreamOps {
       .orderBy(col("item_a"), col("item_b"))
   }
 
+  val KcoreQueryName = "graft_stream_kcore"
+
+  /** B113: B104's k-core board maintained BY the stream — the B94/B95
+    * monoid discipline applied to an ITERATIVE GRAPH key (r13 next-round
+    * #7). The stream side is pure edge accounting: settled orders (B94's
+    * watermark-evicted basket state — the WHOLE machine is shared, one
+    * spelling) emit sum-mergeable within-order pair-count partials to
+    * the rollup; the ITERATIVE half — support cut, symmetrize, peel —
+    * runs ONCE AT READ over the merged support board, because a k-core
+    * is a function of the final edge multiset, not of arrival order (no
+    * per-batch peeling, no iterative streaming state to keep
+    * consistent). Drain == batch `kcoreParts` on the training corpus →
+    * SHARES its oracle. At 100 TB: state = open orders only; per-batch
+    * cost = the settled orders' pair partials (map-side expansion + one
+    * partial agg); the peel reads the O(frequent pairs) support board,
+    * never the history. */
+  def streamKcore(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val maxTsUs = li.agg(max(unix_micros(col("l_shipdate")))).head().getLong(0)
+    val raw = spark.readStream.schema(li.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_shipdate").as("ts"))
+    val sdir = sentinelDir(spark, dir, maxTsUs, 3 * StatefulBaskets.GapUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("user_id").as("l_orderkey"),
+        col("event_id").as("l_partkey"), col("ts"))
+    kcoreStreamOn(spark, raw.unionByName(sentinel))
+  }
+
+  /** The B113 machine over ANY sentinel-terminated (l_orderkey,
+    * l_partkey, ts) stream — split out for the eviction spec. */
+  private[streaming] def kcoreStreamOn(spark: SparkSession,
+      raw: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    import graft.operators.OlapC
+    val settledStream = StatefulBaskets.settledBaskets(spark, raw)
+    val partials = drainViaParquetSink(spark, settledStream.toDF(),
+      KcoreQueryName,
+      xform = (mb, _) => mb.filter(col("bk") >= 0)
+        .select(explode(basketPairExpansion).as("p"))
+        .groupBy(col("p.item_a").as("u"), col("p.item_b").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      afterDrain = afterDrain)
+    val pairs = partials.groupBy(col("u"), col("v"))
+      .agg(sum(col("cnt")).as("supp"))
+      .filter(col("supp") >= OlapC.KcoreSupport)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    OlapC.kcorePartsOn(edges, OlapC.KcoreK, OlapC.KcorePeelRounds)
+      .select(col("node").as("part_id"), col("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
   val ShapleyQueryName = "graft_stream_attribution_shapley"
 
   /** B95: B93's Shapley attribution maintained BY the stream — per-user
@@ -2050,6 +2109,7 @@ object StreamOps {
     "stream_dedup_ttl" -> (streamDedupTtl _),
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
+    "stream_kcore" -> (streamKcore _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
@@ -2077,6 +2137,7 @@ object StreamOps {
     // the streamed per-user monoid re-scored must equal the batch RFM
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
+    "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_acf" -> graft.operators.OlapC.acfLagsSql,
