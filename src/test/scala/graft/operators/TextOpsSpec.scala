@@ -32,6 +32,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("compress_ratio agrees with the ORACLE-CHECKED redundancy proxies " +
+      "(r13 verdict #8: the deterministic half of C21 is cross-checked " +
+      "through C25's hash-green board, deflate itself stays rows-only)") {
+    // a repetition LADDER (fixed length, rising within-doc duplication):
+    // the oracle-checked proxy (dup_gram_frac, C25's spelling) and the
+    // deflate ratio must rank every rung the same way — dup_gram_frac
+    // strictly rising, compress_ratio strictly falling. 200 words per
+    // rung; rung k cycles a vocabulary of 200/2^k distinct words.
+    val rungs = Seq(0, 1, 3, 6).map { k =>
+      val vocab = 200 >> k
+      s"r$k" -> (0 until 200).map(i => s"w${(i % vocab) * 7919}")
+        .mkString(" ")
+    }
+    val fx = rungs.toDF("k", "text")
+    val frac = CorpusOps.textRepetitionOn(fx, "k", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("dup_gram_frac"))
+      .toMap
+    val cr = fx.select(col("k"),
+        graft.functions.textsketch.compress_ratio(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val order = rungs.map(_._1)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(frac(a) < frac(b),
+        s"proxy must rise with repetition: $a=${frac(a)} $b=${frac(b)}")
+      assert(cr(a) > cr(b),
+        s"deflate must fall with repetition: $a=${cr(a)} $b=${cr(b)}")
+    }
+  }
+
   test("substring_dedup: exact copies and their originals are fully duplicated") {
     val rows = TextOps.substringDedup(spark, sfDir).collect()
     val byId = rows.map(r =>
