@@ -320,6 +320,11 @@ object ScaleProbeCoverage {
       "stream_benford" -> (Seq("stream_linreg_trend"),
         "same lineitem feed; the stateless per-batch digit partial is " +
         "strictly lighter than the probed day-window machine"),
+      "stream_pagerank" -> (Seq("triangle_count", "stream_join"),
+        "per batch the arriving rows run the probed graph-join shape " +
+        "into an O(nations²)-bounded partial agg; the rank iteration " +
+        "rides the FIXED 25-node board (pagerank_nations' own coverage " +
+        "argument)"),
       "stream_kcore" -> (Seq("stream_basket_pairs", "kcore_parts"),
         "the SAME settled-basket machine and pair partials as the " +
         "probed B94 drain (minus its item/basket boards); the read " +

@@ -231,9 +231,16 @@ object TextOps {
     * both members fully scrubbed — the deterministic positive path).
     * Output per doc: token counts and the scrubbed text itself, so the
     * oracle proves WHICH tokens survive, not just how many. */
+  /** Driver key: the dup-window census PROBES the persisted SA index
+    * (`SaIndex.dupWindows` — set-identical to `Dedup.dupWindowsOf`,
+    * SaIndexSpec-pinned); only the scrub half runs per query. The
+    * from-scratch census path stays exercised by C44's own key and the
+    * On-operators' specs. */
   def substringScrub(spark: SparkSession, dir: String): DataFrame =
-    Dedup.scrubDuplicatedWindows(dedupCorpus(spark, dir), "doc_id", "text",
-        SubstrW)
+    Dedup.scrubWithDupWindows(
+      SaIndex.dupWindows(spark,
+        SaIndex.ensureWindowIndex(spark, dir, SubstrW)),
+      dedupCorpus(spark, dir), "doc_id", "text", SubstrW)
       .orderBy(col("doc_id"))
 
   val substringScrubSql: String =
@@ -275,12 +282,12 @@ object TextOps {
     * [[Dedup.dupSpansWithDupWindows]]); the per-corpus span list is what
     * an ExactSubstr deploy ships downstream so consumers can mask
     * without re-running the census. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = dedupCorpus(spark, dir)
+  /** Driver key: same probe-the-stored-census discipline as C96. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupSpansWithDupWindows(
-      Dedup.dupWindowsOf(corpus, "doc_id", "text", SubstrW),
-      corpus, "doc_id", "text", SubstrW)
-  }
+      SaIndex.dupWindows(spark,
+        SaIndex.ensureWindowIndex(spark, dir, SubstrW)),
+      dedupCorpus(spark, dir), "doc_id", "text", SubstrW)
 
   /** Twin: the C96 census CTEs + the gaps-and-islands merge. */
   val dupSpansSql: String =

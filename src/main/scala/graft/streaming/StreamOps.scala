@@ -1375,6 +1375,61 @@ object StreamOps {
       .orderBy(col("part_id"))
   }
 
+  val PagerankQueryName = "graft_stream_pagerank"
+
+  /** B114: B26's nation PageRank maintained BY the stream — B113's
+    * companion, completing r13 next-round #7's pair (both iterative-
+    * graph batch keys now have streaming twins). The stream side is the
+    * ZERO-STATE monoid shape (B109): each arriving lineitem row is one
+    * independent edge increment — per batch the rows join the static
+    * dims (orders → customer nation; supplier nation — broadcast-class
+    * boards) and shrink to (src, dst, w) partial counts; cross-batch
+    * merge is a pure SUM, so no watermark, no state store, no eviction
+    * to reason about. The ITERATIVE half — [[graft.operators.OlapC
+    * .pagerankOn]]'s 5 exact-integer rank rounds — runs ONCE AT READ
+    * over the merged edge board (PageRank is a function of the final
+    * weighted graph, not of arrival order). Drain == batch → SHARES
+    * `pagerank_nations`' oracle. At 100 TB: per-batch cost = the
+    * arriving rows' dim joins + one O(nations²)-bounded partial agg;
+    * the read tail iterates on the O(nations²) board. */
+  def streamPagerank(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val raw = spark.readStream.schema(li.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    pagerankStreamOn(spark, dir, raw)
+  }
+
+  /** The B114 machine over ANY (l_orderkey, l_suppkey) stream — split
+    * out so the monoid-replay spec can feed arbitrary wave splits. */
+  private[streaming] def pagerankStreamOn(spark: SparkSession, dir: String,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapC
+    val t = graft.sources.Tables(spark, dir)
+    val partials = drainViaParquetSink(spark, raw, PagerankQueryName,
+      xform = (mb, _) => mb
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select(col("c_custkey"),
+          col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("dst"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("w")))
+    val edges = partials.groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+    val nodes = t.nation.select(col("n_nationkey").as("node"))
+    OlapC.pagerankOn(edges, nodes, OlapC.PrIters)
+      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name").as("nation"),
+        col("r").as("rank_pico"),
+        (col("r").cast("double") / OlapC.PrScale).as("rank"))
+      .orderBy(col("node"))
+  }
+
   val ShapleyQueryName = "graft_stream_attribution_shapley"
 
   /** B95: B93's Shapley attribution maintained BY the stream — per-user
@@ -2110,6 +2165,7 @@ object StreamOps {
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_kcore" -> (streamKcore _),
+    "stream_pagerank" -> (streamPagerank _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
@@ -2138,6 +2194,7 @@ object StreamOps {
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
+    "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_acf" -> graft.operators.OlapC.acfLagsSql,
