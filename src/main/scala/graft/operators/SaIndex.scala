@@ -115,18 +115,22 @@ object SaIndex {
       writeSegment(docs, idCol, textCol, w, path, s"_$tag")
     }
 
-  /** Admitted segment tags, recovered from the marker dirs. */
-  private def admittedTags(path: String): Seq[String] =
+  /** LIVE segment tags = tags whose `positions_<tag>` directory still
+    * exists. Detection is by DIRECTORY, not by admission marker: vacuum
+    * folds segments into the base and deletes their directories, but the
+    * markers STAY (an admitted batch's docs live on in the compacted
+    * base, so a replayed ingest must remain a no-op). */
+  private def segmentTags(path: String): Seq[String] =
     Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("_admitted_"))
-      .map(_.getName.stripPrefix("_admitted_")).sorted
+      .filter(f => f.isDirectory && f.getName.startsWith("positions_"))
+      .map(_.getName.stripPrefix("positions_")).sorted
 
   /** The probe surface: (full-window positions, group board, key column
     * names). Positions carry (_id, pos, keys…); the board carries
     * (keys…, df) with df the GLOBAL per-doc-distinct frequency. */
   private def windowGroups(spark: SparkSession,
       path: String): (DataFrame, DataFrame, Seq[String]) = {
-    val tags = admittedTags(path)
+    val tags = segmentTags(path)
     if (tags.isEmpty) {
       (spark.read.parquet(s"$path/positions"),
         spark.read.parquet(s"$path/groups").select("k1", "k2", "df"),
@@ -196,11 +200,71 @@ object SaIndex {
     * byte-equal; spec-pinned). B78/B99 freeze THIS board instead of
     * re-running the window census per stream start. */
   def dupWindows(spark: SparkSession, path: String): DataFrame = {
-    val segs = "" +: admittedTags(path).map("_" + _)
+    val segs = "" +: segmentTags(path).map("_" + _)
     segs.map(s => spark.read.parquet(s"$path/groups$s"))
       .reduce(_ unionByName _)
       .groupBy(col("win")).agg(sum(col("df")).as("_df"))
       .filter(col("_df") > 1).select(col("win").as("_s"))
+  }
+
+  /** VACUUM — the lifecycle's fourth verb (ensure → admit → probe →
+    * VACUUM, the band-index discipline): recurring admissions leave the
+    * index as base + O(admits) sibling segments, so every probe pays the
+    * cross-segment board merge and the accumulated small files. Vacuum
+    * folds everything into ONE fresh base: merged window identity takes
+    * a re-densified integer key (range-partitioned sort + zipWithIndex
+    * over the GROUPS board — board-sized, the C103 no-single-partition
+    * discipline), positions re-key through a board-sized integer-keyed
+    * mapping, global df is the Σ of segment dfs, and the new layout
+    * swaps in via the rename-aside commit ([[Dedup.swapDir]] — crash
+    * leaves the old layout, never an empty index). Content-preserving
+    * by construction: every probe product depends only on (grouping,
+    * df, win), all preserved — probe-after-vacuum ≡ probe-before
+    * (SaIndexSpec pins all three products). Admission markers STAY (the
+    * folded batches' docs live on in the base; replayed ingests remain
+    * no-ops); segment dirs are deleted. Single-writer maintenance op,
+    * like every vacuum in the repo. Returns (segments_before,
+    * parquet_files_before, parquet_files_after). */
+  def vacuum(spark: SparkSession, path: String): (Int, Long, Long) = {
+    val tags = segmentTags(path)
+    val before = Dedup.parquetFileCount(spark, path)
+    if (tags.isEmpty) return (1, before, before) // already one segment
+    val segs = "" +: tags.map("_" + _)
+    def seg(s: String) = if (s.isEmpty) "base" else s
+    val groups = segs.map(s =>
+      spark.read.parquet(s"$path/groups$s")
+        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+    val positions = segs.map(s =>
+      spark.read.parquet(s"$path/positions$s")
+        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+    val merged = groups.groupBy(col("win")).agg(sum(col("df")).as("df"))
+    // fresh dense ids over the merged board — win-ordered, distributed
+    val sorted = merged.repartitionByRange(col("win"))
+      .sortWithinPartitions(col("win"))
+    val gid = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      sorted.schema.add("_nr", org.apache.spark.sql.types.LongType))
+      .localCheckpoint(eager = true)
+    val mapping = groups.select(col("_seg"), col("k1"), col("k2"),
+        col("win"))
+      .join(gid.select(col("win"), col("_nr")), Seq("win"))
+    gid.select(col("_nr").as("k1"), lit(-1L).as("k2"), col("df"),
+        col("win"))
+      .write.parquet(s"$path/groups.vacuum")
+    positions.join(mapping.select(col("_seg"), col("k1"), col("k2"),
+        col("_nr")), Seq("_seg", "k1", "k2"))
+      .select(col("_id"), col("pos"), col("_nr").as("k1"),
+        lit(-1L).as("k2"))
+      .write.parquet(s"$path/positions.vacuum")
+    Dedup.swapDir(spark, s"$path/groups.vacuum", s"$path/groups")
+    Dedup.swapDir(spark, s"$path/positions.vacuum", s"$path/positions")
+    tags.foreach { t =>
+      IndexScratch.deleteRec(new java.io.File(s"$path/positions_$t"))
+      IndexScratch.deleteRec(new java.io.File(s"$path/groups_$t"))
+    }
+    graft.GraftSession.unpersistLocalCheckpoint(gid)
+    (segs.size, before, Dedup.parquetFileCount(spark, path))
   }
 
   // ---- char-SA index (C99/C101) --------------------------------------------

@@ -89,5 +89,27 @@ class SaIndexSpec extends SparkSpec {
     val census = SaIndex.substringCensus(spark, path).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(census(10L) >= 1L, "cross-segment duplicate window missed")
+
+    // ---- VACUUM: the fourth verb — fold segments into one fresh base
+    val preCensus = strs(SaIndex.substringCensus(spark, path))
+    val preSpans = strs(SaIndex.dupSpans(spark, path, w))
+    val preBoard = SaIndex.dupWindows(spark, path)
+      .collect().map(_.getString(0)).toSet
+    val (nSegs, _, _) = SaIndex.vacuum(spark, path)
+    assert(nSegs === 2, "vacuum should have folded base + one segment")
+    // content-preserving: every probe product identical post-vacuum
+    assert(strs(SaIndex.substringCensus(spark, path)) === preCensus)
+    assert(strs(SaIndex.dupSpans(spark, path, w)) === preSpans)
+    assert(SaIndex.dupWindows(spark, path)
+      .collect().map(_.getString(0)).toSet === preBoard)
+    // segments folded away; the admission marker SURVIVES, so a replayed
+    // ingest of the folded batch stays a no-op (its docs live in the base)
+    assert(!new java.io.File(s"$path/positions_b1").exists())
+    assert(!SaIndex.admitWindowBatch(spark, path, "b1", batch,
+      "doc_id", "text", w),
+      "vacuum must not reopen the admitted tag — double-ingest corruption")
+    // idempotent on a single segment
+    val again = SaIndex.vacuum(spark, path)
+    assert(again._1 === 1 && again._2 === again._3)
   }
 }
