@@ -337,6 +337,15 @@ object ScaleProbeCoverage {
       "rate_wilson" -> (Seq("q5_multijoin"),
         "one distinct + semi join on the star's own keys + an " +
         "O(nations) rollup — a strict subset of the probed star"),
+      "winnow_fingerprint" -> (Seq("substring_dedup", "text_repetition"),
+        "one gram explode + ONE doc-key window + doc-key rollups — " +
+        "strictly lighter than the probed window census over the same " +
+        "corpus (which shuffles the gram strings; winnow shuffles one " +
+        "BIGINT per position)"),
+      "winnow_overlap" -> (Seq("dedup_minhash_lsh", "substring_dedup"),
+        "the probed band-bucket self-join shape over the ~2/(w+1)-dense " +
+        "selected-hash table, with the df cap bounding per-key fanout " +
+        "like the band buckets"),
       "text_quality" -> (Seq("text_entropy", "text_repetition"),
         "pure codegen map over the same text scan"),
       "text_tokens" -> (Seq("text_entropy", "text_repetition"),

@@ -785,6 +785,182 @@ object TextOps {
       |  COUNT(*) OVER (PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS n_same
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- C110/C111: winnowed fingerprints (Schleimer et al., SIGMOD 2003) ----
+  /** Gram width (chars on the sanitized charset), winnow window (grams),
+    * and the gate slice (chars per doc — the ORACLE materializes every
+    * gram string, so its window must stay bounded; the deploy path lifts
+    * the bound, the selection math is length-free). Winnowing's
+    * guarantee at these knobs: any shared substring of
+    * k + w − 1 = 15 sanitized chars is DETECTED (both docs select a
+    * shared gram hash from it), with expected fingerprint density
+    * 2/(w+1) ≈ 0.22 of grams — the bounded-fingerprint property that
+    * makes MOSS-style overlap detection shuffle O(selected), never
+    * O(grams). */
+  val WinnowK = 8
+  val WinnowW = 8
+  val WinnowChars = 128
+  val WinnowMinShared = 3
+
+  /** Over-represented-fingerprint cap for C111 (Schleimer et al. §5's
+    * "too common" suppression, what MOSS does with boilerplate): a
+    * winnowed hash carried by more than this many documents is
+    * stop-gram noise ("the ", code headers), not evidence of copying —
+    * and it is also the SCALE hazard: a hash with document frequency
+    * df fans out df² pairs in the overlap join, so capping df bounds
+    * the join at MaxDf × |fingerprints| — linear, corpus-size-proof.
+    * First registration measured the uncapped board at 21 518 pairs
+    * over 572 docs (avg 75 partners/doc — all stop-gram fanout). */
+  val WinnowMaxDf = 16
+
+  /** The selection core: per doc, the distinct winnow SITES as the
+    * combined key `h·chars + (chars−1−pos)` — one integer carrying
+    * (hash, position) with min() = (smallest hash, ties to the RIGHTMOST
+    * position), the classic robust-winnowing tie-break, so the whole
+    * per-window argmin is ONE MIN over a ROWS frame (engine-identical;
+    * no struct ordering, no self-join). Hashes are the repo's 48-bit
+    * md5-prefix integers, so `h·chars + pos` stays < 2⁵⁶ — exact BIGINT
+    * in both engines. Only FULL windows select (the standard
+    * definition); docs shorter than k + w − 1 sanitized chars have no
+    * full window and drop out in both engines. */
+  private[operators] def winnowSitesOn(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = WinnowK, w: Int = WinnowW,
+      chars: Int = WinnowChars): DataFrame = {
+    val s = substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),
+      1, chars)
+    val grams = docs
+      .select(col(idCol).as("doc_id"), s.as("s"))
+      .filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"), (length(col("s")) - (k - 1)).as("n_grams"),
+        posexplode(expr(s"transform(sequence(1, length(s) - ${k - 1}), " +
+          s"i -> substr(s, i, $k))")).as(Seq("p0", "gram")))
+    val h = conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p0"))
+      .rowsBetween(0, w - 1)
+    grams
+      .select(col("doc_id"), col("n_grams"), col("p0"),
+        (h * chars + (lit(chars - 1) - col("p0"))).as("cmb"))
+      .withColumn("mw", min(col("cmb")).over(byPos))
+      .filter(col("p0") <= col("n_grams") - w) // full windows only
+      .select(col("doc_id"), col("n_grams"), col("mw")).distinct()
+  }
+
+  /** C110: the per-doc winnow fingerprint board — gram/window/selection
+    * counts, density, and the mod-2⁶¹−1 fold of the DISTINCT selected
+    * hashes (the position-free content signature C111 matches on).
+    * Scale shape: one map-side gram explode + ONE doc-key window + two
+    * doc-key rollups — the fingerprint table any plagiarism/overlap
+    * pipeline stores is ~2/(w+1) of the gram stream. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
+      .localCheckpoint(eager = true) // feeds the site board AND the hash board
+    val sites = sel.groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fp_sites"))
+    val hashes = sel
+      .select(col("doc_id"), expr(s"mw div $WinnowChars").as("h")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp_hashes"),
+        graft.sources.Sinks.censusFingerprint(col("h")).as("fp_h"))
+    sites.join(hashes, "doc_id")
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        (col("n_grams") - (WinnowW - 1)).cast("long").as("n_windows"),
+        col("n_fp_sites"), col("n_fp_hashes"),
+        (col("n_fp_sites").cast("double") /
+          (col("n_grams") - (WinnowW - 1)).cast("double")).as("density"),
+        col("fp_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE chain for the two winnow twins (one spelling). The gram
+    * position column is `gp`, NOT `i` — hex12Sql's internal
+    * list_transform lambda binds `i` and would SHADOW an outer `i`
+    * column, silently hashing the same gram for every row (found as a
+    * constant-hash board on first registration). */
+  private def winnowSelSql: String = {
+    val hex = graft.operators.CorpusOps.hex12Sql(
+      s"substr(md5(substr(s, CAST(gp + 1 AS INT), $WinnowK)), 1, 12)")
+    s"""$dedupCorpusSql,
+       |d AS (
+       |  SELECT doc_id,
+       |    substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),
+       |           1, $WinnowChars) AS s
+       |  FROM corpus
+       |), g AS (
+       |  SELECT doc_id, length(s) - ${WinnowK - 1} AS n_grams,
+       |    CAST(gp AS BIGINT) AS p0,
+       |    $hex * $WinnowChars + (${WinnowChars - 1} - CAST(gp AS BIGINT))
+       |      AS cmb
+       |  FROM (SELECT doc_id, s, UNNEST(range(0, length(s) - ${WinnowK - 1}))
+       |          AS gp
+       |        FROM d WHERE length(s) >= ${WinnowK + WinnowW - 1})
+       |), wmin AS (
+       |  SELECT doc_id, n_grams, p0,
+       |    MIN(cmb) OVER (PARTITION BY doc_id ORDER BY p0
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mw
+       |  FROM g
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, n_grams, mw
+       |  FROM wmin WHERE p0 <= n_grams - $WinnowW
+       |), hs AS (
+       |  SELECT DISTINCT doc_id, mw // $WinnowChars AS h FROM sel
+       |)""".stripMargin
+  }
+
+  /** Twin: the same sanitized grams, combined-key window MIN, full-window
+    * filter, and per-doc rollups. */
+  val winnowFingerprintSql: String =
+    s"""WITH $winnowSelSql,
+       |sb AS (
+       |  SELECT doc_id, ANY_VALUE(n_grams) AS n_grams, COUNT(*) AS n_fp_sites
+       |  FROM sel GROUP BY doc_id
+       |), hb AS (
+       |  SELECT doc_id, COUNT(*) AS n_fp_hashes,
+       |    ${graft.sources.Sinks.censusFingerprintSql("h")} AS fp_h
+       |  FROM hs GROUP BY doc_id
+       |)
+       |SELECT sb.doc_id, CAST(sb.n_grams AS BIGINT) AS n_grams,
+       |  CAST(sb.n_grams - ${WinnowW - 1} AS BIGINT) AS n_windows,
+       |  sb.n_fp_sites, hb.n_fp_hashes,
+       |  CAST(sb.n_fp_sites AS DOUBLE)
+       |    / CAST(sb.n_grams - ${WinnowW - 1} AS DOUBLE) AS density,
+       |  hb.fp_h
+       |FROM sb JOIN hb ON sb.doc_id = hb.doc_id
+       |ORDER BY sb.doc_id""".stripMargin
+
+  /** C111: the MOSS-style overlap board — doc pairs sharing ≥
+    * [[WinnowMinShared]] winnowed hashes, with the shared count. The
+    * join keys are SELECTED hashes only (≈2/(w+1) of grams — the
+    * winnowing point), so the shuffle is O(fingerprints); counts are
+    * exact (each (doc, hash) row is distinct by construction). */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hs0 = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), expr(s"mw div $WinnowChars").as("h")).distinct()
+      .localCheckpoint(eager = true) // feeds the df board AND the join
+    val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= WinnowMaxDf)
+    val hs = hs0.join(hf.select(col("h")), "h")
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Twin: the same df-capped selected-hash self-join. */
+  val winnowOverlapSql: String =
+    s"""WITH $winnowSelSql,
+       |hf AS (
+       |  SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= $WinnowMaxDf
+       |), hk AS (
+       |  SELECT hs.doc_id, hs.h FROM hs JOIN hf ON hs.h = hf.h
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- C21: compression-ratio quality signal (rows-only; TextOpsSpec) ------
   /** Deflate ratio per document plus a corpus-relative redundancy flag —
     * the CCNet-style signal that catches boilerplate/repetition lexical
@@ -813,6 +989,8 @@ object TextOps {
     "langid_agreement" -> (langidAgreement _),
     "text_readability" -> (textReadability _),
     "doc_fingerprint" -> (docFingerprint _),
+    "winnow_fingerprint" -> (winnowFingerprint _),
+    "winnow_overlap" -> (winnowOverlap _),
     "substring_dedup" -> (substringDedup _),
     "substring_scrub" -> (substringScrub _),
     "dup_spans" -> (dupSpans _),
@@ -830,6 +1008,8 @@ object TextOps {
     "langid_agreement" -> langidAgreementSql,
     "text_readability" -> textReadabilitySql,
     "doc_fingerprint" -> docFingerprintSql,
+    "winnow_fingerprint" -> winnowFingerprintSql,
+    "winnow_overlap" -> winnowOverlapSql,
     "substring_dedup" -> substringDedupSql,
     "substring_scrub" -> substringScrubSql,
     "dup_spans" -> dupSpansSql,

@@ -264,7 +264,9 @@ class PlanGuardSpec extends SparkSpec {
     "seasonal_detrend" -> 3, // B110: the (group, day) partial-agg exchange + ONE group-key exchange for the centered window + gate sort (measured 3)
     "skew_audit" -> 12, // B111: 6 candidates × (key partial agg + its 1-row rollup's single-partition exchange) unioned — the B83 FD-census pattern; every exchange carries O(keys) of ONE candidate, the board is 6 rows; the union needs no extra sort beyond the gate (measured 12)
     "rate_wilson" -> 4, // B112: orders distinct agg feeds the semi join (customer side broadcastable at gate; key-partitioned at scale), nation rollup per side + the O(nations) join + gate sort (measured 4)
-    "text_readability" -> 1 // C109: pure regexp-count map stage + gate sort (measured 1)
+    "text_readability" -> 1, // C109: pure regexp-count map stage + gate sort (measured 1)
+    "winnow_fingerprint" -> 4, // C110: the site board is checkpoint-truncated (gram explode + doc-key window run eagerly); residual = two doc-key rollups + their join + gate sort (measured 4)
+    "winnow_overlap" -> 4 // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {
