@@ -337,6 +337,10 @@ object ScaleProbeCoverage {
       "rate_wilson" -> (Seq("q5_multijoin"),
         "one distinct + semi join on the star's own keys + an " +
         "O(nations) rollup — a strict subset of the probed star"),
+      "stream_winnow" -> (Seq("dedup_minhash_lsh", "stream_line_dedup"),
+        "per batch the arrivals' map-side winnow selection (one doc-key " +
+        "window, strictly lighter than the probed stream census); the " +
+        "read join is C111's capped band-bucket shape"),
       "winnow_fingerprint" -> (Seq("substring_dedup", "text_repetition"),
         "one gram explode + ONE doc-key window + doc-key rollups — " +
         "strictly lighter than the probed window census over the same " +

@@ -822,7 +822,7 @@ object TextOps {
     * in both engines. Only FULL windows select (the standard
     * definition); docs shorter than k + w − 1 sanitized chars have no
     * full window and drop out in both engines. */
-  private[operators] def winnowSitesOn(docs: DataFrame, idCol: String,
+  private[graft] def winnowSitesOn(docs: DataFrame, idCol: String,
       textCol: String, k: Int = WinnowK, w: Int = WinnowW,
       chars: Int = WinnowChars): DataFrame = {
     val s = substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),

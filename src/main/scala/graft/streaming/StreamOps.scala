@@ -1375,6 +1375,47 @@ object StreamOps {
       .orderBy(col("part_id"))
   }
 
+  val WinnowQueryName = "graft_stream_winnow"
+
+  /** B115: C111's winnow overlap board maintained BY the stream — copy
+    * detection ON INGEST: every arriving document fingerprints
+    * map-side (C110's selection is per-doc — batch-local ≡ global, the
+    * B78 "doc lands whole in one batch" shape) and its (doc, hash)
+    * fingerprint rows append to the rollup; the overlap join — df cap,
+    * pair counts, threshold — runs ONCE AT READ over the merged
+    * fingerprint table, because the board is a function of the final
+    * fingerprint set, not arrival order. ZERO streaming state (B109's
+    * shape). Drain == batch → SHARES `winnow_overlap`'s oracle. At
+    * 100 TB: per-batch cost = the arrivals' gram explode + one doc-key
+    * window; the read join touches only the ≈2/(w+1)-dense capped
+    * fingerprints. */
+  def streamWinnow(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def seed(mb: DataFrame): DataFrame = {
+      val d = mb.select(col("doc_id"), col("text"))
+      d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+    val partials = drainViaParquetSink(spark, docs, WinnowQueryName,
+      xform = (mb, _) => TextOps.winnowSitesOn(seed(mb), "doc_id", "text")
+        .select(col("doc_id"),
+          expr(s"mw div ${TextOps.WinnowChars}").as("h")).distinct())
+    val hs0 = partials.localCheckpoint(eager = true) // df board + join sides
+    val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= TextOps.WinnowMaxDf)
+    val hs = hs0.join(hf.select(col("h")), "h")
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= TextOps.WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val PagerankQueryName = "graft_stream_pagerank"
 
   /** B114: B26's nation PageRank maintained BY the stream — B113's
@@ -2166,6 +2207,7 @@ object StreamOps {
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_kcore" -> (streamKcore _),
     "stream_pagerank" -> (streamPagerank _),
+    "stream_winnow" -> (streamWinnow _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
@@ -2195,6 +2237,7 @@ object StreamOps {
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
+    "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_acf" -> graft.operators.OlapC.acfLagsSql,
