@@ -337,6 +337,10 @@ object ScaleProbeCoverage {
       "rate_wilson" -> (Seq("q5_multijoin"),
         "one distinct + semi join on the star's own keys + an " +
         "O(nations) rollup — a strict subset of the probed star"),
+      "leakage_safe_split" -> (Seq("dedup_clusters", "cluster_sample"),
+        "C17's probed cluster build + a pure hash-map assignment over " +
+        "the (doc, cluster) frame — the split adds zero exchanges to " +
+        "the probed CC"),
       "stream_winnow" -> (Seq("dedup_minhash_lsh", "stream_line_dedup"),
         "per batch the arrivals' map-side winnow selection (one doc-key " +
         "window, strictly lighter than the probed stream census); the " +

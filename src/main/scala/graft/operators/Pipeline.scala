@@ -371,6 +371,48 @@ object Pipeline {
        |  CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS is_keeper
        |FROM lab GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // --- C112: leakage-safe train/val/test split -------------------------------
+  /** C14's deterministic split at NEAR-DUP-CLUSTER granularity — the
+    * assignment discipline that keeps evaluation honest (Lee et al. ACL
+    * 2022; Dodge et al. 2021 both document test-set contamination via
+    * near-dups straddling splits): a doc-level hash split puts a
+    * duplicated passage's copies on BOTH sides of the train/test fence,
+    * so the model is evaluated on its own training text. Here the split
+    * hashes the CLUSTER id (C17's connected components over the Jaccard
+    * graph), so every member of a near-dup cluster co-assigns by
+    * construction — no pair of near-duplicates can ever straddle. Same
+    * md5-prefix thresholds as C14 (≈80/10/10, reproducible anywhere,
+    * stable under resharding); singleton docs hash exactly like C14
+    * would hash their own cluster id.
+    *
+    * Scale shape: the cluster build is C17's (band-bounded candidate
+    * join + star-safe CC); the assignment is a pure map over the
+    * (doc, cluster) frame. The leakage guarantee costs nothing extra —
+    * it is the KEY choice, not a check. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("cluster_id").cast("string")), 1, 4)
+    dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), h.as("hash_prefix"),
+        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Twin: C17's cluster CTEs + C14's threshold CASE over the cluster id. */
+  val leakageSafeSplitSql: String =
+    s"""WITH RECURSIVE $ccClusterCtes,
+       |cc AS (
+       |  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM lab GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id,
+       |  substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS hash_prefix,
+       |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccd'
+       |         THEN 'train'
+       |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666'
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cc ORDER BY doc_id""".stripMargin
+
   // --- C61: quality-argmax survivorship -------------------------------------
   /** [[dedupClusters]] with the retention policy a curation team actually
     * deploys: within each near-dup cluster keep the HIGHEST-QUALITY copy
@@ -1447,6 +1489,7 @@ object Pipeline {
     "ngram_topk" -> (ngramTopk _),
     "token_freq" -> (tokenFreq _),
     "dedup_clusters" -> (dedupClusters _),
+    "leakage_safe_split" -> (leakageSafeSplit _),
     "dedup_clusters_stars" -> (dedupClustersStars _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "curate_pipeline" -> (curatePipeline _),
@@ -1468,6 +1511,7 @@ object Pipeline {
     "ngram_topk" -> ngramTopkSql,
     "token_freq" -> tokenFreqSql,
     "dedup_clusters" -> dedupClustersSql,
+    "leakage_safe_split" -> leakageSafeSplitSql,
     "dedup_clusters_stars" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "curate_pipeline" -> curatePipelineSql,

@@ -266,7 +266,8 @@ class PlanGuardSpec extends SparkSpec {
     "rate_wilson" -> 4, // B112: orders distinct agg feeds the semi join (customer side broadcastable at gate; key-partitioned at scale), nation rollup per side + the O(nations) join + gate sort (measured 4)
     "text_readability" -> 1, // C109: pure regexp-count map stage + gate sort (measured 1)
     "winnow_fingerprint" -> 4, // C110: the site board is checkpoint-truncated (gram explode + doc-key window run eagerly); residual = two doc-key rollups + their join + gate sort (measured 4)
-    "winnow_overlap" -> 4 // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
+    "winnow_overlap" -> 4, // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
+    "leakage_safe_split" -> 3 // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

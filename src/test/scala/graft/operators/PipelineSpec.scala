@@ -454,4 +454,38 @@ class PipelineSpec extends SparkSpec {
     assert(maxSel <= minUnsel,
       s"a selected doc ($maxSel) is farther from the boundary than an unselected one ($minUnsel)")
   }
+
+  test("leakage_safe_split (C112): near-dup pairs never straddle splits, " +
+      "and the doc-level C14 split PROVABLY would") {
+    val split = Pipeline.leakageSafeSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    // every doc assigned exactly once, clusters assign as one block
+    split.groupBy(_._2._1).foreach { case (c, ms) =>
+      assert(ms.values.map(_._2).toSet.size === 1,
+        s"cluster $c straddles splits")
+    }
+    // the LEAKAGE property, asserted off the edge list independently of
+    // the cluster construction: every near-dup pair co-assigns
+    val pairs = TextOps.jaccardPairs(spark, sfDir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must exercise the positive path")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2,
+        s"near-dup pair ($a, $b) split across ${split(a)._2}/${split(b)._2}")
+    }
+    // the key is load-bearing: C14's doc-level hash split DOES separate
+    // at least one near-dup pair on this corpus — the contamination this
+    // key exists to prevent
+    val docSplit = Pipeline.sampleSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "corpus cannot demonstrate the doc-level leakage this key prevents")
+    // proportions stay in C14's ballpark (cluster granularity coarsens
+    // them, it must not collapse a split)
+    val frac = split.values.groupBy(_._2).view.mapValues(
+      _.size.toDouble / split.size).toMap
+    assert(frac("train") > 0.6 && frac("val") > 0.02 && frac("test") > 0.02,
+      s"split proportions degenerate: $frac")
+  }
 }
