@@ -337,6 +337,12 @@ object ScaleProbeCoverage {
       "rate_wilson" -> (Seq("q5_multijoin"),
         "one distinct + semi join on the star's own keys + an " +
         "O(nations) rollup — a strict subset of the probed star"),
+      "dedup_jaccard_prefix" -> (Seq("dedup_minhash_lsh",
+        "dedup_compare_sampled"),
+        "the probed band-bucket candidate-join shape with PREFIX " +
+        "shingles as the buckets (rare-first — strictly sparser keys " +
+        "than the probed bands) + the id-keyed verify joins the probed " +
+        "compare board runs"),
       "leakage_safe_split" -> (Seq("dedup_clusters", "cluster_sample"),
         "C17's probed cluster build + a pure hash-map assignment over " +
         "the (doc, cluster) frame — the split adds zero exchanges to " +

@@ -251,6 +251,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. ICDE'06's
+    * SSJoin principle, the candidate stage PPJoin builds on — Xiao et
+    * al. WWW'08): under ANY global total order of shingles, two sets
+    * with J ≥ t must share a shingle inside their first
+    * |X| − ⌈t·|X|⌉ + 1 shingles, so the candidate join keys on PREFIX
+    * shingles only instead of all of them. The order is ascending
+    * document frequency (ties by shingle text) — rare-first prefixes
+    * minimize fanout, and a boilerplate shingle shared by a million
+    * docs lands in almost no prefix at all (the hot-key problem C4's
+    * full inverted join needs `maxShingleDf` to dodge becomes
+    * self-limiting). `t` is the exact rational tNum/tDen: ⌈t·n⌉ runs in
+    * INTEGER arithmetic ((tNum·n + tDen − 1) div tDen) — a float ceil
+    * of 0.4·5 lands on 3, silently shortening the prefix below the
+    * sound bound (a real false-negative hazard, found at design time).
+    * Verification fetches candidate pairs' full shingle sets BY ID and
+    * intersects per-row (no shingle is ever a join key there), emitting
+    * exactly [[ngramJaccardPairs]]'s columns — same output, same
+    * oracle, different (and at scale strictly smaller) candidate set.
+    *
+    * Scale shape: one shingle-df partial agg, one doc-key window for
+    * the per-doc order, the prefix-keyed candidate join (bounded by
+    * prefix df², with prefixes rare-first), two id-keyed verify joins
+    * bounded by |candidates|. */
+  def ngramJaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tNum: Int, tDen: Int): DataFrame = {
+    val d = df.select(col(idCol).as("_id"),
+      word_shingles(col(textCol), n).as("_sh"))
+    val ex = d.select(col("_id"), explode(col("_sh")).as("_s"))
+    val freq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_f"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_f"), col("_s"))
+    val prefix = ex.join(freq, "_s")
+      .withColumn("_rn", row_number().over(byDoc))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
+      // ⌈t·n⌉ in exact integers; prefix keeps rn ≤ n − ⌈t·n⌉ + 1
+      .filter(col("_rn") <=
+        col("_n") - expr(s"($tNum * _n + ${tDen - 1}) div $tDen") + 1)
+      .select(col("_id"), col("_s"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b")).distinct()
+    cands
+      .join(d.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(d.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sha"), col("_shb"))).cast("long")
+          .as("intersection"), // ngramJaccardPairs' COUNT is BIGINT
+        size(col("_sha")).as("size_a"), size(col("_shb")).as("size_b"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+  }
+
   /** Exact-Jaccard verification of CANDIDATE pairs — the scale-shaped verify
     * stage behind [[minhashLshPairs]]/[[simhashPairs]]: instead of the
     * shingle-keyed self-join of [[ngramJaccardPairs]] (quadratic in shingle

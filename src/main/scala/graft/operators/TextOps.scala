@@ -193,6 +193,28 @@ object TextOps {
 
   val dedupNgramJaccardSql: String = ngramJaccardSqlOver("documents")
 
+  // --- C113: exact Jaccard via prefix filtering ------------------------------
+  /** [[JaccardThreshold]] as the exact rational the prefix bound needs
+    * (float ⌈0.4·n⌉ can land one too high — an unsound shorter prefix). */
+  val JaccardTNum = 2
+  val JaccardTDen = 5
+
+  /** C4's exact pair list through the SSJoin/PPJoin prefix filter
+    * ([[Dedup.ngramJaccardPrefixPairs]]) — same output, same oracle
+    * (the C94 hash-equality-as-algorithm-equivalence trick), strictly
+    * smaller candidate set at scale: candidates key on each doc's
+    * rare-first prefix shingles only, and verification joins by ID. */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    require(JaccardTNum.toDouble / JaccardTDen == JaccardThreshold,
+      "prefix rational must equal the C4 threshold")
+    Dedup.ngramJaccardPrefixPairs(Tables(spark, dir).documents,
+        "doc_id", "text", n = 3, JaccardTNum, JaccardTDen)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("intersection").as("inter"), col("size_a").as("na"),
+        col("size_b").as("nb"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- C44: exact-substring duplication stats ------------------------------
   /** Window width: long enough that a shared window means shared PASSAGES
     * (not a common phrase), short enough that the synthetic docs carry
@@ -981,6 +1003,7 @@ object TextOps {
     "dedup_exact" -> (dedupExact _),
     "text_compress_ratio" -> (textCompressRatio _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "score_calibrate" -> (scoreCalibrate _),
@@ -1000,6 +1023,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_jaccard_prefix" -> dedupNgramJaccardSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "score_calibrate" -> scoreCalibrateSql,

@@ -267,7 +267,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_readability" -> 1, // C109: pure regexp-count map stage + gate sort (measured 1)
     "winnow_fingerprint" -> 4, // C110: the site board is checkpoint-truncated (gram explode + doc-key window run eagerly); residual = two doc-key rollups + their join + gate sort (measured 4)
     "winnow_overlap" -> 4, // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
-    "leakage_safe_split" -> 3 // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
+    "leakage_safe_split" -> 3, // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
+    "dedup_jaccard_prefix" -> 5 // C113: shingle-df partial agg + the doc-key prefix window + the prefix-keyed candidate join + one id-keyed verify join pair sharing an exchange + gate sort (measured 5)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {
