@@ -235,6 +235,24 @@ object ScaleProbe {
       // C103's doubling chain + the C105 island tail over dup starts
       CorpusOps.dupSpansSaOn(docs, "doc_id", "text", w = 8).count()
     }
+    // the r14 persisted-SA split: the chain above is the BUILD price,
+    // paid once per corpus state; these two labels separate it from the
+    // many-probe steady state the driver keys now run
+    if (which.isEmpty || which("sa_index_build") || which("sa_index_probe")) {
+      val saRoot = java.nio.file.Files.createTempDirectory("probe_sawin")
+        .toString + "/idx"
+      time("sa_index_build") {
+        SaIndex.buildWindowSegment(docs, "doc_id", "text", 8, saRoot)
+        spark.read.parquet(s"$saRoot/positions").count()
+      }
+      if (!new java.io.File(s"$saRoot/positions").exists())
+        SaIndex.buildWindowSegment(docs, "doc_id", "text", 8, saRoot)
+      time("sa_index_probe") {
+        SaIndex.substringCensus(spark, saRoot)
+          .filter(col("dup_windows") > 0).count() +
+          SaIndex.dupSpans(spark, saRoot, 8).count()
+      }
+    }
     time("ann_lsh_stats") {
       // one codegen bucket map + two keyed rollups over the replicated
       // embedding corpus — the C68 occupancy-audit shape for LSH

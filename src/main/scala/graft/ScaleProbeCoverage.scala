@@ -77,6 +77,7 @@ object ScaleProbeCoverage {
     "stream_transitions",
     "stream_unigram_encode", "stream_upsert", "stream_weighted_sample",
     "substring_dedup", "substring_dedup_sa", "dup_spans_sa",
+    "sa_index_build", "sa_index_probe",
     "ann_lsh_stats", "stream_ann_lsh_stats",
     "table_integrity", "text_entropy",
     "text_repetition", "tfidf_topterms", "triangle_count",
@@ -337,6 +338,15 @@ object ScaleProbeCoverage {
       "rate_wilson" -> (Seq("q5_multijoin"),
         "one distinct + semi join on the star's own keys + an " +
         "O(nations) rollup — a strict subset of the probed star"),
+      "substring_dedup_sa" -> (Seq("substring_dedup_sa", "sa_index_build",
+        "sa_index_probe"),
+        "own probe measures the BUILD price (the doubling chain); the " +
+        "r14 persisted index splits build from the steady-state probe " +
+        "the driver key now runs (sa_index_build / sa_index_probe)"),
+      "dup_spans_sa" -> (Seq("dup_spans_sa", "sa_index_build",
+        "sa_index_probe"),
+        "same split: the chain is the build price, the driver key " +
+        "probes the stored index"),
       "dedup_jaccard_prefix" -> (Seq("dedup_minhash_lsh",
         "dedup_compare_sampled"),
         "the probed band-bucket candidate-join shape with PREFIX " +

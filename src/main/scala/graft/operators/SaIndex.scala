@@ -105,6 +105,13 @@ object SaIndex {
     graft.GraftSession.unpersistLocalCheckpoint(cur)
   }
 
+  /** Probe/bench hook: build a window-group index for an ARBITRARY doc
+    * frame directly into `root` (no corpus-dir fingerprinting or memo) —
+    * ScaleProbe's 24× build/probe split drives it. */
+  private[graft] def buildWindowSegment(docs: DataFrame, idCol: String,
+      textCol: String, w: Int, root: String): Unit =
+    writeSegment(docs, idCol, textCol, w, root, "")
+
   /** Admit a NEW batch of documents under `tag` (exactly once — the
     * marker protocol): batch-local doubling, sibling segment. Batch doc
     * ids must be new — the single-writer append contract every admit in
