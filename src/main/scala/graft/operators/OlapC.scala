@@ -393,9 +393,12 @@ object OlapC {
     * nations sit at the center of the supply network. The edge build is a
     * star join (broadcast dims onto the fact tables); the iteration is
     * [[pagerankOn]]. */
-  def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val edges = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+  /** The customer-nation → supplier-nation weighted edge build over ANY
+    * lineitem row set — ONE spelling shared by B26 and B114's per-batch
+    * partials, so drain == batch cannot fork (r14 self-review). */
+  private[graft] def nationEdgesOn(t: Tables,
+      lineitemRows: DataFrame): DataFrame =
+    lineitemRows.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
@@ -404,12 +407,21 @@ object OlapC {
         col("s_nationkey").as("dst"))), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-    val nodes = t.nation.select(col("n_nationkey").as("node"))
-    pagerankOn(edges, nodes, PrIters)
+
+  /** The rank read tail over a merged (src, dst, w) edge board — the
+    * other shared half of the B26/B114 pair. */
+  private[graft] def nationRankBoardOn(t: Tables,
+      edges: DataFrame): DataFrame =
+    pagerankOn(edges, t.nation.select(col("n_nationkey").as("node")),
+        PrIters)
       .join(broadcast(t.nation), col("node") === col("n_nationkey"))
       .select(col("node"), col("n_name").as("nation"), col("r").as("rank_pico"),
         (col("r").cast("double") / PrScale).as("rank"))
       .orderBy(col("node"))
+
+  def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    nationRankBoardOn(t, nationEdgesOn(t, t.lineitem))
   }
 
   val pagerankNationsSql: String = {

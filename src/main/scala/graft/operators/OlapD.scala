@@ -1274,6 +1274,24 @@ object OlapD {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // --- B91: market-basket pair lift -----------------------------------------
+  /** Cap each basket at its top-K items by GLOBAL frequency, ties to
+    * the smaller item id — the bound that keeps every per-basket
+    * self-join |basket|²-safe at an unbounded-basket deploy. One
+    * item-key exchange for the frequency board, then a basket-key
+    * window (each basket ranks its own items; no global sort). Shared
+    * by B91's pair lift and B104's co-purchase edge builder (r13
+    * verdict #4). Input/output columns: (_b, _i). */
+  private[graft] def capBasketItems(b0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"maxItemsPerBasket must be >= 1, got $k")
+    val freq = b0.groupBy(col("_i")).agg(count(lit(1)).as("_f"))
+    val w = Window.partitionBy(col("_b"))
+      .orderBy(col("_f").desc, col("_i"))
+    b0.join(freq, "_i")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("_b"), col("_i"))
+  }
+
   /** Pairs below this basket co-occurrence count are noise, not signal —
     * and the cut keeps the pair table O(frequent pairs), the Apriori
     * support-threshold discipline. */
@@ -1302,24 +1320,6 @@ object OlapD {
     * runtime. The pair rollup and the two item-count joins are all
     * pair/item-keyed partial-agg exchanges; n_baskets is a 1-row
     * broadcast. Default cap None = gate-exact. */
-  /** Cap each basket at its top-K items by GLOBAL frequency, ties to
-    * the smaller item id — the bound that keeps every per-basket
-    * self-join |basket|²-safe at an unbounded-basket deploy. One
-    * item-key exchange for the frequency board, then a basket-key
-    * window (each basket ranks its own items; no global sort). Shared
-    * by B91's pair lift and B104's co-purchase edge builder (r13
-    * verdict #4). Input/output columns: (_b, _i). */
-  private[graft] def capBasketItems(b0: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"maxItemsPerBasket must be >= 1, got $k")
-    val freq = b0.groupBy(col("_i")).agg(count(lit(1)).as("_f"))
-    val w = Window.partitionBy(col("_b"))
-      .orderBy(col("_f").desc, col("_i"))
-    b0.join(freq, "_i")
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k)
-      .select(col("_b"), col("_i"))
-  }
-
   def basketPairsOn(baskets: DataFrame, basketCol: String,
       itemCol: String, maxItemsPerBasket: Option[Int] = None): DataFrame = {
     val b0 = baskets.select(col(basketCol).as("_b"),

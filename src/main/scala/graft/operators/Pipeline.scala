@@ -95,6 +95,23 @@ object Pipeline {
        |        '$PhoneRe', '[PHONE]', 'g')) AS scrubbed_fp
        |FROM pii ORDER BY doc_id""".stripMargin
 
+  // --- shared 80/10/10 split spelling ---------------------------------------
+  /** The one hash-threshold split assignment (≈80/10/10) — shared by C14
+    * (doc id), C112 (cluster id), and the cluster/anchor split keys, so
+    * the promised "same thresholds as C14" is enforced by construction
+    * (r14 self-review: four drifting copies). `h` must be the first 4
+    * hex chars of md5 of the assignment key. */
+  private[operators] val SplitTrainMax = "cccd"
+  private[operators] val SplitValMax = "e666"
+  private[operators] def splitOf(h: Column): Column =
+    when(h < SplitTrainMax, "train").when(h < SplitValMax, "val")
+      .otherwise("test")
+  /** The SQL twin over an arbitrary key expression. */
+  private[operators] def splitSqlOver(keyExpr: String): String =
+    s"""CASE WHEN substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '$SplitTrainMax' THEN 'train'
+       |       WHEN substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '$SplitValMax' THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   // --- C14: deterministic train/val/test split -----------------------------
   /** Content-hash split: bucket = first 4 hex chars of md5(doc_id), which
     * both engines format identically, so assignment is reproducible
@@ -106,17 +123,15 @@ object Pipeline {
     Tables(spark, dir).documents.select(
       col("doc_id"),
       h.as("hash_prefix"),
-      when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+      splitOf(h)
         .as("split"))
       .orderBy(col("doc_id"))
   }
 
   val sampleSplitSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_prefix,
-      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-      |       ELSE 'test' END AS split
+      |  ${splitSqlOver("doc_id")} AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- C15: quality filter chain -------------------------------------------
@@ -393,7 +408,7 @@ object Pipeline {
     val h = substring(md5(col("cluster_id").cast("string")), 1, 4)
     dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"), h.as("hash_prefix"),
-        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+        splitOf(h)
           .as("split"))
       .orderBy(col("doc_id"))
   }
@@ -406,11 +421,7 @@ object Pipeline {
        |)
        |SELECT doc_id, cluster_id,
        |  substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS hash_prefix,
-       |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccd'
-       |         THEN 'train'
-       |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'e666'
-       |         THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${splitSqlOver("cluster_id")} AS split
        |FROM cc ORDER BY doc_id""".stripMargin
 
   // --- C61: quality-argmax survivorship -------------------------------------
@@ -493,7 +504,7 @@ object Pipeline {
         edges, "id_a", "id_b")
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"),
-        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+        splitOf(h)
           .as("split"))
       .orderBy(col("doc_id"))
   }
@@ -536,9 +547,7 @@ object Pipeline {
        |  SELECT e.b, l.lab FROM lab l JOIN edges e ON e.a = l.node
        |)
        |SELECT node AS doc_id,
-       |  CASE WHEN substr(md5(CAST(node AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-       |       WHEN substr(md5(CAST(node AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${splitSqlOver("node")} AS split
        |FROM lab GROUP BY node HAVING MIN(lab) = node ORDER BY doc_id""".stripMargin
   }
 
@@ -590,7 +599,7 @@ object Pipeline {
       .filter(col("jaccard") < MinePairHi)
       .select(col("id_a").as("anchor"), col("id_b").as("positive"),
         col("jaccard"),
-        when(h < "cccd", "train").when(h < "e666", "val").otherwise("test")
+        splitOf(h)
           .as("split"))
       .orderBy(col("anchor"), col("positive"))
   }
@@ -619,9 +628,7 @@ object Pipeline {
        |  JOIN shl a ON a.doc_id = doc_a
        |  JOIN shl b ON b.doc_id = doc_b)
        |SELECT anchor, positive, jaccard,
-       |  CASE WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
-       |       WHEN substr(md5(CAST(anchor AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${splitSqlOver("anchor")} AS split
        |FROM j WHERE jaccard >= $MinePairLo AND jaccard < $MinePairHi
        |ORDER BY anchor, positive""".stripMargin
 

@@ -88,7 +88,6 @@ object SaIndex {
     val wins = cur.filter(col("pos") <= col("_n") - w)
       .select(col("_id"), col("pos"),
         col(keys.head).cast("long").as("k1"), k2.cast("long").as("k2"))
-    wins.write.parquet(s"$root/positions$suffix")
     val dfreq = wins.select(col("_id"), col("k1"), col("k2")).distinct()
       .groupBy(col("k1"), col("k2")).agg(count(lit(1)).as("df"))
     // ONE representative position per group carries the window string —
@@ -97,11 +96,17 @@ object SaIndex {
       .agg(min(struct(col("_id"), col("pos"))).as("_r"))
       .select(col("k1"), col("k2"), col("_r._id").as("_id"),
         col("_r.pos").as("pos"))
+    // groups FIRST, positions LAST, both overwrite: probes and
+    // segmentTags key on the positions dir, so a crash between the two
+    // writes leaves an INVISIBLE orphan groups dir (never a half-visible
+    // segment), and a replayed admit overwrites both instead of dying on
+    // ErrorIfExists (r14 self-review — admission had no crash story)
     rep.join(Dedup.scrubToks(docs, idCol, textCol), Seq("_id"))
       .select(col("k1"), col("k2"),
         expr(s"array_join(slice(_t, pos + 1, $w), ' ')").as("win"))
       .join(dfreq, Seq("k1", "k2"))
-      .write.parquet(s"$root/groups$suffix")
+      .write.mode("overwrite").parquet(s"$root/groups$suffix")
+    wins.write.mode("overwrite").parquet(s"$root/positions$suffix")
     graft.GraftSession.unpersistLocalCheckpoint(cur)
   }
 
@@ -132,25 +137,39 @@ object SaIndex {
       .filter(f => f.isDirectory && f.getName.startsWith("positions_"))
       .map(_.getName.stripPrefix("positions_")).sorted
 
+  /** A crashed vacuum leaves this marker: probes must FAIL LOUDLY (the
+    * two-directory commit is not atomic — see [[vacuum]]) instead of
+    * silently joining a re-keyed groups dir against old positions. */
+  private def requireClean(path: String): Unit =
+    require(!new java.io.File(s"$path/_vacuum_inflight").exists(),
+      s"SA index at $path has a half-committed vacuum — restore the " +
+        "*.old directories (rename-aside kept them) or rebuild the index")
+
+  /** Every live segment's (positions, groups) tagged with `_seg` — the
+    * ONE segment-union spelling (r14 self-review: three inline copies). */
+  private def readSegments(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    val segs = "" +: segmentTags(path).map("_" + _)
+    def seg(s: String) = if (s.isEmpty) "base" else s
+    (segs.map(s => spark.read.parquet(s"$path/positions$s")
+        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _),
+      segs.map(s => spark.read.parquet(s"$path/groups$s")
+        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _))
+  }
+
   /** The probe surface: (full-window positions, group board, key column
     * names). Positions carry (_id, pos, keys…); the board carries
     * (keys…, df) with df the GLOBAL per-doc-distinct frequency. */
   private def windowGroups(spark: SparkSession,
       path: String): (DataFrame, DataFrame, Seq[String]) = {
+    requireClean(path)
     val tags = segmentTags(path)
     if (tags.isEmpty) {
       (spark.read.parquet(s"$path/positions"),
         spark.read.parquet(s"$path/groups").select("k1", "k2", "df"),
         Seq("k1", "k2"))
     } else {
-      val segs = "" +: tags.map("_" + _)
-      def seg(s: String) = if (s.isEmpty) "base" else s
-      val groups = segs.map(s =>
-        spark.read.parquet(s"$path/groups$s")
-          .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
-      val positions = segs.map(s =>
-        spark.read.parquet(s"$path/positions$s")
-          .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+      val (positions, groups) = readSegments(spark, path)
       // the one string-keyed stage runs over the BOARDS only: merged
       // identity = the lexicographically-least (seg, k1, k2) carrying
       // each window; positions pick their global key up through a
@@ -207,9 +226,8 @@ object SaIndex {
     * byte-equal; spec-pinned). B78/B99 freeze THIS board instead of
     * re-running the window census per stream start. */
   def dupWindows(spark: SparkSession, path: String): DataFrame = {
-    val segs = "" +: segmentTags(path).map("_" + _)
-    segs.map(s => spark.read.parquet(s"$path/groups$s"))
-      .reduce(_ unionByName _)
+    requireClean(path)
+    readSegments(spark, path)._2
       .groupBy(col("win")).agg(sum(col("df")).as("_df"))
       .filter(col("_df") > 1).select(col("win").as("_s"))
   }
@@ -223,8 +241,12 @@ object SaIndex {
     * over the GROUPS board — board-sized, the C103 no-single-partition
     * discipline), positions re-key through a board-sized integer-keyed
     * mapping, global df is the Σ of segment dfs, and the new layout
-    * swaps in via the rename-aside commit ([[Dedup.swapDir]] — crash
-    * leaves the old layout, never an empty index). Content-preserving
+    * swaps in via the rename-aside commit ([[Dedup.swapDir]]) BRACKETED
+    * by an inflight marker: the two-directory swap cannot be jointly
+    * atomic, so a crash inside the commit window makes every later
+    * probe fail loudly with a recovery hint (the `.old` dirs survive)
+    * rather than silently joining re-keyed groups against old
+    * positions. Content-preserving
     * by construction: every probe product depends only on (grouping,
     * df, win), all preserved — probe-after-vacuum ≡ probe-before
     * (SaIndexSpec pins all three products). Admission markers STAY (the
@@ -233,17 +255,12 @@ object SaIndex {
     * like every vacuum in the repo. Returns (segments_before,
     * parquet_files_before, parquet_files_after). */
   def vacuum(spark: SparkSession, path: String): (Int, Long, Long) = {
+    requireClean(path)
     val tags = segmentTags(path)
     val before = Dedup.parquetFileCount(spark, path)
     if (tags.isEmpty) return (1, before, before) // already one segment
     val segs = "" +: tags.map("_" + _)
-    def seg(s: String) = if (s.isEmpty) "base" else s
-    val groups = segs.map(s =>
-      spark.read.parquet(s"$path/groups$s")
-        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
-    val positions = segs.map(s =>
-      spark.read.parquet(s"$path/positions$s")
-        .withColumn("_seg", lit(seg(s)))).reduce(_ unionByName _)
+    val (positions, groups) = readSegments(spark, path)
     val merged = groups.groupBy(col("win")).agg(sum(col("df")).as("df"))
     // fresh dense ids over the merged board — win-ordered, distributed
     val sorted = merged.repartitionByRange(col("win"))
@@ -264,12 +281,23 @@ object SaIndex {
       .select(col("_id"), col("pos"), col("_nr").as("k1"),
         lit(-1L).as("k2"))
       .write.parquet(s"$path/positions.vacuum")
+    // the COMMIT: two directory swaps + the segment deletions cannot be
+    // made jointly atomic, so the inflight marker brackets them — a
+    // crash inside leaves the marker and every probe fails LOUDLY with
+    // the recovery hint (requireClean) instead of silently joining
+    // re-keyed groups against old positions (r14 self-review finding).
+    // Both .vacuum stages are fully written BEFORE the marker lands, so
+    // the crash window holds only renames and deletes.
+    val inflight = new java.io.File(s"$path/_vacuum_inflight")
+    require(inflight.mkdirs() || inflight.isDirectory,
+      s"vacuum: cannot create commit marker $inflight")
     Dedup.swapDir(spark, s"$path/groups.vacuum", s"$path/groups")
     Dedup.swapDir(spark, s"$path/positions.vacuum", s"$path/positions")
     tags.foreach { t =>
       IndexScratch.deleteRec(new java.io.File(s"$path/positions_$t"))
       IndexScratch.deleteRec(new java.io.File(s"$path/groups_$t"))
     }
+    IndexScratch.deleteRec(inflight)
     graft.GraftSession.unpersistLocalCheckpoint(gid)
     (segs.size, before, Dedup.parquetFileCount(spark, path))
   }

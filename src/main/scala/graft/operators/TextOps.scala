@@ -34,12 +34,18 @@ object TextOps {
     * re-inserted under a shifted id). The synthetic table has no exact dups,
     * so the operator's positive path is exercised deterministically.
     */
-  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+  /** The %7 exact-copy seeding over ANY (doc_id, text) frame — ONE
+    * spelling shared by [[dedupCorpus]] and the streaming twins'
+    * per-batch seeds (r14 self-review: the inline copies could
+    * desynchronize a drain from the oracle it shares). */
+  private[graft] def seededDups(d: DataFrame): DataFrame =
     d.unionAll(
       d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-  }
+
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    seededDups(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
 
   private val dedupCorpusSql =
     """corpus AS (
@@ -847,7 +853,16 @@ object TextOps {
   private[graft] def winnowSitesOn(docs: DataFrame, idCol: String,
       textCol: String, k: Int = WinnowK, w: Int = WinnowW,
       chars: Int = WinnowChars): DataFrame = {
-    val s = substring(lower(regexp_replace(col(textCol), "[^a-z0-9 ]", "")),
+    // cmb = h·chars + pos needs h·chars < 2⁶³: h < 2⁴⁸ ⇒ chars ≤ 2¹⁵ —
+    // fail loudly, not as a silent wrapped MIN (the requireAdcDoubleExact
+    // discipline; r14 self-review finding)
+    require(chars <= (1 << 15),
+      s"winnow: chars=$chars overflows the combined key (max ${1 << 15})")
+    // lower BEFORE the strip: strip-first deletes uppercase chars
+    // outright, so 'The cat' and 'the cat' would gram differently — the
+    // case-variant copy is exactly what a fingerprint must catch (r14
+    // self-review finding; the SQL twin mirrors the order)
+    val s = substring(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
       1, chars)
     val grams = docs
       .select(col(idCol).as("doc_id"), s.as("s"))
@@ -904,7 +919,7 @@ object TextOps {
     s"""$dedupCorpusSql,
        |d AS (
        |  SELECT doc_id,
-       |    substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),
+       |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
        |           1, $WinnowChars) AS s
        |  FROM corpus
        |), g AS (
@@ -954,10 +969,19 @@ object TextOps {
     * join keys are SELECTED hashes only (≈2/(w+1) of grams — the
     * winnowing point), so the shuffle is O(fingerprints); counts are
     * exact (each (doc, hash) row is distinct by construction). */
-  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val hs0 = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
+  /** The per-doc DISTINCT winnowed-hash board (doc_id, h) — the
+    * position-free fingerprint table C111/B115 join on. */
+  private[graft] def winnowHashes(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    winnowSitesOn(docs, idCol, textCol)
       .select(col("doc_id"), expr(s"mw div $WinnowChars").as("h")).distinct()
-      .localCheckpoint(eager = true) // feeds the df board AND the join
+
+  /** C111's read tail over ANY (doc_id, h) fingerprint frame — ONE
+    * spelling of the df cap + pair count + threshold, shared by the
+    * batch key, B115's drain merge, and the replay spec. The input must
+    * already be per-doc distinct and checkpointed if it feeds both the
+    * df board and the join lazily. */
+  private[graft] def winnowOverlapFrom(hs0: DataFrame): DataFrame = {
     val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= WinnowMaxDf)
     val hs = hs0.join(hf.select(col("h")), "h")
@@ -968,6 +992,11 @@ object TextOps {
       .filter(col("n_shared") >= WinnowMinShared)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlapFrom(
+      winnowHashes(dedupCorpus(spark, dir), "doc_id", "text")
+        .localCheckpoint(eager = true)) // feeds the df board AND the join
 
   /** Twin: the same df-capped selected-hash self-join. */
   val winnowOverlapSql: String =

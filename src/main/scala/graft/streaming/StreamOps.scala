@@ -628,11 +628,9 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    def seed(mb: DataFrame): DataFrame = {
-      val d = mb.select(col("doc_id"), col("text"))
-      d.unionAll(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-    }
+    def seed(mb: DataFrame): DataFrame = // ONE seeding spelling (TextOps)
+      graft.operators.TextOps.seededDups(
+        mb.select(col("doc_id"), col("text")))
     drainViaParquetSink(spark, docs, SubstrScrubQueryName,
       xform = (mb, _) => Dedup.scrubWithDupWindows(frozenDups, seed(mb),
         "doc_id", "text", TextOps.SubstrW))
@@ -659,11 +657,9 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    def seed(mb: DataFrame): DataFrame = {
-      val d = mb.select(col("doc_id"), col("text"))
-      d.unionAll(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-    }
+    def seed(mb: DataFrame): DataFrame = // ONE seeding spelling (TextOps)
+      graft.operators.TextOps.seededDups(
+        mb.select(col("doc_id"), col("text")))
     drainViaParquetSink(spark, docs, DupSpansQueryName,
       xform = (mb, _) => Dedup.dupSpansWithDupWindows(frozenDups, seed(mb),
         "doc_id", "text", TextOps.SubstrW))
@@ -1395,25 +1391,13 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    def seed(mb: DataFrame): DataFrame = {
-      val d = mb.select(col("doc_id"), col("text"))
-      d.unionAll(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-    }
+    // seeding, fingerprinting, and the read tail are TextOps' shared
+    // spellings — batch, stream, and spec cannot fork (r14 self-review)
     val partials = drainViaParquetSink(spark, docs, WinnowQueryName,
-      xform = (mb, _) => TextOps.winnowSitesOn(seed(mb), "doc_id", "text")
-        .select(col("doc_id"),
-          expr(s"mw div ${TextOps.WinnowChars}").as("h")).distinct())
-    val hs0 = partials.localCheckpoint(eager = true) // df board + join sides
-    val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= TextOps.WinnowMaxDf)
-    val hs = hs0.join(hf.select(col("h")), "h")
-    hs.as("a").join(hs.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= TextOps.WinnowMinShared)
-      .orderBy(col("doc_a"), col("doc_b"))
+      xform = (mb, _) => TextOps.winnowHashes(
+        TextOps.seededDups(mb.select(col("doc_id"), col("text"))),
+        "doc_id", "text"))
+    TextOps.winnowOverlapFrom(partials.localCheckpoint(eager = true))
   }
 
   val PagerankQueryName = "graft_stream_pagerank"
@@ -1449,26 +1433,13 @@ object StreamOps {
       raw: DataFrame): DataFrame = {
     import graft.operators.OlapC
     val t = graft.sources.Tables(spark, dir)
+    // edge build and rank tail are OlapC's shared spellings — drain ==
+    // batch by construction (r14 self-review: the inline copies could
+    // fork the oracle sharing)
     val partials = drainViaParquetSink(spark, raw, PagerankQueryName,
-      xform = (mb, _) => mb
-        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.customer.select(col("c_custkey"),
-          col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier.select(col("s_suppkey"),
-          col("s_nationkey").as("dst"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("dst"))
-        .agg(count(lit(1)).as("w")))
-    val edges = partials.groupBy(col("src"), col("dst"))
-      .agg(sum(col("w")).as("w"))
-    val nodes = t.nation.select(col("n_nationkey").as("node"))
-    OlapC.pagerankOn(edges, nodes, OlapC.PrIters)
-      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
-      .select(col("node"), col("n_name").as("nation"),
-        col("r").as("rank_pico"),
-        (col("r").cast("double") / OlapC.PrScale).as("rank"))
-      .orderBy(col("node"))
+      xform = (mb, _) => OlapC.nationEdgesOn(t, mb))
+    OlapC.nationRankBoardOn(t,
+      partials.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
   }
 
   val ShapleyQueryName = "graft_stream_attribution_shapley"

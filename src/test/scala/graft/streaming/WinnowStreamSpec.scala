@@ -23,26 +23,13 @@ class WinnowStreamSpec extends SparkSpec with WaveStaging {
       .option("pathGlobFilter", "documents*.parquet")
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     import graft.operators.TextOps
-    def seed(mb: org.apache.spark.sql.DataFrame) = {
-      val d = mb.select(col("doc_id"), col("text"))
-      d.unionAll(d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
-    }
     val partials = StreamOps.drainViaParquetSink(spark2, raw,
       "winnow_wave_spec",
-      xform = (mb, _) => TextOps.winnowSitesOn(seed(mb), "doc_id", "text")
-        .select(col("doc_id"),
-          expr(s"mw div ${TextOps.WinnowChars}").as("h")).distinct())
-    val hf = partials.groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= TextOps.WinnowMaxDf)
-    val hs = partials.join(hf.select(col("h")), "h")
-    val got = hs.as("a").join(hs.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= TextOps.WinnowMinShared)
-      .orderBy(col("doc_a"), col("doc_b"))
-      .collect().map(_.toString)
+      xform = (mb, _) => TextOps.winnowHashes(
+        TextOps.seededDups(mb.select(col("doc_id"), col("text"))),
+        "doc_id", "text"))
+    val got = TextOps.winnowOverlapFrom(
+      partials.localCheckpoint(eager = true)).collect().map(_.toString)
     val batch = TextOps.winnowOverlap(spark, sfDir)
       .collect().map(_.toString)
     assert(got.toSeq === batch.toSeq,
