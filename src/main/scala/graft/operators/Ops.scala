@@ -383,7 +383,7 @@ object Dedup {
       expr(s"filter(split(`$textCol`, '\\\\s+'), x -> x != '')").as("_t"))
 
   /** Positional w-windows of each doc: (_id, _i start position, _s text). */
-  private def scrubWindows(toks: DataFrame, w: Int): DataFrame =
+  private[operators] def scrubWindows(toks: DataFrame, w: Int): DataFrame =
     toks
       .select(col("_id"), explode(expr(
         s"IF(size(_t) >= $w, transform(sequence(1, size(_t) - ${w - 1}), " +

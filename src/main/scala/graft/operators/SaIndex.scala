@@ -302,6 +302,28 @@ object SaIndex {
     (segs.size, before, Dedup.parquetFileCount(spark, path))
   }
 
+  /** Probe an ARRIVING batch against the stored window set — the
+    * cross-corpus containment read an ingest gate runs BEFORE admitting:
+    * per arriving doc, its full-window count and how many of those
+    * windows history already carries (ANY df — existence, not
+    * duplication). The arrivals' windows materialize map-side (C44's
+    * spelling — byte-identical to the stored `win` strings); the stored
+    * board joins by window key, O(distinct windows). */
+  def probeBatch(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    requireClean(path)
+    val wins = Dedup.scrubWindows(Dedup.scrubToks(docs, idCol, textCol), w)
+    val stored = readSegments(spark, path)._2
+      .select(col("win").as("_s")).distinct()
+    wins.select(col("_id"), col("_s")).distinct()
+      .join(stored.withColumn("_hit", lit(1L)), Seq("_s"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hist_windows"))
+      .select(col("_id").as("doc_id"), col("n_windows"),
+        col("n_hist_windows"))
+  }
+
   // ---- char-SA index (C99/C101) --------------------------------------------
 
   def charIndexPath(dir: String): String =

@@ -2099,6 +2099,64 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val SaAdmitLoopQueryName = "graft_stream_sa_admit_loop"
+
+  /** B116 (library API): the recurring-ingest EXACT-SUBSTRING loop
+    * closed over the persisted SA index — B62's probe-then-admit
+    * discipline composed from r14's SaIndex verbs. Each micro-batch
+    * (1) PROBES the stored window set ([[graft.operators.SaIndex
+    * .probeBatch]] — per arriving doc: how many of its windows history
+    * already carries, the containment gate), materialized through the
+    * sink write BEFORE (2) the batch ADMITS itself as a sibling segment
+    * (batch-local doubling chain), so later batches detect overlap with
+    * EARLIER batches' content — not just build-time history; (3) an
+    * optional vacuum cadence folds segments back into one base (under
+    * the ROOT session — the B62 conf discipline: maintenance rewrites
+    * must size by the build's conf, not the streaming child's
+    * state-partition knob). Spec-gated like B62 (SaAdmitLoopSpec): a
+    * forced-order replay pins that batch 2 sees batch 1's passage ONLY
+    * through admission, and that a mid-loop vacuum changes nothing a
+    * probe can observe. */
+  def saIndexAdmitLoop(rootSpark: SparkSession, srcDir: String,
+      glob: String, indexPath: String, w: Int,
+      vacuumEvery: Int = 0): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+    spark.streams.active.filter(_.name == SaAdmitLoopQueryName)
+      .foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${SaAdmitLoopQueryName}_sink").toFile
+    try {
+      val q = d.writeStream.queryName(SaAdmitLoopQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            // the sink write EXECUTES the probe against the
+            // pre-admission index state; only then does this batch
+            // append itself
+            graft.operators.SaIndex.probeBatch(mb.sparkSession, indexPath,
+                mb.toDF(), "doc_id", "text", w)
+              .withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(sink.getAbsolutePath)
+            graft.operators.SaIndex.admitWindowBatch(mb.sparkSession,
+              indexPath, s"batch$bid", mb.toDF(), "doc_id", "text", w)
+            if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
+              graft.operators.SaIndex.vacuum(rootSpark, indexPath)
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+        .orderBy(col("batch_id"), col("doc_id"))
+    } finally graft.sources.IndexScratch.deleteRec(sink)
+  }
+
   val AdmissionQueryName = "graft_stream_admission_chain"
 
   /** B61: the FULL ingest quarantine chain as one streaming operator —
