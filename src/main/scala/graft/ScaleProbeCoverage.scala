@@ -366,6 +366,10 @@ object ScaleProbeCoverage {
         "strictly lighter than the probed window census over the same " +
         "corpus (which shuffles the gram strings; winnow shuffles one " +
         "BIGINT per position)"),
+      "winnow_spans" -> (Seq("dedup_minhash_lsh", "dup_spans"),
+        "the capped C111 pair board + fingerprint-sparse position " +
+        "joins + the probed island-merge window shape — every frame " +
+        "≈2/(w+1) of the gram stream the probed census scans"),
       "winnow_overlap" -> (Seq("dedup_minhash_lsh", "substring_dedup"),
         "the probed band-bucket self-join shape over the ~2/(w+1)-dense " +
         "selected-hash table, with the df cap bounding per-key fanout " +

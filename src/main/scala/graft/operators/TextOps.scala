@@ -998,6 +998,112 @@ object TextOps {
       winnowHashes(dedupCorpus(spark, dir), "doc_id", "text")
         .localCheckpoint(eager = true)) // feeds the df board AND the join
 
+  /** C114: the MOSS matched-SPAN product off the winnow fingerprints —
+    * for every C111 overlap pair, the merged character intervals each
+    * side's matched fingerprints cover (what a plagiarism report
+    * actually displays). A selected gram at pos covers
+    * [pos, pos+k−1]; winnowing guarantees a fingerprint inside every
+    * w-gram window, so a contiguous shared region's matched positions
+    * sit ≤ w+k−1 apart — the island merge at that gap reconstructs the
+    * maximal matched runs. All arithmetic rides the packed site key
+    * (pos = chars−1 − mw mod chars, h = mw div chars — exact integers
+    * in both engines).
+    *
+    * Scale shape: pairs come from the CAPPED overlap board; matched
+    * positions are fingerprint-sparse (≈2/(w+1) of grams); the island
+    * merge is ONE (pair, side)-key window. Nothing touches the gram
+    * stream. */
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame = {
+    val sites = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
+      .localCheckpoint(eager = true) // feeds positions AND the hash board
+    val posH = sites.select(col("doc_id"),
+      (lit(WinnowChars - 1) - pmod(col("mw"), lit(WinnowChars))).as("pos"),
+      expr(s"mw div $WinnowChars").as("h"))
+    val hs0 = posH.select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint(eager = true)
+    val pairs = winnowOverlapFrom(hs0).select(col("doc_a"), col("doc_b"))
+    val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= WinnowMaxDf).select(col("h"))
+    val hsk = hs0.join(hf, "h")
+    val shared = pairs
+      .join(hsk.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(hsk.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .select(col("doc_a"), col("doc_b"), col("h"))
+    val mpos = shared
+      .join(posH.select(col("doc_id").as("doc_a"), col("h"), col("pos")),
+        Seq("doc_a", "h"))
+      .select(col("doc_a"), col("doc_b"), lit("a").as("side"), col("pos"))
+      .unionAll(shared
+        .join(posH.select(col("doc_id").as("doc_b"), col("h"), col("pos")),
+          Seq("doc_b", "h"))
+        .select(col("doc_a"), col("doc_b"), lit("b").as("side"),
+          col("pos")))
+      .distinct()
+    val byPos = Window.partitionBy(col("doc_a"), col("doc_b"), col("side"))
+      .orderBy(col("pos"))
+    mpos.withColumn("_prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          col("pos") - col("_prev") > WinnowW + WinnowK - 1, 1)
+          .otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(byPos))
+      .groupBy(col("doc_a"), col("doc_b"), col("side"), col("_isl"))
+      .agg(min(col("pos")).as("_s0"), max(col("pos")).as("_s1"))
+      .select(col("doc_a"), col("doc_b"), col("side"),
+        col("_s0").cast("long").as("span_start"),
+        (col("_s1") - col("_s0") + WinnowK).cast("long").as("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("side"), col("span_start"))
+  }
+
+  /** Twin: the shared selection chain + the same pair/shared-hash joins
+    * and gaps-and-islands merge. */
+  val winnowSpansSql: String =
+    s"""WITH $winnowSelSql,
+       |hf AS (
+       |  SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= $WinnowMaxDf
+       |), hk AS (
+       |  SELECT hs.doc_id, hs.h FROM hs JOIN hf ON hs.h = hf.h
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $WinnowMinShared
+       |), ph AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${WinnowChars - 1} - (mw % $WinnowChars) AS pos,
+       |    mw // $WinnowChars AS h
+       |  FROM sel
+       |), shared AS (
+       |  SELECT p.doc_a, p.doc_b, a.h
+       |  FROM pairs p
+       |  JOIN hk a ON a.doc_id = p.doc_a
+       |  JOIN hk b ON b.doc_id = p.doc_b AND b.h = a.h
+       |), mpos AS (
+       |  SELECT DISTINCT doc_a, doc_b, 'a' AS side, ph.pos
+       |  FROM shared JOIN ph ON ph.doc_id = shared.doc_a
+       |   AND ph.h = shared.h
+       |  UNION
+       |  SELECT DISTINCT doc_a, doc_b, 'b' AS side, ph.pos
+       |  FROM shared JOIN ph ON ph.doc_id = shared.doc_b
+       |   AND ph.h = shared.h
+       |), isl AS (
+       |  SELECT doc_a, doc_b, side, pos,
+       |    SUM(CASE WHEN prev IS NULL
+       |             OR pos - prev > ${WinnowW + WinnowK - 1}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_a, doc_b, side ORDER BY pos) AS isl
+       |  FROM (SELECT doc_a, doc_b, side, pos,
+       |          LAG(pos) OVER (PARTITION BY doc_a, doc_b, side
+       |            ORDER BY pos) AS prev
+       |        FROM mpos)
+       |)
+       |SELECT doc_a, doc_b, side,
+       |  CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) - MIN(pos) + $WinnowK AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_a, doc_b, side, isl
+       |ORDER BY doc_a, doc_b, side, span_start""".stripMargin
+
   /** Twin: the same df-capped selected-hash self-join. */
   val winnowOverlapSql: String =
     s"""WITH $winnowSelSql,
@@ -1043,6 +1149,7 @@ object TextOps {
     "doc_fingerprint" -> (docFingerprint _),
     "winnow_fingerprint" -> (winnowFingerprint _),
     "winnow_overlap" -> (winnowOverlap _),
+    "winnow_spans" -> (winnowSpans _),
     "substring_dedup" -> (substringDedup _),
     "substring_scrub" -> (substringScrub _),
     "dup_spans" -> (dupSpans _),
@@ -1063,6 +1170,7 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_overlap" -> winnowOverlapSql,
+    "winnow_spans" -> winnowSpansSql,
     "substring_dedup" -> substringDedupSql,
     "substring_scrub" -> substringScrubSql,
     "dup_spans" -> dupSpansSql,

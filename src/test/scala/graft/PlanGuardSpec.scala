@@ -268,7 +268,8 @@ class PlanGuardSpec extends SparkSpec {
     "winnow_fingerprint" -> 4, // C110: the site board is checkpoint-truncated (gram explode + doc-key window run eagerly); residual = two doc-key rollups + their join + gate sort (measured 4)
     "winnow_overlap" -> 4, // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
     "leakage_safe_split" -> 3, // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
-    "dedup_jaccard_prefix" -> 5 // C113: shingle-df partial agg + the doc-key prefix window + the prefix-keyed candidate join + one id-keyed verify join pair sharing an exchange + gate sort (measured 5)
+    "dedup_jaccard_prefix" -> 5, // C113: shingle-df partial agg + the doc-key prefix window + the prefix-keyed candidate join + one id-keyed verify join pair sharing an exchange + gate sort (measured 5)
+    "winnow_spans" -> 11 // C114: sites + hash boards checkpoint-truncated; residual = the capped overlap board (df census + pair join + rollup), the two shared-hash joins, the two per-side position joins, the (pair, side) island window, gate sort — every exchange over fingerprint-sparse frames (measured 11)
   )
 
   test("per-query shuffle budgets hold (exchange-count regression guard)") {

@@ -65,6 +65,31 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnow_spans: exact-copy twins report IDENTICAL span lists on " +
+      "both sides, and every pair's spans are disjoint, ordered, ≥ k") {
+    val spans = TextOps.winnowSpans(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(spans.nonEmpty)
+    // per (pair, side): ascending, non-overlapping, each at least a gram
+    spans.foreach { case (k, ss) =>
+      ss.foreach { case (_, len) => assert(len >= TextOps.WinnowK, s"$k") }
+      ss.sliding(2).foreach {
+        case Seq((s0, l0), (s1, _)) =>
+          assert(s0 + l0 <= s1, s"$k: overlapping spans")
+        case _ => ()
+      }
+    }
+    // a seeded exact-copy pair: the copy's text is byte-identical, so
+    // side a and side b must report the SAME intervals
+    val twin = spans.keys.find { case (a, b, _) => b == a + 100000000L }
+    assert(twin.isDefined, "no exact-copy pair on the span board")
+    val (a, b, _) = twin.get
+    assert(spans((a, b, "a")) === spans((a, b, "b")),
+      "twin pair's sides diverged")
+  }
+
   test("exact-copy twins share their whole fingerprint and surface on " +
       "the overlap board") {
     val fp = TextOps.winnowFingerprint(spark, sfDir).collect()
