@@ -289,10 +289,29 @@ object Dedup {
       // ⌈t·n⌉ in exact integers; prefix keeps rn ≤ n − ⌈t·n⌉ + 1
       .filter(col("_rn") <=
         col("_n") - expr(s"($tNum * _n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("_id"), col("_s"))
+      .select(col("_id"), col("_s"), col("_rn"), col("_n"))
+    // PPJoin's two candidate pruners, both in exact integers:
+    //  - LENGTH: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (cross-multiplied);
+    //  - POSITION: the required overlap is α = ⌈t/(1+t)·(nA+nB)⌉, and
+    //    the FIRST common token (at ranks rA, rB under the shared
+    //    global order — inside both prefixes by the filtering theorem)
+    //    bounds it: o ≤ min(nA−rA, nB−rB)+1, so a pair whose BEST
+    //    matched-prefix bound misses α cannot reach t. Without these
+    //    the prefix join alone left 12 s of stop-shingle candidate
+    //    fanout at sf0.1 (r14 bench finding) — these are the filters
+    //    that make prefix joins beat the inverted index in the paper.
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b")).distinct()
+        col("a._s") === col("b._s") && col("a._id") < col("b._id") &&
+        col("b._n") * tDen >= col("a._n") * tNum &&
+        col("a._n") * tDen >= col("b._n") * tNum)
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(max(least(col("a._n") - col("a._rn"),
+          col("b._n") - col("b._rn")) + 1).as("_ub"),
+        first(col("a._n")).as("_na"), first(col("b._n")).as("_nb"))
+      .filter(col("_ub") >=
+        expr(s"($tNum * (_na + _nb) + ${tNum + tDen - 1}) " +
+          s"div ${tNum + tDen}"))
+      .select(col("id_a"), col("id_b"))
     cands
       .join(d.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
       .join(d.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
