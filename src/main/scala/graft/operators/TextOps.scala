@@ -887,9 +887,15 @@ object TextOps {
     * Scale shape: one map-side gram explode + ONE doc-key window + two
     * doc-key rollups — the fingerprint table any plagiarism/overlap
     * pipeline stores is ~2/(w+1) of the gram stream. */
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sel = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
-      .localCheckpoint(eager = true) // feeds the site board AND the hash board
+  /** Driver key: PROBES the persisted sites table ([[WinnowIndex]] —
+    * the selection chain runs once per corpus state, r14). */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintFrom(
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+
+  /** C110's board over ANY (doc_id, n_grams, mw) sites frame — shared
+    * by the stored-index probe and the from-scratch spec path. */
+  private[graft] def winnowFingerprintFrom(sel: DataFrame): DataFrame = {
     val sites = sel.groupBy(col("doc_id"))
       .agg(first(col("n_grams")).as("n_grams"),
         count(lit(1)).as("n_fp_sites"))
@@ -973,8 +979,13 @@ object TextOps {
     * position-free fingerprint table C111/B115 join on. */
   private[graft] def winnowHashes(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    winnowSitesOn(docs, idCol, textCol)
-      .select(col("doc_id"), expr(s"mw div $WinnowChars").as("h")).distinct()
+    winnowHashesFrom(winnowSitesOn(docs, idCol, textCol))
+
+  /** The same board off an already-selected sites frame (the stored
+    * index's probe spelling). */
+  private[graft] def winnowHashesFrom(sites: DataFrame): DataFrame =
+    sites.select(col("doc_id"), expr(s"mw div $WinnowChars").as("h"))
+      .distinct()
 
   /** C111's read tail over ANY (doc_id, h) fingerprint frame — ONE
     * spelling of the df cap + pair count + threshold, shared by the
@@ -993,10 +1004,11 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Driver key: PROBES the persisted sites table (no checkpoint — the
+    * stored parquet re-scans cheaply for the df board and the join). */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
-    winnowOverlapFrom(
-      winnowHashes(dedupCorpus(spark, dir), "doc_id", "text")
-        .localCheckpoint(eager = true)) // feeds the df board AND the join
+    winnowOverlapFrom(winnowHashesFrom(
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir))))
 
   /** C114: the MOSS matched-SPAN product off the winnow fingerprints —
     * for every C111 overlap pair, the merged character intervals each
@@ -1013,14 +1025,16 @@ object TextOps {
     * positions are fingerprint-sparse (≈2/(w+1) of grams); the island
     * merge is ONE (pair, side)-key window. Nothing touches the gram
     * stream. */
-  def winnowSpans(spark: SparkSession, dir: String): DataFrame = {
-    val sites = winnowSitesOn(dedupCorpus(spark, dir), "doc_id", "text")
-      .localCheckpoint(eager = true) // feeds positions AND the hash board
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame =
+    winnowSpansFrom(
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+
+  /** C114 over ANY sites frame (stored-index probe + spec path). */
+  private[graft] def winnowSpansFrom(sites: DataFrame): DataFrame = {
     val posH = sites.select(col("doc_id"),
       (lit(WinnowChars - 1) - pmod(col("mw"), lit(WinnowChars))).as("pos"),
       expr(s"mw div $WinnowChars").as("h"))
     val hs0 = posH.select(col("doc_id"), col("h")).distinct()
-      .localCheckpoint(eager = true)
     val pairs = winnowOverlapFrom(hs0).select(col("doc_a"), col("doc_b"))
     val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= WinnowMaxDf).select(col("h"))
