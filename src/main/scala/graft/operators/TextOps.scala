@@ -888,10 +888,15 @@ object TextOps {
     * doc-key rollups — the fingerprint table any plagiarism/overlap
     * pipeline stores is ~2/(w+1) of the gram stream. */
   /** Driver key: PROBES the persisted sites table ([[WinnowIndex]] —
-    * the selection chain runs once per corpus state, r14). */
+    * the selection chain runs once per corpus state, r14). The stored
+    * read is checkpointed: the products reference it several times, and
+    * the checkpoint keeps each reference a plan LEAF (one scan, and the
+    * guard budgets count the residual probe math, not re-derivations —
+    * dropping it doubled the counted exchanges). */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintFrom(
-      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir))
+        .localCheckpoint(eager = true))
 
   /** C110's board over ANY (doc_id, n_grams, mw) sites frame — shared
     * by the stored-index probe and the from-scratch spec path. */
@@ -1004,11 +1009,12 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Driver key: PROBES the persisted sites table (no checkpoint — the
-    * stored parquet re-scans cheaply for the df board and the join). */
+  /** Driver key: PROBES the persisted sites table (checkpointed hash
+    * board — it feeds the df census and both join sides). */
   def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
     winnowOverlapFrom(winnowHashesFrom(
-      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir))))
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+      .localCheckpoint(eager = true))
 
   /** C114: the MOSS matched-SPAN product off the winnow fingerprints —
     * for every C111 overlap pair, the merged character intervals each
@@ -1027,14 +1033,18 @@ object TextOps {
     * stream. */
   def winnowSpans(spark: SparkSession, dir: String): DataFrame =
     winnowSpansFrom(
-      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+      WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir))
+        .localCheckpoint(eager = true))
 
-  /** C114 over ANY sites frame (stored-index probe + spec path). */
+  /** C114 over ANY sites frame (stored-index probe + spec path); the
+    * input should be checkpointed — positions and the hash board both
+    * read it, and the hash board itself feeds three consumers. */
   private[graft] def winnowSpansFrom(sites: DataFrame): DataFrame = {
     val posH = sites.select(col("doc_id"),
       (lit(WinnowChars - 1) - pmod(col("mw"), lit(WinnowChars))).as("pos"),
       expr(s"mw div $WinnowChars").as("h"))
     val hs0 = posH.select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint(eager = true)
     val pairs = winnowOverlapFrom(hs0).select(col("doc_a"), col("doc_b"))
     val hf = hs0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= WinnowMaxDf).select(col("h"))
