@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   * NULL in BOTH engines — that is the shared no-data semantics, not an
   * overflow; raising there would fork behavior against the SQL twin,
   * which emits the NULL row).
+  *
+  * RESIDUAL HOLE, documented (r14 ADVICE): the NULL passthrough cannot
+  * distinguish NULL-from-no-data from NULL-from-decimal-SUM-overflow.
+  * Under ANSI mode — Spark 4's default, which [[graft.GraftSession]]
+  * does not disable — there is no hole: the AGGREGATE itself throws
+  * Spark's ARITHMETIC_OVERFLOW before this guard ever sees a value, so
+  * both engines still fail loudly (DuckDB via HUGEINT error). Only a
+  * deployment that explicitly sets `spark.sql.ansi.enabled=false` AND
+  * sums past DECIMAL(38)'s 38 digits (≈1e29 micro-units through the
+  * widest accumulator here — orders of magnitude past 100 TB of
+  * micro-priced rows) would turn that overflow into a silent NULL row
+  * where DuckDB errors. A count-based "group had non-NULL inputs but
+  * SUM is NULL" probe could close it, but it would double every
+  * guarded aggregate for a configuration the library never ships —
+  * declared instead.
   */
 private[graft] object Exact {
 

@@ -874,6 +874,15 @@ object Pipeline {
   val ChainExactShift = 200000000L
   val ChainNearShift = 300000000L
   val ChainCleanShift = 400000000L
+  /** The r15 fifth-stage class: a 200-char EXCERPT of a history doc with
+    * a fresh continuation — long enough shared opening that the winnow
+    * gate must fire (the first 128 sanitized chars are the source's),
+    * fresh enough tail that Jaccard stays far below the near-dup
+    * threshold and the sha never matches (sources shorter than the
+    * excerpt are excluded so the excerpt is strictly proper). */
+  val ChainWinnowShift = 600000000L
+  val ChainWinnowTailTokens = 120
+  val ChainExcerptChars = 200
 
   /** The deterministic arriving batch — ONE spelling shared by the B61
     * stream twin and the oracle (four classes: exact copies, near-dup
@@ -887,6 +896,9 @@ object Pipeline {
     val filler = concat_ws(" ",
       transform(sequence(lit(0), lit(ChainPadTokens - 1)),
         i => concat(lit("pad"), i)))
+    val wtail = concat_ws(" ",
+      transform(sequence(lit(0), lit(ChainWinnowTailTokens - 1)),
+        i => concat(lit("wtail"), i)))
     CorpusOps.incrementalBatchOn(d) // +2e8 exact copies, +3e8 near-dups
       .unionAll(d.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + ChainCleanShift).as("doc_id"),
@@ -895,15 +907,38 @@ object Pipeline {
           size(toks) <= ChainContamMaxWords)
         .select((col("doc_id") + ContaminatedShift).as("doc_id"),
           concat(filler, lit(" "), col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") % 19 === 0 &&
+          col("doc_id") % BenchmarkMod =!= 0 &&
+          length(col("text")) > ChainExcerptChars + 20)
+        .select((col("doc_id") + ChainWinnowShift).as("doc_id"),
+          concat(substring(col("text"), 1, ChainExcerptChars), lit(" "),
+            wtail).as("text")))
+  }
+
+  /** History's df-capped winnow hash board — the admission chain's FIFTH
+    * static side (r14 verdict #4), amortized ONCE outside the stream like
+    * the bloom/band-index/benchmark sides: C110's selection over history,
+    * per-doc distinct hashes, corpus-hot hashes (df > WinnowMaxDf)
+    * dropped exactly as C111 does. Checkpointed — it is rejoined per
+    * micro-batch. */
+  def admissionHistWinnow(history: DataFrame): DataFrame = {
+    val hs = TextOps.winnowHashes(history, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val hf = hs.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= TextOps.WinnowMaxDf).select(col("h"))
+    hs.join(hf, "h").localCheckpoint(eager = true)
   }
 
   /** Per-doc admission verdicts for one batch: stage = the FIRST gate that
     * rejects (fixed precedence, like C15's reject_reason), else accepted.
-    * All four gates evaluate declaratively over the batch; the precedence
-    * is one CASE — Catalyst sees a single plan, not four passes. */
+    * All five gates evaluate declaratively over the batch; the precedence
+    * is one CASE — Catalyst sees a single plan, not five passes. The
+    * winnow copy-gate (r14 verdict #4) sits LAST: it is the weakest
+    * evidence class (a shared fingerprint run, not whole-doc identity/
+    * similarity/benchmark hits), so any stronger verdict wins. */
   def admissionVerdictsOn(spark: SparkSession, rawBatch: DataFrame,
       history: DataFrame, histBloom: Array[Byte], indexPath: String,
-      bsh: DataFrame): DataFrame = {
+      bsh: DataFrame, histWinnow: DataFrame): DataFrame = {
     // the batch subtree is referenced FIVE times (base + four gates) and
     // Catalyst does not dedupe common subtrees across a join DAG — pin it
     // once so a streaming micro-batch's source scan + class derivation
@@ -924,17 +959,41 @@ object Pipeline {
         bsh, CorpusOps.ContainmentThreshold)
       .select(col("train_id").as("doc_id")).distinct()
       .select(col("doc_id"), lit(1).as("_contam"))
+    // fifth stage: the batch winnows map-side (C110's per-doc selection)
+    // and a doc is a copy suspect when SOME single history doc carries
+    // ≥ WinnowMinShared of its hashes AND ≥ HALF its fingerprint set
+    // (exact integers: 2·ns ≥ nb). The containment ratio is what makes
+    // this a COPY gate rather than a shared-vocabulary detector: on this
+    // corpus true copies (exact/near/excerpt classes) pair at ratio
+    // ≥ 0.52 while word-order reversals — which legitimately share
+    // long-word-interior 8-grams with history — top out at 0.32; a bare
+    // ns ≥ 3 rule flagged EVERY reversal and extinguished the accepted
+    // path (measured at sf0.01 before this condition landed).
+    val bh = TextOps.winnowHashes(batch, "doc_id", "text")
+      .localCheckpoint(true) // feeds the per-doc count AND the pair join
+    val bn = bh.groupBy(col("doc_id")).agg(count(lit(1)).as("_nb"))
+    val wcopy = bh
+      .join(histWinnow.select(col("doc_id").as("_hid"), col("h")), "h")
+      .groupBy(col("doc_id"), col("_hid"))
+      .agg(count(lit(1)).as("_ns"))
+      .join(bn, "doc_id")
+      .filter(col("_ns") >= TextOps.WinnowMinShared &&
+        col("_ns") * 2 >= col("_nb"))
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(1).as("_wcopy"))
     batch.select(col("doc_id"))
       .join(flags, Seq("doc_id"), "left")
       .join(notExact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
+      .join(wcopy, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("passes") === 0,
           concat(lit("quality_"), col("reject_reason")))
           .when(col("_new").isNull, lit("exact_dup"))
           .when(col("_near") === 1, lit("near_dup"))
           .when(col("_contam") === 1, lit("contaminated"))
+          .when(col("_wcopy") === 1, lit("winnow_copy"))
           .otherwise(lit("accepted")).as("stage"))
   }
 
@@ -965,6 +1024,15 @@ object Pipeline {
        |  FROM documents WHERE doc_id % $BenchmarkMod = 0
        |    AND len(regexp_split_to_array(trim(text), '\\s+'))
        |        <= $ChainContamMaxWords
+       |  UNION ALL
+       |  SELECT doc_id + $ChainWinnowShift,
+       |         substr(text, 1, $ChainExcerptChars) || ' ' ||
+       |           array_to_string(list_transform(
+       |             range(0, $ChainWinnowTailTokens), i -> 'wtail' || i),
+       |             ' ')
+       |  FROM documents WHERE doc_id % 19 = 0
+       |    AND doc_id % $BenchmarkMod <> 0
+       |    AND LENGTH(text) > ${ChainExcerptChars + 20}
        |), q AS (
        |  ${qualityFlagsSqlOver("batch", ordered = false)}
        |), ex AS (
@@ -1002,12 +1070,29 @@ object Pipeline {
        |        FROM tsh JOIN bsh2 USING (s) GROUP BY 1, 2) p
        |  JOIN bsz USING (bench_id)
        |  WHERE CAST(n_shared AS DOUBLE) / bench_n >= $ContainmentThreshold
+       |),
+       |${TextOps.winnowHashCtesOver("documents", "wh_")},
+       |${TextOps.winnowHashCtesOver("batch", "wb_")},
+       |wf AS (
+       |  SELECT h FROM wh_hs GROUP BY h
+       |  HAVING COUNT(*) <= ${TextOps.WinnowMaxDf}
+       |), wk AS (
+       |  SELECT wh_hs.doc_id, wh_hs.h FROM wh_hs JOIN wf USING (h)
+       |), wbn AS (
+       |  SELECT doc_id, COUNT(*) AS nb FROM wb_hs GROUP BY 1
+       |), wc AS (
+       |  SELECT DISTINCT p.doc_id FROM (
+       |    SELECT bh.doc_id, wk.doc_id AS hid, COUNT(*) AS ns
+       |    FROM wb_hs bh JOIN wk ON bh.h = wk.h GROUP BY 1, 2) p
+       |  JOIN wbn ON p.doc_id = wbn.doc_id
+       |  WHERE p.ns >= ${TextOps.WinnowMinShared} AND p.ns * 2 >= wbn.nb
        |)
        |SELECT b.doc_id,
        |  CASE WHEN q.passes = 0 THEN 'quality_' || q.reject_reason
        |       WHEN b.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
        |       WHEN b.doc_id IN (SELECT doc_id FROM np) THEN 'near_dup'
        |       WHEN b.doc_id IN (SELECT doc_id FROM cp) THEN 'contaminated'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM wc) THEN 'winnow_copy'
        |       ELSE 'accepted' END AS stage
        |FROM batch b JOIN q ON b.doc_id = q.doc_id
        |ORDER BY 1""".stripMargin

@@ -124,6 +124,27 @@ object SaIndex {
   def admitWindowBatch(spark: SparkSession, path: String, tag: String,
       docs: DataFrame, idCol: String, textCol: String, w: Int): Boolean =
     IndexScratch.admitOnce(path, tag) {
+      // Segments are assumed DOC-DISJOINT: the cross-segment merge sums
+      // per-segment dfs, so re-admitting already-indexed ids under a NEW
+      // tag would silently double-count df at probe time (the marker
+      // protocol stops same-tag replays only — r14 verdict #3). The guard
+      // reads ONE pruned integer column (`_id`) off the stored positions —
+      // cheaper than the batch doubling chain it fronts. Docs too short to
+      // emit a full window have no positions rows and no df to corrupt,
+      // so absence from `_id` is exactly the safe-to-admit condition.
+      // The tag's OWN segment is excluded: a crashed admit can leave a
+      // committed positions_<tag> with no marker, and the replay must
+      // overwrite it, not be refused for colliding with itself.
+      val spark = docs.sparkSession
+      val others = "" +: segmentTags(path).filter(_ != tag).map("_" + _)
+      val stored = others
+        .map(s => spark.read.parquet(s"$path/positions$s").select(col("_id")))
+        .reduce(_ unionByName _).distinct()
+      val dup = docs.select(col(idCol).cast("long").as("_id")).distinct()
+        .join(stored, Seq("_id"), "left_semi")
+      require(dup.isEmpty, s"SA admit '$tag' into $path: batch carries " +
+        "doc ids already indexed — df would double-count; vacuum/rebuild " +
+        "or re-key the batch")
       writeSegment(docs, idCol, textCol, w, path, s"_$tag")
     }
 
@@ -131,17 +152,20 @@ object SaIndex {
     * exists. Detection is by DIRECTORY, not by admission marker: vacuum
     * folds segments into the base and deletes their directories, but the
     * markers STAY (an admitted batch's docs live on in the compacted
-    * base, so a replayed ingest must remain a no-op). */
+    * base, so a replayed ingest must remain a no-op). Listed through the
+    * Hadoop FS abstraction — a `java.io.File` walk over an object-store
+    * root would see ZERO segments and silently probe base-only (r14
+    * verdict #2). */
   private def segmentTags(path: String): Seq[String] =
-    Option(new java.io.File(path).listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("positions_"))
-      .map(_.getName.stripPrefix("positions_")).sorted
+    IndexScratch.fsListSubdirs(path)
+      .filter(_.startsWith("positions_"))
+      .map(_.stripPrefix("positions_")).sorted
 
   /** A crashed vacuum leaves this marker: probes must FAIL LOUDLY (the
     * two-directory commit is not atomic — see [[vacuum]]) instead of
     * silently joining a re-keyed groups dir against old positions. */
   private def requireClean(path: String): Unit =
-    require(!new java.io.File(s"$path/_vacuum_inflight").exists(),
+    require(!IndexScratch.fsExists(s"$path/_vacuum_inflight"),
       s"SA index at $path has a half-committed vacuum — restore the " +
         "*.old directories (rename-aside kept them) or rebuild the index")
 
@@ -273,31 +297,35 @@ object SaIndex {
     val mapping = groups.select(col("_seg"), col("k1"), col("k2"),
         col("win"))
       .join(gid.select(col("win"), col("_nr")), Seq("win"))
+    // mode=overwrite on BOTH staging writes: a vacuum that crashed after
+    // staging but BEFORE the inflight marker landed leaves .vacuum dirs
+    // behind with requireClean still passing — the rerun must self-heal
+    // by overwriting them, not die on ErrorIfExists (r14 ADVICE)
     gid.select(col("_nr").as("k1"), lit(-1L).as("k2"), col("df"),
         col("win"))
-      .write.parquet(s"$path/groups.vacuum")
+      .write.mode("overwrite").parquet(s"$path/groups.vacuum")
     positions.join(mapping.select(col("_seg"), col("k1"), col("k2"),
         col("_nr")), Seq("_seg", "k1", "k2"))
       .select(col("_id"), col("pos"), col("_nr").as("k1"),
         lit(-1L).as("k2"))
-      .write.parquet(s"$path/positions.vacuum")
+      .write.mode("overwrite").parquet(s"$path/positions.vacuum")
     // the COMMIT: two directory swaps + the segment deletions cannot be
     // made jointly atomic, so the inflight marker brackets them — a
     // crash inside leaves the marker and every probe fails LOUDLY with
     // the recovery hint (requireClean) instead of silently joining
     // re-keyed groups against old positions (r14 self-review finding).
     // Both .vacuum stages are fully written BEFORE the marker lands, so
-    // the crash window holds only renames and deletes.
-    val inflight = new java.io.File(s"$path/_vacuum_inflight")
-    require(inflight.mkdirs() || inflight.isDirectory,
-      s"vacuum: cannot create commit marker $inflight")
+    // the crash window holds only renames and deletes. All marker and
+    // directory ops ride the Hadoop FS abstraction (r14 verdict #2).
+    val inflight = s"$path/_vacuum_inflight"
+    IndexScratch.fsMkdirs(inflight)
     Dedup.swapDir(spark, s"$path/groups.vacuum", s"$path/groups")
     Dedup.swapDir(spark, s"$path/positions.vacuum", s"$path/positions")
     tags.foreach { t =>
-      IndexScratch.deleteRec(new java.io.File(s"$path/positions_$t"))
-      IndexScratch.deleteRec(new java.io.File(s"$path/groups_$t"))
+      IndexScratch.fsDeleteRec(s"$path/positions_$t")
+      IndexScratch.fsDeleteRec(s"$path/groups_$t")
     }
-    IndexScratch.deleteRec(inflight)
+    IndexScratch.fsDeleteRec(inflight)
     graft.GraftSession.unpersistLocalCheckpoint(gid)
     (segs.size, before, Dedup.parquetFileCount(spark, path))
   }

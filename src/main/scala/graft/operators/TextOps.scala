@@ -924,35 +924,42 @@ object TextOps {
     * list_transform lambda binds `i` and would SHADOW an outer `i`
     * column, silently hashing the same gram for every row (found as a
     * constant-hash board on first registration). */
-  private def winnowSelSql: String = {
+  /** The winnow selection CTE chain over ANY (doc_id, text) relation,
+    * with a CTE-name prefix so two instances (e.g. history + batch in
+    * the B61 oracle) can coexist in one query. Emits `${p}sel` (the
+    * sites) and `${p}hs` (the per-doc distinct hash board). */
+  private[graft] def winnowHashCtesOver(src: String, p: String): String = {
     val hex = graft.operators.CorpusOps.hex12Sql(
       s"substr(md5(substr(s, CAST(gp + 1 AS INT), $WinnowK)), 1, 12)")
-    s"""$dedupCorpusSql,
-       |d AS (
+    s"""${p}d AS (
        |  SELECT doc_id,
        |    substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
        |           1, $WinnowChars) AS s
-       |  FROM corpus
-       |), g AS (
+       |  FROM $src
+       |), ${p}g AS (
        |  SELECT doc_id, length(s) - ${WinnowK - 1} AS n_grams,
        |    CAST(gp AS BIGINT) AS p0,
        |    $hex * $WinnowChars + (${WinnowChars - 1} - CAST(gp AS BIGINT))
        |      AS cmb
        |  FROM (SELECT doc_id, s, UNNEST(range(0, length(s) - ${WinnowK - 1}))
        |          AS gp
-       |        FROM d WHERE length(s) >= ${WinnowK + WinnowW - 1})
-       |), wmin AS (
+       |        FROM ${p}d WHERE length(s) >= ${WinnowK + WinnowW - 1})
+       |), ${p}wmin AS (
        |  SELECT doc_id, n_grams, p0,
        |    MIN(cmb) OVER (PARTITION BY doc_id ORDER BY p0
        |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mw
-       |  FROM g
-       |), sel AS (
+       |  FROM ${p}g
+       |), ${p}sel AS (
        |  SELECT DISTINCT doc_id, n_grams, mw
-       |  FROM wmin WHERE p0 <= n_grams - $WinnowW
-       |), hs AS (
-       |  SELECT DISTINCT doc_id, mw // $WinnowChars AS h FROM sel
+       |  FROM ${p}wmin WHERE p0 <= n_grams - $WinnowW
+       |), ${p}hs AS (
+       |  SELECT DISTINCT doc_id, mw // $WinnowChars AS h FROM ${p}sel
        |)""".stripMargin
   }
+
+  private def winnowSelSql: String =
+    s"""$dedupCorpusSql,
+       |${winnowHashCtesOver("corpus", "")}""".stripMargin
 
   /** Twin: the same sanitized grams, combined-key window MIN, full-window
     * filter, and per-doc rollups. */

@@ -52,6 +52,59 @@ object IndexScratch {
     f.delete(): Unit
   }
 
+  // ---- Hadoop-FS primitives (r14 verdict #2) --------------------------------
+  // Index lifecycle state — segment directories, admission markers, vacuum
+  // inflight markers — must resolve through the SAME FS abstraction the
+  // index DATA is written with: a `java.io.File` walk over an object-store
+  // root sees zero segments and silently returns base-only probe results.
+  // The hadoopConf comes from the active session (these verbs are
+  // driver-side); with no session (unit scaffolding) the default conf still
+  // resolves `file:` and bare local paths identically to java.io.File.
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[graft] def fsFor(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  private[graft] def fsExists(path: String): Boolean = {
+    val (fs, p) = fsFor(path); fs.exists(p)
+  }
+
+  /** Create a marker directory, loudly: a silently missing marker is the
+    * double-admit / half-vacuum corruption the markers exist to prevent. */
+  private[graft] def fsMkdirs(path: String): Unit = {
+    val (fs, p) = fsFor(path)
+    require(fs.mkdirs(p) || fs.exists(p), s"marker creation failed: $path")
+  }
+
+  /** Recursive delete through the FS abstraction (no-op if absent). */
+  private[graft] def fsDeleteRec(path: String): Unit = {
+    val (fs, p) = fsFor(path)
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
+
+  /** Names of the immediate child DIRECTORIES of `path` — the segment
+    * discovery primitive (SaIndex/WinnowIndex sibling segments). */
+  private[graft] def fsListSubdirs(path: String): Seq[String] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
+  /** Has `tag` already been admitted into the index at `path`? The
+    * replay-safe ingest loops consult this BEFORE probing: a re-delivered
+    * micro-batch whose admission already committed must not re-probe (its
+    * own rows are in the index now — the probe would emit self-hits) nor
+    * re-append to the sink (r14 ADVICE). */
+  def isAdmitted(path: String, tag: String): Boolean =
+    fsExists(s"$path/_admitted_$tag")
+
   /** Per-path build locks: two same-JVM threads racing ensure() must not
     * write into the SAME pid-keyed temp dir (mode=overwrite would clobber
     * the sibling's in-flight output and rename a mixed partial index). */
@@ -74,16 +127,15 @@ object IndexScratch {
     * concurrent blind appends. */
   def admitOnce(path: String, tag: String)(append: => Unit): Boolean = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe admission tag: $tag")
-    val marker = new java.io.File(s"$path/_admitted_$tag")
-    if (marker.exists()) return false
+    val marker = s"$path/_admitted_$tag"
+    if (fsExists(marker)) return false
     locks.computeIfAbsent(s"$path#admit#$tag", _ => new Object).synchronized {
-      if (marker.exists()) return false
+      if (fsExists(marker)) return false
       append
       // a failed marker write must fail LOUDLY: returning normally with no
       // marker would let a later rerun double-admit the batch — exactly
       // the corruption the marker exists to prevent
-      require(marker.mkdirs() || marker.isDirectory,
-        s"admission marker creation failed: $marker")
+      fsMkdirs(marker)
       true
     }
   }
@@ -97,20 +149,19 @@ object IndexScratch {
     if (built.contains(path)) return
     locks.computeIfAbsent(path, _ => new Object).synchronized {
       if (built.contains(path)) return
-      val dest = new java.io.File(path)
-      if (!dest.exists()) {
-        val tmp = new java.io.File(
-          path + ".build." + java.lang.ProcessHandle.current().pid())
+      val (fs, dest) = fsFor(path)
+      if (!fs.exists(dest)) {
+        val tmp = path + ".build." + java.lang.ProcessHandle.current().pid()
         // A failed build must not orphan its partial temp dir in tmpdir
         // (r6 ADVICE): each new JVM derives a fresh pid suffix, so leaks
         // would accumulate across retries.
-        try build(tmp.getAbsolutePath)
-        catch { case e: Throwable => deleteRec(tmp); throw e }
-        if (!tmp.renameTo(dest)) {
-          if (!dest.exists())
+        try build(tmp)
+        catch { case e: Throwable => fsDeleteRec(tmp); throw e }
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest)) {
+          if (!fs.exists(dest))
             throw new IllegalStateException(
               s"index build rename failed: $tmp -> $dest")
-          deleteRec(tmp) // lost the race to an identical completed build
+          fsDeleteRec(tmp) // lost the race to an identical completed build
         }
       }
       built.add(path): Unit

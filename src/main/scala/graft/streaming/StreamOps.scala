@@ -2077,14 +2077,24 @@ object StreamOps {
         .foreachBatch {
           (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            bid: Long) =>
-            // the sink write EXECUTES the probe against the pre-admission
-            // index state; only then does this batch append itself
-            graft.operators.Dedup.dedupIndexProbe(mb.sparkSession,
-                indexPath, mb, "doc_id", "text",
-                minEstJaccard = graft.operators.Sketch.MinEstJaccard)
-              .write.mode("append").parquet(sink.getAbsolutePath)
-            graft.operators.Dedup.dedupIndexAdmit(indexPath, s"batch$bid",
-              mb, "doc_id", "text")
+            // REPLAY GUARD (r14 ADVICE): if this batch's admission marker
+            // already exists (an at-least-once re-delivery after the
+            // admit committed — e.g. a durable checkpoint), the probe
+            // must NOT run: it would now see the batch's own rows in the
+            // index and append self-hits to the append-mode sink,
+            // double-counting the batch with different values.
+            if (!graft.sources.IndexScratch.isAdmitted(indexPath,
+                s"batch$bid")) {
+              // the sink write EXECUTES the probe against the
+              // pre-admission index state; only then does this batch
+              // append itself
+              graft.operators.Dedup.dedupIndexProbe(mb.sparkSession,
+                  indexPath, mb, "doc_id", "text",
+                  minEstJaccard = graft.operators.Sketch.MinEstJaccard)
+                .write.mode("append").parquet(sink.getAbsolutePath)
+              graft.operators.Dedup.dedupIndexAdmit(indexPath,
+                s"batch$bid", mb, "doc_id", "text")
+            }
             if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
               // under the ROOT session: the vacuum rewrite's repartition
               // must size by the index BUILD's conf, not the streaming
@@ -2138,15 +2148,22 @@ object StreamOps {
         .foreachBatch {
           (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            bid: Long) =>
-            // the sink write EXECUTES the probe against the
-            // pre-admission index state; only then does this batch
-            // append itself
-            graft.operators.SaIndex.probeBatch(mb.sparkSession, indexPath,
-                mb.toDF(), "doc_id", "text", w)
-              .withColumn("batch_id", lit(bid))
-              .write.mode("append").parquet(sink.getAbsolutePath)
-            graft.operators.SaIndex.admitWindowBatch(mb.sparkSession,
-              indexPath, s"batch$bid", mb.toDF(), "doc_id", "text", w)
+            // REPLAY GUARD (r14 ADVICE): a re-delivered batch whose
+            // admission already committed must skip the probe — it
+            // would run against a post-admission index and append
+            // self-hit rows to the sink (see the B62 loop above)
+            if (!graft.sources.IndexScratch.isAdmitted(indexPath,
+                s"batch$bid")) {
+              // the sink write EXECUTES the probe against the
+              // pre-admission index state; only then does this batch
+              // append itself
+              graft.operators.SaIndex.probeBatch(mb.sparkSession,
+                  indexPath, mb.toDF(), "doc_id", "text", w)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("append").parquet(sink.getAbsolutePath)
+              graft.operators.SaIndex.admitWindowBatch(mb.sparkSession,
+                indexPath, s"batch$bid", mb.toDF(), "doc_id", "text", w)
+            }
             if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
               graft.operators.SaIndex.vacuum(rootSpark, indexPath)
             ()
@@ -2157,17 +2174,80 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val WinnowAdmitLoopQueryName = "graft_stream_winnow_admit_loop"
+
+  /** B117 (library API): the recurring-ingest COPY-DETECTION loop closed
+    * over the persisted winnow index — the B62/B116 probe-then-admit
+    * discipline composed from the [[graft.operators.WinnowIndex]] verbs,
+    * the loop r14's verdict flagged as missing (WinnowIndex.admit
+    * existed but nothing composed it). Each micro-batch (1) PROBES the
+    * stored fingerprints ([[graft.operators.WinnowIndex.probeBatch]] —
+    * per arriving doc, the history docs sharing ≥ MinShared winnowed
+    * hashes, df-capped like C111), materialized through the sink write
+    * BEFORE (2) the batch ADMITS itself as a sibling `sites_<tag>`
+    * segment, so later batches surface copies of EARLIER batches'
+    * content — not just build-time history; (3) an optional vacuum
+    * cadence folds segments into one base under the ROOT session (the
+    * B62 conf discipline). Replay-safe like both sibling loops: a
+    * re-delivered batch whose admission marker exists skips the probe.
+    * Spec-gated (WinnowAdmitLoopSpec): a forced-order two-wave replay
+    * pins that batch 2 sees batch 1's copies ONLY through admission,
+    * and that a mid-loop vacuum changes nothing a probe observes. */
+  def winnowIndexAdmitLoop(rootSpark: SparkSession, srcDir: String,
+      glob: String, indexPath: String, vacuumEvery: Int = 0): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+    spark.streams.active.filter(_.name == WinnowAdmitLoopQueryName)
+      .foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${WinnowAdmitLoopQueryName}_sink").toFile
+    try {
+      val q = d.writeStream.queryName(WinnowAdmitLoopQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            if (!graft.sources.IndexScratch.isAdmitted(indexPath,
+                s"batch$bid")) {
+              // the sink write EXECUTES the probe against the
+              // pre-admission index state; only then does this batch
+              // append itself
+              graft.operators.WinnowIndex.probeBatch(mb.sparkSession,
+                  indexPath, mb.toDF(), "doc_id", "text")
+                .withColumn("bid", lit(bid)) // probe emits batch_id = doc
+                .write.mode("append").parquet(sink.getAbsolutePath)
+              graft.operators.WinnowIndex.admit(mb.sparkSession,
+                indexPath, s"batch$bid", mb.toDF(), "doc_id", "text")
+            }
+            if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
+              graft.operators.WinnowIndex.vacuum(rootSpark, indexPath)
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+        .orderBy(col("bid"), col("batch_id"), col("hist_id"))
+    } finally graft.sources.IndexScratch.deleteRec(sink)
+  }
+
   val AdmissionQueryName = "graft_stream_admission_chain"
 
   /** B61: the FULL ingest quarantine chain as one streaming operator —
     * quality gate (B24) → bloom exact-dedup (C27) → persisted-index
-    * near-dup probe (B53) → benchmark containment (B55), composed through
+    * near-dup probe (B53) → benchmark containment (B55) → winnow
+    * copy-gate (C111's pair rule, the r15 fifth stage), composed through
     * [[graft.operators.Pipeline.admissionVerdictsOn]] (each stage the
     * existing operator's own spelling; this operator adds ONLY the
     * composition). Every static side is amortized ONCE, outside the
     * stream: the history bloom aggregates once and broadcasts per batch,
     * the band index is the shared persisted scratch, the benchmark
-    * shingles checkpoint once. Each arriving micro-batch maps to per-doc
+    * shingles checkpoint once, the df-capped history winnow board
+    * checkpoints once. Each arriving micro-batch maps to per-doc
     * verdicts with ZERO streaming state (every doc lands wholly in one
     * batch, so the per-batch verdict equals the global one restricted to
     * that batch) and the drained verdicts equal the composed batch plan —
@@ -2185,6 +2265,7 @@ object StreamOps {
     val bloom = CorpusOps.historyBloomOf(hist, "text")
     val bench = hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
     val bsh = CorpusOps.containmentBenchShingles(bench, "doc_id", "text", 3)
+    val histWinnow = Pipeline.admissionHistWinnow(hist)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -2192,7 +2273,7 @@ object StreamOps {
     val arriving = Pipeline.admissionBatchOn(d)
     drainViaParquetSink(spark, arriving, AdmissionQueryName,
       xform = (mb, _) => Pipeline.admissionVerdictsOn(mb.sparkSession, mb,
-        hist, bloom, path, bsh))
+        hist, bloom, path, bsh, histWinnow))
       .orderBy(col("doc_id"))
   }
 

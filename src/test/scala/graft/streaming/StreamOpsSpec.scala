@@ -601,9 +601,10 @@ class StreamOpsSpec extends SparkSpec with WaveStaging {
     val bsh = CorpusOps.containmentBenchShingles(
       hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0),
       "doc_id", "text", 3)
+    val histWinnow = Pipeline.admissionHistWinnow(hist)
     val batch = Pipeline
       .admissionVerdictsOn(spark, Pipeline.admissionBatchOn(hist),
-        hist, bloom, path, bsh)
+        hist, bloom, path, bsh, histWinnow)
       .orderBy(col("doc_id")).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val streamed = StreamOps.streamAdmissionChain(spark, sfDir).collect()
@@ -617,15 +618,25 @@ class StreamOpsSpec extends SparkSpec with WaveStaging {
     // suffixed variants: the band probe catches them
     assert(byClass(3L).exists(_._2 == "near_dup"))
     // word-order reversals: every word-level quality stat is unchanged and
-    // no 3-shingle survives — NO dedup gate may fire, and some are accepted
+    // no 3-shingle survives — NO whole-doc dedup gate may fire, and some
+    // are accepted. The winnow gate MAY fire (shared long-word-interior
+    // 8-grams survive reversal — that is genuine shared content, exactly
+    // what a fingerprint gate flags).
     byClass(4L).foreach { case (id, s) =>
-      assert(s == "accepted" || s.startsWith("quality_"), s"$id -> $s") }
+      assert(s == "accepted" || s == "winnow_copy" ||
+        s.startsWith("quality_"), s"$id -> $s") }
     assert(byClass(4L).exists(_._2 == "accepted"))
     // padded benchmark embeddings: containment catches what Jaccard misses
     // (never accepted, never an exact dup)
     byClass(5L).foreach { case (id, s) =>
       assert(s != "accepted" && s != "exact_dup", s"$id -> $s") }
     assert(byClass(5L).exists(_._2 == "contaminated"))
+    // 200-char excerpts + fresh continuation: whole-doc Jaccard sits far
+    // below every earlier gate, but the shared opening MUST put them on
+    // the winnow gate (the r15 fifth stage's reason to exist)
+    byClass(6L).foreach { case (id, s) =>
+      assert(s == "winnow_copy" || s.startsWith("quality_"), s"$id -> $s") }
+    assert(byClass(6L).exists(_._2 == "winnow_copy"))
   }
 
   test("B21 multi-batch: dedup state merges across 3 micro-batches to " +
@@ -755,6 +766,7 @@ class StreamOpsSpec extends SparkSpec with WaveStaging {
     val bsh = CorpusOps.containmentBenchShingles(
       hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0),
       "doc_id", "text", 3)
+    val histWinnow = Pipeline.admissionHistWinnow(hist)
     val src = java.nio.file.Files.createTempDirectory("graft_adm_mb")
     val t0 = 1700000000000L
     for (w <- 0 to 2)
@@ -770,7 +782,8 @@ class StreamOpsSpec extends SparkSpec with WaveStaging {
     val streamed = StreamOps.drainViaParquetSink(ss,
         Pipeline.admissionBatchOn(d), "graft_adm_mb_q",
         xform = (mb, bid) => Pipeline.admissionVerdictsOn(mb.sparkSession,
-          mb, hist, bloom, path, bsh).withColumn("src_batch", lit(bid)))
+          mb, hist, bloom, path, bsh, histWinnow)
+          .withColumn("src_batch", lit(bid)))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val batches = streamed.map(_._3).distinct.sorted.toSeq
     assert(batches.size >= 3, s"replay collapsed to ${batches.size} batches")
@@ -782,7 +795,7 @@ class StreamOpsSpec extends SparkSpec with WaveStaging {
     // on which micro-batch carried it
     val oneShot = Pipeline
       .admissionVerdictsOn(spark, Pipeline.admissionBatchOn(hist),
-        hist, bloom, path, bsh)
+        hist, bloom, path, bsh, histWinnow)
       .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
     assert(streamed.map(t => t._1 -> t._2).sortBy(_._1).toSeq ===
       oneShot.toSeq)

@@ -73,7 +73,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_quality_ensemble" -> 5, // B66's own 3-signal vote joins
     "graft_stream_substring_scrub" -> 2, // dup-start collect agg + the doc-key join back; the frozen census joins broadcast
     "graft_stream_dup_spans" -> 2, // C105's island tail per batch: the dup-start join (census broadcast) + the doc-key island window share the doc exchange; (doc, island) rollup rides it (measured 2)
-    "graft_stream_admission_chain" -> 5, // B61's staged gate joins
+    "graft_stream_admission_chain" -> 8, // B61's staged gate joins; r15 adds the winnow copy-gate's corpus-scale shapes (hash-key pair join vs the checkpointed history board + pair rollup + the ratio join) — the board is corpus-sized at deploy, so NOT broadcast by design (measured 8)
     "graft_stream_ann_lsh_stats" -> 1 // B100: per-batch (table, bucket) count partials — one partial-agg exchange; the table rollup runs at read (measured 1)
   )
 
