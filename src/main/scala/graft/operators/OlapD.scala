@@ -482,19 +482,36 @@ object OlapD {
     * exact-integer in both engines (w·n_pairs > total, no division). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val directed = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+    triangleBoardOn(t, tradeEdgePartialsOn(t,
+      t.lineitem.select(col("l_orderkey"), col("l_suppkey"))))
+  }
+
+  /** The B43 trade-edge PARTIALS over any (l_orderkey, l_suppkey) rows:
+    * dim joins to (src, dst) nations, canonicalized undirected, shrunk
+    * to (a, b, cnt). A sum-monoid — partials from row subsets merge by
+    * summing cnt — which is what lets the B117 stream twin keep zero
+    * state and run the triangle tail once at read (the B114 shape). One
+    * spelling for the batch key, the stream twin, and the replay spec. */
+  private[graft] def tradeEdgePartialsOn(t: Tables, li: DataFrame): DataFrame =
+    li.join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.supplier.select(col("s_suppkey"),
         col("s_nationkey").as("dst"))), col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("src"), col("dst"))
-    val und = directed
       .filter(col("src") =!= col("dst"))
       .groupBy(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The B43 read tail over merged (a, b, cnt) partials: the above-mean
+    * strong-edge cut + the oriented-wedge triangle count + nation names.
+    * O(nations²) board work — runs once at read in the stream twin. */
+  private[graft] def triangleBoardOn(t: Tables, partials: DataFrame)
+      : DataFrame = {
+    val und = partials.groupBy(col("a"), col("b"))
+      .agg(sum(col("cnt")).as("w"))
     val stats = und.agg(sum(col("w")).as("_tw"), count(lit(1)).as("_np"))
     val strong = und.crossJoin(broadcast(stats)) // 1-row stats frame
       .filter(col("w") * col("_np") > col("_tw"))

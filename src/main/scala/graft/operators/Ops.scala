@@ -279,21 +279,38 @@ object Dedup {
     // NOT checkpointed: the shingle frame feeds the prefix explode and
     // both verify joins, but the codegen shingle kernel re-computes
     // cheaper than materializing 260 k packed arrays buys back
-    // (measured 6.3 s recompute vs 7.2 s checkpointed at sf0.1)
+    // (re-measured after the r15 window-df rewrite: lazy checkpoint
+    // 3.62 s vs recompute 3.59 s at sf0.1 — the kernel is not the tail)
     val d = df.select(col(idCol).as("_id"),
       word_shingles(col(textCol), n).as("_sh"))
-    val ex = d.select(col("_id"), explode(col("_sh")).as("_s"))
-    val freq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_f"))
+    // |doc| rides the explode row (size() before the generator), so the
+    // prefix stage needs NO second window; the df board and every join
+    // key are the shingle's xxhash64 — strings never ride the hash-keyed
+    // shuffles (r14 verdict #1 overhead cuts). A hash collision only
+    // MERGES two shingles' df and candidate buckets — a candidate-set
+    // superset, discharged by the exact verify stage.
+    val ex = d.select(col("_id"), size(col("_sh")).as("_n"),
+        explode(col("_sh")).as("_s"))
+      .withColumn("_hsh", xxhash64(col("_s")))
+    // df as ONE hash-key window over the exploded stream — a groupBy df
+    // board costs a second corpus scan (the agg branch re-runs the
+    // shingle kernel) plus a join; the window is one exchange on the
+    // same rows (r15 plan audit: the join spelling re-scanned documents)
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_hsh"))
+    // the global shingle order is (df-of-hash, SHINGLE STRING): the
+    // string tie-break keeps the order TOTAL even across hash collisions
+    // — with ties broken per-doc by row_number alone, two docs could
+    // rank colliding shingles oppositely and the prefix-filtering
+    // theorem's shared-prefix guarantee would silently break
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_f"), col("_s"))
-    val prefix = ex.join(freq, "_s")
+    val prefix = ex.withColumn("_f", count(lit(1)).over(byHash))
       .withColumn("_rn", row_number().over(byDoc))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_id"))))
       // ⌈t·n⌉ in exact integers; prefix keeps rn ≤ n − ⌈t·n⌉ + 1
       .filter(col("_rn") <=
         col("_n") - expr(s"($tNum * _n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("_id"), col("_s"), col("_rn"), col("_n"))
+      .select(col("_id"), col("_hsh"), col("_rn"), col("_n"))
     // PPJoin's two candidate pruners, both in exact integers:
     //  - LENGTH: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (cross-multiplied);
     //  - POSITION: the required overlap is α = ⌈t/(1+t)·(nA+nB)⌉, and
@@ -304,8 +321,16 @@ object Dedup {
     //    the prefix join alone left 12 s of stop-shingle candidate
     //    fanout at sf0.1 (r14 bench finding) — these are the filters
     //    that make prefix joins beat the inverted index in the paper.
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a._s") === col("b._s") && col("a._id") < col("b._id") &&
+    // hint: SORT-MERGE self-join, not broadcast — the two sides are the
+    // IDENTICAL subplan, so SMJ plans ONE hash-keyed exchange and reuses
+    // it (ReusedExchange), while a broadcast side re-computes the whole
+    // explode+df+window chain a second time (r15 plan audit: the
+    // broadcast shape ran the shingle kernel twice and measured slower
+    // even at sf0.1's 260 k rows). At deploy the prefix table is
+    // corpus-sized, where broadcast is not even an option.
+    val cands = prefix.as("a").hint("merge")
+      .join(prefix.as("b").hint("merge"),
+        col("a._hsh") === col("b._hsh") && col("a._id") < col("b._id") &&
         col("b._n") * tDen >= col("a._n") * tNum &&
         col("a._n") * tDen >= col("b._n") * tNum)
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))

@@ -1023,6 +1023,42 @@ object TextOps {
       WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
       .localCheckpoint(eager = true))
 
+  /** C115: the df-cap HONESTY census (r14 verdict #7) — [[WinnowMaxDf]]
+    * silently drops overlap pairs whose shared hash is corpus-hot
+    * (Schleimer et al. §5's "too common" suppression); this board says
+    * HOW MUCH: hashes kept vs capped, and the exact pair-slots
+    * (df·(df−1)/2, exact integers) each side of the cap carries — the
+    * C88b sampled-census discipline applied to C111. One O(hashes)
+    * rollup off the stored index; the suppressed count is the audit a
+    * curation team reads before trusting the overlap board's recall. */
+  def winnowDfCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairSlots = expr("df * (df - 1) div 2") // df·(df−1) is even: exact
+    winnowHashesFrom(
+        WinnowIndex.sites(spark, WinnowIndex.ensure(spark, dir)))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(when(col("df") > WinnowMaxDf, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("df") > WinnowMaxDf, pairSlots).otherwise(0L))
+          .as("pairs_suppressed"),
+        sum(when(col("df") <= WinnowMaxDf, pairSlots).otherwise(0L))
+          .as("pairs_kept"))
+  }
+
+  /** Twin: the shared selection chain + the same df rollup. The sums
+    * re-cast to BIGINT — DuckDB SUM(BIGINT) is HUGEINT, which the
+    * driver's hash canonicalizer rejects (the >18-digit decimal law). */
+  val winnowDfCensusSql: String =
+    s"""WITH $winnowSelSql,
+       |hf AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       |  CAST(SUM(CASE WHEN df > $WinnowMaxDf THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_capped,
+       |  CAST(SUM(CASE WHEN df > $WinnowMaxDf THEN df * (df - 1) // 2
+       |    ELSE 0 END) AS BIGINT) AS pairs_suppressed,
+       |  CAST(SUM(CASE WHEN df <= $WinnowMaxDf THEN df * (df - 1) // 2
+       |    ELSE 0 END) AS BIGINT) AS pairs_kept
+       |FROM hf""".stripMargin
+
   /** C114: the MOSS matched-SPAN product off the winnow fingerprints —
     * for every C111 overlap pair, the merged character intervals each
     * side's matched fingerprints cover (what a plagiarism report
@@ -1180,6 +1216,7 @@ object TextOps {
     "doc_fingerprint" -> (docFingerprint _),
     "winnow_fingerprint" -> (winnowFingerprint _),
     "winnow_overlap" -> (winnowOverlap _),
+    "winnow_df_census" -> (winnowDfCensus _),
     "winnow_spans" -> (winnowSpans _),
     "substring_dedup" -> (substringDedup _),
     "substring_scrub" -> (substringScrub _),
@@ -1201,6 +1238,7 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_overlap" -> winnowOverlapSql,
+    "winnow_df_census" -> winnowDfCensusSql,
     "winnow_spans" -> winnowSpansSql,
     "substring_dedup" -> substringDedupSql,
     "substring_scrub" -> substringScrubSql,

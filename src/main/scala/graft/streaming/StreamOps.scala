@@ -1442,6 +1442,45 @@ object StreamOps {
       partials.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
   }
 
+  val TriangleQueryName = "graft_stream_triangle"
+
+  /** B117: B43's nation triangle count maintained BY the stream — the
+    * last graph key without a streaming twin (r14 verdict #5). The
+    * B114 ZERO-STATE monoid shape: each arriving lineitem row is one
+    * independent edge increment — per batch the rows join the static
+    * dims (orders; broadcast customer/supplier boards) and shrink to
+    * (a, b, cnt) canonical-edge partials; cross-batch merge is a pure
+    * SUM, so no watermark, no state store, no eviction to reason
+    * about. The GLOBAL parts — the above-mean strong-edge cut (a
+    * function of the FINAL edge weights, not of arrival order) and the
+    * oriented-wedge triangle join — run ONCE AT READ over the merged
+    * O(nations²) board. Drain == batch → SHARES `triangle_count`'s
+    * oracle. At 100 TB: per-batch cost = the arriving rows' dim joins
+    * + one O(nations²)-bounded partial agg; the read tail wedges on
+    * the fixed 25-node board. */
+  def streamTriangle(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+    val raw = spark.readStream.schema(li.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    triangleStreamOn(spark, dir, raw)
+  }
+
+  /** The B117 machine over ANY (l_orderkey, l_suppkey) stream — split
+    * out so the monoid-replay spec can feed arbitrary wave splits. */
+  private[streaming] def triangleStreamOn(spark: SparkSession, dir: String,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapD
+    val t = graft.sources.Tables(spark, dir)
+    // edge build and triangle tail are OlapD's shared spellings — drain
+    // == batch by construction (the B114 discipline)
+    val partials = drainViaParquetSink(spark, raw, TriangleQueryName,
+      xform = (mb, _) => OlapD.tradeEdgePartialsOn(t, mb))
+    OlapD.triangleBoardOn(t, partials)
+  }
+
   val ShapleyQueryName = "graft_stream_attribution_shapley"
 
   /** B95: B93's Shapley attribution maintained BY the stream — per-user
@@ -2317,6 +2356,7 @@ object StreamOps {
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_kcore" -> (streamKcore _),
     "stream_pagerank" -> (streamPagerank _),
+    "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
@@ -2347,6 +2387,7 @@ object StreamOps {
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
+    "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,

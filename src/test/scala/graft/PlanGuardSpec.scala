@@ -267,8 +267,9 @@ class PlanGuardSpec extends SparkSpec {
     "text_readability" -> 1, // C109: pure regexp-count map stage + gate sort (measured 1)
     "winnow_fingerprint" -> 4, // C110: the site board is checkpoint-truncated (gram explode + doc-key window run eagerly); residual = two doc-key rollups + their join + gate sort (measured 4)
     "winnow_overlap" -> 4, // C111: the selected-hash board is checkpoint-truncated; residual = the df-cap census + the hash-keyed self-join + the pair rollup + gate sort (measured 4)
+    "winnow_df_census" -> 3, // C115: the per-doc distinct over the stored sites scan + the hash-df partial agg + the 1-row rollup; single-row output, no gate sort (measured 3)
     "leakage_safe_split" -> 3, // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
-    "dedup_jaccard_prefix" -> 5, // C113: shingle-df partial agg + the doc-key prefix window + the prefix-keyed candidate join + one id-keyed verify join pair sharing an exchange + gate sort (measured 5)
+    "dedup_jaccard_prefix" -> 8, // C113 r15 rewrite: the chain is now hash-df window + doc-key prefix window (3 static exchanges incl. the SMJ side), and the candidate self-join is SORT-MERGE whose two IDENTICAL sides both print statically (3+3) + pair-agg exchange + gate sort = 8 static; at runtime AQE's stage cache reuses the identical side (measured FASTER than the 5-exchange broadcast shape, 4.7 -> 3.6 s at sf0.1, because broadcast recomputed the whole chain on the build side)
     "winnow_spans" -> 11 // C114: sites + hash boards checkpoint-truncated; residual = the capped overlap board (df census + pair join + rollup), the two shared-hash joins, the two per-side position joins, the (pair, side) island window, gate sort — every exchange over fingerprint-sparse frames (measured 11)
   )
 
