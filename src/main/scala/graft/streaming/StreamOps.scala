@@ -2304,7 +2304,14 @@ object StreamOps {
     val bloom = CorpusOps.historyBloomOf(hist, "text")
     val bench = hist.filter(col("doc_id") % CorpusOps.BenchmarkMod === 0)
     val bsh = CorpusOps.containmentBenchShingles(bench, "doc_id", "text", 3)
-    val histWinnow = Pipeline.admissionHistWinnow(hist)
+    // the fifth static side PERSISTS in the shared index scratch like the
+    // band index: the df-capped history winnow board is a function of the
+    // corpus state alone, so recurring runs read it instead of re-running
+    // the selection chain over history (measured ~2 s/run at sf0.1)
+    val winPath = graft.sources.IndexScratch.path("admwinnow", dir)
+    graft.sources.IndexScratch.ensure(winPath)(tmp =>
+      Pipeline.admissionHistWinnow(hist).write.parquet(tmp))
+    val histWinnow = spark.read.parquet(winPath)
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val d = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
