@@ -336,6 +336,33 @@ object ScaleProbeCoverage {
         "into an O(nations²)-bounded partial agg; the rank iteration " +
         "rides the FIXED 25-node board (pagerank_nations' own coverage " +
         "argument)"),
+      "distinct_theta_ops" -> (Seq("events_cube"),
+        "one (segment, hash) distinct partial agg + the k-BOUNDED TopK " +
+        "agg over the same events scan — B37's probed partial-agg shape " +
+        "with hard-capped state; the pair algebra rides the " +
+        "O(segments·k) sketch board, never the corpus"),
+      "stream_retention" -> (Seq("funnel_retention", "stream_events"),
+        "per batch ONE distinct partial agg shrinks arrivals to (user, " +
+        "week) rows; the read board is B20's probed plan over the " +
+        "merged grid — strictly lighter than the probed raw-event feed"),
+      "stream_user_ltv" -> (Seq("user_ltv", "stream_events"),
+        "per batch ONE (user, week) partial agg; the read tail is the " +
+        "probed B90 cohort join + rollup over the merged grid, which " +
+        "is strictly smaller than the probed event feed"),
+      "stream_interval_coverage" -> (Seq("scd2_anomaly_mv",
+        "stream_events"),
+        "per batch B36's one-exchange island sweep (the probed " +
+        "user-key window-carry shape) over the arrivals only; the read " +
+        "re-sweep runs the same shape over O(islands) <= O(events)"),
+      "stream_theta_ops" -> (Seq("events_cube", "stream_events"),
+        "per batch B122's own probed shape (distinct partial agg + the " +
+        "k-BOUNDED TopK agg) over arrivals only; the read fold re-slices " +
+        "O(segments·k·batches) stored sketch rows, never the corpus"),
+      "stream_activity_streaks" -> (Seq("activity_streaks",
+        "stream_events"),
+        "per batch ONE distinct partial agg shrinks arrivals to (user, " +
+        "day) rows; the read tail is the probed B79 single-exchange " +
+        "island chain over the merged day grid"),
       "stream_kcore" -> (Seq("stream_basket_pairs", "kcore_parts"),
         "the SAME settled-basket machine and pair partials as the " +
         "probed B94 drain (minus its item/basket boards); the read " +

@@ -80,10 +80,23 @@ object OlapC {
     * set aggregate together; exploding the per-user week set (bounded by
     * the observation span) yields unique (user, week) rows, so the final
     * count is distinct-free. */
-  def retentionOn(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    events
-      .select(col(userCol).as("user_id"),
-        to_date(date_trunc("week", col(tsCol))).as("wk"))
+  def retentionOn(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    retentionBoardOn(userWeeksOn(events, userCol, tsCol))
+
+  /** Shared projection: one (user_id, wk) row per EVENT — NOT distinct.
+    * The board's per-user set agg absorbs duplicates, so the batch plan
+    * feeds it raw (no extra exchange) while the B119 stream twin
+    * distincts per batch to SHRINK its stored partials. */
+  def userWeeksOn(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    events.select(col(userCol).as("user_id"),
+      to_date(date_trunc("week", col(tsCol))).as("wk"))
+
+  /** The retention triangle from ANY (user_id, wk) feed — a function of
+    * the SET of active user-weeks (duplicates ignored by construction),
+    * which is what makes the stream twin's drain == batch: per-batch
+    * distinct partials union to the same set in any arrival order. */
+  def retentionBoardOn(userWeeks: DataFrame): DataFrame = {
+    userWeeks
       .groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("_wks"))
       .select(col("user_id"), col("cohort_week"), explode(col("_wks")).as("wk"))
@@ -148,6 +161,54 @@ object OlapC {
   def userLtv(spark: SparkSession, dir: String): DataFrame =
     userLtvOn(Tables(spark, dir).events, "user_id", "ts",
       "event_type", "value", "purchase")
+
+  /** B120 stream partials: the per-(user, week) activity grid — purchase
+    * count plus exact DECIMAL value mass. Rows exist for NON-purchase
+    * weeks too (zero mass): the cohort min needs every active week. The
+    * grid is a SUM monoid — cross-batch merge is a groupBy-sum, so
+    * arrival order cannot matter — and it SHRINKS the feed: many events
+    * per user-week collapse to one partial row. Per-event value rounds
+    * through the same DECIMAL(25,2) cast as batch B90's `Olap.dsum`, so
+    * the merged mass is bit-equal to the batch sum. */
+  def userWeekLtvPartialsOn(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, valueCol: String,
+      convType: String): DataFrame =
+    events
+      .select(col(userCol).as("user_id"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"),
+        col(typeCol).as("event_type"), col(valueCol).as("value"))
+      .groupBy(col("user_id"), col("wk"))
+      .agg(
+        sum(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("n_purch"),
+        coalesce(sum(when(col("event_type") === convType, col("value"))
+          .cast("decimal(25,2)")), lit(0).cast("decimal(25,2)"))
+          .cast("decimal(25,2)").as("val_mass"))
+
+  /** B120 read tail: B90's LTV triangle from ANY merged (user_id, wk,
+    * n_purch, val_mass) grid. Buyer distinctness is structural — after
+    * the merge each (user, wk) is one row and a user has ONE cohort, so
+    * the per-cell row count of purchase-bearing grid rows IS the
+    * distinct-buyer count (no countDistinct needed). Shares B90's
+    * oracle; the wave-split spec pins drain == batch. */
+  def userLtvBoardOn(grid: DataFrame): DataFrame = {
+    val merged = grid.groupBy(col("user_id"), col("wk"))
+      .agg(sum(col("n_purch")).as("n_purch"),
+        sum(col("val_mass")).cast("decimal(25,2)").as("val_mass"))
+    val cohort = merged.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    merged.filter(col("n_purch") > 0)
+      .join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").cast("int")
+          .as("week_offset"),
+        col("n_purch"), col("val_mass"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("n_purch")).as("n_purchases"),
+        count(lit(1)).as("n_buyers"),
+        sum(col("val_mass")).cast("double").as("ltv"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 
   /** Twin: B20's cohort derivation + the purchase-only value rollup. */
   val userLtvSql: String =
@@ -1136,26 +1197,42 @@ object OlapC {
     * per-island span aggregates up. All event-time arithmetic is integer
     * microseconds, so both engines agree exactly. */
   def intervalCoverageOn(events: DataFrame, keyCol: String, tsUsCol: String,
-      seqCol: String, windowUs: Long): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("seq"))
+      seqCol: String, windowUs: Long): DataFrame =
+    coverageBoardOn(mergedIslandsOn(events
+      .select(col(keyCol).as("user_id"), col(tsUsCol).as("s_us"),
+        (col(tsUsCol) + windowUs).as("e_us"), col(seqCol).as("seq"))))
+
+  /** The interval-union sweep over ANY (user_id, s_us, e_us, seq) frame:
+    * merge overlapping-or-touching intervals into maximal islands — ONE
+    * user-key exchange carries the running-max split, the cumulative
+    * island numbering, and the per-island span agg. Interval union is a
+    * SEMILATTICE (associative, commutative, idempotent), so re-sweeping
+    * pre-merged islands yields the same islands as sweeping the raw
+    * intervals — the law that makes the B121 stream twin's per-batch
+    * island partials drain to exactly the batch board. */
+  def mergedIslandsOn(intervals: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("seq"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .select(col(keyCol).as("user_id"), col(tsUsCol).as("ts_us"),
-        col(seqCol).as("seq"))
-      .withColumn("end_us", col("ts_us") + windowUs)
-      .withColumn("_prev_max_end", max(col("end_us")).over(wPrev))
+    intervals
+      .withColumn("_prev_max_end", max(col("e_us")).over(wPrev))
       .withColumn("_new_island",
         when(col("_prev_max_end").isNull ||
-          col("ts_us") > col("_prev_max_end"), 1).otherwise(0))
+          col("s_us") > col("_prev_max_end"), 1).otherwise(0))
       .withColumn("island", sum(col("_new_island")).over(wRun))
       .groupBy(col("user_id"), col("island"))
-      .agg(min(col("ts_us")).as("_s"), max(col("end_us")).as("_e"))
+      .agg(min(col("s_us")).as("s_us"), max(col("e_us")).as("e_us"))
+      .select(col("user_id"), col("s_us"), col("e_us"))
+  }
+
+  /** B36/B121 read tail: per-user island count + covered span from the
+    * merged islands. */
+  def coverageBoardOn(islands: DataFrame): DataFrame =
+    islands
       .groupBy(col("user_id"))
       .agg(count(lit(1)).cast("int").as("n_islands"),
-        sum(col("_e") - col("_s")).as("covered_us"))
+        sum(col("e_us") - col("s_us")).as("covered_us"))
       .orderBy(col("user_id"))
-  }
 
   def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
     intervalCoverageOn(Tables(spark, dir).events
@@ -1215,6 +1292,137 @@ object OlapC {
       .select(col("n_days"), col("n_users_est"), col("n_users_direct"),
         col("n_users_exact"))
   }
+
+  // --- B122: KMV distinct sketches with SET ALGEBRA -------------------------
+  /** Sketch size: the k in k-minimum-values. 128 keeps every integer
+    * product below 2^63 ((k−1)·2^48 ≈ 3.6e16; n_common·est ≤ 128·2^48)
+    * while the relative error ≈ 1/√(k−2) ≈ 9% — the audit-grade regime
+    * the spec pins. */
+  val KmvK = 128
+  /** (k−1)·|hash domain| — the KMV estimator numerator, exact in Long. */
+  val KmvEstNum: Long = (KmvK - 1).toLong << 48
+
+  /** Per-segment KMV (k-minimum-values / bottom-k theta) sketch: the k
+    * SMALLEST distinct 48-bit hashes of the member key, ascending — the
+    * distinct-count sketch that, unlike B37's HLL, supports set ALGEBRA:
+    * a union sketch is the bottom-k of the merged value sets, and
+    * intersections estimate from matches under the union threshold
+    * (Bar-Yossef et al. 2002; the Theta-sketch framework's fixed-k
+    * special case). Engine-portable by the same md5-prefix discipline as
+    * C2's MinHash: 12 hex chars = 48 bits, exact in BIGINT and double.
+    *
+    * Scale shape: one (segment, hash) distinct partial agg (map-side
+    * combine shrinks each partition to its distinct hashes), then the
+    * k-BOUNDED TopKByScore agg — partitions carry at most k values per
+    * segment, heaps merge associatively, and no per-segment sort of the
+    * full member set ever happens. The sketch table is O(segments · k)
+    * rows — driver-safe at any corpus size. */
+  def kmvSketchesOn(events: DataFrame, segCol: String,
+      memberCol: String): DataFrame =
+    bottomKOn(events
+      .select(col(segCol).as("t"),
+        conv(substring(md5(concat(col(memberCol).cast("string"),
+          lit(":kmv"))), 1, 12), 16, 10).cast("long").as("h")))
+
+  /** The bottom-k core over ANY (t, h) hash feed — split out because it
+    * is ALSO the merge: re-sketching exploded stored sketches re-slices
+    * their union (the semilattice law ThetaSketchSpec pins), which is
+    * how the B123 stream twin folds per-batch sketch partials. */
+  def bottomKOn(th: DataFrame): DataFrame =
+    th
+      .groupBy(col("t"), col("h")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("t"))
+      .agg(graft.functions.topk.top_k_by_score(
+        (lit(0L) - col("h")).cast("double"), col("h"), KmvK).as("_tk"))
+      .select(col("t"), expr("transform(_tk, x -> x.id)").as("sk"))
+
+  /** KMV estimate from an ascending bottom-k array: exact size below k
+    * (the sketch saw every value), else (k−1)·D div θ where θ is the
+    * k-th smallest hash — integer floor arithmetic both engines compute
+    * identically. `greatest(θ, 1)` closes the measure-zero θ=0 case
+    * (an all-zero md5 prefix) identically on both sides. */
+  private def kmvEst(sk: String): Column =
+    expr(s"CASE WHEN size($sk) < $KmvK THEN CAST(size($sk) AS BIGINT) " +
+      s"ELSE $KmvEstNum div greatest(element_at($sk, $KmvK), 1L) END")
+
+  /** B122 `distinct_theta_ops`: distinct-user set algebra across event
+    * segments — per segment pair, estimated |A|, |B|, |A∪B| and |A∩B|
+    * from the KMV sketches alone. The intersection is the capability HLL
+    * (B37) structurally lacks: bottom-k sketches of A and B re-merge to
+    * the bottom-k of A∪B (set union then re-slice — the semilattice law
+    * the spec pins), and |A∩B| ≈ ρ·|A∪B| where ρ = (matches under the
+    * union threshold)/k; when the union sketch is not full it holds the
+    * ENTIRE hash set and the counts are exact, so small segments degrade
+    * to exact answers by construction.
+    *
+    * Scale: the pair board is an O(segments²) nested-loop over an
+    * O(segments·k) sketch table (crossJoinByDesign — segments are a
+    * dimension, not data); the corpus is touched ONCE by the sketch
+    * pass. At 100 TB the sketches persist per partition/day and any
+    * cross-segment overlap question answers from the boards alone. */
+  def distinctThetaOps(spark: SparkSession, dir: String): DataFrame =
+    thetaPairBoardOn(
+      kmvSketchesOn(Tables(spark, dir).events, "event_type", "user_id"))
+
+  /** The pair-algebra tail over ANY (t, sk) sketch table — split out so
+    * the spec can drive seeded segment sets through the EXACT production
+    * estimator arithmetic. */
+  def thetaPairBoardOn(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("t").as("type_a"), col("sk").as("ska"))
+    val b = sketches.select(col("t").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("sku",
+        expr(s"slice(array_sort(array_union(ska, skb)), 1, $KmvK)"))
+      .withColumn("n_common", expr(
+        "CAST(size(array_intersect(array_intersect(sku, ska), skb)) AS BIGINT)"))
+      .withColumn("est_a", kmvEst("ska"))
+      .withColumn("est_b", kmvEst("skb"))
+      .withColumn("est_union", kmvEst("sku"))
+      .withColumn("est_intersect", expr(
+        s"CASE WHEN size(sku) < $KmvK THEN n_common " +
+        s"ELSE n_common * est_union div $KmvK END"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"), col("n_common"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Twin: the same bottom-k + estimator arithmetic in DuckDB list
+    * algebra — every step integer-exact, so the key is HASH-checked,
+    * not rows-only (the reason KMV was picked over HLL for the algebra
+    * row: HLL estimates are implementation-defined, KMV estimates are
+    * pure integer functions of md5). */
+  val distinctThetaOpsSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type AS t,
+       |    CAST(list_sum(list_transform(range(1, 13),
+       |      i -> (strpos('0123456789abcdef', substr(m, i, 1)) - 1)::BIGINT
+       |           << (4 * (12 - i)))) AS BIGINT) AS h
+       |  FROM (SELECT event_type,
+       |          md5(CAST(user_id AS VARCHAR) || ':kmv') AS m FROM events)
+       |), sk AS (
+       |  SELECT t, (list(h ORDER BY h))[1:$KmvK] AS sk FROM h GROUP BY t
+       |), pr AS (
+       |  SELECT a.t AS type_a, b.t AS type_b, a.sk AS ska, b.sk AS skb,
+       |    list_sort(list_distinct(a.sk || b.sk))[1:$KmvK] AS sku
+       |  FROM sk a JOIN sk b ON a.t < b.t
+       |), est AS (
+       |  SELECT type_a, type_b,
+       |    CASE WHEN len(ska) < $KmvK THEN len(ska)::BIGINT
+       |         ELSE $KmvEstNum // greatest(ska[$KmvK], 1) END AS est_a,
+       |    CASE WHEN len(skb) < $KmvK THEN len(skb)::BIGINT
+       |         ELSE $KmvEstNum // greatest(skb[$KmvK], 1) END AS est_b,
+       |    CASE WHEN len(sku) < $KmvK THEN len(sku)::BIGINT
+       |         ELSE $KmvEstNum // greatest(sku[$KmvK], 1) END AS est_union,
+       |    len(list_filter(sku, x -> list_contains(ska, x)
+       |        AND list_contains(skb, x)))::BIGINT AS n_common,
+       |    len(sku) AS n_sku
+       |  FROM pr
+       |)
+       |SELECT type_a, type_b, est_a, est_b, est_union,
+       |  CASE WHEN n_sku < $KmvK THEN n_common
+       |       ELSE n_common * est_union // $KmvK END AS est_intersect,
+       |  n_common
+       |FROM est ORDER BY type_a, type_b""".stripMargin
 
   // --- B57: mergeable per-day quantile sketches ----------------------------
   /** Cross-batch QUANTILE maintenance without rescanning history — the
@@ -1854,6 +2062,7 @@ object OlapC {
     "event_transitions" -> (eventTransitions _),
     "interval_coverage" -> (intervalCoverage _),
     "distinct_incremental" -> (distinctIncremental _),
+    "distinct_theta_ops" -> (distinctThetaOps _),
     "table_diff" -> (tableDiff _),
     "resample_ffill" -> (resampleFfill _))
 
@@ -1882,6 +2091,7 @@ object OlapC {
     "salted_join" -> saltedJoinSql,
     "event_transitions" -> eventTransitionsSql,
     "interval_coverage" -> intervalCoverageSql,
+    "distinct_theta_ops" -> distinctThetaOpsSql,
     "table_diff" -> tableDiffSql,
     "resample_ffill" -> resampleFfillSql)
 }

@@ -761,10 +761,19 @@ object OlapD {
     * that single partitioning (hash(user) co-locates every finer key) —
     * the classic island chain costs the same as one groupBy. */
   def activityStreaksOn(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val days = events
+      tsCol: String): DataFrame =
+    streaksBoardOn(events
       .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
-      .repartition(col("user_id"))
+      .repartition(col("user_id")))
+
+  /** The island chain over ANY (user_id, d) day feed — duplicates are
+    * absorbed by the leading (user, day) distinct, so batch (raw
+    * projection, pre-partitioned on user) and the B124 stream twin
+    * (merged per-batch distinct partials) share this one spelling; the
+    * board is a function of the active-day SET, which is what makes
+    * the twin's drain == batch in any arrival order. */
+  def streaksBoardOn(dayFeed: DataFrame): DataFrame = {
+    val days = dayFeed
       .groupBy(col("user_id"), col("d")).agg(lit(1))
       .select(col("user_id"), col("d"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("d"))

@@ -1481,6 +1481,154 @@ object StreamOps {
     OlapD.triangleBoardOn(t, partials)
   }
 
+  val RetentionQueryName = "graft_stream_retention"
+
+  /** B119: B20's cohort retention triangle maintained BY the stream —
+    * the ZERO-STATE set-monoid shape: the triangle is a function of the
+    * SET of active (user, week) pairs, so each batch shrinks its
+    * arrivals to DISTINCT (user, week) partials (many events per
+    * user-week collapse to one row) and the cross-batch merge is set
+    * union — order-free, no watermark, no state store. The board
+    * ([[graft.operators.OlapC.retentionBoardOn]] — the SAME spelling
+    * batch B20 runs, whose per-user set agg absorbs the cross-batch
+    * duplicates) runs once at read. Drain == batch → SHARES
+    * `retention`'s oracle. At 100 TB: per-batch cost = one distinct
+    * partial agg over the arrivals; the read tail aggregates the
+    * O(users·weeks) grid, never the raw event log. */
+  def streamRetention(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    retentionStreamOn(spark,
+      eventsStream(spark, dir).select(col("user_id"), col("ts")))
+  }
+
+  /** The B119 machine over ANY (user_id, ts) stream — split out so the
+    * set-monoid replay spec can feed arbitrary wave splits. */
+  private[streaming] def retentionStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapC
+    val partials = drainViaParquetSink(spark, raw, RetentionQueryName,
+      xform = (mb, _) => OlapC.userWeeksOn(mb, "user_id", "ts").distinct())
+    OlapC.retentionBoardOn(partials)
+  }
+
+  val UserLtvQueryName = "graft_stream_user_ltv"
+
+  /** B120: B90's cohort LTV triangle maintained BY the stream — the
+    * SUM-monoid sibling of B119: per batch the arrivals shrink to the
+    * (user, week) activity grid (purchase count + exact DECIMAL value
+    * mass, zero-mass rows kept because the cohort min needs every
+    * active week); cross-batch merge is a groupBy-sum. The board
+    * ([[graft.operators.OlapC.userLtvBoardOn]]) derives cohorts and
+    * the per-cell rollup once at read — buyer distinctness is
+    * structural on the merged grid (one row per user-week), so the
+    * batch key's countDistinct never reappears. Drain == batch →
+    * SHARES `user_ltv`'s oracle. */
+  def streamUserLtv(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    userLtvStreamOn(spark, eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value")))
+  }
+
+  /** The B120 machine over ANY (user_id, ts, event_type, value) stream. */
+  private[streaming] def userLtvStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapC
+    val partials = drainViaParquetSink(spark, raw, UserLtvQueryName,
+      xform = (mb, _) => OlapC.userWeekLtvPartialsOn(mb,
+        "user_id", "ts", "event_type", "value", "purchase"))
+    OlapC.userLtvBoardOn(partials)
+  }
+
+  val CoverageQueryName = "graft_stream_interval_coverage"
+
+  /** B121: B36's interval-union coverage maintained BY the stream —
+    * the SEMILATTICE shape: interval union is associative, commutative
+    * and idempotent, so each batch pre-merges its arrivals' presence
+    * intervals into per-user islands
+    * ([[graft.operators.OlapC.mergedIslandsOn]] — the SAME sweep batch
+    * B36 runs) and the read side re-sweeps the stored partial islands;
+    * an island straddling two batches fuses at read because the
+    * re-sweep sees both fragments. Per-batch partials SHRINK the feed
+    * (events per island collapse to one [s, e) row) and merge
+    * order-free — no watermark, no state store. Drain == batch →
+    * SHARES `interval_coverage`'s oracle. At 100 TB the read tail
+    * sweeps O(islands), not O(events). */
+  def streamIntervalCoverage(rootSpark: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    coverageStreamOn(spark, eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id")))
+  }
+
+  /** The B121 machine over ANY (user_id, ts, event_id) stream. */
+  private[streaming] def coverageStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapC
+    val partials = drainViaParquetSink(spark, raw, CoverageQueryName,
+      xform = (mb, _) => OlapC.mergedIslandsOn(mb
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + OlapC.CoverageWindowUs).as("e_us"),
+          col("event_id").as("seq"))))
+    OlapC.coverageBoardOn(OlapC.mergedIslandsOn(
+      partials.withColumn("seq", col("e_us"))))
+  }
+
+  val ThetaQueryName = "graft_stream_theta_ops"
+
+  /** B123: B122's distinct set algebra maintained BY the stream — the
+    * sketches themselves are the state: per batch the arrivals sketch
+    * down to per-segment bottom-k KMV partials (O(segments·k) rows —
+    * the hard cap is the POINT of the sketch), and the cross-batch
+    * merge is the bottom-k SEMILATTICE re-slice
+    * ([[graft.operators.OlapC.bottomKOn]] over the exploded stored
+    * sketches — the law ThetaSketchSpec pins), so arrival order cannot
+    * matter and no raw member key is ever stored. The pair algebra
+    * runs once at read. Drain == batch → SHARES `distinct_theta_ops`'
+    * oracle. This is the deploy shape: segment overlap boards
+    * maintained forever in O(segments·k) state. */
+  def streamThetaOps(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    thetaStreamOn(spark, eventsStream(spark, dir)
+      .select(col("event_type"), col("user_id")))
+  }
+
+  /** The B123 machine over ANY (event_type, user_id) stream. */
+  private[streaming] def thetaStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapC
+    val partials = drainViaParquetSink(spark, raw, ThetaQueryName,
+      xform = (mb, _) => OlapC.kmvSketchesOn(mb, "event_type", "user_id"))
+    OlapC.thetaPairBoardOn(OlapC.bottomKOn(
+      partials.select(col("t"), explode(col("sk")).as("h"))))
+  }
+
+  val StreaksQueryName = "graft_stream_activity_streaks"
+
+  /** B124: B79's gaps-and-islands activity streaks maintained BY the
+    * stream — B119's SET-monoid shape on days: per batch the arrivals
+    * shrink to DISTINCT (user, day) partials, cross-batch merge is set
+    * union, and the island chain (anchor trick + rollup — a function
+    * of the active-day SET) runs once at read over the merged grid.
+    * Drain == batch → SHARES `activity_streaks`' oracle. */
+  def streamActivityStreaks(rootSpark: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    streaksStreamOn(spark,
+      eventsStream(spark, dir).select(col("user_id"), col("ts")))
+  }
+
+  /** The B124 machine over ANY (user_id, ts) stream. */
+  private[streaming] def streaksStreamOn(spark: SparkSession,
+      raw: DataFrame): DataFrame = {
+    import graft.operators.OlapD
+    val partials = drainViaParquetSink(spark, raw, StreaksQueryName,
+      xform = (mb, _) => mb
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
+    // same single-exchange island chain as batch: hash(user) co-locates
+    // the (user, day) distinct, the day window, and both rollups
+    OlapD.streaksBoardOn(partials.repartition(col("user_id")))
+  }
+
   val ShapleyQueryName = "graft_stream_attribution_shapley"
 
   /** B95: B93's Shapley attribution maintained BY the stream — per-user
@@ -2365,6 +2513,11 @@ object StreamOps {
     "stream_pagerank" -> (streamPagerank _),
     "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
+    "stream_retention" -> (streamRetention _),
+    "stream_user_ltv" -> (streamUserLtv _),
+    "stream_interval_coverage" -> (streamIntervalCoverage _),
+    "stream_theta_ops" -> (streamThetaOps _),
+    "stream_activity_streaks" -> (streamActivityStreaks _),
     "stream_forecast_snaive" -> (streamForecastSnaive _),
     "stream_changepoint" -> (streamChangepoint _),
     "stream_acf" -> (streamAcf _),
@@ -2396,6 +2549,11 @@ object StreamOps {
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
     "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
+    "stream_retention" -> graft.operators.OlapC.retentionSql,
+    "stream_user_ltv" -> graft.operators.OlapC.userLtvSql,
+    "stream_interval_coverage" -> graft.operators.OlapC.intervalCoverageSql,
+    "stream_theta_ops" -> graft.operators.OlapC.distinctThetaOpsSql,
+    "stream_activity_streaks" -> graft.operators.OlapD.activityStreaksSql,
     "stream_forecast_snaive" -> graft.operators.OlapC.forecastSnaiveSql,
     "stream_changepoint" -> graft.operators.OlapC.changepointCusumSql,
     "stream_acf" -> graft.operators.OlapC.acfLagsSql,

@@ -40,6 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     "zorder_layout", "value_histogram",
     // two 1-row aggregate sides joined (bounded by design)
     "distinct_incremental",
+    // O(segments)² pair join over the O(segments·k) KMV sketch board
+    "distinct_theta_ops",
     // 1-row min/max stats frame broadcast onto the scan (bounded by design)
     "hilbert_layout",
     // 1-row stats frame broadcast onto the O(files) audit rollup
@@ -270,6 +272,7 @@ class PlanGuardSpec extends SparkSpec {
     "winnow_df_census" -> 3, // C115: the per-doc distinct over the stored sites scan + the hash-df partial agg + the 1-row rollup; single-row output, no gate sort (measured 3)
     "leakage_safe_split" -> 3, // C112: C17's cached pair graph + CC (checkpoint-truncated rounds); residual = the cluster join tail + gate sort; the split assignment is a pure map (measured 3)
     "dedup_jaccard_prefix" -> 8, // C113 r15 rewrite: the chain is now hash-df window + doc-key prefix window (3 static exchanges incl. the SMJ side), and the candidate self-join is SORT-MERGE whose two IDENTICAL sides both print statically (3+3) + pair-agg exchange + gate sort = 8 static; at runtime AQE's stage cache reuses the identical side (measured FASTER than the 5-exchange broadcast shape, 4.7 -> 3.6 s at sf0.1, because broadcast recomputed the whole chain on the build side)
+    "distinct_theta_ops" -> 5, // B122: the (segment, hash) distinct partial agg + the k-bounded TopK agg print on BOTH nested-loop sides of the pair join (2+2 static; AQE's stage cache reuses the identical subtree at runtime) + gate sort (measured 5)
     "winnow_spans" -> 11 // C114: sites + hash boards checkpoint-truncated; residual = the capped overlap board (df census + pair join + rollup), the two shared-hash joins, the two per-side position joins, the (pair, side) island window, gate sort — every exchange over fingerprint-sparse frames (measured 11)
   )
 

@@ -60,6 +60,11 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_pagerank" -> 3, // B114: per batch the orders join (one shuffle pair at deploy) + broadcast dim joins + the O(nations^2) partial agg; the rank iteration runs once at read
     "graft_stream_triangle" -> 3, // B117: the SAME per-batch shape as B114 (orders join + broadcast dims + O(nations^2) canonical-edge partial agg); the strong cut + wedge join run once at read
     "graft_stream_winnow" -> 2, // B115: per batch C110's map-side selection — ONE doc-key window + the distinct partial agg; the capped overlap join runs once at read
+    "graft_stream_retention" -> 1, // B119: per batch ONE distinct partial agg shrinks arrivals to (user, week) rows; B20's board runs once at read
+    "graft_stream_user_ltv" -> 1, // B120: per batch ONE (user, week) grid partial agg; B90's cohort join + rollup run once at read
+    "graft_stream_interval_coverage" -> 1, // B121: per batch B36's island sweep — ONE user-key exchange carries the window + island agg; the re-sweep runs once at read
+    "graft_stream_theta_ops" -> 2, // B123: per batch the (segment, hash) distinct partial agg + the k-bounded TopK agg — partials are the O(segments·k) sketches themselves; pair algebra runs once at read
+    "graft_stream_activity_streaks" -> 1, // B124: per batch ONE distinct partial agg shrinks arrivals to (user, day) rows; B79's island chain runs once at read
     "graft_stream_attribution_shapley" -> 1, // r13 eviction drain: per batch only the SETTLED users' signatures shrink to <=2^m count rows (one partial-agg exchange); the lattice runs once at read over the merged rollup
     "graft_stream_forecast_snaive" -> 4, // r13 eviction drain: per batch only the FINALIZED day windows append (a filter — no exchange); the season tail runs once at read; ceiling kept at the old measured max
     "graft_stream_changepoint" -> 0, // B105: the SAME dailyRevenueDrain machine (filter-only xform — zero batch-side shuffles); B101's CUSUM tail runs once at read
