@@ -257,6 +257,25 @@ object ScaleProbe {
       Ann.ivfTopKIndexed(spark, ivfPath, queries, "vec_id", "emb",
         k = 10, nProbe = 8).count()
     }
+    // C117 at 24×: the kNN-graph build (posting + per-bucket pairs +
+    // edge cut) is the amortized half; the beam search pays only
+    // frontier-sized joins against the checkpointed edge list
+    var graphIdx: Ann.GraphIndex = null
+    time("ann_graph_build") {
+      graphIdx = Ann.graphBuild(embs, "vec_id", "emb", m = 8, nLists = 128)
+      graphIdx.edges.count()
+    }
+    // the scaling knob MEASURED: lists ∝ corpus keeps bucket size (and
+    // so the O(Σ list²) pair stage) constant — this is what "raise
+    // nLists like IVF" buys at a real scale-up
+    time("ann_graph_build_scaledlists") {
+      Ann.graphBuild(embs, "vec_id", "emb", m = 8,
+        nLists = 16 * reps).edges.count()
+    }
+    time("ann_graph_query40") {
+      Ann.graphTopK(graphIdx, embs, queries, "vec_id", "emb", k = 10,
+        beam = 6, hops = 3, entries = 2).count()
+    }
     time("semantic_dedup") {
       // k scaled with the corpus so cluster sizes stay bounded — the
       // SemDeDup contract at scale

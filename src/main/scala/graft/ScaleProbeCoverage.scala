@@ -27,7 +27,8 @@ object ScaleProbeCoverage {
     "stream_dup_spans",
     "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts",
     "stream_top_paths",
-    "ann_brute", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
+    "ann_brute", "ann_graph_build", "ann_graph_build_scaledlists",
+    "ann_graph_query40", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
@@ -156,6 +157,9 @@ object ScaleProbeCoverage {
       "ann_lsh_topk" -> (Seq("ann_lsh"), "own probe (label differs)"),
       "ann_ivf_topk" -> (Seq("ivf_build", "ivf_query40"),
         "build + nProbe-pruned query probed separately"),
+      "ann_graph_topk" -> (Seq("ann_graph_build", "ann_graph_build_scaledlists",
+        "ann_graph_query40"),
+        "kNN-graph build (fixed + corpus-scaled lists) + beam search probed separately"),
       "ann_ivfpq_topk" -> (Seq("ivfpq_build", "ivfpq_query40"),
         "build + ADC query probed separately"),
       "ann_ivfpq_refine" -> (Seq("ivfpq_refine_query40"),

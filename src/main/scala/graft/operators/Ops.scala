@@ -1040,6 +1040,160 @@ object Ann {
     probeAndRank(assigned, probes, k)
   }
 
+  // --- C117: graph ANN (kNN-graph + fixed-hop beam search) -----------------
+
+  /** How many nearest lists each vector is POSTED to during graph build.
+    * 2 is the NN-Descent-style overlap trick: two vectors whose top-2
+    * coarse lists intersect become candidate neighbors, so edges CROSS
+    * list boundaries (a pure per-list kNN graph would make the beam
+    * search degenerate to IVF nProbe=1). */
+  val GraphReplicas = 2
+
+  /** A built kNN graph over the corpus: the coarse centroids (probe
+    * router), the directed top-`m` edge list, and one entry point per
+    * list (the list's MEDOID — the member nearest its own centroid).
+    * All three frames are eagerly checkpointed: build once, search many. */
+  final case class GraphIndex(cents: DataFrame, edges: DataFrame,
+      medoids: DataFrame)
+
+  /** Deterministic kNN-graph construction — the bucketed candidate
+    * generation every scalable graph-ANN build uses (NN-Descent's init,
+    * DiskANN's sharded build): post each vector to its [[GraphReplicas]]
+    * nearest coarse lists, generate exact candidate pairs per bucket, keep
+    * each vertex's top-`m` out-edges by exact quantized cosine (ties to
+    * the smaller neighbor id — [[graft.functions.TopKByScore]]'s rule).
+    *
+    * Everything is a deterministic function of the base table (integer-grid
+    * centroids + integer-exact scoring), so the whole index — edges,
+    * medoids and the search below — replays in SQL: `ann_graph_topk` is
+    * HASH-checked against DuckDB, not rows-only.
+    *
+    * Scale shape (100 TB): ONE corpus pass scores the broadcast centroid
+    * set and yields BOTH the posting and the medoids; candidate pairs form
+    * only inside shared buckets (O(Σ listSize²) — bounded by raising
+    * nLists exactly like IVF); the per-vertex edge cut is the bounded-heap
+    * aggregate, so nothing is ever fully sorted and the shuffle carries
+    * O(corpus × m) rows. Medoids are a per-list bounded heap (k=1). */
+  /** POST each row of `df` to its [[GraphReplicas]] nearest centroids:
+    * (_nid, _e, _cent_id, _sim, _rv) — the shared ranked frame the
+    * medoids, the pair stage, and the persisted index's admission all
+    * derive from (one spelling, so batch build and incremental admit
+    * cannot fork). */
+  private[operators] def graphPost(cents: DataFrame, df: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("_nid"), col(embCol).as("_e"))
+      .crossJoin(broadcast(cents))
+      .select(col("_nid"), col("_e"), col("_cent_id"),
+        quantized_cosine_preq(col("_e"), col("_cent")).as("_sim"))
+      .withColumn("_rv", row_number().over(Window.partitionBy(col("_nid"))
+        .orderBy(col("_sim").desc, col("_cent_id"))))
+      .filter(col("_rv") <= GraphReplicas)
+
+  /** Per-list MEDOIDS (entry points) of a ranked posting frame. */
+  private[operators] def graphMedoids(ranked: DataFrame): DataFrame =
+    ranked.filter(col("_rv") === 1)
+      .groupBy(col("_cent_id"))
+      .agg(graft.functions.topk.top_k_by_score(col("_sim"), col("_nid"), 1)
+        .as("_tk"))
+      .select(col("_cent_id"), col("_tk").getItem(0).getField("id")
+        .as("_entry"))
+
+  /** Per-vertex top-`m` cut of a SCORED (src, dst, _s) pair frame —
+    * bounded heap, ties to the smaller dst. */
+  private[operators] def graphEdgeCut(pairs: DataFrame, m: Int): DataFrame =
+    pairs.groupBy(col("src"))
+      .agg(graft.functions.topk.top_k_by_score(col("_s"), col("dst"), m)
+        .as("_tk"))
+      .select(col("src"), explode(col("_tk")).as("_x"))
+      .select(col("src"), col("_x").getField("id").as("dst"),
+        col("_x").getField("score").as("_s"))
+
+  /** Exact scored candidate pairs inside shared posting buckets. A pair
+    * co-posted to BOTH shared buckets yields bit-identical rows (same
+    * vectors, same IEEE chain), so distinct() is deterministic. */
+  private[operators] def graphBucketPairs(a: DataFrame,
+      b: DataFrame): DataFrame =
+    a.select(col("_cent_id"), col("_nid").as("src"), col("_e").as("_ea"))
+      .join(b.select(col("_cent_id"), col("_nid").as("dst"),
+        col("_e").as("_eb")), Seq("_cent_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        quantized_cosine(col("_ea"), col("_eb")).as("_s"))
+      .distinct()
+
+  def graphBuild(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, nLists: Int): GraphIndex = {
+    val cents = centroids(corpus, idCol, embCol, nLists)
+    val ranked = graphPost(cents, corpus, idCol, embCol)
+      .localCheckpoint(eager = true)
+    val medoids = graphMedoids(ranked).localCheckpoint(eager = true)
+    val edges = graphEdgeCut(graphBucketPairs(ranked, ranked), m)
+      .drop("_s")
+      .localCheckpoint(eager = true)
+    GraphIndex(cents.localCheckpoint(eager = true), edges, medoids)
+  }
+
+  /** [[graphBuild]] with the score column kept and nothing checkpointed —
+    * the persisted index's build spelling ([[GraphAnnIndex.ensure]]
+    * writes these frames; the read side re-cuts per-src over segments,
+    * which needs stored scores). */
+  private[operators] def graphBuildScored(corpus: DataFrame, idCol: String,
+      embCol: String, m: Int, nLists: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cents = centroids(corpus, idCol, embCol, nLists)
+    val ranked = graphPost(cents, corpus, idCol, embCol)
+      .localCheckpoint(eager = true)
+    (cents, ranked, graphMedoids(ranked),
+      graphEdgeCut(graphBucketPairs(ranked, ranked), m))
+  }
+
+  /** Beam search over a built [[GraphIndex]] with a FIXED hop count — the
+    * deterministic (and SQL-replayable) variant of best-first graph
+    * search: queries enter at the medoids of their `entries` nearest
+    * lists; each hop expands the top-`beam` NEWLY-visited vertices along
+    * the edge list, scores the unseen neighbors exactly, and the final
+    * answer is the top-`k` of everything visited (the query's own vertex
+    * participates in expansion — its edges are the best frontier — and is
+    * excluded only from the final ranking).
+    *
+    * Scale shape: the frontier is O(queries × beam) and broadcasts onto
+    * the edge list (equi-join on src); candidate scoring joins
+    * O(queries × beam × m) ids against the corpus on the id key; the
+    * visited set stays O(queries × hops × beam × m). Per-hop frames are
+    * eagerly checkpointed so the plan depth stays constant in `hops`. */
+  def graphTopK(idx: GraphIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, beam: Int, hops: Int,
+      entries: Int): DataFrame = {
+    val qf = queries.select(col(idCol).as("query_id"), col(embCol).as("_q"))
+    val probes = nearestLists(idx.cents, qf, "query_id", "_q", keep = entries)
+    val f0 = probes.join(idx.medoids, "_cent_id")
+      .select(col("query_id"), col("_entry").as("node")).distinct()
+    val corpusV = corpus.select(col(idCol).as("node"), col(embCol).as("_e"))
+    def score(cand: DataFrame) = cand.join(corpusV, "node")
+      .join(broadcast(qf), "query_id")
+      .select(col("query_id"), col("node"),
+        quantized_cosine(col("_e"), col("_q")).as("score"))
+    val beamW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    var visited = score(f0).localCheckpoint(eager = true)
+    var fresh = visited
+    for (_ <- 1 to hops) {
+      val frontier = fresh.withColumn("_rn", row_number().over(beamW))
+        .filter(col("_rn") <= beam).select(col("query_id"), col("node"))
+      val cand = frontier.join(idx.edges,
+          frontier("node") === idx.edges("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+        .join(visited, Seq("query_id", "node"), "left_anti")
+      fresh = score(cand).localCheckpoint(eager = true)
+      visited = visited.unionAll(fresh).localCheckpoint(eager = true)
+    }
+    visited.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(beamW).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("score"), col("rank"))
+  }
+
   /** Approximate top-k: LSH-bucketed candidate generation, exact scoring of
     * candidates only. Raise `bits` as the corpus grows to keep buckets
     * bounded; recall is tunable via `tables`. */

@@ -238,6 +238,108 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- C117: graph ANN (kNN graph + fixed-hop beam search) ----------------
+  /** Graph out-degree, beam width, expansion hops, entry probes. Sized for
+    * the shipped corpus (32 lists of ~15 members): two medoid entries +
+    * 2 hops × beam 4 × degree 8 visits ~O(60) vertices per query — the
+    * HNSW/DiskANN search shape with the iteration count FIXED so the
+    * whole search is one deterministic (and SQL-replayable) plan. */
+  val GraphM = 8
+  val GraphBeam = 6
+  val GraphHops = 3
+  val GraphEntries = 2
+
+  def annGraphTopk(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(spark, dir)
+    val idx = Ann.graphBuild(corpus, "vec_id", "emb", m = GraphM,
+      nLists = IvfLists)
+    Ann.graphTopK(idx, corpus, corpus.filter(col("vec_id") % 50 === 0),
+        "vec_id", "emb", TopK, beam = GraphBeam, hops = GraphHops,
+        entries = GraphEntries)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin for the graph-ANN top-k (C117 — the fifth rows-only→
+    * oracle ANN conversion the integer grid buys): the kNN-graph BUILD
+    * (top-2 posting over the Lloyd centroids, per-bucket exact pairs,
+    * per-vertex top-M edge cut with ties to the smaller id) and the
+    * SEARCH (medoid entries, [[GraphHops]] unrolled beam expansions,
+    * visited-set anti-joins) are both deterministic functions of the
+    * base table, so the approximate index's output replays in SQL.
+    * MATERIALIZED is load-bearing on m0/edges/visited (each referenced
+    * twice or more downstream). */
+  lazy val annGraphTopkSql: String = {
+    val rounds = graft.operators.Ann.LloydIters
+    val hopCtes = (1 to GraphHops).map { h =>
+      s"""f$h AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, node) AS rn
+         |    FROM n${h - 1}) WHERE rn <= $GraphBeam),
+         |cand$h AS (
+         |  SELECT DISTINCT f.query_id, e.dst AS node
+         |  FROM f$h f JOIN edges e ON e.src = f.node),
+         |n$h AS MATERIALIZED (
+         |  SELECT c.query_id, c.node, ${qcosSql("q.qv", "qs.qqv")} AS score
+         |  FROM cand$h c JOIN q ON q.vec_id = c.node
+         |  JOIN qs ON qs.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |    WHERE v.query_id = c.query_id AND v.node = c.node)),
+         |v$h AS MATERIALIZED (
+         |  SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |             FROM embeddings),
+       |$ivfLloydCtes,
+       |qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q
+       |       WHERE vec_id % 50 = 0),
+       |m0 AS MATERIALIZED (
+       |  SELECT vec_id, qv, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cid) AS rv
+       |  FROM (SELECT q.vec_id, q.qv, c.cid,
+       |    ${qcosSql("q.qv", "c.cq")} AS sim
+       |    FROM q CROSS JOIN c$rounds c)),
+       |med AS (
+       |  SELECT cid, vec_id AS entry FROM (
+       |    SELECT cid, vec_id, ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY sim DESC, vec_id) AS rc
+       |    FROM m0 WHERE rv = 1) WHERE rc = 1),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |    ${qcosSql("a.qv", "b.qv")} AS s
+       |  FROM m0 a JOIN m0 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  WHERE a.rv <= ${graft.operators.Ann.GraphReplicas}
+       |    AND b.rv <= ${graft.operators.Ann.GraphReplicas}),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY s DESC, dst) AS rn
+       |    FROM pairs) WHERE rn <= $GraphM),
+       |pr AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cid) AS rn
+       |    FROM (SELECT qs.query_id, c.cid,
+       |      ${qcosSql("qs.qqv", "c.cq")} AS sim
+       |      FROM qs CROSS JOIN c$rounds c))
+       |  WHERE rn <= $GraphEntries),
+       |f0 AS (SELECT DISTINCT pr.query_id, med.entry AS node
+       |       FROM pr JOIN med USING (cid)),
+       |n0 AS MATERIALIZED (
+       |  SELECT f.query_id, f.node, ${qcosSql("q.qv", "qs.qqv")} AS score
+       |  FROM f0 f JOIN q ON q.vec_id = f.node
+       |  JOIN qs ON qs.query_id = f.query_id),
+       |v0 AS MATERIALIZED (SELECT * FROM n0),
+       |$hopCtes
+       |SELECT query_id, node AS neighbor_id, score,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, node) AS INT) AS rank
+       |FROM v$GraphHops WHERE node <> query_id
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- C50: IVF×PQ composed index (rows-only; recall spec) -----------------
   /** The composed billion-vector shape: coarse IVF routing + PQ codes over
     * RESIDUALS on the persisted partition-pruned index (see
@@ -1690,6 +1792,7 @@ object VectorOps {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_lsh_stats" -> (annLshStats _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_graph_topk" -> (annGraphTopk _),
     "embed_stats" -> (embedStats _),
     "embed_pca" -> (embedPca _),
     "kmeans_clusters" -> (kmeansClusters _),
@@ -1720,6 +1823,7 @@ object VectorOps {
     "hybrid_search" -> hybridSearchSql,
     "ann_ivf_stats" -> annIvfStatsSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_graph_topk" -> annGraphTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_lsh_stats" -> annLshStatsSql,
     "ann_pq_topk" -> annPqTopkSql,

@@ -93,6 +93,53 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("ann_graph_topk: recall vs brute force; edge/visited structure (C117)") {
+    val exact = VectorOps.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annGraphTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // same worst-case floor as IVF: the synthetic corpus is near-uniform
+    // on the sphere (no cluster structure for the graph to exploit);
+    // measured 0.51 (sf0.001) / 0.54 (sf0.01) at beam 6 × 3 hops
+    assert(recall >= 0.45, s"graph recall@10 = $recall")
+    // build structure: out-degree <= M, no self-edges, every vertex posted
+    val corpus = VectorOps.emb(spark, sfDir)
+    val idx = Ann.graphBuild(corpus, "vec_id", "emb",
+      m = VectorOps.GraphM, nLists = VectorOps.IvfLists)
+    val deg = idx.edges.groupBy("src").count().agg(max("count")).head.getLong(0)
+    assert(deg <= VectorOps.GraphM, s"out-degree $deg > ${VectorOps.GraphM}")
+    assert(idx.edges.filter(col("src") === col("dst")).count() === 0)
+    val nMed = idx.medoids.count()
+    assert(nMed >= 1 && nMed <= VectorOps.IvfLists)
+    // search visits stay bounded: entries + hops x beam x M per query
+    val bound = VectorOps.GraphEntries +
+      VectorOps.GraphHops * VectorOps.GraphBeam * VectorOps.GraphM
+    val res = VectorOps.annGraphTopk(spark, sfDir)
+    val perQ = res.groupBy("query_id").count().agg(max("count")).head.getLong(0)
+    assert(perQ <= math.min(bound, VectorOps.TopK), s"per-query rows $perQ")
+  }
+
+  test("graph ANN finds near-duplicate neighbors with recall >= 0.9 (perturbed corpus)") {
+    // the case the index exists for: a near-identical twin (cosine
+    // ~0.99999) quantizes into the same coarse list, so it is reachable
+    // from the medoid within the hop budget (dense intra-list edges)
+    val corpus = VectorOps.dedupEmbCorpus(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") >= 1000000L)
+    val idx = Ann.graphBuild(corpus, "vec_id", "emb",
+      m = VectorOps.GraphM, nLists = VectorOps.IvfLists)
+    val res = Ann.graphTopK(idx, corpus, queries, "vec_id", "emb", k = 10,
+      beam = VectorOps.GraphBeam, hops = VectorOps.GraphHops,
+      entries = VectorOps.GraphEntries)
+    val found = res
+      .filter(col("neighbor_id") === col("query_id") - 1000000L)
+      .select("query_id").distinct().count()
+    val recall = found.toDouble / queries.count()
+    assert(recall >= 0.9, s"graph near-dup recall = $recall")
+  }
+
   test("IVF finds near-duplicate neighbors with recall >= 0.9 (perturbed corpus)") {
     import org.apache.spark.sql.functions.col
     // the case IVF exists for: a query and its near-identical neighbor
