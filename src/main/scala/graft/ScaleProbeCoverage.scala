@@ -160,6 +160,8 @@ object ScaleProbeCoverage {
       "ann_graph_topk" -> (Seq("ann_graph_build", "ann_graph_build_scaledlists",
         "ann_graph_query40"),
         "kNN-graph build (fixed + corpus-scaled lists) + beam search probed separately"),
+      "ann_graph_probe" -> (Seq("ann_graph_build", "ann_graph_query40"),
+        "stored-index probe = the same build + search halves; the degree-M re-cut is dominated by the build's edge cut over the same pairs"),
       "ann_ivfpq_topk" -> (Seq("ivfpq_build", "ivfpq_query40"),
         "build + ADC query probed separately"),
       "ann_ivfpq_refine" -> (Seq("ivfpq_refine_query40"),

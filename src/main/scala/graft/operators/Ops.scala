@@ -1175,8 +1175,11 @@ object Ann {
         quantized_cosine(col("_e"), col("_q")).as("score"))
     val beamW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
-    var visited = score(f0).localCheckpoint(eager = true)
-    var fresh = visited
+    // visited = the UNION of per-hop checkpointed frames: each hop's new
+    // nodes materialize exactly once, and the union plan is N tiny
+    // cached scans — no re-checkpoint of the accumulated set per hop
+    var fresh = score(f0).localCheckpoint(eager = true)
+    var visited = fresh
     for (_ <- 1 to hops) {
       val frontier = fresh.withColumn("_rn", row_number().over(beamW))
         .filter(col("_rn") <= beam).select(col("query_id"), col("node"))
@@ -1185,7 +1188,7 @@ object Ann {
         .select(col("query_id"), col("dst").as("node")).distinct()
         .join(visited, Seq("query_id", "node"), "left_anti")
       fresh = score(cand).localCheckpoint(eager = true)
-      visited = visited.unionAll(fresh).localCheckpoint(eager = true)
+      visited = visited.unionAll(fresh)
     }
     visited.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(beamW).cast("int"))

@@ -259,6 +259,20 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C117b: the PERSISTED graph probed as a driver key — build once into
+    * the deterministic scratch dir ([[GraphAnnIndex.ensure]], the
+    * amortized half), beam-search the stored degree-M view (what a query
+    * batch pays). Over a fresh index the stored frames are
+    * [[Ann.graphBuildScored]]'s own — the same spelling the in-query key
+    * runs — so the output is bit-identical to `ann_graph_topk` and the
+    * key SHARES its DuckDB oracle. */
+  def annGraphProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = GraphAnnIndex.ensure(spark, dir)
+    GraphAnnIndex.probe(spark, path,
+        emb(spark, dir).filter(col("vec_id") % 50 === 0), "vec_id", "emb")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** DuckDB twin for the graph-ANN top-k (C117 — the fifth rows-only→
     * oracle ANN conversion the integer grid buys): the kNN-graph BUILD
     * (top-2 posting over the Lloyd centroids, per-bucket exact pairs,
@@ -1793,6 +1807,7 @@ object VectorOps {
     "ann_lsh_stats" -> (annLshStats _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_graph_topk" -> (annGraphTopk _),
+    "ann_graph_probe" -> (annGraphProbe _),
     "embed_stats" -> (embedStats _),
     "embed_pca" -> (embedPca _),
     "kmeans_clusters" -> (kmeansClusters _),
@@ -1824,6 +1839,7 @@ object VectorOps {
     "ann_ivf_stats" -> annIvfStatsSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_graph_topk" -> annGraphTopkSql,
+    "ann_graph_probe" -> annGraphTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_lsh_stats" -> annLshStatsSql,
     "ann_pq_topk" -> annPqTopkSql,

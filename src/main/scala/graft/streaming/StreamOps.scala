@@ -2422,6 +2422,73 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val GraphAdmitLoopQueryName = "graft_stream_graph_admit_loop"
+
+  /** B125 (library API): the recurring-ingest NEAREST-NEIGHBOR loop
+    * closed over the persisted kNN-graph index — the B62/B116/B117
+    * probe-then-admit discipline composed from the
+    * [[graft.operators.GraphAnnIndex]] verbs, completing the fourth
+    * index family's lifecycle. Each micro-batch of vectors (1) PROBES
+    * the stored graph ([[graft.operators.GraphAnnIndex.probe]] — per
+    * arriving vector, its beam-searched top-k stored neighbors: the
+    * "does this embedding already exist" read a dedup/retrieval ingest
+    * runs), materialized through the sink write BEFORE (2) the batch
+    * ADMITS itself as sibling post/edges segments (new→stored and
+    * stored→new links cut to degree M), so later batches are searchable
+    * neighbors of earlier batches' vectors — not just build-time
+    * history; (3) an optional vacuum cadence folds segments and
+    * materializes the degree-M read view under the ROOT session (the
+    * B62 conf discipline). Replay-safe like all three sibling loops: a
+    * re-delivered batch whose admission marker exists skips the probe
+    * (it would otherwise search a post-admission graph and sink
+    * self-neighbor rows). Spec-gated (GraphAdmitLoopSpec): a
+    * forced-order two-wave replay pins that batch 2 finds batch 1's
+    * vectors ONLY through admission, and that a mid-loop vacuum changes
+    * nothing a probe observes. */
+  def graphIndexAdmitLoop(rootSpark: SparkSession, srcDir: String,
+      glob: String, indexPath: String, k: Int = 3,
+      vacuumEvery: Int = 0): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val d = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("emb"))
+    spark.streams.active.filter(_.name == GraphAdmitLoopQueryName)
+      .foreach(_.stop())
+    val sink = java.nio.file.Files
+      .createTempDirectory(s"${GraphAdmitLoopQueryName}_sink").toFile
+    try {
+      val q = d.writeStream.queryName(GraphAdmitLoopQueryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           bid: Long) =>
+            if (!graft.sources.IndexScratch.isAdmitted(indexPath,
+                s"batch$bid")) {
+              // the sink write EXECUTES the probe against the
+              // pre-admission index state; only then does this batch
+              // append itself
+              graft.operators.GraphAnnIndex.probe(mb.sparkSession,
+                  indexPath, mb.toDF(), "vec_id", "emb", k = k)
+                .withColumn("bid", lit(bid))
+                .write.mode("append").parquet(sink.getAbsolutePath)
+              graft.operators.GraphAnnIndex.admit(mb.sparkSession,
+                indexPath, s"batch$bid", mb.toDF(), "vec_id", "emb")
+            }
+            if (vacuumEvery > 0 && (bid + 1) % vacuumEvery == 0)
+              graft.operators.GraphAnnIndex.vacuum(rootSpark, indexPath)
+            ()
+        }.start()
+      q.awaitTermination()
+      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+        .orderBy(col("bid"), col("query_id"), col("rank"))
+    } finally graft.sources.IndexScratch.deleteRec(sink)
+  }
+
   val AdmissionQueryName = "graft_stream_admission_chain"
 
   /** B61: the FULL ingest quarantine chain as one streaming operator —
