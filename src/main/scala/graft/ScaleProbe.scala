@@ -272,6 +272,16 @@ object ScaleProbe {
       Ann.graphBuild(embs, "vec_id", "emb", m = 8,
         nLists = 16 * reps).edges.count()
     }
+    // B126 at 24×: multi-pass blocking over the replicated customers —
+    // band NARROWED ∝ corpus (the blocking analogue of raising nLists)
+    // so pass 2's Σ|A_block|·|B_block| stays bounded; the fixed 1e5 band
+    // would square the per-block work at 24× replication
+    time("record_linkage") {
+      val cust = replicate(
+        spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+      Linkage.linkagePairsOn(Linkage.sideAOf(cust),
+        Linkage.importFeedOf(cust), bandWidth = 100000L / reps).count()
+    }
     time("ann_graph_query40") {
       Ann.graphTopK(graphIdx, embs, queries, "vec_id", "emb", k = 10,
         beam = 6, hops = 3, entries = 2).count()

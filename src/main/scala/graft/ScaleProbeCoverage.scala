@@ -29,6 +29,7 @@ object ScaleProbeCoverage {
     "stream_top_paths",
     "ann_brute", "ann_graph_build", "ann_graph_build_scaledlists",
     "ann_graph_query40", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
+    "record_linkage",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
@@ -120,8 +121,8 @@ object ScaleProbeCoverage {
     "norm_dedup", "orc_roundtrip", "partition_evolution",
     "pack_sequences", "pack_sequences_bpe",
     "prepare_pretrain", "q5_multijoin", "quality_classifier",
-    "quality_drift", "quality_ensemble", "range_join", "resample_ffill",
-    "rfm_segments",
+    "quality_drift", "quality_ensemble", "range_join", "record_linkage",
+    "resample_ffill", "rfm_segments",
     "salted_join", "schema_evolution", "semantic_dedup",
     "simhash_index_probe", "skyline_2d", "snapshot_read",
     "suffix_array", "suffix_lcp", "fd_profile",
@@ -347,6 +348,10 @@ object ScaleProbeCoverage {
         "agg over the same events scan — B37's probed partial-agg shape " +
         "with hard-capped state; the pair algebra rides the " +
         "O(segments·k) sketch board, never the corpus"),
+      "stream_record_linkage" -> (Seq("record_linkage", "stream_join"),
+        "per batch the SAME blocking+scoring joins over a batch-local " +
+        "import view against the frozen A side — the batch plan is " +
+        "B126's own, the drain harness is stream_join's"),
       "stream_retention" -> (Seq("funnel_retention", "stream_events"),
         "per batch ONE distinct partial agg shrinks arrivals to (user, " +
         "week) rows; the read board is B20's probed plan over the " +

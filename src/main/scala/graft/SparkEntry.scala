@@ -15,6 +15,7 @@ object SparkEntry {
     ) ++ graft.etl.EtlQueries.queries ++ graft.etl.Receipts.queries ++
       OlapB.queries ++ OlapC.queries ++ OlapD.queries ++ TextOps.queries ++ Pipeline.queries ++ CorpusOps.queries ++
       VectorOps.queries ++ Sketch.queries ++ Multimodal.queries ++
+      Linkage.queries ++
       graft.streaming.StreamOps.queries ++
       graft.streaming.StatefulSessions.queries ++ graft.sources.Intake.queries ++
       graft.sources.Sinks.queries
@@ -26,6 +27,7 @@ object SparkEntry {
   ) ++ graft.etl.EtlQueries.oracles ++ graft.etl.Receipts.oracles ++
     OlapB.oracles ++ OlapC.oracles ++ OlapD.oracles ++ TextOps.oracles ++ Pipeline.oracles ++ CorpusOps.oracles ++
     VectorOps.oracles ++ Sketch.oracles ++ Multimodal.oracles ++
+    Linkage.oracles ++
     graft.streaming.StreamOps.oracles ++
     graft.streaming.StatefulSessions.oracles ++ graft.sources.Sinks.oracles
 }

@@ -2489,6 +2489,42 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val LinkageQueryName = "graft_stream_record_linkage"
+
+  /** B127: B126's record linkage run AT THE INGEST DOOR — the deploy
+    * shape of entity resolution: the master (A) side is static and
+    * amortized ONCE outside the stream; each arriving micro-batch of
+    * source records derives its import view map-side and runs the SAME
+    * multi-pass blocking + Fellegi-Sunter scoring
+    * ([[graft.operators.Linkage.linkagePairsOn]] — one spelling, two
+    * execution modes). ZERO streaming state: every import record derives
+    * from exactly one arriving row and the A side is frozen, so the
+    * per-batch verdicts equal the global ones restricted to the batch —
+    * drain == batch B126, SHARES `record_linkage`'s oracle. At deploy
+    * the match stream auto-merges, the possible stream queues for
+    * clerical review, and non_match inserts a new master record. */
+  /** The drain core, split out so the spec can feed an arbitrary wave
+    * split of the source feed: `a` is the frozen master side (amortized
+    * once), `customers` the arriving source stream. */
+  private[graft] def recordLinkageStreamOn(rootSpark: SparkSession,
+      a: DataFrame, customers: DataFrame): DataFrame = {
+    import graft.operators.Linkage
+    val spark = streamingSession(rootSpark)
+    drainViaParquetSink(spark, customers, LinkageQueryName,
+        xform = (mb, _) => Linkage.linkagePairsOn(a, Linkage.importFeedOf(mb)))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def streamRecordLinkage(rootSpark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage
+    val spark = streamingSession(rootSpark)
+    val a = Linkage.sideA(spark, dir).localCheckpoint(eager = true)
+    val schema = spark.read.parquet(s"$dir/customer.parquet").schema
+    val customers = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(dir)
+    recordLinkageStreamOn(rootSpark, a, customers)
+  }
+
   val AdmissionQueryName = "graft_stream_admission_chain"
 
   /** B61: the FULL ingest quarantine chain as one streaming operator —
@@ -2578,6 +2614,7 @@ object StreamOps {
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_kcore" -> (streamKcore _),
     "stream_pagerank" -> (streamPagerank _),
+    "stream_record_linkage" -> (streamRecordLinkage _),
     "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
     "stream_retention" -> (streamRetention _),
@@ -2614,6 +2651,7 @@ object StreamOps {
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
+    "stream_record_linkage" -> graft.operators.Linkage.recordLinkageSql,
     "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_retention" -> graft.operators.OlapC.retentionSql,
