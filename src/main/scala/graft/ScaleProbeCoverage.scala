@@ -29,7 +29,7 @@ object ScaleProbeCoverage {
     "stream_top_paths",
     "ann_brute", "ann_graph_build", "ann_graph_build_scaledlists",
     "ann_graph_query40", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
-    "record_linkage",
+    "record_linkage", "sssp_cost",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
@@ -122,7 +122,7 @@ object ScaleProbeCoverage {
     "pack_sequences", "pack_sequences_bpe",
     "prepare_pretrain", "q5_multijoin", "quality_classifier",
     "quality_drift", "quality_ensemble", "range_join", "record_linkage",
-    "resample_ffill", "rfm_segments",
+    "resample_ffill", "rfm_segments", "sssp_cost",
     "salted_join", "schema_evolution", "semantic_dedup",
     "simhash_index_probe", "skyline_2d", "snapshot_read",
     "suffix_array", "suffix_lcp", "fd_profile",
@@ -348,6 +348,10 @@ object ScaleProbeCoverage {
         "agg over the same events scan — B37's probed partial-agg shape " +
         "with hard-capped state; the pair algebra rides the " +
         "O(segments·k) sketch board, never the corpus"),
+      "stream_sssp" -> (Seq("sssp_cost", "stream_join"),
+        "per batch ONE lineitem⋈static-orders join + the (c,s,ok) " +
+        "distinct partial; the weight rollup + relax loop is B128's " +
+        "probed at-read plan over the merged links"),
       "stream_record_linkage" -> (Seq("record_linkage", "stream_join"),
         "per batch the SAME blocking+scoring joins over a batch-local " +
         "import view against the frozen A side — the batch plan is " +

@@ -616,6 +616,125 @@ object OlapC {
        |  MIN(hops) AS hops
        |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  // --- B128/B129: weighted single-source shortest path ----------------------
+  /** Round cap for B128's Bellman-Ford — declared semantics: min cost
+    * over paths of ≤ SsspRounds edges (exact Bellman-Ford needs V−1
+    * rounds; a small-world trade graph's cheapest paths are short, and
+    * the cap bounds the oracle's unroll exactly like BfsMaxHops /
+    * kcore's round cap). Early exit on the fixpoint — relaxation is
+    * monotone, so exit == full unroll. */
+  val SsspRounds = 8
+  val SsspSource = 2L
+
+  /** Distinct (customer, supplier, order) trade links — the SET-MONOID
+    * feed B128 and its streaming twin share: per-batch partials are
+    * batch-local distincts, merge is set union (the at-read distinct),
+    * so the board is replay-invariant under any wave split. */
+  def tradeLinkPartialsOn(lineitem: DataFrame,
+      orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"),
+        col("o_orderkey").cast("long").as("ok"))
+      .distinct()
+
+  /** Weighted SSSP board over merged trade-link partials: edge cost is
+    * the RELATIONSHIP-WEAKNESS integer ⌈1000/n⌉ (n = distinct orders
+    * between the pair — strong lanes are cheap, one-off trades
+    * expensive), both directions over the bipartite customer↔supplier
+    * id space (customers at 2k, suppliers at 2k+1, B92's encoding), and
+    * the loop is FRONTIER Bellman-Ford: each round relaxes only the
+    * nodes whose cost improved last round (unchanged nodes were
+    * already relaxed at the same cost — the inductive argument that
+    * makes frontier == full relaxation per round), checkpoint-truncated
+    * like B92/B25.
+    *
+    * Scale shape: one (c,s) rollup to weights; per round ONE
+    * frontier⋈edges join (frontier is the SMALL side — broadcast when
+    * it fits) + two node-keyed min-aggs; total work O(edges × improved
+    * rounds), not O(edges × rounds). */
+  def ssspBoardOn(partials: DataFrame, source: Long,
+      rounds: Int): DataFrame = {
+    val wp = partials.distinct()
+      .groupBy(col("c"), col("s")).agg(count(lit(1)).as("n"))
+      .select(col("c"), col("s"), expr("(999 + n) DIV n").as("w"))
+    val edges = wp.select((col("c") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionAll(wp.select((col("s") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst"), col("w")))
+      .localCheckpoint(eager = true)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("cost"))
+      .localCheckpoint(eager = true)
+    var frontier = dist
+    var i = 0
+    while (i < rounds && frontier.limit(1).count() > 0) {
+      val relax = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      val merged = dist.unionAll(relax)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(eager = true)
+      frontier = merged
+        .join(dist.select(col("node"), col("cost").as("_old")),
+          Seq("node"), "left")
+        .filter(col("_old").isNull || col("cost") < col("_old"))
+        .select(col("node"), col("cost"))
+        .localCheckpoint(eager = true)
+      dist = merged
+      i += 1
+    }
+    dist.select(col("node"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        shiftright(col("node"), 1).as("entity_id"),
+        col("cost"))
+      .orderBy(col("node"))
+  }
+
+  /** Driver query: cheapest trade routes from customer 1 (node 2). */
+  def ssspCost(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    ssspBoardOn(tradeLinkPartialsOn(t.lineitem, t.orders),
+      SsspSource, SsspRounds)
+  }
+
+  /** Twin: kcore's MATERIALIZED-CTE unroll (each round referenced twice
+    * — plain CTEs would inline 2^rounds copies). Full unroll == the
+    * operator's early-exited frontier loop: relaxation is monotone. */
+  val ssspCostSql: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.cost + e.w AS cost
+         |    FROM d${i - 1} d JOIN e ON d.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+       |    CAST(l.l_suppkey AS BIGINT) AS s,
+       |    CAST(o.o_orderkey AS BIGINT) AS ok
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |wp AS (
+       |  SELECT c, s, (999 + COUNT(*)) // COUNT(*) AS w
+       |  FROM pr GROUP BY c, s),
+       |e AS MATERIALIZED (
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst, w FROM wp
+       |  UNION ALL
+       |  SELECT s * 2 + 1 AS src, c * 2 AS dst, w FROM wp),
+       |d0 AS (SELECT CAST($SsspSource AS BIGINT) AS node,
+       |       CAST(0 AS BIGINT) AS cost),
+       |$rounds
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS entity_id, cost
+       |FROM d$SsspRounds ORDER BY node""".stripMargin
+  }
+
   // --- B96: seasonal-naive forecast error board -------------------------------
   /** Season length for B96 — weekly, the retail default. */
   val SnaiveSeasonDays = 7
@@ -2043,6 +2162,7 @@ object OlapC {
     "top_paths" -> (topPaths _),
     "kcore_parts" -> (kcoreParts _),
     "bfs_hops" -> (bfsHops _),
+    "sssp_cost" -> (ssspCost _),
     "forecast_snaive" -> (forecastSnaive _),
     "time_in_state" -> (timeInState _),
     "funnel" -> (funnel _),
@@ -2073,6 +2193,7 @@ object OlapC {
     "top_paths" -> topPathsSql,
     "kcore_parts" -> kcorePartsSql,
     "bfs_hops" -> bfsHopsSql,
+    "sssp_cost" -> ssspCostSql,
     "forecast_snaive" -> forecastSnaiveSql,
     "time_in_state" -> timeInStateSql,
     "funnel" -> funnelSql,

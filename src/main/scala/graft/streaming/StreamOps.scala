@@ -2489,6 +2489,40 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val SsspQueryName = "graft_stream_sssp"
+
+  /** B129: B128's weighted shortest-path board maintained BY the stream —
+    * the B113/B114/B117 zero-state shape for iterative-graph analytics:
+    * each arriving lineitem micro-batch joins the static orders side and
+    * shrinks to its DISTINCT (customer, supplier, order) link partials
+    * (the set monoid — merge is the at-read distinct, so cross-batch
+    * duplicates of the same link collapse); the weight rollup and the
+    * frontier Bellman-Ford loop run ONCE at read over the merged links
+    * ([[graft.operators.OlapC.ssspBoardOn]] — the SAME spelling batch
+    * B128 runs, so the paths cannot fork). Drain == batch, SHARES
+    * `sssp_cost`'s oracle. */
+  def streamSssp(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val orders = graft.sources.Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"))
+      .localCheckpoint(eager = true)
+    val schema = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val li = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    ssspStreamOn(rootSpark, orders, li)
+  }
+
+  /** The drain core, split out so the spec can wave-split the feed. */
+  private[graft] def ssspStreamOn(rootSpark: SparkSession,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val partials = drainViaParquetSink(spark, lineitem, SsspQueryName,
+      xform = (mb, _) =>
+        graft.operators.OlapC.tradeLinkPartialsOn(mb, orders))
+    graft.operators.OlapC.ssspBoardOn(partials,
+      graft.operators.OlapC.SsspSource, graft.operators.OlapC.SsspRounds)
+  }
+
   val LinkageQueryName = "graft_stream_record_linkage"
 
   /** B127: B126's record linkage run AT THE INGEST DOOR — the deploy
@@ -2615,6 +2649,7 @@ object StreamOps {
     "stream_kcore" -> (streamKcore _),
     "stream_pagerank" -> (streamPagerank _),
     "stream_record_linkage" -> (streamRecordLinkage _),
+    "stream_sssp" -> (streamSssp _),
     "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
     "stream_retention" -> (streamRetention _),
@@ -2652,6 +2687,7 @@ object StreamOps {
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
     "stream_record_linkage" -> graft.operators.Linkage.recordLinkageSql,
+    "stream_sssp" -> graft.operators.OlapC.ssspCostSql,
     "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_retention" -> graft.operators.OlapC.retentionSql,
