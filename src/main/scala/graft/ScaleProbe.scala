@@ -925,7 +925,8 @@ object ScaleProbe {
       "skyline_2d", "linreg_trend", "fd_profile", "suffix_array",
       "suffix_lcp", "zipf_slope", "partition_evolution",
       "asof_join_nearest", "snapshot_read", "lrs_per_doc", "user_ltv",
-      "basket_pairs", "bfs_hops", "sssp_cost", "attribution_shapley",
+      "basket_pairs", "bfs_hops", "sssp_cost", "communities_lpa",
+      "attribution_shapley",
       "score_calibrate", "forecast_snaive", "time_in_state", "dup_spans",
       "changepoint_cusum", "acf_lags", "top_paths", "kcore_parts")
     if (which.isEmpty || which.exists(dirProbes)) {
@@ -983,6 +984,7 @@ object ScaleProbe {
     dirKey("dup_spans")
     dirKey("bfs_hops")
     dirKey("sssp_cost")
+    dirKey("communities_lpa")
     // r13 session-2 additions: the CUSUM/ACF boards (daily rollup +
     // board-sized tails), the entry-path prefix board, the peel loop
     dirKey("changepoint_cusum")

@@ -29,7 +29,7 @@ object ScaleProbeCoverage {
     "stream_top_paths",
     "ann_brute", "ann_graph_build", "ann_graph_build_scaledlists",
     "ann_graph_query40", "ann_ivf_stats", "ann_lsh", "ann_pq_topk",
-    "record_linkage", "sssp_cost",
+    "communities_lpa", "record_linkage", "sssp_cost",
     "attribution_linear", "bloom_semi_join", "bucketed_join",
     "bm25_search", "bpe_encode", "bpe_resume",
     "bpe_vocab", "cc_stars_hub", "cdc_compact", "cdc_compact_rewrite",
@@ -120,6 +120,7 @@ object ScaleProbeCoverage {
     "mixture_temperature", "multimodal_containment", "multimodal_frames",
     "norm_dedup", "orc_roundtrip", "partition_evolution",
     "pack_sequences", "pack_sequences_bpe",
+    "communities_lpa",
     "prepare_pretrain", "q5_multijoin", "quality_classifier",
     "quality_drift", "quality_ensemble", "range_join", "record_linkage",
     "resample_ffill", "rfm_segments", "sssp_cost",
@@ -348,6 +349,9 @@ object ScaleProbeCoverage {
         "agg over the same events scan — B37's probed partial-agg shape " +
         "with hard-capped state; the pair algebra rides the " +
         "O(segments·k) sketch board, never the corpus"),
+      "stream_communities" -> (Seq("communities_lpa", "stream_basket_pairs"),
+        "B113's identical settled-basket pair machine (shared spelling) " +
+        "+ B130's probed at-read LPA over the merged support board"),
       "stream_sssp" -> (Seq("sssp_cost", "stream_join"),
         "per batch ONE lineitem⋈static-orders join + the (c,s,ok) " +
         "distinct partial; the weight rollup + relax loop is B128's " +

@@ -2155,12 +2155,101 @@ object OlapC {
        |FROM r$KcorePeelRounds ORDER BY part_id""".stripMargin
   }
 
+  // --- B130: label-propagation communities -----------------------------------
+  /** Synchronous LPA round budget — FIXED, no early exit: synchronous
+    * label propagation can 2-cycle on bipartite-ish structure (Raghavan
+    * et al. 2007 §3), so "stop when stable" is not a well-defined
+    * contract; a pinned round count is, and it makes the oracle's
+    * unconditional unroll exactly the operator's loop. */
+  val LpaRounds = 5
+
+  /** Community detection by synchronous label propagation over a
+    * symmetric edge list — the clustering step that follows B104's
+    * k-core density filter (k-core says "dense enough to cluster", LPA
+    * says "which cluster"): labels start as node ids; each round every
+    * node adopts the MODE of its neighbors' labels (ties to the
+    * smallest label — the deterministic tie-break that replaces the
+    * paper's random one, same spelling both engines). Output: (node,
+    * community, community_size).
+    *
+    * Scale shape: per round ONE node-keyed edges⋈labels join + a
+    * (node, label) partial-agg + the bounded per-node argmax heap
+    * (k=1) — nothing is ever fully sorted; checkpoint-truncated like
+    * the B92/B104/B128 loops. */
+  def lpaOn(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("_cnt"))
+        .groupBy(col("src"))
+        // counts are < 2^53 — the double image ranks exactly
+        .agg(graft.functions.topk.top_k_by_score(
+          col("_cnt").cast("double"), col("lbl"), 1).as("_tk"))
+        .select(col("src").as("node"),
+          col("_tk").getItem(0).getField("id").as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("part_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Driver query: communities of the B104 co-purchase graph (same
+    * support-thresholded edges — one derivation, two graph keys). */
+  def communitiesLpa(spark: SparkSession, dir: String): DataFrame = {
+    val edges = kcoreEdgesOn(
+        Tables(spark, dir).lineitem.select(col("l_orderkey"),
+          col("l_partkey")),
+        "l_orderkey", "l_partkey", KcoreSupport)
+      .localCheckpoint(eager = true)
+    lpaOn(edges, LpaRounds)
+  }
+
+  /** Twin: the LPA rounds unrolled (MATERIALIZED — each round is
+    * referenced once per join but the chain still benefits; the argmax
+    * is the same (count desc, label asc) rule the bounded heap runs). */
+  val communitiesLpaSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, lbl) AS rn
+         |    FROM (SELECT e.src AS node, p.lbl, COUNT(*) AS cnt
+         |      FROM e JOIN l${i - 1} p ON p.node = e.dst
+         |      GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), pr AS (
+       |  SELECT a.p AS u, b.p AS v, COUNT(*) AS supp
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $KcoreSupport
+       |), e AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM pr
+       |  UNION ALL SELECT v, u FROM pr
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$rounds
+       |SELECT node AS part_id, lbl AS community,
+       |  COUNT(*) OVER (PARTITION BY lbl) AS community_size
+       |FROM l$LpaRounds ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "changepoint_cusum" -> (changepointCusum _),
     "acf_lags" -> (acfLags _),
     "seasonal_detrend" -> (seasonalDetrend _),
     "top_paths" -> (topPaths _),
     "kcore_parts" -> (kcoreParts _),
+    "communities_lpa" -> (communitiesLpa _),
     "bfs_hops" -> (bfsHops _),
     "sssp_cost" -> (ssspCost _),
     "forecast_snaive" -> (forecastSnaive _),
@@ -2194,6 +2283,7 @@ object OlapC {
     "kcore_parts" -> kcorePartsSql,
     "bfs_hops" -> bfsHopsSql,
     "sssp_cost" -> ssspCostSql,
+    "communities_lpa" -> communitiesLpaSql,
     "forecast_snaive" -> forecastSnaiveSql,
     "time_in_state" -> timeInStateSql,
     "funnel" -> funnelSql,

@@ -1330,6 +1330,12 @@ object StreamOps {
     * never the history. */
   def streamKcore(rootSpark: SparkSession, dir: String): DataFrame = {
     val spark = streamingSession(rootSpark)
+    kcoreStreamOn(spark, kcoreFeed(spark, dir))
+  }
+
+  /** The sentinel-terminated (l_orderkey, l_partkey, ts) lineitem feed
+    * B113 and B131 both stream (one spelling). */
+  private def kcoreFeed(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.option("pathGlobFilter", "lineitem.parquet")
       .parquet(dir)
     val maxTsUs = li.agg(max(unix_micros(col("l_shipdate")))).head().getLong(0)
@@ -1342,7 +1348,32 @@ object StreamOps {
     val sentinel = spark.readStream.schema(sschema).parquet(sdir)
       .select(col("user_id").as("l_orderkey"),
         col("event_id").as("l_partkey"), col("ts"))
-    kcoreStreamOn(spark, raw.unionByName(sentinel))
+    raw.unionByName(sentinel)
+  }
+
+  /** The shared stream half of B113/B131: settled orders (B94's
+    * watermark-evicted basket state) emit sum-mergeable within-order
+    * pair-count partials; the merged support board cuts and
+    * symmetrizes to the co-purchase edge list — the one spelling every
+    * iterative-graph twin reads from. */
+  private def copurchaseEdgesFromStream(spark: SparkSession,
+      raw: DataFrame, name: String,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : DataFrame = {
+    import graft.operators.OlapC
+    val settledStream = StatefulBaskets.settledBaskets(spark, raw)
+    val partials = drainViaParquetSink(spark, settledStream.toDF(), name,
+      xform = (mb, _) => mb.filter(col("bk") >= 0)
+        .select(explode(basketPairExpansion).as("p"))
+        .groupBy(col("p.item_a").as("u"), col("p.item_b").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      afterDrain = afterDrain)
+    val pairs = partials.groupBy(col("u"), col("v"))
+      .agg(sum(col("cnt")).as("supp"))
+      .filter(col("supp") >= OlapC.KcoreSupport)
+    pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
   }
 
   /** The B113 machine over ANY sentinel-terminated (l_orderkey,
@@ -1352,23 +1383,34 @@ object StreamOps {
       afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _ => ()): DataFrame = {
     import graft.operators.OlapC
-    val settledStream = StatefulBaskets.settledBaskets(spark, raw)
-    val partials = drainViaParquetSink(spark, settledStream.toDF(),
-      KcoreQueryName,
-      xform = (mb, _) => mb.filter(col("bk") >= 0)
-        .select(explode(basketPairExpansion).as("p"))
-        .groupBy(col("p.item_a").as("u"), col("p.item_b").as("v"))
-        .agg(count(lit(1)).as("cnt")),
-      afterDrain = afterDrain)
-    val pairs = partials.groupBy(col("u"), col("v"))
-      .agg(sum(col("cnt")).as("supp"))
-      .filter(col("supp") >= OlapC.KcoreSupport)
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(eager = true)
+    val edges = copurchaseEdgesFromStream(spark, raw, KcoreQueryName,
+      afterDrain)
     OlapC.kcorePartsOn(edges, OlapC.KcoreK, OlapC.KcorePeelRounds)
       .select(col("node").as("part_id"), col("core_deg"))
       .orderBy(col("part_id"))
+  }
+
+  val CommunitiesQueryName = "graft_stream_communities"
+
+  /** B131: B130's LPA communities maintained BY the stream — the sixth
+    * zero-state iterative-graph twin, and a pure board swap on B113's
+    * machine (the stream half is IDENTICAL settled-basket pair
+    * accounting — one spelling, `copurchaseEdgesFromStream`; only the
+    * at-read iterative half differs: LPA rounds instead of the peel).
+    * Drain == batch `communities_lpa` → SHARES its oracle. */
+  private[graft] def communitiesStreamOn(spark: SparkSession,
+      raw: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    import graft.operators.OlapC
+    val edges = copurchaseEdgesFromStream(spark, raw,
+      CommunitiesQueryName, afterDrain)
+    OlapC.lpaOn(edges, OlapC.LpaRounds)
+  }
+
+  def streamCommunities(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    communitiesStreamOn(spark, kcoreFeed(spark, dir))
   }
 
   val WinnowQueryName = "graft_stream_winnow"
@@ -2647,6 +2689,7 @@ object StreamOps {
     "stream_rfm" -> (streamRfm _),
     "stream_basket_pairs" -> (streamBasketPairs _),
     "stream_kcore" -> (streamKcore _),
+    "stream_communities" -> (streamCommunities _),
     "stream_pagerank" -> (streamPagerank _),
     "stream_record_linkage" -> (streamRecordLinkage _),
     "stream_sssp" -> (streamSssp _),
@@ -2685,6 +2728,7 @@ object StreamOps {
     "stream_rfm" -> graft.operators.OlapD.rfmSegmentsSql,
     "stream_basket_pairs" -> graft.operators.OlapD.basketPairsSql,
     "stream_kcore" -> graft.operators.OlapC.kcorePartsSql,
+    "stream_communities" -> graft.operators.OlapC.communitiesLpaSql,
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
     "stream_record_linkage" -> graft.operators.Linkage.recordLinkageSql,
     "stream_sssp" -> graft.operators.OlapC.ssspCostSql,
