@@ -349,6 +349,13 @@ object ScaleProbeCoverage {
         "agg over the same events scan — B37's probed partial-agg shape " +
         "with hard-capped state; the pair algebra rides the " +
         "O(segments·k) sketch board, never the corpus"),
+      "ab_ttest" -> (Seq("events_cube"),
+        "one (type, arm) partial-agg exchange over the same replicated " +
+        "events feed the cube probes with MORE grouping sets; the t/df " +
+        "math is board-sized"),
+      "stream_ab_ttest" -> (Seq("events_cube", "stream_events"),
+        "per batch the same single partial agg; merge + t math are " +
+        "board-sized at read"),
       "stream_communities" -> (Seq("communities_lpa", "stream_basket_pairs"),
         "B113's identical settled-basket pair machine (shared spelling) " +
         "+ B130's probed at-read LPA over the merged support board"),

@@ -1659,6 +1659,109 @@ object OlapD {
       .orderBy(col("nation"))
   }
 
+  // --- B132/B133: Welch two-sample t board ----------------------------------
+  /** Per-(event_type, arm) sufficient statistics in exact MILLI-units —
+    * the SUM-MONOID partials B132 and its streaming twin share: n,
+    * Σm, Σm² as guarded BIGINTs (m = ⌊value·1000 + 0.5⌋ ≤ 5e5, so m²
+    * ≤ 2.4e11 and the Σm² accumulator holds ~3.8e7 rows before the
+    * DECIMAL window even matters). Arms are user_id parity — the
+    * deterministic stand-in for an experiment's assignment column. */
+  def abTtestPartialsOn(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        (col("user_id") % 2).cast("int").as("arm"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("_m"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        Exact.guardedLong("ab_ttest")(
+          sum(col("_m").cast("decimal(25,0)")), "milli sum").as("s"),
+        Exact.guardedLong("ab_ttest")(
+          sum((col("_m") * col("_m")).cast("decimal(30,0)")),
+          "milli sum of squares").as("q"))
+
+  /** Welch's two-sample t board (Welch 1947) — the experimentation
+    * readout every A/B deploy needs: per event_type, arm means from the
+    * exact integer partials and the unequal-variance t statistic with
+    * the Welch–Satterthwaite df. All floating-point work is ONE IEEE
+    * chain over int64→double images (identical conversions both
+    * engines, r13 discipline), spelled the same in the twin. Arms with
+    * n ≤ 1 or zero pooled variance drop (t undefined — both engines
+    * apply the identical predicate on identical doubles).
+    *
+    * Scale shape: the corpus shrinks to O(types × 2) partials in one
+    * partial-agg exchange; everything after is board-sized. */
+  def abTtestBoardOn(partials: DataFrame): DataFrame = {
+    val merged = partials.groupBy(col("event_type"), col("arm"))
+      .agg(Exact.guardedLong("ab_ttest")(
+          sum(col("n").cast("decimal(25,0)")), "count").as("n"),
+        Exact.guardedLong("ab_ttest")(
+          sum(col("s").cast("decimal(25,0)")), "milli sum").as("s"),
+        Exact.guardedLong("ab_ttest")(
+          sum(col("q").cast("decimal(30,0)")), "milli sumsq").as("q"))
+    def side(arm: Int, sfx: String) = merged.filter(col("arm") === arm)
+      .select(col("event_type"), col("n").as(s"n_$sfx"),
+        col("s").as(s"_s$sfx"), col("q").as(s"_q$sfx"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val j = side(0, "a").join(side(1, "b"), "event_type")
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    def mean(s: String, n: String) = d(col(s)) / d(col(n)) / lit(1000.0)
+    def variance(q: String, s: String, n: String) =
+      (d(col(q)) - d(col(s)) * d(col(s)) / d(col(n))) /
+        (d(col(n)) - lit(1.0)) / lit(1000000.0)
+    val sea = variance("_qa", "_sa", "n_a") / d(col("n_a"))
+    val seb = variance("_qb", "_sb", "n_b") / d(col("n_b"))
+    j.withColumn("_sea", sea).withColumn("_seb", seb)
+      .filter(col("_sea") + col("_seb") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        mean("_sa", "n_a").as("mean_a"), mean("_sb", "n_b").as("mean_b"),
+        ((mean("_sa", "n_a") - mean("_sb", "n_b")) /
+          sqrt(col("_sea") + col("_seb"))).as("t_stat"),
+        ((col("_sea") + col("_seb")) * (col("_sea") + col("_seb")) /
+          (col("_sea") * col("_sea") / (d(col("n_a")) - lit(1.0)) +
+           col("_seb") * col("_seb") / (d(col("n_b")) - lit(1.0))))
+          .as("df_welch"))
+      .orderBy(col("event_type"))
+  }
+
+  def abTtest(spark: SparkSession, dir: String): DataFrame =
+    abTtestBoardOn(abTtestPartialsOn(Tables(spark, dir).events))
+
+  /** Twin: identical milli-grid partials and the same IEEE tree text. */
+  val abTtestSql: String = {
+    def mean(s: String, n: String) =
+      s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE) / 1000.0)"
+    def variance(q: String, s: String, n: String) =
+      s"((CAST($q AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)" +
+        s" / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)" +
+        " / 1000000.0)"
+    val sea = s"(${variance("qa", "sa", "n_a")} / CAST(n_a AS DOUBLE))"
+    val seb = s"(${variance("qb", "sb", "n_b")} / CAST(n_b AS DOUBLE))"
+    s"""WITH p AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |    COUNT(*) AS n,
+       |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS s,
+       |    CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+       |           * CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS q
+       |  FROM events GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       |    a.s AS sa, b.s AS sb, a.q AS qa, b.q AS qb
+       |  FROM p a JOIN p b ON a.event_type = b.event_type
+       |  WHERE a.arm = 0 AND b.arm = 1 AND a.n > 1 AND b.n > 1)
+       |SELECT event_type, n_a, n_b,
+       |  ${mean("sa", "n_a")} AS mean_a,
+       |  ${mean("sb", "n_b")} AS mean_b,
+       |  ((${mean("sa", "n_a")} - ${mean("sb", "n_b")})
+       |    / sqrt($sea + $seb)) AS t_stat,
+       |  (($sea + $seb) * ($sea + $seb)
+       |    / ($sea * $sea / (CAST(n_a AS DOUBLE) - 1.0)
+       |     + $seb * $seb / (CAST(n_b AS DOUBLE) - 1.0))) AS df_welch
+       |FROM j
+       |WHERE $sea + $seb > 0
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Twin: the same exact counts and the identical Wilson IEEE tree
     * (every literal spelled the same, z parsed string→double). */
   val rateWilsonSql: String = {
@@ -1694,6 +1797,7 @@ object OlapD {
     "benford_audit" -> (benfordAudit _),
     "skew_audit" -> (skewAudit _),
     "rate_wilson" -> (rateWilson _),
+    "ab_ttest" -> (abTtest _),
     "basket_pairs" -> (basketPairs _),
     "attribution_shapley" -> (attributionShapley _),
     "attribution" -> (attribution _),
@@ -1714,6 +1818,7 @@ object OlapD {
     "benford_audit" -> benfordAuditSql,
     "skew_audit" -> skewAuditSql,
     "rate_wilson" -> rateWilsonSql,
+    "ab_ttest" -> abTtestSql,
     "basket_pairs" -> basketPairsSql,
     "attribution_shapley" -> attributionShapleySql,
     "attribution" -> attributionSql,

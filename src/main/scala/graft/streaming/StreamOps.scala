@@ -2531,6 +2531,24 @@ object StreamOps {
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
 
+  val AbTtestQueryName = "graft_stream_ab_ttest"
+
+  /** B133: B132's Welch board maintained BY the stream — the textbook
+    * sum-monoid twin: each micro-batch shrinks to its per-(type, arm)
+    * (n, Σm, Σm²) sufficient statistics
+    * ([[graft.operators.OlapD.abTtestPartialsOn]] — the batch key's own
+    * partials spelling), the sink accumulates partial rows, and the
+    * t/df math runs once at read over the merged statistics — the live
+    * experiment dashboard. ZERO streaming state; drain == batch B132,
+    * SHARES `ab_ttest`'s oracle. */
+  def streamAbTtest(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    graft.operators.OlapD.abTtestBoardOn(
+      drainViaParquetSink(spark, eventsStream(spark, dir),
+        AbTtestQueryName,
+        xform = (mb, _) => graft.operators.OlapD.abTtestPartialsOn(mb)))
+  }
+
   val SsspQueryName = "graft_stream_sssp"
 
   /** B129: B128's weighted shortest-path board maintained BY the stream —
@@ -2693,6 +2711,7 @@ object StreamOps {
     "stream_pagerank" -> (streamPagerank _),
     "stream_record_linkage" -> (streamRecordLinkage _),
     "stream_sssp" -> (streamSssp _),
+    "stream_ab_ttest" -> (streamAbTtest _),
     "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
     "stream_retention" -> (streamRetention _),
@@ -2732,6 +2751,7 @@ object StreamOps {
     "stream_pagerank" -> graft.operators.OlapC.pagerankNationsSql,
     "stream_record_linkage" -> graft.operators.Linkage.recordLinkageSql,
     "stream_sssp" -> graft.operators.OlapC.ssspCostSql,
+    "stream_ab_ttest" -> graft.operators.OlapD.abTtestSql,
     "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_retention" -> graft.operators.OlapC.retentionSql,

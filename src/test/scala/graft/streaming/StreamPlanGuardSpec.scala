@@ -61,6 +61,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_record_linkage" -> 1, // B127: per batch B126's own blocking+scoring joins all broadcast against the frozen A side; the only exchange is the candidate-pair distinct
     "graft_stream_sssp" -> 1, // B129: per batch the lineitem⋈static-orders join broadcasts and the (c,s,ok) distinct is the only exchange; the weight rollup + relax loop run once at read
     "graft_stream_communities" -> 1, // B131: B113's identical settled-basket pair-partial agg (shared spelling); the LPA rounds run once at read
+    "graft_stream_ab_ttest" -> 1, // B133: per batch ONE (type, arm) partial agg to the sufficient statistics; the t/df math runs once at read over the merged board
     "graft_stream_triangle" -> 3, // B117: the SAME per-batch shape as B114 (orders join + broadcast dims + O(nations^2) canonical-edge partial agg); the strong cut + wedge join run once at read
     "graft_stream_winnow" -> 2, // B115: per batch C110's map-side selection — ONE doc-key window + the distinct partial agg; the capped overlap join runs once at read
     "graft_stream_retention" -> 1, // B119: per batch ONE distinct partial agg shrinks arrivals to (user, week) rows; B20's board runs once at read
