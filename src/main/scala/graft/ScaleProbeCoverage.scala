@@ -349,6 +349,14 @@ object ScaleProbeCoverage {
         "agg over the same events scan — B37's probed partial-agg shape " +
         "with hard-capped state; the pair algebra rides the " +
         "O(segments·k) sketch board, never the corpus"),
+      "ccf_leadlag" -> (Seq("acf_lags"),
+        "the SAME daily rollup + exact-sum estimator shape; CCF's " +
+        "pair join is date-keyed over the O(series × days) board where " +
+        "ACF's is index-keyed — board-sized either way"),
+      "stream_ccf" -> (Seq("acf_lags", "stream_forecast_snaive"),
+        "the SAME dailyRevenueDrain machine the snaive probe measures " +
+        "(B106's twin rides it too); only the board-sized read tail " +
+        "differs"),
       "ab_ttest" -> (Seq("events_cube"),
         "one (type, arm) partial-agg exchange over the same replicated " +
         "events feed the cube probes with MORE grouping sets; the t/df " +

@@ -1890,6 +1890,101 @@ object OlapC {
        |FROM agg a JOIN stats s ON s.grp = a.grp
        |ORDER BY event_type, lag""".stripMargin
 
+  // --- B134: cross-correlation lead-lag board ---------------------------------
+  /** Lag window for B134 — ±7 days, the weekly horizon B106 probes. */
+  val CcfMaxLag = 7
+
+  /** Cross-correlation lead-lag board — the PAIRWISE complement of
+    * B106's ACF ("does checkout lag browse by two days?"): for every
+    * ORDERED pair of distinct series and every lag k ∈ −L..L, the
+    * Pearson correlation between a(d) and b(d+k) over their CALENDAR
+    * overlap (date arithmetic, not row offsets — B96's
+    * gap-safety discipline), from exact micro-integer sufficient sums
+    * (n, Σx, Σy, Σx², Σy², Σxy as guarded BIGINTs; one IEEE chain at
+    * the end, factor-wise non-positive variance → NULL under the
+    * identical predicate both engines).
+    *
+    * Scale shape: the corpus shrinks to the O(series × days) daily
+    * board once; the lag explode is map-side ×(2L+1); the pair join is
+    * date-keyed; the output is O(series² × lags) — board-sized. */
+  def ccfLeadLagOn(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String, maxLag: Int = CcfMaxLag): DataFrame = {
+    val guarded = Exact.guardedLong("ccf_leadlag") _
+    val daily = events
+      .groupBy(col(typeCol).as("grp"), to_date(col(tsCol)).as("d"))
+      .agg(sum(col(valueCol).cast("decimal(25,6)")).as("_v"))
+      .select(col("grp"), col("d"),
+        Exact.guardedMicro("ccf_leadlag")(floor(col("_v")), "daily total")
+          .as("v"))
+      .localCheckpoint(eager = true) // consumed by both pair sides
+    val aSide = daily
+      .select(col("grp").as("type_a"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("k"),
+        col("d"), col("v").as("x"))
+      .select(col("type_a"), col("k"),
+        expr("date_add(d, k)").as("d"), col("x"))
+    val agg = aSide
+      .join(daily.select(col("grp").as("type_b"), col("d"),
+        col("v").as("y")), Seq("d"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        guarded(sum(col("x")), "sum(x)").as("sx"),
+        guarded(sum(col("y")), "sum(y)").as("sy"),
+        guarded(sum(col("x").cast("decimal(19,0)") * col("x")),
+          "sum(x*x)").as("sx2"),
+        guarded(sum(col("y").cast("decimal(19,0)") * col("y")),
+          "sum(y*y)").as("sy2"),
+        guarded(sum(col("x").cast("decimal(19,0)") * col("y")),
+          "sum(x*y)").as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val nD = d(col("n_days"))
+    val denx = nD * d(col("sx2")) - d(col("sx")) * d(col("sx"))
+    val deny = nD * d(col("sy2")) - d(col("sy")) * d(col("sy"))
+    agg.select(col("type_a"), col("type_b"), col("k").cast("int").as("lag"),
+        col("n_days"),
+        when(denx <= 0.0 || deny <= 0.0, lit(null).cast("double"))
+          .otherwise((nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt(denx * deny))
+          .as("ccf"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  def ccfLeadLag(spark: SparkSession, dir: String): DataFrame =
+    ccfLeadLagOn(Tables(spark, dir).events, "event_type", "ts", "value")
+
+  /** Twin: the same exact sums and the identical Pearson tree. */
+  val ccfLeadLagSql: String = {
+    def dd(s: String) = s"CAST($s AS DOUBLE)"
+    val denx = s"(${dd("n_days")} * ${dd("sx2")} - ${dd("sx")} * ${dd("sx")})"
+    val deny = s"(${dd("n_days")} * ${dd("sy2")} - ${dd("sy")} * ${dd("sy")})"
+    s"""WITH daily AS (
+       |  SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+       |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(25,6))))
+       |      AS DECIMAL(18,0)) AS v
+       |  FROM events GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT a.grp AS type_a, b.grp AS type_b, k.k,
+       |    COUNT(*) AS n_days,
+       |    CAST(SUM(a.v) AS BIGINT) AS sx,
+       |    CAST(SUM(b.v) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(a.v AS DECIMAL(19,0)) * a.v) AS BIGINT) AS sx2,
+       |    CAST(SUM(CAST(b.v AS DECIMAL(19,0)) * b.v) AS BIGINT) AS sy2,
+       |    CAST(SUM(CAST(a.v AS DECIMAL(19,0)) * b.v) AS BIGINT) AS sxy
+       |  FROM daily a
+       |  JOIN range(${-CcfMaxLag}, ${CcfMaxLag + 1}) k(k) ON TRUE
+       |  JOIN daily b ON b.grp <> a.grp
+       |    AND b.d = a.d + CAST(k.k AS INTEGER)
+       |  GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, CAST(k AS INTEGER) AS lag, n_days,
+       |  CASE WHEN $denx <= 0.0 OR $deny <= 0.0 THEN NULL
+       |    ELSE (${dd("n_days")} * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})
+       |      / sqrt($denx * $deny)
+       |  END AS ccf
+       |FROM agg
+       |ORDER BY type_a, type_b, lag""".stripMargin
+  }
+
   // --- B110: centered-MA seasonal detrend ---------------------------------------
   /** Centered moving-average width for B110 (one week, 3 days each side). */
   val DetrendWindow = 7
@@ -2246,6 +2341,7 @@ object OlapC {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "changepoint_cusum" -> (changepointCusum _),
     "acf_lags" -> (acfLags _),
+    "ccf_leadlag" -> (ccfLeadLag _),
     "seasonal_detrend" -> (seasonalDetrend _),
     "top_paths" -> (topPaths _),
     "kcore_parts" -> (kcoreParts _),
@@ -2278,6 +2374,7 @@ object OlapC {
   val oracles: Map[String, String] = Map(
     "changepoint_cusum" -> changepointCusumSql,
     "acf_lags" -> acfLagsSql,
+    "ccf_leadlag" -> ccfLeadLagSql,
     "seasonal_detrend" -> seasonalDetrendSql,
     "top_paths" -> topPathsSql,
     "kcore_parts" -> kcorePartsSql,

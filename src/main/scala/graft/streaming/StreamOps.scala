@@ -1878,6 +1878,35 @@ object StreamOps {
       "event_type", "ts", "value")
       .orderBy(col("event_type"), col("lag"))
 
+  val CcfQueryName = "graft_stream_ccf"
+
+  /** B135: B134's lead-lag board maintained BY the stream — the SAME
+    * day-window eviction machine as B106's ACF twin (state = open days
+    * only; the daily micro totals are the sum-monoid partials), with
+    * the pairwise Pearson board run once at read via the batch key's
+    * own `ccfLeadLagOn` spelling. Drain == batch, SHARES
+    * `ccf_leadlag`'s oracle. */
+  def streamCcf(rootSpark: SparkSession, dir: String): DataFrame = {
+    val spark = streamingSession(rootSpark)
+    val (maxTsUs, _) = eventStats(spark, dir)
+    val sdir = sentinelDir(spark, dir, maxTsUs, DaySentinelOffsetUs)
+    val sschema = spark.read.parquet(sdir).schema
+    val sentinel = spark.readStream.schema(sschema).parquet(sdir)
+      .select(col("ts"), lit("_sentinel").as("event_type"), col("value"))
+    ccfStreamOn(spark, eventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .unionByName(sentinel))
+  }
+
+  private[graft] def ccfStreamOn(spark: SparkSession,
+      ev: DataFrame,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame =
+    graft.operators.OlapC.ccfLeadLagOn(
+      dailyRevenueDrain(spark, ev, CcfQueryName, afterDrain),
+      "event_type", "ts", "value")
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+
   val TopPathsQueryName = "graft_stream_top_paths"
 
   /** Flush bound for B108's short prefixes: 2 days past the corpus max —
@@ -2712,6 +2741,7 @@ object StreamOps {
     "stream_record_linkage" -> (streamRecordLinkage _),
     "stream_sssp" -> (streamSssp _),
     "stream_ab_ttest" -> (streamAbTtest _),
+    "stream_ccf" -> (streamCcf _),
     "stream_triangle" -> (streamTriangle _),
     "stream_winnow" -> (streamWinnow _),
     "stream_retention" -> (streamRetention _),
@@ -2752,6 +2782,7 @@ object StreamOps {
     "stream_record_linkage" -> graft.operators.Linkage.recordLinkageSql,
     "stream_sssp" -> graft.operators.OlapC.ssspCostSql,
     "stream_ab_ttest" -> graft.operators.OlapD.abTtestSql,
+    "stream_ccf" -> graft.operators.OlapC.ccfLeadLagSql,
     "stream_triangle" -> graft.operators.OlapD.triangleCountSql,
     "stream_winnow" -> graft.operators.TextOps.winnowOverlapSql,
     "stream_retention" -> graft.operators.OlapC.retentionSql,

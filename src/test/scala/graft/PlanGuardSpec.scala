@@ -248,6 +248,7 @@ class PlanGuardSpec extends SparkSpec {
     "sssp_cost" -> 1, // B128: the frontier Bellman-Ford loop is checkpoint-truncated (B92's discipline), so the final plan is the kind/entity projection + gate sort over the checkpointed dist (measured 1)
     "communities_lpa" -> 3, // B130: the LPA rounds are checkpoint-truncated; the final plan is the community-size rollup + its label-keyed join back + gate sort (measured 3)
     "ab_ttest" -> 3, // B132: one (type, arm) partial-agg exchange shrinks the corpus to the O(types × 2) statistics; the merge re-agg + gate sort ride the board (measured 3)
+    "ccf_leadlag" -> 3, // B134: the checkpointed daily board feeds a date-keyed pair join + one (a, b, k) partial agg + gate sort; measured 2 with the join broadcast at guard scale, +1 headroom for the sort-merge shape at corpus scale
     "schema_evolution" -> 2, // the two-era write is memoized scratch; the board is one partial-agg rollup over the merged scan + its 2-row gate sort
     "norm_dedup" -> 3, // C1's one-shuffle group-by on the normalized hash + the count-distinct's two-phase partial agg + gate sort
     "quality_ensemble" -> 5, // gate map-side; NB/LM signals broadcast-join + per-doc partial aggs; the vote LEFT-joins three doc-keyed frames (every doc gets a verdict — the co-partition exchange per side is the price of not dropping tokenless docs) + gate sort

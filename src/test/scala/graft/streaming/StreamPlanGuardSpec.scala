@@ -73,6 +73,7 @@ class StreamPlanGuardSpec extends SparkSpec {
     "graft_stream_forecast_snaive" -> 4, // r13 eviction drain: per batch only the FINALIZED day windows append (a filter — no exchange); the season tail runs once at read; ceiling kept at the old measured max
     "graft_stream_changepoint" -> 0, // B105: the SAME dailyRevenueDrain machine (filter-only xform — zero batch-side shuffles); B101's CUSUM tail runs once at read
     "graft_stream_acf" -> 0, // B106: the SAME dailyRevenueDrain machine; B102's estimator runs once at read
+    "graft_stream_ccf" -> 0, // B135: the SAME dailyRevenueDrain machine; B134's pairwise Pearson board runs once at read
     "graft_stream_top_paths" -> 1, // B108: per batch the settled paths shrink to (path, n) partials — one partial-agg exchange; the rank board runs once at read
     "graft_stream_benford" -> 1, // B109: per batch the stateless digit map shrinks to (digit, n) partials — one partial-agg exchange; the χ² board runs once at read
     "graft_stream_nb_score" -> 1, // per-doc token rollup; model broadcast
