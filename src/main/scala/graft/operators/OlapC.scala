@@ -673,17 +673,25 @@ object OlapC {
     while (i < rounds && frontier.limit(1).count() > 0) {
       val relax = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-      val merged = dist.unionAll(relax)
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .groupBy(col("node")).agg(min(col("cost")).as("_new"))
+      // ONE checkpointed frame per round carries the merged dist AND the
+      // changed flag (full-outer min ≡ union + group-min); dist and the
+      // next frontier are projections of it — two jobs per round, not
+      // three (the merged/frontier double-checkpoint measured as the
+      // loop's cost driver)
+      val merged = dist.select(col("node"), col("cost").as("_old"))
+        .join(relax, Seq("node"), "full_outer")
+        .select(col("node"),
+          when(col("_old").isNull, col("_new"))
+            .when(col("_new").isNull, col("_old"))
+            .otherwise(least(col("_old"), col("_new"))).as("cost"),
+          (col("_old").isNull ||
+            (col("_new").isNotNull && col("_new") < col("_old")))
+            .as("_changed"))
         .localCheckpoint(eager = true)
-      frontier = merged
-        .join(dist.select(col("node"), col("cost").as("_old")),
-          Seq("node"), "left")
-        .filter(col("_old").isNull || col("cost") < col("_old"))
+      frontier = merged.filter(col("_changed"))
         .select(col("node"), col("cost"))
-        .localCheckpoint(eager = true)
-      dist = merged
+      dist = merged.select(col("node"), col("cost"))
       i += 1
     }
     dist.select(col("node"),
