@@ -149,12 +149,18 @@ object GraphAnnIndex {
         Ann.graphBucketPairs(rankedNew, candSide), VectorOps.GraphM)
       val oldIn = Ann.graphEdgeCut(
         Ann.graphBucketPairs(storedTouched, rankedNew), VectorOps.GraphM)
-      rankedNew.select(col("_nid").as("vec_id"), col("_e").as("emb"),
-          col("_cent_id").as("cid"), col("_rv").as("rv"))
-        .write.mode("overwrite").parquet(s"$path/post_$tag")
+      // WRITE ORDER IS LOAD-BEARING (session self-review): segment
+      // liveness is keyed on post_<tag>, so edges land FIRST — a crash
+      // between the two writes leaves only a stray edges_<tag> that no
+      // read consults (invisible, replay overwrites it), whereas the
+      // reverse order would leave a LIVE post segment whose missing
+      // edge dir fails every probe until the replay arrives
       newOut.unionByName(oldIn)
         .select(col("src"), col("dst"), col("_s").as("score"))
         .write.mode("overwrite").parquet(s"$path/edges_$tag")
+      rankedNew.select(col("_nid").as("vec_id"), col("_e").as("emb"),
+          col("_cent_id").as("cid"), col("_rv").as("rv"))
+        .write.mode("overwrite").parquet(s"$path/post_$tag")
     }
 
   /** Beam-search the stored graph: C117's fixed-hop search over the
@@ -207,10 +213,12 @@ object GraphAnnIndex {
     IndexScratch.fsMkdirs(inflight)
     Dedup.swapDir(spark, s"$path/edges.vacuum", s"$path/edges")
     Dedup.swapDir(spark, s"$path/post.vacuum", s"$path/post")
-    tags.foreach { t =>
-      IndexScratch.fsDeleteRec(s"$path/post_$t")
-      IndexScratch.fsDeleteRec(s"$path/edges_$t")
-    }
+    // sweep ALL segment dirs, not just live tags: a crashed half-admit
+    // leaves a stray edges_<tag> no read consults — vacuum is where it
+    // gets collected
+    IndexScratch.fsListSubdirs(path)
+      .filter(d => d.startsWith("post_") || d.startsWith("edges_"))
+      .foreach(d => IndexScratch.fsDeleteRec(s"$path/$d"))
     IndexScratch.fsDeleteRec(inflight)
     (before, (Seq(s"$path/post", s"$path/edges"))
       .map(Dedup.parquetFileCount(spark, _)).sum)

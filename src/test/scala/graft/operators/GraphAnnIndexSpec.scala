@@ -78,8 +78,17 @@ class GraphAnnIndexSpec extends SparkSpec {
     // vacuum: fewer-or-equal files, byte-identical probes
     val beforeTwin = strs(res)
     val beforeBack = strs(back)
+    // crash-window invariant: a stray edges segment with no post
+    // sibling (admit writes edges FIRST) is invisible to every read...
+    import spark.implicits._
+    Seq((0L, 1L, 0.5)).toDF("src", "dst", "score")
+      .write.parquet(s"$path/edges_crashed")
+    assert(strs(probeSorted(path, batch)) === beforeTwin,
+      "a half-admitted edges segment must be invisible")
     val (fb, fa) = GraphAnnIndex.vacuum(spark, path)
     assert(fa <= fb)
+    // ...and vacuum collects it
+    assert(!graft.sources.IndexScratch.fsExists(s"$path/edges_crashed"))
     assert(strs(probeSorted(path, batch)) === beforeTwin)
     assert(strs(probeSorted(path,
       base.filter(col("vec_id") % 10 === 0))) === beforeBack)
