@@ -371,6 +371,9 @@ object ScaleProbeCoverage {
         "per batch ONE lineitem⋈static-orders join + the (c,s,ok) " +
         "distinct partial; the weight rollup + relax loop is B128's " +
         "probed at-read plan over the merged links"),
+      "linkage_golden" -> (Seq("record_linkage"),
+        "the same blocking+scoring plan plus two board-sized class " +
+        "rollups (bounded heap + count) re-joined onto the master side"),
       "stream_record_linkage" -> (Seq("record_linkage", "stream_join"),
         "per batch the SAME blocking+scoring joins over a batch-local " +
         "import view against the frozen A side — the batch plan is " +

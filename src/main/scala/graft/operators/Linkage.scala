@@ -182,8 +182,10 @@ object Linkage {
        |    'UNKNOWN' AS seg
        |  FROM customer WHERE c_custkey % 3 = 2)""".stripMargin
 
-  val recordLinkageSql: String =
-    s"""WITH $sidesSql,
+  /** The CTE chain shared by the pair key and the golden-record key
+    * (everything up to the classified pair table `v`). */
+  private val linkageBodySql: String =
+    s"""$sidesSql,
        |cand AS (
        |  SELECT DISTINCT a_id, b_id FROM (
        |    SELECT a.id AS a_id, b.id AS b_id FROM a JOIN b
@@ -209,17 +211,85 @@ object Linkage {
        |     + CASE bal_agr WHEN 1 THEN $WBalAgr ELSE $WBalDis END
        |     + CASE seg_agr WHEN 1 THEN $WSegAgr ELSE $WSegDis END
        |     AS BIGINT) AS score
-       |  FROM scored)
+       |  FROM scored),
+       |v AS (
+       |  SELECT *,
+       |    CASE WHEN score >= $MatchThreshold THEN 'match'
+       |         WHEN score >= $PossibleThreshold THEN 'possible'
+       |         ELSE 'non_match' END AS class
+       |  FROM w)""".stripMargin
+
+  val recordLinkageSql: String =
+    s"""WITH $linkageBodySql
        |SELECT a_id, b_id, name_lvl, nation_agr, bal_agr, seg_agr, score,
-       |  CASE WHEN score >= $MatchThreshold THEN 'match'
-       |       WHEN score >= $PossibleThreshold THEN 'possible'
-       |       ELSE 'non_match' END AS class
-       |FROM w
+       |  class
+       |FROM v
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --- B136: golden-record survivorship over the match graph ---------------
+  /** The step AFTER linkage that a master-data deploy actually ships:
+    * per master (A) record, the surviving GOLDEN row — the best match
+    * (max score, ties to the smaller import id — the bounded-heap
+    * rule), how many imports matched, and how many sit in the clerical
+    * (possible) queue. Masters with no candidates at all still appear
+    * (n_matched = n_possible = 0): the golden table is a TOTAL view of
+    * the master side, not a join artifact. */
+  def linkageGolden(spark: SparkSession, dir: String): DataFrame = {
+    val a = sideA(spark, dir)
+    val pairs = linkagePairsOn(a,
+        importFeedOf(Tables(spark, dir).customer))
+      .localCheckpoint(eager = true) // feeds both class rollups
+    val best = pairs.filter(col("class") === "match")
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        graft.functions.topk.top_k_by_score(
+          col("score").cast("double"), col("b_id"), 1).as("_tk"))
+      .select(col("a_id"), col("n_matched"),
+        col("_tk").getItem(0).getField("id").as("best_b_id"),
+        col("_tk").getItem(0).getField("score").cast("long")
+          .as("best_score"))
+    val poss = pairs.filter(col("class") === "possible")
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_possible"))
+    a.select(col("id").as("a_id"), col("name"), col("nation"),
+        col("cents"), col("seg"))
+      .join(best, Seq("a_id"), "left")
+      .join(poss, Seq("a_id"), "left")
+      .select(col("a_id"), col("name"), col("nation"), col("cents"),
+        col("seg"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_possible"), lit(0L)).as("n_possible"),
+        col("best_b_id"), col("best_score"))
+      .orderBy(col("a_id"))
+  }
+
+  val linkageGoldenSql: String =
+    s"""WITH $linkageBodySql,
+       |best AS (
+       |  SELECT a_id, n_matched, b_id AS best_b_id, score AS best_score
+       |  FROM (
+       |    SELECT a_id, b_id, score,
+       |      COUNT(*) OVER (PARTITION BY a_id) AS n_matched,
+       |      ROW_NUMBER() OVER (PARTITION BY a_id
+       |        ORDER BY score DESC, b_id) AS rn
+       |    FROM v WHERE class = 'match')
+       |  WHERE rn = 1),
+       |poss AS (
+       |  SELECT a_id, COUNT(*) AS n_possible FROM v
+       |  WHERE class = 'possible' GROUP BY a_id)
+       |SELECT a.id AS a_id, a.name, a.nation, a.cents, a.seg,
+       |  COALESCE(best.n_matched, 0) AS n_matched,
+       |  COALESCE(poss.n_possible, 0) AS n_possible,
+       |  best.best_b_id, best.best_score
+       |FROM a
+       |LEFT JOIN best ON best.a_id = a.id
+       |LEFT JOIN poss ON poss.a_id = a.id
+       |ORDER BY a_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "record_linkage" -> (recordLinkage _))
+    "record_linkage" -> (recordLinkage _),
+    "linkage_golden" -> (linkageGolden _))
 
   val oracles: Map[String, String] = Map(
-    "record_linkage" -> recordLinkageSql)
+    "record_linkage" -> recordLinkageSql,
+    "linkage_golden" -> linkageGoldenSql)
 }

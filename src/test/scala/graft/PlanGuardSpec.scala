@@ -245,6 +245,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_graph_topk" -> 2, // C117: the graph build + per-hop frames are eagerly checkpointed (build once, search many), so the final plan is the rank window over the O(q × visited) board + gate sort (measured 2)
     "ann_graph_probe" -> 2, // C117b: same search tail over the stored degree-M view (edge re-cut + per-hop frames checkpointed) — rank window + gate sort
     "record_linkage" -> 2, // B126: both blocking passes and the score re-joins broadcast (import feed ≤ |customer|); the only exchanges are the candidate distinct + gate sort (measured 2)
+    "linkage_golden" -> 4, // B136: the checkpointed pair table feeds two class rollups (match heap + possible count, one exchange each) joined back onto the master side + gate sort
     "sssp_cost" -> 1, // B128: the frontier Bellman-Ford loop is checkpoint-truncated (B92's discipline), so the final plan is the kind/entity projection + gate sort over the checkpointed dist (measured 1)
     "communities_lpa" -> 3, // B130: the LPA rounds are checkpoint-truncated; the final plan is the community-size rollup + its label-keyed join back + gate sort (measured 3)
     "ab_ttest" -> 3, // B132: one (type, arm) partial-agg exchange shrinks the corpus to the O(types × 2) statistics; the merge re-agg + gate sort ride the board (measured 3)

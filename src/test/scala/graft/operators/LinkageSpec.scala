@@ -72,6 +72,26 @@ class LinkageSpec extends SparkSpec with graft.streaming.WaveStaging {
     assert(res.select("class").distinct().count() === 3)
   }
 
+  test("linkage_golden: total over masters; tier routing; best-match " +
+      "provenance (B136)") {
+    val g = Linkage.linkageGolden(spark, sfDir).localCheckpoint(eager = true)
+    val n = graft.sources.Tables(spark, sfDir).customer.count()
+    assert(g.count() === n, "golden is a TOTAL view of the master side")
+    // tier-1 masters: exactly one match, and it is the shifted import id
+    val t1 = g.filter(col("a_id") % 3 === 0 && col("a_id") % 15 =!= 0)
+    assert(t1.filter(col("n_matched") =!= 1L).count() === 0)
+    assert(t1.filter(col("best_b_id") =!= col("a_id") + 1000000L)
+      .count() === 0)
+    // tier-2 masters: no match, exactly one clerical-review candidate
+    val t2 = g.filter(col("a_id") % 15 === 0)
+    assert(t2.filter(col("n_matched") =!= 0L ||
+      col("n_possible") =!= 1L).count() === 0)
+    assert(t2.filter(col("best_b_id").isNotNull).count() === 0)
+    // non-tier masters never match
+    assert(g.filter(col("a_id") % 3 =!= 0)
+      .filter(col("n_matched") =!= 0L).count() === 0)
+  }
+
   test("stream twin: a 3-way wave split of the source drains to the " +
       "exact batch verdicts (zero state — A frozen, B batch-local)") {
     val customers = graft.sources.Tables(spark, sfDir).customer
