@@ -542,24 +542,43 @@ object OlapC {
     * network between nations is near-complete (every hop distribution
     * collapses to 0/1) — customer↔supplier reachability has real
     * frontier expansion and an unreached tail. */
+  /** Broadcast `df` when `nRows` — known EXACTLY by the caller (the
+    * iterative loops count their frontier/node frames every round for
+    * the convergence check anyway) — is small enough that the broadcast
+    * relation is trivially safe; above the bound the planner keeps its
+    * shuffle join. This is the scale-adaptive join-strategy pick the
+    * loop docstrings promise ("frontier is the small side — broadcast
+    * when it fits"): localCheckpoint leaves a LogicalRDD with no size
+    * stats, so the planner NEVER auto-broadcasts a loop frame and every
+    * round paid a two-sided sort-merge join (r16 plan audit). The bound
+    * is rows, not bytes — loop frames are 2-3 longs/row, so the default
+    * 4M-row cap is ≲100 MB framed. Conf: graft.loop.broadcastMaxRows. */
+  private[graft] def maybeBroadcastRows(df: DataFrame, nRows: Long): DataFrame =
+    if (nRows <= df.sparkSession.conf.getOption("graft.loop.broadcastMaxRows")
+        .map(_.toLong).getOrElse(4000000L)) broadcast(df) else df
+
   def bfsHopsOn(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     var dist = edges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("hops"))
       .localCheckpoint(eager = true)
     var i = 0L
-    var frontierNonEmpty = true
-    while (frontierNonEmpty && i < maxHops) {
+    var frontierCnt = 1L
+    while (frontierCnt > 0 && i < maxHops) {
       val frontier = dist.filter(col("hops") === i)
         .select(col("node").as("src"))
-      val reached = frontier.join(edges, "src")
-        .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node"), lit(1).as("_seen")), Seq("node"),
-          "left_anti")
-      dist = dist.unionAll(reached.select(col("node"),
-          lit(i + 1).as("hops")))
+      // r16 round fusion: the reached set merges into dist through ONE
+      // node-keyed min-agg — min(hops) keeps the earlier round for seen
+      // nodes (hops only grow with i) and collapses duplicate arrivals,
+      // replacing the distinct + left_anti + union chain (three
+      // exchanges → one); the frontier broadcasts adaptively (its count
+      // is the loop condition, already paid)
+      dist = dist.unionAll(
+          maybeBroadcastRows(frontier, frontierCnt).join(edges, "src")
+            .select(col("dst").as("node"), lit(i + 1).as("hops")))
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(eager = true)
       i += 1
-      frontierNonEmpty = dist.filter(col("hops") === i).limit(1).count() > 0
+      frontierCnt = dist.filter(col("hops") === i).count()
     }
     dist
   }
@@ -576,10 +595,13 @@ object OlapC {
       .select(col("o_custkey").cast("long").as("c"),
         col("l_suppkey").cast("long").as("s"))
       .distinct()
-    val edges = pairs.select((col("c") * 2).as("src"),
-        (col("s") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("s") * 2 + 1).as("src"),
-        (col("c") * 2).as("dst")))
+    // r16: symmetrize via ONE explode pass — the unionAll spelling
+    // recomputed the distinct-pair subtree per branch (guide §7.2)
+    val edges = pairs.select(explode(array(
+        struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
       .localCheckpoint(eager = true)
     bfsHopsOn(edges, source = 2L, maxHops = BfsMaxHops)
       .select(col("node"),
@@ -657,30 +679,46 @@ object OlapC {
     * rounds), not O(edges × rounds). */
   def ssspBoardOn(partials: DataFrame, source: Long,
       rounds: Int): DataFrame = {
-    val wp = partials.distinct()
+    // r16: one (c,s)-keyed exchange serves BOTH the link dedup and the
+    // weight rollup (hash(c,s) clusters (c,s,ok) for the distinct and
+    // the groupBy reuses the partitioning) — the bare distinct() +
+    // groupBy pair exchanged twice
+    val wp = partials.repartition(col("c"), col("s")).distinct()
       .groupBy(col("c"), col("s")).agg(count(lit(1)).as("n"))
       .select(col("c"), col("s"), expr("(999 + n) DIV n").as("w"))
-    val edges = wp.select((col("c") * 2).as("src"),
-        (col("s") * 2 + 1).as("dst"), col("w"))
-      .unionAll(wp.select((col("s") * 2 + 1).as("src"),
-        (col("c") * 2).as("dst"), col("w")))
+    // r16: symmetrize via ONE explode pass — the unionAll spelling
+    // recomputed the wp rollup per branch (guide §7.2)
+    val edges = wp.select(explode(array(
+        struct((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst")),
+        struct((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))))
+        .as("e"), col("w"))
+      .select(col("e.src"), col("e.dst"), col("w"))
       .localCheckpoint(eager = true)
     var dist = edges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("cost"))
       .localCheckpoint(eager = true)
     var frontier = dist
+    var frontierCnt = 1L
     var i = 0
-    while (i < rounds && frontier.limit(1).count() > 0) {
-      val relax = frontier.join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-        .groupBy(col("node")).agg(min(col("cost")).as("_new"))
-      // ONE checkpointed frame per round carries the merged dist AND the
-      // changed flag (full-outer min ≡ union + group-min); dist and the
-      // next frontier are projections of it — two jobs per round, not
-      // three (the merged/frontier double-checkpoint measured as the
-      // loop's cost driver)
-      val merged = dist.select(col("node"), col("cost").as("_old"))
-        .join(relax, Seq("node"), "full_outer")
+    while (i < rounds && frontierCnt > 0) {
+      // r16 round fusion (tightens the r15 two-job fusion further): the
+      // relax pre-agg and the full-outer merge collapse into ONE
+      // node-keyed aggregate over dist ∪ raw-relaxed rows — _old is
+      // dist's unique per-node cost, _newc the best candidate; one
+      // exchange per round instead of the agg + full-outer pair, and
+      // the full-outer's partitioning-erasing join is gone. The
+      // frontier broadcasts adaptively (its count is the loop
+      // condition, already paid each round).
+      val fb = maybeBroadcastRows(frontier, frontierCnt)
+      val relaxRaw = fb.join(edges, fb("node") === edges("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("_cand"),
+          lit(true).as("_isnew"))
+      val merged = dist
+        .select(col("node"), col("cost").as("_cand"), lit(false).as("_isnew"))
+        .unionAll(relaxRaw)
+        .groupBy(col("node"))
+        .agg(min(when(!col("_isnew"), col("_cand"))).as("_old"),
+          min(when(col("_isnew"), col("_cand"))).as("_new"))
         .select(col("node"),
           when(col("_old").isNull, col("_new"))
             .when(col("_new").isNull, col("_old"))
@@ -692,6 +730,7 @@ object OlapC {
       frontier = merged.filter(col("_changed"))
         .select(col("node"), col("cost"))
       dist = merged.select(col("node"), col("cost"))
+      frontierCnt = merged.filter(col("_changed")).count()
       i += 1
     }
     dist.select(col("node"),
@@ -2165,9 +2204,16 @@ object OlapC {
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
+      // r16: the surviving node set (n rows, known exactly — the loop
+      // counts it every round) broadcasts adaptively into BOTH
+      // endpoint semi-filters, so a peel round is one scan of the
+      // checkpointed edges + a single src-keyed agg exchange instead
+      // of two two-sided sort-merge joins (localCheckpoint frames have
+      // no stats, so the planner never picked broadcast by itself)
+      val ns = maybeBroadcastRows(nodes, n)
       val nxt = edges
-        .join(nodes.select(col("node").as("src")), "src")
-        .join(nodes.select(col("node").as("dst")), "dst")
+        .join(ns.select(col("node").as("src")), "src")
+        .join(ns.select(col("node").as("dst")), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
         .select(col("src").as("node"), col("core_deg"))
@@ -2198,16 +2244,21 @@ object OlapC {
   private[graft] def kcoreEdgesOn(items: DataFrame, basketCol: String,
       itemCol: String, support: Int,
       maxItemsPerBasket: Option[Int] = None): DataFrame = {
-    val b0 = items.select(col(basketCol).as("_b"),
-      col(itemCol).cast("long").as("_i")).distinct()
-    val b = maxItemsPerBasket.fold(b0)(OlapD.capBasketItems(b0, _))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
-      .groupBy(col("x._i").as("u"), col("y._i").as("v"))
+    // r16: pairs expand map-side from the sorted distinct item array
+    // (OlapD.basketsGrouped — one basket-key exchange instead of the
+    // distinct + self-join's three), and the symmetrize is ONE explode
+    // pass (the unionAll spelling recomputed the whole pair subtree per
+    // branch — guide §7.2 "duplicated subtrees")
+    val pairs = OlapD.basketsGrouped(items, basketCol, itemCol,
+        maxItemsPerBasket)
+      .select(explode(OlapD.basketPairExpansion).as("p"))
+      .groupBy(col("p.item_a").as("u"), col("p.item_b").as("v"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= support)
-    pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    pairs.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
   }
 
   /** Driver query: the co-purchase graph from lineitem,
@@ -2284,23 +2335,43 @@ object OlapC {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(eager = true)
+    // r16 round fusion (the r15 SSSP discipline applied to LPA, verdict
+    // next-round #3). The label-frame cardinality is FIXED across rounds
+    // (one row per node), so ONE count up front decides the per-round
+    // join strategy: small → broadcast the label side (zero-exchange
+    // join; the planner never picks this itself — localCheckpoint frames
+    // carry no stats and every round paid a two-sided sort-merge join,
+    // r16 plan audit); large → hash-partition + sort the edge list by
+    // dst ONCE outside the loop (localCheckpoint preserves partitioning
+    // AND ordering), so each round shuffles only the label side.
+    val nNodes = labels.count()
+    val bcast = nNodes <= labels.sparkSession.conf
+      .getOption("graft.loop.broadcastMaxRows").map(_.toLong)
+      .getOrElse(4000000L)
+    val e =
+      if (bcast) edges
+      else edges.repartition(col("dst")).sortWithinPartitions(col("dst"))
+        .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
-      labels = edges
-        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("_cnt"))
+      val lab = maybeBroadcastRows(
+        labels.select(col("node").as("dst"), col("lbl")), nNodes)
+      labels = e.join(lab, "dst")
+        // mode(lbl, deterministic = true): the most frequent neighbor
+        // label, ties to the LOWEST value — exactly the (count desc,
+        // lbl asc) rule the (src,lbl)-count + per-src top-1 heap pair
+        // spelled before, in ONE src-keyed exchange (the partial-agg
+        // buffer is the per-src label→count map) instead of two
         .groupBy(col("src"))
-        // counts are < 2^53 — the double image ranks exactly
-        .agg(graft.functions.topk.top_k_by_score(
-          col("_cnt").cast("double"), col("lbl"), 1).as("_tk"))
-        .select(col("src").as("node"),
-          col("_tk").getItem(0).getField("id").as("lbl"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
         .localCheckpoint(eager = true)
     }
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "lbl")
-      .select(col("node").as("part_id"), col("lbl").as("community"),
-        col("community_size"))
+    // community_size as a window over the final labels — same result as
+    // the groupBy + join back, one lbl-keyed exchange instead of two + a
+    // join (and the same spelling as the oracle's COUNT(*) OVER)
+    labels.select(col("node").as("part_id"), col("lbl").as("community"),
+        count(lit(1)).over(Window.partitionBy(col("lbl")))
+          .as("community_size"))
       .orderBy(col("part_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1318,6 +1318,39 @@ object OlapD {
       .select(col("_b"), col("_i"))
   }
 
+  /** Within-basket ordered-pair expansion over a SORTED distinct item
+    * array `items` — pure map-side (codegen higher-order functions), no
+    * self-join: element i pairs with every later element, so
+    * item_a < item_b holds by the sort. ONE spelling for the batch pair
+    * boards (B91's lift, B104's co-purchase edges) and the streaming
+    * settled-basket partials (B94) — the r16 optimization round unified
+    * them (the batch keys previously ran a per-basket self-join that
+    * shuffled the distinct frame twice and recomputed its subtree per
+    * union branch). */
+  private[graft] val basketPairExpansion: Column = expr(
+    """flatten(transform(items, (x, i) ->
+      |  transform(slice(items, i + 2, size(items) - i - 1),
+      |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)
+
+  /** (_b, items) grouped-basket frame: per basket the SORTED DISTINCT
+    * item array (collect_set dedupes, sort_array pins the expansion
+    * order) — ONE basket-key exchange with map-side partial sets,
+    * replacing the separate distinct + per-basket self-join (two more
+    * basket-key shuffles of the same rows, r16 guide §2.3/§2.4). The
+    * optional top-K-by-global-frequency cap still runs BEFORE grouping,
+    * on the distinct incidence rows, so the |basket|² expansion stays
+    * bounded exactly as before; a giant uncapped basket is now one wide
+    * row instead of one hot join key — both are the cap's job, not the
+    * planner's. */
+  private[graft] def basketsGrouped(baskets: DataFrame, basketCol: String,
+      itemCol: String, maxItemsPerBasket: Option[Int]): DataFrame = {
+    val raw = baskets.select(col(basketCol).as("_b"),
+      col(itemCol).cast("long").as("_i"))
+    val b = maxItemsPerBasket.fold(raw)(k => capBasketItems(raw.distinct(), k))
+    b.groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("items"))
+  }
+
   /** Pairs below this basket co-occurrence count are noise, not signal —
     * and the cut keeps the pair table O(frequent pairs), the Apriori
     * support-threshold discipline. */
@@ -1348,15 +1381,18 @@ object OlapD {
     * broadcast. Default cap None = gate-exact. */
   def basketPairsOn(baskets: DataFrame, basketCol: String,
       itemCol: String, maxItemsPerBasket: Option[Int] = None): DataFrame = {
-    val b0 = baskets.select(col(basketCol).as("_b"),
-      col(itemCol).cast("long").as("_i")).distinct()
-    val b = maxItemsPerBasket.fold(b0)(capBasketItems(b0, _))
-    val nB = b.select(col("_b")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCnt = b.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x._b") === col("y._b") && col("x._i") < col("y._i"))
-      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+    // ONE checkpointed grouped frame feeds all three boards — the
+    // previous spelling recomputed the distinct subtree once per
+    // consumer (nB, itemCnt, and BOTH self-join branches: four scans +
+    // four basket-key shuffles in one plan, r16 guide §7.2 "duplicated
+    // subtrees"); pairs now expand map-side from the sorted item array
+    val g = basketsGrouped(baskets, basketCol, itemCol, maxItemsPerBasket)
+      .localCheckpoint(eager = true)
+    val nB = g.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = g.select(explode(col("items")).as("_i"))
+      .groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    val pairs = g.select(explode(basketPairExpansion).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("pair_count"))
     basketLiftTailOn(pairs, itemCnt, nB)
   }

@@ -1255,13 +1255,12 @@ object StreamOps {
   }
 
   /** Within-basket pair expansion over a SORTED distinct item array —
-    * pure map-side (codegen higher-order functions), no join: element i
-    * pairs with every later element, so (item_a < item_b) holds by the
-    * sort. Shared by the per-batch partial boards and their specs. */
-  private[streaming] val basketPairExpansion: Column = expr(
-    """flatten(transform(items, (x, i) ->
-      |  transform(slice(items, i + 2, size(items) - i - 1),
-      |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)
+    * ONE spelling with the batch pair boards (r16 moved the canonical
+    * definition to [[graft.operators.OlapD.basketPairExpansion]], which
+    * the batch keys now use too; this alias keeps the streaming
+    * call sites and specs unchanged). */
+  private[streaming] val basketPairExpansion: Column =
+    graft.operators.OlapD.basketPairExpansion
 
   /** The B94 machine over ANY (l_orderkey, l_partkey, ts)-shaped stream
     * whose feed ends with a far-future sentinel (bk < 0) — split out so
@@ -1371,8 +1370,12 @@ object StreamOps {
     val pairs = partials.groupBy(col("u"), col("v"))
       .agg(sum(col("cnt")).as("supp"))
       .filter(col("supp") >= OlapC.KcoreSupport)
-    pairs.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+    // r16: symmetrize via ONE explode pass — the unionAll spelling
+    // recomputed the support rollup per branch (guide §7.2)
+    pairs.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .localCheckpoint(eager = true)
   }
 
@@ -2543,10 +2546,17 @@ object StreamOps {
               // the sink write EXECUTES the probe against the
               // pre-admission index state; only then does this batch
               // append itself
+              // r15 ADVICE: per-bid subdir + mode=overwrite makes the
+              // probe write idempotent — a crash AFTER this write but
+              // BEFORE the admit marker re-runs the batch, and an
+              // append-mode sink would have kept the first run's rows
+              // alongside the replay's (duplicate probe rows for the
+              // bid); the overwrite replaces them instead
               graft.operators.GraphAnnIndex.probe(mb.sparkSession,
                   indexPath, mb.toDF(), "vec_id", "emb", k = k)
                 .withColumn("bid", lit(bid))
-                .write.mode("append").parquet(sink.getAbsolutePath)
+                .write.mode("overwrite")
+                .parquet(s"${sink.getAbsolutePath}/b$bid")
               graft.operators.GraphAnnIndex.admit(mb.sparkSession,
                 indexPath, s"batch$bid", mb.toDF(), "vec_id", "emb")
             }
@@ -2555,7 +2565,8 @@ object StreamOps {
             ()
         }.start()
       q.awaitTermination()
-      spark.read.parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink.getAbsolutePath).localCheckpoint(eager = true)
         .orderBy(col("bid"), col("query_id"), col("rank"))
     } finally graft.sources.IndexScratch.deleteRec(sink)
   }
