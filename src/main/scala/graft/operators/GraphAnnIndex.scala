@@ -132,6 +132,16 @@ object GraphAnnIndex {
       require(dup.isEmpty, s"graph admit '$tag' into $path: batch " +
         "carries vec ids already indexed — the probe would score " +
         "duplicate vertices; vacuum/rebuild or re-key the batch")
+      // r15 ADVICE: the stored-segment guard above cannot see duplicate
+      // ids WITHIN the batch itself — those would give one vertex two
+      // embeddings and duplicate probe score rows just the same, so
+      // refuse them with the same loudness (one 2-column aggregate over
+      // the batch; the admit path is not hot)
+      val batchDup = batch.groupBy(col(idCol).cast("long").as("vec_id"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      require(batchDup.isEmpty, s"graph admit '$tag' into $path: batch " +
+        "carries DUPLICATE vec ids within itself — one vertex would get " +
+        "two embeddings; de-duplicate the batch before admission")
       val cents = spark.read.parquet(s"$path/cents")
         .select(col("cent_id").as("_cent_id"), col("cent").as("_cent"))
       val rankedNew = Ann.graphPost(cents, batch, idCol, embCol)
@@ -181,7 +191,7 @@ object GraphAnnIndex {
       .select(col("vec_id"), col("emb"))
     // the re-cut view is referenced once per hop — materialize it once
     val ev = edgesView(spark, path).localCheckpoint(eager = true)
-    Ann.graphTopK(Ann.GraphIndex(cents, ev, medoids),
+    Ann.graphTopK(Ann.GraphIndex(cents, ev, medoids, VectorOps.GraphM),
       vectors, queries, idCol, embCol, k, beam, hops, entries)
   }
 

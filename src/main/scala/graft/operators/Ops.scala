@@ -934,15 +934,23 @@ object Ann {
       nLists: Int): DataFrame = {
     val hashed = corpus.select(col(idCol).as("_sid"), col(embCol).as("_semb"),
       md5(col(idCol).cast("string")).as("_h"))
-    var cents = hashed.orderBy(col("_h")).limit(nLists)
+    // r16: each round's centroid set materializes as a DRIVER-LOCAL
+    // relation (bounded collect — ≤ nLists codebook rows, the same
+    // discipline as the PQ codebook literals): scoring against it is a
+    // pure map-side expression (see rankAgainstCodebook), so a Lloyd
+    // round is ONE job over the checkpointed bounded sample with zero
+    // broadcast builds, and every downstream consumer (posting passes,
+    // probe routing) inlines the codebook for free instead of paying a
+    // broadcast-build job per use of a checkpointed frame.
+    var cents = localizeCodebook(hashed.orderBy(col("_h")).limit(nLists)
       .select(col("_sid").as("_cent_id"),
         expr("transform(_semb, x -> CAST(floor(x * 1000000.0) AS BIGINT))")
-          .as("_cent"))
+          .as("_cent")))
     val sample = hashed.orderBy(col("_h")).limit(nLists * LloydSampleFactor)
       .select(col("_sid"), col("_semb")).localCheckpoint(eager = true)
     for (_ <- 1 to LloydIters) {
       val assigned = nearestLists(cents, sample, "_sid", "_semb", keep = 1)
-      cents = assigned.select(col("_cent_id"), posexplode(
+      cents = localizeCodebook(assigned.select(col("_cent_id"), posexplode(
           expr("transform(_semb, x -> CAST(floor(x * 1000000.0) AS BIGINT))")))
         .groupBy(col("_cent_id"), col("pos"))
         // floor-mean on the grid: |Σ| <= sample · 1e6 — double-exact
@@ -951,26 +959,54 @@ object Ann {
         .groupBy(col("_cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
         .select(col("_cent_id"),
-          expr("transform(_pm, p -> p._m)").as("_cent"))
-        .localCheckpoint(eager = true)
+          expr("transform(_pm, p -> p._m)").as("_cent")))
     }
     cents
   }
 
-  /** For each row, its `keep` nearest centroids (centroid set broadcast;
-    * `_cent` is the 1e-6 integer grid, scored by the pre-quantized
-    * cosine kernel). */
-  private def nearestLists(cents: DataFrame, df: DataFrame, id: String,
-      emb: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("_sim").desc, col("_cent_id"))
-    df.crossJoin(broadcast(cents))
-      .select(col(id), col(emb),
-        col("_cent_id"), quantized_cosine_preq(col(emb), col("_cent")).as("_sim"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= keep)
-      .drop("_sim", "_rn")
+  /** Re-pin a (_cent_id, _cent) centroid frame as a driver-local
+    * relation. The collect is BOUNDED (≤ nLists rows — a codebook, like
+    * the PQ flat-book literals); a LocalRelation's broadcast builds on
+    * the driver thread with no Spark job, where the previous
+    * checkpointed frame cost one job per materialization plus one
+    * broadcast-build job per consumer. */
+  private def localizeCodebook(cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    spark.createDataFrame(cents.collectAsList(), cents.schema)
   }
+
+  /** Score `df` against a LOCAL centroid codebook entirely MAP-SIDE and
+    * keep each row's `keep` nearest lists: the codebook inlines as an
+    * array literal, each row ranks its own scores inside one expression
+    * (sort by (−sim, cent_id) ≡ the sim-desc/id-asc window rule), and
+    * the per-row top slice explodes to (id, emb, _cent_id, _sim, _rv)
+    * rows. Replaces the crossJoin(broadcast) + row_number spelling,
+    * which shuffled corpus × nLists scored rows through a window
+    * exchange — at 100 TB that was the posting pass's whole shuffle;
+    * now the pass shuffles NOTHING (r16, guide §2.3/§2.4). Bit-exact:
+    * the same quantized-cosine kernel scores the same integer-grid
+    * centroids; double negation is sign-flip-exact, so the sort order
+    * equals the window's (sim desc, cent_id asc) including ties. */
+  private def rankAgainstCodebook(cents: DataFrame, df: DataFrame,
+      id: String, emb: String, keep: Int): DataFrame = {
+    val entries: Seq[(Long, Seq[Long])] = cents.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val scored = transform(typedLit(entries), c => struct(
+      (-quantized_cosine_preq(col(emb), c.getField("_2"))).as("_nsim"),
+      c.getField("_1").as("_cent_id")))
+    df.select(col(id), col(emb),
+        posexplode(slice(array_sort(scored), 1, keep)))
+      .select(col(id), col(emb), col("col._cent_id").as("_cent_id"),
+        (-col("col._nsim")).as("_sim"), (col("pos") + 1).as("_rv"))
+  }
+
+  /** For each row, its `keep` nearest centroids (map-side codebook
+    * ranking — see [[rankAgainstCodebook]]; `_cent` is the 1e-6 integer
+    * grid, scored by the pre-quantized cosine kernel). `cents` may be a
+    * stored-index frame (a bounded read re-pins it locally). */
+  private def nearestLists(cents: DataFrame, df: DataFrame, id: String,
+      emb: String, keep: Int): DataFrame =
+    rankAgainstCodebook(cents, df, id, emb, keep).drop("_sim", "_rv")
 
   private def probeAndRank(assigned: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
@@ -1054,7 +1090,7 @@ object Ann {
     * list (the list's MEDOID — the member nearest its own centroid).
     * All three frames are eagerly checkpointed: build once, search many. */
   final case class GraphIndex(cents: DataFrame, edges: DataFrame,
-      medoids: DataFrame)
+      medoids: DataFrame, m: Int)
 
   /** Deterministic kNN-graph construction — the bucketed candidate
     * generation every scalable graph-ANN build uses (NN-Descent's init,
@@ -1081,13 +1117,12 @@ object Ann {
     * cannot fork). */
   private[operators] def graphPost(cents: DataFrame, df: DataFrame,
       idCol: String, embCol: String): DataFrame =
-    df.select(col(idCol).as("_nid"), col(embCol).as("_e"))
-      .crossJoin(broadcast(cents))
-      .select(col("_nid"), col("_e"), col("_cent_id"),
-        quantized_cosine_preq(col("_e"), col("_cent")).as("_sim"))
-      .withColumn("_rv", row_number().over(Window.partitionBy(col("_nid"))
-        .orderBy(col("_sim").desc, col("_cent_id"))))
-      .filter(col("_rv") <= GraphReplicas)
+    // r16: map-side codebook ranking — the crossJoin + per-_nid window
+    // shuffled corpus × nLists scored rows; the posting pass now
+    // shuffles nothing (see rankAgainstCodebook)
+    rankAgainstCodebook(cents,
+        df.select(col(idCol).as("_nid"), col(embCol).as("_e")),
+        "_nid", "_e", GraphReplicas)
 
   /** Per-list MEDOIDS (entry points) of a ranked posting frame. */
   private[operators] def graphMedoids(ranked: DataFrame): DataFrame =
@@ -1119,18 +1154,33 @@ object Ann {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         quantized_cosine(col("_ea"), col("_eb")).as("_s"))
+      // r16: ONE src-keyed exchange serves the dedup AND every
+      // consumer's per-src edge cut (hash(src) clusters (src,dst,_s)
+      // for the distinct, and graphEdgeCut's groupBy(src) reuses the
+      // partitioning) — the bare distinct() exchanged on all three
+      // columns and the cut re-exchanged on src
+      .repartition(col("src"))
       .distinct()
 
   def graphBuild(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, nLists: Int): GraphIndex = {
     val cents = centroids(corpus, idCol, embCol, nLists)
+    // r16: the posting frame checkpoints PARTITIONED BY LIST
+    // (localCheckpoint preserves partitioning), so the per-bucket pair
+    // self-join and the medoid rollup both read it exchange-free — the
+    // map-side posting pass (rankAgainstCodebook) made this the frame's
+    // only exchange
     val ranked = graphPost(cents, corpus, idCol, embCol)
+      .repartition(col("_cent_id"))
       .localCheckpoint(eager = true)
-    val medoids = graphMedoids(ranked).localCheckpoint(eager = true)
+    // cents is already a driver-local relation (free to reuse) and
+    // medoids is a tiny one-consumer derivation of the checkpointed
+    // ranked frame — their eager checkpoints were two pure-overhead jobs
+    val medoids = graphMedoids(ranked)
     val edges = graphEdgeCut(graphBucketPairs(ranked, ranked), m)
       .drop("_s")
       .localCheckpoint(eager = true)
-    GraphIndex(cents.localCheckpoint(eager = true), edges, medoids)
+    GraphIndex(cents, edges, medoids, m)
   }
 
   /** [[graphBuild]] with the score column kept and nothing checkpointed —
@@ -1141,7 +1191,9 @@ object Ann {
       embCol: String, m: Int, nLists: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = centroids(corpus, idCol, embCol, nLists)
+    // r16: list-partitioned checkpoint — same reasoning as graphBuild
     val ranked = graphPost(cents, corpus, idCol, embCol)
+      .repartition(col("_cent_id"))
       .localCheckpoint(eager = true)
     (cents, ranked, graphMedoids(ranked),
       graphEdgeCut(graphBucketPairs(ranked, ranked), m))
@@ -1165,30 +1217,46 @@ object Ann {
       idCol: String, embCol: String, k: Int, beam: Int, hops: Int,
       entries: Int): DataFrame = {
     val qf = queries.select(col(idCol).as("query_id"), col(embCol).as("_q"))
+      .localCheckpoint(eager = true)
+    // r16: the query batch pins once (it was re-scanned per broadcast per
+    // hop) and its count prices the adaptive broadcast hints below — the
+    // frontier (≤ nq×beam), candidates (≤ nq×beam×m) and visited set
+    // (≤ nq×(1+hops×beam×m)) are all query-batch-bounded by construction
+    // (the docstring's scale shape), but live behind stat-less
+    // checkpoint/union plans the planner will never broadcast by itself:
+    // every hop paid two-sided sort-merge joins on frames of a few
+    // hundred rows (r16 plan audit).
+    val nq = qf.count()
     val probes = nearestLists(idx.cents, qf, "query_id", "_q", keep = entries)
     val f0 = probes.join(idx.medoids, "_cent_id")
       .select(col("query_id"), col("_entry").as("node")).distinct()
     val corpusV = corpus.select(col(idCol).as("node"), col(embCol).as("_e"))
-    def score(cand: DataFrame) = cand.join(corpusV, "node")
-      .join(broadcast(qf), "query_id")
-      .select(col("query_id"), col("node"),
-        quantized_cosine(col("_e"), col("_q")).as("score"))
+    def score(cand: DataFrame, candRows: Long) =
+      graft.operators.OlapC.maybeBroadcastRows(cand, candRows)
+        .join(corpusV, "node")
+        .join(broadcast(qf), "query_id")
+        .select(col("query_id"), col("node"),
+          quantized_cosine(col("_e"), col("_q")).as("score"))
     val beamW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
     // visited = the UNION of per-hop checkpointed frames: each hop's new
     // nodes materialize exactly once, and the union plan is N tiny
     // cached scans — no re-checkpoint of the accumulated set per hop
-    var fresh = score(f0).localCheckpoint(eager = true)
+    var fresh = score(f0, nq * entries).localCheckpoint(eager = true)
     var visited = fresh
+    var visitedRows = nq * entries
     for (_ <- 1 to hops) {
       val frontier = fresh.withColumn("_rn", row_number().over(beamW))
         .filter(col("_rn") <= beam).select(col("query_id"), col("node"))
-      val cand = frontier.join(idx.edges,
-          frontier("node") === idx.edges("src"))
+      val fb = graft.operators.OlapC.maybeBroadcastRows(frontier, nq * beam)
+      val cand = fb.join(idx.edges, fb("node") === idx.edges("src"))
         .select(col("query_id"), col("dst").as("node")).distinct()
-        .join(visited, Seq("query_id", "node"), "left_anti")
-      fresh = score(cand).localCheckpoint(eager = true)
+        .join(graft.operators.OlapC.maybeBroadcastRows(visited, visitedRows),
+          Seq("query_id", "node"), "left_anti")
+      val candBound = nq * beam * idx.m
+      fresh = score(cand, candBound).localCheckpoint(eager = true)
       visited = visited.unionAll(fresh)
+      visitedRows += candBound
     }
     visited.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(beamW).cast("int"))
@@ -1448,8 +1516,9 @@ object Ann {
       dim: Int, nLists: Int, path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // r16: centroids() now returns a driver-local relation — the eager
+    // checkpoint here was a pure-overhead job
     val cents = centroids(corpus, idCol, embCol, nLists)
-      .localCheckpoint(eager = true)
     cents.select(col("_cent_id").as("cent_id"), col("_cent").as("cent"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = ivfPqAssign(cents, corpus, idCol, embCol)
@@ -1802,6 +1871,14 @@ object Cluster {
     var labels = e.select(col("_src").as("_id"))
       .distinct().withColumn("_lab", col("_id"))
       .localCheckpoint(eager = true)
+    // r16: the label-frame cardinality is FIXED across rounds (one row
+    // per edge-touching node) — one count up front prices the adaptive
+    // broadcast of the label side in every round's joins (checkpointed
+    // frames carry no stats, so the planner paid two-sided sort-merge
+    // joins on the near-dup graph's few-hundred-row frames)
+    val nNodes = labels.count()
+    def lb(df: DataFrame): DataFrame =
+      graft.operators.OlapC.maybeBroadcastRows(df, nNodes)
     // labels only ever DECREASE, so the label sum strictly decreases while
     // anything changes — one scalar aggregate per round detects the
     // fixpoint, no per-round join against the previous labels. decimal(38)
@@ -1815,7 +1892,7 @@ object Cluster {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaEdges = e.join(labels, e("_src") === labels("_id"))
+      val viaEdges = e.join(lb(labels), e("_src") === labels("_id"))
         .select(col("_dst").as("_id"), col("_lab"))
       // pointer doubling (adopt the label of my label) engages only after
       // the first rounds: shallow near-dup graphs converge by then and
@@ -1824,7 +1901,7 @@ object Cluster {
       val propagated =
         if (iter < 3) withNeighbors
         else withNeighbors.unionByName(labels.as("a")
-          .join(labels.as("b"), col("a._lab") === col("b._id"))
+          .join(lb(labels.as("b")), col("a._lab") === col("b._id"))
           .select(col("a._id").as("_id"), col("b._lab").as("_lab")))
       labels = propagated
         .groupBy(col("_id")).agg(min(col("_lab")).as("_lab"))
