@@ -28,6 +28,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // ObjectHashAggregate (collect_set/collect_list and every graft
+      // bounded-heap aggregate: top_k_by_score, heavy hitters, medoids)
+      // falls back to SORT-BASED aggregation after this many in-memory
+      // keys per task — the Spark default of 128 silently turned almost
+      // every heap aggregate in the engine into a full sort of its
+      // input (r16 measurement). 1M keys × small buffers is well under
+      // a task's execution memory at the 128 MB–1 GB partition sizes
+      // this engine targets; deploys with huge per-task group counts
+      // can lower it back via --conf.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       // bucketed-table metadata (Sinks.writeBucketed) lives in the local
       // warehouse; on a cluster this is the shared metastore
       .config("spark.sql.warehouse.dir",
