@@ -277,8 +277,16 @@ object ScaleProbe {
     // so pass 2's Σ|A_block|·|B_block| stays bounded; the fixed 1e5 band
     // would square the per-block work at 24× replication
     time("record_linkage") {
+      // r15 ADVICE: replicate() shifts ids but left c_name identical
+      // across replicas, so the pass-1 name block was reps×reps per
+      // original key — quadratic in reps, contradicting the bounded-
+      // blocking claim this probe exists to measure. Salt the name per
+      // replica (replica index recovered from the shifted id) so name
+      // blocks stay one-per-side, like a real grown corpus's names.
       val cust = replicate(
-        spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+          spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+        .withColumn("c_name", concat(col("c_name"), lit("#"),
+          expr(s"CAST(c_custkey DIV ${IdShift}L AS STRING)")))
       Linkage.linkagePairsOn(Linkage.sideAOf(cust),
         Linkage.importFeedOf(cust), bandWidth = 100000L / reps).count()
     }
