@@ -27,18 +27,24 @@ object IndexScratch {
 
   /** Metadata fingerprint of the source data: (relative path, length,
     * mtime) of every file under `dir`, sorted — changes when any data file
-    * is added, removed, resized, or rewritten. */
+    * is added, removed, resized, or rewritten. Walks through the Hadoop
+    * FS abstraction (r15 verdict #4: the previous `java.io.File` walk was
+    * the last lifecycle entry point that threw on an object-store data
+    * dir); on a local path the (rel, length, mtime) triples — and hence
+    * the derived scratch paths — are identical to the old walk. */
   def fingerprint(dir: String): String = {
-    val root = new java.io.File(dir)
-    require(root.exists(), s"data dir does not exist: $dir")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-          .sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    md5hex(walk(root).map { f =>
-      val rel = f.getAbsolutePath.stripPrefix(root.getAbsolutePath)
-      s"$rel:${f.length}:${f.lastModified}"
+    val (fs, root) = fsFor(dir)
+    require(fs.exists(root), s"data dir does not exist: $dir")
+    val rootPath = fs.getFileStatus(root).getPath.toUri.getPath
+    def walk(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .sortBy(_.getPath.getName).flatMap(walk)
+      else Seq(st)
+    md5hex(walk(fs.getFileStatus(root)).map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+      s"$rel:${st.getLen}:${st.getModificationTime}"
     }.mkString("\n"))
   }
 
