@@ -60,6 +60,38 @@ object DevProbe {
           val out = time(s"lpaOn rounds #$i")(OlapC.lpaOn(edges, OlapC.LpaRounds))
           drain(s"lpa final segment drain #$i", out)
         }
+      case "baskets" =>
+        val ss = graft.streaming.StreamOps.streamingSession(spark)
+        for (i <- 1 to 3) {
+          // full key (drain happens inside the builder)
+          val t0 = System.nanoTime()
+          val out = SparkEntry.queries("stream_basket_pairs")(spark, sfDir)
+          println(f"[devprobe] stream_basket_pairs build+drain #$i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+          drain(s"stream_basket_pairs read tail #$i", out)
+          // machine alone: settled baskets drained with a pass-through
+          // xform (no pair expansion, no lift tail)
+          val t1 = System.nanoTime()
+          val li = ss.read.option("pathGlobFilter", "lineitem.parquet")
+            .parquet(sfDir)
+          val maxTsUs = li.agg(max(unix_micros(col("l_shipdate")))).head().getLong(0)
+          val raw = ss.readStream.schema(li.schema)
+            .option("pathGlobFilter", "lineitem.parquet").parquet(sfDir)
+            .select(col("l_orderkey"), col("l_partkey"),
+              col("l_shipdate").as("ts"))
+          val sdir = graft.streaming.StreamOps.sentinelDir(ss, sfDir, maxTsUs,
+            3 * graft.streaming.StatefulBaskets.GapUs)
+          val sschema = ss.read.parquet(sdir).schema
+          val sentinel = ss.readStream.schema(sschema).parquet(sdir)
+            .select(col("user_id").as("l_orderkey"),
+              col("event_id").as("l_partkey"), col("ts"))
+          val settled = graft.streaming.StatefulBaskets.settledBaskets(ss,
+            raw.unionByName(sentinel))
+          val partials = graft.streaming.StreamOps.drainViaParquetSink(ss,
+            settled.toDF(), "probe_baskets",
+            xform = (mb, _) => mb.filter(col("bk") >= 0)
+              .agg(count(lit(1)).as("n"), sum(size(col("items"))).as("sz")))
+          println(f"[devprobe] settled-machine drain only #$i: ${(System.nanoTime()-t1)/1e9}%.3f s (rows=${partials.count()})")
+        }
       case "drainfloor" =>
         import org.apache.spark.sql.streaming.Trigger
         val ss = graft.streaming.StreamOps.streamingSession(spark)

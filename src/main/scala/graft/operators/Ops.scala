@@ -1244,19 +1244,18 @@ object Ann {
     // cached scans — no re-checkpoint of the accumulated set per hop
     var fresh = score(f0, nq * entries).localCheckpoint(eager = true)
     var visited = fresh
-    var visitedRows = nq * entries
     for (_ <- 1 to hops) {
       val frontier = fresh.withColumn("_rn", row_number().over(beamW))
         .filter(col("_rn") <= beam).select(col("query_id"), col("node"))
       val fb = graft.operators.OlapC.maybeBroadcastRows(frontier, nq * beam)
+      // the visited anti-join stays with the planner: BOTH sides are
+      // query-batch-bounded, so a broadcast buys nothing at scale and
+      // costs a broadcast-build job per hop
       val cand = fb.join(idx.edges, fb("node") === idx.edges("src"))
         .select(col("query_id"), col("dst").as("node")).distinct()
-        .join(graft.operators.OlapC.maybeBroadcastRows(visited, visitedRows),
-          Seq("query_id", "node"), "left_anti")
-      val candBound = nq * beam * idx.m
-      fresh = score(cand, candBound).localCheckpoint(eager = true)
+        .join(visited, Seq("query_id", "node"), "left_anti")
+      fresh = score(cand, nq * beam * idx.m).localCheckpoint(eager = true)
       visited = visited.unionAll(fresh)
-      visitedRows += candBound
     }
     visited.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(beamW).cast("int"))

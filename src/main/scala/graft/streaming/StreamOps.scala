@@ -1281,23 +1281,27 @@ object StreamOps {
       xform = (mb, _) => {
         // items arrive sorted-distinct — the invariant lives in
         // StatefulBaskets.updateBasket (basketPairExpansion's
-        // item_a < item_b depends on it)
-        val settled = mb.filter(col("bk") >= 0)
-          .select(col("bk"), col("items"))
-        val pairs = settled
-          .select(explode(basketPairExpansion).as("p"))
+        // item_a < item_b depends on it).
+        // r16: the three partial boards (pair counts, item incidence,
+        // basket count) expand in ONE generator and aggregate through
+        // ONE exchange — the three-branch union ran three separate
+        // aggregations (three shuffles) over the same settled rows per
+        // micro-batch. Kind is recoverable from the null pattern:
+        // (a,b)=pair, (a,null)=item incidence, (null,null)=basket count.
+        mb.filter(col("bk") >= 0)
+          .select(explode(concat(
+            basketPairExpansion,
+            expr("transform(items, x -> " +
+              "struct(x AS item_a, CAST(NULL AS BIGINT) AS item_b))"),
+            array(struct(lit(null).cast("long").as("item_a"),
+              lit(null).cast("long").as("item_b"))))).as("p"))
           .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
           .agg(count(lit(1)).as("cnt"))
-          .select(lit("p").as("kind"), col("item_a"), col("item_b"),
-            col("cnt"))
-        val items = settled.select(explode(col("items")).as("it"))
-          .groupBy(col("it")).agg(count(lit(1)).as("cnt"))
-          .select(lit("i").as("kind"), col("it").as("item_a"),
-            lit(null).cast("long").as("item_b"), col("cnt"))
-        val n = settled.agg(count(lit(1)).as("cnt"))
-          .select(lit("n").as("kind"), lit(null).cast("long").as("item_a"),
-            lit(null).cast("long").as("item_b"), col("cnt"))
-        pairs.unionAll(items).unionAll(n)
+          .select(
+            when(col("item_a").isNull, lit("n"))
+              .when(col("item_b").isNull, lit("i"))
+              .otherwise(lit("p")).as("kind"),
+            col("item_a"), col("item_b"), col("cnt"))
       },
       afterDrain = afterDrain)
     val pairCounts = partials.filter(col("kind") === "p")
